@@ -1,0 +1,484 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory (SURVEY.md §2) over the TPC-H-ish
+  * testdata, each with a DuckDB oracle.
+  *
+  * Oracle-parity rules used throughout:
+  *   - Sums of computed doubles are cast per-row to DECIMAL(18,4) before
+  *     aggregation in BOTH engines — decimal addition is exact and
+  *     order-independent, so partial/final aggregation plans hash-match
+  *     the single-threaded oracle.
+  *   - Raw double columns are passed through untouched (parquet bits are
+  *     identical on both sides).
+  *   - Every query ends in a deterministic ORDER BY over a unique key.
+  *   - Aliases match the oracle SQL exactly (driver compares by column
+  *     name).
+  */
+object Relational {
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects; read `ts` as epoch-nanos long (SPARK-40819 legacy
+    * switch). All ts arithmetic below uses exact integer division —
+    * going through double would lose sub-second precision at 1.7e18 ns.
+    */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  private val M = DecimalType(18, 4)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Scan -> filter -> project -> partial+final hash aggregate
+    // (SURVEY §2.1 ops #1,#2,#4; TPC-H Q1 shape).
+    "q01_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast(M)).as("sum_qty"),
+          sum($"l_extendedprice".cast(M)).as("sum_base_price"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          countDistinct($"l_partkey").as("n_parts"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // Grid-cell histogram — the engine's spatial pre-aggregation shape
+    // (SURVEY §2.1 ops #3,#4) over (quantity, price) space.
+    "q02_grid_histogram" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "lineitem")
+        .groupBy(
+          floor($"l_quantity" / 5).cast("long").as("qbin"),
+          floor($"l_extendedprice" / 5000).cast("long").as("pbin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"qbin", $"pbin")
+    },
+
+    // Broadcast hash equi join + aggregate (SURVEY §2.1 op #20).
+    "q03_broadcast_join_agg" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "lineitem")
+        .join(broadcast(rd(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"p_brand")
+    },
+
+    // Broadcast theta (range-containment) join — the duplicate-assign
+    // join shape (SURVEY §2.1 op #8): small side defines bands, big side
+    // lands by containment; executes as BroadcastNestedLoopJoin.
+    "q04_theta_band_join" -> { (s, dir) =>
+      import s.implicits._
+      val bands = broadcast(rd(s, dir, "region")
+        .select($"r_name", ($"r_regionkey".cast("double") * 40000).as("lo"),
+          (($"r_regionkey" + 1).cast("double") * 40000).as("hi")))
+      rd(s, dir, "orders")
+        .join(bands, $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast(M)).as("band_total"))
+        .orderBy($"r_name")
+    },
+
+    // Multi-way equi join star (join reordering + broadcast of dims).
+    "q05_star_join_revenue" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "customer")
+        .join(rd(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+        .join(rd(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .join(rd(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(rd(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(rd(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .groupBy($"n_name")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).as("revenue"))
+        .orderBy($"n_name")
+    },
+
+    // Left-semi join (EXISTS).
+    "q06_semi_join" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "customer")
+        .join(rd(s, dir, "orders").filter($"o_totalprice" > 150000),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // Left-anti join (NOT EXISTS).
+    "q07_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "customer")
+        .join(rd(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // Distinct (SURVEY §2.1 op #18).
+    "q08_distinct_pairs" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus").distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // Arg-max dedup via window row_number — the cross-partition merge
+    // shape (SURVEY §2.1 op #22): one row per key, best row wins.
+    "q09_argmax_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_extendedprice".desc, $"l_linenumber".asc)
+      rd(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"l_orderkey", $"l_partkey".as("best_part"),
+          $"l_extendedprice".as("best_price"))
+        .orderBy($"l_orderkey")
+    },
+
+    // Union all + re-aggregate (SURVEY §2.1 op #23).
+    "q10_union_all" -> { (s, dir) =>
+      import s.implicits._
+      val o = rd(s, dir, "orders")
+      val hi = o.filter($"o_totalprice" >= 200000).select(lit("high").as("bucket"), $"o_totalprice")
+      val lo = o.filter($"o_totalprice" < 50000).select(lit("low").as("bucket"), $"o_totalprice")
+      hi.unionByName(lo)
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), sum($"o_totalprice".cast(M)).as("total"))
+        .orderBy($"bucket")
+    },
+
+    // Window functions: rank + running sum per customer.
+    "q11_window_running" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      rd(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_total",
+          sum($"o_totalprice".cast(M)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rn", $"running_total")
+        .orderBy($"o_custkey", $"rn")
+    },
+
+    // Top-k: global sort + limit with deterministic tie-break.
+    "q12_topk_orders" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    // Rollup (grouping sets — beyond the reference's surface).
+    "q13_rollup" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity".cast(M)).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+          $"sum_qty", $"n")
+        .orderBy($"rflag", $"lstatus")
+    },
+
+    // Scalar string functions (expression surface).
+    "q14_string_funcs" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "part")
+        .filter($"p_name".like("%a%"))
+        .select(
+          $"p_partkey",
+          upper(substring($"p_name", 1, 8)).as("prefix"),
+          length($"p_name").as("name_len"),
+          element_at(split($"p_type", " "), 1).as("type_head"),
+          concat($"p_brand", lit("/"), $"p_type").as("brand_type"))
+        .orderBy($"p_partkey")
+    },
+
+    // Date/time extraction + aggregate.
+    "q15_date_agg" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "orders")
+        .groupBy(
+          year($"o_orderdate").cast("long").as("o_year"),
+          month($"o_orderdate").cast("long").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast(M)).as("monthly_total"))
+        .orderBy($"o_year", $"o_month")
+    },
+
+    // Conditional aggregation + HAVING.
+    "q16_case_having" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "customer")
+        .groupBy($"c_nationkey")
+        .agg(
+          sum(when($"c_acctbal" > 5000, 1).otherwise(0)).cast("long").as("n_rich"),
+          count(lit(1)).as("n_total"))
+        .filter($"n_total" >= 3)
+        .orderBy($"c_nationkey")
+    },
+
+    // Semi-join into aggregate (TPC-H Q4 shape).
+    "q17_exists_agg" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "orders")
+        .join(rd(s, dir, "lineitem").filter($"l_quantity" > 45),
+          $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // Scalar (uncorrelated) subquery: compare to a global aggregate.
+    "q18_scalar_subquery" -> { (s, dir) =>
+      import s.implicits._
+      val c = rd(s, dir, "customer")
+      val gavg = c.agg(avg($"c_acctbal").as("gavg"))
+      c.crossJoin(broadcast(gavg))
+        .filter($"c_acctbal" > $"gavg")
+        .select($"c_custkey", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
+    // Sessionization: window lag + conditional cumulative count
+    // (gaps-and-islands over the events stream table).
+    "q19_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000") // exact epoch seconds from nanos
+      val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+      events(s, dir)
+        .withColumn("prev_s", lag(secs, 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_s".isNull || (secs - $"prev_s") > 1800, 1).otherwise(0))
+        .groupBy($"user_id")
+        .agg(sum($"new_sess").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+
+    // Wide conditional aggregation (pivot shape) per event type.
+    "q20_conditional_pivot" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"event_type" === "click", 1).otherwise(0)).cast("long").as("n_click"),
+          sum(when($"event_type" === "view", 1).otherwise(0)).cast("long").as("n_view"),
+          sum(when($"event_type" === "purchase", 1).otherwise(0)).cast("long").as("n_purchase"),
+          sum(when($"event_type" === "error", 1).otherwise(0)).cast("long").as("n_error"),
+          sum($"value".cast(M)).as("total_value"))
+        .orderBy($"user_id")
+    },
+
+    // Set ops beyond the reference: INTERSECT (distinct semantics).
+    "q21_intersect" -> { (s, dir) =>
+      import s.implicits._
+      val li = rd(s, dir, "lineitem")
+      li.filter($"l_discount" > 0.08).select($"l_partkey")
+        .intersect(li.filter($"l_quantity" > 40).select($"l_partkey"))
+        .orderBy($"l_partkey")
+    },
+
+    // Set ops: EXCEPT (distinct semantics).
+    "q22_except" -> { (s, dir) =>
+      import s.implicits._
+      val li = rd(s, dir, "lineitem")
+      li.filter($"l_discount" > 0.08).select($"l_partkey")
+        .except(li.filter($"l_quantity" > 40).select($"l_partkey"))
+        .orderBy($"l_partkey")
+    },
+
+    // Semi-structured string extraction (props is a JSON-ish string).
+    "q23_json_extract" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .withColumn("k", regexp_extract($"props", "[0-9]+", 0).cast("long"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty,
+        |  sum(cast(l_extendedprice as decimal(18,4))) AS sum_base_price,
+        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  count(distinct l_partkey) AS n_parts
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_grid_histogram" ->
+      """SELECT cast(floor(l_quantity / 5) as bigint) AS qbin,
+        |  cast(floor(l_extendedprice / 5000) as bigint) AS pbin,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY qbin, pbin""".stripMargin,
+
+    "q03_broadcast_join_agg" ->
+      """SELECT p_brand,
+        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q04_theta_band_join" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  sum(cast(o_totalprice as decimal(18,4))) AS band_total
+        |FROM orders JOIN region
+        |  ON o_totalprice >= cast(r_regionkey as double) * 40000
+        | AND o_totalprice < cast(r_regionkey + 1 as double) * 40000
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q05_star_join_revenue" ->
+      """SELECT n_name,
+        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_distinct_pairs" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q09_argmax_dedup" ->
+      """SELECT l_orderkey, best_part, best_price FROM (
+        |  SELECT l_orderkey, l_partkey AS best_part, l_extendedprice AS best_price,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+        |  FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q10_union_all" ->
+      """SELECT bucket, count(*) AS n, sum(cast(o_totalprice as decimal(18,4))) AS total
+        |FROM (
+        |  SELECT 'high' AS bucket, o_totalprice FROM orders WHERE o_totalprice >= 200000
+        |  UNION ALL
+        |  SELECT 'low' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 50000
+        |) t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q11_window_running" ->
+      """SELECT o_custkey, o_orderkey, rn, running_total FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn,
+        |    sum(cast(o_totalprice as decimal(18,4)))
+        |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q12_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q14_string_funcs" ->
+      """SELECT p_partkey, upper(substring(p_name, 1, 8)) AS prefix,
+        |  length(p_name) AS name_len,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  p_brand || '/' || p_type AS brand_type
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+
+    "q15_date_agg" ->
+      """SELECT cast(extract(year FROM o_orderdate) as bigint) AS o_year,
+        |  cast(extract(month FROM o_orderdate) as bigint) AS o_month,
+        |  count(*) AS n_orders,
+        |  sum(cast(o_totalprice as decimal(18,4))) AS monthly_total
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
+
+    "q16_case_having" ->
+      """SELECT c_nationkey,
+        |  cast(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) as bigint) AS n_rich,
+        |  count(*) AS n_total
+        |FROM customer GROUP BY c_nationkey
+        |HAVING count(*) >= 3 ORDER BY c_nationkey""".stripMargin,
+
+    "q17_exists_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q18_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q19_sessionize" ->
+      """SELECT user_id, cast(sum(new_sess) as bigint) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_s IS NULL OR s - prev_s > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (
+        |    SELECT user_id, event_id, epoch_ms(ts) // 1000 AS s,
+        |      lag(epoch_ms(ts) // 1000, 1)
+        |        OVER (PARTITION BY user_id
+        |              ORDER BY epoch_ms(ts) // 1000, event_id) AS prev_s
+        |    FROM events) a
+        |) b GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q20_conditional_pivot" ->
+      """SELECT user_id,
+        |  cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n_click,
+        |  cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_view,
+        |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS n_purchase,
+        |  cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) as bigint) AS n_error,
+        |  sum(cast(value as decimal(18,4))) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q21_intersect" ->
+      """SELECT l_partkey FROM lineitem WHERE l_discount > 0.08
+        |INTERSECT
+        |SELECT l_partkey FROM lineitem WHERE l_quantity > 40
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q22_except" ->
+      """SELECT l_partkey FROM lineitem WHERE l_discount > 0.08
+        |EXCEPT
+        |SELECT l_partkey FROM lineitem WHERE l_quantity > 40
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q23_json_extract" ->
+      """SELECT event_type, cast(sum(k) as bigint) AS sum_k, count(*) AS n FROM (
+        |  SELECT event_type, cast(regexp_extract(props, '[0-9]+', 0) as bigint) AS k
+        |  FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
