@@ -20,8 +20,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Clustering.queries
+      graft.queries.Clustering.queries ++
+      graft.queries.NorthStar.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.queries.NorthStar.oracles
 }

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis functions for large-scale corpus pipelines.
+  *
+  * Everything here is built from Spark's native (non-UDF) expressions —
+  * string ops and higher-order array functions — so the whole surface
+  * stays in Catalyst, is null-safe, and runs without object
+  * serialization in the hot path. Each function has an exact DuckDB
+  * translation (used by the oracle suite): integer/sequential-fold
+  * arithmetic only, so results are engine-portable bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (runs of whitespace collapse). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Sum of token lengths (exact integer; divide by tokenCount for the
+    * mean without float-order hazards).
+    */
+  def tokenLenSum(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t).cast("long"))
+
+  /** Number of tokens that appear in `stopwords` (duplicates counted). */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("long")
+
+  /** Polynomial rolling hash of the full text: fold (acc*31 + code) % p
+    * over character codes. Sequential fold — identical in any engine
+    * with a left-fold list reduce.
+    */
+  def rollingHash(text: Column, p: Long = 1000000007L): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, code) => (acc * 31 + code) % p)
+
+  /** Rolling hash of an arbitrary string column (used for shingles). */
+  def stringHash(c: Column, p: Long = 1000000007L): Column = rollingHash(c, p)
+
+  /** Heuristic language guess from stopword hits (deterministic CASE
+    * cascade; ties resolve in en > de > es precedence order).
+    */
+  def langGuess(text: Column): Column = {
+    val toks = tokens(text)
+    def hits(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*)))
+    val en = hits(Seq("the", "a", "of", "and", "to", "in"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val es = hits(Seq("el", "la", "de", "que", "y"))
+    when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es")
+  }
+
+  /** Composite quality score in [0,1]: lexical diversity + length +
+    * stopword presence. Pure per-row double arithmetic from exact
+    * integers (engine-portable).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCount(text).cast("double")
+    val diversity = distinctTokenCount(text).cast("double") / n
+    val lengthScore = least(lit(1.0), n / 100.0)
+    val stopRatio = stopwordCount(text, stopwords).cast("double") / n
+    round(diversity * 0.4 + lengthScore * 0.3 + stopRatio * 0.3, 6)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One decoded media asset: typed metadata + a small feature vector. */
+final case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Long,
+    mean_byte: Double,
+    n_blocks: Int,
+    block_means: Array[Double])
+
+/** Multimodal (binary) column plumbing for image/audio/video-bearing
+  * tables.
+  *
+  * The design point: media travels as an opaque `binary` column with
+  * typed metadata beside it; decode / feature-extraction runs
+  * per-partition over iterator batches (constant memory, no
+  * driver-side collection), producing a typed row. The actual codec
+  * call is STUBBED — this container has no image/audio libraries — as
+  * [[StubCodec.decode]], a deterministic fake with the same signature
+  * a real decoder would have. Everything around it (binary column
+  * handling, partition-sized batching, typed output schema) is real
+  * and tested.
+  */
+object Multimodal {
+
+  /** STUB: stands in for an image/audio decoder (e.g. JPEG -> pixel
+    * array). Deterministic: "decodes" the payload into fixed-width
+    * blocks and returns per-block byte means as the "features". A real
+    * deployment swaps only this function.
+    */
+  object StubCodec {
+    val BlockSize = 16
+    def decode(payload: Array[Byte]): (Long, Double, Int, Array[Double]) = {
+      val n = payload.length.toLong
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+      val meanByte = if (n == 0) 0.0 else sum.toDouble / n
+      val blocks = payload.grouped(BlockSize).map { blk =>
+        var s = 0L
+        var j = 0
+        while (j < blk.length) { s += blk(j) & 0xff; j += 1 }
+        s.toDouble / blk.length
+      }.toArray
+      (n, meanByte, blocks.length, blocks)
+    }
+  }
+
+  /** Attach a binary payload column derived from text (the testdata has
+    * no media table; real media would arrive as parquet binary).
+    */
+  def withBinaryPayload(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** Per-partition decode of binary payloads into typed features —
+    * iterator-to-iterator (spill-safe, constant memory per task), the
+    * shape a Pandas-UDF/mapInPandas batch decode takes in PySpark.
+    */
+  def decodeFeatures(spark: SparkSession, docsWithPayload: DataFrame,
+      idCol: String = "doc_id"): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    docsWithPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (n, meanByte, nBlocks, blockMeans) = StubCodec.decode(payload)
+          MediaFeatures(id, n, meanByte, nBlocks, blockMeans)
+        }
+      }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search.
+  *
+  * Dot products are computed with a SEQUENTIAL left fold over
+  * per-element double products (`zip_with` + `aggregate`), so the
+  * result is bitwise deterministic and reproducible in any engine with
+  * an ordered list reduce — no float-ordering hazards in thresholds or
+  * rankings.
+  *
+  * Scale path: [[bruteForceTopK]] broadcasts the (small) query set and
+  * scans the corpus once — O(|corpus| * |queries| * d) with no shuffle
+  * of the corpus. [[hyperplaneBucket]] is the random-hyperplane LSH
+  * (Charikar 2002) for big-big similarity: bucket both sides on the
+  * sign signature, equi-join buckets, then exact-verify — the same
+  * grid-bucket trick the spatial core uses for its eps-join.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns (elements
+    * cast to double before multiplying).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector (brute force —
+    * the correctness baseline ANN variants are judged against).
+    * Queries are broadcast; ties break by neighbor id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.join(q, col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Random-hyperplane LSH bucket id: bit j of the bucket is the sign
+    * of the dot product with pseudo-random plane j, whose weights are
+    * the deterministic integer lattice w(j,d) = ((j*97 + d*31) mod 7) - 3.
+    */
+  def hyperplaneBucket(vec: Column, nPlanes: Int = 8): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+          x.cast("double") * (((lit(j) * 97 + d * 31) % 7) - 3).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed approximate neighbor pairs: vectors sharing an LSH bucket,
+    * exact-verified to `minCosine`. Shuffles by bucket key only.
+    */
+  def lshNeighborPairs(corpus: DataFrame, minCosine: Double, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .withColumn("cos", cosine(col("x.vec"), col("y.vec")))
+      .filter(col("cos") >= minCosine)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,426 @@
+package graft.queries
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star training-data-pipeline operators (SURVEY.md §2.3) as
+  * oracle-checked queries: text analysis, dedup (exact / n-gram Jaccard
+  * / MinHash-LSH / SimHash), embedding similarity search, multimodal
+  * binary plumbing.
+  *
+  * The documents/embeddings testdata has no natural duplicates, so
+  * dedup queries synthesize them deterministically (shifted-id exact
+  * copies; 80%-prefix mutations; exactly-scaled embeddings) with
+  * transformations expressible identically in both engines.
+  */
+object NorthStar {
+
+  // ---------- shared SQL fragments (DuckDB side) ----------
+  private val P = "1000000007"
+  private def toksSql(t: String) = s"string_split_regex(trim($t), '\\s+')"
+  private def rollSql(e: String) =
+    s"list_reduce(list_transform(string_split($e, ''), c -> cast(ascii(c) as bigint)), (a,b) -> (a*31+b) % $P)"
+  private val stopList = Seq("the", "a", "of", "and", "to", "in")
+  private val stopSql = stopList.map(w => s"'$w'").mkString(", ")
+  private def stopHitsSql(toks: String) =
+    s"len(list_filter($toks, t -> t in ($stopSql)))"
+
+  /** Corpus with exact duplicates: every doc again under id+100000. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+  }
+  private val dupCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000, text FROM documents""".stripMargin
+
+  /** Corpus with near-duplicates: each doc again under id+100000 with
+    * only its first 80% of tokens.
+    */
+  private def mutCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val toks = TextAnalysis.tokens($"text")
+    docs.select($"doc_id", $"text").unionByName(
+      docs.select(($"doc_id" + 100000).as("doc_id"),
+        array_join(
+          slice(toks, lit(1), greatest(floor(size(toks) * 0.8).cast("int"), lit(1))),
+          " ").as("text")))
+  }
+  private val mutCorpusSql = {
+    val tk = toksSql("text")
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL SELECT doc_id + 100000,
+       |  array_to_string(($tk)[1:greatest(cast(floor(len($tk) * 0.8) as int), 1)], ' ')
+       |FROM documents""".stripMargin
+  }
+
+  /** Shared shingle CTE chain (3-gram, distinct rolling hashes). */
+  private def shingleSql(corpus: String) =
+    s"""u AS ($corpus),
+       |t AS (SELECT doc_id AS id, ${toksSql("text")} AS toks FROM u),
+       |g AS (SELECT id, unnest(CASE WHEN len(toks) >= 3
+       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |  ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
+       |sh AS (SELECT DISTINCT id, ${rollSql("shingle")} AS sh FROM g)""".stripMargin
+
+  private val mhSql = // 16 minhashes per id from the sh CTE
+    s"""mh AS (SELECT id, list_transform(range(0, 16),
+       |  i -> list_aggregate(list_transform(shs, s -> ((i*2+1)*s + i*i + 7) % $P), 'min')) AS mh
+       |  FROM (SELECT id, list(sh) AS shs FROM sh GROUP BY id))""".stripMargin
+
+  // ---------- queries ----------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- text analysis ---
+    "t01_token_stats" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tc = TextAnalysis.tokenCount($"text")
+      docs.select($"doc_id",
+        tc.cast("long").as("n_tokens"),
+        TextAnalysis.distinctTokenCount($"text").cast("long").as("n_distinct"),
+        length($"text").cast("long").as("n_chars"),
+        round(TextAnalysis.tokenLenSum($"text").cast("double") / tc.cast("double"), 6)
+          .as("mean_token_len"))
+        .orderBy($"doc_id")
+    },
+
+    "t02_lang_profile" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"),
+          sum(TextAnalysis.stopwordCount($"text", stopList)).cast("long").as("stop_hits"),
+          sum(TextAnalysis.tokenCount($"text").cast("long")).cast("long").as("n_tokens"))
+        .withColumn("stop_ratio",
+          round($"stop_hits".cast("double") / $"n_tokens".cast("double"), 6))
+        .orderBy($"lang")
+    },
+
+    "t03_quality_scores" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id",
+          TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore($"text", stopList).as("score"))
+        .orderBy($"doc_id")
+    },
+
+    "t04_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy($"lang", TextAnalysis.langGuess($"text").as("guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"guess")
+    },
+
+    "t05_fingerprints" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id",
+          md5($"text").as("fp_md5"),
+          TextAnalysis.rollingHash($"text").as("fp_roll"))
+        .orderBy($"doc_id")
+    },
+
+    // --- dedup ---
+    "d01_exact_dedup" -> { (s, dir) =>
+      Dedup.exactDuplicates(dupCorpus(s, dir), "text", "doc_id")
+        .orderBy("content_md5")
+    },
+
+    "d02_ngram_jaccard" -> { (s, dir) =>
+      Dedup.jaccardPairs(mutCorpus(s, dir), "text", "doc_id", n = 3, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    "d03_minhash_bands" -> { (s, dir) =>
+      Dedup.lshBands(Dedup.minhashes(mutCorpus(s, dir), "text", "doc_id", 16, 3), 16, 4)
+        .orderBy("id")
+    },
+
+    "d04_lsh_pairs" -> { (s, dir) =>
+      Dedup.lshCandidatePairs(mutCorpus(s, dir), "text", "doc_id", 16, 4, 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    "d05_simhash" -> { (s, dir) =>
+      Dedup.withSimhash(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+        .orderBy("id")
+    },
+
+    "d06_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashNearPairs(mutCorpus(s, dir), "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    "d07_embedding_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = emb.select($"vec_id".cast("long").as("id"), $"embedding".as("vec"))
+      // exact-scale copies (x2 is exact in both float and double)
+      val scaled = emb.select(($"vec_id" + 100000L).as("id"),
+        transform($"embedding", x => x * lit(2.0f)).as("vec"))
+      val u = base.unionByName(scaled)
+        .withColumn("block", expr("(id % 100000) div 50"))
+      u.as("x").join(u.as("y"),
+          col("x.block") === col("y.block") && col("x.id") < col("y.id"))
+        .withColumn("cos", Similarity.cosine(col("x.vec"), col("y.vec")))
+        .filter($"cos" >= 0.95)
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          round($"cos", 6).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // --- similarity search ---
+    "s01_knn_bruteforce" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), k = 5)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+
+    "s02_lsh_buckets" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(Similarity.hyperplaneBucket($"embedding", 8).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    },
+
+    // --- multimodal binary plumbing ---
+    "m01_binary_meta" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.withBinaryPayload(s.read.parquet(s"$dir/documents.parquet"), "text")
+        .select($"doc_id",
+          octet_length($"payload").cast("long").as("n_bytes"),
+          ascii(substring($"text", 1, 1)).cast("long").as("first_code"),
+          md5($"text").as("content_md5"))
+        .orderBy($"doc_id")
+    },
+
+    "m02_media_features" -> { (s, dir) =>
+      import s.implicits._
+      val withPayload = Multimodal.withBinaryPayload(
+        s.read.parquet(s"$dir/documents.parquet"), "text")
+      Multimodal.decodeFeatures(s, withPayload)
+        .toDF()
+        .select($"doc_id", $"n_bytes",
+          round($"mean_byte", 6).as("mean_byte"),
+          $"n_blocks".cast("long").as("n_blocks"))
+        .orderBy($"doc_id")
+    },
+
+    // --- streaming ---
+    "st01_stream_hourly" -> { (s, dir) =>
+      graft.streaming.Streaming.hourlyStats(s, dir)
+    },
+
+    "st02_stream_user_state" -> { (s, dir) =>
+      graft.streaming.Streaming.userRunningState(s, dir)
+    })
+
+  // ---------- oracles ----------
+
+  val oracles: Map[String, String] = {
+    val tk = toksSql("text")
+
+    val s02Projs = (0 until 8).map { j =>
+      s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+         |  i -> v[i] * cast(((($j*97 + (i-1)*31) % 7) - 3) as double)),
+         |  (a,b) -> a+b) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
+    val cosSql = (a: String, b: String) =>
+      s"""(list_reduce(list_transform(range(1,65), i -> $a[i]*$b[i]), (x,y)->x+y) /
+         | (sqrt(list_reduce(list_transform(range(1,65), i -> $a[i]*$a[i]), (x,y)->x+y)) *
+         |  sqrt(list_reduce(list_transform(range(1,65), i -> $b[i]*$b[i]), (x,y)->x+y))))""".stripMargin
+
+    Map(
+      "t01_token_stats" ->
+        s"""SELECT doc_id,
+           |  cast(len(toks) as bigint) AS n_tokens,
+           |  cast(len(list_distinct(toks)) as bigint) AS n_distinct,
+           |  cast(length(text) as bigint) AS n_chars,
+           |  round(cast(list_reduce(list_transform(toks, t -> cast(length(t) as bigint)),
+           |    (a,b) -> a+b) as double) / cast(len(toks) as double), 6) AS mean_token_len
+           |FROM (SELECT doc_id, text, $tk AS toks FROM documents) ORDER BY doc_id""".stripMargin,
+
+      "t02_lang_profile" ->
+        s"""SELECT lang, count(*) AS n_docs,
+           |  cast(sum(n_chars) as bigint) AS sum_chars,
+           |  cast(sum(${stopHitsSql(tk)}) as bigint) AS stop_hits,
+           |  cast(sum(len($tk)) as bigint) AS n_tokens,
+           |  round(cast(sum(${stopHitsSql(tk)}) as double) /
+           |        cast(sum(len($tk)) as double), 6) AS stop_ratio
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "t03_quality_scores" ->
+        s"""SELECT doc_id, cast(n as bigint) AS n_tokens,
+           |  round((cast(nd as double) / cast(n as double)) * 0.4 +
+           |        least(1.0, cast(n as double) / 100.0) * 0.3 +
+           |        (cast(st as double) / cast(n as double)) * 0.3, 6) AS score
+           |FROM (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+           |        ${stopHitsSql("toks")} AS st
+           |      FROM (SELECT doc_id, $tk AS toks FROM documents))
+           |ORDER BY doc_id""".stripMargin,
+
+      "t04_lang_id" ->
+        s"""SELECT lang, CASE
+           |  WHEN en >= de AND en >= es THEN 'en'
+           |  WHEN de >= es THEN 'de' ELSE 'es' END AS guess, count(*) AS n
+           |FROM (SELECT lang,
+           |  len(list_filter($tk, t -> t in ('the','a','of','and','to','in'))) AS en,
+           |  len(list_filter($tk, t -> t in ('der','die','das','und','ist'))) AS de,
+           |  len(list_filter($tk, t -> t in ('el','la','de','que','y'))) AS es
+           |  FROM documents)
+           |GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
+
+      "t05_fingerprints" ->
+        s"""SELECT doc_id, md5(text) AS fp_md5, ${rollSql("text")} AS fp_roll
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "d01_exact_dedup" ->
+        s"""SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
+           |  count(*) AS n_copies
+           |FROM ($dupCorpusSql) GROUP BY 1 ORDER BY content_md5""".stripMargin,
+
+      "d02_ngram_jaccard" ->
+        s"""WITH ${shingleSql(mutCorpusSql)},
+           |sizes AS (SELECT id, count(*) AS set_size FROM sh GROUP BY id),
+           |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+           |SELECT id_a, id_b, n_inter, jaccard FROM (
+           |  SELECT i.id_a, i.id_b, i.n_inter,
+           |    round(cast(i.n_inter as double) / (sa.set_size + sb.set_size - i.n_inter), 6) AS jaccard
+           |  FROM inter i
+           |  JOIN sizes sa ON sa.id = i.id_a
+           |  JOIN sizes sb ON sb.id = i.id_b) t
+           |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      "d03_minhash_bands" ->
+        s"""WITH ${shingleSql(mutCorpusSql)}, $mhSql
+           |SELECT id,
+           |  array_to_string(mh[1:4], '-') AS band0,
+           |  array_to_string(mh[5:8], '-') AS band1,
+           |  array_to_string(mh[9:12], '-') AS band2,
+           |  array_to_string(mh[13:16], '-') AS band3
+           |FROM mh ORDER BY id""".stripMargin,
+
+      "d04_lsh_pairs" ->
+        s"""WITH ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id)
+           |SELECT p.id_a, p.id_b,
+           |  round(cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16, 6) AS est_sim
+           |FROM pairs p JOIN mh a ON a.id = p.id_a JOIN mh b ON b.id = p.id_b
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "d05_simhash" ->
+        s"""WITH t AS (SELECT doc_id AS id,
+           |  list_transform($tk, tok -> ${rollSql("tok")}) AS hashes FROM documents)
+           |SELECT id, cast(list_aggregate(list_transform(range(0, 32), b ->
+           |  CASE WHEN 2 * len(list_filter(hashes,
+           |         h -> cast(floor(h / pow(2.0, b)) as bigint) % 2 = 1)) > len(hashes)
+           |  THEN cast(pow(2.0, b) as bigint) ELSE 0 END), 'sum') as bigint) AS simhash
+           |FROM t ORDER BY id""".stripMargin,
+
+      "d06_simhash_pairs" ->
+        s"""WITH u AS ($mutCorpusSql),
+           |t AS (SELECT doc_id AS id,
+           |  list_transform(${toksSql("text")}, tok -> ${rollSql("tok")}) AS hashes FROM u),
+           |sim AS (SELECT id, cast(list_aggregate(list_transform(range(0, 32), b ->
+           |  CASE WHEN 2 * len(list_filter(hashes,
+           |         h -> cast(floor(h / pow(2.0, b)) as bigint) % 2 = 1)) > len(hashes)
+           |  THEN cast(pow(2.0, b) as bigint) ELSE 0 END), 'sum') as bigint) AS simhash
+           |  FROM t),
+           |bands AS (
+           |  SELECT id, simhash, 0 AS band_no, (simhash >> 0) & 255 AS sig FROM sim
+           |  UNION ALL SELECT id, simhash, 1, (simhash >> 8) & 255 FROM sim
+           |  UNION ALL SELECT id, simhash, 2, (simhash >> 16) & 255 FROM sim
+           |  UNION ALL SELECT id, simhash, 3, (simhash >> 24) & 255 FROM sim),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+           |    x.simhash AS sh_a, y.simhash AS sh_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id)
+           |SELECT id_a, id_b, cast(bit_count(xor(sh_a, sh_b)) as bigint) AS hamming
+           |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "d07_embedding_neardup" ->
+        s"""WITH u AS (
+           |  SELECT cast(vec_id as bigint) AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> cast(x as double) * 2)
+           |  FROM embeddings),
+           |b AS (SELECT id, v, (id % 100000) // 50 AS block FROM u)
+           |SELECT x.id AS id_a, y.id AS id_b,
+           |  round(${cosSql("x.v", "y.v")}, 6) AS cos_sim
+           |FROM b x JOIN b y ON x.block = y.block AND x.id < y.id
+           |WHERE ${cosSql("x.v", "y.v")} >= 0.95
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "s01_knn_bruteforce" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings)
+           |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
+           |  SELECT q.id AS q_id, n.id AS n_id,
+           |    round(${cosSql("q.v", "n.v")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY q.id
+           |      ORDER BY ${cosSql("q.v", "n.v")} DESC, n.id ASC) AS rn
+           |  FROM e q JOIN e n ON n.id <> q.id
+           |  WHERE q.id < 5) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      "s02_lsh_buckets" ->
+        s"""SELECT bucket, count(*) AS n FROM (
+           |  SELECT ($s02Projs) AS bucket FROM (
+           |    SELECT list_transform(embedding, x -> cast(x as double)) AS v
+           |    FROM embeddings) e) t
+           |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      "m01_binary_meta" ->
+        s"""SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes,
+           |  cast(ascii(substring(text, 1, 1)) as bigint) AS first_code,
+           |  md5(text) AS content_md5
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "m02_media_features" ->
+        s"""SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes,
+           |  round(cast(list_reduce(list_transform(string_split(text, ''),
+           |      c -> cast(ascii(c) as bigint)), (a,b) -> a+b) as double) /
+           |    cast(octet_length(encode(text)) as double), 6) AS mean_byte,
+           |  cast(ceil(octet_length(encode(text)) / 16.0) as bigint) AS n_blocks
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "st01_stream_hourly" ->
+        """SELECT (epoch_ms(ts) // 1000 // 3600) * 3600 AS hour_start,
+          |  event_type, count(*) AS n,
+          |  sum(cast(value as decimal(18,4))) AS total_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+      "st02_stream_user_state" ->
+        """SELECT user_id, max(value) AS max_value, count(*) AS n_events
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types._
+
+final case class UserEvent(user_id: Long, value: Double)
+final case class UserState(user_id: Long, max_value: Double, n_events: Long)
+
+/** Structured Streaming operators over the events table.
+  *
+  * Batch parquet drives the stream (file source + memory sink +
+  * processAllAvailable), so results are deterministic and each query
+  * has a plain batch-SQL oracle. The same plans run unchanged against
+  * a real source (kafka/files) at scale — aggregation state is keyed
+  * and partitioned by the group columns.
+  *
+  * events.ts is TIMESTAMP(NANOS) in parquet, unsupported by Spark's
+  * reader; the explicit stream schema types it as epoch-nano long
+  * (with spark.sql.legacy.parquet.nanosAsLong) and bucket arithmetic
+  * is exact integer division.
+  */
+object Streaming {
+
+  private val counter = new AtomicInteger(0)
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // File stream source wants a directory; glob-filter to the one table.
+    s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling 1-hour windowed aggregate per event type (complete mode). */
+  def hourlyStats(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventStream(s, dir)
+      .groupBy(
+        (expr("ts div 1000000000 div 3600") * 3600).as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
+    runToTable(agg, "complete")
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** Arbitrary stateful processing: per-user running (max, count) via
+    * mapGroupsWithState (update mode). The memory table is re-aggregated
+    * at the end so multi-batch replays stay correct.
+    */
+  def userRunningState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updates = eventStream(s, dir)
+      .select(col("user_id"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[UserEvent], state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, Double.NegativeInfinity, 0L))
+          val next = events.foldLeft(prev) { (acc, e) =>
+            UserState(uid, math.max(acc.max_value, e.value), acc.n_events + 1)
+          }
+          state.update(next)
+          next
+      }
+    runToTable(updates.toDF(), "update")
+      .groupBy("user_id")
+      .agg(max("max_value").as("max_value"), max("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TextAnalysisSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counting and rolling hash") {
+    val df = Seq((1L, "the quick fox"), (2L, "  a  b  ")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.rollingHash($"text").as("h")).collect()
+    got.map(r => (r.getLong(0), r.getInt(1))) shouldBe Array((1L, 3), (2L, 2))
+    // rolling hash of "ab" = ('a'*31 + 'b') % p = 97*31+98
+    val h = Seq(Tuple1("ab")).toDF("text")
+      .select(TextAnalysis.rollingHash($"text")).head.getLong(0)
+    h shouldBe (97L * 31 + 98)
+  }
+
+  test("stopword count and quality score bounds") {
+    val df = Seq(Tuple1("the cat and the hat")).toDF("text")
+    df.select(TextAnalysis.stopwordCount($"text", Seq("the", "and")))
+      .head.getLong(0) shouldBe 3
+    val score = df.select(TextAnalysis.qualityScore($"text", Seq("the", "and")))
+      .head.getDouble(0)
+    score should (be >= 0.0 and be <= 1.0)
+  }
+}
+
+class DedupSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon"), // near dup of 1
+    (4L, "one two three four five six seven")).toDF("doc_id", "text")
+
+  test("exact duplicates collapse by content hash") {
+    val got = Dedup.exactDuplicates(docs, "text", "doc_id").collect()
+    got.length shouldBe 3
+    val dup = got.find(_.getLong(2) == 2L).get
+    dup.getLong(1) shouldBe 1L // canonical = min id
+  }
+
+  test("jaccard pairs find the near-dup, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L)) // identical => jaccard 1
+    pairs should contain((1L, 3L)) // prefix => 3/4
+    pairs.flatMap(p => Set(p._1, p._2)) should not contain 4L
+  }
+
+  test("minhash signatures: identical docs agree, LSH finds them") {
+    val mh = Dedup.minhashes(docs, "text", "doc_id", k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    mh(1L) shouldBe mh(2L)
+    mh(1L) should not be mh(4L)
+    val cands = Dedup.lshCandidatePairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    cands.find(c => c._1 == 1L && c._2 == 2L).get._3 shouldBe 1.0
+  }
+
+  test("simhash: identical docs equal; near dups close in hamming") {
+    val sh = Dedup.withSimhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sh(1L) shouldBe sh(2L)
+    java.lang.Long.bitCount(sh(1L) ^ sh(3L)) should be < 16
+    val pairs = Dedup.simhashNearPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(2.0f, 0.0f, 0.0f)), // same direction as 0
+    (2L, Array(0.0f, 1.0f, 0.0f)), // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f))) // opposite
+    .toDF("vec_id", "embedding")
+
+  test("cosine basics") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    c((0L, 1L)) shouldBe 1.0 +- 1e-12
+    c((0L, 2L)) shouldBe 0.0 +- 1e-12
+    c((0L, 3L)) shouldBe -1.0 +- 1e-12
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 3)
+      .orderBy("rnk").collect().map(_.getLong(1))
+    got shouldBe Array(1L, 2L, 3L)
+  }
+
+  test("lsh neighbor pairs recover the parallel pair") {
+    val pairs = Similarity.lshNeighborPairs(vecs, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((0L, 1L))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("binary payload decode: sizes, means, blocks") {
+    val docs = Seq((7L, "A" * 40)).toDF("doc_id", "text") // 'A' = 65
+    val feats = Multimodal.decodeFeatures(spark,
+      Multimodal.withBinaryPayload(docs, "text")).collect().head
+    feats.doc_id shouldBe 7L
+    feats.n_bytes shouldBe 40L
+    feats.mean_byte shouldBe 65.0
+    feats.n_blocks shouldBe 3 // 16+16+8
+    feats.block_means.toSeq shouldBe Seq(65.0, 65.0, 65.0)
+  }
+}
