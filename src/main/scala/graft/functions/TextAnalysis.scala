@@ -32,14 +32,15 @@ object TextAnalysis {
     size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("long")
 
   /** Polynomial rolling hash of the full text: fold (acc*31 + code) % p
-    * over character codes. Sequential fold — identical in any engine
-    * with a left-fold list reduce.
+    * over Unicode code points. Backed by the codegen'd native
+    * [[RollingHash]] expression; value-identical to the interpreted
+    * fold aggregate(transform(split(s,''), ascii), 0, (a,c)->(a*31+c)%p)
+    * and to DuckDB's list_reduce equivalent.
     */
-  def rollingHash(text: Column, p: Long = 1000000007L): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, code) => (acc * 31 + code) % p)
+  def rollingHash(text: Column, p: Long = 1000000007L): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(RollingHash(Bridge.expression(text), p))
+  }
 
   /** Rolling hash of an arbitrary string column (used for shingles). */
   def stringHash(c: Column, p: Long = 1000000007L): Column = rollingHash(c, p)

@@ -133,9 +133,8 @@ object Dedup {
     * 2^52, hence portable to any engine.
     */
   def withSimhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hashes = transform(TextAnalysis.tokens(col(textCol)), t =>
-      aggregate(transform(split(t, ""), c => ascii(c).cast("long")),
-        lit(0L), (acc, code) => (acc * 31 + code) % P))
+    val hashes = transform(TextAnalysis.tokens(col(textCol)),
+      t => TextAnalysis.stringHash(t, P))
     val bitAt = (h: Column, b: Column) =>
       floor(h.cast("double") / pow(lit(2.0), b)).cast("long") % 2
     val zero32 = transform(sequence(lit(0), lit(31)), _ => lit(0L))
@@ -160,7 +159,9 @@ object Dedup {
     */
   def simhashNearPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSim = withSimhash(docs, textCol, idCol)
+    // persist: the signature computation is a non-codegen higher-order
+    // expression and feeds BOTH sides of the self-join
+    val withSim = withSimhash(docs, textCol, idCol).persist()
     val banded = withSim.select($"id", $"simhash",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_no"),

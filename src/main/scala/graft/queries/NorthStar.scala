@@ -170,11 +170,15 @@ object NorthStar {
       // exact-scale copies (x2 is exact in both float and double)
       val scaled = emb.select(($"vec_id" + 100000L).as("id"),
         transform($"embedding", x => x * lit(2.0f)).as("vec"))
+      // norms computed once per vector before the join (cosine factors
+      // as dot/(norm_x*norm_y) — same arithmetic, 3x fewer folds/pair)
       val u = base.unionByName(scaled)
         .withColumn("block", expr("(id % 100000) div 50"))
+        .withColumn("nrm", Similarity.norm($"vec"))
       u.as("x").join(u.as("y"),
           col("x.block") === col("y.block") && col("x.id") < col("y.id"))
-        .withColumn("cos", Similarity.cosine(col("x.vec"), col("y.vec")))
+        .withColumn("cos",
+          Similarity.dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")))
         .filter($"cos" >= 0.95)
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
           round($"cos", 6).as("cos_sim"))
@@ -188,6 +192,18 @@ object NorthStar {
       Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 5), k = 5)
         .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"cos_sim")
         .orderBy("q_id", "rnk")
+    },
+
+    // Grid-bucketed eps-distance self-join: per-event neighborhood size
+    // in (value, hours) space — DBSCAN's core test as a relational op,
+    // planned as a hash equi-join on cell keys (never a nested loop).
+    "s03_eps_degree" -> { (s, dir) =>
+      import s.implicits._
+      val p = Relational.events(s, dir).select(
+        $"event_id".as("id"),
+        $"value".as("x"),
+        ((expr("ts div 1000000000") - lit(1704067200L)) / 3600.0).as("y"))
+      graft.operators.SpatialJoin.neighborCounts(p, 2.0, "id").orderBy("id")
     },
 
     "s02_lsh_buckets" -> { (s, dir) =>
@@ -391,6 +407,19 @@ object NorthStar {
            |  FROM e q JOIN e n ON n.id <> q.id
            |  WHERE q.id < 5) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      "s03_eps_degree" ->
+        """WITH p AS (SELECT event_id AS id, value AS x,
+          |  ((epoch_ms(ts) // 1000) - 1704067200) / 3600.0 AS y FROM events),
+          |c AS (SELECT id, x, y, cast(floor(x / 2.0) as bigint) AS cx,
+          |  cast(floor(y / 2.0) as bigint) AS cy FROM p),
+          |l AS (SELECT id, x, y, cx + dx.d AS cx, cy + dy.d AS cy FROM c,
+          |  (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy),
+          |j AS (SELECT l.id,
+          |  (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) AS ds
+          |  FROM l JOIN c r ON l.cx = r.cx AND l.cy = r.cy AND l.id <> r.id)
+          |SELECT id, count(*) AS n_neighbors FROM j WHERE ds <= 4.0
+          |GROUP BY id ORDER BY id""".stripMargin,
 
       "s02_lsh_buckets" ->
         s"""SELECT bucket, count(*) AS n FROM (

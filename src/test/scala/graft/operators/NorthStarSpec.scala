@@ -21,6 +21,19 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     h shouldBe (97L * 31 + 98)
   }
 
+  test("native RollingHash equals the interpreted fold (incl. unicode)") {
+    val samples = Seq("hello", "a", "the quick brown fox", "tschüß", "中文 text", "")
+    val df = samples.map(Tuple1(_)).toDF("text")
+    val got = df.select(TextAnalysis.rollingHash($"text")).collect().map(_.getLong(0))
+    val expected = df.select(
+      aggregate(
+        transform(split($"text", ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, code) => (acc * 31 + code) % 1000000007L)).collect().map(_.getLong(0))
+    // NB: the HOF baseline splits into Java chars; for BMP strings (all
+    // test data) this equals code points.
+    got.toSeq shouldBe expected.toSeq
+  }
+
   test("stopword count and quality score bounds") {
     val df = Seq(Tuple1("the cat and the hat")).toDF("text")
     df.select(TextAnalysis.stopwordCount($"text", Seq("the", "and")))
