@@ -76,15 +76,25 @@ object Dedup {
   /** k MinHash values per document over its shingle set:
     * minhash_i = min over shingles of ((2i+1)*sh + i*i + 7) mod P.
     * Returned as an array column `minhashes`.
+    *
+    * Aggregated with the typed [[graft.functions.MinHashAgg]] — a
+    * distributive O(k)-state aggregate with map-side partial combine,
+    * so a document's shingle set is never materialized (a collect_set
+    * formulation would ship the whole set per document through the
+    * shuffle).
     */
   def minhashes(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 16, n: Int = 3): DataFrame =
+      k: Int = 16, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits.{newLongEncoder, newProductEncoder, newLongSeqEncoder}
     shingles(docs, textCol, idCol, n)
-      .groupBy($"id")
-      .agg(collect_set($"sh").as("shs"))
-      .select($"id", transform(
-        sequence(lit(0), lit(k - 1)),
-        i => array_min(transform($"shs", s => ((i * 2 + 1) * s + i * i + 7) % P))).as("minhashes"))
+      .select(col("id").cast("long").as("id"), col("sh"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MinHashAgg(k, P).toColumn.name("minhashes"))
+      .toDF("id", "minhashes")
+  }
 
   /** LSH band signatures: the k minhashes split into `bands` bands of
     * k/bands rows each, concatenated to one string key per band.
