@@ -245,6 +245,10 @@ object NorthStar {
 
     "st02_stream_user_state" -> { (s, dir) =>
       graft.streaming.Streaming.userRunningState(s, dir)
+    },
+
+    "st03_stream_watermark" -> { (s, dir) =>
+      graft.streaming.Streaming.hourlyStatsWatermarked(s, dir, delayHours = 2)
     })
 
   // ---------- oracles ----------
@@ -450,6 +454,15 @@ object NorthStar {
 
       "st02_stream_user_state" ->
         """SELECT user_id, max(value) AS max_value, count(*) AS n_events
-          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "st03_stream_watermark" ->
+        """WITH e AS (SELECT epoch_ms(ts) // 1000 AS sec, event_type, value FROM events)
+          |SELECT hour_start, event_type, n, total_value FROM (
+          |  SELECT (sec // 3600) * 3600 AS hour_start, event_type,
+          |    count(*) AS n, sum(cast(value as decimal(18,4))) AS total_value
+          |  FROM e GROUP BY 1, 2)
+          |WHERE hour_start + 3600 <= (SELECT max(sec) FROM e) - 7200
+          |ORDER BY hour_start, event_type""".stripMargin)
   }
 }

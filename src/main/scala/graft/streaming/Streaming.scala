@@ -64,6 +64,27 @@ object Streaming {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Watermarked tumbling-window aggregate in append mode: windows are
+    * emitted only once the event-time watermark (max event time minus
+    * `delayHours`) passes their end — the production late-data shape.
+    * With the deterministic file replay, exactly the windows whose end
+    * precedes max(ts) - delay are finalized (the trailing ones stay in
+    * state), so the query has a closed-form batch oracle.
+    */
+  def hourlyStatsWatermarked(s: SparkSession, dir: String, delayHours: Int = 2): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("event_time", s"$delayHours hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
+      .select(col("window.start").cast("long").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+    runToTable(agg, "append")
+      .orderBy("hour_start", "event_type")
+  }
+
   /** Arbitrary stateful processing: per-user running (max, count) via
     * mapGroupsWithState (update mode). The memory table is re-aggregated
     * at the end so multi-batch replays stay correct.
