@@ -1,0 +1,89 @@
+package graft.functions
+
+/** JVM kernels for the dedup hot path, value-identical to the Catalyst
+  * expression chains they replace (and to the DuckDB oracle):
+  *
+  *   - [[tokens]] mirrors `split(trim(text), "\\s+")` — ASCII-space-only
+  *     trim (Spark's `trim` strips spaces, not all whitespace), then
+  *     regex split with limit -1 (Spark keeps trailing empty strings).
+  *   - shingle hashes and simhash use [[RollingHash.hash]] — the same
+  *     (acc*31 + codePoint) % p fold as the codegen'd expression.
+  *
+  * These run inside typed Dataset ops: per-document n-gram/bit-count
+  * work is a tight single-pass loop here, where the equivalent
+  * higher-order Catalyst expressions (transform/aggregate/zip_with)
+  * are interpreted per element and allocate an array per step —
+  * profiled 25-40x slower at sf0.1.
+  */
+object TextKernels {
+
+  private val P = 1000000007L
+
+  /** Mirror of TextAnalysis.tokens for driver/executor-side Scala. */
+  def tokens(text: String): Array[String] = {
+    var a = 0
+    var b = text.length
+    while (a < b && text.charAt(a) == ' ') a += 1
+    while (b > a && text.charAt(b - 1) == ' ') b -= 1
+    text.substring(a, b).split("\\s+", -1)
+  }
+
+  /** Distinct rolling-hash values of the word `n`-gram shingles of
+    * `text` (whole text as the single shingle when shorter than n
+    * tokens) — one pass, no intermediate shingle strings beyond a
+    * reused builder.
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = tokens(text)
+    val seen = new java.util.HashSet[Long]()
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var o = 0
+        while (o < n) {
+          if (o > 0) sb.append(' ')
+          sb.append(toks(i + o))
+          o += 1
+        }
+        seen.add(RollingHash.hash(sb.toString, P))
+        i += 1
+      }
+    } else {
+      seen.add(RollingHash.hash(toks.mkString(" "), P))
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** 32-bit SimHash (Charikar 2002): bit b set iff more token hashes
+    * have bit b set than not. Identical to the expression formulation
+    * (floor(h / 2^b) % 2 == (h >> b) & 1 for the non-negative h < 2^30
+    * the rolling hash produces).
+    */
+  def simhash32(text: String): Long = {
+    val toks = tokens(text)
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      val h = RollingHash.hash(toks(i), P)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 32) {
+      if (2 * counts(b) > toks.length) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+}

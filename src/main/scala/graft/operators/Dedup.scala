@@ -37,19 +37,24 @@ object Dedup {
   /** Distinct hashed word `n`-gram shingles per document:
     * (id, shingle_hash) pairs — the posting list both Jaccard and
     * MinHash build on.
+    *
+    * Runs as a typed flatMap over [[graft.functions.TextKernels
+    * .shingleHashes]]: one JVM pass per document with per-doc
+    * dedup, replacing an interpreted transform/element_at/explode/
+    * global-distinct chain (8.5s -> sub-second at sf0.1, and the
+    * global distinct's 8M-row shuffle disappears — per-doc dedup is
+    * equivalent because the pairs are keyed by id).
     */
   def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // Documents shorter than n tokens contribute their whole text as the
-    // single shingle (also keeps ANSI-mode element_at in bounds).
-    val grams = when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
-      .otherwise(array(concat_ws(" ", toks)))
-    docs.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
-      .select($"id", TextAnalysis.stringHash($"shingle", P).as("sh"))
-      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.TextKernels.shingleHashes(if (text == null) "" else text, n)
+          .map(h => (id, h))
+      }
+      .toDF("id", "sh")
   }
 
   /** Pairwise n-gram Jaccard similarity for all pairs sharing >= 1
@@ -135,30 +140,21 @@ object Dedup {
 
   /** 32-bit SimHash per document (Charikar 2002): bit b is set iff more
     * token hashes have bit b set than not. 32 bits because the portable
-    * rolling hash lives below 2^30. Single pass over the token hashes:
-    * an `aggregate` accumulates the 32 per-bit counts as an array, so
-    * the hash array is evaluated once per row (the intermediate column
-    * is non-cheap, which keeps CollapseProject from inlining it).
-    * Bit extraction uses floor(h / 2^b) % 2 — exact in doubles below
-    * 2^52, hence portable to any engine.
+    * rolling hash lives below 2^30. Runs as a typed map over
+    * [[graft.functions.TextKernels.simhash32]] — one JVM pass per
+    * document (the equivalent interpreted aggregate/zip_with expression
+    * chain profiled ~3s for 10k docs at sf0.1; the kernel is
+    * negligible).
     */
   def withSimhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hashes = transform(TextAnalysis.tokens(col(textCol)),
-      t => TextAnalysis.stringHash(t, P))
-    val bitAt = (h: Column, b: Column) =>
-      floor(h.cast("double") / pow(lit(2.0), b)).cast("long") % 2
-    val zero32 = transform(sequence(lit(0), lit(31)), _ => lit(0L))
-    docs
-      .withColumn("__hashes", hashes)
-      .withColumn("__counts",
-        aggregate($"__hashes", zero32,
-          (acc, h) => zip_with(acc, sequence(lit(0), lit(31)), (c, b) => c + bitAt(h, b))))
-      .withColumn("simhash",
-        aggregate(
-          zip_with($"__counts", sequence(lit(0), lit(31)), (c, b) =>
-            when(c * 2 > size($"__hashes"), pow(lit(2.0), b).cast("long")).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x))
-      .select(col(idCol).as("id"), $"simhash")
+    val spark = docs.sparkSession
+    import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.functions.TextKernels.simhash32(if (text == null) "" else text))
+      }
+      .toDF("id", "simhash")
   }
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming,
@@ -169,22 +165,30 @@ object Dedup {
     */
   def simhashNearPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // persist: the signature computation is a non-codegen higher-order
-    // expression and feeds BOTH sides of the self-join
+    // persist: the signature computation feeds BOTH sides of the self-join
     val withSim = withSimhash(docs, textCol, idCol).persist()
     val banded = withSim.select($"id", $"simhash",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_no"),
             shiftright($"simhash", b * 8).bitwiseAND(255).as("sig"))): _*)).as("b"))
       .select($"id", $"simhash", $"b.band_no", $"b.sig")
+    // A pair agreeing on k bands is emitted k times by the join; keep
+    // only the row whose band_no is the FIRST agreeing band — an inline
+    // codegen'd filter that replaces a distinct() (the join emits 61M
+    // candidate rows at sf0.1; shuffling the 11M hamming survivors
+    // through a distinct profiled at 8s, the filter is free).
+    val sigB = (sh: Column, b: Int) => shiftright(sh, b * 8).bitwiseAND(255)
+    val firstAgreeingBand =
+      when(sigB(col("x.simhash"), 0) === sigB(col("y.simhash"), 0), 0)
+        .when(sigB(col("x.simhash"), 1) === sigB(col("y.simhash"), 1), 1)
+        .when(sigB(col("x.simhash"), 2) === sigB(col("y.simhash"), 2), 2)
+        .otherwise(3)
     banded.as("x").join(banded.as("y"),
         col("x.band_no") === col("y.band_no") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
+      .filter(col("x.band_no") === firstAgreeingBand)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .filter($"hamming" <= maxHamming)
-      .select($"id_a", $"id_b", $"hamming")
   }
 }
