@@ -28,6 +28,18 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1000).count()
       catch { case _: Throwable => }
     }
+    // Streaming machinery init (microbatch planner, state store provider)
+    // costs ~2.5s once per session; pay it on a 100-row synthetic stream
+    // so per-query numbers measure the queries.
+    try {
+      val warmDir = java.nio.file.Files.createTempDirectory("graft_warmup").toString
+      spark.range(100).selectExpr(
+        "id as event_id", "1704067200000000000L + id * 1000000000L as ts",
+        "id % 10 as user_id", "'w' as event_type",
+        "cast(id as double) as value", "'{}' as props")
+        .write.mode("overwrite").parquet(s"$warmDir/events.parquet")
+      graft.streaming.Streaming.hourlyStats(spark, warmDir).count()
+    } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * The interpreted equivalents (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
+  * walk an expression tree and allocate an intermediate array per row per
+  * evaluation — profiled as the dominant cost of the cosine self-joins
+  * (d07) at sf0.1. These compile to a tight primitive loop inside
+  * whole-stage codegen. Arithmetic is the same sequential left-to-right
+  * double fold, so results are bitwise identical to the interpreted form
+  * and to the DuckDB oracle's ordered list_reduce.
+  */
+private object VectorExprUtil {
+  def elemKind(dt: DataType): Option[String] = dt match {
+    case ArrayType(FloatType, _) => Some("float")
+    case ArrayType(DoubleType, _) => Some("double")
+    case _ => None
+  }
+
+  def getAsDouble(arr: ArrayData, i: Int, kind: String): Double =
+    if (kind == "float") arr.getFloat(i).toDouble else arr.getDouble(i)
+}
+
+/** Sequential-fold dot product of two float/double array columns:
+  * sum over i of (a(i) * b(i)), accumulated left to right in doubles.
+  * Like `zip_with`-based formulations, iterates to the shorter length.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (VectorExprUtil.elemKind(left.dataType), VectorExprUtil.elemKind(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_product needs array<float|double> inputs, got ${left.dataType}, ${right.dataType}")
+    }
+
+  private lazy val kindL = VectorExprUtil.elemKind(left.dataType).get
+  private lazy val kindR = VectorExprUtil.elemKind(right.dataType).get
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arrA = a.asInstanceOf[ArrayData]
+    val arrB = b.asInstanceOf[ArrayData]
+    val n = math.min(arrA.numElements(), arrB.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += VectorExprUtil.getAsDouble(arrA, i, kindL) *
+        VectorExprUtil.getAsDouble(arrB, i, kindR)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, idx: String, kind: String) =
+        if (kind == "float") s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${get(a, i, kindL)} * ${get(b, i, kindR)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH bucket id over a float/double array column:
+  * bit j (0 <= j < nPlanes) is set iff the projection onto the
+  * deterministic integer lattice plane w(j,d) = ((j*97 + d*31) mod 7) - 3
+  * is strictly positive. Single pass over the vector, all planes
+  * accumulated together; per-plane accumulation order is ascending d,
+  * matching the interpreted zip_with/aggregate form and the oracle.
+  */
+case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.elemKind(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_bucket needs an array<float|double> input, got ${child.dataType}")
+    }
+
+  private lazy val kind = VectorExprUtil.elemKind(child.dataType).get
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = new Array[Double](nPlanes)
+    var d = 0
+    while (d < n) {
+      val x = VectorExprUtil.getAsDouble(arr, d, kind)
+      var j = 0
+      while (j < nPlanes) {
+        acc(j) += x * (((j * 97 + d * 31) % 7) - 3).toDouble
+        j += 1
+      }
+      d += 1
+    }
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      if (acc(j) > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      val get = if (kind == "float") s"(double) $c.getFloat($d)" else s"$c.getDouble($d)"
+      s"""
+         |int $n = $c.numElements();
+         |double[] $acc = new double[$nPlanes];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $x = $get;
+         |  for (int $j = 0; $j < $nPlanes; $j++) {
+         |    $acc[$j] += $x * (double) ((($j * 97 + $d * 31) % 7) - 3);
+         |  }
+         |}
+         |long $bucket = 0L;
+         |for (int $j = 0; $j < $nPlanes; $j++) {
+         |  if ($acc[$j] > 0) $bucket |= (1L << $j);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}

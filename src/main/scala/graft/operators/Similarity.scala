@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity search.
   *
-  * Dot products are computed with a SEQUENTIAL left fold over
-  * per-element double products (`zip_with` + `aggregate`), so the
-  * result is bitwise deterministic and reproducible in any engine with
-  * an ordered list reduce — no float-ordering hazards in thresholds or
-  * rankings.
+  * Dot products are a SEQUENTIAL left fold over per-element double
+  * products — bitwise deterministic and reproducible in any engine
+  * with an ordered list reduce (no float-ordering hazards in
+  * thresholds or rankings) — executed by the codegen'd native
+  * [[graft.functions.DotProduct]] expression (the interpreted
+  * `zip_with` + `aggregate` chain it replaces profiled as the dominant
+  * cost of the cosine self-joins).
   *
   * Scale path: [[bruteForceTopK]] broadcasts the (small) query set and
   * scans the corpus once — O(|corpus| * |queries| * d) with no shuffle
@@ -23,10 +25,10 @@ object Similarity {
   /** Sequential-fold dot product of two float-array columns (elements
     * cast to double before multiplying).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -54,14 +56,8 @@ object Similarity {
     * the deterministic integer lattice w(j,d) = ((j*97 + d*31) mod 7) - 3.
     */
   def hyperplaneBucket(vec: Column, nPlanes: Int = 8): Column = {
-    val bits = (0 until nPlanes).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
-          x.cast("double") * (((lit(j) * 97 + d * 31) % 7) - 3).cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << j)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.HyperplaneBucketExpr(Bridge.expression(vec), nPlanes))
   }
 
   /** Bucketed approximate neighbor pairs: vectors sharing an LSH bucket,

@@ -43,12 +43,27 @@ object Streaming {
       .parquet(dir)
   }
 
+  /** Streaming state partition count. A streaming query's state is
+    * sharded by the shuffle-partition conf AT QUERY START and fixed for
+    * the query's lifetime — it is a per-query sizing decision (match it
+    * to state-key cardinality), not the session's batch shuffle width.
+    * These queries keep small keyed state (hours x types / user ids),
+    * where fewer, larger state stores beat 32 near-empty ones (profiled
+    * ~1.4s/query at sf0.1 from state-store overhead alone).
+    */
+  private val StatePartitions = "8"
+
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    df.sparkSession.table(name)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(name)
   }
 
   /** Tumbling 1-hour windowed aggregate per event type (complete mode). */
