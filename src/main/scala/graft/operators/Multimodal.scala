@@ -11,6 +11,14 @@ final case class MediaFeatures(
     n_blocks: Int,
     block_means: Array[Double])
 
+/** Downsampled media: every stride-th block + pairwise-averaged frames. */
+final case class FrameSample(
+    doc_id: Long,
+    n_blocks: Int,
+    n_frames: Int,
+    frame_means: Seq[Double],
+    resized: Seq[Double])
+
 /** Multimodal (binary) column plumbing for image/audio/video-bearing
   * tables.
   *
@@ -54,6 +62,22 @@ object Multimodal {
     */
   def withBinaryPayload(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** Temporal/spatial downsampling over decoded media: every
+    * `stride`-th block ("frame sampling") and pairwise-averaged frames
+    * ("resize"). Runs typed on the decoded features — the shape a video
+    * frame-sampler or image downscaler takes after the codec stage; the
+    * arithmetic (sequential sum / count) is oracle-replicable.
+    */
+  def sampleFrames(decoded: Dataset[MediaFeatures], stride: Int = 4): Dataset[FrameSample] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { m =>
+      val frames = m.block_means.indices
+        .collect { case i if i % stride == 0 => m.block_means(i) }
+      val resized = frames.grouped(2).map(g => g.sum / g.length).toSeq
+      FrameSample(m.doc_id, m.n_blocks, frames.length, frames, resized)
+    }
+  }
 
   /** Per-partition decode of binary payloads into typed features —
     * iterator-to-iterator (spill-safe, constant memory per task), the

@@ -60,6 +60,50 @@ object Similarity {
     Bridge.column(graft.functions.HyperplaneBucketExpr(Bridge.expression(vec), nPlanes))
   }
 
+  /** IVF (inverted-file) approximate top-k: the second ANN scale path
+    * beside hyperplane LSH. Deterministic coarse quantizer — the
+    * `nlist` lowest-id vectors act as centroids (no trained k-means, so
+    * the oracle can replicate the exact partition) — assigns every
+    * corpus vector to its max-cosine centroid via a broadcast product +
+    * arg-max aggregate (partial-aggregatable, no window sort over the
+    * corpus); queries probe their `nprobe` nearest centroid lists and
+    * rank exactly within them. At scale the corpus shuffles once (by
+    * centroid), and each query touches nprobe/nlist of the data.
+    * Tie-breaks: higher cosine, then lower id — everywhere.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 32, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = broadcast(corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec")))
+    // arg-max centroid per corpus vector: max of (cos, -c_id) struct
+    val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(cent)
+      .withColumn("cos_c", cosine(col("n_vec"), col("c_vec")))
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("cos_c"), (-col("c_id")).as("neg_c"),
+        col("c_id"), col("n_vec"))).as("best"))
+      .select(col("n_id"), col("best.n_vec").as("n_vec"), col("best.c_id").as("c_id"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_q").desc, col("c_id").asc)
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cent)
+      .withColumn("cos_q", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("c_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    broadcast(probes).join(assigned, Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Bucketed approximate neighbor pairs: vectors sharing an LSH bucket,
     * exact-verified to `minCosine`. Shuffles by bucket key only.
     */

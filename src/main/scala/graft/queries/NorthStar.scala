@@ -194,6 +194,14 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    "s04_ivf_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(emb, emb.filter($"vec_id" < 5), k = 5, nlist = 32, nprobe = 4)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+
     // Grid-bucketed eps-distance self-join: per-event neighborhood size
     // in (value, hours) space — DBSCAN's core test as a relational op,
     // planned as a hash equi-join on cell keys (never a nested loop).
@@ -238,6 +246,20 @@ object NorthStar {
         .orderBy($"doc_id")
     },
 
+    "m03_frame_sample" -> { (s, dir) =>
+      import s.implicits._
+      val withPayload = Multimodal.withBinaryPayload(
+        s.read.parquet(s"$dir/documents.parquet"), "text")
+      Multimodal.sampleFrames(Multimodal.decodeFeatures(s, withPayload), stride = 4)
+        .toDF()
+        .select($"doc_id",
+          $"n_blocks".cast("long").as("n_blocks"),
+          $"n_frames".cast("long").as("n_frames"),
+          transform($"frame_means", x => round(x, 6)).as("frame_means"),
+          transform($"resized", x => round(x, 6)).as("resized"))
+        .orderBy($"doc_id")
+    },
+
     // --- streaming ---
     "st01_stream_hourly" -> { (s, dir) =>
       graft.streaming.Streaming.hourlyStats(s, dir)
@@ -249,6 +271,10 @@ object NorthStar {
 
     "st03_stream_watermark" -> { (s, dir) =>
       graft.streaming.Streaming.hourlyStatsWatermarked(s, dir, delayHours = 2)
+    },
+
+    "st04_stream_join" -> { (s, dir) =>
+      graft.streaming.Streaming.clickViewJoin(s, dir)
     })
 
   // ---------- oracles ----------
@@ -412,6 +438,29 @@ object NorthStar {
            |  WHERE q.id < 5) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
 
+      "s04_ivf_topk" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |c AS (SELECT id AS c_id, v AS cv FROM e WHERE id < 32),
+           |asg AS (
+           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
+           |    SELECT e.id, e.v, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, c) t WHERE rn = 1),
+           |probe AS (
+           |  SELECT q_id, q_vec, c_id FROM (
+           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, c WHERE e.id < 5) t WHERE rn <= 4)
+           |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
+           |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
       "s03_eps_degree" ->
         """WITH p AS (SELECT event_id AS id, value AS x,
           |  ((epoch_ms(ts) // 1000) - 1704067200) / 3600.0 AS y FROM events),
@@ -446,6 +495,25 @@ object NorthStar {
            |  cast(ceil(octet_length(encode(text)) / 16.0) as bigint) AS n_blocks
            |FROM documents ORDER BY doc_id""".stripMargin,
 
+      "m03_frame_sample" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint)) AS codes
+           |  FROM documents),
+           |b AS (SELECT doc_id, len(codes) AS n,
+           |    cast(ceil(len(codes) / 16.0) as int) AS nb, codes FROM t),
+           |f AS (SELECT doc_id, nb,
+           |    list_transform(list_filter(range(0, nb), i -> i % 4 = 0), i ->
+           |      cast(list_aggregate(codes[i*16+1 : least(n, (i+1)*16)], 'sum') as double)
+           |        / (least(n, (i+1)*16) - i*16)) AS fm
+           |  FROM b)
+           |SELECT doc_id, cast(nb as bigint) AS n_blocks,
+           |  cast(len(fm) as bigint) AS n_frames,
+           |  list_transform(fm, x -> round(x, 6)) AS frame_means,
+           |  list_transform(range(0, cast(ceil(len(fm) / 2.0) as int)), j ->
+           |    round(list_aggregate(fm[2*j+1 : least(len(fm), 2*j+2)], 'sum')
+           |      / (least(len(fm), 2*j+2) - 2*j), 6)) AS resized
+           |FROM f ORDER BY doc_id""".stripMargin,
+
       "st01_stream_hourly" ->
         """SELECT (epoch_ms(ts) // 1000 // 3600) * 3600 AS hour_start,
           |  event_type, count(*) AS n,
@@ -463,6 +531,16 @@ object NorthStar {
           |    count(*) AS n, sum(cast(value as decimal(18,4))) AS total_value
           |  FROM e GROUP BY 1, 2)
           |WHERE hour_start + 3600 <= (SELECT max(sec) FROM e) - 7200
-          |ORDER BY hour_start, event_type""".stripMargin)
+          |ORDER BY hour_start, event_type""".stripMargin,
+
+      "st04_stream_join" ->
+        """WITH e AS (SELECT event_id, user_id, event_type,
+          |  epoch_ms(ts) // 1000 AS sec FROM events)
+          |SELECT c.event_id AS c_id, v.event_id AS v_id, c.user_id
+          |FROM e c JOIN e v
+          |  ON c.event_type = 'click' AND v.event_type = 'view'
+          |  AND v.user_id = c.user_id
+          |  AND v.sec <= c.sec AND v.sec >= c.sec - 3600
+          |ORDER BY c_id, v_id""".stripMargin)
   }
 }

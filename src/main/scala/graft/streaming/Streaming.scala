@@ -100,6 +100,31 @@ object Streaming {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Stream-stream inner join with watermarks and an event-time range
+    * condition: each click joined to the same user's views from the
+    * preceding hour. Both sides keep watermarked state; the time bound
+    * lets Spark evict view state older than (click watermark - 1h).
+    * Inner-join matches emit as they are found (not watermark-gated),
+    * so the deterministic replay has a plain batch-join oracle.
+    */
+  def clickViewJoin(s: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, idAs: String, userAs: String, timeAs: String): DataFrame =
+      eventStream(s, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          timestamp_seconds(expr("ts div 1000000000")).as(timeAs))
+        .withWatermark(timeAs, "1 hour")
+    val clicks = side("click", "c_id", "c_user", "c_time")
+    val views = side("view", "v_id", "v_user", "v_time")
+    val joined = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_time") <= col("c_time") &&
+        col("v_time") >= col("c_time") - expr("INTERVAL 1 HOUR"))
+      .select(col("c_id"), col("v_id"), col("c_user").as("user_id"))
+    runToTable(joined, "append")
+      .orderBy("c_id", "v_id")
+  }
+
   /** Arbitrary stateful processing: per-user running (max, count) via
     * mapGroupsWithState (update mode). The memory table is re-aggregated
     * at the end so multi-batch replays stay correct.
