@@ -41,9 +41,19 @@ object StreamProfile {
     time("st02 (8 parts, no noData batch)")(graft.streaming.Streaming.userRunningState(spark, dir).count())
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     time("st03 (8 parts)")(graft.streaming.Streaming.hourlyStatsWatermarked(spark, dir).count())
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    time("st02 (32 parts)")(graft.streaming.Streaming.userRunningState(spark, dir).count())
-    time("st03 (32 parts)")(graft.streaming.Streaming.hourlyStatsWatermarked(spark, dir).count())
+    time("st04 (state 8)")(graft.streaming.Streaming.clickViewJoin(spark, dir).count())
+    time("st04 again (state 8)")(graft.streaming.Streaming.clickViewJoin(spark, dir).count())
+
+    // dbscan in-bench-like conditions: fresh read, no pre-persisted input
+    import org.apache.spark.sql.functions._
+    val pts = spark.read.parquet(s"$dir/events.parquet").select(
+      col("value").as("x"),
+      ((expr("ts div 1000000000") - lit(1704067200L)) / 3600.0).as("y"))
+    time("dbscan mpp=2000 (cold read)")(
+      graft.operators.DistributedDBSCAN.cluster(pts, 8.0, 8, 2000L).labeled.count())
+    spark.catalog.clearCache()
+    time("dbscan mpp=2000 (again)")(
+      graft.operators.DistributedDBSCAN.cluster(pts, 8.0, 8, 2000L).labeled.count())
 
     spark.stop()
   }
