@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.functions.DistSq
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Session extensions: install with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (or `withExtensions`). Registers [[EpsJoinRewrite]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => EpsJoinRewrite)
+}
+
+/** Optimizer rule: plans an eps-distance theta join as a grid-bucketed
+  * hash equi-join.
+  *
+  * A join whose only usable predicate is `DistSq(...) <= eps^2` has no
+  * equi keys, so Spark can only pick BroadcastNestedLoopJoin or a
+  * cartesian product — O(n*m) and unusable big-big (SURVEY.md §4). The
+  * classic spatial rewrite: snap the right side to a grid of cell side
+  * eps, replicate the left side to its 3x3 cell neighborhood (every
+  * pair within eps must then share a cell key), hash-join on the cell
+  * key, and re-apply the ORIGINAL predicate as the exact filter (so
+  * strict/non-strict inequality and any residual conjuncts keep their
+  * semantics bit-for-bit). Shuffle volume O(9n + m), never a cross
+  * product — [[graft.operators.SpatialJoin]]'s trick, promoted from an
+  * operator users must call to a plan rewrite they get by writing the
+  * natural predicate.
+  *
+  * Fires only on Inner/Cross joins whose condition has a DistSq bound
+  * and NO equality conjunct: if an equi key exists Spark already plans
+  * a hash join + filter, and the rewritten join's own cell-equality
+  * condition keeps the rule from matching its output (fixed-point
+  * safe).
+  */
+object EpsJoinRewrite extends Rule[LogicalPlan] {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def litDouble(e: Expression): Option[Double] = e match {
+    case l: Literal => l.value match {
+      case d: java.lang.Number => Some(d.doubleValue())
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** (distSq, eps^2) from `DistSq <= lit` / `DistSq < lit` (either
+    * operand order).
+    */
+  private def epsBound(e: Expression): Option[(DistSq, Double)] = e match {
+    case LessThanOrEqual(d: DistSq, l) => litDouble(l).map((d, _))
+    case LessThan(d: DistSq, l) => litDouble(l).map((d, _))
+    case GreaterThanOrEqual(l, d: DistSq) => litDouble(l).map((d, _))
+    case GreaterThan(l, d: DistSq) => litDouble(l).map((d, _))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner | Cross, Some(cond), _)
+        if conjuncts(cond).exists(epsBound(_).isDefined) &&
+          !conjuncts(cond).exists(_.isInstanceOf[EqualTo]) &&
+          conjuncts(cond).flatMap(c => epsBound(c)).headOption.exists {
+            case (d, eps2) =>
+              eps2 > 0 && {
+                val lRefs = d.first.references ++ d.second.references
+                val rRefs = d.third.references ++ d.fourth.references
+                (lRefs.subsetOf(left.outputSet) && rRefs.subsetOf(right.outputSet)) ||
+                  (lRefs.subsetOf(right.outputSet) && rRefs.subsetOf(left.outputSet))
+              }
+          } =>
+      val (d, eps2) = conjuncts(cond).flatMap(c => epsBound(c)).head
+      val lRefs = d.first.references ++ d.second.references
+      val aligned = lRefs.subsetOf(left.outputSet)
+      val (lx, ly, rx, ry) =
+        if (aligned) (d.first, d.second, d.third, d.fourth)
+        else (d.third, d.fourth, d.first, d.second)
+      val eps = math.sqrt(eps2)
+      val spark = SparkSession.active
+
+      val lDF = Bridge.ofRows(spark, left)
+        .withColumn("__graft_dx", explode(typedlit(Seq(-1L, 0L, 1L))))
+        .withColumn("__graft_dy", explode(typedlit(Seq(-1L, 0L, 1L))))
+        .withColumn("__graft_cx",
+          floor(Bridge.column(lx) / eps).cast("long") + col("__graft_dx"))
+        .withColumn("__graft_cy",
+          floor(Bridge.column(ly) / eps).cast("long") + col("__graft_dy"))
+      val rDF = Bridge.ofRows(spark, right)
+        .withColumn("__graft_rcx", floor(Bridge.column(rx) / eps).cast("long"))
+        .withColumn("__graft_rcy", floor(Bridge.column(ry) / eps).cast("long"))
+      val rewritten = lDF.join(rDF,
+          col("__graft_cx") === col("__graft_rcx") &&
+            col("__graft_cy") === col("__graft_rcy"))
+        .where(Bridge.column(cond)) // exact original predicate, all conjuncts
+        .select(j.output.map(a => Bridge.column(a)): _*)
+      Bridge.analyzed(rewritten)
+  }
+}

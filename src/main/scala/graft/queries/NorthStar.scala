@@ -214,6 +214,25 @@ object NorthStar {
       graft.operators.SpatialJoin.neighborCounts(p, 2.0, "id").orderBy("id")
     },
 
+    // Same semantics as s03, but written as the NAIVE theta join —
+    // `Geo.distSq(...) <= eps^2` with no equi keys — and planned as a
+    // bucketed hash join by the EpsJoinRewrite optimizer rule
+    // (GraftExtensions). Shares s03's oracle: a correctness proof that
+    // the rewrite preserves semantics.
+    "s05_eps_join_rewrite" -> { (s, dir) =>
+      import s.implicits._
+      val p = Relational.events(s, dir).select(
+        $"event_id".as("id"),
+        $"value".as("x"),
+        ((expr("ts div 1000000000") - lit(1704067200L)) / 3600.0).as("y"))
+      val pairs = p.as("a").join(p.as("b"),
+        graft.functions.Geo.distSq(col("a.x"), col("a.y"), col("b.x"), col("b.y"))
+          <= lit(4.0) && col("a.id") =!= col("b.id"))
+      pairs.groupBy(col("a.id").as("id"))
+        .agg(count(lit(1)).as("n_neighbors"))
+        .orderBy("id")
+    },
+
     "s02_lsh_buckets" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(s"$dir/embeddings.parquet")
@@ -462,6 +481,20 @@ object NorthStar {
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
 
       "s03_eps_degree" ->
+        """WITH p AS (SELECT event_id AS id, value AS x,
+          |  ((epoch_ms(ts) // 1000) - 1704067200) / 3600.0 AS y FROM events),
+          |c AS (SELECT id, x, y, cast(floor(x / 2.0) as bigint) AS cx,
+          |  cast(floor(y / 2.0) as bigint) AS cy FROM p),
+          |l AS (SELECT id, x, y, cx + dx.d AS cx, cy + dy.d AS cy FROM c,
+          |  (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy),
+          |j AS (SELECT l.id,
+          |  (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) AS ds
+          |  FROM l JOIN c r ON l.cx = r.cx AND l.cy = r.cy AND l.id <> r.id)
+          |SELECT id, count(*) AS n_neighbors FROM j WHERE ds <= 4.0
+          |GROUP BY id ORDER BY id""".stripMargin,
+
+      // identical to s03's oracle — the rewrite must not change results
+      "s05_eps_join_rewrite" ->
         """WITH p AS (SELECT event_id AS id, value AS x,
           |  ((epoch_ms(ts) // 1000) - 1704067200) / 3600.0 AS y FROM events),
           |c AS (SELECT id, x, y, cast(floor(x / 2.0) as bigint) AS cx,

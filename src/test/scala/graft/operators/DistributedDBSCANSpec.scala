@@ -11,6 +11,9 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    // production session shape: the eps-join rewrite is installed (it
+    // no-ops on plans without a DistSq predicate)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
