@@ -22,17 +22,14 @@ import org.apache.spark.sql.types.DecimalType
 object Relational {
 
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
-    s.read.parquet(s"$dir/$t.parquet")
+    graft.sources.Sources.table(s, dir, t)
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read `ts` as epoch-nanos long (SPARK-40819 legacy
-    * switch). All ts arithmetic below uses exact integer division —
-    * going through double would lose sub-second precision at 1.7e18 ns.
+  /** See [[graft.sources.Sources.events]] (TIMESTAMP(NANOS) handling).
+    * All ts arithmetic below uses exact integer division — going
+    * through double would lose sub-second precision at 1.7e18 ns.
     */
-  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-  }
+  private[queries] def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.events(s, dir)
 
   private val M = DecimalType(18, 4)
 
@@ -310,6 +307,21 @@ object Relational {
         .groupBy($"event_type")
         .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
         .orderBy($"event_type")
+    },
+
+    // Skew-mitigation: 100k events collapse onto 3 hot keys; the salted
+    // join spreads each hot key over 8 (key, salt) buckets. Result
+    // provably identical to the plain join (same oracle shape).
+    "q24_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).withColumn("hot_key", ($"user_id" % 3).cast("long"))
+      val dim = s.createDataFrame(Seq(
+        (0L, "alpha"), (1L, "beta"), (2L, "gamma"))).toDF("hot_key", "label")
+      graft.operators.SkewJoin.salted(ev, dim, "hot_key", factor = 8, saltBy = $"event_id")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 4))).as("total_value"))
+        .orderBy($"label")
     })
 
   val oracles: Map[String, String] = Map(
@@ -480,5 +492,11 @@ object Relational {
       """SELECT event_type, cast(sum(k) as bigint) AS sum_k, count(*) AS n FROM (
         |  SELECT event_type, cast(regexp_extract(props, '[0-9]+', 0) as bigint) AS k
         |  FROM events) t
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q24_salted_join" ->
+      """SELECT CASE user_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+        |  ELSE 'gamma' END AS label,
+        |  count(*) AS n, sum(cast(value as decimal(18,4))) AS total_value
+        |FROM events GROUP BY 1 ORDER BY label""".stripMargin)
 }

@@ -27,21 +27,8 @@ object Streaming {
 
   private val counter = new AtomicInteger(0)
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // File stream source wants a directory; glob-filter to the one table.
-    s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-  }
+  private def eventStream(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.eventsStream(s, dir)
 
   /** Streaming state partition count. A streaming query's state is
     * sharded by the shuffle-partition conf AT QUERY START and fixed for
