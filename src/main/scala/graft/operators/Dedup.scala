@@ -64,10 +64,28 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits.{newLongEncoder, newProductEncoder}
     val sh = shingles(docs, textCol, idCol, n).persist()
     val sizes = sh.groupBy($"id").agg(count(lit(1)).as("set_size"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Pair generation by grouping the posting list once (shuffle by
+    // shingle) and emitting each group's ordered id pairs from a typed
+    // iterator — half the shuffle volume of the equivalent self-join,
+    // which ships the posting list for BOTH join sides. Groups are
+    // document-frequency-sized (max df 47 at sf0.1), so the O(df^2)
+    // emission is bounded; a hot-shingle df cap would slot in here if a
+    // real corpus needed it (it would have to be mirrored in the
+    // oracle).
+    val inter = sh.as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray
+        java.util.Arrays.sort(ids)
+        Iterator.range(0, ids.length - 1).flatMap(i =>
+          Iterator.range(i + 1, ids.length).map(j => (ids(i), ids(j))))
+      }
+      .toDF("id_a", "id_b")
+      .groupBy($"id_a", $"id_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select($"id".as("id_a"), $"set_size".as("size_a")), "id_a")
