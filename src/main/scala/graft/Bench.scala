@@ -31,16 +31,33 @@ object Bench {
     }
     // Streaming machinery init (microbatch planner, state store provider)
     // costs ~2.5s once per session; pay it on a 100-row synthetic stream
-    // so per-query numbers measure the queries.
+    // so per-query numbers measure the queries. The stream source's
+    // pathGlobFilter matches leaf FILE names, so the warmup table must be
+    // a single file named events.parquet (like the sf dirs), not a
+    // directory of part files — stage the write, then move one part file.
     try {
-      val warmDir = java.nio.file.Files.createTempDirectory("graft_warmup").toString
+      import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+      val warmDir = Paths.get("/tmp/graft_warmup")
+      val staging = warmDir.resolve("staging")
       spark.range(100).selectExpr(
         "id as event_id", "1704067200000000000L + id * 1000000000L as ts",
         "id % 10 as user_id", "'w' as event_type",
         "cast(id as double) as value", "'{}' as props")
-        .write.mode("overwrite").parquet(s"$warmDir/events.parquet")
-      graft.streaming.Streaming.hourlyStats(spark, warmDir).count()
-    } catch { case _: Throwable => }
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, warmDir.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val n = graft.streaming.Streaming.hourlyStats(spark, warmDir.toString).count()
+      require(n > 0, "streaming warmup processed no rows")
+      def rm(p: Path): Unit = { // clean up: nothing left in /tmp between runs
+        if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+        Files.deleteIfExists(p)
+      }
+      rm(warmDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming warmup failed: $e")
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

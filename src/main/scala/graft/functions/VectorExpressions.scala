@@ -29,12 +29,15 @@ private object VectorExprUtil {
 
 /** Sequential-fold dot product of two float/double array columns:
   * sum over i of (a(i) * b(i)), accumulated left to right in doubles.
-  * Like `zip_with`-based formulations, iterates to the shorter length.
+  * Degenerate inputs yield NULL — a null array, arrays of different
+  * lengths, or a null element (the zip_with+aggregate chain this
+  * replaces also nulls those out, via null-padding/poisoning).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (VectorExprUtil.elemKind(left.dataType), VectorExprUtil.elemKind(right.dataType)) match {
@@ -49,10 +52,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val arrA = a.asInstanceOf[ArrayData]
     val arrB = b.asInstanceOf[ArrayData]
-    val n = math.min(arrA.numElements(), arrB.numElements())
+    val n = arrA.numElements()
+    if (n != arrB.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
       acc += VectorExprUtil.getAsDouble(arrA, i, kindL) *
         VectorExprUtil.getAsDouble(arrB, i, kindR)
       i += 1
@@ -68,12 +73,17 @@ case class DotProduct(left: Expression, right: Expression)
       def get(arr: String, idx: String, kind: String) =
         if (kind == "float") s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, i, kindL)} * ${get(b, i, kindR)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${get(a, i, kindL)} * ${get(b, i, kindR)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -93,6 +103,7 @@ case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null array or null element -> NULL
 
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprUtil.elemKind(child.dataType) match {
@@ -109,6 +120,7 @@ case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
     val acc = new Array[Double](nPlanes)
     var d = 0
     while (d < n) {
+      if (arr.isNullAt(d)) return null
       val x = VectorExprUtil.getAsDouble(arr, d, kind)
       var j = 0
       while (j < nPlanes) {
@@ -139,16 +151,19 @@ case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
          |int $n = $c.numElements();
          |double[] $acc = new double[$nPlanes];
          |for (int $d = 0; $d < $n; $d++) {
+         |  if ($c.isNullAt($d)) { ${ev.isNull} = true; break; }
          |  double $x = $get;
          |  for (int $j = 0; $j < $nPlanes; $j++) {
          |    $acc[$j] += $x * (double) ((($j * 97 + $d * 31) % 7) - 3);
          |  }
          |}
-         |long $bucket = 0L;
-         |for (int $j = 0; $j < $nPlanes; $j++) {
-         |  if ($acc[$j] > 0) $bucket |= (1L << $j);
+         |if (!${ev.isNull}) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $nPlanes; $j++) {
+         |    if ($acc[$j] > 0) $bucket |= (1L << $j);
+         |  }
+         |  ${ev.value} = $bucket;
          |}
-         |${ev.value} = $bucket;
        """.stripMargin
     })
 

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   * Hashing is the portable polynomial rolling hash from
   * [[graft.functions.TextAnalysis.rollingHash]] — pure integer
   * arithmetic, so every stage is reproducible in the DuckDB oracle.
+  *
+  * Contract: `idCol` must be a NON-NULL integral column (it is cast to
+  * long and carried through typed hot paths); a corpus with string or
+  * nullable ids needs a surrogate id projection first.
   */
 object Dedup {
 
@@ -110,8 +114,7 @@ object Dedup {
       k: Int = 16, n: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder, newLongSeqEncoder}
-    shingles(docs, textCol, idCol, n)
-      .select(col("id").cast("long").as("id"), col("sh"))
+    shingles(docs, textCol, idCol, n) // already (id: long, sh: long)
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)

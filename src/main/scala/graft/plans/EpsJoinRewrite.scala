@@ -38,7 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * and NO equality conjunct: if an equi key exists Spark already plans
   * a hash join + filter, and the rewritten join's own cell-equality
   * condition keeps the rule from matching its output (fixed-point
-  * safe).
+  * safe). Also skipped when the user attached an explicit join hint
+  * (respect it) or when an input column collides with the rewrite's
+  * `__graft_*` marker names (withColumn would silently replace it).
   */
 object EpsJoinRewrite extends Rule[LogicalPlan] {
 
@@ -66,9 +68,15 @@ object EpsJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private val markerNames = Seq("__graft_dx", "__graft_dy", "__graft_cx",
+    "__graft_cy", "__graft_rcx", "__graft_rcy")
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner | Cross, Some(cond), _)
-        if conjuncts(cond).exists(epsBound(_).isDefined) &&
+    case j @ Join(left, right, Inner | Cross, Some(cond), hint)
+        if hint == org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE &&
+          // withColumn would silently replace a same-named user column
+          !(left.output ++ right.output).map(_.name).exists(markerNames.contains) &&
+          conjuncts(cond).exists(epsBound(_).isDefined) &&
           !conjuncts(cond).exists(_.isInstanceOf[EqualTo]) &&
           conjuncts(cond).flatMap(c => epsBound(c)).headOption.exists {
             case (d, eps2) =>

@@ -94,7 +94,10 @@ object Streaming {
     * Inner-join matches emit as they are found (not watermark-gated),
     * so the deterministic replay has a plain batch-join oracle.
     */
-  def clickViewJoin(s: SparkSession, dir: String): DataFrame = {
+  /** The unstarted click-view join stream (also used by profiling
+    * tools, so they measure exactly this query).
+    */
+  def clickViewJoinStream(s: SparkSession, dir: String): DataFrame = {
     def side(tpe: String, idAs: String, userAs: String, timeAs: String): DataFrame =
       eventStream(s, dir)
         .filter(col("event_type") === tpe)
@@ -103,14 +106,16 @@ object Streaming {
         .withWatermark(timeAs, "1 hour")
     val clicks = side("click", "c_id", "c_user", "c_time")
     val views = side("view", "v_id", "v_user", "v_time")
-    val joined = clicks.join(views,
+    clicks.join(views,
       col("c_user") === col("v_user") &&
         col("v_time") <= col("c_time") &&
         col("v_time") >= col("c_time") - expr("INTERVAL 1 HOUR"))
       .select(col("c_id"), col("v_id"), col("c_user").as("user_id"))
-    runToTable(joined, "append")
-      .orderBy("c_id", "v_id")
   }
+
+  def clickViewJoin(s: SparkSession, dir: String): DataFrame =
+    runToTable(clickViewJoinStream(s, dir), "append")
+      .orderBy("c_id", "v_id")
 
   /** Arbitrary stateful processing: per-user running (max, count) via
     * mapGroupsWithState (update mode). The memory table is re-aggregated
