@@ -159,6 +159,41 @@ object Dedup {
       .select($"id_a", $"id_b", $"est_sim")
   }
 
+  /** End-to-end near-dup dedup pipeline: MinHash-LSH candidate pairs at
+    * `minEstSim` -> connected components over the pair graph (driver
+    * union-find — the near-dup graph is O(#duplicates), tiny relative
+    * to the corpus, the same altitude call as the DBSCAN cluster-alias
+    * merge) -> canonical id = min id per component -> per-doc verdict
+    * `(doc_id, canonical_id, is_kept)`. Filtering the corpus to
+    * `is_kept` rows is the actual dedup.
+    */
+  def dedupVerdicts(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4, n: Int = 3,
+      minEstSim: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newLongEncoder, newProductEncoder}
+    val pairRows = lshCandidatePairs(docs, textCol, idCol, k, bands, n)
+      .filter($"est_sim" >= minEstSim)
+      .select($"id_a", $"id_b")
+      .collect()
+    val uf = new graft.core.UnionFind[Long]
+    pairRows.foreach { r => uf.union(r.getLong(0), r.getLong(1)) }
+    val canonical = uf.elements.toSeq
+      .groupBy(uf.find)
+      .iterator
+      .flatMap { case (_, members) =>
+        val canon = members.min
+        members.map(m => (m, canon))
+      }
+      .toSeq
+    val mapDF = broadcast(canonical.toDF("id", "canon"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(mapDF, $"doc_id" === $"id", "left")
+      .select($"doc_id",
+        coalesce($"canon", $"doc_id").as("canonical_id"),
+        (coalesce($"canon", $"doc_id") === $"doc_id").as("is_kept"))
+  }
+
   /** 32-bit SimHash per document (Charikar 2002): bit b is set iff more
     * token hashes have bit b set than not. 32 bits because the portable
     * rolling hash lives below 2^30. Runs as a typed map over

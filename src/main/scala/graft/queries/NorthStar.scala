@@ -153,6 +153,12 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     },
 
+    "d08_dedup_pipeline" -> { (s, dir) =>
+      Dedup.dedupVerdicts(mutCorpus(s, dir), "text", "doc_id",
+        k = 16, bands = 4, n = 3, minEstSim = 0.5)
+        .orderBy("doc_id")
+    },
+
     "d05_simhash" -> { (s, dir) =>
       Dedup.withSimhash(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
         .orderBy("id")
@@ -397,6 +403,31 @@ object NorthStar {
            |  round(cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16, 6) AS est_sim
            |FROM pairs p JOIN mh a ON a.id = p.id_a JOIN mh b ON b.id = p.id_b
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "d08_dedup_pipeline" ->
+        s"""WITH RECURSIVE ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+           |p AS (SELECT pr.id_a, pr.id_b FROM pairs pr
+           |  JOIN mh a ON a.id = pr.id_a JOIN mh b ON b.id = pr.id_b
+           |  WHERE cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16
+           |    >= 0.5),
+           |e AS (SELECT id_a AS s, id_b AS d FROM p
+           |  UNION SELECT id_b, id_a FROM p),
+           |ids AS (SELECT DISTINCT doc_id AS id FROM u),
+           |reach AS (
+           |  SELECT id AS src, id AS dst FROM ids
+           |  UNION
+           |  SELECT r.src, e.d FROM reach r JOIN e ON e.s = r.dst)
+           |SELECT src AS doc_id, min(dst) AS canonical_id,
+           |  (src = min(dst)) AS is_kept
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
       "d05_simhash" ->
         s"""WITH t AS (SELECT doc_id AS id,
