@@ -104,6 +104,65 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Density clustering of embeddings — DBSCAN generalized from the
+    * 2-D euclidean core to n-D cosine space, on the similarity graph:
+    * a point is core iff it has >= minPts neighbors at cosine >=
+    * minCos (count includes self, like [[graft.core.LocalDBSCAN]]);
+    * clusters are connected components of the core-core subgraph
+    * (driver union-find over the core edge set — the same altitude as
+    * the DBSCAN cluster-alias merge; at cluster scale swap in an
+    * iterative distributed CC); border points attach to the
+    * lowest-labeled adjacent core cluster. Labels are the component's
+    * minimum core id (deterministic); noise is -1.
+    *
+    * The neighbor graph here is the exact O(n^2) cosine join (the
+    * correctness baseline); for big corpora build `nb` with the LSH
+    * bucket join instead and the rest of the pipeline is unchanged.
+    */
+  def cosineDBSCAN(corpus: DataFrame, minCos: Double, minPts: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newLongEncoder, newProductEncoder}
+    val e = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .persist()
+    val nb = e.as("a").join(e.as("b"), col("a.id") =!= col("b.id"))
+      .withColumn("cos", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .persist()
+    val coreIds = nb.groupBy(col("ia")).count()
+      .filter(col("count") + 1 >= minPts) // neighbor count includes self
+      .select(col("ia")).as[Long].collect().toSet
+    val coreEdges = nb
+      .filter(col("ia").isin(coreIds.toSeq: _*) && col("ib").isin(coreIds.toSeq: _*))
+      .as[(Long, Long)].collect()
+    val uf = new graft.core.UnionFind[Long]
+    coreIds.foreach(uf.add)
+    coreEdges.foreach { case (a, b) => uf.union(a, b) }
+    val rep = coreIds.toSeq.groupBy(uf.find)
+      .iterator.flatMap { case (_, ms) =>
+        val r = ms.min
+        ms.map(_ -> r)
+      }.toSeq
+    val repDF = broadcast(rep.toDF("cid", "rep"))
+    val coreLab = repDF.select(col("cid").as("id"), col("rep").as("core_rep"))
+    val borderLab = nb.join(repDF, col("ib") === col("cid"))
+      .filter(!col("ia").isin(coreIds.toSeq: _*))
+      .groupBy(col("ia").as("id"))
+      .agg(min(col("rep")).as("border_rep"))
+    e.select(col("id").as(idCol))
+      .join(broadcast(coreLab), col(idCol) === coreLab("id"), "left")
+      .drop(coreLab("id"))
+      .join(broadcast(borderLab), col(idCol) === borderLab("id"), "left")
+      .drop(borderLab("id"))
+      .select(col(idCol),
+        coalesce(col("core_rep"), col("border_rep"), lit(-1L)).as("cluster_rep"),
+        when(col("core_rep").isNotNull, "core")
+          .when(col("border_rep").isNotNull, "border")
+          .otherwise("noise").as("flag"))
+  }
+
   /** Bucketed approximate neighbor pairs: vectors sharing an LSH bucket,
     * exact-verified to `minCosine`. Shuffles by bucket key only.
     */

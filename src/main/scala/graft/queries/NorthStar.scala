@@ -239,6 +239,16 @@ object NorthStar {
         .orderBy("id")
     },
 
+    // DBSCAN generalized to n-D cosine space over embeddings (the
+    // reference's core capability on the north-star data): exact
+    // neighbor graph on the first 1000 vectors, graph-DBSCAN labels.
+    "s06_cosine_dbscan" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet").filter($"vec_id" < 1000)
+      Similarity.cosineDBSCAN(emb, minCos = 0.3, minPts = 5)
+        .orderBy("vec_id")
+    },
+
     "s02_lsh_buckets" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(s"$dir/embeddings.parquet")
@@ -537,6 +547,29 @@ object NorthStar {
           |  FROM l JOIN c r ON l.cx = r.cx AND l.cy = r.cy AND l.id <> r.id)
           |SELECT id, count(*) AS n_neighbors FROM j WHERE ds <= 4.0
           |GROUP BY id ORDER BY id""".stripMargin,
+
+      "s06_cosine_dbscan" ->
+        s"""WITH RECURSIVE e0 AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v
+           |  FROM embeddings WHERE vec_id < 1000),
+           |nb AS (SELECT a.id AS ia, b.id AS ib FROM e0 a JOIN e0 b
+           |  ON a.id <> b.id AND ${cosSql("a.v", "b.v")} >= 0.3),
+           |deg AS (SELECT ia AS id, count(*) AS n FROM nb GROUP BY ia),
+           |core AS (SELECT id FROM deg WHERE n + 1 >= 5),
+           |ce AS (SELECT n.ia AS s, n.ib AS d FROM nb n
+           |  JOIN core c1 ON c1.id = n.ia JOIN core c2 ON c2.id = n.ib),
+           |reach AS (SELECT id AS src, id AS dst FROM core
+           |  UNION SELECT r.src, ce.d FROM reach r JOIN ce ON ce.s = r.dst),
+           |lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src),
+           |bord AS (SELECT n.ia AS id, min(l.rep) AS rep FROM nb n
+           |  JOIN lab l ON l.id = n.ib
+           |  WHERE n.ia NOT IN (SELECT id FROM core) GROUP BY n.ia)
+           |SELECT e0.id AS vec_id, coalesce(l.rep, b.rep, -1) AS cluster_rep,
+           |  CASE WHEN l.rep IS NOT NULL THEN 'core'
+           |       WHEN b.rep IS NOT NULL THEN 'border'
+           |       ELSE 'noise' END AS flag
+           |FROM e0 LEFT JOIN lab l ON l.id = e0.id LEFT JOIN bord b ON b.id = e0.id
+           |ORDER BY vec_id""".stripMargin,
 
       "s02_lsh_buckets" ->
         s"""SELECT bucket, count(*) AS n FROM (
