@@ -322,6 +322,49 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum($"value".cast(DecimalType(18, 4))).as("total_value"))
         .orderBy($"label")
+    },
+
+    // As-of join: each order looks up the same customer's latest
+    // strictly-earlier order (merge-style single shuffle — no
+    // join-then-argmax explosion).
+    "q25_asof_prev_order" -> { (s, dir) =>
+      import s.implicits._
+      val o = rd(s, dir, "orders")
+      graft.operators.AsOfJoin.latestBefore(o, o,
+          key = "o_custkey", leftTime = "o_orderdate", rightTime = "o_orderdate",
+          payload = struct($"o_orderkey", $"o_orderdate"), ord = $"o_orderkey")
+        .select($"o_orderkey", $"asof.o_orderkey".as("prev_orderkey"),
+          datediff($"o_orderdate".cast("date"), $"asof.o_orderdate".cast("date"))
+            .cast("long").as("gap_days"))
+        .orderBy($"o_orderkey")
+    },
+
+    // Sketch: a deterministic Bloom filter (typed Aggregator, O(m) state,
+    // bitwise-OR merge) over high-value customers, probed for every
+    // customer. m=512/k=3 is deliberately small so real false positives
+    // appear — the oracle reproduces them bit-for-bit.
+    "q26_bloom_probe" -> { (s, dir) =>
+      import s.implicits._
+      val (m, kh) = (512, 3)
+      val hot = rd(s, dir, "orders")
+        .filter($"o_totalprice" > 495000.0)
+        .select($"o_custkey").distinct()
+      val words = hot.as[Long]
+        .groupByKey(_ => 0)
+        .agg(new graft.functions.BloomAgg(m, kh).toColumn.name("bloom"))
+        .map(_._2)
+        .head()
+      val hotSet = hot.as[Long].collect().toSet
+      val bHot = s.sparkContext.broadcast(hotSet)
+      val bWords = s.sparkContext.broadcast(words)
+      rd(s, dir, "customer").select($"c_custkey".cast("long").as("c_custkey"))
+        .as[Long]
+        .map { ck =>
+          (ck, graft.functions.BloomAgg.mightContain(bWords.value, m, kh, ck),
+            bHot.value.contains(ck))
+        }
+        .toDF("c_custkey", "maybe_member", "exact_member")
+        .orderBy($"c_custkey")
     })
 
   val oracles: Map[String, String] = Map(
@@ -498,5 +541,31 @@ object Relational {
       """SELECT CASE user_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
         |  ELSE 'gamma' END AS label,
         |  count(*) AS n, sum(cast(value as decimal(18,4))) AS total_value
-        |FROM events GROUP BY 1 ORDER BY label""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q25_asof_prev_order" ->
+      """WITH pr AS (
+        |  SELECT l.o_orderkey AS k, r.o_orderkey AS rk, r.o_orderdate AS rd,
+        |    row_number() OVER (PARTITION BY l.o_orderkey
+        |      ORDER BY r.o_orderdate DESC, r.o_orderkey DESC) AS rn
+        |  FROM orders l JOIN orders r
+        |    ON r.o_custkey = l.o_custkey AND r.o_orderdate < l.o_orderdate)
+        |SELECT o.o_orderkey, p.rk AS prev_orderkey,
+        |  date_diff('day', cast(p.rd as date), cast(o.o_orderdate as date)) AS gap_days
+        |FROM orders o LEFT JOIN pr p ON p.k = o.o_orderkey AND p.rn = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q26_bloom_probe" ->
+      """WITH s AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |  WHERE o_totalprice > 495000.0),
+        |i3 AS (SELECT unnest(range(0, 3)) AS i),
+        |pos AS (SELECT DISTINCT ((2*i + 1) * ck + i*i + 7) % 512 AS p FROM s, i3),
+        |probe AS (SELECT c_custkey, ((2*i + 1) * c_custkey + i*i + 7) % 512 AS q
+        |  FROM customer, i3)
+        |SELECT c.c_custkey,
+        |  (SELECT count(*) FROM probe pr
+        |   WHERE pr.c_custkey = c.c_custkey
+        |     AND pr.q NOT IN (SELECT p FROM pos)) = 0 AS maybe_member,
+        |  EXISTS (SELECT 1 FROM s WHERE s.ck = c.c_custkey) AS exact_member
+        |FROM customer c ORDER BY c_custkey""".stripMargin)
 }
