@@ -83,9 +83,12 @@ object DistributedDBSCAN {
     import spark.implicits._
 
     val cell = 2 * eps
+    // Persisted: consumed by two passes (histogram job, duplicate-assign)
+    // — MEMORY_AND_DISK so huge inputs degrade to spill, not OOM.
     val pts = points
       .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .as[Pt]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- Job 1: grid-cell histogram (partial+final agg, tiny result) ----
     val histogram = pts.toDF()
