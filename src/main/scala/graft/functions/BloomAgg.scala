@@ -22,7 +22,7 @@ final class BloomAgg(m: Int, k: Int)
   override def reduce(buf: Array[Long], key: Long): Array[Long] = {
     var i = 0
     while (i < k) {
-      val p = (((2L * i + 1) * key + i.toLong * i + 7) % m).toInt
+      val p = PortableHash.family(i, key, m).toInt
       buf(p >> 6) |= (1L << (p & 63))
       i += 1
     }
@@ -49,7 +49,7 @@ object BloomAgg {
   def mightContain(words: Array[Long], m: Int, k: Int, key: Long): Boolean = {
     var i = 0
     while (i < k) {
-      val p = (((2L * i + 1) * key + i.toLong * i + 7) % m).toInt
+      val p = PortableHash.family(i, key, m).toInt
       if ((words(p >> 6) & (1L << (p & 63))) == 0L) return false
       i += 1
     }

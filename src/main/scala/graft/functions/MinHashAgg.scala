@@ -20,7 +20,7 @@ final class MinHashAgg(k: Int, p: Long)
   override def reduce(buf: Array[Long], sh: Long): Array[Long] = {
     var i = 0
     while (i < k) {
-      val h = ((2L * i + 1) * sh + i.toLong * i + 7) % p
+      val h = PortableHash.family(i, sh, p)
       if (h < buf(i)) buf(i) = h
       i += 1
     }

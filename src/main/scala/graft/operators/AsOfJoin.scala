@@ -46,6 +46,6 @@ object AsOfJoin {
     l.unionByName(r)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
-      .select(col("__row.*") +: Seq(col("__asof").as("asof")): _*)
+      .select(col("__row.*"), col("__asof").as("asof"))
   }
 }

@@ -134,9 +134,12 @@ object Similarity {
     val coreIds = nb.groupBy(col("ia")).count()
       .filter(col("count") + 1 >= minPts) // neighbor count includes self
       .select(col("ia")).as[Long].collect().toSet
-    val coreEdges = nb
-      .filter(col("ia").isin(coreIds.toSeq: _*) && col("ib").isin(coreIds.toSeq: _*))
-      .as[(Long, Long)].collect()
+    // broadcast set membership, not an isin literal list — a large core
+    // set would otherwise inline thousands of literals into the plan
+    val bCore = spark.sparkContext.broadcast(coreIds)
+    val coreEdges = nb.as[(Long, Long)]
+      .filter(p => bCore.value.contains(p._1) && bCore.value.contains(p._2))
+      .collect()
     val uf = new graft.core.UnionFind[Long]
     coreIds.foreach(uf.add)
     coreEdges.foreach { case (a, b) => uf.union(a, b) }
@@ -148,7 +151,7 @@ object Similarity {
     val repDF = broadcast(rep.toDF("cid", "rep"))
     val coreLab = repDF.select(col("cid").as("id"), col("rep").as("core_rep"))
     val borderLab = nb.join(repDF, col("ib") === col("cid"))
-      .filter(!col("ia").isin(coreIds.toSeq: _*))
+      .filter(udf((ia: Long) => !bCore.value.contains(ia)).apply(col("ia")))
       .groupBy(col("ia").as("id"))
       .agg(min(col("rep")).as("border_rep"))
     e.select(col("id").as(idCol))

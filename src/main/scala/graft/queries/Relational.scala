@@ -349,6 +349,7 @@ object Relational {
       val hot = rd(s, dir, "orders")
         .filter($"o_totalprice" > 495000.0)
         .select($"o_custkey").distinct()
+        .persist() // feeds two jobs: the filter build and the exact set
       val words = hot.as[Long]
         .groupByKey(_ => 0)
         .agg(new graft.functions.BloomAgg(m, kh).toColumn.name("bloom"))
