@@ -366,6 +366,25 @@ object Relational {
         }
         .toDF("c_custkey", "maybe_member", "exact_member")
         .orderBy($"c_custkey")
+    },
+
+    // Array construction + higher-order scalar functions: per-order
+    // sorted quantity vector, filtered/transformed/folded with exact
+    // integer arithmetic (collect_list is order-nondeterministic, so
+    // sort_array canonicalizes before anything reads positions).
+    "q27_array_funcs" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_list($"l_quantity".cast("long"))).as("qtys"))
+        .select($"l_orderkey",
+          $"qtys",
+          size($"qtys").cast("long").as("n_items"),
+          element_at($"qtys", -1).as("max_qty"),
+          aggregate($"qtys", lit(0L), (acc, q) => acc + q).as("sum_qty"),
+          size(filter($"qtys", q => q >= 25L)).cast("long").as("n_large"),
+          transform($"qtys", q => q * 2).as("doubled"))
+        .orderBy($"l_orderkey")
     })
 
   val oracles: Map[String, String] = Map(
@@ -568,5 +587,17 @@ object Relational {
         |   WHERE pr.c_custkey = c.c_custkey
         |     AND pr.q NOT IN (SELECT p FROM pos)) = 0 AS maybe_member,
         |  EXISTS (SELECT 1 FROM s WHERE s.ck = c.c_custkey) AS exact_member
-        |FROM customer c ORDER BY c_custkey""".stripMargin)
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
+
+    "q27_array_funcs" ->
+      """WITH t AS (SELECT l_orderkey,
+        |  list_sort(list(cast(l_quantity as bigint))) AS qtys
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, qtys,
+        |  cast(len(qtys) as bigint) AS n_items,
+        |  qtys[-1] AS max_qty,
+        |  list_reduce(qtys, (a, b) -> a + b) AS sum_qty,
+        |  cast(len(list_filter(qtys, q -> q >= 25)) as bigint) AS n_large,
+        |  list_transform(qtys, q -> q * 2) AS doubled
+        |FROM t ORDER BY l_orderkey""".stripMargin)
 }
