@@ -145,6 +145,22 @@ object CorePropertiesSpec extends Properties("graft.core") {
         merged == sig(a ++ b, 8)
     }
 
+  property("bloom filter: no false negatives, and parity with mightContain") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 1000000L)), Gen.listOf(Gen.chooseNum(0L, 1000000L))) {
+      (keys, probes) =>
+        val agg = new graft.functions.BloomAgg(512, 3)
+        val words = agg.finish(keys.foldLeft(agg.zero)(agg.reduce))
+        val insertedAllHit = keys.forall(k =>
+          graft.functions.BloomAgg.mightContain(words, 512, 3, k))
+        // merged halves == single build (distributivity)
+        val (ka, kb) = keys.splitAt(keys.length / 2)
+        val merged = agg.merge(
+          ka.foldLeft(agg.zero)(agg.reduce), kb.foldLeft(agg.zero)(agg.reduce))
+        insertedAllHit && merged.sameElements(words) &&
+          probes.forall(p => !keys.contains(p) ||
+            graft.functions.BloomAgg.mightContain(words, 512, 3, p))
+    }
+
   property("minhash: order and duplicate insensitive") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, P - 1)), Gen.long) { (a, seed) =>
       val shuffled = new scala.util.Random(seed).shuffle(a ++ a)
