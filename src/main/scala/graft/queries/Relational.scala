@@ -385,6 +385,21 @@ object Relational {
           size(filter($"qtys", q => q >= 25L)).cast("long").as("n_large"),
           transform($"qtys", q => q * 2).as("doubled"))
         .orderBy($"l_orderkey")
+    },
+
+    // Exact percentiles (sort-based `percentile`, NOT the approx
+    // sketch): type-7 linear interpolation over integer quantities is
+    // bit-reproducible across engines.
+    "q28_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(cast(l_quantity as bigint), 0.25)").as("p25_qty"),
+          expr("percentile(cast(l_quantity as bigint), 0.5)").as("median_qty"),
+          expr("percentile(cast(l_quantity as bigint), 0.75)").as("p75_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
     })
 
   val oracles: Map[String, String] = Map(
@@ -599,5 +614,13 @@ object Relational {
         |  list_reduce(qtys, (a, b) -> a + b) AS sum_qty,
         |  cast(len(list_filter(qtys, q -> q >= 25)) as bigint) AS n_large,
         |  list_transform(qtys, q -> q * 2) AS doubled
-        |FROM t ORDER BY l_orderkey""".stripMargin)
+        |FROM t ORDER BY l_orderkey""".stripMargin,
+
+    "q28_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(cast(l_quantity as bigint), 0.25) AS p25_qty,
+        |  quantile_cont(cast(l_quantity as bigint), 0.5) AS median_qty,
+        |  quantile_cont(cast(l_quantity as bigint), 0.75) AS p75_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
