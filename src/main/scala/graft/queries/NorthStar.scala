@@ -310,6 +310,10 @@ object NorthStar {
 
     "st04_stream_join" -> { (s, dir) =>
       graft.streaming.Streaming.clickViewJoin(s, dir)
+    },
+
+    "st05_stream_sessions" -> { (s, dir) =>
+      graft.streaming.Streaming.userSessions(s, dir, gapMinutes = 30)
     })
 
   // ---------- oracles ----------
@@ -638,6 +642,19 @@ object NorthStar {
           |  ON c.event_type = 'click' AND v.event_type = 'view'
           |  AND v.user_id = c.user_id
           |  AND v.sec <= c.sec AND v.sec >= c.sec - 3600
-          |ORDER BY c_id, v_id""".stripMargin)
+          |ORDER BY c_id, v_id""".stripMargin,
+
+      "st05_stream_sessions" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) // 1000 AS sec FROM events),
+          |x AS (SELECT user_id, sec,
+          |  CASE WHEN lag(sec) OVER w IS NULL
+          |         OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+          |s AS (SELECT user_id, sec, sum(is_new) OVER
+          |  (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sess
+          |  FROM x)
+          |SELECT user_id, min(sec) AS sess_start, max(sec) + 1800 AS sess_end,
+          |  count(*) AS n
+          |FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""".stripMargin)
   }
 }

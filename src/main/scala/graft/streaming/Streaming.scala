@@ -87,6 +87,27 @@ object Streaming {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Gap-based session windows per user (30-minute inactivity gap),
+    * complete mode: sessions merge as events arrive; the final state
+    * equals batch gap-sessionization, so the oracle is the classic
+    * lag/cumsum session assignment. Session end = last event + gap
+    * (Spark's half-open [start, last+gap) window).
+    */
+  def userSessions(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      .groupBy(
+        col("user_id"),
+        session_window(col("event_time"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("sw.start").cast("long").as("sess_start"),
+        col("sw.end").cast("long").as("sess_end"),
+        col("n"))
+    runToTable(agg, "complete")
+      .orderBy("user_id", "sess_start")
+  }
+
   /** Stream-stream inner join with watermarks and an event-time range
     * condition: each click joined to the same user's views from the
     * preceding hour. Both sides keep watermarked state; the time bound
