@@ -7,6 +7,11 @@ package graft.functions
   * — one definition so the engines can never drift.
   */
 object PortableHash {
+  /** x is reduced mod `mod` BEFORE the multiply — congruent to the
+    * direct formula for every x, and keeps (2i+1)*(x mod m) well inside
+    * Long for any key (the direct product overflows for keys near
+    * Long.MaxValue, flipping the % sign).
+    */
   def family(i: Int, x: Long, mod: Long): Long =
-    ((2L * i + 1) * x + i.toLong * i + 7) % mod
+    ((2L * i + 1) * (x % mod) + i.toLong * i + 7) % mod
 }

@@ -27,25 +27,33 @@ object AsOfJoin {
       leftTime: String, rightTime: String, payload: Column, ord: Column): DataFrame = {
     val leftCols = left.columns
     // typed nulls for the columns each side lacks (schemas must align
-    // for unionByName)
-    val payloadType = right.select(payload).schema.head.dataType
+    // for unionByName); the payload travels inside a struct wrapper so
+    // a legitimately-NULL payload value is still distinguishable from
+    // the left-row sentinel (__p itself null)
+    val wrapped = struct(payload.as("v"))
+    val payloadType = right.select(wrapped).schema.head.dataType
     val rowType = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
     val l = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(0).as("__side"),
       lit(null).cast("long").as("__ord"),
       lit(null).cast(payloadType).as("__p"),
       struct(leftCols.map(col): _*).as("__row"))
-    val r = right.select(
-      col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__side"),
-      ord.cast("long").as("__ord"),
-      payload.as("__p"),
-      lit(null).cast(rowType).as("__row"))
+    // equi-join semantics: null keys never match; null times are never
+    // "before" anything — both would otherwise sort NULLS FIRST into
+    // every window
+    val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__side"),
+        ord.cast("long").as("__ord"),
+        wrapped.as("__p"),
+        lit(null).cast(rowType).as("__row"))
     val w = Window.partitionBy("__k")
       .orderBy(col("__t"), col("__side"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, -1)
     l.unionByName(r)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
-      .select(col("__row.*"), col("__asof").as("asof"))
+      .select(col("__row.*"), col("__asof.v").as("asof"))
   }
 }

@@ -167,6 +167,11 @@ object DistributedDBSCAN {
       .collect()
       .sorted // deterministic global numbering
 
+    // All jobs that scan the raw points have run (histogram + the
+    // clustering triggered by the edge/id collects above); downstream
+    // lineage only references the persisted `clustered`/`cands`.
+    pts.unpersist()
+
     // ---- Driver: connected components via union-find; dense global ids. ----
     val uf = new UnionFind[(Int, Int)]
     localIds.foreach(uf.add)

@@ -356,6 +356,7 @@ object Relational {
         .map(_._2)
         .head()
       val hotSet = hot.as[Long].collect().toSet
+      hot.unpersist() // both consumers (words, hotSet) are materialized
       val bHot = s.sparkContext.broadcast(hotSet)
       val bWords = s.sparkContext.broadcast(words)
       rd(s, dir, "customer").select($"c_custkey".cast("long").as("c_custkey"))

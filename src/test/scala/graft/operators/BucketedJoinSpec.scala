@@ -20,13 +20,14 @@ class BucketedJoinSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     // the in-memory catalog forgets tables across JVMs but their
     // warehouse directories persist — clear them or the write errors
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
     Seq("b_orders", "b_lineitem").foreach { t =>
       val dir = new java.io.File(
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (dir.exists()) {
-        dir.listFiles().foreach(_.delete())
-        dir.delete()
-      }
+      if (dir.exists()) rm(dir)
     }
 
     val orders = (0L until 1000L).map(i => (i, s"cust_${i % 97}")).toDF("o_orderkey", "cust")
