@@ -39,6 +39,29 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("null keys, null times, and null payloads follow join semantics") {
+    import spark.implicits._
+    val lDF = Seq((1L, Some(1L), 10L), (2L, None: Option[Long], 10L))
+      .toDF("lid", "k", "lt")
+    val rDF = Seq(
+      (Some(1L), Some(3L), Some(7L)), // the true latest-before, null payload below
+      (Some(1L), Some(5L), None), // later, NULL payload — must still win
+      (Some(1L), None, Some(9L)), // null time: never matches
+      (None, Some(4L), Some(8L))) // null key: never matches
+      .toDF("k", "rt", "payload")
+    val got = AsOfJoin.latestBefore(lDF, rDF, "k", "lt", "rt",
+        payload = $"payload", ord = coalesce($"payload", lit(0L)))
+      .select($"lid", $"asof").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // lid=1: the latest right strictly before lt=10 is (rt=5, payload
+    // NULL) — the match's null payload must come through, NOT the stale
+    // rt=3 row's 7, and the null-time row's 9 must never appear
+    got(1L) shouldBe None
+    // lid=2 has a null key: no match (null keys never join)
+    got(2L) shouldBe None
+  }
+
   test("no prior right rows yields null asof") {
     import spark.implicits._
     val lDF = Seq((1L, 1L, 5L)).toDF("lid", "k", "lt")
