@@ -60,6 +60,38 @@ object TextKernels {
     out
   }
 
+  /** Content-defined chunking (rolling-hash boundaries, the
+    * Rabin/FastCDC idea): a chunk ends wherever the rolling hash of the
+    * trailing `w` code points is divisible by `mask+1` — boundaries
+    * depend only on local content, so an insertion early in a document
+    * shifts chunk FRAMES but not the content-identical chunks after it
+    * (what makes chunk-level dedup robust, unlike fixed-size blocks).
+    * Returns the rolling hash of each chunk's content, in order.
+    * Texts shorter than `w` are one chunk.
+    */
+  def cdcChunkHashes(text: String, w: Int, mask: Long): Array[Long] = {
+    val n = text.length // ASCII corpus: 1 char = 1 code point (oracle parity)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var i = w - 1
+    if (n >= w) {
+      while (i < n) {
+        // windowed hash over text[i-w+1..i] — O(w) per position keeps
+        // the arithmetic identical to the oracle's list_reduce slice
+        var wh = 0L
+        var j = i - w + 1
+        while (j <= i) { wh = (wh * 31 + text.codePointAt(j)) % P; j += 1 }
+        if (wh % (mask + 1) == 0) {
+          out += RollingHash.hash(text.substring(start, i + 1), P)
+          start = i + 1
+        }
+        i += 1
+      }
+    }
+    if (start < n || n == 0) out += RollingHash.hash(text.substring(start), P)
+    out.toArray
+  }
+
   /** 32-bit SimHash (Charikar 2002): bit b set iff more token hashes
     * have bit b set than not. Identical to the expression formulation
     * (floor(h / 2^b) % 2 == (h >> b) & 1 for the non-negative h < 2^30

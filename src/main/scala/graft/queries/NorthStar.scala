@@ -295,6 +295,23 @@ object NorthStar {
         .orderBy($"doc_id")
     },
 
+    // Content-defined chunking: rolling-hash boundaries (w=8, mask 64)
+    // over each document — the chunk-level dedup primitive for byte/
+    // multimodal payloads (insertion-robust, unlike fixed blocks).
+    "m04_cdc_chunks" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          val hs = graft.functions.TextKernels.cdcChunkHashes(
+            if (t == null) "" else t, w = 8, mask = 63)
+          (id, hs.length.toLong, hs)
+        }
+        .toDF("doc_id", "n_chunks", "chunk_hashes")
+        .orderBy("doc_id")
+    },
+
     // --- streaming ---
     "st01_stream_hourly" -> { (s, dir) =>
       graft.streaming.Streaming.hourlyStats(s, dir)
@@ -614,6 +631,25 @@ object NorthStar {
            |    round(list_aggregate(fm[2*j+1 : least(len(fm), 2*j+2)], 'sum')
            |      / (least(len(fm), 2*j+2) - 2*j), 6)) AS resized
            |FROM f ORDER BY doc_id""".stripMargin,
+
+      "m04_cdc_chunks" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint)) AS codes
+           |  FROM documents),
+           |d AS (SELECT doc_id, codes, len(codes) AS n FROM t),
+           |bnd AS (SELECT doc_id, codes, n,
+           |    list_filter(range(8, n + 1), i ->
+           |      list_reduce(codes[i-7 : i], (a, c) -> (a*31 + c) % $P) % 64 = 0) AS ends
+           |  FROM d),
+           |be AS (SELECT doc_id, codes,
+           |    CASE WHEN len(ends) > 0 AND ends[-1] = n THEN ends
+           |         ELSE list_append(ends, n) END AS b
+           |  FROM bnd)
+           |SELECT doc_id, cast(len(b) as bigint) AS n_chunks,
+           |  list_transform(range(1, len(b) + 1), j ->
+           |    list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
+           |      (a, c) -> (a*31 + c) % $P)) AS chunk_hashes
+           |FROM be ORDER BY doc_id""".stripMargin,
 
       "st01_stream_hourly" ->
         """SELECT (epoch_ms(ts) // 1000 // 3600) * 3600 AS hour_start,
