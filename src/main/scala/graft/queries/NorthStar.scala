@@ -684,7 +684,7 @@ object NorthStar {
         """WITH e AS (SELECT user_id, epoch_ms(ts) // 1000 AS sec FROM events),
           |x AS (SELECT user_id, sec,
           |  CASE WHEN lag(sec) OVER w IS NULL
-          |         OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+          |         OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
           |s AS (SELECT user_id, sec, sum(is_new) OVER
           |  (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sess

@@ -90,8 +90,10 @@ object Streaming {
   /** Gap-based session windows per user (30-minute inactivity gap),
     * complete mode: sessions merge as events arrive; the final state
     * equals batch gap-sessionization, so the oracle is the classic
-    * lag/cumsum session assignment. Session end = last event + gap
-    * (Spark's half-open [start, last+gap) window).
+    * lag/cumsum session assignment. Session end = last event + gap;
+    * touching windows MERGE (an event exactly `gap` after the previous
+    * one extends the session — Spark merges on start <= previous end,
+    * verified at sf0.1 where exactly-1800s gaps occur).
     */
   def userSessions(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     val agg = eventStream(s, dir)
