@@ -281,17 +281,23 @@ object NorthStar {
         .orderBy($"doc_id")
     },
 
+    // Array-valued outputs are serialized as CSV of micro-unit longs
+    // (round(x*1e6)): the driver's pandas comparator cannot sort raw
+    // list cells, and integer rendering is engine-identical where
+    // double rendering is not.
     "m03_frame_sample" -> { (s, dir) =>
       import s.implicits._
       val withPayload = Multimodal.withBinaryPayload(
         s.read.parquet(s"$dir/documents.parquet"), "text")
+      def micros(c: Column): Column =
+        concat_ws(",", transform(c, x => round(x * 1e6).cast("long").cast("string")))
       Multimodal.sampleFrames(Multimodal.decodeFeatures(s, withPayload), stride = 4)
         .toDF()
         .select($"doc_id",
           $"n_blocks".cast("long").as("n_blocks"),
           $"n_frames".cast("long").as("n_frames"),
-          transform($"frame_means", x => round(x, 6)).as("frame_means"),
-          transform($"resized", x => round(x, 6)).as("resized"))
+          micros($"frame_means").as("frame_means_micro"),
+          micros($"resized").as("resized_micro"))
         .orderBy($"doc_id")
     },
 
@@ -306,9 +312,9 @@ object NorthStar {
         .map { case (id, t) =>
           val hs = graft.functions.TextKernels.cdcChunkHashes(
             if (t == null) "" else t, w = 8, mask = 63)
-          (id, hs.length.toLong, hs)
+          (id, hs.length.toLong, hs.mkString(","))
         }
-        .toDF("doc_id", "n_chunks", "chunk_hashes")
+        .toDF("doc_id", "n_chunks", "chunk_hashes_csv")
         .orderBy("doc_id")
     },
 
@@ -626,10 +632,11 @@ object NorthStar {
            |  FROM b)
            |SELECT doc_id, cast(nb as bigint) AS n_blocks,
            |  cast(len(fm) as bigint) AS n_frames,
-           |  list_transform(fm, x -> round(x, 6)) AS frame_means,
-           |  list_transform(range(0, cast(ceil(len(fm) / 2.0) as int)), j ->
-           |    round(list_aggregate(fm[2*j+1 : least(len(fm), 2*j+2)], 'sum')
-           |      / (least(len(fm), 2*j+2) - 2*j), 6)) AS resized
+           |  array_to_string(list_transform(fm, x ->
+           |    cast(round(x * 1000000) as bigint)), ',') AS frame_means_micro,
+           |  array_to_string(list_transform(range(0, cast(ceil(len(fm) / 2.0) as int)), j ->
+           |    cast(round(list_aggregate(fm[2*j+1 : least(len(fm), 2*j+2)], 'sum')
+           |      / (least(len(fm), 2*j+2) - 2*j) * 1000000) as bigint)), ',') AS resized_micro
            |FROM f ORDER BY doc_id""".stripMargin,
 
       "m04_cdc_chunks" ->
@@ -646,15 +653,15 @@ object NorthStar {
            |         ELSE list_append(ends, n) END AS b
            |  FROM bnd)
            |SELECT doc_id, cast(len(b) as bigint) AS n_chunks,
-           |  list_transform(range(1, len(b) + 1), j ->
+           |  array_to_string(list_transform(range(1, len(b) + 1), j ->
            |    list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
-           |      (a, c) -> (a*31 + c) % $P)) AS chunk_hashes
+           |      (a, c) -> (a*31 + c) % $P)), ',') AS chunk_hashes_csv
            |FROM be ORDER BY doc_id""".stripMargin,
 
       "st01_stream_hourly" ->
         """SELECT (epoch_ms(ts) // 1000 // 3600) * 3600 AS hour_start,
           |  event_type, count(*) AS n,
-          |  sum(cast(value as decimal(18,4))) AS total_value
+          |  cast(sum(cast(value as decimal(18,4))) as double) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
       "st02_stream_user_state" ->
@@ -665,7 +672,7 @@ object NorthStar {
         """WITH e AS (SELECT epoch_ms(ts) // 1000 AS sec, event_type, value FROM events)
           |SELECT hour_start, event_type, n, total_value FROM (
           |  SELECT (sec // 3600) * 3600 AS hour_start, event_type,
-          |    count(*) AS n, sum(cast(value as decimal(18,4))) AS total_value
+          |    count(*) AS n, cast(sum(cast(value as decimal(18,4))) as double) AS total_value
           |  FROM e GROUP BY 1, 2)
           |WHERE hour_start + 3600 <= (SELECT max(sec) FROM e) - 7200
           |ORDER BY hour_start, event_type""".stripMargin,

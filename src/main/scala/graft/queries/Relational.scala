@@ -12,7 +12,12 @@ import org.apache.spark.sql.types.DecimalType
   *   - Sums of computed doubles are cast per-row to DECIMAL(18,4) before
   *     aggregation in BOTH engines — decimal addition is exact and
   *     order-independent, so partial/final aggregation plans hash-match
-  *     the single-threaded oracle.
+  *     the single-threaded oracle. The FINAL summed column is then cast
+  *     to double on both sides: Spark's sum yields DECIMAL(28,4) while
+  *     DuckDB's yields DECIMAL(38,4), and the driver's hasher renders
+  *     those decimal types differently even when values are equal.
+  *     double(exact-decimal) is one deterministic round-to-nearest in
+  *     both engines, so the bits (and the hash) match.
   *   - Raw double columns are passed through untouched (parquet bits are
   *     identical on both sides).
   *   - Every query ends in a deterministic ORDER BY over a unique key.
@@ -42,9 +47,9 @@ object Relational {
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"l_quantity".cast(M)).as("sum_qty"),
-          sum($"l_extendedprice".cast(M)).as("sum_base_price"),
-          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).as("sum_disc_price"),
+          sum($"l_quantity".cast(M)).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast(M)).cast("double").as("sum_base_price"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"),
           countDistinct($"l_partkey").as("n_parts"))
         .orderBy($"l_returnflag", $"l_linestatus")
@@ -69,7 +74,7 @@ object Relational {
         .join(broadcast(rd(s, dir, "part")), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(
-          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).as("revenue"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"p_brand")
     },
@@ -85,7 +90,7 @@ object Relational {
       rd(s, dir, "orders")
         .join(bands, $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
         .groupBy($"r_name")
-        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast(M)).as("band_total"))
+        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast(M)).cast("double").as("band_total"))
         .orderBy($"r_name")
     },
 
@@ -101,7 +106,7 @@ object Relational {
         .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
           $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
         .groupBy($"n_name")
-        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).as("revenue"))
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).cast("double").as("revenue"))
         .orderBy($"n_name")
     },
 
@@ -154,7 +159,7 @@ object Relational {
       val lo = o.filter($"o_totalprice" < 50000).select(lit("low").as("bucket"), $"o_totalprice")
       hi.unionByName(lo)
         .groupBy($"bucket")
-        .agg(count(lit(1)).as("n"), sum($"o_totalprice".cast(M)).as("total"))
+        .agg(count(lit(1)).as("n"), sum($"o_totalprice".cast(M)).cast("double").as("total"))
         .orderBy($"bucket")
     },
 
@@ -165,7 +170,8 @@ object Relational {
       rd(s, dir, "orders")
         .withColumn("rn", row_number().over(w))
         .withColumn("running_total",
-          sum($"o_totalprice".cast(M)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          sum($"o_totalprice".cast(M)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"))
         .filter($"rn" <= 3)
         .select($"o_custkey", $"o_orderkey", $"rn", $"running_total")
         .orderBy($"o_custkey", $"rn")
@@ -185,7 +191,7 @@ object Relational {
       import s.implicits._
       rd(s, dir, "lineitem")
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(sum($"l_quantity".cast(M)).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum($"l_quantity".cast(M)).cast("double").as("sum_qty"), count(lit(1)).as("n"))
         .select(
           coalesce($"l_returnflag", lit("ALL")).as("rflag"),
           coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
@@ -214,7 +220,7 @@ object Relational {
         .groupBy(
           year($"o_orderdate").cast("long").as("o_year"),
           month($"o_orderdate").cast("long").as("o_month"))
-        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast(M)).as("monthly_total"))
+        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast(M)).cast("double").as("monthly_total"))
         .orderBy($"o_year", $"o_month")
     },
 
@@ -277,7 +283,7 @@ object Relational {
           sum(when($"event_type" === "view", 1).otherwise(0)).cast("long").as("n_view"),
           sum(when($"event_type" === "purchase", 1).otherwise(0)).cast("long").as("n_purchase"),
           sum(when($"event_type" === "error", 1).otherwise(0)).cast("long").as("n_error"),
-          sum($"value".cast(M)).as("total_value"))
+          sum($"value".cast(M)).cast("double").as("total_value"))
         .orderBy($"user_id")
     },
 
@@ -320,7 +326,7 @@ object Relational {
       graft.operators.SkewJoin.salted(ev, dim, "hot_key", factor = 8, saltBy = $"event_id")
         .groupBy($"label")
         .agg(count(lit(1)).as("n"),
-          sum($"value".cast(DecimalType(18, 4))).as("total_value"))
+          sum($"value".cast(DecimalType(18, 4))).cast("double").as("total_value"))
         .orderBy($"label")
     },
 
@@ -373,18 +379,21 @@ object Relational {
     // sorted quantity vector, filtered/transformed/folded with exact
     // integer arithmetic (collect_list is order-nondeterministic, so
     // sort_array canonicalizes before anything reads positions).
+    // Array-valued OUTPUT columns are serialized to CSV strings — the
+    // driver's comparator sorts rows in pandas, which cannot hash raw
+    // list cells; integer-to-string rendering is engine-identical.
     "q27_array_funcs" -> { (s, dir) =>
       import s.implicits._
       rd(s, dir, "lineitem")
         .groupBy($"l_orderkey")
         .agg(sort_array(collect_list($"l_quantity".cast("long"))).as("qtys"))
         .select($"l_orderkey",
-          $"qtys",
+          concat_ws(",", transform($"qtys", q => q.cast("string"))).as("qtys_csv"),
           size($"qtys").cast("long").as("n_items"),
           element_at($"qtys", -1).as("max_qty"),
           aggregate($"qtys", lit(0L), (acc, q) => acc + q).as("sum_qty"),
           size(filter($"qtys", q => q >= 25L)).cast("long").as("n_large"),
-          transform($"qtys", q => q * 2).as("doubled"))
+          concat_ws(",", transform($"qtys", q => (q * 2).cast("string"))).as("doubled_csv"))
         .orderBy($"l_orderkey")
     },
 
@@ -406,9 +415,9 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty,
-        |  sum(cast(l_extendedprice as decimal(18,4))) AS sum_base_price,
-        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) AS sum_disc_price,
+        |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) as double) AS sum_disc_price,
         |  count(*) AS count_order,
         |  count(distinct l_partkey) AS n_parts
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -423,14 +432,14 @@ object Relational {
 
     "q03_broadcast_join_agg" ->
       """SELECT p_brand,
-        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) AS revenue,
+        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) as double) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q04_theta_band_join" ->
       """SELECT r_name, count(*) AS n_orders,
-        |  sum(cast(o_totalprice as decimal(18,4))) AS band_total
+        |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS band_total
         |FROM orders JOIN region
         |  ON o_totalprice >= cast(r_regionkey as double) * 40000
         | AND o_totalprice < cast(r_regionkey + 1 as double) * 40000
@@ -438,7 +447,7 @@ object Relational {
 
     "q05_star_join_revenue" ->
       """SELECT n_name,
-        |  sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) AS revenue
+        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) as double) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -472,7 +481,7 @@ object Relational {
         |  FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
 
     "q10_union_all" ->
-      """SELECT bucket, count(*) AS n, sum(cast(o_totalprice as decimal(18,4))) AS total
+      """SELECT bucket, count(*) AS n, cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total
         |FROM (
         |  SELECT 'high' AS bucket, o_totalprice FROM orders WHERE o_totalprice >= 200000
         |  UNION ALL
@@ -483,8 +492,8 @@ object Relational {
       """SELECT o_custkey, o_orderkey, rn, running_total FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER w AS rn,
-        |    sum(cast(o_totalprice as decimal(18,4)))
-        |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |    cast(sum(cast(o_totalprice as decimal(18,4)))
+        |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
@@ -496,7 +505,7 @@ object Relational {
     "q13_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
-        |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty, count(*) AS n
+        |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
 
@@ -511,7 +520,7 @@ object Relational {
       """SELECT cast(extract(year FROM o_orderdate) as bigint) AS o_year,
         |  cast(extract(month FROM o_orderdate) as bigint) AS o_month,
         |  count(*) AS n_orders,
-        |  sum(cast(o_totalprice as decimal(18,4))) AS monthly_total
+        |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS monthly_total
         |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
 
     "q16_case_having" ->
@@ -552,7 +561,7 @@ object Relational {
         |  cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_view,
         |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS n_purchase,
         |  cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) as bigint) AS n_error,
-        |  sum(cast(value as decimal(18,4))) AS total_value
+        |  cast(sum(cast(value as decimal(18,4))) as double) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q21_intersect" ->
@@ -576,7 +585,7 @@ object Relational {
     "q24_salted_join" ->
       """SELECT CASE user_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
         |  ELSE 'gamma' END AS label,
-        |  count(*) AS n, sum(cast(value as decimal(18,4))) AS total_value
+        |  count(*) AS n, cast(sum(cast(value as decimal(18,4))) as double) AS total_value
         |FROM events GROUP BY 1 ORDER BY label""".stripMargin,
 
     "q25_asof_prev_order" ->
@@ -609,12 +618,13 @@ object Relational {
       """WITH t AS (SELECT l_orderkey,
         |  list_sort(list(cast(l_quantity as bigint))) AS qtys
         |  FROM lineitem GROUP BY l_orderkey)
-        |SELECT l_orderkey, qtys,
+        |SELECT l_orderkey,
+        |  array_to_string(qtys, ',') AS qtys_csv,
         |  cast(len(qtys) as bigint) AS n_items,
         |  qtys[-1] AS max_qty,
         |  list_reduce(qtys, (a, b) -> a + b) AS sum_qty,
         |  cast(len(list_filter(qtys, q -> q >= 25)) as bigint) AS n_large,
-        |  list_transform(qtys, q -> q * 2) AS doubled
+        |  array_to_string(list_transform(qtys, q -> q * 2), ',') AS doubled_csv
         |FROM t ORDER BY l_orderkey""".stripMargin,
 
     "q28_percentiles" ->

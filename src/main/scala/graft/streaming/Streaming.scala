@@ -61,7 +61,7 @@ object Streaming {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
     runToTable(agg, "complete")
       .orderBy("hour_start", "event_type")
   }
@@ -80,7 +80,7 @@ object Streaming {
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 4))).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
       .select(col("window.start").cast("long").as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
     runToTable(agg, "append")

@@ -13,18 +13,19 @@ import pyarrow as pa
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm_cell(v):
+    # Deliberately STRICT (mirrors the driver's hasher): decimals are kept
+    # as Decimal with their scale, floats compared exactly. Queries must
+    # canonicalize output types themselves (cast decimal sums to double,
+    # serialize arrays) or they fail here like they fail the driver.
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return float(f"{v:.10g}")
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return float(f"{float(v):.10g}")
-    except Exception:
-        pass
+        return v
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     return v
