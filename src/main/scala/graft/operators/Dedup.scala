@@ -160,35 +160,29 @@ object Dedup {
   }
 
   /** End-to-end near-dup dedup pipeline: MinHash-LSH candidate pairs at
-    * `minEstSim` -> connected components over the pair graph (driver
-    * union-find — the near-dup graph is O(#duplicates), tiny relative
-    * to the corpus, the same altitude call as the DBSCAN cluster-alias
-    * merge) -> canonical id = min id per component -> per-doc verdict
+    * `minEstSim` -> connected components over the pair graph -> canonical
+    * id = min id per component -> per-doc verdict
     * `(doc_id, canonical_id, is_kept)`. Filtering the corpus to
     * `is_kept` rows is the actual dedup.
+    *
+    * The component step is [[ConnectedComponents.assign]]: small pair
+    * graphs keep the exact driver union-find; a web-scale corpus's
+    * O(corpus)-sized pair graph takes the distributed
+    * large-star/small-star rounds instead of collecting billions of
+    * pairs to the driver. Both label components by minimum id, so the
+    * verdict is independent of the path taken.
     */
   def dedupVerdicts(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3,
-      minEstSim: Double = 0.5): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits.{localSeqToDatasetHolder, newLongEncoder, newProductEncoder}
-    val pairRows = lshCandidatePairs(docs, textCol, idCol, k, bands, n)
+      minEstSim: Double = 0.5,
+      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax): DataFrame = {
+    val pairs = lshCandidatePairs(docs, textCol, idCol, k, bands, n)
       .filter($"est_sim" >= minEstSim)
       .select($"id_a", $"id_b")
-      .collect()
-    val uf = new graft.core.UnionFind[Long]
-    pairRows.foreach { r => uf.union(r.getLong(0), r.getLong(1)) }
-    val canonical = uf.elements.toSeq
-      .groupBy(uf.find)
-      .iterator
-      .flatMap { case (_, members) =>
-        val canon = members.min
-        members.map(m => (m, canon))
-      }
-      .toSeq
-    val mapDF = broadcast(canonical.toDF("id", "canon"))
+    val canonMap = ConnectedComponents.componentMap(pairs, driverMaxEdges)
+      .select($"id", $"component".as("canon"))
     docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(mapDF, $"doc_id" === $"id", "left")
+      .join(canonMap, $"doc_id" === $"id", "left")
       .select($"doc_id",
         coalesce($"canon", $"doc_id").as("canonical_id"),
         (coalesce($"canon", $"doc_id") === $"doc_id").as("is_kept"))

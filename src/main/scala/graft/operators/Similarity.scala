@@ -109,20 +109,24 @@ object Similarity {
     * a point is core iff it has >= minPts neighbors at cosine >=
     * minCos (count includes self, like [[graft.core.LocalDBSCAN]]);
     * clusters are connected components of the core-core subgraph
-    * (driver union-find over the core edge set — the same altitude as
-    * the DBSCAN cluster-alias merge; at cluster scale swap in an
-    * iterative distributed CC); border points attach to the
+    * ([[ConnectedComponents.assign]] — threshold-gated driver
+    * union-find / distributed large-star-small-star rounds, identical
+    * min-id labels either way); border points attach to the
     * lowest-labeled adjacent core cluster. Labels are the component's
     * minimum core id (deterministic); noise is -1.
     *
+    * Nothing collects to the driver: core-ness is an aggregate, core
+    * filtering is semi/anti joins, labeling is joins (AQE broadcasts
+    * the small sides at test scale; at corpus scale they shuffle).
+    *
     * The neighbor graph here is the exact O(n^2) cosine join (the
     * correctness baseline); for big corpora build `nb` with the LSH
-    * bucket join instead and the rest of the pipeline is unchanged.
+    * bucket join instead ([[lshNeighborPairs]]) and the rest of the
+    * pipeline is unchanged.
     */
   def cosineDBSCAN(corpus: DataFrame, minCos: Double, minPts: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits.{localSeqToDatasetHolder, newLongEncoder, newProductEncoder}
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax): DataFrame = {
     val e = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", norm(col("vec")))
       .persist()
@@ -131,33 +135,24 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
       .persist()
-    val coreIds = nb.groupBy(col("ia")).count()
+    val core = nb.groupBy(col("ia")).count()
       .filter(col("count") + 1 >= minPts) // neighbor count includes self
-      .select(col("ia")).as[Long].collect().toSet
-    // broadcast set membership, not an isin literal list — a large core
-    // set would otherwise inline thousands of literals into the plan
-    val bCore = spark.sparkContext.broadcast(coreIds)
-    val coreEdges = nb.as[(Long, Long)]
-      .filter(p => bCore.value.contains(p._1) && bCore.value.contains(p._2))
-      .collect()
-    val uf = new graft.core.UnionFind[Long]
-    coreIds.foreach(uf.add)
-    coreEdges.foreach { case (a, b) => uf.union(a, b) }
-    val rep = coreIds.toSeq.groupBy(uf.find)
-      .iterator.flatMap { case (_, ms) =>
-        val r = ms.min
-        ms.map(_ -> r)
-      }.toSeq
-    val repDF = broadcast(rep.toDF("cid", "rep"))
-    val coreLab = repDF.select(col("cid").as("id"), col("rep").as("core_rep"))
-    val borderLab = nb.join(repDF, col("ib") === col("cid"))
-      .filter(udf((ia: Long) => !bCore.value.contains(ia)).apply(col("ia")))
+      .select(col("ia").as("id"))
+      .persist()
+    val coreEdges = nb
+      .join(core.select(col("id").as("ia")), "ia", "left_semi")
+      .join(core.select(col("id").as("ib")), "ib", "left_semi")
+    val coreLab = ConnectedComponents.assign(coreEdges, core, driverMaxEdges)
+      .select(col("id"), col("component").as("core_rep"))
+    val borderLab = nb
+      .join(core.select(col("id").as("ia")), "ia", "left_anti") // non-core left side
+      .join(coreLab.select(col("id").as("ib"), col("core_rep").as("rep")), "ib")
       .groupBy(col("ia").as("id"))
       .agg(min(col("rep")).as("border_rep"))
     e.select(col("id").as(idCol))
-      .join(broadcast(coreLab), col(idCol) === coreLab("id"), "left")
+      .join(coreLab, col(idCol) === coreLab("id"), "left")
       .drop(coreLab("id"))
-      .join(broadcast(borderLab), col(idCol) === borderLab("id"), "left")
+      .join(borderLab, col(idCol) === borderLab("id"), "left")
       .drop(borderLab("id"))
       .select(col(idCol),
         coalesce(col("core_rep"), col("border_rep"), lit(-1L)).as("cluster_rep"),
