@@ -25,5 +25,6 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Clustering.oracles ++
       graft.queries.NorthStar.oracles
 }

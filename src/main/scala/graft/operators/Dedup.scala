@@ -62,38 +62,59 @@ object Dedup {
   }
 
   /** Pairwise n-gram Jaccard similarity for all pairs sharing >= 1
-    * shingle, filtered to `minJaccard`. Pure relational plan:
-    * posting-list self-equi-join -> pair intersection counts ->
-    * join per-doc set sizes.
+    * shingle, filtered to `minJaccard`.
+    *
+    * Plan: one pass per document emits (id, shingle, set_size) posting
+    * entries; one shuffle by shingle groups them; each group emits its
+    * candidate pairs WITH both set sizes attached, so the intersection
+    * count aggregate needs no size joins afterwards.
+    *
+    * Exact-preserving size prune at emission (the prefix/length filter
+    * family, e.g. Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08): jaccard(a,b) <= min(|a|,|b|) /
+    * max(|a|,|b|), so a pair whose size ratio is below `minJaccard`
+    * can never pass the final filter and is skipped. Groups are sorted
+    * by set size, so each inner loop BREAKS at the first too-large
+    * partner instead of scanning the rest — output is bit-identical to
+    * the unpruned plan (the epsilon keeps float rounding from dropping
+    * boundary pairs; extra survivors are removed by the exact final
+    * filter as before).
+    *
+    * Groups are document-frequency-sized (max df 47 at sf0.1); a
+    * hot-shingle df cap would slot in here if a real corpus needed it
+    * (it would have to be mirrored in the oracle).
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.6): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits.{newLongEncoder, newProductEncoder}
-    val sh = shingles(docs, textCol, idCol, n).persist()
-    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("set_size"))
-    // Pair generation by grouping the posting list once (shuffle by
-    // shingle) and emitting each group's ordered id pairs from a typed
-    // iterator — half the shuffle volume of the equivalent self-join,
-    // which ships the posting list for BOTH join sides. Groups are
-    // document-frequency-sized (max df 47 at sf0.1), so the O(df^2)
-    // emission is bounded; a hot-shingle df cap would slot in here if a
-    // real corpus needed it (it would have to be mirrored in the
-    // oracle).
-    val inter = sh.as[(Long, Long)]
+    import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
+    val posting = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = graft.functions.TextKernels.shingleHashes(
+          if (text == null) "" else text, n)
+        hs.map(h => (id, h, hs.length))
+      }
+    val inter = posting
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
-        val ids = it.map(_._1).toArray
-        java.util.Arrays.sort(ids)
-        Iterator.range(0, ids.length - 1).flatMap(i =>
-          Iterator.range(i + 1, ids.length).map(j => (ids(i), ids(j))))
+        // ascending by set size, then id, so the prune can break early
+        val entries = it.map(t => (t._1, t._3)).toArray.sortBy(e => (e._2, e._1))
+        Iterator.range(0, entries.length - 1).flatMap { i =>
+          val (idI, szI) = entries(i)
+          Iterator.range(i + 1, entries.length)
+            .takeWhile { j => szI.toDouble >= minJaccard * entries(j)._2 - 1e-9 }
+            .map { j =>
+              val (idJ, szJ) = entries(j)
+              if (idI < idJ) (idI, idJ, szI, szJ) else (idJ, idI, szJ, szI)
+            }
+        }
       }
-      .toDF("id_a", "id_b")
-      .groupBy($"id_a", $"id_b")
+      .toDF("id_a", "id_b", "size_a", "size_b")
+      .groupBy($"id_a", $"id_b", $"size_a", $"size_b")
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.select($"id".as("id_a"), $"set_size".as("size_a")), "id_a")
-      .join(sizes.select($"id".as("id_b"), $"set_size".as("size_b")), "id_b")
       .withColumn("jaccard",
         round($"n_inter".cast("double") / ($"size_a" + $"size_b" - $"n_inter"), 6))
       .filter($"jaccard" >= minJaccard)

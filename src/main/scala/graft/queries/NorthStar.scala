@@ -258,6 +258,23 @@ object NorthStar {
         .orderBy($"bucket")
     },
 
+    // The GENERAL embedding near-dup operator (bucket join + exact
+    // verify — what a 100 TB near-dup job actually runs), oracle-checked
+    // over the same planted-duplicate corpus d07 uses. Unlike d07's
+    // synthetic id-blocking, the hyperplane buckets here know nothing
+    // about how the duplicates were constructed; positive scaling
+    // preserves every hyperplane sign, so planted pairs land in the
+    // same bucket by the math, not by the test setup.
+    "s07_lsh_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      val scaled = emb.select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+      Similarity.lshNeighborPairs(base.unionByName(scaled), minCosine = 0.3, nPlanes = 8)
+        .orderBy("id_a", "id_b")
+    },
+
     // --- multimodal binary plumbing ---
     "m01_binary_meta" -> { (s, dir) =>
       import s.implicits._
@@ -604,6 +621,22 @@ object NorthStar {
            |    SELECT list_transform(embedding, x -> cast(x as double)) AS v
            |    FROM embeddings) e) t
            |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+      "s07_lsh_neardup" ->
+        s"""WITH u AS (
+           |  SELECT cast(vec_id as bigint) AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> cast(x as double) * 2)
+           |  FROM embeddings),
+           |b AS (SELECT id, v, ($s02Projs) AS bucket FROM u)
+           |SELECT x.id AS id_a, y.id AS id_b,
+           |  round(${cosSql("x.v", "y.v")}, 6) AS cos_sim
+           |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+           |WHERE ${cosSql("x.v", "y.v")} >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "m01_binary_meta" ->
         s"""SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes,
