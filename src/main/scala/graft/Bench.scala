@@ -61,18 +61,26 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Operators persist() intermediates for intra-query reuse; drop
       // them between queries so each is measured independently (no
       // cross-query cache hits, no accumulating executor memory).
       try spark.catalog.clearCache() catch { case _: Throwable => }
-      name -> dt
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A crashing query reports -1 (never its time-to-failure) and is
+    // named in "errors", so a failure can't pass as a fast run.
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

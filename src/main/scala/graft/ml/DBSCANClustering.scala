@@ -3,10 +3,10 @@ package graft.ml
 import graft.operators.{DistributedDBSCAN, SpatialJoin}
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Params shared by the estimator and model (mirrors the reference's
   * train(eps, minPoints, maxPointsPerPartition) surface —
@@ -57,9 +57,12 @@ class DBSCANClustering(override val uid: String)
     copyValues(model.setParent(this))
   }
 
+  // Must agree with DBSCANClusteringModel.transformSchema — Pipeline
+  // validates the estimator's declared output against what the model
+  // actually adds (only `cluster`; the training labels' `flag` is model
+  // state, not transform output).
   override def transformSchema(schema: StructType): StructType =
-    StructType(schema.fields ++ Seq(
-      StructField("cluster", IntegerType), StructField("flag", StringType)))
+    StructType(schema.fields :+ StructField("cluster", IntegerType))
 
   override def copy(extra: ParamMap): DBSCANClustering = defaultCopy(extra)
 }
@@ -68,7 +71,7 @@ class DBSCANClusteringModel(
     override val uid: String,
     val labeled: DataFrame,
     val partitions: Seq[(Int, graft.core.Rect)])
-    extends Model[DBSCANClusteringModel] with DBSCANParams {
+    extends Model[DBSCANClusteringModel] with DBSCANParams with MLWritable {
 
   /** Assign each input row the cluster of its nearest core point within
     * eps (ties: lowest cluster id), 0 (noise) when none.
@@ -96,4 +99,68 @@ class DBSCANClusteringModel(
 
   override def copy(extra: ParamMap): DBSCANClusteringModel =
     copyValues(new DBSCANClusteringModel(uid, labeled, partitions), extra)
+
+  override def write: MLWriter = new DBSCANClusteringModel.Writer(this)
+}
+
+/** spark.ml persistence for [[DBSCANClusteringModel]]: standard
+  * save/load layout — `metadata/` (one JSON line: uid + params),
+  * `labeled/` (the fitted labeled relation as parquet),
+  * `partitions/` (the spatial plan as parquet). Hand-rolled metadata
+  * because Spark's DefaultParamsWriter/Reader are private[ml]; the
+  * JSON shape mirrors theirs.
+  */
+object DBSCANClusteringModel extends MLReadable[DBSCANClusteringModel] {
+
+  private[ml] class Writer(instance: DBSCANClusteringModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = instance.labeled.sparkSession
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods._
+      val meta =
+        ("class" -> classOf[DBSCANClusteringModel].getName) ~
+        ("uid" -> instance.uid) ~
+        ("eps" -> instance.getEps) ~
+        ("minPoints" -> instance.getMinPoints) ~
+        ("maxPointsPerPartition" -> instance.getOrDefault(instance.maxPointsPerPartition)) ~
+        ("xCol" -> instance.getOrDefault(instance.xCol)) ~
+        ("yCol" -> instance.getOrDefault(instance.yCol))
+      import spark.implicits.{localSeqToDatasetHolder, newStringEncoder, newProductEncoder}
+      Seq(compact(render(meta))).toDS().repartition(1)
+        .write.mode("overwrite").text(s"$path/metadata")
+      instance.labeled.write.mode("overwrite").parquet(s"$path/labeled")
+      instance.partitions
+        .map { case (pid, r) => (pid, r.x, r.y, r.x2, r.y2) }
+        .toDF("pid", "x", "y", "x2", "y2")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/partitions")
+    }
+  }
+
+  private class Reader extends MLReader[DBSCANClusteringModel] {
+    override def load(path: String): DBSCANClusteringModel = {
+      val spark = SparkSession.active
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods._
+      implicit val fmt: Formats = DefaultFormats
+      val meta = parse(spark.read.text(s"$path/metadata").head().getString(0))
+      val labeled = spark.read.parquet(s"$path/labeled")
+      val partitions = spark.read.parquet(s"$path/partitions")
+        .collect()
+        .map(r => (r.getInt(0), graft.core.Rect(
+          r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .sortBy(_._1)
+        .toSeq
+      val m = new DBSCANClusteringModel((meta \ "uid").extract[String],
+        labeled, partitions)
+      m.set(m.eps, (meta \ "eps").extract[Double])
+      m.set(m.minPoints, (meta \ "minPoints").extract[Int])
+      m.set(m.maxPointsPerPartition, (meta \ "maxPointsPerPartition").extract[Long])
+      m.set(m.xCol, (meta \ "xCol").extract[String])
+      m.set(m.yCol, (meta \ "yCol").extract[String])
+      m
+    }
+  }
+
+  override def read: MLReader[DBSCANClusteringModel] = new Reader
 }

@@ -197,7 +197,17 @@ object DistributedDBSCAN {
 
     // ---- Border-band points: relabel every sighting, then one row per
     // physical point by commutative arg-max (non-noise wins, then core,
-    // then lowest global id, then lowest source partition). ----
+    // then lowest global id, then lowest source partition).
+    //
+    // CONTRACT: "physical point" = distinct (x, y). Coordinate-duplicate
+    // input rows that land in a margin band collapse to ONE output row
+    // (they are the same point to the clustering; every duplicate gets
+    // the same label by definition), while duplicates strictly inside
+    // one partition's inner box keep their input multiplicity. Callers
+    // needing per-ROW output should join `labeled` back to their input
+    // on (x, y) — reference behavior is the same modulo its own
+    // duplicate handling (reference: DBSCAN.scala:138-146 keys margin
+    // merges by point coordinates too). ----
     val mapForOuter = mappingDF
       .withColumnRenamed("pid", "m_pid")
       .withColumnRenamed("cluster", "m_cluster")

@@ -397,6 +397,51 @@ object Relational {
         .orderBy($"l_orderkey")
     },
 
+    // Bucketed-warehouse co-located join: both sides written
+    // bucketBy(8, join key) + sortBy, so the sort-merge join reads
+    // pre-shuffled, pre-sorted buckets — the join subtree has NO
+    // Exchange (asserted below; at 100 TB that is the difference
+    // between joining in place and re-shuffling the fact table on
+    // every query). The aggregate after the join still shuffles by its
+    // own key, as it should.
+    "q29_bucketed_join" -> { (s, dir) =>
+      import s.implicits._
+      Seq("graft_b_orders", "graft_b_lineitem").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        // the in-memory catalog forgets tables across JVMs but their
+        // warehouse directories persist — clear them or the write errors
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        val dir = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (dir.exists()) rm(dir)
+      }
+      rd(s, dir, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("graft_b_orders")
+      rd(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("graft_b_lineitem")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // big-big join scenario: broadcasting is off the table
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table("graft_b_lineitem")
+          .join(s.table("graft_b_orders"), $"l_orderkey" === $"o_orderkey")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+          s"bucketed join must be co-located (no Exchange); got:\n$plan")
+        joined
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            sum($"l_quantity".cast(M)).cast("double").as("sum_qty"))
+          .orderBy($"o_orderpriority")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    },
+
     // Exact percentiles (sort-based `percentile`, NOT the approx
     // sketch): type-7 linear interpolation over integer quantities is
     // bit-reproducible across engines.
@@ -626,6 +671,12 @@ object Relational {
         |  cast(len(list_filter(qtys, q -> q >= 25)) as bigint) AS n_large,
         |  array_to_string(list_transform(qtys, q -> q * 2), ',') AS doubled_csv
         |FROM t ORDER BY l_orderkey""".stripMargin,
+
+    "q29_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q28_percentiles" ->
       """SELECT l_returnflag,

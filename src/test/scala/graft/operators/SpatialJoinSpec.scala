@@ -59,4 +59,31 @@ class DBSCANClusteringMlSpec extends AnyFunSuite with Matchers {
     }
     mismatches shouldBe 0
   }
+
+  test("model save/load round-trips params, labels, partitions, transform") {
+    val df = graft.core.Golden.rows.map(_._1).toDF()
+    val model = new graft.ml.DBSCANClustering()
+      .setEps(0.3).setMinPoints(10).setMaxPointsPerPartition(250)
+      .fit(df)
+    val path = java.nio.file.Files.createTempDirectory("graft_ml_model")
+      .resolve("m").toString
+    model.write.overwrite().save(path)
+    val loaded = graft.ml.DBSCANClusteringModel.load(path)
+
+    loaded.uid shouldBe model.uid
+    loaded.getEps shouldBe model.getEps
+    loaded.getMinPoints shouldBe model.getMinPoints
+    loaded.partitions shouldBe model.partitions
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getString(3))
+    loaded.labeled.collect().map(key).sorted shouldBe
+      model.labeled.collect().map(key).sorted
+
+    // transform through the loaded model must equal the original's
+    val probe = Seq((0.0, 0.0), (9.9, 9.9)).toDF("x", "y")
+    val a = model.transform(probe).collect().map(r => (r.getDouble(0), r.getInt(2)))
+    val b = loaded.transform(probe).collect().map(r => (r.getDouble(0), r.getInt(2)))
+    b.sorted shouldBe a.sorted
+  }
 }
