@@ -128,28 +128,35 @@ object ConnectedComponents {
       driverMaxEdges: Long = DefaultDriverMax): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    val e = canon(edges).persist()
-    val mapping: DataFrame =
-      if (e.count() <= driverMaxEdges) {
-        val uf = new graft.core.UnionFind[Long]
-        e.collect().foreach(r => uf.union(r.getLong(0), r.getLong(1)))
-        val m = uf.elements.toSeq.groupBy(uf.find).iterator.flatMap {
-          case (_, members) =>
-            val root = members.min
-            members.map(m => (m, root))
-        }.toSeq
-        m.toDF("id", "component")
-      } else {
-        // star forest: non-roots appear as u, roots only as v
-        val star = starEdges(e)
-        star.select(col("u").as("id"), col("v").as("component"))
-          .union(star.select(col("v"), col("v")).distinct()
-            .toDF("id", "component"))
-      }
-    // safe: the driver branch is local data, the distributed branch is
-    // localCheckpoint-materialized — neither re-reads `e` after this
-    e.unpersist()
-    mapping
+    val e = canon(edges)
+    // Gate WITHOUT a dedicated count job: collect at most
+    // driverMaxEdges + 1 canonical edges in one bounded pass
+    // (CollectLimitExec evaluates partitions incrementally). If the
+    // probe came back under the threshold it IS the whole edge set —
+    // feed the union-find directly, zero extra pipeline executions
+    // (the r2 persist+count gate re-materialized the full upstream
+    // LSH candidate pipeline and cost d08 +76%).
+    val lim = (math.min(driverMaxEdges, Int.MaxValue - 8L) + 1L).toInt
+    val probe = e.limit(lim).collect()
+    if (probe.length < lim) {
+      val uf = new graft.core.UnionFind[Long]
+      probe.foreach(r => uf.union(r.getLong(0), r.getLong(1)))
+      val m = uf.elements.toSeq.groupBy(uf.find).iterator.flatMap {
+        case (_, members) =>
+          val root = members.min
+          members.map(m => (m, root))
+      }.toSeq
+      m.toDF("id", "component")
+    } else {
+      // big graph: one extra full pass to seed the distributed rounds
+      // (starEdges localCheckpoints its input, so nothing upstream is
+      // re-read after the first round). Star forest: non-roots appear
+      // as u, roots only as v.
+      val star = starEdges(e)
+      star.select(col("u").as("id"), col("v").as("component"))
+        .union(star.select(col("v"), col("v")).distinct()
+          .toDF("id", "component"))
+    }
   }
 
   /** Total component assignment over an explicit node set (first column,
