@@ -119,22 +119,39 @@ object Similarity {
     * filtering is semi/anti joins, labeling is joins (AQE broadcasts
     * the small sides at test scale; at corpus scale they shuffle).
     *
-    * The neighbor graph here is the exact O(n^2) cosine join (the
-    * correctness baseline); for big corpora build `nb` with the LSH
-    * bucket join instead ([[lshNeighborPairs]]) and the rest of the
-    * pipeline is unchanged.
+    * The neighbor graph defaults to the exact O(n^2) cosine join (the
+    * correctness baseline); for big corpora pass `neighborPairs` — an
+    * undirected pair list `(id_a, id_b)` such as [[lshNeighborPairs]]
+    * emits, already thresholded to `minCos` — and the rest of the
+    * pipeline (degree aggregate, CC, border attach) is unchanged.
+    * That is the 100 TB path: bucket join to build the graph, no
+    * all-pairs product anywhere in the plan.
     */
   def cosineDBSCAN(corpus: DataFrame, minCos: Double, minPts: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax): DataFrame = {
-    val e = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
-      .persist()
-    val nb = e.as("a").join(e.as("b"), col("a.id") =!= col("b.id"))
-      .withColumn("cos", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") >= minCos)
-      .select(col("a.id").as("ia"), col("b.id").as("ib"))
-      .persist()
+      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
+      neighborPairs: Option[DataFrame] = None): DataFrame = {
+    val nb = (neighborPairs match {
+      case Some(p) =>
+        // symmetrize: each undirected pair becomes two directed edges.
+        // explode, not self-union — a union would scan (and recompute)
+        // the expensive pair-building plan once per branch.
+        p.select(col("id_a").cast("long").as("ia"),
+            col("id_b").cast("long").as("ib"))
+          .select(explode(array(
+            struct(col("ia"), col("ib")),
+            struct(col("ib").as("ia"), col("ia").as("ib")))).as("e"))
+          .select(col("e.ia").as("ia"), col("e.ib").as("ib"))
+      case None =>
+        val e = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+          .withColumn("nrm", norm(col("vec")))
+          .persist()
+        e.as("a").join(e.as("b"), col("a.id") =!= col("b.id"))
+          .withColumn("cos", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .filter(col("cos") >= minCos)
+          .select(col("a.id").as("ia"), col("b.id").as("ib"))
+    }).persist()
+    val ids = corpus.select(col(idCol).cast("long").as(idCol))
     val core = nb.groupBy(col("ia")).count()
       .filter(col("count") + 1 >= minPts) // neighbor count includes self
       .select(col("ia").as("id"))
@@ -149,7 +166,7 @@ object Similarity {
       .join(coreLab.select(col("id").as("ib"), col("core_rep").as("rep")), "ib")
       .groupBy(col("ia").as("id"))
       .agg(min(col("rep")).as("border_rep"))
-    e.select(col("id").as(idCol))
+    ids
       .join(coreLab, col(idCol) === coreLab("id"), "left")
       .drop(coreLab("id"))
       .join(borderLab, col(idCol) === borderLab("id"), "left")

@@ -275,6 +275,26 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     },
 
+    // The 100 TB density-clustering path: cosineDBSCAN fed an
+    // LSH-built neighbor graph ([[Similarity.lshNeighborPairs]])
+    // instead of the exact all-pairs join — nothing in this plan is
+    // O(n^2). Same planted-duplicate corpus as s07, so the graph is
+    // meaningful (every vector has its scaled twin at cos=1 in the
+    // same bucket); minPts=3 splits the corpus into bucket-local
+    // clusters vs twin-only noise pairs.
+    "s08_cosine_dbscan_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      val scaled = emb.select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+      val corpus = base.unionByName(scaled)
+      val pairs = Similarity.lshNeighborPairs(corpus, minCosine = 0.3, nPlanes = 8)
+      Similarity.cosineDBSCAN(corpus, minCos = 0.3, minPts = 3,
+          neighborPairs = Some(pairs))
+        .orderBy("vec_id")
+    },
+
     // --- multimodal binary plumbing ---
     "m01_binary_meta" -> { (s, dir) =>
       import s.implicits._
@@ -637,6 +657,42 @@ object NorthStar {
            |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
            |WHERE ${cosSql("x.v", "y.v")} >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // s07's bucket-join graph composed with s06's recursive-CTE CC:
+      // the oracle mirrors exactly what the engine does (LSH pairs ->
+      // symmetrize -> degree core test -> core-core closure -> border
+      // attach), so hash-parity checks the whole 100 TB path.
+      "s08_cosine_dbscan_lsh" ->
+        s"""WITH RECURSIVE u AS (
+           |  SELECT cast(vec_id as bigint) AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> cast(x as double) * 2)
+           |  FROM embeddings),
+           |b AS (SELECT id, v, ($s02Projs) AS bucket FROM u),
+           |pairs AS (SELECT x.id AS a, y.id AS b FROM b x JOIN b y
+           |  ON x.bucket = y.bucket AND x.id < y.id
+           |  WHERE ${cosSql("x.v", "y.v")} >= 0.3),
+           |nb AS (SELECT a AS ia, b AS ib FROM pairs
+           |  UNION ALL SELECT b AS ia, a AS ib FROM pairs),
+           |deg AS (SELECT ia AS id, count(*) AS n FROM nb GROUP BY ia),
+           |core AS (SELECT id FROM deg WHERE n + 1 >= 3),
+           |ce AS (SELECT n.ia AS s, n.ib AS d FROM nb n
+           |  JOIN core c1 ON c1.id = n.ia JOIN core c2 ON c2.id = n.ib),
+           |reach AS (SELECT id AS src, id AS dst FROM core
+           |  UNION SELECT r.src, ce.d FROM reach r JOIN ce ON ce.s = r.dst),
+           |lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src),
+           |bord AS (SELECT n.ia AS id, min(l.rep) AS rep FROM nb n
+           |  JOIN lab l ON l.id = n.ib
+           |  WHERE n.ia NOT IN (SELECT id FROM core) GROUP BY n.ia)
+           |SELECT u.id AS vec_id, coalesce(l.rep, bo.rep, -1) AS cluster_rep,
+           |  CASE WHEN l.rep IS NOT NULL THEN 'core'
+           |       WHEN bo.rep IS NOT NULL THEN 'border'
+           |       ELSE 'noise' END AS flag
+           |FROM u LEFT JOIN lab l ON l.id = u.id LEFT JOIN bord bo ON bo.id = u.id
+           |ORDER BY vec_id""".stripMargin,
 
       "m01_binary_meta" ->
         s"""SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes,

@@ -122,6 +122,30 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     pairs should contain((0L, 1L))
   }
+
+  test("cosineDBSCAN with an injected exact pair graph equals the default path") {
+    // 3 parallel groups of 3 + 1 isolated direction: minPts=3 makes the
+    // groups clusters and the singleton noise
+    val rows = (0 until 3).flatMap { g =>
+      val base = Array.tabulate(4)(d => if (d == g) 1.0f else 0.0f)
+      (0 until 3).map(i => ((g * 3 + i).toLong, base.map(_ * (i + 1))))
+    } :+ (9L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineDBSCAN(corpus, minCos = 0.9, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // the exact graph, expressed as the undirected (id_a, id_b) pair
+    // list lshNeighborPairs emits
+    val pairGraph = corpus.as("a").join(corpus.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+          Similarity.cosine(col("a.embedding"), col("b.embedding")) >= 0.9)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val injected = Similarity.cosineDBSCAN(corpus, minCos = 0.9, minPts = 3,
+        neighborPairs = Some(pairGraph))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    injected shouldBe exact
+    exact.count(_._3 == "noise") shouldBe 1
+    exact.filter(_._3 == "core").groupBy(_._2).size shouldBe 3
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with Matchers {
