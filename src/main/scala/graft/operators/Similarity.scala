@@ -192,4 +192,54 @@ object Similarity {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Banded multi-signature LSH neighbor pairs — the tunable-recall scale
+    * path. The single-signature form ([[lshNeighborPairs]]) couples
+    * precision and recall to one knob: more planes means smaller buckets
+    * but lost recall, so bucket count is effectively capped (2^8 = 256
+    * at the default) and the per-bucket self-join is O((n/256)^2) —
+    * quadratic again at corpus scale. Banding decouples the two: `bands`
+    * independent signatures of `planesPerBand` planes each; a pair is a
+    * candidate iff ANY band agrees. Raise `planesPerBand` for small
+    * buckets (2^16 per band at the default — bucket population scales
+    * down with corpus growth), raise `bands` to buy recall back.
+    *
+    * All bands pack into ONE long signature (plane t*r+j is band t's bit
+    * j), computed in a single vector pass by [[hyperplaneBucket]];
+    * per-band buckets are shift/mask extractions. Candidate pairs dedup
+    * WITHOUT a `distinct` (no extra shuffle): a pair is emitted only from
+    * the FIRST band where the signatures agree — a pure bit filter over
+    * the two packed longs, unrolled per band into codegen-native
+    * shift/xor/compare conditions.
+    */
+  def bandedLshNeighborPairs(corpus: DataFrame, minCosine: Double,
+      bands: Int = 4, planesPerBand: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1 && bands * planesPerBand <= 64,
+      s"packed signature must fit one long: bands=$bands * planesPerBand=$planesPerBand")
+    val r = planesPerBand
+    val mask = if (r == 64) -1L else (1L << r) - 1L
+    val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+      hyperplaneBucket(col(vecCol), bands * r).as("sig"))
+    val withBand = base
+      .select(col("id"), col("vec"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", expr(s"shiftright(sig, band * $r)").bitwiseAND(lit(mask)))
+    val xorSig = col("x.sig").bitwiseXOR(col("y.sig"))
+    // first-agreeing-band predicate: joined on band t, keep the row only
+    // if every band t' < t disagrees (nonzero xor in its r-bit block)
+    val firstAgree = (0 until bands).map { t =>
+      (0 until t).foldLeft(col("x.band") === lit(t)) { (acc, tp) =>
+        acc && (shiftright(xorSig, tp * r).bitwiseAND(lit(mask)) =!= lit(0L))
+      }
+    }.reduce(_ || _)
+    withBand.as("x").join(withBand.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .filter(firstAgree)
+      .withColumn("cos", cosine(col("x.vec"), col("y.vec")))
+      .filter(col("cos") >= minCosine)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
 }

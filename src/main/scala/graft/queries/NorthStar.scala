@@ -295,6 +295,22 @@ object NorthStar {
         .orderBy("vec_id")
     },
 
+    // Banded multi-signature LSH over the same planted-duplicate corpus:
+    // 4 bands x 16 planes (65k buckets per band, vs the single
+    // signature's 256 ceiling) — precision from narrow buckets, recall
+    // from the 4-way union, pairs deduped by the first-agreeing-band bit
+    // filter instead of a distinct.
+    "s09_lsh_banded" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      val scaled = emb.select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+      Similarity.bandedLshNeighborPairs(base.unionByName(scaled),
+          minCosine = 0.3, bands = 4, planesPerBand = 16)
+        .orderBy("id_a", "id_b")
+    },
+
     // --- multimodal binary plumbing ---
     "m01_binary_meta" -> { (s, dir) =>
       import s.implicits._
@@ -384,6 +400,15 @@ object NorthStar {
     val s02Projs = (0 until 8).map { j =>
       s"""CASE WHEN list_reduce(list_transform(range(1, 65),
          |  i -> v[i] * cast(((($j*97 + (i-1)*31) % 7) - 3) as double)),
+         |  (a,b) -> a+b) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
+    // band t of the 4x16 banded signature: bits j are planes t*16+j of
+    // the same integer-lattice hyperplane family s02Projs draws from
+    val bandProjs = (t: Int) => (0 until 16).map { j =>
+      val g = t * 16 + j
+      s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+         |  i -> v[i] * cast(((($g*97 + (i-1)*31) % 7) - 3) as double)),
          |  (a,b) -> a+b) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
     }.mkString(" + ")
 
@@ -656,6 +681,35 @@ object NorthStar {
            |  round(${cosSql("x.v", "y.v")}, 6) AS cos_sim
            |FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
            |WHERE ${cosSql("x.v", "y.v")} >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // candidate set = union (dedup) of the 4 per-band bucket joins —
+      // the oracle dedups with UNION where the engine uses the
+      // first-agreeing-band filter; same pair set either way
+      "s09_lsh_banded" ->
+        s"""WITH u AS (
+           |  SELECT cast(vec_id as bigint) AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> cast(x as double) * 2)
+           |  FROM embeddings),
+           |b AS (SELECT id, v, (${bandProjs(0)}) AS b0, (${bandProjs(1)}) AS b1,
+           |    (${bandProjs(2)}) AS b2, (${bandProjs(3)}) AS b3 FROM u),
+           |cand AS (
+           |  SELECT x.id AS a, y.id AS b FROM b x JOIN b y
+           |    ON x.b0 = y.b0 AND x.id < y.id
+           |  UNION SELECT x.id, y.id FROM b x JOIN b y
+           |    ON x.b1 = y.b1 AND x.id < y.id
+           |  UNION SELECT x.id, y.id FROM b x JOIN b y
+           |    ON x.b2 = y.b2 AND x.id < y.id
+           |  UNION SELECT x.id, y.id FROM b x JOIN b y
+           |    ON x.b3 = y.b3 AND x.id < y.id)
+           |SELECT c.a AS id_a, c.b AS id_b,
+           |  round(${cosSql("p.v", "q.v")}, 6) AS cos_sim
+           |FROM cand c JOIN b p ON p.id = c.a JOIN b q ON q.id = c.b
+           |WHERE ${cosSql("p.v", "q.v")} >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
 
       // s07's bucket-join graph composed with s06's recursive-CTE CC:

@@ -123,6 +123,37 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     pairs should contain((0L, 1L))
   }
 
+  test("banded LSH with one band equals the single-signature operator") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val single = Similarity.lshNeighborPairs(corpus, minCosine = 0.2, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Similarity.bandedLshNeighborPairs(corpus, minCosine = 0.2,
+        bands = 1, planesPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    banded shouldBe single
+  }
+
+  test("banded LSH emits each pair once and never misses a band-agreeing pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    // parallel twins agree in EVERY band (maximal dedup stress) plus
+    // random vectors that agree in some band by chance
+    val base = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val twins = base.map { case (i, v) => (i + 1000L, v.map(_ * 3f)) }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val got = Similarity.bandedLshNeighborPairs(corpus, minCosine = 0.5,
+        bands = 4, planesPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got.length shouldBe got.toSet.size // first-band filter dedups exactly
+    // every twin pair agrees in all bands and has cosine 1
+    (0L until 40L).foreach(i => got should contain((i, i + 1000L)))
+  }
+
   test("cosineDBSCAN with an injected exact pair graph equals the default path") {
     // 3 parallel groups of 3 + 1 isolated direction: minPts=3 makes the
     // groups clusters and the singleton noise
