@@ -92,6 +92,73 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sequential-fold squared euclidean distance of two float/double array
+  * columns: sum over i of (a(i) - b(i))^2, accumulated left to right in
+  * doubles — bitwise identical to the oracle's ordered list_reduce over
+  * (a[i]-b[i])*(a[i]-b[i]). Null/length semantics match [[DotProduct]].
+  */
+case class ArrayDistSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (VectorExprUtil.elemKind(left.dataType), VectorExprUtil.elemKind(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"array_dist_sq needs array<float|double> inputs, got ${left.dataType}, ${right.dataType}")
+    }
+
+  private lazy val kindL = VectorExprUtil.elemKind(left.dataType).get
+  private lazy val kindR = VectorExprUtil.elemKind(right.dataType).get
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arrA = a.asInstanceOf[ArrayData]
+    val arrB = b.asInstanceOf[ArrayData]
+    val n = arrA.numElements()
+    if (n != arrB.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
+      val d = VectorExprUtil.getAsDouble(arrA, i, kindL) -
+        VectorExprUtil.getAsDouble(arrB, i, kindR)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      def get(arr: String, idx: String, kind: String) =
+        if (kind == "float") s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ${get(a, i, kindL)} - ${get(b, i, kindR)};
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDistSq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane LSH bucket id over a float/double array column:
   * bit j (0 <= j < nPlanes) is set iff the projection onto the
   * deterministic integer lattice plane w(j,d) = ((j*97 + d*31) mod 7) - 3

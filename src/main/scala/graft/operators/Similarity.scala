@@ -131,7 +131,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
       neighborPairs: Option[DataFrame] = None): DataFrame = {
-    val nb = (neighborPairs match {
+    val nb = neighborPairs match {
       case Some(p) =>
         // symmetrize: each undirected pair becomes two directed edges.
         // explode, not self-union — a union would scan (and recompute)
@@ -150,32 +150,9 @@ object Similarity {
           .withColumn("cos", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
           .filter(col("cos") >= minCos)
           .select(col("a.id").as("ia"), col("b.id").as("ib"))
-    }).persist()
-    val ids = corpus.select(col(idCol).cast("long").as(idCol))
-    val core = nb.groupBy(col("ia")).count()
-      .filter(col("count") + 1 >= minPts) // neighbor count includes self
-      .select(col("ia").as("id"))
-      .persist()
-    val coreEdges = nb
-      .join(core.select(col("id").as("ia")), "ia", "left_semi")
-      .join(core.select(col("id").as("ib")), "ib", "left_semi")
-    val coreLab = ConnectedComponents.assign(coreEdges, core, driverMaxEdges)
-      .select(col("id"), col("component").as("core_rep"))
-    val borderLab = nb
-      .join(core.select(col("id").as("ia")), "ia", "left_anti") // non-core left side
-      .join(coreLab.select(col("id").as("ib"), col("core_rep").as("rep")), "ib")
-      .groupBy(col("ia").as("id"))
-      .agg(min(col("rep")).as("border_rep"))
-    ids
-      .join(coreLab, col(idCol) === coreLab("id"), "left")
-      .drop(coreLab("id"))
-      .join(borderLab, col(idCol) === borderLab("id"), "left")
-      .drop(borderLab("id"))
-      .select(col(idCol),
-        coalesce(col("core_rep"), col("border_rep"), lit(-1L)).as("cluster_rep"),
-        when(col("core_rep").isNotNull, "core")
-          .when(col("border_rep").isNotNull, "border")
-          .otherwise("noise").as("flag"))
+    }
+    GraphDBSCAN.labels(corpus.select(col(idCol).cast("long").as(idCol)),
+      nb, minPts, idCol, driverMaxEdges)
   }
 
   /** Bucketed approximate neighbor pairs: vectors sharing an LSH bucket,

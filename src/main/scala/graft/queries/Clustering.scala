@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.DistributedDBSCAN
+import graft.operators.{DistributedDBSCAN, GraphDBSCAN}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,23 @@ object Clustering {
         .orderBy("x", "y")
     },
 
+    // n-D native euclidean DBSCAN over embeddings: the 4-D leading
+    // slice (the raw 64-D space has no euclidean density structure —
+    // nearest-neighbor distances concentrate near ~1.1 while per-dim
+    // spread is ±0.4, so any eps that forms a cluster swallows
+    // everything; high-D density clustering belongs to cosine space,
+    // s06/s08). Grid-bucketed neighbor join on the first 2 dims +
+    // exact 4-D distance, graph labeling — no O(n^2) anywhere.
+    "dbscan_embeddings" -> { (s, dir) =>
+      import s.implicits._
+      val pts = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id".cast("long").as("vec_id"),
+          slice(transform($"embedding", _.cast("double")), 1, 4).as("v"))
+      GraphDBSCAN.euclidean(pts, eps = 0.08, minPts = 5,
+          idCol = "vec_id", vecCol = "v", gridDims = 2)
+        .orderBy("vec_id")
+    },
+
     // Golden fixture end-to-end through the reader (path is sf-independent).
     // Output canonicalized for the oracle: cluster id -> the cluster's
     // minimum core point's (x, y); noise rows carry nulls.
@@ -54,6 +71,41 @@ object Clustering {
     })
 
   val oracles: Map[String, String] = Map(
+    // mirrors the engine: grid cells of side eps on the first 2 dims,
+    // 3x3 neighborhood equi-join, exact 4-D distance (same ordered
+    // fold), then the recursive-CTE CC labeling
+    "dbscan_embeddings" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT cast(vec_id as bigint) AS id,
+        |    list_transform(embedding[1:4], x -> cast(x as double)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT id, v,
+        |  cast(floor(v[1] / 0.08) as bigint) AS c0,
+        |  cast(floor(v[2] / 0.08) as bigint) AS c1 FROM p),
+        |l AS (SELECT id, v, c0 + dx.d AS c0, c1 + dy.d AS c1 FROM c,
+        |  (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy),
+        |nb AS (SELECT l.id AS ia, r.id AS ib FROM l JOIN c r
+        |  ON l.c0 = r.c0 AND l.c1 = r.c1 AND l.id <> r.id
+        |  AND list_reduce(list_transform(range(1, 5),
+        |    i -> (l.v[i] - r.v[i]) * (l.v[i] - r.v[i])), (a,b) -> a+b)
+        |      <= 0.08 * 0.08),
+        |deg AS (SELECT ia AS id, count(*) AS n FROM nb GROUP BY ia),
+        |core AS (SELECT id FROM deg WHERE n + 1 >= 5),
+        |ce AS (SELECT n.ia AS s, n.ib AS d FROM nb n
+        |  JOIN core c1 ON c1.id = n.ia JOIN core c2 ON c2.id = n.ib),
+        |reach AS (SELECT id AS src, id AS dst FROM core
+        |  UNION SELECT r.src, ce.d FROM reach r JOIN ce ON ce.s = r.dst),
+        |lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src),
+        |bord AS (SELECT n.ia AS id, min(l2.rep) AS rep FROM nb n
+        |  JOIN lab l2 ON l2.id = n.ib
+        |  WHERE n.ia NOT IN (SELECT id FROM core) GROUP BY n.ia)
+        |SELECT p.id AS vec_id, coalesce(l3.rep, b.rep, -1) AS cluster_rep,
+        |  CASE WHEN l3.rep IS NOT NULL THEN 'core'
+        |       WHEN b.rep IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS flag
+        |FROM p LEFT JOIN lab l3 ON l3.id = p.id LEFT JOIN bord b ON b.id = p.id
+        |ORDER BY vec_id""".stripMargin,
+
     "dbscan_golden" ->
       """WITH RECURSIVE pts AS (
         |  SELECT row_number() OVER (ORDER BY x, y) AS id, x, y FROM (
