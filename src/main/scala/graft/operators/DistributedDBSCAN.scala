@@ -147,13 +147,23 @@ object DistributedDBSCAN {
         .map(target => MergeCand(target, c.pid, c.x, c.y, c.cluster, c.flag))
     }.persist()
 
-    // ---- Job 2: cluster-alias edges = two non-noise sightings of one
-    // point under different (partition, local-cluster) ids. ----
+    // ---- Job 2: cluster-alias edges = two sightings of one point under
+    // different (partition, local-cluster) ids, where at least one
+    // sighting is CORE. A partition can only undercount a margin copy's
+    // neighbors, so core-in-any-sighting == truly core, and a core
+    // point's clusters are one cluster by definition. Border-border
+    // sightings must NOT merge: a border point within eps of two
+    // different clusters belongs to one of them, it does not connect
+    // them (Ester et al. semantics; the reference aliases on any shared
+    // non-noise point — reference DBSCAN.scala:266-291 — which
+    // over-merges exactly there, verified against the exact-graph
+    // oracle on the events sample). ----
     val nn = cands.filter(_.flag != Flag.Noise).toDF()
-    val a = nn.select($"x", $"y", $"src".as("ap"), $"cluster".as("ac"))
-    val b = nn.select($"x", $"y", $"src".as("bp"), $"cluster".as("bc"))
+    val a = nn.select($"x", $"y", $"src".as("ap"), $"cluster".as("ac"), $"flag".as("af"))
+    val b = nn.select($"x", $"y", $"src".as("bp"), $"cluster".as("bc"), $"flag".as("bf"))
     val edges = a.join(b, Seq("x", "y"))
-      .where(struct($"ap", $"ac") < struct($"bp", $"bc"))
+      .where(struct($"ap", $"ac") < struct($"bp", $"bc") &&
+        ($"af" === Flag.Core || $"bf" === Flag.Core))
       .select($"ap", $"ac", $"bp", $"bc")
       .distinct()
       .collect()

@@ -36,6 +36,37 @@ object Clustering {
         .orderBy("x", "y")
     },
 
+    // Oracle companion for the flagship: the SAME DistributedDBSCAN
+    // pipeline over a deterministic 1-in-5 sample of events (~2k points
+    // at sf0.01 — small enough for the oracle's recursive-CTE closure,
+    // which the full 10k-point blob's single ~8.7k-core component rules
+    // out). Canonicalized like dbscan_golden (cluster -> min core
+    // (x, y)), except rep coords are emitted for CORE rows only: on
+    // this data some border points touch two clusters, and which one
+    // claims them is legitimately formulation-dependent (engine:
+    // deterministic arg-max merge; oracle: min rep). Flags — i.e.
+    // core/border/noise membership — are still checked exactly for
+    // every row.
+    "dbscan_events_sample" -> { (s, dir) =>
+      import s.implicits._
+      val pts = Relational.events(s, dir)
+        .filter($"event_id" % 5 === 0)
+        .select(
+          $"value".as("x"),
+          ((expr("ts div 1000000000") - lit(1704067200L)) / 3600.0).as("y"))
+      val labeled = DistributedDBSCAN.cluster(pts, eps = 8.0, minPoints = 8,
+        maxPointsPerPartition = 500).labeled
+      val reps = labeled.filter($"flag" === "core")
+        .groupBy($"cluster")
+        .agg(min(struct($"x", $"y")).as("rep"))
+      labeled.join(reps, Seq("cluster"), "left")
+        .select($"x", $"y",
+          when($"flag" === "core", $"rep.x").as("rep_x"),
+          when($"flag" === "core", $"rep.y").as("rep_y"),
+          $"flag")
+        .orderBy("x", "y")
+    },
+
     // n-D native euclidean DBSCAN over embeddings: the 4-D leading
     // slice (the raw 64-D space has no euclidean density structure —
     // nearest-neighbor distances concentrate near ~1.1 while per-dim
@@ -71,6 +102,43 @@ object Clustering {
     })
 
   val oracles: Map[String, String] = Map(
+    // grid-cell equi-join builds nb tractably (the all-pairs distance
+    // CTE cannot close at this size); ids are row_number over (x, y) so
+    // min id == lexicographically-min (x, y), matching the engine's
+    // min(struct(x, y)) canonical rep
+    "dbscan_events_sample" ->
+      """WITH RECURSIVE p0 AS (
+        |  SELECT value AS x,
+        |    ((epoch_ms(ts) // 1000) - 1704067200) / 3600.0 AS y
+        |  FROM events WHERE event_id % 5 = 0),
+        |pts AS (SELECT row_number() OVER (ORDER BY x, y) AS id, x, y FROM p0),
+        |c AS (SELECT id, x, y, cast(floor(x / 8.0) as bigint) AS cx,
+        |  cast(floor(y / 8.0) as bigint) AS cy FROM pts),
+        |l AS (SELECT id, x, y, cx + dx.d AS cx, cy + dy.d AS cy FROM c,
+        |  (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy),
+        |nb AS (SELECT l.id AS ia, r.id AS ib FROM l JOIN c r
+        |  ON l.cx = r.cx AND l.cy = r.cy AND l.id <> r.id
+        |  AND (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 64.0),
+        |deg AS (SELECT ia AS id, count(*) AS n FROM nb GROUP BY ia),
+        |core AS (SELECT id FROM deg WHERE n + 1 >= 8),
+        |ce AS (SELECT n.ia AS s, n.ib AS d FROM nb n
+        |  JOIN core c1 ON c1.id = n.ia JOIN core c2 ON c2.id = n.ib),
+        |reach AS (SELECT id AS src, id AS dst FROM core
+        |  UNION SELECT r.src, ce.d FROM reach r JOIN ce ON ce.s = r.dst),
+        |lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src),
+        |bord AS (SELECT DISTINCT n.ia AS id FROM nb n
+        |  JOIN core c2 ON c2.id = n.ib
+        |  WHERE n.ia NOT IN (SELECT id FROM core))
+        |SELECT p.x, p.y, rp.x AS rep_x, rp.y AS rep_y,
+        |  CASE WHEN l2.id IS NOT NULL THEN 'core'
+        |       WHEN b.id IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS flag
+        |FROM pts p
+        |LEFT JOIN lab l2 ON l2.id = p.id
+        |LEFT JOIN bord b ON b.id = p.id
+        |LEFT JOIN pts rp ON rp.id = l2.rep
+        |ORDER BY p.x, p.y""".stripMargin,
+
     // mirrors the engine: grid cells of side eps on the first 2 dims,
     // 3x3 neighborhood equi-join, exact 4-D distance (same ordered
     // fold), then the recursive-CTE CC labeling
