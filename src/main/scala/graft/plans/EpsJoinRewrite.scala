@@ -11,11 +11,80 @@ import org.apache.spark.sql.graftbridge.Bridge
 
 /** Session extensions: install with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
-  * (or `withExtensions`). Registers [[EpsJoinRewrite]].
+  * (or `withExtensions`). Registers [[EpsJoinRewrite]] and the kernel
+  * expressions as SQL functions (`SELECT graft_cosine(a, b) ...`) —
+  * the same codegen'd Catalyst expressions the Scala API uses, so SQL
+  * and DataFrame callers share one hot path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => EpsJoinRewrite)
+    GraftSqlFunctions.all.foreach(ext.injectFunction)
+  }
+}
+
+/** SQL surface for the kernel expressions. Each builder maps argument
+  * expressions straight onto the native Catalyst nodes — no UDF layer.
+  */
+object GraftSqlFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: java.lang.Number, _) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def nArgs(fn: String, args: Seq[Expression], n: Int*): Unit =
+    if (!n.contains(args.length))
+      throw new IllegalArgumentException(
+        s"$fn expects ${n.mkString(" or ")} arguments, got ${args.length}")
+
+  private def fd(name: String, usage: String)(
+      builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage),
+      builder)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    fd("graft_dot", "graft_dot(a, b) - sequential-fold dot product of two arrays") { args =>
+      nArgs("graft_dot", args, 2)
+      graft.functions.DotProduct(args(0), args(1))
+    },
+    fd("graft_cosine", "graft_cosine(a, b) - cosine similarity of two arrays") { args =>
+      nArgs("graft_cosine", args, 2)
+      Divide(graft.functions.DotProduct(args(0), args(1)),
+        Multiply(Sqrt(graft.functions.DotProduct(args(0), args(0))),
+          Sqrt(graft.functions.DotProduct(args(1), args(1)))))
+    },
+    fd("graft_array_dist_sq", "graft_array_dist_sq(a, b) - squared euclidean distance of two arrays") { args =>
+      nArgs("graft_array_dist_sq", args, 2)
+      graft.functions.ArrayDistSq(args(0), args(1))
+    },
+    fd("graft_dist_sq", "graft_dist_sq(x1, y1, x2, y2) - 2-D squared euclidean distance") { args =>
+      nArgs("graft_dist_sq", args, 4)
+      // accept any numeric literal/column (SQL `0.0` parses as decimal)
+      val d = args.map(Cast(_, org.apache.spark.sql.types.DoubleType))
+      graft.functions.DistSq(d(0), d(1), d(2), d(3))
+    },
+    fd("graft_rolling_hash", "graft_rolling_hash(s[, p]) - polynomial rolling hash over code points, default p=1000000007") { args =>
+      nArgs("graft_rolling_hash", args, 1, 2)
+      val p = if (args.length == 2)
+        litInt(args(1), "graft_rolling_hash", "p").toLong else 1000000007L
+      graft.functions.RollingHash(args(0), p)
+    },
+    fd("graft_simhash32", "graft_simhash32(s) - 32-bit token-level simhash") { args =>
+      nArgs("graft_simhash32", args, 1)
+      graft.functions.Simhash32(args(0))
+    },
+    fd("graft_hyperplane_bucket", "graft_hyperplane_bucket(vec[, nPlanes]) - random-hyperplane LSH bucket id, default 8 planes") { args =>
+      nArgs("graft_hyperplane_bucket", args, 1, 2)
+      val n = if (args.length == 2)
+        litInt(args(1), "graft_hyperplane_bucket", "nPlanes") else 8
+      graft.functions.HyperplaneBucketExpr(args(0), n)
+    })
 }
 
 /** Optimizer rule: plans an eps-distance theta join as a grid-bucketed
