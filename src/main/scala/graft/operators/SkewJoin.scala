@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * keys spread over `factor` tasks. AQE's skew-join handles the
   * sort-merge case at runtime; explicit salting is the plan-level tool
   * when the skew is known (or the join is broadcast-ineligible).
+  *
+  * Measured (SkewJoinAqeSpec, q24 shape at sf0.01, broadcast off):
+  * AQE skew-join with tuned thresholds beat 8-way salting ~2x, and both
+  * beat the unsalted SMJ (~0.5s vs ~1.0s vs ~1.8s) — prefer AQE where
+  * its size thresholds can see the skew; salt when they can't (many
+  * moderately-hot keys under the partition threshold) or when the
+  * runtime doesn't re-plan.
   */
 object SkewJoin {
 
