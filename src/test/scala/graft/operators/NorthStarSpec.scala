@@ -154,6 +154,28 @@ class SimilaritySpec extends AnyFunSuite with Matchers {
     (0L until 40L).foreach(i => got should contain((i, i + 1000L)))
   }
 
+  test("cosineDBSCAN composes with the banded LSH graph (full 100 TB shape)") {
+    // parallel twins at cosine 1 agree in every band, so the banded
+    // graph is lossless for them: clusters of planted dup-groups must
+    // match the exact path
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = (0L until 30L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val twins = base.flatMap { case (i, v) =>
+      Seq((i + 100L, v.map(_ * 2f)), (i + 200L, v.map(_ * 3f)))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineDBSCAN(corpus, minCos = 0.999, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val banded = Similarity.cosineDBSCAN(corpus, minCos = 0.999, minPts = 3,
+        neighborPairs = Some(Similarity.bandedLshNeighborPairs(corpus,
+          minCosine = 0.999, bands = 4, planesPerBand = 8)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    banded shouldBe exact
+    exact.count(_._3 == "core") shouldBe 90 // every point in a twin-triple
+  }
+
   test("cosineDBSCAN with an injected exact pair graph equals the default path") {
     // 3 parallel groups of 3 + 1 isolated direction: minPts=3 makes the
     // groups clusters and the singleton noise
