@@ -159,6 +159,72 @@ case class ArrayDistSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection cardinality of two SORTED distinct long-array columns —
+  * a two-pointer merge, O(|a| + |b|), no per-row hash set. The exact
+  * verify step of the prefix-filtered Jaccard join. Inputs MUST be
+  * sorted ascending and duplicate-free (both are by construction in
+  * [[graft.operators.Dedup.jaccardPairs]]); null array -> NULL.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count needs array<bigint> inputs, got ${left.dataType}, ${right.dataType}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arrA = a.asInstanceOf[ArrayData]
+    val arrB = b.asInstanceOf[ArrayData]
+    val (na, nb) = (arrA.numElements(), arrB.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = arrA.getLong(i); val y = arrB.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points for expressions without an operator home. */
+object Exprs {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+}
+
 /** Random-hyperplane LSH bucket id over a float/double array column:
   * bit j (0 <= j < nPlanes) is set iff the projection onto the
   * deterministic integer lattice plane w(j,d) = ((j*97 + d*31) mod 7) - 3
