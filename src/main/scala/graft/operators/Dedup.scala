@@ -182,15 +182,26 @@ object Dedup {
   def lshCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
     val mh = minhashes(docs, textCol, idCol, k, n).persist()
+    // each exploded row carries ALL band sigs so the join can dedup
+    // pairs inline: emit only from the FIRST band where the signatures
+    // agree (all earlier bands differ) — no distinct, no extra shuffle
+    // (the same trick d06's simhash banding uses)
     val banded = lshBands(mh, k, bands)
-      .select($"id", explode(array((0 until bands).map(b =>
+      .withColumn("sigs", array((0 until bands).map(b => col(s"band$b")): _*))
+      .select($"id", $"sigs", explode(array((0 until bands).map(b =>
         struct(lit(b).as("band_no"), col(s"band$b").as("sig"))): _*)).as("b"))
-      .select($"id", $"b.band_no", $"b.sig")
+      .select($"id", $"sigs", $"b.band_no", $"b.sig")
+    val firstAgree = (0 until bands).map { t =>
+      (0 until t).foldLeft(col("x.band_no") === lit(t)) { (acc, tp) =>
+        acc && (element_at(col("x.sigs"), tp + 1) =!=
+          element_at(col("y.sigs"), tp + 1))
+      }
+    }.reduce(_ || _)
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.band_no") === col("y.band_no") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
+      .filter(firstAgree)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
     pairs
       .join(mh.select($"id".as("id_a"), $"minhashes".as("mh_a")), "id_a")
       .join(mh.select($"id".as("id_b"), $"minhashes".as("mh_b")), "id_b")
