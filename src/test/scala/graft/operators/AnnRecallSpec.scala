@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Measured recall of the approximate similarity paths against their
+  * exact baselines on the real embeddings table (sf0.001, 500 x 64-D).
+  * Approximation quality is a claim like performance — it gets measured,
+  * not asserted from folklore. The spec pins only loose floors (the
+  * methods must be useful at all); exact values go to the test log.
+  */
+class AnnRecallSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("LSH pair recall: single signature vs banded multi-signature, by similarity band") {
+    // raw embeddings + planted near-dups (scaled copies at cos 1 against
+    // their source): the near-dup regime is what the operator hunts
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb0.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val planted = emb0.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val emb = base.unionByName(planted)
+    val e = emb.select($"vec_id".as("id"), $"embedding")
+    val exact = e.as("a").join(e.as("b"), $"a.id" < $"b.id")
+      .withColumn("cos", Similarity.cosine($"a.embedding", $"b.embedding"))
+      .filter($"cos" >= 0.3)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"), $"cos")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val nearDup = exact.filter(_._2 >= 0.9).keySet
+    exact.size should be > 100
+    nearDup.size should be >= 100 // the planted copies
+
+    def recalls(pairs: Array[(Long, Long)]): (Double, Double) = {
+      val got = pairs.toSet
+      got.subsetOf(exact.keySet) shouldBe true // exact verify: no false positives
+      (got.size.toDouble / exact.size,
+        got.count(nearDup).toDouble / nearDup.size)
+    }
+    val (sAll, sNd) = recalls(Similarity.lshNeighborPairs(emb, minCosine = 0.3, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val (bAll, bNd) = recalls(Similarity.bandedLshNeighborPairs(emb, minCosine = 0.3,
+        bands = 4, planesPerBand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    info(f"pair recall, all cos>=0.3: single 8-plane $sAll%.3f, banded 4x16 $bAll%.3f")
+    info(f"pair recall, near-dups cos>=0.9: single $sNd%.3f, banded $bNd%.3f")
+    // identical vectors (cos = 1) always share every bucket, so the
+    // planted-copy floor is structural; borderline-pair recall is
+    // legitimately low for both (hyperplane agreement ~ (1 - theta/pi)^planes)
+    sNd should be > 0.5
+    bNd should be > 0.5
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val k = 10
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(Similarity.bruteForceTopK(emb, queries, k))
+    val ivf = topk(Similarity.ivfTopK(emb, queries, k, nlist = 32, nprobe = 4))
+    val recalls = exact.map { case (q, ex) =>
+      ivf.getOrElse(q, Set.empty).count(ex).toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF recall@$k (nlist=32, nprobe=4, ${exact.size} queries): mean $mean%.3f")
+    mean should be > 0.3
+  }
+}
