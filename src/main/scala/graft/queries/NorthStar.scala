@@ -390,6 +390,10 @@ object NorthStar {
 
     "st05_stream_sessions" -> { (s, dir) =>
       graft.streaming.Streaming.userSessions(s, dir, gapMinutes = 30)
+    },
+
+    "st06_stream_dedup" -> { (s, dir) =>
+      graft.streaming.Streaming.streamDedup(s, dir)
     })
 
   // ---------- oracles ----------
@@ -841,6 +845,10 @@ object NorthStar {
           |  FROM x)
           |SELECT user_id, min(sec) AS sess_start, max(sec) + 1800 AS sess_end,
           |  count(*) AS n
-          |FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""".stripMargin)
+          |FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""".stripMargin,
+
+      "st06_stream_dedup" ->
+        """SELECT DISTINCT user_id, event_type FROM events
+          |ORDER BY user_id, event_type""".stripMargin)
   }
 }

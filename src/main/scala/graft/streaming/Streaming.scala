@@ -164,4 +164,22 @@ object Streaming {
       .agg(max("max_value").as("max_value"), max("n_events").as("n_events"))
       .orderBy("user_id")
   }
+
+  /** Streaming exact dedup — the streaming half of the batch exact-dedup
+    * operator ([[graft.operators.Dedup.exactDuplicates]]): keyed
+    * `dropDuplicates` state, each key emitted once (append mode). The
+    * query surfaces only the KEY columns: which physical row arrives
+    * first for a key is micro-batch-order-dependent, so the
+    * deterministic (oracle-checkable) output is the distinct key set.
+    * State is one entry per distinct key, sharded by the state
+    * partitioning — at corpus scale bound it with a watermark
+    * (`dropDuplicatesWithinWatermark`) exactly like any keyed state.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val dedup = eventStream(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runToTable(dedup, "append")
+      .orderBy("user_id", "event_type")
+  }
 }
