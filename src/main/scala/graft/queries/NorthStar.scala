@@ -295,6 +295,23 @@ object NorthStar {
         .orderBy("vec_id")
     },
 
+    // The fully-composed scale path: banded multi-signature LSH builds
+    // the neighbor graph (no 2^8 bucket ceiling anywhere), graph-DBSCAN
+    // labels it — s08 with the tunable-recall builder swapped in.
+    "s10_cosine_dbscan_banded" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      val scaled = emb.select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+      val corpus = base.unionByName(scaled)
+      val pairs = Similarity.bandedLshNeighborPairs(corpus, minCosine = 0.3,
+        bands = 4, planesPerBand = 16)
+      Similarity.cosineDBSCAN(corpus, minCos = 0.3, minPts = 3,
+          neighborPairs = Some(pairs))
+        .orderBy("vec_id")
+    },
+
     // Banded multi-signature LSH over the same planted-duplicate corpus:
     // 4 bands x 16 planes (65k buckets per band, vs the single
     // signature's 256 ceiling) — precision from narrow buckets, recall
@@ -715,6 +732,50 @@ object NorthStar {
            |FROM cand c JOIN b p ON p.id = c.a JOIN b q ON q.id = c.b
            |WHERE ${cosSql("p.v", "q.v")} >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // s09's banded candidates composed with the recursive-CTE CC.
+      // NB: cand is an OR-join, not the UNION chain s09 uses — inside a
+      // WITH RECURSIVE clause DuckDB treats a CTE whose body is a
+      // top-level multi-branch UNION (distinct) as anchor+recursive-step
+      // and duplicates rows (observed exactly 2x on this query), even
+      // though no branch references the CTE; the UNION ALL in `u` is
+      // unaffected.
+      "s10_cosine_dbscan_banded" ->
+        s"""WITH RECURSIVE u AS (
+           |  SELECT cast(vec_id as bigint) AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v
+           |  FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> cast(x as double) * 2)
+           |  FROM embeddings),
+           |bb AS (SELECT id, v, (${bandProjs(0)}) AS b0, (${bandProjs(1)}) AS b1,
+           |    (${bandProjs(2)}) AS b2, (${bandProjs(3)}) AS b3 FROM u),
+           |cand AS (
+           |  SELECT x.id AS a, y.id AS b FROM bb x JOIN bb y
+           |    ON x.id < y.id AND (x.b0 = y.b0 OR x.b1 = y.b1
+           |      OR x.b2 = y.b2 OR x.b3 = y.b3)),
+           |pairs AS (SELECT c.a, c.b FROM cand c
+           |  JOIN bb p ON p.id = c.a JOIN bb q ON q.id = c.b
+           |  WHERE ${cosSql("p.v", "q.v")} >= 0.3),
+           |nb AS (SELECT a AS ia, b AS ib FROM pairs
+           |  UNION ALL SELECT b AS ia, a AS ib FROM pairs),
+           |deg AS (SELECT ia AS id, count(*) AS n FROM nb GROUP BY ia),
+           |core AS (SELECT id FROM deg WHERE n + 1 >= 3),
+           |ce AS (SELECT n.ia AS s, n.ib AS d FROM nb n
+           |  JOIN core c1 ON c1.id = n.ia JOIN core c2 ON c2.id = n.ib),
+           |reach AS (SELECT id AS src, id AS dst FROM core
+           |  UNION SELECT r.src, ce.d FROM reach r JOIN ce ON ce.s = r.dst),
+           |lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src),
+           |bord AS (SELECT n.ia AS id, min(l.rep) AS rep FROM nb n
+           |  JOIN lab l ON l.id = n.ib
+           |  WHERE n.ia NOT IN (SELECT id FROM core) GROUP BY n.ia)
+           |SELECT u.id AS vec_id, coalesce(l.rep, bo.rep, -1) AS cluster_rep,
+           |  CASE WHEN l.rep IS NOT NULL THEN 'core'
+           |       WHEN bo.rep IS NOT NULL THEN 'border'
+           |       ELSE 'noise' END AS flag
+           |FROM u LEFT JOIN lab l ON l.id = u.id LEFT JOIN bord bo ON bo.id = u.id
+           |ORDER BY vec_id""".stripMargin,
 
       // s07's bucket-join graph composed with s06's recursive-CTE CC:
       // the oracle mirrors exactly what the engine does (LSH pairs ->
