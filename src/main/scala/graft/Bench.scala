@@ -36,6 +36,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warehouse warmup failed: $e")
     }
+    // same build-once contract for q30's day-partitioned event store
+    try graft.queries.Relational.ensurePartitionedEvents(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] partitioned-events warmup failed: $e")
+    }
     // Streaming machinery init (microbatch planner, state store provider)
     // costs ~2.5s once per session; pay it on a 100-row synthetic stream
     // so per-query numbers measure the queries. The stream source's

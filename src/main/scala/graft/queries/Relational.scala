@@ -116,6 +116,45 @@ object Relational {
       (ot, lt)
     }
 
+  /** One-time date-partitioned events fixture for q30: events written
+    * `partitionBy(day_num)` (exact integer epoch-day from the nano
+    * timestamp — no timezone arithmetic), reused across JVMs via the
+    * same source-fingerprint marker as [[bucketedFixture]]. The
+    * warehouse pattern for a 100 TB event store: time-partitioned
+    * layout so a day query reads one partition, not the table.
+    */
+  def ensurePartitionedEvents(s: SparkSession, dir: String): Unit = {
+    partitionedEvents(s, dir).limit(1).count()
+  }
+
+  private def partitionedEvents(s: SparkSession, dir: String): DataFrame =
+    Relational.synchronized {
+      import s.implicits._
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"graft_p_events_$tag")
+      val src = new java.io.File(dir, "events.parquet")
+      val fp = s"${src.getAbsolutePath}|${src.length()}|${src.lastModified()}"
+      val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
+      val fresh = marker.isFile && loc.isDirectory &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+      if (!fresh) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        Seq(loc, marker).filter(_.exists()).foreach(rm)
+        events(s, dir)
+          .select($"event_id", $"user_id", $"event_type", $"value",
+            expr("ts div 1000000000 div 86400").as("day_num"))
+          .write.partitionBy("day_num").mode("overwrite")
+          .parquet(loc.getAbsolutePath)
+        java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      }
+      s.read.parquet(loc.getAbsolutePath)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scan -> filter -> project -> partial+final hash aggregate
     // (SURVEY §2.1 ops #1,#2,#4; TPC-H Q1 shape).
@@ -504,6 +543,26 @@ object Relational {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     },
 
+    // Partition-pruned scan over the time-partitioned event store
+    // ([[partitionedEvents]] — build-once day_num layout): a one-day
+    // query must read ONE partition, not the table. The plan assertion
+    // pins it: the day predicate appears in the scan's PartitionFilters
+    // (directory-level pruning — at 100 TB the difference between
+    // listing one day and scanning three years).
+    "q30_partition_pruned_scan" -> { (s, dir) =>
+      import s.implicits._
+      val q = partitionedEvents(s, dir)
+        .filter($"day_num" === 19727L) // 2024-01-05
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(M)).cast("double").as("total_value"))
+        .orderBy($"event_type")
+      val scan = q.queryExecution.executedPlan.toString
+      require(scan.contains("PartitionFilters") && scan.contains("day_num"),
+        s"day filter must prune partitions at the scan; got:\n$scan")
+      q
+    },
+
     // Exact percentiles (sort-based `percentile`, NOT the approx
     // sketch): type-7 linear interpolation over integer quantities is
     // bit-reproducible across engines.
@@ -739,6 +798,12 @@ object Relational {
         |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q30_partition_pruned_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+        |FROM events WHERE (epoch_ms(ts) // 1000) // 86400 = 19727
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q28_percentiles" ->
       """SELECT l_returnflag,
