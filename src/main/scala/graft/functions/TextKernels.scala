@@ -28,6 +28,49 @@ object TextKernels {
     text.substring(a, b).split("\\s+", -1)
   }
 
+  /** BPE-ish subword token count: the GPT-2-family pre-tokenizer shape
+    * — a token is an optional leading space plus a maximal run of one
+    * character class (letters | digits | other-non-space); bare
+    * whitespace is consumed, not counted. Exactly the leftmost-first
+    * scan of the RE2/Java regex
+    * {{{ ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+}}}
+    * (no lookahead — RE2, and therefore the DuckDB oracle, has none),
+    * implemented as a single hand-rolled pass: regex engines cost
+    * ~10x on a per-document hot path.
+    */
+  def bpeTokenCount(text: String): Long = {
+    val len = text.length
+    def isLetter(c: Char) = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+    def isDigit(c: Char) = c >= '0' && c <= '9'
+    // RE2's \s exactly ([\t\n\f\r ]) — Java's \s and isWhitespace
+    // differ on \v and unicode spaces, and the oracle side is RE2
+    def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+    var i = 0
+    var n = 0L
+    while (i < len) {
+      var j = i
+      val c = text.charAt(j)
+      if (c == ' ' && j + 1 < len && !isWs(text.charAt(j + 1))) j += 1
+      val d = if (j < len) text.charAt(j) else ' '
+      if (isWs(d)) {
+        i += 1 // bare whitespace: no alternative matches here
+      } else {
+        val cls = if (isLetter(d)) 0 else if (isDigit(d)) 1 else 2
+        var k = j
+        while (k < len && {
+          val e = text.charAt(k)
+          !isWs(e) && (if (cls == 0) isLetter(e)
+            else if (cls == 1) isDigit(e)
+            else !isLetter(e) && !isDigit(e))
+        }) k += 1
+        n += 1
+        i = k
+      }
+    }
+    n
+  }
+
   /** Distinct rolling-hash values of the word `n`-gram shingles of
     * `text` (whole text as the single shingle when shorter than n
     * tokens) — one pass, no intermediate shingle strings beyond a

@@ -92,6 +92,24 @@ object NorthStar {
         .orderBy($"doc_id")
     },
 
+    // BPE-ish subword token counting (the GPT-2 pre-tokenizer shape, in
+    // the lookahead-free RE2 subset) alongside t01's whitespace count —
+    // what an LLM-data pipeline budgets documents by. One JVM pass per
+    // doc; the oracle runs the equivalent regex in DuckDB's RE2.
+    "t06_bpe_tokens" -> { (s, dir) =>
+      import s.implicits.{newProductEncoder, newLongEncoder, newStringEncoder}
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val t = if (text == null) "" else text
+          (id, graft.functions.TextKernels.bpeTokenCount(t),
+            graft.functions.TextKernels.tokens(t).length.toLong)
+        }
+        .toDF("doc_id", "n_bpe_tokens", "n_ws_tokens")
+        .orderBy("doc_id")
+    },
+
     "t02_lang_profile" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
@@ -447,6 +465,13 @@ object NorthStar {
            |  round(cast(list_reduce(list_transform(toks, t -> cast(length(t) as bigint)),
            |    (a,b) -> a+b) as double) / cast(len(toks) as double), 6) AS mean_token_len
            |FROM (SELECT doc_id, text, $tk AS toks FROM documents) ORDER BY doc_id""".stripMargin,
+
+      "t06_bpe_tokens" ->
+        s"""SELECT doc_id,
+           |  cast(len(regexp_extract_all(text,
+           |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) as bigint) AS n_bpe_tokens,
+           |  cast(len($tk) as bigint) AS n_ws_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "t02_lang_profile" ->
         s"""SELECT lang, count(*) AS n_docs,

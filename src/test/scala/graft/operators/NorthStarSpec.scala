@@ -34,6 +34,24 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     got.toSeq shouldBe expected.toSeq
   }
 
+  test("BPE-ish token count equals the reference regex scan") {
+    // the RE2-subset pattern the oracle runs, with \s expanded to
+    // RE2's exact class (Java's \s differs on \v)
+    val p = java.util.regex.Pattern.compile(
+      " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+")
+    def ref(s: String): Long = {
+      val m = p.matcher(s); var n = 0L
+      while (m.find()) n += 1
+      n
+    }
+    val samples = Seq("", "hello world", "  double  spaced ", "don't stop",
+      "x2 y-3 = 4.5!", "tabs\tand\nnewlines", "trailing space ", " lead",
+      "...---...", "a1b2c3", "café au lait", "100,000 items (2 of 3)")
+    samples.foreach { s =>
+      graft.functions.TextKernels.bpeTokenCount(s) shouldBe ref(s)
+    }
+  }
+
   test("stopword count and quality score bounds") {
     val df = Seq(Tuple1("the cat and the hat")).toDF("text")
     df.select(TextAnalysis.stopwordCount($"text", Seq("the", "and")))
