@@ -1,0 +1,46 @@
+package graft.plans
+
+import graft.operators.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Regression gate for the scale story: no registered batch query may
+  * plan a CartesianProduct or BroadcastNestedLoopJoin — every distance/
+  * similarity predicate must reach execution as a bucketed hash
+  * equi-join — except the explicitly-intended brute-force baselines
+  * below. Streaming queries are excluded (building them executes the
+  * stream); they contain only watermarked equi/interval joins by
+  * construction.
+  */
+class PlanAuditSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries ALLOWED to nested-loop, each with why. The common shape:
+    * a BroadcastNestedLoopJoin whose BUILD side is provably tiny
+    * (bands, centroids, a scalar) streams the big side once — that is
+    * the right plan, not a scale bug.
+    */
+  private val intendedBruteForce: Map[String, String] = Map(
+    "s01_knn_bruteforce" -> "the exact baseline ANN variants are judged against (broadcast queries x corpus scan)",
+    "s06_cosine_dbscan" -> "the exact-graph correctness baseline; s08/s10 are the scale path",
+    "d07_embedding_neardup" -> "planted-duplicate harness with synthetic id blocking; s07/s09 are the general path",
+    "q04_theta_band_join" -> "documented broadcast band-containment shape: 5-row broadcast band table, fact side streams once",
+    "q18_scalar_subquery" -> "scalar subquery compare = join against one broadcast row",
+    "s04_ivf_topk" -> "coarse quantizer: corpus x 32 broadcast centroids is the IVF assignment step by construction")
+
+  test("no unintended cartesian or nested-loop join in any batch query plan") {
+    val skip = (n: String) => n.startsWith("st") // streams execute on build
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        val bad = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (bad && !intendedBruteForce.contains(name)) Some(name) else None
+      }
+    offenders shouldBe empty
+  }
+}
