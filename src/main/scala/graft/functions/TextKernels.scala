@@ -103,6 +103,64 @@ object TextKernels {
     out
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03): hash every character k-gram (code points, same
+    * polynomial fold as [[RollingHash]]), slide a window of `w`
+    * consecutive k-gram hashes, select each window's minimum (rightmost
+    * on ties), dedup selected POSITIONS. The guarantee: any match of
+    * length >= w + k - 1 between two documents shares a fingerprint,
+    * with ~2/(w+1) of the k-grams kept — position-robust dedup
+    * signatures at a fraction of the full shingle set.
+    *
+    * Returns (n_kgrams, n_fingerprints, fingerprint hash sum) — the
+    * deterministic summary the oracle reproduces (hashes < 2^30, docs
+    * < 2^10 k-grams: the sum never overflows).
+    */
+  def winnowFingerprints(text: String, k: Int, w: Int): (Long, Long, Long) = {
+    val m = math.max(text.codePointCount(0, text.length) - k + 1, 0)
+    val sel = winnowedHashes(text, k, w)
+    (m.toLong, sel.length.toLong, sel.sum)
+  }
+
+  /** The selected winnowing fingerprint hashes, in position order (one
+    * per distinct selected position — selection positions are strictly
+    * increasing, so adjacent-dedup IS the distinct set).
+    */
+  def winnowedHashes(text: String, k: Int, w: Int): Array[Long] = {
+    val cps = text.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return Array.emptyLongArray
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * 31L + cps(i + j)) % P; j += 1 }
+      hs(i) = acc
+      i += 1
+    }
+    val nWin = math.max(m - w + 1, 1)
+    val winLen = math.min(w, m)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastSel = -1
+    var s = 0
+    while (s < nWin) {
+      // rightmost minimum of hs[s, s + winLen)
+      var best = s
+      var j = s + 1
+      while (j < s + winLen) {
+        if (hs(j) <= hs(best)) best = j
+        j += 1
+      }
+      if (best != lastSel) {
+        out += hs(best)
+        lastSel = best
+      }
+      s += 1
+    }
+    out.toArray
+  }
+
   /** Content-defined chunking (rolling-hash boundaries, the
     * Rabin/FastCDC idea): a chunk ends wherever the rolling hash of the
     * trailing `w` code points is divisible by `mask+1` — boundaries

@@ -92,6 +92,25 @@ object NorthStar {
         .orderBy($"doc_id")
     },
 
+    // Winnowing fingerprints (Schleimer et al. SIGMOD'03): the
+    // position-robust document signature — any shared substring of
+    // length >= w+k-1 guarantees a shared fingerprint, at ~2/(w+1) the
+    // density of the full k-gram set. One JVM pass per document.
+    "t07_winnowing" -> { (s, dir) =>
+      import s.implicits.{newProductEncoder, newLongEncoder, newStringEncoder}
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text").cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val (m, nFp, fpSum) = graft.functions.TextKernels.winnowFingerprints(
+            if (text == null) "" else text, k = 5, w = 4)
+          (id, m, nFp, fpSum)
+        }
+        .toDF("doc_id", "n_kgrams", "n_fingerprints", "fp_sum")
+        .filter(col("n_kgrams") > 0)
+        .orderBy("doc_id")
+    },
+
     // BPE-ish subword token counting (the GPT-2 pre-tokenizer shape, in
     // the lookahead-free RE2 subset) alongside t01's whitespace count —
     // what an LLM-data pipeline budgets documents by. One JVM pass per
@@ -465,6 +484,27 @@ object NorthStar {
            |  round(cast(list_reduce(list_transform(toks, t -> cast(length(t) as bigint)),
            |    (a,b) -> a+b) as double) / cast(len(toks) as double), 6) AS mean_token_len
            |FROM (SELECT doc_id, text, $tk AS toks FROM documents) ORDER BY doc_id""".stripMargin,
+
+      // per-row list algebra: k-gram hash list, per-window rightmost-min
+      // (max position among minima), distinct positions
+      "t07_winnowing" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint)) AS codes
+          |  FROM documents),
+          |h AS (SELECT doc_id, len(codes) - 5 + 1 AS m,
+          |    list_transform(range(1, greatest(len(codes) - 5 + 1, 0) + 1),
+          |      i -> list_reduce(codes[i : i + 4], (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+          |  FROM d),
+          |sel AS (SELECT doc_id, m, hs,
+          |    list_distinct(list_transform(range(1, greatest(m - 4 + 1, 1) + 1), s ->
+          |      list_aggregate(
+          |        list_filter(range(s, s + least(4, m)),
+          |          p -> hs[p] = list_aggregate(hs[s : s + least(4, m) - 1], 'min')),
+          |        'max'))) AS fpos
+          |  FROM h WHERE m > 0)
+          |SELECT doc_id, m AS n_kgrams, cast(len(fpos) as bigint) AS n_fingerprints,
+          |  cast(list_reduce(list_transform(fpos, p -> hs[p]), (a, b) -> a + b) as bigint) AS fp_sum
+          |FROM sel ORDER BY doc_id""".stripMargin,
 
       "t06_bpe_tokens" ->
         s"""SELECT doc_id,

@@ -52,6 +52,24 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("winnowing guarantee: shared substring of length >= w+k-1 shares a fingerprint") {
+    val k = 5; val w = 4
+    val shared = "the common stretch of text both documents contain"
+    val a = "left prefix AAA " + shared + " right tail AAA"
+    val b = "different BBBB lead-in " + shared + " other ending ZZZ"
+    val fa = graft.functions.TextKernels.winnowedHashes(a, k, w).toSet
+    val fb = graft.functions.TextKernels.winnowedHashes(b, k, w).toSet
+    fa.intersect(fb) should not be empty
+    // density: ~2/(w+1) of k-grams selected, never more than all
+    val m = a.codePointCount(0, a.length) - k + 1
+    fa.size should be <= m
+    fa.size.toDouble / m should be < 0.8
+    // disjoint texts share nothing
+    val fc = graft.functions.TextKernels.winnowedHashes(
+      "zq zq zq completely unrelated 12345 !!!", k, w).toSet
+    fa.intersect(fc) shouldBe empty
+  }
+
   test("stopword count and quality score bounds") {
     val df = Seq(Tuple1("the cat and the hat")).toDF("text")
     df.select(TextAnalysis.stopwordCount($"text", Seq("the", "and")))
