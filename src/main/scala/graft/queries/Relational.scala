@@ -404,6 +404,24 @@ object Relational {
         .orderBy($"user_id")
     },
 
+    // The inverse reshape of q20: UNPIVOT wide per-user counters back
+    // to (user_id, metric, value) long form via stack() — stays a
+    // narrow codegen'd Generate, no shuffle beyond q20's aggregate.
+    "q31_unpivot" -> { (s, dir) =>
+      import s.implicits._
+      events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"event_type" === "click", 1).otherwise(0)).cast("long").as("n_click"),
+          sum(when($"event_type" === "view", 1).otherwise(0)).cast("long").as("n_view"),
+          sum(when($"event_type" === "purchase", 1).otherwise(0)).cast("long").as("n_purchase"))
+        .select($"user_id", expr(
+          """stack(3, 'click', n_click, 'view', n_view, 'purchase', n_purchase)
+            |AS (metric, n)""".stripMargin))
+        .filter($"n" > 0)
+        .orderBy($"user_id", $"metric")
+    },
+
     // Set ops beyond the reference: INTERSECT (distinct semantics).
     "q21_intersect" -> { (s, dir) =>
       import s.implicits._
@@ -804,6 +822,19 @@ object Relational {
         |  cast(sum(cast(value as decimal(18,4))) as double) AS total_value
         |FROM events WHERE (epoch_ms(ts) // 1000) // 86400 = 19727
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q31_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, metric, n FROM (
+        |  SELECT user_id, 'click' AS metric, n_click AS n FROM wide
+        |  UNION ALL SELECT user_id, 'view', n_view FROM wide
+        |  UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide)
+        |WHERE n > 0 ORDER BY user_id, metric""".stripMargin,
 
     "q28_percentiles" ->
       """SELECT l_returnflag,
