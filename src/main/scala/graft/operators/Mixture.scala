@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.functions.{PortableHash, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic splits, token-budget
+  * mixture sampling, and fixed-length sequence packing — the stages that
+  * turn a deduplicated corpus into model-ready data.
+  *
+  * All order-dependent operators run over a *deterministic pseudo-random
+  * order*: documents are sorted by the engine's portable integer hash of
+  * their id ([[graft.functions.PortableHash]], the same family the
+  * MinHash/Bloom sketches and their DuckDB oracles share). That makes
+  * every sample/pack reproducible across runs, engines, and cluster
+  * sizes — a hard requirement for training-data lineage.
+  *
+  * 100 TB design: the global running sum that sampling and packing need
+  * is NOT computed with a single `Window.partitionBy(stratum)` (that
+  * would sort each stratum in one task — a scale-killer when one
+  * language is 40 TB). [[globalRunningSum]] is the classic two-pass
+  * distributed prefix sum:
+  *
+  *   1. shard rows by hash into `nShards` groups per stratum; compute
+  *      the running sum *within* each (stratum, shard) — parallelism =
+  *      |strata| × nShards, one ordinary window sort per shard;
+  *   2. aggregate one total per (stratum, shard) — a tiny table —
+  *      take the exclusive prefix over shards (driver-scale window),
+  *      and broadcast-join it back: global = shard prefix + local
+  *      running sum.
+  *
+  * The result is bit-identical to the naive single-partition window
+  * ordered by (shard, hash, id) — which is exactly what the DuckDB
+  * oracle runs — while every heavy step stays fully parallel.
+  */
+object Mixture {
+
+  val DefaultMod: Long = 1000000007L
+
+  /** Column form of [[PortableHash.family]]: h_i(x) = ((2i+1)·x + i² + 7) mod m. */
+  def portableHash(id: Column, i: Int = 1, mod: Long = DefaultMod): Column =
+    (lit(2L * i + 1) * (id % mod) + lit(i.toLong * i + 7L)) % mod
+
+  /** SQL spelling of [[portableHash]] for DuckDB oracles. */
+  def portableHashSql(id: String, i: Int = 1, mod: Long = DefaultMod): String =
+    s"((${2L * i + 1}*($id % $mod)) + ${i.toLong * i + 7L}) % $mod"
+
+  /** Deterministic train/val/test assignment by hash bucket: bucket =
+    * h(id) mod `nBuckets`; buckets [0, trainBuckets) → "train",
+    * [trainBuckets, trainBuckets+valBuckets) → "val", rest → "test".
+    * Pure per-row projection — no shuffle, no state, rescales to any
+    * cluster size, and a given id lands in the same split forever (the
+    * property that keeps eval data out of the training set across
+    * pipeline re-runs).
+    */
+  def splitColumn(id: Column, nBuckets: Int = 10, trainBuckets: Int = 8,
+                  valBuckets: Int = 1): Column = {
+    val b = portableHash(id) % nBuckets
+    when(b < trainBuckets, "train")
+      .when(b < trainBuckets + valBuckets, "val")
+      .otherwise("test")
+  }
+
+  /** SQL spelling of [[splitColumn]] for DuckDB oracles. */
+  def splitColumnSql(id: String, nBuckets: Int = 10, trainBuckets: Int = 8,
+                     valBuckets: Int = 1): String =
+    s"""CASE WHEN (${portableHashSql(id)}) % $nBuckets < $trainBuckets THEN 'train'
+       |WHEN (${portableHashSql(id)}) % $nBuckets < ${trainBuckets + valBuckets} THEN 'val'
+       |ELSE 'test' END""".stripMargin
+
+  /** Two-pass distributed global running sum (see object doc). Adds:
+    *   - `__shard`  = h(id) mod nShards,
+    *   - `cum`      : running sum of `valueCol` over the deterministic
+    *                  global order (shard, hash, id) within each
+    *                  stratum, *inclusive* of the current row.
+    * `valueCol` must be integral (the sum is exact, order-independent).
+    */
+  def globalRunningSum(df: DataFrame, strata: Seq[String], idCol: String,
+                       valueCol: String, nShards: Int = 4): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = portableHash(col(idCol))
+    val sharded = df.withColumn("__shard", h % nShards)
+    val sCols = strata.map(col)
+    // pass 1: running sum within each (stratum, shard) — parallel
+    val wLocal = Window
+      .partitionBy((sCols :+ col("__shard")): _*)
+      .orderBy(portableHash(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn("__cum_local", sum(col(valueCol).cast("long")).over(wLocal))
+    // pass 2: per-shard totals (|strata| × nShards rows), exclusive
+    // prefix over shards, broadcast back
+    val wShard = Window.partitionBy(sCols: _*).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = sharded
+      .groupBy((sCols :+ col("__shard")): _*)
+      .agg(sum(col(valueCol).cast("long")).as("__shard_total"))
+      .withColumn("__prefix", coalesce(sum(col("__shard_total")).over(wShard), lit(0L)))
+      .drop("__shard_total")
+    local
+      .join(broadcast(prefixes), strata :+ "__shard")
+      .withColumn("cum", col("__prefix") + col("__cum_local"))
+      .drop("__cum_local", "__prefix")
+  }
+
+  /** Token-budget mixture sampling: keep each stratum's documents, in
+    * deterministic hash order, until the stratum's token budget is
+    * exhausted (a document is kept iff it *starts* before the budget
+    * boundary — so the sample slightly overshoots rather than
+    * undershoots, matching how data mixtures are drawn in practice).
+    * This is how a 100 TB corpus is downsampled to a target mixture
+    * (e.g. "2B tokens per language"): one parallel prefix sum + a
+    * per-row filter, no global sort, no collect.
+    */
+  def tokenBudgetSample(df: DataFrame, strata: Seq[String], idCol: String,
+                        tokenCol: String, budget: Long,
+                        nShards: Int = 4): DataFrame =
+    globalRunningSum(df, strata, idCol, tokenCol, nShards)
+      .filter(col("cum") - col(tokenCol) < budget)
+
+  /** Fixed-length sequence packing: stream each stratum's documents in
+    * deterministic hash order into back-to-back sequences of `seqLen`
+    * tokens (documents may span a pack boundary — the standard
+    * concat-then-chunk training layout). Emits for every document its
+    * first pack (`pack_id`), offset within that pack, and last pack
+    * (`pack_end` — > pack_id when the document crosses boundaries).
+    * Same two-pass prefix sum; everything else is per-row arithmetic.
+    */
+  def packSequences(df: DataFrame, strata: Seq[String], idCol: String,
+                    tokenCol: String, seqLen: Long,
+                    nShards: Int = 4): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // exact integer `div`, not float floor — token offsets at corpus
+    // scale (1e14+) must not round through a double
+    globalRunningSum(df, strata, idCol, tokenCol, nShards)
+      .withColumn("__start", col("cum") - col(tokenCol))
+      .withColumn("pack_id", expr(s"__start div ${seqLen}L"))
+      .withColumn("pack_offset", expr(s"__start % ${seqLen}L"))
+      .withColumn("pack_end", expr(s"(cum - 1) div ${seqLen}L"))
+      .drop("__start")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Mixture, Multimodal, Similarity, TextIndex}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -166,6 +166,59 @@ object NorthStar {
         .select($"doc_id",
           md5($"text").as("fp_md5"),
           TextAnalysis.rollingHash($"text").as("fp_roll"))
+        .orderBy($"doc_id")
+    },
+
+    // --- training-data curation (Mixture) ---
+
+    // Deterministic hash-bucket train/val/test split: per (lang, split)
+    // doc and token counts. Pure projection + one aggregate — the split
+    // assignment itself never shuffles.
+    "t08_train_split" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("split", Mixture.splitColumn($"doc_id"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount($"text").cast("long")).as("sum_tokens"))
+        .orderBy($"lang", $"split")
+    },
+
+    // Token-budget mixture sampling: 2000 whitespace-tokens per language,
+    // drawn in deterministic hash order via the two-pass distributed
+    // prefix sum (no single-task stratum sort).
+    "t09_token_budget" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"lang",
+          TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      Mixture.tokenBudgetSample(docs, Seq("lang"), "doc_id", "n_tokens",
+          budget = 2000L, nShards = 4)
+        .select($"doc_id", $"lang", $"n_tokens", $"cum".as("cum_tokens"))
+        .orderBy($"doc_id")
+    },
+
+    // Fixed-length sequence packing (concat-then-chunk, 256-token
+    // sequences per language shard): each document's first pack, offset,
+    // and last pack. Same distributed prefix sum; per-row arithmetic after.
+    "t10_pack_sequences" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", $"lang",
+          TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      Mixture.packSequences(docs, Seq("lang"), "doc_id", "n_tokens",
+          seqLen = 256L, nShards = 4)
+        .select($"doc_id", $"lang", $"n_tokens", $"pack_id", $"pack_offset", $"pack_end")
+        .orderBy($"doc_id")
+    },
+
+    // Most salient term per document by exact integer (tf DESC, df ASC)
+    // rank — the TF-IDF building block (inverted index + doc frequency).
+    "t11_top_tfidf" -> { (s, dir) =>
+      import s.implicits._
+      TextIndex.topTerms(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 1)
+        .select($"id".as("doc_id"), $"term", $"tf", $"df")
         .orderBy($"doc_id")
     },
 
@@ -546,6 +599,43 @@ object NorthStar {
       "t05_fingerprints" ->
         s"""SELECT doc_id, md5(text) AS fp_md5, ${rollSql("text")} AS fp_roll
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "t08_train_split" ->
+        s"""SELECT lang, ${Mixture.splitColumnSql("doc_id")} AS split,
+           |  count(*) AS n_docs, cast(sum(len($tk)) as bigint) AS sum_tokens
+           |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+      // the naive single-window spelling of the two-pass distributed
+      // prefix sum: cum over (shard, hash, id) within each language
+      "t09_token_budget" ->
+        s"""WITH d AS (SELECT doc_id, lang, cast(len($tk) as bigint) AS n_tokens,
+           |    ${Mixture.portableHashSql("doc_id")} AS h FROM documents),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |    cast(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h % 4, h, doc_id
+           |      ROWS UNBOUNDED PRECEDING) as bigint) AS cum_tokens FROM d)
+           |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+           |WHERE cum_tokens - n_tokens < 2000 ORDER BY doc_id""".stripMargin,
+
+      "t10_pack_sequences" ->
+        s"""WITH d AS (SELECT doc_id, lang, cast(len($tk) as bigint) AS n_tokens,
+           |    ${Mixture.portableHashSql("doc_id")} AS h FROM documents),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |    cast(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h % 4, h, doc_id
+           |      ROWS UNBOUNDED PRECEDING) as bigint) AS cum FROM d)
+           |SELECT doc_id, lang, n_tokens,
+           |  (cum - n_tokens) // 256 AS pack_id,
+           |  (cum - n_tokens) % 256 AS pack_offset,
+           |  (cum - 1) // 256 AS pack_end
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      "t11_top_tfidf" ->
+        s"""WITH t AS (SELECT doc_id, unnest($tk) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, row_number() OVER (
+           |    PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+           |  FROM tf JOIN df USING (term))
+           |SELECT doc_id, term, tf, df FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       "d01_exact_dedup" ->
         s"""SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,

@@ -594,6 +594,52 @@ object Relational {
           expr("percentile(cast(l_quantity as bigint), 0.75)").as("p75_qty"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag")
+    },
+
+    // Left outer join preserving empty groups (count(col) null semantics
+    // — the outer-join surface the reference has nowhere).
+    "q32_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "customer")
+        .join(rd(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          coalesce(sum($"o_totalprice".cast(M)).cast("double"), lit(0.0)).as("spend"))
+        .orderBy($"c_custkey")
+    },
+
+    // Full grouping-set lattice (CUBE — q13 covers the rollup chain).
+    "q33_cube" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity".cast(M)).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+          $"sum_qty", $"n")
+        .orderBy($"rflag", $"lstatus")
+    },
+
+    // Global ntile decile banding. The unpartitioned window ranks the
+    // per-customer AGGREGATE (orders-of-magnitude smaller than the fact
+    // table — the aggregate shuffle does the heavy lifting first); for a
+    // corpus-scale ranking swap the window for a range-partitioned sort
+    // + partition-offset pass (same two-pass shape as Mixture's prefix
+    // sum). Sums are exact decimals so the ordering (and hence decile
+    // edges) is deterministic.
+    "q34_decile_spend" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum($"o_totalprice".cast(M)).as("spend_dec"))
+        .withColumn("decile", ntile(10)
+          .over(Window.orderBy($"spend_dec".desc, $"o_custkey".asc)).cast("long"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_customers"),
+          min($"spend_dec").cast("double").as("min_spend"),
+          max($"spend_dec").cast("double").as("max_spend"))
+        .orderBy($"decile")
     })
 
   val oracles: Map[String, String] = Map(
@@ -842,5 +888,29 @@ object Relational {
         |  quantile_cont(cast(l_quantity as bigint), 0.5) AS median_qty,
         |  quantile_cont(cast(l_quantity as bigint), 0.75) AS p75_qty,
         |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q32_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  cast(coalesce(sum(cast(o_totalprice as decimal(18,4))), 0) as double) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q33_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q34_decile_spend" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    sum(cast(o_totalprice as decimal(18,4))) AS spend_dec
+        |  FROM orders GROUP BY o_custkey),
+        |d AS (SELECT o_custkey, spend_dec, cast(ntile(10) OVER (
+        |    ORDER BY spend_dec DESC, o_custkey ASC) as bigint) AS decile FROM spend)
+        |SELECT decile, count(*) AS n_customers,
+        |  cast(min(spend_dec) as double) AS min_spend,
+        |  cast(max(spend_dec) as double) AS max_spend
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin)
 }

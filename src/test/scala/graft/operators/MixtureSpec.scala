@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The two-pass distributed prefix sum must be bit-identical to the
+  * naive single-window running sum over the same deterministic order,
+  * for any shard count — that equivalence is what lets the DuckDB
+  * oracle check the scalable plan with the simple spelling.
+  */
+class MixtureSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      (i.toLong * 13 + 5, Seq("en", "de", "es")(rnd.nextInt(3)), 1L + rnd.nextInt(120))
+    }.toDF("id", "lang", "w")
+  }
+
+  /** Single-window reference: cum over (shard, hash, id) per stratum. */
+  private def naiveCum(df: org.apache.spark.sql.DataFrame, nShards: Int) = {
+    val h = Mixture.portableHash(col("id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy((h % nShards).asc, h.asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum(col("w")).over(w))
+  }
+
+  test("globalRunningSum == naive single-window, any shard count") {
+    val df = corpus(500)
+    for (nShards <- Seq(1, 3, 8)) {
+      val got = Mixture.globalRunningSum(df, Seq("lang"), "id", "w", nShards)
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = naiveCum(df, nShards)
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe want
+    }
+  }
+
+  test("running sum ends at the stratum total") {
+    val df = corpus(300)
+    val totals = df.groupBy("lang").agg(sum("w").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxCum = Mixture.globalRunningSum(df, Seq("lang"), "id", "w", 4)
+      .groupBy("lang").agg(max("cum").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    maxCum shouldBe totals
+  }
+
+  test("tokenBudgetSample keeps exactly the prefix that starts under budget") {
+    val df = corpus(400)
+    val budget = 900L
+    val sample = Mixture.tokenBudgetSample(df, Seq("lang"), "id", "w", budget, 4)
+      .select("id", "lang", "w", "cum").collect()
+    sample.foreach { r => (r.getLong(3) - r.getLong(2)) should be < budget }
+    // complement check: every excluded doc starts at/after the budget
+    val kept = sample.map(_.getLong(0)).toSet
+    naiveCum(df, 4).collect().foreach { r =>
+      val (id, w, cum) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      if (!kept.contains(id)) (cum - w) should be >= budget
+    }
+    // the sampled prefix covers the budget unless the stratum ran dry
+    val perLang = sample.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    val stratumTotals = df.groupBy("lang").agg(sum("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, tot) =>
+      assert(tot >= math.min(budget, stratumTotals(lang)))
+    }
+  }
+
+  test("packSequences: offsets in range, packs contiguous, spans correct") {
+    val seqLen = 100L
+    val rows = Mixture.packSequences(corpus(300), Seq("lang"), "id", "w", seqLen, 4)
+      .select("lang", "w", "cum", "pack_id", "pack_offset", "pack_end").collect()
+    rows.foreach { r =>
+      val (w, cum, pid, off, pend) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      off should (be >= 0L and be < seqLen)
+      val start = cum - w
+      pid shouldBe start / seqLen
+      off shouldBe start % seqLen
+      pend shouldBe (cum - 1) / seqLen
+      pend should be >= pid
+    }
+    // back-to-back: within a stratum, sorted by cum, each doc starts
+    // where the previous ended
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(2))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        (b.getLong(2) - b.getLong(1)) shouldBe a.getLong(2)
+      }
+    }
+  }
+
+  test("splitColumn is total, deterministic, and ~8/1/1") {
+    import spark.implicits._
+    val ids = (0L until 5000L).toDF("id")
+    val counts = ids.select(Mixture.splitColumn(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.sum shouldBe 5000L
+    counts("train").toDouble / 5000 shouldBe 0.8 +- 0.05
+    counts("val").toDouble / 5000 shouldBe 0.1 +- 0.03
+    counts("test").toDouble / 5000 shouldBe 0.1 +- 0.03
+    // rerun is identical (pure function of id)
+    val again = ids.select(Mixture.splitColumn(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    again shouldBe counts
+  }
+
+  test("TextIndex.topTerms rank-1 matches brute force") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "b b b a"),
+      (3L, "c c a a a"),
+      (4L, "d")).toDF("doc_id", "text")
+    val got = TextIndex.topTerms(docs, "doc_id", "text", 1)
+      .select("id", "term").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // tf desc, then rarer term (df asc), then lexicographic
+    got shouldBe Map(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "d")
+    val top2 = TextIndex.topTerms(docs, "doc_id", "text", 2)
+      .filter(col("id") === 1L).orderBy("rank")
+      .select("term").collect().map(_.getString(0)).toSeq
+    // doc 1: a(tf2) first; b and c tie at tf 1 — b has df 2 vs c's df 2,
+    // lexicographic break -> b
+    top2 shouldBe Seq("a", "b")
+  }
+}
