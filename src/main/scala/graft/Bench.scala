@@ -29,6 +29,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1000).count()
       catch { case _: Throwable => }
     }
+    // JIT the heavy pipelines on tiny, sf-independent inputs so timed
+    // lines measure steady-state execution, not first-call C2
+    // compilation of the typed kernels / window / banding-join paths
+    // (profiled at up to ~8 s on whichever heavy query happens to run
+    // first — an artifact a long-lived cluster session never sees).
+    try {
+      graft.SparkEntry.queries("dbscan_golden")(spark, sfDir).count()
+      val docs200 = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+        .select("doc_id", "text")
+      graft.operators.Dedup.lshCandidatePairs(docs200, "text", "doc_id", 16, 4, 3).count()
+      graft.operators.Dedup.simhashNearPairs(docs200, "text", "doc_id", 3).count()
+      spark.catalog.clearCache()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] pipeline warmup failed: $e")
+    }
     // q29's bucketed warehouse is a build-once deployment asset: create
     // (or re-register) and warm it here so the q29 line times the
     // co-located join, not one-time warehouse setup.
