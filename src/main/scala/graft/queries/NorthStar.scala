@@ -501,6 +501,14 @@ object NorthStar {
 
     "st06_stream_dedup" -> { (s, dir) =>
       graft.streaming.Streaming.streamDedup(s, dir)
+    },
+
+    // Streaming near-dup dedup: SimHash band blocking with per-band
+    // keyed min-id state, arrival-order-greedy canonical assignment
+    // (see Streaming.streamNearDedup for the semantics contract).
+    "st07_stream_neardup" -> { (s, dir) =>
+      graft.streaming.Streaming.streamNearDedup(s, dir)
+        .orderBy("doc_id")
     })
 
   // ---------- oracles ----------
@@ -1065,6 +1073,29 @@ object NorthStar {
 
       "st06_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events
-          |ORDER BY user_id, event_type""".stripMargin)
+          |ORDER BY user_id, event_type""".stripMargin,
+
+      // greedy (non-transitive) canonical: min earlier id sharing >= 1
+      // of the 4 8-bit simhash bands — the batch spelling of the
+      // streaming band-state lookup
+      "st07_stream_neardup" ->
+        s"""WITH t AS (SELECT doc_id AS id,
+           |  list_transform($tk, tok -> ${rollSql("tok")}) AS hashes FROM documents),
+           |sim AS (SELECT id, cast(list_aggregate(list_transform(range(0, 32), b ->
+           |  CASE WHEN 2 * len(list_filter(hashes,
+           |         h -> cast(floor(h / pow(2.0, b)) as bigint) % 2 = 1)) > len(hashes)
+           |  THEN cast(pow(2.0, b) as bigint) ELSE 0 END), 'sum') as bigint) AS simhash
+           |  FROM t),
+           |bands AS (
+           |  SELECT id, 0 AS band_no, (simhash >> 0) & 255 AS sig FROM sim
+           |  UNION ALL SELECT id, 1, (simhash >> 8) & 255 FROM sim
+           |  UNION ALL SELECT id, 2, (simhash >> 16) & 255 FROM sim
+           |  UNION ALL SELECT id, 3, (simhash >> 24) & 255 FROM sim),
+           |pr AS (SELECT b1.id, min(b2.id) AS dup_of FROM bands b1 JOIN bands b2
+           |  ON b1.band_no = b2.band_no AND b1.sig = b2.sig AND b2.id < b1.id
+           |  GROUP BY b1.id)
+           |SELECT s.id AS doc_id, coalesce(p.dup_of, s.id) AS canonical_id,
+           |  p.dup_of IS NULL AS is_first
+           |FROM sim s LEFT JOIN pr p ON p.id = s.id ORDER BY doc_id""".stripMargin)
   }
 }

@@ -48,6 +48,20 @@ object Sources {
       .parquet(dir)
   }
 
+  /** The documents schema for the file stream source. */
+  val documentsStreamSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of the documents table (file source). */
+  def documentsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(documentsStreamSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   /** Headerless x,y[,label] points CSV (the reference's input format). */
   def pointsCsv(s: SparkSession, path: String): DataFrame =
     s.read.csv(path).select(

@@ -188,4 +188,61 @@ object Streaming {
     runToTable(dedup, "append")
       .orderBy("user_id", "event_type")
   }
+
+  /** Streaming NEAR-duplicate dedup — the streaming counterpart of the
+    * batch SimHash banding pipeline ([[graft.operators.Dedup
+    * .simhashNearPairs]]): each arriving document's 32-bit SimHash is
+    * split into 4 8-bit bands; per-band keyed state holds ONE long (the
+    * minimum doc id ever seen with that band signature), and a document
+    * is flagged a duplicate of the earliest prior doc sharing any band.
+    *
+    * Semantics are deliberately arrival-order greedy (id order here —
+    * the file replay delivers one batch, and in-group ties resolve by
+    * sorted id): `canonical_id` = min id among earlier docs sharing >= 1
+    * band, NOT the transitive closure d08 computes — the online
+    * tradeoff every streaming dedup makes (state is O(distinct band
+    * sigs), lookups O(bands); a transitive merge would need the whole
+    * pair graph). The per-doc min over band verdicts is a stateless
+    * batch reduce over the memory sink, like [[userRunningState]]'s
+    * final re-aggregate.
+    */
+  def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val sims = graft.sources.Sources.documentsStream(s, dir)
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, graft.functions.TextKernels.simhash32(if (t == null) "" else t))
+      }
+      .toDF("id", "simhash")
+    val bands = sims.select(col("id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_no"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(255).as("sig"))): _*)).as("b"))
+      .select(col("id"), col("b.band_no").as("band_no"), col("b.sig").as("sig"))
+      .as[(Long, Int, Long)]
+    val verdicts = bands
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray
+          java.util.Arrays.sort(ids)
+          var mn = state.getOption.getOrElse(Long.MaxValue)
+          val out = Array.newBuilder[(Long, Long)]
+          ids.foreach { id =>
+            out += ((id, if (mn == Long.MaxValue) -1L else mn))
+            if (id < mn) mn = id
+          }
+          state.update(mn)
+          out.result().iterator
+      }
+    runToTable(verdicts.toDF("doc_id", "prior"), "update")
+      .groupBy("doc_id")
+      .agg(min(when(col("prior") >= 0, col("prior"))).as("dup_of"))
+      .select(col("doc_id"),
+        coalesce(col("dup_of"), col("doc_id")).as("canonical_id"),
+        col("dup_of").isNull.as("is_first"))
+  }
 }
