@@ -56,6 +56,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] partitioned-events warmup failed: $e")
     }
+    // and for d09's corpus signature index
+    try graft.operators.Dedup.ensureSignatureIndex(spark, sfDir).limit(1).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] signature-index warmup failed: $e")
+    }
     // Streaming machinery init (microbatch planner, state store provider)
     // costs ~2.5s once per session; pay it on a 100-row synthetic stream
     // so per-query numbers measure the queries. The stream source's

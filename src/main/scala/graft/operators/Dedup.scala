@@ -240,6 +240,80 @@ object Dedup {
         (coalesce($"canon", $"doc_id") === $"doc_id").as("is_kept"))
   }
 
+  /** Build-once MinHash signature index for a corpus: `(id, minhashes)`
+    * persisted as parquet in the warehouse dir, keyed by a
+    * source-fingerprint marker (path + size + mtime) so it is computed
+    * once per corpus version and reused across JVMs — the deployment
+    * shape of incremental dedup: the index is a maintained asset, each
+    * day's shard probes it (see [[probeVerdicts]]), and ONLY the shard
+    * pays signature computation.
+    */
+  def ensureSignatureIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 16, n: Int = 3): DataFrame = Dedup.synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val loc = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      s"graft_sig_index_${k}_${n}_$tag")
+    val src = new java.io.File(dir, "documents.parquet")
+    val fp = s"${src.getAbsolutePath}|${src.length()}|${src.lastModified()}"
+    val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
+    val fresh = marker.isFile && loc.isDirectory &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+    if (!fresh) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      Seq(loc, marker).filter(_.exists()).foreach(rm)
+      minhashes(s.read.parquet(src.getAbsolutePath), "text", "doc_id", k, n)
+        .write.mode("overwrite").parquet(loc.getAbsolutePath)
+      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+    }
+    s.read.parquet(loc.getAbsolutePath)
+  }
+
+  /** Incremental near-dup: verdicts for a NEW shard probed against an
+    * existing corpus signature index (`(id, minhashes)` — see
+    * [[ensureSignatureIndex]]). Each new document's canonical is the
+    * minimum-id existing document sharing >= 1 LSH band with estimated
+    * similarity >= `minEstSim`; unmatched documents are `is_new`.
+    * In-shard duplicates are [[dedupVerdicts]]'s job — this operator is
+    * the cross-shard half a daily pipeline runs per increment.
+    *
+    * Scale shape: the shard's banded signatures BROADCAST; the index
+    * side is one scan + per-row band projection feeding the stream side
+    * of the hash join — the 100 TB index is never shuffled, never
+    * re-hashed. Band-collision duplicates collapse in the min aggregate
+    * (no distinct, no first-band filter needed — the output is an
+    * aggregate, not a pair stream).
+    */
+  def probeVerdicts(newDocs: DataFrame, textCol: String, idCol: String,
+      index: DataFrame, k: Int = 16, bands: Int = 4, n: Int = 3,
+      minEstSim: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    def banded(mh: DataFrame): DataFrame = mh.select(col("id"), col("minhashes"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_no"),
+            concat_ws("-", (0 until rows).map(r =>
+              element_at(col("minhashes"), b * rows + r + 1)): _*).as("sig"))): _*)).as("b"))
+      .select(col("id"), col("minhashes"),
+        col("b.band_no").as("band_no"), col("b.sig").as("sig"))
+    val probe = broadcast(banded(minhashes(newDocs, textCol, idCol, k, n)))
+    val matches = probe.as("x").join(banded(index).as("y"),
+        col("x.band_no") === col("y.band_no") && col("x.sig") === col("y.sig"))
+      .withColumn("est_sim",
+        size(filter(zip_with(col("x.minhashes"), col("y.minhashes"),
+          (a, b) => a === b), m => m)).cast("double") / k)
+      .filter(col("est_sim") >= minEstSim)
+      .groupBy(col("x.id").as("nid"))
+      .agg(min(col("y.id")).as("match_id"))
+    newDocs.select(col(idCol).cast("long").as("doc_id"))
+      .join(matches, col("doc_id") === col("nid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("match_id"), col("doc_id")).as("canonical_id"),
+        col("match_id").isNull.as("is_new"))
+  }
+
   /** 32-bit SimHash per document (Charikar 2002): bit b is set iff more
     * token hashes have bit b set than not. 32 bits because the portable
     * rolling hash lives below 2^30. Runs as a typed map over

@@ -254,6 +254,24 @@ object NorthStar {
         .orderBy("id")
     },
 
+    // Incremental near-dup: the mutated shard (every doc re-arriving
+    // under id+100000 with 80% of its tokens) probed against the
+    // build-once MinHash signature index of the existing corpus —
+    // the per-increment half of a daily dedup pipeline (the index is
+    // a maintained asset; only the shard computes signatures).
+    "d09_incremental_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = TextAnalysis.tokens($"text")
+      val newShard = docs.select(($"doc_id" + 100000).as("doc_id"),
+        array_join(
+          slice(toks, lit(1), greatest(floor(size(toks) * 0.8).cast("int"), lit(1))),
+          " ").as("text"))
+      Dedup.probeVerdicts(newShard, "text", "doc_id",
+          Dedup.ensureSignatureIndex(s, dir))
+        .orderBy("doc_id")
+    },
+
     "d06_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashNearPairs(mutCorpus(s, dir), "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")
@@ -711,6 +729,30 @@ object NorthStar {
            |SELECT src AS doc_id, min(dst) AS canonical_id,
            |  (src = min(dst)) AS is_kept
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      // the shard ids live at >= 100000, the indexed corpus below;
+      // min matched existing id per new doc, LSH-band candidates
+      // verified at est_sim >= 0.5 — identical to the engine's
+      // broadcast probe against the persisted index
+      "d09_incremental_neardup" ->
+        s"""WITH ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |m AS (SELECT x.id AS nid, min(y.id) AS match_id
+           |  FROM bands x JOIN bands y
+           |    ON x.band_no = y.band_no AND x.sig = y.sig
+           |   AND x.id >= 100000 AND y.id < 100000
+           |  JOIN mh a ON a.id = x.id JOIN mh b ON b.id = y.id
+           |  WHERE cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16
+           |    >= 0.5
+           |  GROUP BY x.id)
+           |SELECT n.id AS doc_id, coalesce(m.match_id, n.id) AS canonical_id,
+           |  m.match_id IS NULL AS is_new
+           |FROM (SELECT doc_id + 100000 AS id FROM documents) n
+           |LEFT JOIN m ON m.nid = n.id ORDER BY doc_id""".stripMargin,
 
       "d05_simhash" ->
         s"""WITH t AS (SELECT doc_id AS id,
