@@ -621,6 +621,33 @@ object Relational {
         .orderBy($"rflag", $"lstatus")
     },
 
+    // KMV (bottom-k) distinct-count sketch beside the exact count: the
+    // mergeable cardinality estimator whose estimate is a DETERMINISTIC
+    // function of the value set under the portable hash (see
+    // functions/KmvAgg), so the oracle reproduces it bit-for-bit —
+    // the cross-engine-checkable alternative to HLL, same 1/sqrt(k)
+    // accuracy class. O(k) state per group, map-side combinable.
+    "q35_kmv_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val k = 32
+      // large-multiplier portable hash: spreads the small user-id
+      // domain across [0, P) (KmvAgg's input contract)
+      val P = 1000000007L
+      val hashed = events(s, dir).select($"event_type",
+        (lit(736238393L) * ($"user_id" % P) + 12345L) % P as "h")
+      val est = hashed.as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.KmvAgg(k).toColumn.name("est"))
+        .toDF("event_type", "est")
+        .select($"event_type", round($"est", 6).as("est_users"))
+      val exact = events(s, dir).groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"))
+      est.join(exact, "event_type")
+        .select($"event_type", $"est_users", $"n_users")
+        .orderBy($"event_type")
+    },
+
     // Global ntile decile banding. The unpartitioned window ranks the
     // per-customer AGGREGATE (orders-of-magnitude smaller than the fact
     // table — the aggregate shuffle does the heavy lifting first); for a
@@ -902,6 +929,20 @@ object Relational {
         |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q35_kmv_distinct" ->
+      """WITH d AS (SELECT event_type,
+        |    ((736238393 * (user_id % 1000000007)) + 12345) % 1000000007 AS h FROM events),
+        |s AS (SELECT event_type, list_sort(list(DISTINCT h)) AS hs,
+        |    count(DISTINCT h) AS nd FROM d GROUP BY event_type),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY event_type)
+        |SELECT s.event_type AS event_type,
+        |  round(CASE WHEN nd < 32 THEN cast(nd as double)
+        |        ELSE 31.0 * 1000000007 / hs[32] END, 6) AS est_users,
+        |  x.n_users
+        |FROM s JOIN x ON x.event_type = s.event_type
+        |ORDER BY s.event_type""".stripMargin,
 
     "q34_decile_spend" ->
       """WITH spend AS (SELECT o_custkey,
