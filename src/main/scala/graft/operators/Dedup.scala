@@ -255,7 +255,16 @@ object Dedup {
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
       s"graft_sig_index_${k}_${n}_$tag")
     val src = new java.io.File(dir, "documents.parquet")
-    val fp = s"${src.getAbsolutePath}|${src.length()}|${src.lastModified()}"
+    // Fingerprint the actual content files, not the top-level entry: for
+    // a Spark-written directory table, File.length() on the directory
+    // does not reflect content and the dir mtime can survive in-place
+    // part-file rewrites — a stale index would be served silently.
+    def fpOf(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).toIndexedSeq
+          .filterNot(_.getName.startsWith(".")).flatMap(fpOf)
+      else Seq(s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
+    val fp = fpOf(src).mkString("\n")
     val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
     val fresh = marker.isFile && loc.isDirectory &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
@@ -267,7 +276,14 @@ object Dedup {
       Seq(loc, marker).filter(_.exists()).foreach(rm)
       minhashes(s.read.parquet(src.getAbsolutePath), "text", "doc_id", k, n)
         .write.mode("overwrite").parquet(loc.getAbsolutePath)
-      java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      // atomic publish: the marker appears only complete, never torn —
+      // a concurrent reader sees either no marker (rebuilds) or the
+      // full fingerprint (the per-JVM lock covers same-JVM races only)
+      val tmp = java.io.File.createTempFile(loc.getName, ".tmp", loc.getParentFile)
+      java.nio.file.Files.write(tmp.toPath, fp.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     s.read.parquet(loc.getAbsolutePath)
   }
@@ -291,6 +307,14 @@ object Dedup {
       index: DataFrame, k: Int = 16, bands: Int = 4, n: Int = 3,
       minEstSim: Double = 0.5): DataFrame = {
     val rows = k / bands
+    // A caller-supplied index built with a different k would not fail:
+    // element_at past the array end yields null band sigs and zip_with
+    // truncates to the shorter signature, silently skewing est_sim.
+    // One-row planning-time guard instead.
+    index.select(size(col("minhashes")).as("n")).head(1).foreach { r =>
+      require(r.getInt(0) == k,
+        s"signature index minhash width ${r.getInt(0)} does not match k=$k")
+    }
     def banded(mh: DataFrame): DataFrame = mh.select(col("id"), col("minhashes"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band_no"),

@@ -38,12 +38,24 @@ object Mixture {
 
   val DefaultMod: Long = 1000000007L
 
+  /** Default family member for ordering/shard/split. A SMALL member
+    * (e.g. i=1 → h = 3·id + 8) is strictly monotone in id for ids below
+    * mod/3 (~333M), so "pseudo-random order" would degenerate to id
+    * order and the 8/1/1 split to a residue-class split on sequential
+    * id domains. This member's multiplier 2i+1 = 736238393 (the same
+    * one the KMV sketch uses) wraps mod 1e9+7 every ~1.36 ids, so even
+    * dense sequential ids scramble. Assumes integral ids; extremely
+    * structured id domains (e.g. all ids ≡ 0 mod 1e9+7) would still
+    * collide, as with any single linear hash.
+    */
+  val OrderI: Int = 368119196 // 2*i+1 = 736238393
+
   /** Column form of [[PortableHash.family]]: h_i(x) = ((2i+1)·x + i² + 7) mod m. */
-  def portableHash(id: Column, i: Int = 1, mod: Long = DefaultMod): Column =
+  def portableHash(id: Column, i: Int = OrderI, mod: Long = DefaultMod): Column =
     (lit(2L * i + 1) * (id % mod) + lit(i.toLong * i + 7L)) % mod
 
   /** SQL spelling of [[portableHash]] for DuckDB oracles. */
-  def portableHashSql(id: String, i: Int = 1, mod: Long = DefaultMod): String =
+  def portableHashSql(id: String, i: Int = OrderI, mod: Long = DefaultMod): String =
     s"((${2L * i + 1}*($id % $mod)) + ${i.toLong * i + 7L}) % $mod"
 
   /** Deterministic train/val/test assignment by hash bucket: bucket =
@@ -79,6 +91,8 @@ object Mixture {
   def globalRunningSum(df: DataFrame, strata: Seq[String], idCol: String,
                        valueCol: String, nShards: Int = 4): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("__shard") && !df.columns.contains("cum"),
+      "input must not already contain working columns __shard / cum")
     val h = portableHash(col(idCol))
     val sharded = df.withColumn("__shard", h % nShards)
     val sCols = strata.map(col)
@@ -117,6 +131,7 @@ object Mixture {
                         nShards: Int = 4): DataFrame =
     globalRunningSum(df, strata, idCol, tokenCol, nShards)
       .filter(col("cum") - col(tokenCol) < budget)
+      .drop("__shard")
 
   /** Fixed-length sequence packing: stream each stratum's documents in
     * deterministic hash order into back-to-back sequences of `seqLen`
@@ -137,6 +152,6 @@ object Mixture {
       .withColumn("pack_id", expr(s"__start div ${seqLen}L"))
       .withColumn("pack_offset", expr(s"__start % ${seqLen}L"))
       .withColumn("pack_end", expr(s"(cum - 1) div ${seqLen}L"))
-      .drop("__start")
+      .drop("__start", "__shard")
   }
 }

@@ -917,7 +917,7 @@ object Relational {
         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase
         |  FROM events GROUP BY user_id)
-        |SELECT user_id, metric, n FROM (
+        |SELECT user_id, metric, cast(n as bigint) AS n FROM (
         |  SELECT user_id, 'click' AS metric, n_click AS n FROM wide
         |  UNION ALL SELECT user_id, 'view', n_view FROM wide
         |  UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide)
