@@ -47,13 +47,25 @@ object TextAnalysis {
 
   /** Heuristic language guess from stopword hits (deterministic CASE
     * cascade; ties resolve in en > de > es precedence order).
+    * Counts all three stopword lists in ONE fold over the token array —
+    * a struct accumulator instead of three filtered-array allocations —
+    * so the hot loop traverses each document once and the generated
+    * code stays small (the three-filter spelling was the single largest
+    * codegen-compile line in the bench).
     */
   def langGuess(text: Column): Column = {
-    val toks = tokens(text)
-    def hits(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*)))
-    val en = hits(Seq("the", "a", "of", "and", "to", "in"))
-    val de = hits(Seq("der", "die", "das", "und", "ist"))
-    val es = hits(Seq("el", "la", "de", "que", "y"))
+    val enW = Seq("the", "a", "of", "and", "to", "in")
+    val deW = Seq("der", "die", "das", "und", "ist")
+    val esW = Seq("el", "la", "de", "que", "y")
+    def hit(t: Column, ws: Seq[String]) =
+      when(t.isin(ws: _*), 1L).otherwise(0L)
+    val counts = aggregate(tokens(text),
+      struct(lit(0L).as("en"), lit(0L).as("de"), lit(0L).as("es")),
+      (acc, t) => struct(
+        (acc("en") + hit(t, enW)).as("en"),
+        (acc("de") + hit(t, deW)).as("de"),
+        (acc("es") + hit(t, esW)).as("es")))
+    val (en, de, es) = (counts("en"), counts("de"), counts("es"))
     when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es")
   }
 

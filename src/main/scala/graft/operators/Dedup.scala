@@ -391,4 +391,66 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .filter($"hamming" <= maxHamming)
   }
+
+  /** Benchmark decontamination: for every training document, the number
+    * of distinct word `n`-gram shingles it shares with the evaluation
+    * corpus, and a contamination verdict — the standard "remove train
+    * docs overlapping the test set" pass every LLM data pipeline runs
+    * before training (n-gram overlap per GPT-3/PaLM appendix
+    * methodology).
+    *
+    * 100 TB shape: eval sets are benchmark-sized (≪ train), so the
+    * distinct eval-shingle set BROADCASTS; the train side streams one
+    * typed shingling pass per document into the broadcast hash join —
+    * the corpus is never shuffled, and only matching (train shingle,
+    * eval shingle) rows reach the per-doc count aggregate.
+    */
+  def contamination(train: DataFrame, evalDocs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val evalSh = shingles(evalDocs, textCol, idCol, n).select($"sh").distinct()
+    // shingles() dedups per document, so count(*) is the distinct count
+    val hits = shingles(train, textCol, idCol, n)
+      .join(broadcast(evalSh), "sh")
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol).cast("long").as("doc_id"))
+      .join(hits, $"doc_id" === $"id", "left")
+      .select($"doc_id",
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        $"n_shared".isNotNull.as("is_contaminated"))
+  }
+
+  /** Line-level boilerplate statistics (the C4/RefinedWeb repeated-line
+    * pass, adapted to a corpus whose documents carry no newlines):
+    * each document is chunked into consecutive `lineTokens`-token
+    * "lines"; a line is boilerplate when its hash appears in >= 2
+    * distinct documents. Emits per document the line count, duplicated-
+    * line count, and duplication ratio.
+    *
+    * 100 TB shape: chunking is a per-row projection; the only shuffle
+    * is the equi-join/aggregate on line hash (posting-list sized, like
+    * the shingle joins — never all-pairs). Within-doc repeats of a
+    * cross-doc line all count as duplicated; a line repeated only
+    * within one document does not (ndocs = 1).
+    */
+  def lineDupStats(docs: DataFrame, textCol: String, idCol: String,
+      lineTokens: Int = 10): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive, got $lineTokens")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nChunks = greatest(ceil(size(toks).cast("double") / lineTokens).cast("int"), lit(1))
+    val lines = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * lineTokens + 1, lit(lineTokens)), " "))
+    val perLine = docs
+      .select(col(idCol).cast("long").as("id"), explode(lines).as("line"))
+      .select($"id", TextAnalysis.stringHash($"line").as("lh"))
+      .persist() // feeds both the posting aggregate and the per-doc stats
+    val posting = perLine.groupBy($"lh")
+      .agg(countDistinct($"id").as("ndocs"))
+    perLine.join(posting, "lh")
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("n_dup_lines"))
+      .select($"id".as("doc_id"), $"n_lines", $"n_dup_lines",
+        round($"n_dup_lines".cast("double") / $"n_lines", 6).as("dup_ratio"))
+  }
 }

@@ -272,6 +272,30 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // Benchmark decontamination: the deterministic hash split carves
+    // train/test from the corpus; every train document is scored by the
+    // distinct 3-gram shingles it shares with the (broadcast) test set
+    // — the n-gram-overlap pass run before any training job.
+    "d10_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("split", Mixture.splitColumn($"doc_id"))
+      Dedup.contamination(
+          docs.filter($"split" === "train"),
+          docs.filter($"split" === "test"),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Line-level boilerplate stats over the mutated corpus (each doc's
+    // 80%-prefix twin plants genuinely repeated 10-token "lines"):
+    // per-doc duplicated-line ratio, the C4-style repeated-segment
+    // filter signal.
+    "t12_line_dedup" -> { (s, dir) =>
+      Dedup.lineDupStats(mutCorpus(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     "d06_simhash_pairs" -> { (s, dir) =>
       Dedup.simhashNearPairs(mutCorpus(s, dir), "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")
@@ -417,6 +441,15 @@ object NorthStar {
         bands = 4, planesPerBand = 16)
       Similarity.cosineDBSCAN(corpus, minCos = 0.3, minPts = 3,
           neighborPairs = Some(pairs))
+        .orderBy("vec_id")
+    },
+
+    // Symmetric int8 quantization of the embedding column with
+    // reconstruction-error stats — the 4× vector-store shrink, as a
+    // pure per-row projection (no shuffle, no UDF).
+    "s11_int8_quantize" -> { (s, dir) =>
+      Similarity.int8Quantize(
+          s.read.parquet(s"$dir/embeddings.parquet"), "embedding", "vec_id")
         .orderBy("vec_id")
     },
 
@@ -753,6 +786,63 @@ object NorthStar {
            |  m.match_id IS NULL AS is_new
            |FROM (SELECT doc_id + 100000 AS id FROM documents) n
            |LEFT JOIN m ON m.nid = n.id ORDER BY doc_id""".stripMargin,
+
+      // distinct eval shingles (test split of the hash split) hit
+      // against each train doc's distinct shingles — counts match the
+      // engine's broadcast shingle join exactly
+      "d10_decontaminate" ->
+        s"""WITH ${shingleSql("SELECT doc_id, text FROM documents")},
+           |sp AS (SELECT doc_id AS id, ${Mixture.splitColumnSql("doc_id")} AS split
+           |  FROM documents),
+           |ev AS (SELECT DISTINCT s2.sh FROM sh s2 JOIN sp ON sp.id = s2.id
+           |  WHERE sp.split = 'test'),
+           |hits AS (SELECT s3.id, count(*) AS n_shared FROM sh s3
+           |  JOIN ev ON ev.sh = s3.sh
+           |  JOIN sp ON sp.id = s3.id AND sp.split = 'train'
+           |  GROUP BY s3.id)
+           |SELECT sp.id AS doc_id, coalesce(h.n_shared, 0) AS n_shared,
+           |  h.n_shared IS NOT NULL AS is_contaminated
+           |FROM sp LEFT JOIN hits h ON h.id = sp.id
+           |WHERE sp.split = 'train' ORDER BY doc_id""".stripMargin,
+
+      // consecutive 10-token chunks as "lines"; a line is boilerplate
+      // when its rolling hash appears in >= 2 distinct documents
+      "t12_line_dedup" ->
+        s"""WITH u AS ($mutCorpusSql),
+           |t AS (SELECT doc_id AS id, ${toksSql("text")} AS toks FROM u),
+           |l AS (SELECT id, unnest(list_transform(range(0,
+           |    greatest(cast(ceil(len(toks) / 10.0) as int), 1)),
+           |    i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS line FROM t),
+           |ld AS (SELECT id, ${rollSql("line")} AS lh FROM l),
+           |p AS (SELECT lh, count(DISTINCT id) AS ndocs FROM ld GROUP BY lh)
+           |SELECT ld.id AS doc_id, count(*) AS n_lines,
+           |  cast(sum(CASE WHEN p.ndocs >= 2 THEN 1 ELSE 0 END) as bigint)
+           |    AS n_dup_lines,
+           |  round(cast(sum(CASE WHEN p.ndocs >= 2 THEN 1 ELSE 0 END) as double)
+           |    / count(*), 6) AS dup_ratio
+           |FROM ld JOIN p USING (lh) GROUP BY ld.id ORDER BY doc_id""".stripMargin,
+
+      // identical double arithmetic to the engine: scale = max|x|/127,
+      // codes = floor(x/scale + 0.5), left-fold error sums
+      "s11_int8_quantize" ->
+        s"""WITH vv AS (SELECT vec_id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v
+           |  FROM embeddings),
+           |sc AS (SELECT vec_id, v,
+           |    list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+           |  FROM vv),
+           |c AS (SELECT vec_id, scale,
+           |    list_transform(v, x -> cast(floor(x / scale + 0.5) as int)) AS codes, v
+           |  FROM sc),
+           |e AS (SELECT vec_id, scale, codes,
+           |    list_transform(range(1, len(v) + 1),
+           |      i -> abs(cast(codes[i] as double) * scale - v[i])) AS errs
+           |  FROM c)
+           |SELECT vec_id, round(scale, 6) AS scale,
+           |  round(list_aggregate(errs, 'max'), 6) AS max_err,
+           |  round(list_reduce(errs, (a, b) -> a + b) / len(errs), 6) AS mean_err,
+           |  array_to_string(codes, ',') AS codes_csv
+           |FROM e ORDER BY vec_id""".stripMargin,
 
       "d05_simhash" ->
         s"""WITH t AS (SELECT doc_id AS id,

@@ -662,6 +662,24 @@ object Relational {
         .orderBy($"event_type")
     },
 
+    // GROUPING SETS beyond what rollup/cube can express: two disjoint
+    // single-dimension groupings in one pass over the fact table (one
+    // Expand + one aggregate — not two scans unioned).
+    "q36_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus")),
+          $"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity".cast(M)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+          $"sum_qty", $"n")
+        .orderBy($"rflag", $"lstatus")
+    },
+
     // Global ntile decile banding. The unpartitioned window ranks the
     // per-customer AGGREGATE (orders-of-magnitude smaller than the fact
     // table — the aggregate shuffle does the heavy lifting first); for a
@@ -967,5 +985,14 @@ object Relational {
         |SELECT decile, count(*) AS n_customers,
         |  cast(min(spend_dec) as double) AS min_spend,
         |  cast(max(spend_dec) as double) AS max_spend
-        |FROM d GROUP BY decile ORDER BY decile""".stripMargin)
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q36_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rflag, lstatus""".stripMargin)
 }
