@@ -91,20 +91,32 @@ object Bench {
       System.err.println(s"[bench] streaming warmup failed: $e")
     }
 
+    // Each query runs `reps` times and reports the MIN: a single timed
+    // run is hostage to whatever co-tenant happens to burn cores during
+    // it (r5's bench regressed 3.6x on untouched code, decaying with run
+    // position — classic transient contention). min-of-k is robust to
+    // one-sided noise because contention only ever adds time. Caches are
+    // cleared between reps so the min still measures a cold-cache run,
+    // not a cross-rep cache hit.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Operators persist() intermediates for intra-query reuse; drop
-      // them between queries so each is measured independently (no
-      // cross-query cache hits, no accumulating executor memory).
-      try spark.catalog.clearCache() catch { case _: Throwable => }
-      (name, dt, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Operators persist() intermediates for intra-query reuse; drop
+        // them between reps/queries so each run is measured independently
+        // (no cache hits, no accumulating executor memory).
+        try spark.catalog.clearCache() catch { case _: Throwable => }
+        (dt, ok)
+      }
+      val ok = times.forall(_._2)
+      (name, times.map(_._1).min, ok)
     }
     // A crashing query reports -1 (never its time-to-failure) and is
     // named in "errors", so a failure can't pass as a fast run.

@@ -399,18 +399,27 @@ object Dedup {
     * before training (n-gram overlap per GPT-3/PaLM appendix
     * methodology).
     *
-    * 100 TB shape: eval sets are benchmark-sized (≪ train), so the
-    * distinct eval-shingle set BROADCASTS; the train side streams one
-    * typed shingling pass per document into the broadcast hash join —
-    * the corpus is never shuffled, and only matching (train shingle,
-    * eval shingle) rows reach the per-doc count aggregate.
+    * 100 TB shape: when the caller vouches that the eval side is
+    * benchmark-sized (`evalIsBenchmarkSized=true`, the common case —
+    * eval suites are MBs against a multi-TB train corpus), the distinct
+    * eval-shingle set BROADCASTS: the train side streams one typed
+    * shingling pass per document into the broadcast hash join, the
+    * corpus is never shuffled, and only matching (train shingle, eval
+    * shingle) rows reach the per-doc count aggregate. When the "eval"
+    * side is NOT known-small (e.g. decontaminating against another
+    * corpus slice), pass `false`: no hint is planted, so Spark/AQE
+    * plans a shuffled hash join instead of forcing an
+    * O(|eval|/10)-shingle broadcast through the driver — slower, never
+    * an OOM. Results are identical either way (ContaminationSpec).
     */
   def contamination(train: DataFrame, evalDocs: DataFrame, textCol: String,
-      idCol: String, n: Int = 3): DataFrame = {
-    val evalSh = shingles(evalDocs, textCol, idCol, n).select($"sh").distinct()
+      idCol: String, n: Int = 3,
+      evalIsBenchmarkSized: Boolean = true): DataFrame = {
+    val evalShRaw = shingles(evalDocs, textCol, idCol, n).select($"sh").distinct()
+    val evalSh = if (evalIsBenchmarkSized) broadcast(evalShRaw) else evalShRaw
     // shingles() dedups per document, so count(*) is the distinct count
     val hits = shingles(train, textCol, idCol, n)
-      .join(broadcast(evalSh), "sh")
+      .join(evalSh, "sh")
       .groupBy($"id")
       .agg(count(lit(1)).as("n_shared"))
     train.select(col(idCol).cast("long").as("doc_id"))

@@ -274,8 +274,12 @@ object NorthStar {
 
     // Benchmark decontamination: the deterministic hash split carves
     // train/test from the corpus; every train document is scored by the
-    // distinct 3-gram shingles it shares with the (broadcast) test set
-    // — the n-gram-overlap pass run before any training job.
+    // distinct 3-gram shingles it shares with the test set — the
+    // n-gram-overlap pass run before any training job. The "eval" here
+    // is the corpus's own 1-in-10 split, i.e. O(corpus) at scale — so
+    // evalIsBenchmarkSized=false: no forced broadcast (AQE still picks
+    // a broadcast join at this scale; at 100 TB it degrades to a
+    // shuffled hash join instead of a driver OOM).
     "d10_decontaminate" -> { (s, dir) =>
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -283,7 +287,7 @@ object NorthStar {
       Dedup.contamination(
           docs.filter($"split" === "train"),
           docs.filter($"split" === "test"),
-          "text", "doc_id")
+          "text", "doc_id", evalIsBenchmarkSized = false)
         .orderBy("doc_id")
     },
 

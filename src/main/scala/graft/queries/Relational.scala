@@ -680,20 +680,22 @@ object Relational {
         .orderBy($"rflag", $"lstatus")
     },
 
-    // Global ntile decile banding. The unpartitioned window ranks the
-    // per-customer AGGREGATE (orders-of-magnitude smaller than the fact
-    // table — the aggregate shuffle does the heavy lifting first); for a
-    // corpus-scale ranking swap the window for a range-partitioned sort
-    // + partition-offset pass (same two-pass shape as Mixture's prefix
-    // sum). Sums are exact decimals so the ordering (and hence decile
-    // edges) is deterministic.
+    // Global ntile decile banding over the per-customer aggregate.
+    // The naive spelling — `ntile(10) over (order by spend)` with no
+    // partition — plans an Exchange SinglePartition: every customer row
+    // through ONE sort task, which dies at the corpus-scale design
+    // point. GlobalOrder.globalNtile is the distributed equivalent:
+    // range-partitioned parallel sort + tiny partition-offset pass,
+    // then ntile as per-row arithmetic on (rank, total). Sums are exact
+    // decimals so the ordering (and hence decile edges) is
+    // deterministic, and the oracle's ntile hash-matches.
     "q34_decile_spend" -> { (s, dir) =>
       import s.implicits._
-      rd(s, dir, "orders")
+      val spend = rd(s, dir, "orders")
         .groupBy($"o_custkey")
         .agg(sum($"o_totalprice".cast(M)).as("spend_dec"))
-        .withColumn("decile", ntile(10)
-          .over(Window.orderBy($"spend_dec".desc, $"o_custkey".asc)).cast("long"))
+      graft.operators.GlobalOrder.globalNtile(spend,
+          Seq($"spend_dec".desc, $"o_custkey".asc), 10, tileName = "decile")
         .groupBy($"decile")
         .agg(count(lit(1)).as("n_customers"),
           min($"spend_dec").cast("double").as("min_spend"),
