@@ -66,7 +66,11 @@ object TextAnalysis {
         (acc("de") + hit(t, deW)).as("de"),
         (acc("es") + hit(t, esW)).as("es")))
     val (en, de, es) = (counts("en"), counts("de"), counts("es"))
-    when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es")
+    // null text pins to "en" (the all-counts-equal tie default) — the
+    // aggregate over a null token array yields null counts, which would
+    // otherwise fall through every comparison to the "es" branch.
+    when(text.isNull, "en")
+      .when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es")
   }
 
   /** Composite quality score in [0,1]: lexical diversity + length +

@@ -91,10 +91,11 @@ object Dedup {
     * be mirrored in the oracle).
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.6,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
-    val docSets = docs
+    val docSets = scope.own(docs
       .select(col(idCol).cast("long").as("id"), col(textCol).cast("string"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -104,7 +105,7 @@ object Dedup {
         (id, hs)
       }
       .toDF("id", "sh")
-      .persist() // reused: prefix emission + the verify join
+      .persist()) // reused: prefix emission + the verify join
     val prefixPosting = docSets
       .as[(Long, Array[Long])]
       .flatMap { case (id, hs) =>
@@ -180,8 +181,9 @@ object Dedup {
     * similarity = fraction of agreeing minhashes.
     */
   def lshCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
-    val mh = minhashes(docs, textCol, idCol, k, n).persist()
+      k: Int = 16, bands: Int = 4, n: Int = 3,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val mh = scope.own(minhashes(docs, textCol, idCol, k, n).persist())
     // each exploded row carries ALL band sigs so the join can dedup
     // pairs inline: emit only from the FIRST band where the signatures
     // agree (all earlier bands differ) — no distinct, no extra shuffle
@@ -227,8 +229,9 @@ object Dedup {
   def dedupVerdicts(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3,
       minEstSim: Double = 0.5,
-      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax): DataFrame = {
-    val pairs = lshCandidatePairs(docs, textCol, idCol, k, bands, n)
+      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val pairs = lshCandidatePairs(docs, textCol, idCol, k, bands, n, scope)
       .filter($"est_sim" >= minEstSim)
       .select($"id_a", $"id_b")
     val canonMap = ConnectedComponents.componentMap(pairs, driverMaxEdges)
@@ -259,9 +262,11 @@ object Dedup {
     // a Spark-written directory table, File.length() on the directory
     // does not reflect content and the dir mtime can survive in-place
     // part-file rewrites — a stale index would be served silently.
+    // listFiles() is null on IO error / concurrent removal — degrade to
+    // an empty fingerprint (→ marker mismatch → rebuild), never NPE
     def fpOf(f: java.io.File): Seq[String] =
       if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).toIndexedSeq
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toIndexedSeq
           .filterNot(_.getName.startsWith(".")).flatMap(fpOf)
       else Seq(s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
     val fp = fpOf(src).mkString("\n")
@@ -270,7 +275,7 @@ object Dedup {
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
     if (!fresh) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
       }
       Seq(loc, marker).filter(_.exists()).foreach(rm)
@@ -310,7 +315,13 @@ object Dedup {
     // A caller-supplied index built with a different k would not fail:
     // element_at past the array end yields null band sigs and zip_with
     // truncates to the shorter signature, silently skewing est_sim.
-    // One-row planning-time guard instead.
+    // One-row planning-time guard instead — deliberately FIRST-ROW-ONLY
+    // (a one-row job, not an index scan): it catches the realistic
+    // failure, a whole index built at a different k. A mixed-width index
+    // can only come from corrupt writes, which the build path (single
+    // overwrite + atomic fingerprint marker) rules out; a full
+    // every-row width audit would cost a scan of the 100 TB asset per
+    // probe.
     index.select(size(col("minhashes")).as("n")).head(1).foreach { r =>
       require(r.getInt(0) == k,
         s"signature index minhash width ${r.getInt(0)} does not match k=$k")
@@ -364,9 +375,10 @@ object Dedup {
     * cross join.
     */
   def simhashNearPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // persist: the signature computation feeds BOTH sides of the self-join
-    val withSim = withSimhash(docs, textCol, idCol).persist()
+    val withSim = scope.own(withSimhash(docs, textCol, idCol).persist())
     val banded = withSim.select($"id", $"simhash",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_no"),
@@ -443,16 +455,17 @@ object Dedup {
     * within one document does not (ndocs = 1).
     */
   def lineDupStats(docs: DataFrame, textCol: String, idCol: String,
-      lineTokens: Int = 10): DataFrame = {
+      lineTokens: Int = 10,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(lineTokens > 0, s"lineTokens must be positive, got $lineTokens")
     val toks = TextAnalysis.tokens(col(textCol))
     val nChunks = greatest(ceil(size(toks).cast("double") / lineTokens).cast("int"), lit(1))
     val lines = transform(sequence(lit(0), nChunks - 1),
       i => array_join(slice(toks, i * lineTokens + 1, lit(lineTokens)), " "))
-    val perLine = docs
+    val perLine = scope.own(docs
       .select(col(idCol).cast("long").as("id"), explode(lines).as("line"))
       .select($"id", TextAnalysis.stringHash($"line").as("lh"))
-      .persist() // feeds both the posting aggregate and the per-doc stats
+      .persist()) // feeds both the posting aggregate and the per-doc stats
     val posting = perLine.groupBy($"lh")
       .agg(countDistinct($"id").as("ndocs"))
     perLine.join(posting, "lh")

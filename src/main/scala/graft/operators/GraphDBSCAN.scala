@@ -33,12 +33,13 @@ object GraphDBSCAN {
     */
   def labels(ids: DataFrame, nb0: DataFrame, minPts: Int,
       idCol: String = "vec_id",
-      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax): DataFrame = {
-    val nb = nb0.persist()
-    val core = nb.groupBy(col("ia")).count()
+      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val nb = scope.own(nb0.persist())
+    val core = scope.own(nb.groupBy(col("ia")).count()
       .filter(col("count") + 1 >= minPts) // neighbor count includes self
       .select(col("ia").as("id"))
-      .persist()
+      .persist())
     val coreEdges = nb
       .join(core.select(col("id").as("ia")), "ia", "left_semi")
       .join(core.select(col("id").as("ib")), "ib", "left_semi")
@@ -86,7 +87,8 @@ object GraphDBSCAN {
   def euclidean(points: DataFrame, eps: Double, minPts: Int,
       idCol: String = "vec_id", vecCol: String = "v",
       gridDims: Int = 2,
-      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax): DataFrame = {
+      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val base = points.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     def cellAt(d: Int, c: Column = col("vec")): Column =
       floor(element_at(c, d + 1) / eps).cast("long")
@@ -109,6 +111,7 @@ object GraphDBSCAN {
           col("a.id") =!= col("b.id") &&
           distSq(col("a.vec"), col("b.vec")) <= lit(eps * eps))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
-    labels(base.select(col("id").as(idCol)), nb, minPts, idCol, driverMaxEdges)
+    labels(base.select(col("id").as(idCol)), nb, minPts, idCol, driverMaxEdges,
+      scope)
   }
 }

@@ -42,14 +42,14 @@ object Similarity {
     * (max and mean of |code·scale − x|, the numbers a 100 TB rollout
     * decision is made on). Pure per-row projection — no shuffle, no
     * UDF; everything is higher-order array expressions over doubles.
-    * An all-zero vector would yield scale 0 and NaN codes — callers
-    * filter degenerate vectors first (real embedding corpora have
-    * none).
+    * An all-zero vector (scale 0) quantizes to all-zero codes with
+    * zero error — the exact-reconstruction limit — rather than NaN.
     */
   def int8Quantize(vecs: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val v = transform(col(vecCol), x => x.cast("double"))
     val scale = array_max(transform(v, x => abs(x))) / 127.0
-    val codes = transform(v, x => floor(x / scale + 0.5).cast("int"))
+    val codes = when(scale === 0, transform(v, _ => lit(0).cast("int")))
+      .otherwise(transform(v, x => floor(x / scale + 0.5).cast("int")))
     val errs = zip_with(codes, v, (c, x) => abs(c.cast("double") * scale - x))
     vecs.select(col(idCol).cast("long").as("vec_id"),
         codes.as("codes"), errs.as("errs"), scale.as("scale"))
@@ -157,7 +157,8 @@ object Similarity {
   def cosineDBSCAN(corpus: DataFrame, minCos: Double, minPts: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
-      neighborPairs: Option[DataFrame] = None): DataFrame = {
+      neighborPairs: Option[DataFrame] = None,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val nb = neighborPairs match {
       case Some(p) =>
         // symmetrize: each undirected pair becomes two directed edges.
@@ -170,16 +171,17 @@ object Similarity {
             struct(col("ib").as("ia"), col("ia").as("ib")))).as("e"))
           .select(col("e.ia").as("ia"), col("e.ib").as("ib"))
       case None =>
-        val e = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+        val e = scope.own(corpus
+          .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
           .withColumn("nrm", norm(col("vec")))
-          .persist()
+          .persist())
         e.as("a").join(e.as("b"), col("a.id") =!= col("b.id"))
           .withColumn("cos", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
           .filter(col("cos") >= minCos)
           .select(col("a.id").as("ia"), col("b.id").as("ib"))
     }
     GraphDBSCAN.labels(corpus.select(col(idCol).cast("long").as(idCol)),
-      nb, minPts, idCol, driverMaxEdges)
+      nb, minPts, idCol, driverMaxEdges, scope)
   }
 
   /** Bucketed approximate neighbor pairs: vectors sharing an LSH bucket,

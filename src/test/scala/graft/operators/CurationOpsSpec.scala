@@ -86,4 +86,23 @@ class CurationOpsSpec extends AnyFunSuite with Matchers {
       Seq((1L, v)).toDF("vec_id", "embedding"), "embedding", "vec_id").collect()
     rows.head.getDouble(2) should be < 0.01 // max_err far under element scale
   }
+
+  test("int8Quantize: all-zero vector gives zero codes and zero error, no NaN") {
+    val rows = Similarity.int8Quantize(
+      Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id").collect()
+    val r = rows.head
+    r.getDouble(1) shouldBe 0.0 // scale
+    r.getDouble(2) shouldBe 0.0 // max_err
+    r.getDouble(3) shouldBe 0.0 // mean_err
+    r.getString(4) shouldBe "0,0,0"
+  }
+
+  test("langGuess: null text pins to en") {
+    val got = Seq((1L, null: String), (2L, "der hund ist und die"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.TextAnalysis.langGuess($"text").as("lang"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    got shouldBe Array("en", "de")
+  }
 }
