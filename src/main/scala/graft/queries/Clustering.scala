@@ -13,13 +13,21 @@ import org.apache.spark.sql.functions._
   * order-dependent noise materializes (graph labels == visit-order
   * labels; verified core/border/noise = 677/54/18 on both).
   *
-  * dbscan_events stays rows-only: its 10k+ points make the O(n^2)
-  * recursive reachability CTE impractical in the oracle engine.
+  * dbscan_events (10k+ points, one ~8.7k-core component) uses a
+  * NON-recursive CC oracle: the O(n^2) recursive reachability CTE the
+  * smaller fixtures use cannot close at that size, but alternating
+  * hook (min over core-neighbor labels) and pointer-jump
+  * (lab := lab(lab)) rounds converge in O(log n) linear equi-joins —
+  * see [[hookJumpCc]].
   */
 object Clustering {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Flagship: cluster the events stream in (value, hour-of-month) space.
+    // Flagship: cluster the events stream in (value, hour-of-month)
+    // space. Output canonicalized like the sample companion: cluster ->
+    // min core (x, y), rep coords emitted for CORE rows only (border
+    // claims between two touching clusters are formulation-dependent);
+    // flags checked exactly for every row.
     "dbscan_events" -> { (s, dir) =>
       import s.implicits._
       // (value, hours since 2024-01-01) space; ts read as epoch nanos.
@@ -31,8 +39,16 @@ object Clustering {
       // gives ~64 balanced tasks at sf0.1 (profiled 2.3s vs 6.2s at
       // 20000, where 8 oversized tasks starved the 32 cores) — the
       // same knob that bounds task memory at cluster scale.
-      DistributedDBSCAN.cluster(pts, eps = 8.0, minPoints = 8,
+      val labeled = DistributedDBSCAN.cluster(pts, eps = 8.0, minPoints = 8,
         maxPointsPerPartition = 2000).labeled
+      val reps = labeled.filter($"flag" === "core")
+        .groupBy($"cluster")
+        .agg(min(struct($"x", $"y")).as("rep"))
+      labeled.join(reps, Seq("cluster"), "left")
+        .select($"x", $"y",
+          when($"flag" === "core", $"rep.x").as("rep_x"),
+          when($"flag" === "core", $"rep.y").as("rep_y"),
+          $"flag")
         .orderBy("x", "y")
     },
 
@@ -101,7 +117,74 @@ object Clustering {
         .orderBy("x", "y")
     })
 
+  /** Non-recursive connected components over the `ce` (core-core edge)
+    * and `core` CTEs for the full-size oracle: `rounds` alternations of
+    * hook — each core takes the min of its neighbors' labels — and
+    * pointer-jump — `lab := lab(lab)`, one step of path compression.
+    * Converges in O(log n) rounds (measured: fixpoint after 27 at
+    * sf0.01; 40 gives ~50% headroom, extra rounds are no-ops past the
+    * fixpoint), each round two linear equi-joins + one aggregate —
+    * never the O(n^2) transitive closure that made the 10k-point
+    * flagship uncheckable. MATERIALIZED pins every CTE so DuckDB can't
+    * inline the chain exponentially. `chk` compares the last two
+    * rounds: if they differ (unconverged), the gated final SELECT
+    * emits ZERO rows and the row-count compare fails loudly instead of
+    * silently passing wrong labels.
+    */
+  private def hookJumpCc(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val p = s"m${i - 1}"
+      s"""h$i AS MATERIALIZED (SELECT e.s AS id, min(mm.lab) AS nl FROM ce e
+         |  JOIN $p mm ON mm.id = e.d GROUP BY e.s),
+         |x$i AS MATERIALIZED (SELECT m.id, least(m.lab, coalesce(h.nl, m.lab)) AS lab
+         |  FROM $p m LEFT JOIN h$i h ON h.id = m.id),
+         |m$i AS MATERIALIZED (SELECT a.id, b.lab FROM x$i a JOIN x$i b ON b.id = a.lab)""".stripMargin
+    }.mkString(",\n")
+    s"""m0 AS MATERIALIZED (SELECT id, id AS lab FROM core),
+       |$steps,
+       |chk AS MATERIALIZED (SELECT count(*) AS n FROM m$rounds a
+       |  JOIN m${rounds - 1} b ON a.id = b.id AND a.lab <> b.lab),
+       |lab AS MATERIALIZED (SELECT id, lab AS rep FROM m$rounds)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // same grid-cell nb join / deg / core / flag shape as the sample
+    // oracle below, minus the 1-in-5 filter; CC via hookJumpCc instead
+    // of the recursive CTE (10k points, single ~8.7k-core component)
+    "dbscan_events" ->
+      s"""WITH p0 AS MATERIALIZED (
+         |  SELECT value AS x,
+         |    ((epoch_ms(ts) // 1000) - 1704067200) / 3600.0 AS y
+         |  FROM events),
+         |pts AS MATERIALIZED (SELECT row_number() OVER (ORDER BY x, y) AS id, x, y FROM p0),
+         |c AS MATERIALIZED (SELECT id, x, y, cast(floor(x / 8.0) as bigint) AS cx,
+         |  cast(floor(y / 8.0) as bigint) AS cy FROM pts),
+         |l AS MATERIALIZED (SELECT id, x, y, cx + dx.d AS cx, cy + dy.d AS cy FROM c,
+         |  (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy),
+         |nb AS MATERIALIZED (SELECT l.id AS ia, r.id AS ib FROM l JOIN c r
+         |  ON l.cx = r.cx AND l.cy = r.cy AND l.id <> r.id
+         |  AND (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 64.0),
+         |deg AS MATERIALIZED (SELECT ia AS id, count(*) AS n FROM nb GROUP BY ia),
+         |core AS MATERIALIZED (SELECT id FROM deg WHERE n + 1 >= 8),
+         |ce AS MATERIALIZED (SELECT n.ia AS s, n.ib AS d FROM nb n
+         |  JOIN core c1 ON c1.id = n.ia JOIN core c2 ON c2.id = n.ib),
+         |${hookJumpCc(40)},
+         |bord AS MATERIALIZED (SELECT DISTINCT n.ia AS id FROM nb n
+         |  JOIN core c2 ON c2.id = n.ib
+         |  WHERE n.ia NOT IN (SELECT id FROM core))
+         |SELECT p.x, p.y,
+         |  CASE WHEN l2.id IS NOT NULL THEN rp.x END AS rep_x,
+         |  CASE WHEN l2.id IS NOT NULL THEN rp.y END AS rep_y,
+         |  CASE WHEN l2.id IS NOT NULL THEN 'core'
+         |       WHEN b.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS flag
+         |FROM pts p
+         |CROSS JOIN chk
+         |LEFT JOIN lab l2 ON l2.id = p.id
+         |LEFT JOIN bord b ON b.id = p.id
+         |LEFT JOIN pts rp ON rp.id = l2.rep
+         |WHERE chk.n = 0
+         |ORDER BY p.x, p.y""".stripMargin,
     // grid-cell equi-join builds nb tractably (the all-pairs distance
     // CTE cannot close at this size); ids are row_number over (x, y) so
     // min id == lexicographically-min (x, y), matching the engine's
