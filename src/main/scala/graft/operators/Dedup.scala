@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val P = 1000000007L
+  private[graft] val P = 1000000007L
 
   private implicit class Dollar(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
@@ -308,6 +308,22 @@ object Dedup {
     * (no distinct, no first-band filter needed — the output is an
     * aggregate, not a pair stream).
     */
+  /** `(id, minhashes)` -> one row per LSH band: `(id, minhashes,
+    * band_no, sig)` with `sig` the dash-joined band slice. Pure per-row
+    * projection; shared by [[probeVerdicts]] and the streaming probe
+    * ([[graft.streaming.Streaming.streamIndexProbe]]).
+    */
+  private[graft] def bandedSigs(mh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    mh.select(col("id"), col("minhashes"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_no"),
+            concat_ws("-", (0 until rows).map(r =>
+              element_at(col("minhashes"), b * rows + r + 1)): _*).as("sig"))): _*)).as("b"))
+      .select(col("id"), col("minhashes"),
+        col("b.band_no").as("band_no"), col("b.sig").as("sig"))
+  }
+
   def probeVerdicts(newDocs: DataFrame, textCol: String, idCol: String,
       index: DataFrame, k: Int = 16, bands: Int = 4, n: Int = 3,
       minEstSim: Double = 0.5): DataFrame = {
@@ -326,13 +342,7 @@ object Dedup {
       require(r.getInt(0) == k,
         s"signature index minhash width ${r.getInt(0)} does not match k=$k")
     }
-    def banded(mh: DataFrame): DataFrame = mh.select(col("id"), col("minhashes"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band_no"),
-            concat_ws("-", (0 until rows).map(r =>
-              element_at(col("minhashes"), b * rows + r + 1)): _*).as("sig"))): _*)).as("b"))
-      .select(col("id"), col("minhashes"),
-        col("b.band_no").as("band_no"), col("b.sig").as("sig"))
+    def banded(mh: DataFrame): DataFrame = bandedSigs(mh, k, bands)
     val probe = broadcast(banded(minhashes(newDocs, textCol, idCol, k, n)))
     val matches = probe.as("x").join(banded(index).as("y"),
         col("x.band_no") === col("y.band_no") && col("x.sig") === col("y.sig"))

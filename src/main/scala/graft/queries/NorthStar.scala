@@ -564,6 +564,15 @@ object NorthStar {
     "st07_stream_neardup" -> { (s, dir) =>
       graft.streaming.Streaming.streamNearDedup(s, dir)
         .orderBy("doc_id")
+    },
+
+    // Streaming incremental near-dup: each microbatch stream-static
+    // joins against d09's persisted signature index — stateless,
+    // batch-invariant, checked by d09's oracle verbatim (see
+    // Streaming.streamIndexProbe).
+    "st08_stream_index_probe" -> { (s, dir) =>
+      graft.streaming.Streaming.streamIndexProbe(s, dir)
+        .orderBy("doc_id")
     })
 
   // ---------- oracles ----------
@@ -591,7 +600,7 @@ object NorthStar {
          | (sqrt(list_reduce(list_transform(range(1,65), i -> $a[i]*$a[i]), (x,y)->x+y)) *
          |  sqrt(list_reduce(list_transform(range(1,65), i -> $b[i]*$b[i]), (x,y)->x+y))))""".stripMargin
 
-    Map(
+    val m = Map(
       "t01_token_stats" ->
         s"""SELECT doc_id,
            |  cast(len(toks) as bigint) AS n_tokens,
@@ -1233,5 +1242,10 @@ object NorthStar {
            |SELECT s.id AS doc_id, coalesce(p.dup_of, s.id) AS canonical_id,
            |  p.dup_of IS NULL AS is_first
            |FROM sim s LEFT JOIN pr p ON p.id = s.id ORDER BY doc_id""".stripMargin)
+    // st08 is the STREAMING spelling of d09's index probe: stateless
+    // stream-static join against the same frozen index, so the batch
+    // oracle is d09's verbatim — any drift between the streaming and
+    // batch paths fails the hash compare.
+    m + ("st08_stream_index_probe" -> m("d09_incremental_neardup"))
   }
 }

@@ -245,4 +245,82 @@ object Streaming {
         coalesce(col("dup_of"), col("doc_id")).as("canonical_id"),
         col("dup_of").isNull.as("is_first"))
   }
+
+  /** Streaming incremental near-dup against the build-once corpus
+    * signature index ([[graft.operators.Dedup.ensureSignatureIndex]]) —
+    * the production shape of a daily dedup increment run as a stream:
+    * each microbatch of NEW documents is minhashed per-row, banded, and
+    * stream-static LEFT-joined against the frozen index asset; a doc's
+    * canonical is the min index id sharing >= 1 band at estimated
+    * similarity >= `minEstSim`, unmatched docs are `is_new`.
+    *
+    * STATELESS by construction (contrast st07's per-band keyed state):
+    * the join side is static, so no streaming state exists and verdicts
+    * are batch-invariant — a document's verdict is the same however the
+    * stream is chunked. That also makes the output identical to the
+    * batch [[graft.operators.Dedup.probeVerdicts]], so the d09 oracle
+    * checks this query verbatim. The per-row minhash kernel reproduces
+    * [[graft.functions.MinHashAgg]]'s family exactly (the index and the
+    * probe must hash identically); the per-doc min over band verdicts
+    * is a stateless batch reduce over the memory sink, like
+    * [[streamNearDedup]]'s. At scale the static side is the 100 TB
+    * index: Spark plans a shuffled or broadcast hash join per
+    * microbatch based on its size — nothing here forces the index
+    * through the driver.
+    */
+  def streamIndexProbe(s: SparkSession, dir: String, k: Int = 16,
+      bands: Int = 4, n: Int = 3, minEstSim: Double = 0.5): DataFrame = {
+    import s.implicits._
+    import graft.operators.Dedup
+    val index = Dedup.ensureSignatureIndex(s, dir) // static build-once asset
+    index.select(size(col("minhashes")).as("n")).head(1).foreach { r =>
+      require(r.getInt(0) == k,
+        s"signature index minhash width ${r.getInt(0)} does not match k=$k")
+    }
+    val staticBands = Dedup.bandedSigs(index, k, bands)
+      .select(col("id").as("iid"), col("minhashes").as("imh"),
+        col("band_no").as("iband"), col("sig").as("isig"))
+    // the same 80%-prefix "new shard" mutation d09 probes with, applied
+    // in-stream with the identical column expressions
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val shard = graft.sources.Sources.documentsStream(s, dir)
+      .select((col("doc_id") + 100000).cast("long").as("id"),
+        array_join(slice(toks, lit(1),
+          greatest(floor(size(toks) * 0.8).cast("int"), lit(1))), " ").as("text"))
+    val mh = shard.as[(Long, String)]
+      .map { case (id, text) =>
+        val hs = graft.functions.TextKernels.shingleHashes(
+          if (text == null) "" else text, n)
+        val sig = Array.fill(k)(Long.MaxValue)
+        var j = 0
+        while (j < hs.length) {
+          var i = 0
+          while (i < k) {
+            val h = graft.functions.PortableHash.family(i, hs(j), Dedup.P)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+          j += 1
+        }
+        // a shingle-less doc keeps the MaxValue signature: its band sigs
+        // can never equal a real index signature, so it lands is_new —
+        // same verdict as its absence from the aggregate-built index
+        (id, sig.toSeq)
+      }
+      .toDF("id", "minhashes")
+    val estSim = size(filter(zip_with(col("minhashes"), col("imh"),
+      (a, b) => a === b), m => m)).cast("double") / k
+    val joined = Dedup.bandedSigs(mh, k, bands)
+      .join(staticBands,
+        col("band_no") === col("iband") && col("sig") === col("isig") &&
+          estSim >= minEstSim,
+        "left_outer")
+      .select(col("id").as("doc_id"), col("iid").as("match_id"))
+    runToTable(joined, "append")
+      .groupBy("doc_id")
+      .agg(min(col("match_id")).as("dup_of"))
+      .select(col("doc_id"),
+        coalesce(col("dup_of"), col("doc_id")).as("canonical_id"),
+        col("dup_of").isNull.as("is_new"))
+  }
 }
