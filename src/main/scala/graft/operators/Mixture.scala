@@ -58,6 +58,46 @@ object Mixture {
   def portableHashSql(id: String, i: Int = OrderI, mod: Long = DefaultMod): String =
     s"((${2L * i + 1}*($id % $mod)) + ${i.toLong * i + 7L}) % $mod"
 
+  /** Family member for [[stratifiedSample]] — deliberately distinct
+    * from [[OrderI]] so the sample keep-set is independent of the
+    * split/order hash (with the SAME member, "sample 80%" would keep
+    * exactly the train split — correlated selections are the classic
+    * silent bias in hash-everything pipelines).
+    */
+  val SampleI: Int = 271828182 // 2*i+1 = 543656365
+
+  /** Deterministic per-stratum rate sampling — `sampleBy` that any
+    * engine can replay bit-for-bit: keep a row iff
+    * `portableHash(id, SampleI) % denom < rate(stratum) * denom`.
+    * Strata absent from `rates` are dropped. Pure per-row projection —
+    * no shuffle, no RNG state, independent of partitioning and cluster
+    * size, and the keep-set is a pure function of (id, rate): the
+    * lineage/auditability requirement for downsampling a 100 TB corpus
+    * (rerunning the pipeline, on any cluster, keeps the same rows).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      rates: Map[String, Double], denom: Long = 1000000L): DataFrame = {
+    require(rates.nonEmpty, "rates must not be empty")
+    require(denom > 0, s"denom must be positive, got $denom")
+    rates.foreach { case (k, r) =>
+      require(r >= 0.0 && r <= 1.0, s"rate for '$k' out of [0,1]: $r")
+    }
+    // -1 threshold drops unknown strata (hash % denom is always >= 0)
+    val thr = rates.foldLeft(lit(-1L)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(math.round(r * denom))).otherwise(acc)
+    }
+    df.filter(portableHash(col(idCol), SampleI) % denom < thr)
+  }
+
+  /** SQL predicate spelling of [[stratifiedSample]] for DuckDB oracles. */
+  def stratifiedSampleSql(stratumCol: String, idCol: String,
+      rates: Map[String, Double], denom: Long = 1000000L): String = {
+    val cases = rates.map { case (k, r) =>
+      s"WHEN $stratumCol = '$k' THEN ${math.round(r * denom)}"
+    }.mkString(" ")
+    s"(${portableHashSql(idCol, SampleI)}) % $denom < (CASE $cases ELSE -1 END)"
+  }
+
   /** Deterministic train/val/test assignment by hash bucket: bucket =
     * h(id) mod `nBuckets`; buckets [0, trainBuckets) → "train",
     * [trainBuckets, trainBuckets+valBuckets) → "val", rest → "test".

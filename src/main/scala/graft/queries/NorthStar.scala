@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object NorthStar {
 
+  /** t13's per-language keep rates (zh deliberately absent => dropped);
+    * shared by the query and its oracle so they can never drift.
+    */
+  private[queries] val T13Rates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.1, "fr" -> 1.0)
+
   // ---------- shared SQL fragments (DuckDB side) ----------
   private val P = "1000000007"
   private def toksSql(t: String) = s"string_split_regex(trim($t), '\\s+')"
@@ -182,6 +188,20 @@ object NorthStar {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCount($"text").cast("long")).as("sum_tokens"))
         .orderBy($"lang", $"split")
+    },
+
+    // Deterministic stratified downsampling: per-language keep rates
+    // applied as a pure hash predicate (reproducible sampleBy — same
+    // keep-set on any cluster/engine; zh deliberately absent => dropped).
+    // Emits the kept rows themselves so the oracle checks the exact
+    // keep-set, not just counts.
+    "t13_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      Mixture.stratifiedSample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "lang", "doc_id", NorthStar.T13Rates)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
     },
 
     // Token-budget mixture sampling: 2000 whitespace-tokens per language,
@@ -676,6 +696,11 @@ object NorthStar {
         s"""SELECT lang, ${Mixture.splitColumnSql("doc_id")} AS split,
            |  count(*) AS n_docs, cast(sum(len($tk)) as bigint) AS sum_tokens
            |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+      "t13_stratified_sample" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ${Mixture.stratifiedSampleSql("lang", "doc_id", T13Rates)}
+           |ORDER BY doc_id""".stripMargin,
 
       // the naive single-window spelling of the two-pass distributed
       // prefix sum: cum over (shard, hash, id) within each language

@@ -112,6 +112,30 @@ class MixtureSpec extends AnyFunSuite with Matchers {
     again shouldBe counts
   }
 
+  test("stratifiedSample: rate-accurate, deterministic, unknown strata dropped") {
+    import spark.implicits._
+    val rows = (0 until 4000).map(i => (i.toLong, Seq("en", "de", "zz")(i % 3)))
+      .toDF("id", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val kept = Mixture.stratifiedSample(rows, "lang", "id", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    byLang.getOrElse("zz", 0) shouldBe 0 // absent stratum dropped
+    // hash is uniform: observed rate within a few points of the target
+    (byLang("en").toDouble / 1334) shouldBe 0.5 +- 0.06
+    (byLang("de").toDouble / 1333) shouldBe 0.1 +- 0.04
+    // pure function of (id, rate): identical keep-set on a different layout
+    val again = Mixture.stratifiedSample(rows.repartition(7), "lang", "id", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    again.sorted shouldBe kept.sorted
+    // decorrelated from the split hash: the 50% sample is NOT the train set
+    val trainIds = rows.filter(Mixture.splitColumn(col("id")) === "train")
+      .filter(col("lang") === "en").select("id").collect().map(_.getLong(0)).toSet
+    val enKept = kept.filter(_._2 == "en").map(_._1).toSet
+    enKept should not equal trainIds.take(enKept.size)
+    (enKept -- trainIds) should not be empty
+  }
+
   test("TextIndex.topTerms rank-1 matches brute force") {
     import spark.implicits._
     val docs = Seq(
