@@ -47,25 +47,27 @@ object TextAnalysis {
 
   /** Heuristic language guess from stopword hits (deterministic CASE
     * cascade; ties resolve in en > de > es precedence order).
-    * Counts all three stopword lists in ONE fold over the token array —
-    * a struct accumulator instead of three filtered-array allocations —
-    * so the hot loop traverses each document once and the generated
-    * code stays small (the three-filter spelling was the single largest
-    * codegen-compile line in the bench).
+    * Counts all three stopword lists in ONE fold over the token array
+    * with a PRIMITIVE long accumulator — the three counts pack into
+    * disjoint 20-bit fields (en | de<<20 | es<<40), so the hot loop is
+    * pure long arithmetic. The earlier struct-typed accumulator kept
+    * the fold in one pass but boxed a new InternalRow per token
+    * (struct-valued lambdas don't stay primitive), which made t04 the
+    * slowest line of the whole bench (6.2 s at sf0.1); field widths are
+    * safe for any document under 2^20 stopword hits per list.
     */
   def langGuess(text: Column): Column = {
     val enW = Seq("the", "a", "of", "and", "to", "in")
     val deW = Seq("der", "die", "das", "und", "ist")
     val esW = Seq("el", "la", "de", "que", "y")
-    def hit(t: Column, ws: Seq[String]) =
-      when(t.isin(ws: _*), 1L).otherwise(0L)
-    val counts = aggregate(tokens(text),
-      struct(lit(0L).as("en"), lit(0L).as("de"), lit(0L).as("es")),
-      (acc, t) => struct(
-        (acc("en") + hit(t, enW)).as("en"),
-        (acc("de") + hit(t, deW)).as("de"),
-        (acc("es") + hit(t, esW)).as("es")))
-    val (en, de, es) = (counts("en"), counts("de"), counts("es"))
+    def hit(t: Column, ws: Seq[String], shift: Int) =
+      when(t.isin(ws: _*), lit(1L << shift)).otherwise(0L)
+    val packed = aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + hit(t, enW, 0) + hit(t, deW, 20) + hit(t, esW, 40))
+    val mask = lit((1L << 20) - 1L)
+    val en = packed.bitwiseAND(mask)
+    val de = shiftright(packed, 20).bitwiseAND(mask)
+    val es = shiftright(packed, 40).bitwiseAND(mask)
     // null text pins to "en" (the all-counts-equal tie default) — the
     // aggregate over a null token array yields null counts, which would
     // otherwise fall through every comparison to the "es" branch.
