@@ -75,6 +75,37 @@ object TextAnalysis {
       .when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es")
   }
 
+  /** Occurrence count of the most frequent token (0 for empty/blank
+    * text). O(n·distinct) per document — a per-row scan over arrays
+    * that are at most a few hundred elements, never a shuffle.
+    */
+  def maxTokenFreq(text: Column): Column = modeCount(tokens(text))
+
+  /** Space-joined k-grams of the whitespace tokens (k in 2..3).
+    * Built from aligned slices + zip_with so a doc with fewer than k
+    * tokens yields an empty array instead of a slice error.
+    */
+  def tokenNgrams(text: Column, k: Int): Column = {
+    require(k == 2 || k == 3, s"tokenNgrams supports k=2 or 3, got $k")
+    val toks = tokens(text)
+    val m = greatest(size(toks) - (k - 1), lit(0))
+    val s1 = slice(toks, lit(1), m)
+    val s2 = slice(toks, lit(2), m)
+    if (k == 2) zip_with(s1, s2, (a, b) => concat_ws(" ", a, b))
+    else zip_with(zip_with(s1, s2, (a, b) => concat_ws(" ", a, b)),
+      slice(toks, lit(3), m), (ab, c) => concat_ws(" ", ab, c))
+  }
+
+  /** Occurrence count of the most frequent element of an array column
+    * (0 when empty). Same O(n·distinct) per-row shape as
+    * [[maxTokenFreq]].
+    */
+  def modeCount(arr: Column): Column =
+    coalesce(
+      array_max(transform(array_distinct(arr),
+        d => size(filter(arr, x => x === d)).cast("long"))),
+      lit(0L))
+
   /** Composite quality score in [0,1]: lexical diversity + length +
     * stopword presence. Pure per-row double arithmetic from exact
     * integers (engine-portable).

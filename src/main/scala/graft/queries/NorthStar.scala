@@ -204,6 +204,54 @@ object NorthStar {
         .orderBy($"doc_id")
     },
 
+    // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
+    // shape): per-document metrics + one flag per rule + the conjunctive
+    // keep verdict. Every metric is exact-integer-derived double
+    // arithmetic (engine-portable); thresholds are applied to the RAW
+    // ratios (rounding only for display) so the verdict can never drift
+    // on a rounding boundary. Pure per-row projection — no shuffle.
+    "t14_quality_rules" -> { (s, dir) =>
+      import s.implicits._
+      val n = TextAnalysis.tokenCount($"text").cast("long")
+      val nd = n.cast("double")
+      val mwl = TextAnalysis.tokenLenSum($"text").cast("double") / nd
+      val div = TextAnalysis.distinctTokenCount($"text").cast("double") / nd
+      val stop = TextAnalysis.stopwordCount($"text", stopList)
+      val mf = TextAnalysis.maxTokenFreq($"text").cast("double") / nd
+      val keep = (n >= 40) && (mwl >= 3.0 && mwl <= 10.0) &&
+        (div >= 0.5) && (stop >= 2) && (mf <= 0.12)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", n.as("n_words"),
+          round(mwl, 6).as("mean_word_len"),
+          round(div, 6).as("diversity"),
+          stop.as("stop_hits"),
+          round(mf, 6).as("max_tok_frac"),
+          keep.cast("long").as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // Within-document repetition stats (the Gopher repetition filters):
+    // most-frequent-bigram fraction and duplicate-trigram fraction.
+    // N-grams are aligned-slice zip_with arrays; mode counting is an
+    // O(n·distinct) per-row scan — never a shuffle, never an explode.
+    "t15_repetition" -> { (s, dir) =>
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id",
+          TextAnalysis.tokenNgrams($"text", 2).as("g2"),
+          TextAnalysis.tokenNgrams($"text", 3).as("g3"))
+        .select($"doc_id",
+          size($"g2").cast("long").as("n_2grams"),
+          TextAnalysis.modeCount($"g2").as("top2_n"),
+          size($"g3").cast("long").as("n_3grams"),
+          (size($"g3") - size(array_distinct($"g3"))).cast("long").as("n_dup3"))
+        .withColumn("top2_frac", round(
+          when($"n_2grams" > 0, $"top2_n".cast("double") / $"n_2grams").otherwise(0.0), 6))
+        .withColumn("dup3_frac", round(
+          when($"n_3grams" > 0, $"n_dup3".cast("double") / $"n_3grams").otherwise(0.0), 6))
+        .orderBy($"doc_id")
+    },
+
     // Token-budget mixture sampling: 2000 whitespace-tokens per language,
     // drawn in deterministic hash order via the two-pass distributed
     // prefix sum (no single-task stratum sort).
@@ -701,6 +749,42 @@ object NorthStar {
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${Mixture.stratifiedSampleSql("lang", "doc_id", T13Rates)}
            |ORDER BY doc_id""".stripMargin,
+
+      "t14_quality_rules" ->
+        s"""SELECT doc_id, cast(n as bigint) AS n_words,
+           |  round(mwl, 6) AS mean_word_len, round(div, 6) AS diversity,
+           |  cast(stop as bigint) AS stop_hits, round(mf, 6) AS max_tok_frac,
+           |  cast(CASE WHEN n >= 40 AND mwl >= 3.0 AND mwl <= 10.0
+           |    AND div >= 0.5 AND stop >= 2 AND mf <= 0.12
+           |    THEN 1 ELSE 0 END as bigint) AS keep
+           |FROM (SELECT doc_id, len(toks) AS n,
+           |    cast(list_reduce(list_transform(toks, t -> cast(length(t) as bigint)),
+           |      (a,b) -> a+b) as double) / len(toks) AS mwl,
+           |    cast(len(list_distinct(toks)) as double) / len(toks) AS div,
+           |    ${stopHitsSql("toks")} AS stop,
+           |    cast(list_max(list_transform(list_distinct(toks),
+           |      d -> len(list_filter(toks, x -> x = d)))) as double) / len(toks) AS mf
+           |  FROM (SELECT doc_id, $tk AS toks FROM documents))
+           |ORDER BY doc_id""".stripMargin,
+
+      "t15_repetition" ->
+        s"""WITH d AS (SELECT doc_id, $tk AS toks FROM documents),
+           |g AS (SELECT doc_id,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1]) AS g2,
+           |    list_transform(range(1, len(toks) - 1),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+           |  FROM d),
+           |m AS (SELECT doc_id, len(g2) AS n2,
+           |    coalesce(list_max(list_transform(list_distinct(g2),
+           |      x -> len(list_filter(g2, y -> y = x)))), 0) AS top2,
+           |    len(g3) AS n3, len(g3) - len(list_distinct(g3)) AS dup3
+           |  FROM g)
+           |SELECT doc_id, cast(n2 as bigint) AS n_2grams, cast(top2 as bigint) AS top2_n,
+           |  cast(n3 as bigint) AS n_3grams, cast(dup3 as bigint) AS n_dup3,
+           |  round(CASE WHEN n2 > 0 THEN cast(top2 as double) / n2 ELSE 0.0 END, 6) AS top2_frac,
+           |  round(CASE WHEN n3 > 0 THEN cast(dup3 as double) / n3 ELSE 0.0 END, 6) AS dup3_frac
+           |FROM m ORDER BY doc_id""".stripMargin,
 
       // the naive single-window spelling of the two-pass distributed
       // prefix sum: cum over (shard, hash, id) within each language

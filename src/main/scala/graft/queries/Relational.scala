@@ -680,6 +680,42 @@ object Relational {
         .orderBy($"rflag", $"lstatus")
     },
 
+    // RANGE-frame sliding window: per-order trailing-30-day customer
+    // spend, ordered by epoch day so the frame is a true value range
+    // (same-day orders all join the frame regardless of row order).
+    // Prices sum as exact decimals inside the frame — bit-identical
+    // across engines and frame-evaluation orders. Partitioned by
+    // customer: shuffles once on the window key, no global sort.
+    "q37_rolling_spend" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val o = rd(s, dir, "orders").select($"o_orderkey", $"o_custkey",
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("epoch_day"),
+        $"o_totalprice".cast(M).as("price_dec"))
+      val w = Window.partitionBy($"o_custkey").orderBy($"epoch_day")
+        .rangeBetween(-29, 0)
+      o.withColumn("spend_30d", sum($"price_dec").over(w).cast("double"))
+        .select($"o_orderkey", $"o_custkey", $"epoch_day", $"spend_30d")
+        .orderBy($"o_orderkey")
+    },
+
+    // Corpus-wide consecutive rank WITHOUT a single-task sort: the
+    // same two-pass GlobalOrder primitive q34 banks on, surfaced as
+    // its own query (rank every customer by exact-decimal lifetime
+    // spend). The only unpartitioned window in the plan is over the
+    // per-partition count frame (<= nParts rows).
+    "q38_global_rank" -> { (s, dir) =>
+      import s.implicits._
+      val spend = rd(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum($"o_totalprice".cast(M)).as("spend_dec"))
+      graft.operators.GlobalOrder.globalRank(spend,
+          Seq($"spend_dec".desc, $"o_custkey".asc), rankName = "spend_rank")
+        .select($"o_custkey", $"spend_dec".cast("double").as("spend"), $"spend_rank")
+        .orderBy($"spend_rank")
+    },
+
     // Global ntile decile banding over the per-customer aggregate.
     // The naive spelling — `ntile(10) over (order by spend)` with no
     // partition — plans an Exchange SinglePartition: every customer row
@@ -996,5 +1032,23 @@ object Relational {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        |ORDER BY rflag, lstatus""".stripMargin)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q37_rolling_spend" ->
+      """SELECT o_orderkey, o_custkey, epoch_day,
+        |  cast(sum(cast(o_totalprice as decimal(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) as double) AS spend_30d
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    datediff('day', DATE '1970-01-01', cast(o_orderdate as date)) AS epoch_day
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q38_global_rank" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(cast(o_totalprice as decimal(18,4))) AS spend_dec
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, cast(spend_dec as double) AS spend,
+        |  row_number() OVER (ORDER BY spend_dec DESC, o_custkey ASC) AS spend_rank
+        |FROM spend ORDER BY spend_rank""".stripMargin)
 }

@@ -105,4 +105,39 @@ class CurationOpsSpec extends AnyFunSuite with Matchers {
       .orderBy("doc_id").collect().map(_.getString(1))
     got shouldBe Array("en", "de")
   }
+
+  test("tokenNgrams/modeCount: short docs yield empty arrays, repetition counts exact") {
+    import graft.functions.TextAnalysis._
+    val df = Seq(
+      (1L, "a"),            // 1 token: no 2- or 3-grams
+      (2L, "a b"),          // one bigram, no trigram
+      (3L, "a b a b a"),    // bigrams: ab,ba,ab,ba -> mode 2; trigrams: aba,bab,aba -> dup 1
+      (4L, "x x x x"))      // bigrams: xx*3 -> mode 3
+      .toDF("doc_id", "text")
+    // spark's size() is shadowed by Matchers' size(Long) — qualify
+    val sz = org.apache.spark.sql.functions.size _
+    val got = df.select($"doc_id",
+        sz(tokenNgrams($"text", 2)).as("n2"),
+        modeCount(tokenNgrams($"text", 2)).as("m2"),
+        sz(tokenNgrams($"text", 3)).as("n3"),
+        (sz(tokenNgrams($"text", 3)) - sz(array_distinct(tokenNgrams($"text", 3)))).as("d3"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    got shouldBe Array(
+      (1L, 0, 0L, 0, 0),
+      (2L, 1, 1L, 0, 0),
+      (3L, 4, 2L, 3, 1),
+      (4L, 3, 3L, 2, 1))
+  }
+
+  test("maxTokenFreq: mode count over tokens, 0 on empty") {
+    import graft.functions.TextAnalysis._
+    val got = Seq((1L, "a b a a"), (2L, ""), (3L, "x"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", maxTokenFreq($"text").as("mf"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    // blank text tokenizes to [""] (one empty token) — mode 1, matching
+    // the oracle's string_split_regex behavior
+    got shouldBe Array(3L, 1L, 1L)
+  }
 }
