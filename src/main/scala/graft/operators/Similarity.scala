@@ -131,6 +131,75 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Product-quantization ADC top-k (Jégou et al. 2011) — the third ANN
+    * scale path beside hyperplane LSH and IVF, and the one that shrinks
+    * the SCAN itself: each vector is stored as `m` small codes (one per
+    * subspace) instead of `d` floats, and query-to-vector distance is
+    * approximated as the sum of `m` precomputed query-to-codeword
+    * distances (Asymmetric Distance Computation — codes meet the exact
+    * query, not a quantized one).
+    *
+    * Deterministic codebook, same convention as [[ivfTopK]]'s coarse
+    * quantizer: subspace `j`'s codewords are the sub-vectors of the
+    * `ncode` lowest-id corpus vectors (no trained k-means, so an
+    * external engine can replicate the exact encoding). All distances
+    * are sequential left folds over per-element doubles — deterministic
+    * and engine-portable; argmin/top-k ties break to the lower id.
+    *
+    * Dataflow at scale: encoding is one corpus scan + a broadcast
+    * codebook join + a partial-aggregatable argmin (in production the
+    * codes are a build-once asset like d09's signature index); the
+    * search itself is ONE scan of the code table (m integers per
+    * vector, a 32x narrower read than the raw floats at d=64) against
+    * a broadcast per-query lookup table, with a per-row O(m) fold —
+    * no shuffle of the corpus, no all-pairs float work. Compose with
+    * [[ivfTopK]]'s coarse partition to also prune which codes scan.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ncode: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && ncode >= 1, s"m=$m ncode=$ncode must be positive")
+    // per-row subspace width (d/m); `/` on columns is double division,
+    // so cast back — exact whenever m divides the dimension
+    val subW = (org.apache.spark.sql.functions.size(col("vec")) / lit(m)).cast("int")
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
+    def subspaced(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).cast("long").as(outId),
+          transform(col(vecCol), x => x.cast("double")).as("vec"))
+        .select(col(outId), col("vec"), explode(sequence(lit(0), lit(m - 1))).as("j"))
+        .select(col(outId), col("j"),
+          slice(col("vec"), col("j") * subW + 1, subW).as("sub"))
+    // codebook: (j, c_id, cv) for the ncode lowest-id vectors — tiny, broadcast
+    val cb = broadcast(subspaced(corpus.filter(col(idCol) < ncode), "c_id")
+      .select(col("j"), col("c_id"), col("sub").as("cv")))
+    // encode: per (vector, subspace) argmin codeword -> codes array ordered by j
+    val codes = subspaced(corpus, "n_id")
+      .join(cb, "j")
+      .groupBy(col("n_id"), col("j"))
+      .agg(min(struct(d2(col("sub"), col("cv")).as("d"), col("c_id"))).as("best"))
+      .groupBy(col("n_id"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("best.c_id").as("c")))),
+        e => e("c")).as("codes"))
+    // per-query LUT: flat array indexed j*ncode + c_id -> d2(q_sub, codeword)
+    val lut = subspaced(queries, "q_id")
+      .join(cb, "j")
+      .groupBy(col("q_id"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("c_id"),
+        d2(col("sub"), col("cv")).as("d")))), e => e("d")).as("lut"))
+    // ADC: one scan of the code table x broadcast LUTs; per-row O(m) fold
+    val adc = codes.crossJoin(broadcast(lut))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc + element_at(col("lut"),
+          (j * ncode + element_at(col("codes"), j + 1) + 1).cast("int"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), round(col("adc"), 6).as("adc_d2"))
+  }
+
   /** Density clustering of embeddings — DBSCAN generalized from the
     * 2-D euclidean core to n-D cosine space, on the similarity graph:
     * a point is core iff it has >= minPts neighbors at cosine >=

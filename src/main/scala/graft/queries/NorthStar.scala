@@ -412,6 +412,19 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // Product-quantization ADC top-k (m=8 subspaces x 32 codewords over
+    // d=64): the compressed-scan ANN path — codes are 8 ints per vector
+    // (a 32x narrower scan than raw floats), search is one code-table
+    // scan against broadcast per-query LUTs. Deterministic lowest-id
+    // codebook, so the oracle replays the exact encoding.
+    "s12_pq_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.pqTopK(emb, emb.filter($"vec_id" < 5), k = 5, m = 8, ncode = 32)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_d2")
+        .orderBy("q_id", "rnk")
+    },
+
     // Grid-bucketed eps-distance self-join: per-event neighborhood size
     // in (value, hours) space — DBSCAN's core test as a relational op,
     // planned as a hash equi-join on cell keys (never a nested loop).
@@ -1047,6 +1060,34 @@ object NorthStar {
            |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
            |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      "s12_pq_topk" -> {
+        // subspace-local squared L2 between two 8-element slices, as the
+        // same sequential left fold the Spark side runs
+        val d2 = (a: String, b: String) =>
+          s"""list_reduce(list_transform(range(1, 9),
+             |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
+        val adcSum = (0 until 8).map(j =>
+          s"sum(CASE WHEN l.j = $j THEN l.d2 END)").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |js AS (SELECT unnest(range(0, 8)) AS j),
+           |cb AS (SELECT j, id AS c_id, v[j*8+1 : j*8+8] AS cv FROM e, js WHERE id < 32),
+           |sub AS (SELECT id, j, v[j*8+1 : j*8+8] AS sv FROM e, js),
+           |enc AS (SELECT id AS n_id, j, c_id AS code FROM (
+           |    SELECT s.id, s.j, c.c_id, row_number() OVER (PARTITION BY s.id, s.j
+           |      ORDER BY ${d2("s.sv", "c.cv")} ASC, c.c_id ASC) AS rn
+           |    FROM sub s JOIN cb c ON s.j = c.j) t WHERE rn = 1),
+           |lut AS (SELECT s.id AS q_id, c.j, c.c_id, ${d2("s.sv", "c.cv")} AS d2
+           |  FROM sub s JOIN cb c ON s.j = c.j WHERE s.id < 5),
+           |adc AS (SELECT l.q_id, e.n_id, $adcSum AS adc
+           |  FROM enc e JOIN lut l ON l.j = e.j AND l.c_id = e.code
+           |  WHERE e.n_id <> l.q_id GROUP BY 1, 2)
+           |SELECT q_id, n_id, rn AS rnk, round(adc, 6) AS adc_d2 FROM (
+           |  SELECT q_id, n_id, adc, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adc ASC, n_id ASC) AS rn FROM adc) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
 
       "s03_eps_degree" ->
         """WITH p AS (SELECT event_id AS id, value AS x,

@@ -55,6 +55,34 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     bNd should be > 0.5
   }
 
+  test("PQ-ADC top-k recall vs exact L2 top-k") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = 10
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    // exact euclidean top-k (PQ approximates L2, so that is its baseline)
+    val e = emb.select($"vec_id".cast("long").as("id"),
+      transform($"embedding", x => x.cast("double")).as("v"))
+    val q = e.join(queries.select($"vec_id".cast("long").as("id")), "id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("id", "q_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"q_id").orderBy($"d2".asc, $"id".asc)
+    val exact = e.crossJoin(broadcast(q)).filter($"id" =!= $"q_id")
+      .withColumn("d2", aggregate(zip_with($"v", $"qv", (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, t) => a + t))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.pqTopK(emb, queries, k, m = 8, ncode = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, ex) =>
+      pq.getOrElse(qid, Set.empty).count(ex).toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ recall@$k (m=8, ncode=32, ${exact.size} queries): mean $mean%.3f")
+    mean should be > 0.2 // 32-codeword books are still coarse; floor = "useful at all"
+  }
+
   test("IVF top-k recall vs brute force") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
