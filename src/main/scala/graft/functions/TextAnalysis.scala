@@ -106,6 +106,23 @@ object TextAnalysis {
         d => size(filter(arr, x => x === d)).cast("long"))),
       lit(0L))
 
+  /** Gopher-style conjunctive keep verdict (t14's rule set, shared by
+    * the batch filter and the streaming router so the two can never
+    * drift): word count >= 40, mean word length in [3, 10], lexical
+    * diversity >= 0.5, >= 2 stopword hits, most-frequent-token
+    * fraction <= 0.12. Thresholds apply to RAW integer-derived ratios
+    * — no rounding in the decision path.
+    */
+  def qualityKeep(text: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCount(text).cast("long")
+    val nd = n.cast("double")
+    val mwl = tokenLenSum(text).cast("double") / nd
+    val div = distinctTokenCount(text).cast("double") / nd
+    val mf = maxTokenFreq(text).cast("double") / nd
+    (n >= 40) && (mwl >= 3.0 && mwl <= 10.0) && (div >= 0.5) &&
+      (stopwordCount(text, stopwords) >= 2) && (mf <= 0.12)
+  }
+
   /** Composite quality score in [0,1]: lexical diversity + length +
     * stopword presence. Pure per-row double arithmetic from exact
     * integers (engine-portable).

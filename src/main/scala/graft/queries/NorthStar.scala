@@ -218,8 +218,7 @@ object NorthStar {
       val div = TextAnalysis.distinctTokenCount($"text").cast("double") / nd
       val stop = TextAnalysis.stopwordCount($"text", stopList)
       val mf = TextAnalysis.maxTokenFreq($"text").cast("double") / nd
-      val keep = (n >= 40) && (mwl >= 3.0 && mwl <= 10.0) &&
-        (div >= 0.5) && (stop >= 2) && (mf <= 0.12)
+      val keep = TextAnalysis.qualityKeep($"text", stopList)
       s.read.parquet(s"$dir/documents.parquet")
         .select($"doc_id", n.as("n_words"),
           round(mwl, 6).as("mean_word_len"),
@@ -651,6 +650,10 @@ object NorthStar {
     // joins against d09's persisted signature index — stateless,
     // batch-invariant, checked by d09's oracle verbatim (see
     // Streaming.streamIndexProbe).
+    "st09_stream_quality_route" -> { (s, dir) =>
+      graft.streaming.Streaming.streamQualityRoute(s, dir, stopList)
+    },
+
     "st08_stream_index_probe" -> { (s, dir) =>
       graft.streaming.Streaming.streamIndexProbe(s, dir)
         .orderBy("doc_id")
@@ -1323,6 +1326,23 @@ object NorthStar {
            |    list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
            |      (a, c) -> (a*31 + c) % $P)), ',') AS chunk_hashes_csv
            |FROM be ORDER BY doc_id""".stripMargin,
+
+      // the batch spelling of the streaming router: stateless verdicts
+      // are batch-invariant, so the aggregate matches exactly
+      "st09_stream_quality_route" ->
+        s"""SELECT lang, cast(CASE WHEN n >= 40 AND mwl >= 3.0 AND mwl <= 10.0
+           |    AND div >= 0.5 AND stop >= 2 AND mf <= 0.12
+           |    THEN 1 ELSE 0 END as bigint) AS keep,
+           |  count(*) AS n_docs, cast(sum(n) as bigint) AS sum_tokens
+           |FROM (SELECT lang, len(toks) AS n,
+           |    cast(list_reduce(list_transform(toks, t -> cast(length(t) as bigint)),
+           |      (a,b) -> a+b) as double) / len(toks) AS mwl,
+           |    cast(len(list_distinct(toks)) as double) / len(toks) AS div,
+           |    ${stopHitsSql("toks")} AS stop,
+           |    cast(list_max(list_transform(list_distinct(toks),
+           |      d -> len(list_filter(toks, x -> x = d)))) as double) / len(toks) AS mf
+           |  FROM (SELECT lang, $tk AS toks FROM documents))
+           |GROUP BY 1, 2 ORDER BY lang, keep""".stripMargin,
 
       "st01_stream_hourly" ->
         """SELECT (epoch_ms(ts) // 1000 // 3600) * 3600 AS hour_start,

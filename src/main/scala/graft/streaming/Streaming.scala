@@ -268,6 +268,28 @@ object Streaming {
     * microbatch based on its size — nothing here forces the index
     * through the driver.
     */
+  /** Streaming corpus-quality routing: each microbatch of documents is
+    * scored with the shared Gopher-style rule set
+    * ([[graft.functions.TextAnalysis.qualityKeep]]) and routed by
+    * (lang, keep); the running per-route doc/token counts are the
+    * monitoring surface a streaming ingest pipeline watches (complete
+    * mode). Scoring is stateless per-row projection; the only state is
+    * the |langs| x 2 aggregate rows. Being stateless, the verdicts are
+    * batch-invariant, so the batch aggregate over the same documents
+    * is an exact oracle.
+    */
+  def streamQualityRoute(s: SparkSession, dir: String,
+      stopwords: Seq[String]): DataFrame = {
+    import graft.functions.TextAnalysis
+    val agg = graft.sources.Sources.documentsStream(s, dir)
+      .withColumn("keep", TextAnalysis.qualityKeep(col("text"), stopwords).cast("long"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .groupBy(col("lang"), col("keep"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    runToTable(agg, "complete")
+      .orderBy("lang", "keep")
+  }
+
   def streamIndexProbe(s: SparkSession, dir: String, k: Int = 16,
       bands: Int = 4, n: Int = 3, minEstSim: Double = 0.5): DataFrame = {
     import s.implicits._
