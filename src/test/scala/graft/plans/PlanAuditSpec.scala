@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "d07_embedding_neardup" -> "planted-duplicate harness with synthetic id blocking; s07/s09 are the general path",
     "q04_theta_band_join" -> "documented broadcast band-containment shape: 5-row broadcast band table, fact side streams once",
     "q18_scalar_subquery" -> "scalar subquery compare = join against one broadcast row",
-    "s04_ivf_topk" -> "coarse quantizer: corpus x 32 broadcast centroids is the IVF assignment step by construction")
+    "s04_ivf_topk" -> "coarse quantizer: corpus x 32 broadcast centroids is the IVF assignment step by construction",
+    "s12_pq_topk" -> "ADC by construction: one code-table scan x broadcast per-query LUTs (plus the corpus x broadcast codebook encode step)")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
