@@ -36,12 +36,19 @@ object GlobalOrder {
     * + `__total` (grand total row count), both LongType.
     */
   private def rankedWithTotal(df: DataFrame, sortCols: Seq[Column],
-                              nParts: Int): DataFrame = {
+                              nParts: Int, scope: CacheScope): DataFrame = {
     require(nParts > 0, s"nParts must be positive, got $nParts")
     work.foreach(c => require(!df.columns.contains(c),
       s"input must not already contain working column $c"))
-    val ranged = df.repartitionByRange(nParts, sortCols: _*)
+    // persisted: BOTH passes (local ranks, per-partition counts) read
+    // the same materialized range partitioning — one upstream scan
+    // instead of two, and the partition boundaries the counts are
+    // keyed by are the ones the ranks actually used (no reliance on
+    // repartitionByRange's sampling being replay-identical across two
+    // executions of the lineage)
+    val ranged = scope.own(df.repartitionByRange(nParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
+      .persist())
     // pass 1: rank within each range partition — parallel
     val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val local = ranged.withColumn("__grank", row_number().over(wLocal).cast("long"))
@@ -67,8 +74,9 @@ object GlobalOrder {
     * order (include a tiebreaker) for a deterministic result.
     */
   def globalRank(df: DataFrame, sortCols: Seq[Column], nParts: Int = 32,
-                 rankName: String = "rank"): DataFrame =
-    rankedWithTotal(df, sortCols, nParts)
+                 rankName: String = "rank",
+                 scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    rankedWithTotal(df, sortCols, nParts, scope)
       .drop("__total").withColumnRenamed("__grank", rankName)
 
   /** Global NTILE(k) over `sortCols`, added as `tileName` (LongType),
@@ -78,9 +86,10 @@ object GlobalOrder {
     * computation, and it is the two-pass parallel one above.
     */
   def globalNtile(df: DataFrame, sortCols: Seq[Column], k: Int,
-                  nParts: Int = 32, tileName: String = "tile"): DataFrame = {
+                  nParts: Int = 32, tileName: String = "tile",
+                  scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    rankedWithTotal(df, sortCols, nParts)
+    rankedWithTotal(df, sortCols, nParts, scope)
       .withColumn(tileName, expr(
         s"""CASE
            |  WHEN __total % $k = 0 THEN (__grank - 1) div (__total div $k) + 1
