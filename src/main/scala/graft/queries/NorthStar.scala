@@ -613,6 +613,16 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // Binary near-dup via shared content-defined chunks over the
+    // planted-near-dup corpus: prefix-trimmed copies keep every chunk
+    // before the cut, so they surface at high overlap; the df<=16
+    // posting cap bounds the join (see chunkOverlapPairs).
+    "m05_chunk_overlap" -> { (s, dir) =>
+      Multimodal.chunkOverlapPairs(mutCorpus(s, dir), "text", "doc_id",
+          w = 8, mask = 63, dfCap = 16, minOverlap = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     // --- streaming ---
     "st01_stream_hourly" -> { (s, dir) =>
       graft.streaming.Streaming.hourlyStats(s, dir)
@@ -1326,6 +1336,35 @@ object NorthStar {
            |    list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
            |      (a, c) -> (a*31 + c) % $P)), ',') AS chunk_hashes_csv
            |FROM be ORDER BY doc_id""".stripMargin,
+
+      "m05_chunk_overlap" ->
+        s"""WITH u AS ($mutCorpusSql),
+           |t AS (SELECT doc_id, list_transform(string_split(text, ''),
+           |    c -> cast(ascii(c) as bigint)) AS codes FROM u),
+           |d AS (SELECT doc_id, codes, len(codes) AS n FROM t),
+           |bnd AS (SELECT doc_id, codes, n,
+           |    list_filter(range(8, n + 1), i ->
+           |      list_reduce(codes[i-7 : i], (a, c) -> (a*31 + c) % $P) % 64 = 0) AS ends
+           |  FROM d),
+           |be AS (SELECT doc_id, codes,
+           |    CASE WHEN len(ends) > 0 AND ends[-1] = n THEN ends
+           |         ELSE list_append(ends, n) END AS b
+           |  FROM bnd),
+           |ch AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(b) + 1), j ->
+           |    list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
+           |      (a, c) -> (a*31 + c) % $P))) AS ch
+           |  FROM be),
+           |sizes AS (SELECT doc_id, count(*) AS nch FROM ch GROUP BY 1),
+           |fdf AS (SELECT ch, count(*) AS df FROM ch GROUP BY 1),
+           |rare AS (SELECT c.doc_id, c.ch FROM ch c JOIN fdf USING (ch) WHERE fdf.df <= 16),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           |  FROM rare a JOIN rare b ON a.ch = b.ch AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT id_a, id_b, n_shared, round(ov, 6) AS overlap FROM (
+           |  SELECT p.id_a, p.id_b, p.n_shared,
+           |    cast(p.n_shared as double) / least(sa.nch, sb.nch) AS ov
+           |  FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+           |  JOIN sizes sb ON sb.doc_id = p.id_b) t
+           |WHERE ov >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
       // the batch spelling of the streaming router: stateless verdicts
       // are batch-invariant, so the aggregate matches exactly
