@@ -33,6 +33,14 @@ object NorthStar {
   private def stopHitsSql(toks: String) =
     s"len(list_filter($toks, t -> t in ($stopSql)))"
 
+  /** t16's PII regexes — RE2 subset (no lookaround/backrefs) so Spark's
+    * java.util.regex and DuckDB's RE2 match identically. IP is redacted
+    * before phone so the dotted quad can't be half-eaten.
+    */
+  private[queries] val PiiEmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PiiPhoneRe = "\\d{3}-\\d{4}"
+  private[queries] val PiiIpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
   /** Corpus with exact duplicates: every doc again under id+100000. */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -248,6 +256,41 @@ object NorthStar {
           when($"n_2grams" > 0, $"top2_n".cast("double") / $"n_2grams").otherwise(0.0), 6))
         .withColumn("dup3_frac", round(
           when($"n_3grams" > 0, $"n_dup3".cast("double") / $"n_3grams").otherwise(0.0), 6))
+        .orderBy($"doc_id")
+    },
+
+    // PII pattern detection + redaction stats — the scrubbing pass every
+    // training corpus runs before release. The testdata has no PII, so
+    // deterministic synthetic PII (email / phone / IPv4 derived from
+    // doc_id) is injected identically in both engines, then detected
+    // with RE2-subset regexes (no lookaround/backrefs — portable
+    // Spark <-> DuckDB like t06) and redacted; the md5 of the redacted
+    // text proves the replacement itself matches byte-for-byte. Pure
+    // per-row projection.
+    "t16_pii_stats" -> { (s, dir) =>
+      import s.implicits._
+      val aug = concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact u"), $"doc_id", lit("@example.com now"))).otherwise(""),
+        when($"doc_id" % 11 === 0,
+          concat(lit(" call 555-01"),
+            lpad(($"doc_id" % 100).cast("string"), 2, "0"), lit(" today"))).otherwise(""),
+        when($"doc_id" % 13 === 0,
+          concat(lit(" host 10.0."), ($"doc_id" % 256).cast("string"),
+            lit(".1 up"))).otherwise(""))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(aug,
+        lit(PiiEmailRe), lit("<EMAIL>")),
+        lit(PiiIpRe), lit("<IP>")),
+        lit(PiiPhoneRe), lit("<PHONE>"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id",
+          org.apache.spark.sql.functions.size(
+            regexp_extract_all(aug, lit(PiiEmailRe), lit(0))).cast("long").as("n_emails"),
+          org.apache.spark.sql.functions.size(
+            regexp_extract_all(aug, lit(PiiPhoneRe), lit(0))).cast("long").as("n_phones"),
+          org.apache.spark.sql.functions.size(
+            regexp_extract_all(aug, lit(PiiIpRe), lit(0))).cast("long").as("n_ips"),
+          md5(redacted).as("redacted_md5"))
         .orderBy($"doc_id")
     },
 
@@ -775,6 +818,27 @@ object NorthStar {
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${Mixture.stratifiedSampleSql("lang", "doc_id", T13Rates)}
            |ORDER BY doc_id""".stripMargin,
+
+      "t16_pii_stats" ->
+        s"""WITH a AS (SELECT doc_id, text ||
+           |  CASE WHEN doc_id % 7 = 0
+           |    THEN ' contact u' || doc_id || '@example.com now' ELSE '' END ||
+           |  CASE WHEN doc_id % 11 = 0
+           |    THEN ' call 555-01' || lpad(cast(doc_id % 100 as varchar), 2, '0') || ' today'
+           |    ELSE '' END ||
+           |  CASE WHEN doc_id % 13 = 0
+           |    THEN ' host 10.0.' || cast(doc_id % 256 as varchar) || '.1 up'
+           |    ELSE '' END AS aug
+           |  FROM documents)
+           |SELECT doc_id,
+           |  cast(len(regexp_extract_all(aug, '$PiiEmailRe')) as bigint) AS n_emails,
+           |  cast(len(regexp_extract_all(aug, '$PiiPhoneRe')) as bigint) AS n_phones,
+           |  cast(len(regexp_extract_all(aug, '$PiiIpRe')) as bigint) AS n_ips,
+           |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+           |    '$PiiEmailRe', '<EMAIL>', 'g'),
+           |    '$PiiIpRe', '<IP>', 'g'),
+           |    '$PiiPhoneRe', '<PHONE>', 'g')) AS redacted_md5
+           |FROM a ORDER BY doc_id""".stripMargin,
 
       "t14_quality_rules" ->
         s"""SELECT doc_id, cast(n as bigint) AS n_words,
