@@ -61,6 +61,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] signature-index warmup failed: $e")
     }
+    // and for s13's PQ code asset
+    try graft.operators.Similarity.ensurePqIndex(spark, sfDir).limit(1).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] pq-index warmup failed: $e")
+    }
     // Streaming machinery init (microbatch planner, state store provider)
     // costs ~2.5s once per session; pay it on a 100-row synthetic stream
     // so per-query numbers measure the queries. The stream source's

@@ -157,38 +157,69 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ncode: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(m >= 1 && ncode >= 1, s"m=$m ncode=$ncode must be positive")
-    // per-row subspace width (d/m); `/` on columns is double division,
-    // so cast back — exact whenever m divides the dimension
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqSearch(pqEncode(corpus, m, ncode, idCol, vecCol),
+      corpus, queries, k, m, ncode, idCol, vecCol)
+
+  /** Subspace-local squared L2 — sequential left fold (deterministic). */
+  private def pqD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
+
+  /** One row per (vector, subspace): (outId, j, sub) with sub the
+    * double-cast slice j of the vector. Width d/m is computed per row
+    * (`/` on columns is double division, so cast back — exact whenever
+    * m divides the dimension).
+    */
+  private def pqSubspaced(df: DataFrame, outId: String, m: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val subW = (org.apache.spark.sql.functions.size(col("vec")) / lit(m)).cast("int")
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
-    def subspaced(df: DataFrame, outId: String): DataFrame =
-      df.select(col(idCol).cast("long").as(outId),
-          transform(col(vecCol), x => x.cast("double")).as("vec"))
-        .select(col(outId), col("vec"), explode(sequence(lit(0), lit(m - 1))).as("j"))
-        .select(col(outId), col("j"),
-          slice(col("vec"), col("j") * subW + 1, subW).as("sub"))
-    // codebook: (j, c_id, cv) for the ncode lowest-id vectors — tiny, broadcast
-    val cb = broadcast(subspaced(corpus.filter(col(idCol) < ncode), "c_id")
+    df.select(col(idCol).cast("long").as(outId),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .select(col(outId), col("vec"), explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .select(col(outId), col("j"),
+        slice(col("vec"), col("j") * subW + 1, subW).as("sub"))
+  }
+
+  /** The deterministic codebook: (j, c_id, cv) — subspace j's codewords
+    * are the sub-vectors of the ncode lowest-id corpus vectors. Tiny
+    * (m x ncode rows), always broadcast.
+    */
+  private def pqCodebook(corpus: DataFrame, m: Int, ncode: Int,
+      idCol: String, vecCol: String): DataFrame =
+    broadcast(pqSubspaced(corpus.filter(col(idCol) < ncode), "c_id", m, idCol, vecCol)
       .select(col("j"), col("c_id"), col("sub").as("cv")))
-    // encode: per (vector, subspace) argmin codeword -> codes array ordered by j
-    val codes = subspaced(corpus, "n_id")
-      .join(cb, "j")
+
+  /** Encode the corpus: (n_id, codes) with codes[j] the argmin codeword
+    * of subspace j (ties to lower code id). One corpus scan + broadcast
+    * codebook join + partial-aggregatable argmin. In production this is
+    * a build-once asset — see [[ensurePqIndex]].
+    */
+  def pqEncode(corpus: DataFrame, m: Int = 8, ncode: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqSubspaced(corpus, "n_id", m, idCol, vecCol)
+      .join(pqCodebook(corpus, m, ncode, idCol, vecCol), "j")
       .groupBy(col("n_id"), col("j"))
-      .agg(min(struct(d2(col("sub"), col("cv")).as("d"), col("c_id"))).as("best"))
+      .agg(min(struct(pqD2(col("sub"), col("cv")).as("d"), col("c_id"))).as("best"))
       .groupBy(col("n_id"))
       .agg(transform(sort_array(collect_list(struct(col("j"), col("best.c_id").as("c")))),
         e => e("c")).as("codes"))
-    // per-query LUT: flat array indexed j*ncode + c_id -> d2(q_sub, codeword)
-    val lut = subspaced(queries, "q_id")
+
+  /** ADC search over an encoded code table: per-query LUTs (flat array
+    * indexed j*ncode + c_id) built from the same deterministic codebook,
+    * then ONE scan of the code table x broadcast LUTs with a per-row
+    * O(m) fold. `corpus` supplies only the ncode codebook rows.
+    */
+  def pqSearch(codes: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ncode: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && ncode >= 1, s"m=$m ncode=$ncode must be positive")
+    val cb = pqCodebook(corpus, m, ncode, idCol, vecCol)
+    val lut = pqSubspaced(queries, "q_id", m, idCol, vecCol)
       .join(cb, "j")
       .groupBy(col("q_id"))
       .agg(transform(sort_array(collect_list(struct(col("j"), col("c_id"),
-        d2(col("sub"), col("cv")).as("d")))), e => e("d")).as("lut"))
-    // ADC: one scan of the code table x broadcast LUTs; per-row O(m) fold
+        pqD2(col("sub"), col("cv")).as("d")))), e => e("d")).as("lut"))
     val adc = codes.crossJoin(broadcast(lut))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
@@ -198,6 +229,45 @@ object Similarity {
     adc.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"), round(col("adc"), 6).as("adc_d2"))
+  }
+
+  /** Build-once PQ code asset over the embeddings table (the ANN twin
+    * of [[Dedup.ensureSignatureIndex]]'s dedup index): encode once,
+    * publish with a content-fingerprint marker, serve every later
+    * search from the 32x-narrower code table. Same freshness contract:
+    * part-file fingerprint mismatch → rebuild; atomic marker publish.
+    */
+  def ensurePqIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      m: Int = 8, ncode: Int = 32): DataFrame = Similarity.synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val loc = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      s"graft_pq_index_${m}_${ncode}_$tag")
+    val src = new java.io.File(dir, "embeddings.parquet")
+    def fpOf(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toIndexedSeq
+          .filterNot(_.getName.startsWith(".")).flatMap(fpOf)
+      else Seq(s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
+    val fp = fpOf(src).mkString("\n")
+    val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
+    val fresh = marker.isFile && loc.isDirectory &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+    if (!fresh) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      Seq(loc, marker).filter(_.exists()).foreach(rm)
+      pqEncode(s.read.parquet(src.getAbsolutePath), m, ncode)
+        .write.mode("overwrite").parquet(loc.getAbsolutePath)
+      val tmp = java.io.File.createTempFile(loc.getName, ".tmp", loc.getParentFile)
+      java.nio.file.Files.write(tmp.toPath, fp.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    s.read.parquet(loc.getAbsolutePath)
   }
 
   /** Density clustering of embeddings — DBSCAN generalized from the

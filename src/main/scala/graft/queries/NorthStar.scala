@@ -467,6 +467,20 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // The production PQ shape: search against the BUILD-ONCE code asset
+    // (ensurePqIndex — fingerprint-guarded like d09's signature index)
+    // instead of re-encoding the corpus per query. Same math as s12, so
+    // s12's oracle checks this verbatim; only the ncode codebook rows
+    // are read from the raw embeddings at query time.
+    "s13_pq_index_probe" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val codes = Similarity.ensurePqIndex(s, dir, m = 8, ncode = 32)
+      Similarity.pqSearch(codes, emb, emb.filter($"vec_id" < 5), k = 5, m = 8, ncode = 32)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_d2")
+        .orderBy("q_id", "rnk")
+    },
+
     // Grid-bucketed eps-distance self-join: per-event neighborhood size
     // in (value, hours) space — DBSCAN's core test as a relational op,
     // planned as a hash equi-join on cell keys (never a nested loop).
@@ -1519,6 +1533,10 @@ object NorthStar {
     // stream-static join against the same frozen index, so the batch
     // oracle is d09's verbatim — any drift between the streaming and
     // batch paths fails the hash compare.
-    m + ("st08_stream_index_probe" -> m("d09_incremental_neardup"))
+    // s13 searches the build-once PQ code asset with the same
+    // deterministic codebook and ADC math as s12's inline encode —
+    // s12's oracle checks the asset path verbatim
+    m + ("st08_stream_index_probe" -> m("d09_incremental_neardup")) +
+      ("s13_pq_index_probe" -> m("s12_pq_topk"))
   }
 }
