@@ -294,6 +294,29 @@ object NorthStar {
         .orderBy($"doc_id")
     },
 
+    // The end-to-end curation pipeline — what this engine exists for,
+    // composed from the operators the individual queries verify:
+    // Gopher-rule quality filter (t14's shared verdict) -> exact dedup
+    // to the min-id canonical (d01's shape) -> deterministic hash
+    // split (t08's) over the planted-duplicate corpus. Every stage is
+    // a projection, one aggregate, or a semi join — the whole pipeline
+    // shuffles twice (dedup group, dedup semi join) regardless of
+    // corpus size.
+    "t17_curation_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.select($"doc_id", $"text", $"lang")
+        .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), $"text", $"lang"))
+      val kept = corpus.filter(TextAnalysis.qualityKeep($"text", stopList))
+        .withColumn("fp", md5($"text"))
+      val canon = kept.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      kept.join(canon, Seq("fp", "doc_id"), "left_semi")
+        .withColumn("split", Mixture.splitColumn($"doc_id"))
+        .select($"doc_id", $"lang", $"split",
+          TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
+    },
+
     // Token-budget mixture sampling: 2000 whitespace-tokens per language,
     // drawn in deterministic hash order via the two-pass distributed
     // prefix sum (no single-task stratum sort).
@@ -832,6 +855,26 @@ object NorthStar {
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${Mixture.stratifiedSampleSql("lang", "doc_id", T13Rates)}
            |ORDER BY doc_id""".stripMargin,
+
+      "t17_curation_pipeline" ->
+        s"""WITH u AS (SELECT doc_id, text, lang FROM documents
+           |    UNION ALL SELECT doc_id + 100000, text, lang FROM documents),
+           |mt AS (SELECT doc_id, text, lang, toks, len(toks) AS n,
+           |    cast(list_reduce(list_transform(toks, t -> cast(length(t) as bigint)),
+           |      (a,b) -> a+b) as double) / len(toks) AS mwl,
+           |    cast(len(list_distinct(toks)) as double) / len(toks) AS div,
+           |    ${stopHitsSql("toks")} AS stop,
+           |    cast(list_max(list_transform(list_distinct(toks),
+           |      d -> len(list_filter(toks, x -> x = d)))) as double) / len(toks) AS mf
+           |  FROM (SELECT doc_id, text, lang, ${toksSql("text")} AS toks FROM u)),
+           |k AS (SELECT doc_id, text, lang, toks FROM mt
+           |  WHERE n >= 40 AND mwl >= 3.0 AND mwl <= 10.0
+           |    AND div >= 0.5 AND stop >= 2 AND mf <= 0.12),
+           |c AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM k GROUP BY 1)
+           |SELECT k.doc_id, k.lang, ${Mixture.splitColumnSql("k.doc_id")} AS split,
+           |  cast(len(k.toks) as bigint) AS n_tokens
+           |FROM k JOIN c ON c.doc_id = k.doc_id AND c.fp = md5(k.text)
+           |ORDER BY k.doc_id""".stripMargin,
 
       "t16_pii_stats" ->
         s"""WITH a AS (SELECT doc_id, text ||
