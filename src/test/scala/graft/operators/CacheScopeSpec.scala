@@ -45,6 +45,19 @@ class CacheScopeSpec extends AnyFunSuite with Matchers {
     noException should be thrownBy scope.release()
   }
 
+  test("chunkOverlapPairs (m05) caches under the scope and releases clean") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val scope = new CacheScope
+    val pairs = Multimodal.chunkOverlapPairs(docs, "text", "doc_id",
+      dfCap = 50, minOverlap = 0.1, scope = scope)
+    val n = pairs.count()
+    (sc.getPersistentRDDs.keySet -- before) should not be empty
+    scope.release()
+    (sc.getPersistentRDDs.keySet -- before) shouldBe empty
+    pairs.count() shouldBe n
+  }
+
   test("unmanaged scope keeps the legacy behavior and a no-op release") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q04_theta_band_join" -> "documented broadcast band-containment shape: 5-row broadcast band table, fact side streams once",
     "q18_scalar_subquery" -> "scalar subquery compare = join against one broadcast row",
     "s04_ivf_topk" -> "coarse quantizer: corpus x 32 broadcast centroids is the IVF assignment step by construction",
-    "s12_pq_topk" -> "ADC by construction: one code-table scan x broadcast per-query LUTs (plus the corpus x broadcast codebook encode step)")
+    "s12_pq_topk" -> "ADC by construction: one code-table scan x broadcast per-query LUTs (plus the corpus x broadcast codebook encode step)",
+    "s13_pq_index_probe" -> "same ADC shape as s12, reading the build-once code asset instead of encoding inline")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
