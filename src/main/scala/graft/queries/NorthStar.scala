@@ -535,6 +535,25 @@ object NorthStar {
         .orderBy("id")
     },
 
+    // The SQL-text spelling of s05: a user writing plain SQL against
+    // the registered kernel functions (GraftSqlFunctions) gets the
+    // SAME EpsJoinRewrite re-plan — the naive graft_dist_sq theta join
+    // becomes the grid-bucketed hash equi-join whether the plan was
+    // authored via the DataFrame API or spark.sql. Shares s03's oracle
+    // (the rewrite must not change results); PlanAuditSpec holds it to
+    // the no-nested-loop bar with no allowance.
+    "s14_sql_eps_degree" -> { (s, dir) =>
+      import s.implicits._
+      Relational.events(s, dir).select(
+          $"event_id".as("id"), $"value".as("x"),
+          ((expr("ts div 1000000000") - lit(1704067200L)) / 3600.0).as("y"))
+        .createOrReplaceTempView("graft_s14_pts")
+      s.sql("""SELECT a.id AS id, count(*) AS n_neighbors
+              |FROM graft_s14_pts a JOIN graft_s14_pts b
+              |  ON graft_dist_sq(a.x, a.y, b.x, b.y) <= 4.0 AND a.id <> b.id
+              |GROUP BY a.id ORDER BY id""".stripMargin)
+    },
+
     // DBSCAN generalized to n-D cosine space over embeddings (the
     // reference's core capability on the north-star data): exact
     // neighbor graph on the first 1000 vectors, graph-DBSCAN labels.
@@ -1580,6 +1599,8 @@ object NorthStar {
     // deterministic codebook and ADC math as s12's inline encode —
     // s12's oracle checks the asset path verbatim
     m + ("st08_stream_index_probe" -> m("d09_incremental_neardup")) +
-      ("s13_pq_index_probe" -> m("s12_pq_topk"))
+      ("s13_pq_index_probe" -> m("s12_pq_topk")) +
+      // SQL-authored spelling of the same eps join — rewrite-preserving
+      ("s14_sql_eps_degree" -> m("s03_eps_degree"))
   }
 }
