@@ -99,6 +99,11 @@ object Multimodal {
       w: Int = 8, mask: Long = 63, dfCap: Long = 16,
       minOverlap: Double = 0.5,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(w >= 1, s"chunk window w=$w must be >= 1")
+    require(mask >= 0, s"boundary mask=$mask must be >= 0")
+    require(dfCap >= 1, s"dfCap=$dfCap must be >= 1")
+    require(minOverlap > 0 && minOverlap <= 1,
+      s"minOverlap=$minOverlap must be in (0, 1]")
     val spark = docs.sparkSession
     import spark.implicits._
     val chunks = scope.own(docs
