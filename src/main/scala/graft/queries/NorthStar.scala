@@ -317,6 +317,38 @@ object NorthStar {
         .orderBy($"doc_id")
     },
 
+    // Per-source triage dashboard — the first thing a curation run
+    // reports: per source, doc count, rule keep-rate, mean quality
+    // score (summed as exact decimals so group order can't wiggle the
+    // mean), token volume, and the cross-doc boilerplate line ratio
+    // (t12's posting join over the base corpus). Two shuffles: the
+    // line posting aggregate and the final per-source aggregate.
+    "t18_source_triage" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val perDoc = docs.select($"doc_id", $"source",
+        TextAnalysis.qualityKeep($"text", stopList).cast("long").as("keep"),
+        TextAnalysis.qualityScore($"text", stopList)
+          .cast(DecimalType(18, 6)).as("score_dec"),
+        TextAnalysis.tokenCount($"text").cast("long").as("n_toks"))
+      val lines = Dedup.lineDupStats(docs, "text", "doc_id")
+        .select($"doc_id", $"n_lines", $"n_dup_lines")
+      perDoc.join(lines, "doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"keep").as("n_keep"),
+          sum($"score_dec").as("sum_score"),
+          sum($"n_toks").as("sum_tokens"),
+          sum($"n_dup_lines").as("dl"), sum($"n_lines").as("nl"))
+        .select($"source", $"n_docs", $"n_keep",
+          round($"n_keep".cast("double") / $"n_docs", 6).as("keep_rate"),
+          round($"sum_score".cast("double") / $"n_docs", 6).as("mean_score"),
+          $"sum_tokens",
+          round($"dl".cast("double") / $"nl", 6).as("dup_line_ratio"))
+        .orderBy($"source")
+    },
+
     // Token-budget mixture sampling: 2000 whitespace-tokens per language,
     // drawn in deterministic hash order via the two-pass distributed
     // prefix sum (no single-task stratum sort).
@@ -894,6 +926,42 @@ object NorthStar {
            |  cast(len(k.toks) as bigint) AS n_tokens
            |FROM k JOIN c ON c.doc_id = k.doc_id AND c.fp = md5(k.text)
            |ORDER BY k.doc_id""".stripMargin,
+
+      "t18_source_triage" ->
+        s"""WITH mt AS (SELECT doc_id, source, toks, len(toks) AS n,
+           |    cast(list_reduce(list_transform(toks, t -> cast(length(t) as bigint)),
+           |      (a,b) -> a+b) as double) / len(toks) AS mwl,
+           |    cast(len(list_distinct(toks)) as double) / len(toks) AS div,
+           |    len(list_distinct(toks)) AS nd,
+           |    ${stopHitsSql("toks")} AS stop,
+           |    cast(list_max(list_transform(list_distinct(toks),
+           |      d -> len(list_filter(toks, x -> x = d)))) as double) / len(toks) AS mf
+           |  FROM (SELECT doc_id, source, $tk AS toks FROM documents)),
+           |pd AS (SELECT doc_id, source, n AS n_toks,
+           |    CASE WHEN n >= 40 AND mwl >= 3.0 AND mwl <= 10.0 AND div >= 0.5
+           |      AND stop >= 2 AND mf <= 0.12 THEN 1 ELSE 0 END AS keep,
+           |    cast(round((cast(nd as double) / n) * 0.4 +
+           |      least(1.0, cast(n as double) / 100.0) * 0.3 +
+           |      (cast(stop as double) / n) * 0.3, 6) as decimal(18,6)) AS score_dec
+           |  FROM mt),
+           |l AS (SELECT doc_id, unnest(list_transform(range(0,
+           |    greatest(cast(ceil(len(toks) / 10.0) as int), 1)),
+           |    i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS line
+           |  FROM (SELECT doc_id, $tk AS toks FROM documents)),
+           |ld AS (SELECT doc_id, ${rollSql("line")} AS lh FROM l),
+           |p AS (SELECT lh, count(DISTINCT doc_id) AS ndocs FROM ld GROUP BY lh),
+           |dl AS (SELECT ld.doc_id, count(*) AS n_lines,
+           |    sum(CASE WHEN p.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_lines
+           |  FROM ld JOIN p USING (lh) GROUP BY ld.doc_id)
+           |SELECT pd.source, count(*) AS n_docs,
+           |  cast(sum(pd.keep) as bigint) AS n_keep,
+           |  round(cast(sum(pd.keep) as double) / count(*), 6) AS keep_rate,
+           |  round(cast(sum(pd.score_dec) as double) / count(*), 6) AS mean_score,
+           |  cast(sum(pd.n_toks) as bigint) AS sum_tokens,
+           |  round(cast(sum(dl.n_dup_lines) as double) / sum(dl.n_lines), 6)
+           |    AS dup_line_ratio
+           |FROM pd JOIN dl USING (doc_id)
+           |GROUP BY pd.source ORDER BY source""".stripMargin,
 
       "t16_pii_stats" ->
         s"""WITH a AS (SELECT doc_id, text ||
