@@ -231,6 +231,54 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"), round(col("adc"), 6).as("adc_d2"))
   }
 
+  /** The deterministic codebook collected to the driver —
+    * `cb(j)(c)` = codeword c of subspace j. m x ncode x (d/m) doubles
+    * (2 KB at the defaults): a sanctioned broadcast-scale planning
+    * step, used to encode STREAMING rows per-row in a typed kernel
+    * (a stream side cannot run the aggregate encode).
+    */
+  def pqCodebookLocal(corpus: DataFrame, m: Int = 8, ncode: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[(Long, Array[Double])]] = {
+    val rows = pqCodebook(corpus, m, ncode, idCol, vecCol)
+      .collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("c_id"),
+        r.getAs[scala.collection.Seq[Double]]("cv").toArray))
+    val nJ = rows.map(_._1).max + 1
+    Array.tabulate(nJ) { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(t => (t._2, t._3))
+    }
+  }
+
+  /** Per-row PQ encode against a collected codebook — value-identical
+    * to [[pqEncode]]'s aggregate argmin (sequential-fold d2, ties to
+    * the lower code id; emits the codeword's ID, which is a corpus id
+    * and need not be dense). Used by the streaming probe.
+    */
+  def pqEncodeLocal(vec: Array[Double], cb: Array[Array[(Long, Array[Double])]]): Array[Long] = {
+    val m = cb.length
+    val subW = vec.length / m
+    Array.tabulate(m) { j =>
+      val cws = cb(j)
+      var best = 0L
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cws.length) {
+        val cv = cws(c)._2
+        var d = 0.0
+        var i = 0
+        while (i < subW) {
+          val t = vec(j * subW + i) - cv(i)
+          d += t * t
+          i += 1
+        }
+        // strict <: on a tie the earlier (lower-id, sorted) codeword wins
+        if (d < bestD) { bestD = d; best = cws(c)._1 }
+        c += 1
+      }
+      best
+    }
+  }
+
   /** Build-once PQ code asset over the embeddings table (the ANN twin
     * of [[Dedup.ensureSignatureIndex]]'s dedup index): encode once,
     * publish with a content-fingerprint marker, serve every later

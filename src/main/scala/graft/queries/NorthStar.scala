@@ -795,6 +795,11 @@ object NorthStar {
       graft.streaming.Streaming.streamQualityRoute(s, dir, stopList)
     },
 
+    "st10_stream_pq_match" -> { (s, dir) =>
+      graft.streaming.Streaming.streamPqMatch(s, dir, m = 8, ncode = 32)
+        .orderBy("vec_id")
+    },
+
     "st08_stream_index_probe" -> { (s, dir) =>
       graft.streaming.Streaming.streamIndexProbe(s, dir)
         .orderBy("doc_id")
@@ -1573,6 +1578,43 @@ object NorthStar {
            |  FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
            |  JOIN sizes sb ON sb.doc_id = p.id_b) t
            |WHERE ov >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      // the batch spelling of st10's streaming encode+join: the PQ
+      // encode is deterministic, so the code-identical-blocking
+      // verdicts are batch-invariant
+      "st10_stream_pq_match" -> {
+        val d2 = (a: String, b: String) =>
+          s"""list_reduce(list_transform(range(1, 9),
+             |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
+        s"""WITH e AS (SELECT vec_id AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |js AS (SELECT unnest(range(0, 8)) AS j),
+           |cb AS (SELECT j, id AS c_id, v[j*8+1 : j*8+8] AS cv FROM e, js WHERE id < 32),
+           |bsub AS (SELECT id, j, v[j*8+1 : j*8+8] AS sv FROM e, js),
+           |benc AS (SELECT id, j, c_id FROM (
+           |    SELECT s.id, s.j, c.c_id, row_number() OVER (PARTITION BY s.id, s.j
+           |      ORDER BY ${d2("s.sv", "c.cv")} ASC, c.c_id ASC) AS rn
+           |    FROM bsub s JOIN cb c ON s.j = c.j) t WHERE rn = 1),
+           |bcodes AS (SELECT id AS n_id,
+           |    array_to_string(list(c_id ORDER BY j), ',') AS ckey
+           |  FROM benc GROUP BY id),
+           |sh AS (SELECT id + 100000 AS id,
+           |    CASE WHEN id % 2 = 1 THEN list_transform(v, x -> x + 10) ELSE v END AS v
+           |  FROM e),
+           |ssub AS (SELECT id, j, v[j*8+1 : j*8+8] AS sv FROM sh, js),
+           |senc AS (SELECT id, j, c_id FROM (
+           |    SELECT s.id, s.j, c.c_id, row_number() OVER (PARTITION BY s.id, s.j
+           |      ORDER BY ${d2("s.sv", "c.cv")} ASC, c.c_id ASC) AS rn
+           |    FROM ssub s JOIN cb c ON s.j = c.j) t WHERE rn = 1),
+           |scodes AS (SELECT id,
+           |    array_to_string(list(c_id ORDER BY j), ',') AS ckey
+           |  FROM senc GROUP BY id)
+           |SELECT sc.id AS vec_id,
+           |  coalesce(min(bc.n_id), sc.id) AS canonical_id,
+           |  (min(bc.n_id) IS NULL) AS is_new
+           |FROM scodes sc LEFT JOIN bcodes bc ON bc.ckey = sc.ckey
+           |GROUP BY sc.id ORDER BY vec_id""".stripMargin
+      },
 
       // the batch spelling of the streaming router: stateless verdicts
       // are batch-invariant, so the aggregate matches exactly

@@ -62,6 +62,18 @@ object Sources {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  /** The embeddings schema for the file stream source. */
+  val embeddingsStreamSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming read of the embeddings table (file source). */
+  def embeddingsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(embeddingsStreamSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
   /** Headerless x,y[,label] points CSV (the reference's input format). */
   def pointsCsv(s: SparkSession, path: String): DataFrame =
     s.read.csv(path).select(

@@ -290,6 +290,57 @@ object Streaming {
       .orderBy("lang", "keep")
   }
 
+  /** Streaming PQ-code matching of incoming vectors against the
+    * build-once code asset ([[graft.operators.Similarity.ensurePqIndex]])
+    * — the embedding-side twin of [[streamIndexProbe]]: a daily vector
+    * ingest linking each new embedding to an existing corpus vector
+    * with the IDENTICAL PQ code (code-identical blocking, the cheapest
+    * vector-dedup gate: exact duplicates always collide because
+    * encoding is deterministic).
+    *
+    * Each microbatch row is encoded per-row in a typed kernel against
+    * the driver-collected codebook (m x ncode x d/m doubles, ~2 KB —
+    * the same sanctioned tiny-planning-collect as the DBSCAN margins),
+    * then stream-static LEFT-joined against the asset on the code key.
+    * Stateless: verdicts are batch-invariant, so the batch spelling of
+    * the same encode+join is an exact oracle.
+    *
+    * The probe shard is the d09-style mutation: every corpus vector
+    * re-arrives under id+100000 — unchanged for even ids (guaranteed
+    * code-identical match), shifted +10 per element (in double, exactly
+    * replicable) for odd ids, which moves them to other code cells
+    * (is_new unless they happen to collide with an existing code).
+    */
+  def streamPqMatch(s: SparkSession, dir: String,
+      m: Int = 8, ncode: Int = 32): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val index = Similarity.ensurePqIndex(s, dir, m, ncode) // static asset
+    val indexKeyed = index.select(col("n_id"),
+      array_join(transform(col("codes"), c => c.cast("string")), ",").as("ckey"))
+    val cb = Similarity.pqCodebookLocal(emb, m, ncode)
+    val shard = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).as("id"),
+        when(col("vec_id") % 2 === 1,
+          transform(col("embedding"), x => x.cast("double") + 10.0))
+          .otherwise(transform(col("embedding"), x => x.cast("double")))
+          .as("vec"))
+    val keyed = shard.as[(Long, Array[Double])]
+      .map { case (id, vec) =>
+        (id, Similarity.pqEncodeLocal(vec, cb).mkString(","))
+      }
+      .toDF("id", "ckey")
+    val joined = keyed.join(indexKeyed, Seq("ckey"), "left_outer")
+      .select(col("id"), col("n_id"))
+    runToTable(joined, "append")
+      .groupBy("id")
+      .agg(min(col("n_id")).as("match_id"))
+      .select(col("id").as("vec_id"),
+        coalesce(col("match_id"), col("id")).as("canonical_id"),
+        col("match_id").isNull.as("is_new"))
+  }
+
   def streamIndexProbe(s: SparkSession, dir: String, k: Int = 16,
       bands: Int = 4, n: Int = 3, minEstSim: Double = 0.5): DataFrame = {
     import s.implicits._
