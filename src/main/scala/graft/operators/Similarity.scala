@@ -243,8 +243,9 @@ object Similarity {
       .collect()
       .map(r => (r.getAs[Int]("j"), r.getAs[Long]("c_id"),
         r.getAs[scala.collection.Seq[Double]]("cv").toArray))
-    val nJ = rows.map(_._1).max + 1
-    Array.tabulate(nJ) { j =>
+    // empty corpus -> m empty codeword lists (encode degrades to code 0,
+    // the asset is empty, every probe row lands is_new)
+    Array.tabulate(m) { j =>
       rows.filter(_._1 == j).sortBy(_._2).map(t => (t._2, t._3))
     }
   }
