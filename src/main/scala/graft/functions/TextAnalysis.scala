@@ -53,18 +53,24 @@ object TextAnalysis {
     * pure long arithmetic. The earlier struct-typed accumulator kept
     * the fold in one pass but boxed a new InternalRow per token
     * (struct-valued lambdas don't stay primitive), which made t04 the
-    * slowest line of the whole bench (6.2 s at sf0.1); field widths are
-    * safe for any document under 2^20 stopword hits per list.
+    * slowest line of the whole bench (6.2 s at sf0.1). Each field
+    * SATURATES at 2^20 - 1: a hit increments its field only while the
+    * field is below the cap, so a pathological document with >= 2^20
+    * hits in one list clamps that count instead of overflowing into
+    * the neighboring field (the comparison cascade is unaffected — any
+    * clamped field is already the maximum).
     */
   def langGuess(text: Column): Column = {
     val enW = Seq("the", "a", "of", "and", "to", "in")
     val deW = Seq("der", "die", "das", "und", "ist")
     val esW = Seq("el", "la", "de", "que", "y")
-    def hit(t: Column, ws: Seq[String], shift: Int) =
-      when(t.isin(ws: _*), lit(1L << shift)).otherwise(0L)
-    val packed = aggregate(tokens(text), lit(0L),
-      (acc, t) => acc + hit(t, enW, 0) + hit(t, deW, 20) + hit(t, esW, 40))
     val mask = lit((1L << 20) - 1L)
+    def hit(acc: Column, t: Column, ws: Seq[String], shift: Int) =
+      when(t.isin(ws: _*) &&
+          shiftright(acc, shift).bitwiseAND(mask) < mask, lit(1L << shift))
+        .otherwise(0L)
+    val packed = aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + hit(acc, t, enW, 0) + hit(acc, t, deW, 20) + hit(acc, t, esW, 40))
     val en = packed.bitwiseAND(mask)
     val de = shiftright(packed, 20).bitwiseAND(mask)
     val es = shiftright(packed, 40).bitwiseAND(mask)
@@ -111,7 +117,10 @@ object TextAnalysis {
     * drift): word count >= 40, mean word length in [3, 10], lexical
     * diversity >= 0.5, >= 2 stopword hits, most-frequent-token
     * fraction <= 0.12. Thresholds apply to RAW integer-derived ratios
-    * — no rounding in the decision path.
+    * — no rounding in the decision path. Null text is an explicit
+    * REJECT (false, not null): every conjunct null-propagates, and a
+    * null verdict would route a third group in the streaming router
+    * while the oracle's CASE WHEN yields 0.
     */
   def qualityKeep(text: Column, stopwords: Seq[String]): Column = {
     val n = tokenCount(text).cast("long")
@@ -119,8 +128,10 @@ object TextAnalysis {
     val mwl = tokenLenSum(text).cast("double") / nd
     val div = distinctTokenCount(text).cast("double") / nd
     val mf = maxTokenFreq(text).cast("double") / nd
-    (n >= 40) && (mwl >= 3.0 && mwl <= 10.0) && (div >= 0.5) &&
-      (stopwordCount(text, stopwords) >= 2) && (mf <= 0.12)
+    coalesce(
+      (n >= 40) && (mwl >= 3.0 && mwl <= 10.0) && (div >= 0.5) &&
+        (stopwordCount(text, stopwords) >= 2) && (mf <= 0.12),
+      lit(false))
   }
 
   /** Composite quality score in [0,1]: lexical diversity + length +

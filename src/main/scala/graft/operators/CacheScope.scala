@@ -33,7 +33,7 @@ final class CacheScope private[operators] (track: Boolean) {
 
   private val owned = ArrayBuffer.empty[Dataset[_]]
 
-  private[operators] def own[T <: Dataset[_]](ds: T): T = {
+  private[graft] def own[T <: Dataset[_]](ds: T): T = {
     if (track) synchronized { owned += ds }
     ds
   }

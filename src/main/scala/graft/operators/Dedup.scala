@@ -324,24 +324,37 @@ object Dedup {
         col("b.band_no").as("band_no"), col("b.sig").as("sig"))
   }
 
+  /** Planning-time guard for a caller-supplied signature index: a
+    * wrong-k index would not FAIL the probe — element_at past the
+    * array end yields null band sigs and zip_with truncates to the
+    * shorter signature, silently skewing est_sim — so widths are
+    * audited up front with ONE min/max aggregate. That is a scan of
+    * the INDEX, not the corpus: signatures are k ints per document
+    * (64 bytes at k=16 — ~0.00006% of a 100 KB-average-doc corpus), a
+    * column-pruned read that also catches a mixed-width (corrupted)
+    * index, which the earlier first-row-only peek waved through.
+    * Empty index passes (no widths to violate; every probe lands
+    * is_new).
+    */
+  private[graft] def requireSigWidth(index: DataFrame, k: Int): Unit = {
+    index.agg(min(size(col("minhashes"))).as("lo"),
+        max(size(col("minhashes"))).as("hi"))
+      .head(1).foreach { r =>
+        if (!r.isNullAt(0)) {
+          val (lo, hi) = (r.getInt(0), r.getInt(1))
+          require(lo == k && hi == k,
+            if (lo != hi)
+              s"signature index is mixed-width (minhash widths $lo..$hi) — corrupt; rebuild it"
+            else s"signature index minhash width $lo does not match k=$k")
+        }
+      }
+  }
+
   def probeVerdicts(newDocs: DataFrame, textCol: String, idCol: String,
       index: DataFrame, k: Int = 16, bands: Int = 4, n: Int = 3,
       minEstSim: Double = 0.5): DataFrame = {
     val rows = k / bands
-    // A caller-supplied index built with a different k would not fail:
-    // element_at past the array end yields null band sigs and zip_with
-    // truncates to the shorter signature, silently skewing est_sim.
-    // One-row planning-time guard instead — deliberately FIRST-ROW-ONLY
-    // (a one-row job, not an index scan): it catches the realistic
-    // failure, a whole index built at a different k. A mixed-width index
-    // can only come from corrupt writes, which the build path (single
-    // overwrite + atomic fingerprint marker) rules out; a full
-    // every-row width audit would cost a scan of the 100 TB asset per
-    // probe.
-    index.select(size(col("minhashes")).as("n")).head(1).foreach { r =>
-      require(r.getInt(0) == k,
-        s"signature index minhash width ${r.getInt(0)} does not match k=$k")
-    }
+    requireSigWidth(index, k)
     def banded(mh: DataFrame): DataFrame = bandedSigs(mh, k, bands)
     val probe = broadcast(banded(minhashes(newDocs, textCol, idCol, k, n)))
     val matches = probe.as("x").join(banded(index).as("y"),

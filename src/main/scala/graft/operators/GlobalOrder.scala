@@ -72,6 +72,11 @@ object GlobalOrder {
   /** Global consecutive 1-based rank (row_number semantics) over
     * `sortCols`, added as `rankName`. `sortCols` should be a total
     * order (include a tiebreaker) for a deterministic result.
+    *
+    * PERSISTS the range-partitioned intermediate for the two passes.
+    * Under the default `CacheScope.unmanaged` the cache lives until
+    * the session clears it — long-lived sessions calling this
+    * repeatedly should pass a managed scope and `release()` it.
     */
   def globalRank(df: DataFrame, sortCols: Seq[Column], nParts: Int = 32,
                  rankName: String = "rank",
@@ -84,6 +89,8 @@ object GlobalOrder {
     * tiles 1..rem hold base+1 rows, tiles rem+1..k hold base. Pure
     * per-row arithmetic on (rank, n) — the rank is the only ordered
     * computation, and it is the two-pass parallel one above.
+    * Same persist caveat as [[globalRank]]: pass a managed scope in
+    * long-lived sessions.
     */
   def globalNtile(df: DataFrame, sortCols: Seq[Column], k: Int,
                   nParts: Int = 32, tileName: String = "tile",

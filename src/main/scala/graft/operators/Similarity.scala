@@ -166,15 +166,23 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
 
   /** One row per (vector, subspace): (outId, j, sub) with sub the
-    * double-cast slice j of the vector. Width d/m is computed per row
-    * (`/` on columns is double division, so cast back — exact whenever
-    * m divides the dimension).
+    * double-cast slice j of the vector. Width d/m is computed per row;
+    * a row whose dimension is NOT a multiple of m fails the query with
+    * an explicit error (a truncating split would silently drop the
+    * trailing d % m elements from every distance).
     */
   private def pqSubspaced(df: DataFrame, outId: String, m: Int,
       idCol: String, vecCol: String): DataFrame = {
     val subW = (org.apache.spark.sql.functions.size(col("vec")) / lit(m)).cast("int")
+    val dimOk = assert_true(
+      org.apache.spark.sql.functions.size(col(vecCol)) % lit(m) === 0,
+      concat(lit(s"graft.pq: embedding dimension must be a multiple of m=$m; got dim="),
+        org.apache.spark.sql.functions.size(col(vecCol)).cast("string")))
     df.select(col(idCol).cast("long").as(outId),
-        transform(col(vecCol), x => x.cast("double")).as("vec"))
+        // assert_true yields null on pass, so the `when` always takes
+        // this branch — it exists to keep the guard in the plan
+        when(dimOk.isNull,
+          transform(col(vecCol), x => x.cast("double"))).as("vec"))
       .select(col(outId), col("vec"), explode(sequence(lit(0), lit(m - 1))).as("j"))
       .select(col(outId), col("j"),
         slice(col("vec"), col("j") * subW + 1, subW).as("sub"))
@@ -208,23 +216,106 @@ object Similarity {
     * indexed j*ncode + c_id) built from the same deterministic codebook,
     * then ONE scan of the code table x broadcast LUTs with a per-row
     * O(m) fold. `corpus` supplies only the ncode codebook rows.
+    *
+    * The flat array is built by EXPLICIT slot placement (a per-query
+    * map keyed j*ncode + c_id, expanded to a dense array with unused
+    * slots = +inf), so codeword ids only need to be < ncode — gaps in
+    * the corpus id space below ncode cannot misalign the lookup. The
+    * hot scan keeps its O(1) `element_at` per subspace.
     */
   def pqSearch(codes: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ncode: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(m >= 1 && ncode >= 1, s"m=$m ncode=$ncode must be positive")
-    val cb = pqCodebook(corpus, m, ncode, idCol, vecCol)
-    val lut = pqSubspaced(queries, "q_id", m, idCol, vecCol)
-      .join(cb, "j")
-      .groupBy(col("q_id"))
-      .agg(transform(sort_array(collect_list(struct(col("j"), col("c_id"),
-        pqD2(col("sub"), col("cv")).as("d")))), e => e("d")).as("lut"))
+    val lut = pqQueryLut(corpus, queries, m, ncode, idCol, vecCol)
     val adc = codes.crossJoin(broadcast(lut))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, j) => acc + element_at(col("lut"),
-          (j * ncode + element_at(col("codes"), j + 1) + 1).cast("int"))))
+      .withColumn("adc", pqAdc(m, ncode))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), round(col("adc"), 6).as("adc_d2"))
+  }
+
+  /** Per-query flat ADC LUT: (q_id, lut) with lut[j*ncode + c_id + 1] =
+    * d2(query slice j, codeword c_id). Built by explicit slot placement
+    * (see [[pqSearch]]); slots for absent codeword ids are +inf.
+    */
+  private def pqQueryLut(corpus: DataFrame, queries: DataFrame, m: Int, ncode: Int,
+      idCol: String, vecCol: String): DataFrame =
+    pqSubspaced(queries, "q_id", m, idCol, vecCol)
+      .join(pqCodebook(corpus, m, ncode, idCol, vecCol), "j")
+      .groupBy(col("q_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("j") * ncode + col("c_id")).cast("int").as("slot"),
+        pqD2(col("sub"), col("cv")).as("d")))).as("lutm"))
+      .select(col("q_id"),
+        transform(sequence(lit(0), lit(m * ncode - 1)),
+          p => coalesce(element_at(col("lutm"), p), lit(Double.MaxValue))).as("lut"))
+
+  /** The per-row O(m) ADC fold over a `codes` array and a `lut` array. */
+  private def pqAdc(m: Int, ncode: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(col("lut"),
+        (j * ncode + element_at(col("codes"), j + 1) + 1).cast("int")))
+
+  /** Composed IVF x PQ — the production ANN shape (the one every real
+    * vector store runs): a coarse quantizer prunes WHICH inverted lists
+    * a query reads, and PQ/ADC shrinks WHAT each read costs. Both
+    * halves keep their standalone conventions ([[ivfTopK]]'s
+    * deterministic lowest-id centroids with max-cosine assignment,
+    * [[pqTopK]]'s deterministic lowest-id codebook over the RAW vectors
+    * — no residual encoding, so the composed ADC values are identical
+    * to [[pqSearch]]'s for every probed neighbor and an external engine
+    * can replay both halves independently).
+    *
+    * Dataflow at scale: the code table joins the (n_id → list) coarse
+    * assignment once, then the probe set — (q_id, c_id) pairs x the
+    * per-query LUT, both tiny — BROADCASTS into ONE equi-join on the
+    * list id `c_id`. That join IS the prune: each query's ADC fold
+    * touches only the nprobe/nlist fraction of the code table, and the
+    * code table itself is the 32x-narrower read. No corpus shuffle
+    * beyond the one-time assignment (in production both the codes and
+    * the assignment are build-once assets, pre-partitioned by c_id).
+    *
+    * `codes` defaults to an inline [[pqEncode]]; pass the
+    * [[ensurePqIndex]] asset for the production split. Recall is the
+    * PRODUCT of the two approximations (a neighbor must be in a probed
+    * list AND rank under the quantized distance) — measured in
+    * AnnRecallSpec against s01/s04/s12.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, m: Int = 8, ncode: Int = 16,
+      codes: Option[DataFrame] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nlist >= 1 && nprobe >= 1, s"nlist=$nlist nprobe=$nprobe must be positive")
+    val cent = broadcast(corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
+    // coarse assignment n_id -> inverted list (arg-max cosine centroid,
+    // ties to the lower c_id) — partial-aggregatable, one corpus pass
+    val assigned = corpus.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(cent)
+      .withColumn("cos_c", cosine(col("n_vec"), col("c_vec")))
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("cos_c"), (-col("c_id")).as("neg_c"), col("c_id"))).as("best"))
+      .select(col("n_id"), col("best.c_id").as("c_id"))
+    val listedCodes = codes.getOrElse(pqEncode(corpus, m, ncode, idCol, vecCol))
+      .join(assigned, "n_id")
+    // probe set: each query's nprobe nearest centroid lists
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cos_q").desc, col("c_id").asc)
+    val probes = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cent)
+      .withColumn("cos_q", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("c_id"))
+    val probeLut = probes.join(pqQueryLut(corpus, queries, m, ncode, idCol, vecCol), "q_id")
+    // THE prune: equi-join on the list id — only probed lists scan
+    val adc = listedCodes.join(broadcast(probeLut), Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc", pqAdc(m, ncode))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
     adc.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -90,6 +90,30 @@ object NorthStar {
 
   // ---------- queries ----------
 
+  /** The end-to-end curation pipeline behind t17, reusable with a
+    * caller-owned cache lifecycle: Gopher-rule quality filter (t14's
+    * shared verdict) -> exact dedup to the min-id canonical (d01's
+    * shape) -> deterministic hash split (t08's). The filtered corpus
+    * feeds BOTH dedup branches (canonical aggregate + semi join), so it
+    * persists under `scope` — one quality-filter pass instead of two;
+    * a long-lived session passes a managed scope and `release()`s it
+    * after the consuming action (in-situ zero-residual contract:
+    * CacheScopeSpec). The whole pipeline shuffles twice (dedup group,
+    * dedup semi join) regardless of corpus size.
+    */
+  def curationPipeline(corpus: DataFrame,
+      scope: graft.operators.CacheScope = graft.operators.CacheScope.unmanaged): DataFrame = {
+    val kept = scope.own(corpus
+      .filter(TextAnalysis.qualityKeep(col("text"), stopList))
+      .withColumn("fp", md5(col("text")))
+      .persist())
+    val canon = kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    kept.join(canon, Seq("fp", "doc_id"), "left_semi")
+      .withColumn("split", Mixture.splitColumn(col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("split"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- text analysis ---
@@ -307,14 +331,7 @@ object NorthStar {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val corpus = docs.select($"doc_id", $"text", $"lang")
         .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), $"text", $"lang"))
-      val kept = corpus.filter(TextAnalysis.qualityKeep($"text", stopList))
-        .withColumn("fp", md5($"text"))
-      val canon = kept.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
-      kept.join(canon, Seq("fp", "doc_id"), "left_semi")
-        .withColumn("split", Mixture.splitColumn($"doc_id"))
-        .select($"doc_id", $"lang", $"split",
-          TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
-        .orderBy($"doc_id")
+      curationPipeline(corpus).orderBy($"doc_id")
     },
 
     // Per-source triage dashboard — the first thing a curation run
@@ -532,6 +549,22 @@ object NorthStar {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val codes = Similarity.ensurePqIndex(s, dir, m = 8, ncode = 32)
       Similarity.pqSearch(codes, emb, emb.filter($"vec_id" < 5), k = 5, m = 8, ncode = 32)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_d2")
+        .orderBy("q_id", "rnk")
+    },
+
+    // THE production ANN query: IVF coarse pruning composed with PQ/ADC
+    // over the build-once code asset — the s04 centroid lists decide
+    // WHICH codes scan (one equi-join on the list id), the s12 codes
+    // decide what each scan costs (8 ints per vector). No residual
+    // encoding: ADC values are identical to s12's for probed neighbors,
+    // so the oracle replays both halves independently and composes them.
+    "s15_ivf_pq_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val codes = Similarity.ensurePqIndex(s, dir, m = 8, ncode = 32)
+      Similarity.ivfPqTopK(emb, emb.filter($"vec_id" < 5), k = 5,
+          nlist = 32, nprobe = 4, m = 8, ncode = 32, codes = Some(codes))
         .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_d2")
         .orderBy("q_id", "rnk")
     },
@@ -1309,6 +1342,47 @@ object NorthStar {
            |adc AS (SELECT l.q_id, e.n_id, $adcSum AS adc
            |  FROM enc e JOIN lut l ON l.j = e.j AND l.c_id = e.code
            |  WHERE e.n_id <> l.q_id GROUP BY 1, 2)
+           |SELECT q_id, n_id, rn AS rnk, round(adc, 6) AS adc_d2 FROM (
+           |  SELECT q_id, n_id, adc, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adc ASC, n_id ASC) AS rn FROM adc) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
+
+      // composition of s04's coarse assignment/probe and s12's enc/lut
+      // ADC: a neighbor scores iff its assigned list is probed by the
+      // query; distances are s12's (raw-vector codebook, no residual)
+      "s15_ivf_pq_topk" -> {
+        val d2 = (a: String, b: String) =>
+          s"""list_reduce(list_transform(range(1, 9),
+             |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
+        val adcSum = (0 until 8).map(j =>
+          s"sum(CASE WHEN l.j = $j THEN l.d2 END)").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |js AS (SELECT unnest(range(0, 8)) AS j),
+           |cb AS (SELECT j, id AS c_id, v[j*8+1 : j*8+8] AS cv FROM e, js WHERE id < 32),
+           |sub AS (SELECT id, j, v[j*8+1 : j*8+8] AS sv FROM e, js),
+           |enc AS (SELECT id AS n_id, j, c_id AS code FROM (
+           |    SELECT s.id, s.j, c.c_id, row_number() OVER (PARTITION BY s.id, s.j
+           |      ORDER BY ${d2("s.sv", "c.cv")} ASC, c.c_id ASC) AS rn
+           |    FROM sub s JOIN cb c ON s.j = c.j) t WHERE rn = 1),
+           |cent AS (SELECT id AS c_id, v AS cv FROM e WHERE id < 32),
+           |asg AS (SELECT id AS n_id, c_id FROM (
+           |    SELECT e.id, c.c_id, row_number() OVER (PARTITION BY e.id
+           |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |probe AS (SELECT q_id, c_id FROM (
+           |    SELECT e.id AS q_id, c.c_id, row_number() OVER (PARTITION BY e.id
+           |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c WHERE e.id < 5) t WHERE rn <= 4),
+           |lut AS (SELECT s.id AS q_id, c.j, c.c_id, ${d2("s.sv", "c.cv")} AS d2
+           |  FROM sub s JOIN cb c ON s.j = c.j WHERE s.id < 5),
+           |adc AS (SELECT l.q_id, en.n_id, $adcSum AS adc
+           |  FROM enc en
+           |  JOIN asg a ON a.n_id = en.n_id
+           |  JOIN probe p ON p.c_id = a.c_id
+           |  JOIN lut l ON l.q_id = p.q_id AND l.j = en.j AND l.c_id = en.code
+           |  WHERE en.n_id <> l.q_id GROUP BY 1, 2)
            |SELECT q_id, n_id, rn AS rnk, round(adc, 6) AS adc_d2 FROM (
            |  SELECT q_id, n_id, adc, row_number() OVER (PARTITION BY q_id
            |    ORDER BY adc ASC, n_id ASC) AS rn FROM adc) t

@@ -346,10 +346,9 @@ object Streaming {
     import s.implicits._
     import graft.operators.Dedup
     val index = Dedup.ensureSignatureIndex(s, dir) // static build-once asset
-    index.select(size(col("minhashes")).as("n")).head(1).foreach { r =>
-      require(r.getInt(0) == k,
-        s"signature index minhash width ${r.getInt(0)} does not match k=$k")
-    }
+    // min/max width audit of the (tiny, k-ints-per-doc) index — catches
+    // wrong-k AND mixed-width corruption before any microbatch runs
+    Dedup.requireSigWidth(index, k)
     val staticBands = Dedup.bandedSigs(index, k, bands)
       .select(col("id").as("iid"), col("minhashes").as("imh"),
         col("band_no").as("iband"), col("sig").as("isig"))

@@ -58,6 +58,25 @@ class CacheScopeSpec extends AnyFunSuite with Matchers {
     pairs.count() shouldBe n
   }
 
+  test("in situ: the registered t17 pipeline under a managed scope releases clean") {
+    // the REAL registered query's pipeline (not a synthetic compose):
+    // run it end-to-end with a managed scope, assert the zero-residual
+    // contract holds on a query the driver actually grades
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit}
+    val sc = spark.sparkContext
+    val docs0 = docs.withColumn("lang", lit("en"))
+      .withColumn("text", concat($"text", lit(" " + Seq.fill(45)("the word of and to in play").mkString(" "))))
+    val before = sc.getPersistentRDDs.keySet
+    val scope = new CacheScope
+    val out = graft.queries.NorthStar.curationPipeline(docs0, scope)
+    val n = out.count()
+    (sc.getPersistentRDDs.keySet -- before) should not be empty // the persist engaged
+    scope.release()
+    (sc.getPersistentRDDs.keySet -- before) shouldBe empty
+    out.count() shouldBe n // released result recomputes identically
+  }
+
   test("unmanaged scope keeps the legacy behavior and a no-op release") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
