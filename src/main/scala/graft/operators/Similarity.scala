@@ -204,8 +204,13 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, m: Int = 8, ncode: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqEncodeCb(corpus, pqCodebook(corpus, m, ncode, idCol, vecCol), m, idCol, vecCol)
+
+  /** [[pqEncode]] against an explicit (j, c_id, cv) codebook frame. */
+  private def pqEncodeCb(corpus: DataFrame, cb: DataFrame, m: Int,
+      idCol: String, vecCol: String): DataFrame =
     pqSubspaced(corpus, "n_id", m, idCol, vecCol)
-      .join(pqCodebook(corpus, m, ncode, idCol, vecCol), "j")
+      .join(cb, "j")
       .groupBy(col("n_id"), col("j"))
       .agg(min(struct(pqD2(col("sub"), col("cv")).as("d"), col("c_id"))).as("best"))
       .groupBy(col("n_id"))
@@ -244,8 +249,12 @@ object Similarity {
     */
   private def pqQueryLut(corpus: DataFrame, queries: DataFrame, m: Int, ncode: Int,
       idCol: String, vecCol: String): DataFrame =
+    pqQueryLutCb(pqCodebook(corpus, m, ncode, idCol, vecCol), queries, m, ncode, idCol, vecCol)
+
+  private def pqQueryLutCb(cb: DataFrame, queries: DataFrame, m: Int, ncode: Int,
+      idCol: String, vecCol: String): DataFrame =
     pqSubspaced(queries, "q_id", m, idCol, vecCol)
-      .join(pqCodebook(corpus, m, ncode, idCol, vecCol), "j")
+      .join(cb, "j")
       .groupBy(col("q_id"))
       .agg(map_from_entries(collect_list(struct(
         (col("j") * ncode + col("c_id")).cast("int").as("slot"),
@@ -369,6 +378,136 @@ object Similarity {
       }
       best
     }
+  }
+
+  /** TRAINED PQ codebook: per-subspace Lloyd k-means, fully replayable.
+    *
+    * The deterministic lowest-id codebook ([[pqCodebook]]) exists so an
+    * external engine can replicate the exact encoding — that is what
+    * the oracle-checked queries use — but its codewords are arbitrary
+    * corpus points, not cluster centers, and recall pays for that.
+    * This trainer recovers the recall without giving up replayability:
+    *
+    *  - TRAINS ON A BOUNDED SAMPLE (the standard PQ practice — faiss
+    *    trains codebooks on ~10-100k vectors regardless of corpus
+    *    size): the `sampleN` vectors with the smallest portable hash
+    *    of their id — a deterministic, corpus-order-independent draw
+    *    computed as a distributed top-k, never a full collect.
+    *  - DETERMINISTIC INIT: the lowest-id sample subvectors (the
+    *    deterministic codebook of the sample).
+    *  - Lloyd iterations run driver-local over the sample in fixed
+    *    id order with sequential summation — bit-replayable. Empty
+    *    clusters keep their previous centroid.
+    *
+    * Returns `cb(j)(c) = (c, centroid)` — codeword "ids" are DENSE
+    * ranks 0..ncode-1 (they are trained centers, not corpus points).
+    * Feed to [[pqEncodeTrained]] / [[pqSearchTrained]], or to
+    * [[pqEncodeLocal]] for streaming rows. Recall deltas vs the
+    * deterministic codebook are measured in AnnRecallSpec.
+    */
+  def pqTrainCodebookLocal(corpus: DataFrame, m: Int = 8, ncode: Int = 16,
+      iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[(Long, Array[Double])]] = {
+    // portable hash family member i=1 (PortableHash.family) as a column:
+    // h = (3*(id mod P) + 8) mod P — deterministic, engine-portable
+    val P = 1000000007L
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        ((lit(3L) * (col(idCol).cast("long") % P) + 8L) % P).as("h"))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(sampleN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(sample.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+    val d = sample.head._2.length
+    require(d % m == 0, s"graft.pq: embedding dimension must be a multiple of m=$m; got dim=$d")
+    val subW = d / m
+    Array.tabulate(m) { j =>
+      def slice(v: Array[Double]) = java.util.Arrays.copyOfRange(v, j * subW, (j + 1) * subW)
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+        s
+      }
+      val pts = sample.map(s => slice(s._2))
+      // init: sample's lowest-id subvectors (ids are already sorted)
+      val cent = Array.tabulate(math.min(ncode, pts.length))(c => pts(c).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cent.length)(new Array[Double](subW))
+        val counts = new Array[Long](cent.length)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cent.length) {
+            val dd = d2(p, cent(c))
+            if (dd < bestD) { bestD = dd; best = c } // strict <: ties to lower index
+            c += 1
+          }
+          var i = 0
+          while (i < subW) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        var c = 0
+        while (c < cent.length) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < subW) { cent(c)(i) = sums(c)(i) / counts(c); i += 1 }
+          } // empty cluster: keep previous centroid
+          c += 1
+        }
+        it += 1
+      }
+      cent.zipWithIndex.map { case (cv, c) => (c.toLong, cv) }
+    }
+  }
+
+  /** A local codebook (trained or collected) as a broadcast (j, c_id,
+    * cv) frame — the shape [[pqEncodeCb]]/[[pqQueryLutCb]] consume.
+    */
+  private def cbFrame(s: org.apache.spark.sql.SparkSession,
+      cb: Array[Array[(Long, Array[Double])]]): DataFrame = {
+    import s.implicits._
+    broadcast(cb.zipWithIndex.flatMap { case (cws, j) =>
+      cws.map { case (cid, cv) => (j, cid, cv.toSeq) }
+    }.toSeq.toDF("j", "c_id", "cv"))
+  }
+
+  /** [[pqEncode]] with a trained codebook (same distributed one-scan +
+    * broadcast-join + argmin shape; only the codewords differ).
+    */
+  def pqEncodeTrained(corpus: DataFrame, cb: Array[Array[(Long, Array[Double])]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqEncodeCb(corpus, cbFrame(corpus.sparkSession, cb), cb.length, idCol, vecCol)
+
+  /** [[pqSearch]] with a trained codebook over a matching code table. */
+  def pqSearchTrained(codes: DataFrame, queries: DataFrame, k: Int,
+      cb: Array[Array[(Long, Array[Double])]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = cb.length
+    val ncode = cb.map(_.length).max
+    val lut = pqQueryLutCb(cbFrame(queries.sparkSession, cb), queries, m, ncode, idCol, vecCol)
+    val adc = codes.crossJoin(broadcast(lut))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc", pqAdc(m, ncode))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), round(col("adc"), 6).as("adc_d2"))
+  }
+
+  /** Trained-codebook PQ top-k: train on the deterministic sample,
+    * encode, ADC-search. The one-call form AnnRecallSpec measures
+    * against [[pqTopK]]'s deterministic codebook.
+    */
+  def pqTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ncode: Int = 16, iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqTrainCodebookLocal(corpus, m, ncode, iters, sampleN, idCol, vecCol)
+    pqSearchTrained(pqEncodeTrained(corpus, cb, idCol, vecCol),
+      queries, k, cb, idCol, vecCol)
   }
 
   /** Build-once PQ code asset over the embeddings table (the ANN twin

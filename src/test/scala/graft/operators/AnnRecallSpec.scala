@@ -83,6 +83,51 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     mean should be > 0.2 // 32-codeword books are still coarse; floor = "useful at all"
   }
 
+  test("trained k-means codebook vs deterministic lowest-id codebook: recall delta") {
+    // the number a user needs to choose between the replayable-oracle
+    // codebook (s12/s13/s15 — external engines can replicate encoding)
+    // and the trained one (better centers, spec-verified only):
+    // same m/ncode, same ADC machinery, only the codewords differ
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val k = 10
+    // exact L2 baseline (PQ approximates L2)
+    val e = emb.select($"vec_id".cast("long").as("id"),
+      transform($"embedding", x => x.cast("double")).as("v"))
+    val q = e.join(queries.select($"vec_id".cast("long").as("id")), "id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("id", "q_id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"q_id").orderBy($"d2".asc, $"id".asc)
+    val exact = e.crossJoin(broadcast(q)).filter($"id" =!= $"q_id")
+      .withColumn("d2", aggregate(zip_with($"v", $"qv", (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, t) => a + t))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.map { case (qid, ex) =>
+        got.getOrElse(qid, Set.empty).count(ex).toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val det = recallOf(Similarity.pqTopK(emb, queries, k, m = 8, ncode = 32))
+    val trained = recallOf(Similarity.pqTopKTrained(emb, queries, k, m = 8, ncode = 32))
+    info(f"PQ recall@$k vs exact L2 (m=8, ncode=32): deterministic $det%.3f, trained k-means $trained%.3f")
+    // trained centers must not be WORSE than arbitrary corpus points —
+    // the whole point of training (equality possible on tiny corpora)
+    trained should be >= det - 0.05
+    trained should be > 0.2
+    // replayability: training twice yields the identical codebook
+    val cb1 = Similarity.pqTrainCodebookLocal(emb, m = 8, ncode = 32)
+    val cb2 = Similarity.pqTrainCodebookLocal(emb, m = 8, ncode = 32)
+    cb1.length shouldBe cb2.length
+    cb1.zip(cb2).foreach { case (a, b) =>
+      a.map(_._1).toSeq shouldBe b.map(_._1).toSeq
+      a.zip(b).foreach { case ((_, va), (_, vb)) => va.toSeq shouldBe vb.toSeq }
+    }
+  }
+
   test("composed IVF x PQ recall@k vs exact, side by side with its halves") {
     // the judge-facing table: one exact baseline (s01's bruteForceTopK),
     // the two standalone approximations (s04 IVF, s12 PQ), and the
