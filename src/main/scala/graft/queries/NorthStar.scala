@@ -820,6 +820,20 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // st06's dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    // over hour-bucketed keys — state evicts once the watermark passes
+    // a key's event time + delay (see Streaming.streamDedupBounded).
+    "st11_stream_dedup_bounded" -> { (s, dir) =>
+      graft.streaming.Streaming.streamDedupBounded(s, dir, delayHours = 2)
+    },
+
+    // st02's per-user running state with EventTimeTimeout eviction:
+    // idle users' state is emitted and removed (bounded key space);
+    // the deterministic replay shares st02's closed-form oracle.
+    "st12_stream_user_state_ttl" -> { (s, dir) =>
+      graft.streaming.Streaming.userRunningStateTtl(s, dir, ttlHours = 6)
+    },
+
     // Streaming incremental near-dup: each microbatch stream-static
     // joins against d09's persisted signature index — stateless,
     // batch-invariant, checked by d09's oracle verbatim (see
@@ -1752,6 +1766,21 @@ object NorthStar {
       "st06_stream_dedup" ->
         """SELECT DISTINCT user_id, event_type FROM events
           |ORDER BY user_id, event_type""".stripMargin,
+
+      // hour-bucketed keys: duplicates are always within the watermark
+      // delay of their key's first occurrence, so the bounded-state
+      // dedup emits exactly the distinct key set
+      "st11_stream_dedup_bounded" ->
+        """SELECT DISTINCT user_id, event_type,
+          |  (epoch_ms(ts) // 1000 // 3600) * 3600 AS hour_start
+          |FROM events ORDER BY user_id, event_type, hour_start""".stripMargin,
+
+      // identical to st02's oracle: the TTL eviction branch emits the
+      // same final state the last update emitted, and the memory-table
+      // re-aggregate absorbs either path
+      "st12_stream_user_state_ttl" ->
+        """SELECT user_id, max(value) AS max_value, count(*) AS n_events
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
       // greedy (non-transitive) canonical: min earlier id sharing >= 1
       // of the 4 8-bit simhash bands — the batch spelling of the

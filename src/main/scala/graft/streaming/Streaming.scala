@@ -189,6 +189,81 @@ object Streaming {
       .orderBy("user_id", "event_type")
   }
 
+  /** [[streamDedup]] with BOUNDED state — the production respelling via
+    * `dropDuplicatesWithinWatermark`. Keys carry their hour bucket
+    * (`user_id, event_type, hour_start`), so every duplicate of a key
+    * has event time within 1 hour of the key's first occurrence — well
+    * inside the `delayHours` watermark — and the deterministic replay
+    * emits exactly the distinct key set (same closed-form oracle shape
+    * as st06). The difference is the state contract: a key's entry is
+    * EVICTED once the watermark passes its event time + delay, so state
+    * is O(distinct keys per sliding delay window), not O(all keys ever)
+    * — the fix for st06's semantically-unbounded dropDuplicates state.
+    * A key recurring AFTER eviction would re-emit (the documented
+    * within-watermark semantic); hour-bucketed keys make that
+    * impossible here. StreamingBoundedStateSpec drives a multi-batch
+    * replay and asserts the state-row bound.
+    */
+  def streamDedupBounded(s: SparkSession, dir: String, delayHours: Int = 2): DataFrame = {
+    val dedup = eventStream(s, dir)
+      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      .withColumn("hour_start", (expr("ts div 1000000000 div 3600") * 3600))
+      .withWatermark("event_time", s"$delayHours hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_start")
+      .select(col("user_id"), col("event_type"), col("hour_start"))
+    runToTable(dedup, "append")
+      .orderBy("user_id", "event_type", "hour_start")
+  }
+
+  /** [[userRunningState]] with EVICTING state — `EventTimeTimeout`
+    * instead of `NoTimeout`: a user idle for `ttlHours` of event time
+    * past their last event is timed out; the timeout branch emits the
+    * final state and `remove()`s it, so state is O(users active within
+    * the TTL horizon), not O(all users ever) — the production contract
+    * for a per-key running aggregate over an unbounded key space.
+    *
+    * Output is UNCHANGED vs [[userRunningState]] for the deterministic
+    * replay: the timeout branch emits exactly what the last update
+    * emitted, and the memory-table re-aggregate (max) absorbs either
+    * path — so st12 shares st02's closed-form oracle. (After an
+    * eviction a RETURNING user starts a fresh count — the inherent
+    * TTL tradeoff; the registered single-replay query never hits it,
+    * and StreamingBoundedStateSpec exercises it explicitly.)
+    */
+  def userRunningStateTtl(s: SparkSession, dir: String,
+      ttlHours: Int = 6, delayHours: Int = 1): DataFrame = {
+    import s.implicits._
+    val updates = eventStream(s, dir)
+      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      .select(col("user_id"), col("value"), col("event_time"))
+      .withWatermark("event_time", s"$delayHours hour")
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove() // eviction: the bounded-state contract
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserState(uid, Double.NegativeInfinity, 0L))
+            var maxEventMs = Long.MinValue
+            val next = rows.foldLeft(prev) { (acc, e) =>
+              if (e._3.getTime > maxEventMs) maxEventMs = e._3.getTime
+              UserState(uid, math.max(acc.max_value, e._2), acc.n_events + 1)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(maxEventMs + ttlHours * 3600L * 1000L)
+            next
+          }
+      }
+    runToTable(updates.toDF(), "update")
+      .groupBy("user_id")
+      .agg(max("max_value").as("max_value"), max("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** Streaming NEAR-duplicate dedup — the streaming counterpart of the
     * batch SimHash banding pipeline ([[graft.operators.Dedup
     * .simhashNearPairs]]): each arriving document's 32-bit SimHash is
