@@ -103,6 +103,31 @@ object TextKernels {
     out
   }
 
+  /** k-permutation MinHash signature of one document — the per-ROW
+    * spelling of [[MinHashAgg]]'s distributive aggregate (identical
+    * values: min over the distinct shingle hashes of
+    * PortableHash.family(i, sh, P)). The aggregate is the scale shape
+    * for the Scala API (shingles never materialize per document); this
+    * kernel is the SQL surface (`graft_minhash_sig`) and the streaming
+    * probe's per-row encode, where a one-pass JVM loop over the
+    * document's own shingles is exactly right.
+    */
+  def minhashSig(text: String, k: Int, n: Int): Array[Long] = {
+    val shs = shingleHashes(text, n)
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < k) {
+      var j = 0
+      while (j < shs.length) {
+        val h = PortableHash.family(i, shs(j), P)
+        if (h < out(i)) out(i) = h
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     * SIGMOD'03): hash every character k-gram (code points, same
     * polynomial fold as [[RollingHash]]), slide a window of `w`

@@ -84,6 +84,12 @@ object GraftSqlFunctions {
       val n = if (args.length == 2)
         litInt(args(1), "graft_hyperplane_bucket", "nPlanes") else 8
       graft.functions.HyperplaneBucketExpr(args(0), n)
+    },
+    fd("graft_minhash_sig", "graft_minhash_sig(text[, k[, n]]) - k-permutation MinHash signature over word n-gram shingles, defaults k=16 n=3") { args =>
+      nArgs("graft_minhash_sig", args, 1, 2, 3)
+      val k = if (args.length >= 2) litInt(args(1), "graft_minhash_sig", "k") else 16
+      val n = if (args.length >= 3) litInt(args(2), "graft_minhash_sig", "n") else 3
+      graft.functions.MinhashSigExpr(args(0), k, n)
     })
 }
 

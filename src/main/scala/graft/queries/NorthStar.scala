@@ -425,6 +425,40 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     },
 
+    // d04's entire MinHash-LSH pipeline AUTHORED IN SQL — the s14 move
+    // applied to dedup: graft_minhash_sig (GraftExtensions-registered
+    // codegen kernel) gives SQL the per-doc signature, and the corpus
+    // mutation, banding, first-agreeing-band pair dedup (no DISTINCT
+    // exchange — same inline trick as the Scala operator) and est_sim
+    // verify are plain Spark SQL. Shares d04's oracle verbatim: a
+    // SQL-first user writes this and gets the Scala pipeline's exact
+    // answer.
+    "d11_sql_lsh_pairs" -> { (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("graft_d11_docs")
+      s.sql("""WITH u AS (
+              |  SELECT doc_id, text FROM graft_d11_docs
+              |  UNION ALL
+              |  SELECT doc_id + 100000,
+              |    array_join(slice(split(trim(text), '\\s+'), 1,
+              |      greatest(cast(floor(size(split(trim(text), '\\s+')) * 0.8) as int), 1)), ' ')
+              |  FROM graft_d11_docs),
+              |mh AS (SELECT doc_id AS id, graft_minhash_sig(text, 16, 3) AS mh FROM u),
+              |b AS (SELECT id, mh,
+              |  transform(sequence(0, 3), t -> array_join(slice(mh, t * 4 + 1, 4), '-')) AS sigs
+              |  FROM mh),
+              |e AS (SELECT id, mh, sigs, band_no, element_at(sigs, band_no + 1) AS sig
+              |  FROM b LATERAL VIEW explode(sequence(0, 3)) AS band_no),
+              |p AS (SELECT x.id AS id_a, y.id AS id_b, x.mh AS mh_a, y.mh AS mh_b
+              |  FROM e x JOIN e y
+              |    ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id
+              |  WHERE x.band_no = 0 OR forall(sequence(0, x.band_no - 1),
+              |    t -> element_at(x.sigs, t + 1) != element_at(y.sigs, t + 1)))
+              |SELECT id_a, id_b,
+              |  round(cast(size(filter(zip_with(mh_a, mh_b, (a, b) -> a = b), v -> v)) as double) / 16, 6) AS est_sim
+              |FROM p ORDER BY id_a, id_b""".stripMargin)
+    },
+
     "d08_dedup_pipeline" -> { (s, dir) =>
       Dedup.dedupVerdicts(mutCorpus(s, dir), "text", "doc_id",
         k = 16, bands = 4, n = 3, minEstSim = 0.5)
@@ -1814,6 +1848,9 @@ object NorthStar {
     m + ("st08_stream_index_probe" -> m("d09_incremental_neardup")) +
       ("s13_pq_index_probe" -> m("s12_pq_topk")) +
       // SQL-authored spelling of the same eps join — rewrite-preserving
-      ("s14_sql_eps_degree" -> m("s03_eps_degree"))
+      ("s14_sql_eps_degree" -> m("s03_eps_degree")) +
+      // SQL-authored spelling of the MinHash-LSH pipeline — the Scala
+      // operator and the graft_minhash_sig SQL text must agree exactly
+      ("d11_sql_lsh_pairs" -> m("d04_lsh_pairs"))
   }
 }

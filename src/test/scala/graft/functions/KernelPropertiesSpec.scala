@@ -29,6 +29,19 @@ object KernelPropertiesSpec extends Properties("graft.functions.kernels") {
     TextKernels.bpeTokenCount(text) == n
   }
 
+  // the SQL surface (graft_minhash_sig, per-row kernel) must agree with
+  // the Scala API's distributive MinHashAgg aggregate bit-for-bit —
+  // d11 and d04 share one oracle on exactly this equivalence
+  property("minhashSig kernel == MinHashAgg over the shingle stream") =
+    forAll(genText) { text =>
+      val k = 8
+      val kernel = TextKernels.minhashSig(text, k, 3).toSeq
+      val agg = new MinHashAgg(k, 1000000007L)
+      val viaAgg = TextKernels.shingleHashes(text, 3)
+        .foldLeft(agg.zero)((buf, sh) => agg.reduce(buf, sh))
+      kernel == agg.finish(viaAgg)
+    }
+
   private val genSortedSet: Gen[Array[Long]] =
     Gen.chooseNum(0, 60).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-100L, 100L))).map(_.distinct.sorted.toArray)
