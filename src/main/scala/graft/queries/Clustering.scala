@@ -83,6 +83,39 @@ object Clustering {
         .orderBy("x", "y")
     },
 
+    // §2.1 op #26 (point lookup / predict — the reference leaves it
+    // NotImplementedError, DBSCAN.scala:249-251) as an ORACLE-CHECKED
+    // query, not just a spec: fit the ml estimator on the 1-in-5 event
+    // sample (dbscan_events_sample's exact pipeline), then TRANSFORM
+    // the disjoint 1-in-5 shard (event_id % 5 == 1) — each new point
+    // takes the cluster of its nearest core point within eps via the
+    // broadcast-able eps join, or stays unassigned. Output
+    // canonicalized like the other clustering rows (cluster -> min
+    // core (x, y)). Distance ties across clusters would be
+    // formulation-dependent (engine: internal id; oracle: rep coords)
+    // but require exactly-equidistant cores from two clusters in
+    // double arithmetic — absent in this data, as the hash match
+    // proves per round.
+    "dbscan_assign" -> { (s, dir) =>
+      import s.implicits._
+      def xy(df: DataFrame) = df.select($"event_id",
+        $"value".as("x"),
+        ((expr("ts div 1000000000") - lit(1704067200L)) / 3600.0).as("y"))
+      val ev = Relational.events(s, dir)
+      val model = new graft.ml.DBSCANClustering()
+        .setEps(8.0).setMinPoints(8).setMaxPointsPerPartition(500)
+        .fit(xy(ev.filter($"event_id" % 5 === 0)).select($"x", $"y"))
+      val reps = model.labeled.filter($"flag" === "core")
+        .groupBy($"cluster").agg(min(struct($"x", $"y")).as("rep"))
+      model.transform(xy(ev.filter($"event_id" % 5 === 1)))
+        .join(reps, Seq("cluster"), "left")
+        .select($"event_id", $"x", $"y",
+          when($"cluster" =!= 0, $"rep.x").as("rep_x"),
+          when($"cluster" =!= 0, $"rep.y").as("rep_y"),
+          ($"cluster" =!= 0).as("assigned"))
+        .orderBy("event_id")
+    },
+
     // n-D native euclidean DBSCAN over embeddings: the 4-D leading
     // slice (the raw 64-D space has no euclidean density structure —
     // nearest-neighbor distances concentrate near ~1.1 while per-dim
@@ -221,6 +254,54 @@ object Clustering {
         |LEFT JOIN bord b ON b.id = p.id
         |LEFT JOIN pts rp ON rp.id = l2.rep
         |ORDER BY p.x, p.y""".stripMargin,
+
+    // train half = dbscan_events_sample's oracle CTEs verbatim (1-in-5
+    // sample, recursive-CTE CC); assign half = the disjoint shard
+    // grid-joined to cores (3x3 cells of side eps — every core within
+    // eps shares a cell), nearest core's cluster rep, ties by
+    // (d2, rep_x, rep_y)
+    "dbscan_assign" ->
+      """WITH RECURSIVE p0 AS (
+        |  SELECT value AS x,
+        |    ((epoch_ms(ts) // 1000) - 1704067200) / 3600.0 AS y
+        |  FROM events WHERE event_id % 5 = 0),
+        |pts AS (SELECT row_number() OVER (ORDER BY x, y) AS id, x, y FROM p0),
+        |c AS (SELECT id, x, y, cast(floor(x / 8.0) as bigint) AS cx,
+        |  cast(floor(y / 8.0) as bigint) AS cy FROM pts),
+        |l AS (SELECT id, x, y, cx + dx.d AS cx, cy + dy.d AS cy FROM c,
+        |  (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy),
+        |nb AS (SELECT l.id AS ia, r.id AS ib FROM l JOIN c r
+        |  ON l.cx = r.cx AND l.cy = r.cy AND l.id <> r.id
+        |  AND (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) <= 64.0),
+        |deg AS (SELECT ia AS id, count(*) AS n FROM nb GROUP BY ia),
+        |core AS (SELECT id FROM deg WHERE n + 1 >= 8),
+        |ce AS (SELECT n.ia AS s, n.ib AS d FROM nb n
+        |  JOIN core c1 ON c1.id = n.ia JOIN core c2 ON c2.id = n.ib),
+        |reach AS (SELECT id AS src, id AS dst FROM core
+        |  UNION SELECT r.src, ce.d FROM reach r JOIN ce ON ce.s = r.dst),
+        |lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src),
+        |corep AS (SELECT p.x, p.y, rp.x AS rep_x, rp.y AS rep_y,
+        |    cast(floor(p.x / 8.0) as bigint) AS cx,
+        |    cast(floor(p.y / 8.0) as bigint) AS cy
+        |  FROM lab l2 JOIN pts p ON p.id = l2.id JOIN pts rp ON rp.id = l2.rep),
+        |shard AS (SELECT event_id, value AS x,
+        |    ((epoch_ms(ts) // 1000) - 1704067200) / 3600.0 AS y
+        |  FROM events WHERE event_id % 5 = 1),
+        |s9 AS (SELECT s.event_id, s.x, s.y,
+        |    cast(floor(s.x / 8.0) as bigint) + dx.d AS cx,
+        |    cast(floor(s.y / 8.0) as bigint) + dy.d AS cy FROM shard s,
+        |  (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy),
+        |cand AS (SELECT s.event_id, c.rep_x, c.rep_y,
+        |    (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) AS d2
+        |  FROM s9 s JOIN corep c ON c.cx = s.cx AND c.cy = s.cy),
+        |best AS (SELECT event_id, rep_x, rep_y FROM (
+        |    SELECT event_id, rep_x, rep_y, row_number() OVER (PARTITION BY event_id
+        |      ORDER BY d2 ASC, rep_x ASC, rep_y ASC) AS rn
+        |    FROM cand WHERE d2 <= 64.0) t WHERE rn = 1)
+        |SELECT s.event_id, s.x, s.y, b.rep_x, b.rep_y,
+        |  b.event_id IS NOT NULL AS assigned
+        |FROM shard s LEFT JOIN best b ON b.event_id = s.event_id
+        |ORDER BY s.event_id""".stripMargin,
 
     // mirrors the engine: grid cells of side eps on the first 2 dims,
     // 3x3 neighborhood equi-join, exact 4-D distance (same ordered
