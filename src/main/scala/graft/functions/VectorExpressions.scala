@@ -257,7 +257,14 @@ case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
       val x = VectorExprUtil.getAsDouble(arr, d, kind)
       var j = 0
       while (j < nPlanes) {
-        acc(j) += x * (((j * 97 + d * 31) % 7) - 3).toDouble
+        // Knuth-mixed lattice: (j*131071 + d) is unique per (plane, dim),
+        // the multiply + mod 2^31 decorrelates before the mod-7 fold, so
+        // every plane is DISTINCT. The previous affine-mod-7 family
+        // ((j*97 + d*31) mod 7) collapsed to j mod 7 — only SEVEN
+        // distinct hyperplanes, capping every band at 2^7 signatures
+        // and making LSH self-joins quadratic in corpus size (caught by
+        // the 10x scale ladder: s09 candidate pairs grew 102x).
+        acc(j) += x * (((j * 131071L + d) * 2654435761L % 2147483648L % 7L) - 3L).toDouble
         j += 1
       }
       d += 1
@@ -287,7 +294,7 @@ case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
          |  if ($c.isNullAt($d)) { ${ev.isNull} = true; break; }
          |  double $x = $get;
          |  for (int $j = 0; $j < $nPlanes; $j++) {
-         |    $acc[$j] += $x * (double) ((($j * 97 + $d * 31) % 7) - 3);
+         |    $acc[$j] += $x * (double) ((($j * 131071L + $d) * 2654435761L % 2147483648L % 7L) - 3L);
          |  }
          |}
          |if (!${ev.isNull}) {

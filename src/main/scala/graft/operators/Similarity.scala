@@ -80,7 +80,10 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id: bit j of the bucket is the sign
     * of the dot product with pseudo-random plane j, whose weights are
-    * the deterministic integer lattice w(j,d) = ((j*97 + d*31) mod 7) - 3.
+    * the deterministic Knuth-mixed lattice
+    * w(j,d) = (((j*131071 + d) * 2654435761) mod 2^31) mod 7 - 3 —
+    * every plane distinct (the mix decorrelates (j,d) before the mod-7
+    * fold), engine-portable integer arithmetic throughout.
     */
   def hyperplaneBucket(vec: Column, nPlanes: Int = 8): Column = {
     import org.apache.spark.sql.graftbridge.Bridge

@@ -891,18 +891,22 @@ object NorthStar {
   val oracles: Map[String, String] = {
     val tk = toksSql("text")
 
+    // Knuth-mixed hyperplane weights — MUST mirror HyperplaneBucketExpr
+    // exactly: w(g, d) = (((g*131071 + d) * 2654435761) % 2^31) % 7 - 3
+    val planeW = (g: Int) =>
+      s"((($g*131071 + (i-1)) * 2654435761) % 2147483648) % 7 - 3"
     val s02Projs = (0 until 8).map { j =>
       s"""CASE WHEN list_reduce(list_transform(range(1, 65),
-         |  i -> v[i] * cast(((($j*97 + (i-1)*31) % 7) - 3) as double)),
+         |  i -> v[i] * cast((${planeW(j)}) as double)),
          |  (a,b) -> a+b) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
     }.mkString(" + ")
 
     // band t of the 4x16 banded signature: bits j are planes t*16+j of
-    // the same integer-lattice hyperplane family s02Projs draws from
+    // the same mixed-lattice hyperplane family s02Projs draws from
     val bandProjs = (t: Int) => (0 until 16).map { j =>
       val g = t * 16 + j
       s"""CASE WHEN list_reduce(list_transform(range(1, 65),
-         |  i -> v[i] * cast(((($g*97 + (i-1)*31) % 7) - 3) as double)),
+         |  i -> v[i] * cast((${planeW(g)}) as double)),
          |  (a,b) -> a+b) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
     }.mkString(" + ")
 

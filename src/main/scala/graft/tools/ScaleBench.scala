@@ -1,0 +1,168 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The empirical scale ladder: times the flagship queries at 1x and Nx
+  * (default 10x) the base sf and reports each query's PER-ITEM scaling
+  * factor tN / (N * t1) — ~1.0 is linear, materially above ~1.3 names a
+  * scale bug. This converts the 100 TB plan-shape story into a
+  * measurement.
+  *
+  * The Nx corpus is synthesized DETERMINISTICALLY from the base tables,
+  * copy i shifted into disjoint id spaces, with mutations chosen so
+  * per-item DENSITY is preserved (the property organic growth has, and
+  * the property that makes the ladder honest):
+  *
+  *  - documents: copy i suffixes every token with `_i` — each copy's
+  *    internal near-dup structure replicates the base corpus exactly,
+  *    but NO shingle collides across copies (a naive text copy would
+  *    multiply every LSH bucket's population by N and measure quadratic
+  *    pair growth, not engine scaling).
+  *  - embeddings: copy i rotates the dimensions by 7i mod 64 — an
+  *    ORTHOGONAL transform, so every intra-copy cosine (and the whole
+  *    neighbor structure) is preserved exactly; cross-copy cosines are
+  *    uncorrelated.
+  *  - events: copy i shifts event time by 50000i hours — each copy is a
+  *    disjoint band in (value, hour) space, so cluster structure
+  *    replicates N times at constant density.
+  *  - orders: copy i shifts order/customer keys — N times the
+  *    customers, identical per-customer spend profile.
+  *
+  * Tables are written as ONE file each (the stream sources'
+  * pathGlobFilter matches leaf file names) with small parquet row
+  * groups so batch scans still split into parallel tasks.
+  */
+object ScaleBench {
+
+  private val Flagships = Seq(
+    "d04_lsh_pairs", "d08_dedup_pipeline", "s09_lsh_banded",
+    "s13_pq_index_probe", "t17_curation_pipeline", "t18_source_triage",
+    "q34_decile_spend", "q38_global_rank", "dbscan_events",
+    "st08_stream_index_probe")
+
+  private def writeSingleFile(df: DataFrame, outDir: java.nio.file.Path, table: String): Unit = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val staging = outDir.resolve(s"staging_$table")
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (4 * 1024 * 1024).toString)
+      .parquet(staging.toString)
+    val part = Files.list(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    Files.move(part, outDir.resolve(s"$table.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(staging)
+  }
+
+  /** Deterministic Nx synthesis of the flagship tables into `out`. */
+  def synth(s: SparkSession, base: String, out: String, copies: Int): Unit = {
+    val outDir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(outDir)
+
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    writeSingleFile((0 until copies).map { i =>
+      if (i == 0) docs
+      else {
+        val toks = split(trim(col("text")), "\\s+")
+        docs.select((col("doc_id") + i * 10000000L).as("doc_id"),
+          array_join(transform(toks, t => concat(t, lit(s"_$i"))), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+    }.reduce(_ unionByName _), outDir, "documents")
+
+    val emb = s.read.parquet(s"$base/embeddings.parquet")
+    writeSingleFile((0 until copies).map { i =>
+      val r = (i * 7) % 64
+      val rot = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r))
+      emb.select((col("vec_id") + i * 10000000L).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }.reduce(_ unionByName _), outDir, "embeddings")
+
+    val ev = graft.sources.Sources.events(s, base)
+    writeSingleFile((0 until copies).map { i =>
+      ev.select((col("event_id") + i * 100000000L).as("event_id"),
+        (col("ts") + lit(i * 50000L * 3600L * 1000000000L)).as("ts"),
+        (col("user_id") + i * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _), outDir, "events")
+
+    val ord = s.read.parquet(s"$base/orders.parquet")
+    writeSingleFile((0 until copies).map { i =>
+      ord.select((col("o_orderkey") + i * 1000000000L).as("o_orderkey"),
+        (col("o_custkey") + i * 100000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionByName _), outDir, "orders")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("GRAFT_SCALE_COPIES", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val oneDir = "/tmp/graft_scale/x1"
+    val nDir = s"/tmp/graft_scale/x$copies"
+    synth(spark, base, oneDir, 1)
+    synth(spark, base, nDir, copies)
+
+    // JIT the heavy pipelines once (same rationale as Bench's warmup)
+    try {
+      graft.SparkEntry.queries("dbscan_golden")(spark, oneDir).count()
+      val docs200 = spark.read.parquet(s"$oneDir/documents.parquet").limit(200)
+        .select("doc_id", "text")
+      graft.operators.Dedup.lshCandidatePairs(docs200, "text", "doc_id", 16, 4, 3).count()
+      spark.catalog.clearCache()
+    } catch { case e: Throwable => System.err.println(s"[scale] warmup failed: $e") }
+    // build-once assets per dir, outside the timed region (their own
+    // build cost scales with corpus size by construction — one scan)
+    Seq(oneDir, nDir).foreach { d =>
+      try {
+        graft.operators.Dedup.ensureSignatureIndex(spark, d).limit(1).count()
+        graft.operators.Similarity.ensurePqIndex(spark, d).limit(1).count()
+      } catch { case e: Throwable => System.err.println(s"[scale] asset build failed for $d: $e") }
+    }
+
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, dir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] $name FAILED at $dir: $e"); return -1.0
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        try spark.catalog.clearCache() catch { case _: Throwable => }
+        dt
+      }.min
+    }
+
+    val rows = Flagships.map { name =>
+      val t1 = time(name, oneDir)
+      val tn = time(name, nDir)
+      val perItem = if (t1 > 0 && tn > 0) tn / (copies * t1) else -1.0
+      System.err.println(f"[scale] $name%-26s t1=$t1%7.2fs t$copies=$tn%7.2fs per-item=$perItem%5.2f")
+      (name, t1, tn, perItem)
+    }
+    val qs = rows.map { case (n, t1, tn, p) =>
+      s""""$n":{"t1":$t1,"t$copies":$tn,"per_item_scale":$p}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_ladder","base":"$base","copies":$copies,"reps":$reps,"queries":$qs}""")
+    spark.stop()
+  }
+}
