@@ -227,7 +227,8 @@ object Exprs {
 
 /** Random-hyperplane LSH bucket id over a float/double array column:
   * bit j (0 <= j < nPlanes) is set iff the projection onto the
-  * deterministic integer lattice plane w(j,d) = ((j*97 + d*31) mod 7) - 3
+  * deterministic Knuth-mixed lattice plane
+  * w(j,d) = (((j*131071 + d) * 2654435761) mod 2^31) mod 7 - 3
   * is strictly positive. Single pass over the vector, all planes
   * accumulated together; per-plane accumulation order is ascending d,
   * matching the interpreted zip_with/aggregate form and the oracle.
