@@ -513,6 +513,94 @@ object Similarity {
       queries, k, cb, idCol, vecCol)
   }
 
+  /** RESIDUAL-encoding IVF x PQ — the exact faiss IVFPQ shape: each
+    * corpus vector is PQ-encoded as its residual `v - centroid(v)`
+    * against its assigned coarse centroid, and each query builds one
+    * LUT PER PROBED LIST from its own residual against that list's
+    * centroid. Residuals are much smaller than raw vectors (the coarse
+    * quantizer removes the dominant direction), so the same m x ncode
+    * codebook spends its codewords on fine structure — measurably
+    * better recall than raw-vector ADC at identical code size
+    * (AnnRecallSpec).
+    *
+    * Still fully deterministic: centroids are the nlist lowest-id
+    * vectors (max-cosine assignment, ties to lower c_id) and the
+    * residual codebook is the lowest-id residuals per subspace — an
+    * external engine can replay everything. Spec-verified (recall +
+    * determinism); the oracle-checked row stays s15's raw-vector
+    * composition, whose ADC values are shared with s12/s13.
+    *
+    * Dataflow is s15's with one twist: the LUT join key is
+    * (q_id, c_id), not q_id — still a broadcast of
+    * nprobe x m x ncode doubles per query against ONE equi-join on
+    * the list id.
+    */
+  def ivfPqTopKResidual(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, m: Int = 8, ncode: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = broadcast(corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
+    val assigned = corpus.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(cent)
+      .withColumn("cos_c", cosine(col("n_vec"), col("c_vec")))
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("cos_c"), (-col("c_id")).as("neg_c"),
+        col("c_id"), col("n_vec"), col("c_vec"))).as("best"))
+      .select(col("n_id"), col("best.c_id").as("c_id"),
+        zip_with(col("best.n_vec"), col("best.c_vec"),
+          (a, b) => a.cast("double") - b.cast("double")).as("res"))
+    // residual codebook: subspace slices of the ncode lowest-id
+    // residuals PAST the centroid range — the nlist lowest ids are the
+    // centroids themselves, which assign to themselves with residual
+    // ZERO (a codebook of zeros degenerates ADC to id order). Codeword
+    // ids re-based to dense 0..ncode-1.
+    val cbSrc = assigned.filter(col("n_id") >= nlist && col("n_id") < nlist + ncode)
+      .select((col("n_id") - nlist).as("rid"), col("res"))
+    val cb = broadcast(pqSubspaced(cbSrc, "c_id2", m, "rid", "res")
+      .select(col("j"), col("c_id2").as("cw"), col("sub").as("cv")))
+    val codes = pqSubspaced(assigned.select(col("n_id"), col("res")), "n_id", m, "n_id", "res")
+      .join(assigned.select(col("n_id"), col("c_id")), "n_id")
+      .join(cb, "j")
+      .groupBy(col("n_id"), col("c_id"), col("j"))
+      .agg(min(struct(pqD2(col("sub"), col("cv")).as("d"), col("cw"))).as("best"))
+      .groupBy(col("n_id"), col("c_id"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("best.cw").as("c")))),
+        e => e("c")).as("codes"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("cos_q").desc, col("c_id").asc)
+    val probes = queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cent)
+      .withColumn("cos_q", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("c_id"),
+        zip_with(col("q_vec"), col("c_vec"),
+          (a, b) => a.cast("double") - b.cast("double")).as("qres"))
+    // one LUT per (query, probed list): the query's residual vs THAT
+    // list's centroid, against the shared residual codebook
+    val lut = pqSubspaced(probes.select(
+          (col("q_id") * 10000 + col("c_id")).as("qc"), col("qres")),
+        "qc", m, "qc", "qres")
+      .join(cb, "j")
+      .groupBy(col("qc"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("j") * ncode + col("cw")).cast("int").as("slot"),
+        pqD2(col("sub"), col("cv")).as("d")))).as("lutm"))
+      .select(col("qc"),
+        transform(sequence(lit(0), lit(m * ncode - 1)),
+          p => coalesce(element_at(col("lutm"), p), lit(Double.MaxValue))).as("lut"))
+    val probeLut = probes.select(col("q_id"), col("c_id"),
+        (col("q_id") * 10000 + col("c_id")).as("qc"))
+      .join(lut, "qc").drop("qc")
+    val adc = codes.join(broadcast(probeLut), Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc", pqAdc(m, ncode))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), round(col("adc"), 6).as("adc_d2"))
+  }
+
   /** Build-once PQ code asset over the embeddings table (the ANN twin
     * of [[Dedup.ensureSignatureIndex]]'s dedup index): encode once,
     * publish with a content-fingerprint marker, serve every later
