@@ -603,6 +603,20 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // The faiss-shape RESIDUAL IVF x PQ: codes are residuals against
+    // the assigned coarse centroid, one LUT per (query, probed list).
+    // Fully deterministic (lowest-id centroids; codebook from the
+    // residuals of ids nlist..nlist+ncode-1 — the centroids' own
+    // residuals are zero), so the oracle replays the whole composition.
+    "s16_ivf_pq_residual" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfPqTopKResidual(emb, emb.filter($"vec_id" < 5), k = 5,
+          nlist = 32, nprobe = 4, m = 8, ncode = 32)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_d2")
+        .orderBy("q_id", "rnk")
+    },
+
     // Grid-bucketed eps-distance self-join: per-event neighborhood size
     // in (value, hours) space — DBSCAN's core test as a relational op,
     // planned as a hash equi-join on cell keys (never a nested loop).
@@ -1434,6 +1448,51 @@ object NorthStar {
            |  JOIN asg a ON a.n_id = en.n_id
            |  JOIN probe p ON p.c_id = a.c_id
            |  JOIN lut l ON l.q_id = p.q_id AND l.j = en.j AND l.c_id = en.code
+           |  WHERE en.n_id <> l.q_id GROUP BY 1, 2)
+           |SELECT q_id, n_id, rn AS rnk, round(adc, 6) AS adc_d2 FROM (
+           |  SELECT q_id, n_id, adc, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adc ASC, n_id ASC) AS rn FROM adc) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
+
+      // s15's composition with the residual twist: codes/LUTs are over
+      // v - centroid(v); the probe prune is the lut join on (c_id)
+      "s16_ivf_pq_residual" -> {
+        val d2 = (a: String, b: String) =>
+          s"""list_reduce(list_transform(range(1, 9),
+             |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
+        val adcSum = (0 until 8).map(j =>
+          s"sum(CASE WHEN l.j = $j THEN l.d2 END)").mkString(" + ")
+        s"""WITH e AS (SELECT vec_id AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |cent AS (SELECT id AS c_id, v AS cv FROM e WHERE id < 32),
+           |asg AS (SELECT id AS n_id, c_id FROM (
+           |    SELECT e.id, c.c_id, row_number() OVER (PARTITION BY e.id
+           |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |res AS (SELECT a.n_id, a.c_id,
+           |    list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS r
+           |  FROM asg a JOIN e ON e.id = a.n_id JOIN cent c ON c.c_id = a.c_id),
+           |js AS (SELECT unnest(range(0, 8)) AS j),
+           |cb AS (SELECT j, r0.n_id - 32 AS cw, r0.r[j*8+1 : j*8+8] AS cv
+           |  FROM res r0, js WHERE r0.n_id >= 32 AND r0.n_id < 64),
+           |sub AS (SELECT n_id, c_id, j, r[j*8+1 : j*8+8] AS sv FROM res, js),
+           |enc AS (SELECT n_id, c_id, j, cw AS code FROM (
+           |    SELECT s.n_id, s.c_id, s.j, c.cw, row_number() OVER (PARTITION BY s.n_id, s.j
+           |      ORDER BY ${d2("s.sv", "c.cv")} ASC, c.cw ASC) AS rn
+           |    FROM sub s JOIN cb c ON s.j = c.j) t WHERE rn = 1),
+           |probe AS (SELECT q_id, c_id FROM (
+           |    SELECT e.id AS q_id, c.c_id, row_number() OVER (PARTITION BY e.id
+           |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c WHERE e.id < 5) t WHERE rn <= 4),
+           |qsub AS (SELECT p.q_id, p.c_id, js.j,
+           |    list_transform(range(1, 65), i -> e.v[i] - c.cv[i])[js.j*8+1 : js.j*8+8] AS sv
+           |  FROM probe p JOIN e ON e.id = p.q_id JOIN cent c ON c.c_id = p.c_id, js),
+           |lut AS (SELECT s.q_id, s.c_id, c.j, c.cw, ${d2("s.sv", "c.cv")} AS d2
+           |  FROM qsub s JOIN cb c ON s.j = c.j),
+           |adc AS (SELECT l.q_id, en.n_id, $adcSum AS adc
+           |  FROM enc en
+           |  JOIN lut l ON l.c_id = en.c_id AND l.j = en.j AND l.cw = en.code
            |  WHERE en.n_id <> l.q_id GROUP BY 1, 2)
            |SELECT q_id, n_id, rn AS rnk, round(adc, 6) AS adc_d2 FROM (
            |  SELECT q_id, n_id, adc, row_number() OVER (PARTITION BY q_id
