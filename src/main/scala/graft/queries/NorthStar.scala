@@ -882,6 +882,14 @@ object NorthStar {
       graft.streaming.Streaming.userRunningStateTtl(s, dir, ttlHours = 6)
     },
 
+    // st05's session windows in APPEND mode: sessions emit once, when
+    // the watermark passes their end, and their state drops — bounded
+    // state and output (see Streaming.userSessionsAppend).
+    "st13_stream_sessions_append" -> { (s, dir) =>
+      graft.streaming.Streaming.userSessionsAppend(s, dir,
+        gapMinutes = 30, delayHours = 2)
+    },
+
     // Streaming incremental near-dup: each microbatch stream-static
     // joins against d09's persisted signature index — stateless,
     // batch-invariant, checked by d09's oracle verbatim (see
@@ -1878,6 +1886,24 @@ object NorthStar {
       "st12_stream_user_state_ttl" ->
         """SELECT user_id, max(value) AS max_value, count(*) AS n_events
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // st05's gap sessionization filtered to the watermark-closed
+      // window: only sessions whose end precedes max(ts) - 2h emit in
+      // append mode (trailing sessions stay in state)
+      "st13_stream_sessions_append" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) // 1000 AS sec FROM events),
+          |x AS (SELECT user_id, sec,
+          |  CASE WHEN lag(sec) OVER w IS NULL
+          |         OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+          |s AS (SELECT user_id, sec, sum(is_new) OVER
+          |  (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sess
+          |  FROM x),
+          |g AS (SELECT user_id, min(sec) AS sess_start, max(sec) + 1800 AS sess_end,
+          |  count(*) AS n FROM s GROUP BY user_id, sess)
+          |SELECT user_id, sess_start, sess_end, n FROM g
+          |WHERE sess_end <= (SELECT max(sec) FROM e) - 7200
+          |ORDER BY user_id, sess_start""".stripMargin,
 
       // greedy (non-transitive) canonical: min earlier id sharing >= 1
       // of the 4 8-bit simhash bands — the batch spelling of the

@@ -116,6 +116,33 @@ object Streaming {
       .orderBy("user_id", "sess_start")
   }
 
+  /** [[userSessions]] in APPEND mode — the production spelling: with a
+    * watermark, a session row is emitted exactly once, when the
+    * event-time watermark passes its end (no more events can merge
+    * into it), and its state is dropped — bounded state AND bounded
+    * output, unlike complete mode's grows-forever result table. With
+    * the deterministic replay, exactly the sessions whose end <=
+    * max(ts) - delay finalize (the trailing ones stay in state), so
+    * the batch oracle is st05's gap-sessionization filtered to the
+    * watermark-closed window.
+    */
+  def userSessionsAppend(s: SparkSession, dir: String,
+      gapMinutes: Int = 30, delayHours: Int = 2): DataFrame = {
+    val agg = eventStream(s, dir)
+      .withColumn("event_time", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("event_time", s"$delayHours hours")
+      .groupBy(
+        col("user_id"),
+        session_window(col("event_time"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("sw.start").cast("long").as("sess_start"),
+        col("sw.end").cast("long").as("sess_end"),
+        col("n"))
+    runToTable(agg, "append")
+      .orderBy("user_id", "sess_start")
+  }
+
   /** Stream-stream inner join with watermarks and an event-time range
     * condition: each click joined to the same user's views from the
     * preceding hour. Both sides keep watermarked state; the time bound
