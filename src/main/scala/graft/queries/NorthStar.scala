@@ -603,6 +603,23 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // s01's exact kNN authored purely in SQL through the registered
+    // kernel functions (graft_cosine = the codegen DotProduct chain) —
+    // the SQL-reachability proof for similarity search, sharing s01's
+    // oracle verbatim.
+    "s17_sql_knn" -> { (s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .createOrReplaceTempView("graft_s17_emb")
+      s.sql("""WITH e AS (SELECT vec_id AS id, embedding AS v FROM graft_s17_emb)
+              |SELECT q_id, n_id, cast(rn as bigint) AS rnk, cos_sim FROM (
+              |  SELECT q.id AS q_id, n.id AS n_id,
+              |    round(graft_cosine(q.v, n.v), 6) AS cos_sim,
+              |    row_number() OVER (PARTITION BY q.id
+              |      ORDER BY graft_cosine(q.v, n.v) DESC, n.id ASC) AS rn
+              |  FROM e q JOIN e n ON n.id <> q.id WHERE q.id < 5) t
+              |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin)
+    },
+
     // The faiss-shape RESIDUAL IVF x PQ: codes are residuals against
     // the assigned coarse centroid, one LUT per (query, probed list).
     // Fully deterministic (lowest-id centroids; codebook from the
@@ -1940,6 +1957,8 @@ object NorthStar {
       ("s14_sql_eps_degree" -> m("s03_eps_degree")) +
       // SQL-authored spelling of the MinHash-LSH pipeline — the Scala
       // operator and the graft_minhash_sig SQL text must agree exactly
-      ("d11_sql_lsh_pairs" -> m("d04_lsh_pairs"))
+      ("d11_sql_lsh_pairs" -> m("d04_lsh_pairs")) +
+      // SQL-authored exact kNN through graft_cosine — shares s01's oracle
+      ("s17_sql_knn" -> m("s01_knn_bruteforce"))
   }
 }
