@@ -37,9 +37,9 @@ object ScaleBench {
 
   private val Flagships = Seq(
     "d04_lsh_pairs", "d08_dedup_pipeline", "s09_lsh_banded",
-    "s13_pq_index_probe", "t17_curation_pipeline", "t18_source_triage",
-    "q34_decile_spend", "q38_global_rank", "dbscan_events",
-    "st08_stream_index_probe")
+    "s13_pq_index_probe", "s15_ivf_pq_topk", "t17_curation_pipeline",
+    "t18_source_triage", "q34_decile_spend", "q38_global_rank",
+    "dbscan_events", "st08_stream_index_probe")
 
   private def writeSingleFile(df: DataFrame, outDir: java.nio.file.Path, table: String): Unit = {
     import java.nio.file.{Files, Path, StandardCopyOption}
