@@ -603,6 +603,48 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // Hybrid retrieval — the fusion shape every retrieval-augmented
+    // curation pipeline runs: lexical top-k (distinct-token posting
+    // equi-join, never all-pairs text compare) and vector top-k
+    // (broadcast query set x corpus, the sanctioned s01 baseline; at
+    // corpus scale swap in s15's pruned ADC), fused by reciprocal-rank
+    // fusion score 1/(60+rank_lex) + 1/(60+rank_vec) — rank arithmetic
+    // on deterministic integer ranks, so the oracle replays it exactly.
+    "s18_hybrid_search" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id".cast("long").as("id"), $"text")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id".cast("long").as("id"), $"embedding")
+      val corpus = docs.join(emb, "id")
+      val toks = corpus.select($"id",
+        explode(array_distinct(TextAnalysis.tokens($"text"))).as("tok"))
+      val qTok = toks.filter($"id" < 3).select($"id".as("q_id"), $"tok")
+      val shared = qTok.join(toks.select($"id".as("n_id"), $"tok"), "tok")
+        .filter($"n_id" =!= $"q_id")
+        .groupBy($"q_id", $"n_id").agg(count(lit(1)).as("n_shared"))
+      val wLex = Window.partitionBy($"q_id").orderBy($"n_shared".desc, $"n_id".asc)
+      val lex = shared.withColumn("lex_rnk", row_number().over(wLex))
+        .filter($"lex_rnk" <= 20).select($"q_id", $"n_id", $"lex_rnk")
+      val q = broadcast(corpus.filter($"id" < 3)
+        .select($"id".as("q_id"), $"embedding".as("q_vec")))
+      val wVec = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+      val vec = corpus.select($"id".as("n_id"), $"embedding".as("n_vec"))
+        .join(q, $"n_id" =!= $"q_id")
+        .withColumn("cos", Similarity.cosine($"q_vec", $"n_vec"))
+        .withColumn("vec_rnk", row_number().over(wVec))
+        .filter($"vec_rnk" <= 20).select($"q_id", $"n_id", $"vec_rnk")
+      val fused = lex.join(vec, Seq("q_id", "n_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / ($"lex_rnk" + 60), lit(0.0)) +
+            coalesce(lit(1.0) / ($"vec_rnk" + 60), lit(0.0)), 6))
+      val wF = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"n_id".asc)
+      fused.withColumn("rnk", row_number().over(wF)).filter($"rnk" <= 5)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"rrf")
+        .orderBy("q_id", "rnk")
+    },
+
     // s01's exact kNN authored purely in SQL through the registered
     // kernel functions (graft_cosine = the codegen DotProduct chain) —
     // the SQL-reachability proof for similarity search, sharing s01's
@@ -1479,6 +1521,34 @@ object NorthStar {
            |    ORDER BY adc ASC, n_id ASC) AS rn FROM adc) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
       },
+
+      // lexical ranks from the distinct-token posting join, vector
+      // ranks from the exact cosine, RRF = 1/(60+lr) + 1/(60+vr)
+      "s18_hybrid_search" ->
+        s"""WITH d AS (SELECT doc_id AS id, text FROM documents),
+           |e AS (SELECT vec_id AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |c AS (SELECT d.id, d.text, e.v FROM d JOIN e ON e.id = d.id),
+           |t AS (SELECT id, unnest(list_distinct(${toksSql("text")})) AS tok FROM c),
+           |qt AS (SELECT id AS q_id, tok FROM t WHERE id < 3),
+           |sh AS (SELECT qt.q_id, t.id AS n_id, count(*) AS n_shared
+           |  FROM qt JOIN t ON t.tok = qt.tok AND t.id <> qt.q_id GROUP BY 1, 2),
+           |lex AS (SELECT q_id, n_id, lr FROM (
+           |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY n_shared DESC, n_id ASC) AS lr FROM sh) x WHERE lr <= 20),
+           |vq AS (SELECT id AS q_id, v AS qv FROM c WHERE id < 3),
+           |vs AS (SELECT vq.q_id, c.id AS n_id, row_number() OVER (PARTITION BY vq.q_id
+           |    ORDER BY ${cosSql("vq.qv", "c.v")} DESC, c.id ASC) AS vr
+           |  FROM vq, c WHERE c.id <> vq.q_id),
+           |vec AS (SELECT q_id, n_id, vr FROM vs WHERE vr <= 20),
+           |f AS (SELECT coalesce(l.q_id, v.q_id) AS q_id,
+           |    coalesce(l.n_id, v.n_id) AS n_id,
+           |    round(coalesce(1.0/(l.lr + 60), 0) + coalesce(1.0/(v.vr + 60), 0), 6) AS rrf
+           |  FROM lex l FULL OUTER JOIN vec v ON v.q_id = l.q_id AND v.n_id = l.n_id)
+           |SELECT q_id, n_id, rn AS rnk, rrf FROM (
+           |  SELECT q_id, n_id, rrf, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY rrf DESC, n_id ASC) AS rn FROM f) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
 
       // s15's composition with the residual twist: codes/LUTs are over
       // v - centroid(v); the probe prune is the lut join on (c_id)
