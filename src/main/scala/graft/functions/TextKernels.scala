@@ -223,6 +223,37 @@ object TextKernels {
     * (floor(h / 2^b) % 2 == (h >> b) & 1 for the non-negative h < 2^30
     * the rolling hash produces).
     */
+  /** 64-bit SimHash — the width that makes the BANDS scale: 4 x 16-bit
+    * bands give 65536 buckets per band (vs 256 for simhash32's 8-bit
+    * bands, whose per-bucket population — and so the self-join — grows
+    * linearly with the corpus). Bit b's per-token vote is the PARITY of
+    * portable-hash family member b applied to the token's rolling hash
+    * — 64 decorrelated deterministic bits, each spelled identically in
+    * DuckDB (simhash32 uses the raw hash's own bits, which top out
+    * below 2^30 — not enough for 64).
+    */
+  def simhash64(text: String): Long = {
+    val toks = tokens(text)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = RollingHash.hash(toks(i), P)
+      var b = 0
+      while (b < 64) {
+        if ((PortableHash.family(b, h, P) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (2 * counts(b) > toks.length) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
   def simhash32(text: String): Long = {
     val toks = tokens(text)
     val counts = new Array[Int](32)

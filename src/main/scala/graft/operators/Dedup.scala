@@ -427,6 +427,56 @@ object Dedup {
       .filter($"hamming" <= maxHamming)
   }
 
+  /** [[withSimhash]]'s 64-bit scale variant — one typed pass over
+    * [[graft.functions.TextKernels.simhash64]].
+    */
+  def withSimhash64(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.functions.TextKernels.simhash64(if (text == null) "" else text))
+      }
+      .toDF("id", "simhash")
+  }
+
+  /** [[simhashNearPairs]]'s SCALE variant: 64-bit SimHash in 4 x 16-bit
+    * bands. The 32-bit form's 8-bit bands cap each band at 256 buckets,
+    * so per-bucket population — and the band self-join — grows linearly
+    * with corpus size (the same structural hazard the mixed-lattice LSH
+    * fix removed from the hyperplane family). 16-bit bands give 65536
+    * buckets per band; pigeonhole still guarantees any pair within
+    * hamming 3 agrees on >= 1 of the 4 disjoint bands, so candidates
+    * stay a superset of the answer. Same first-agreeing-band inline
+    * dedup (no distinct exchange); exact hamming via `bit_count` over
+    * the xor.
+    */
+  def simhash64NearPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val withSim = scope.own(withSimhash64(docs, textCol, idCol).persist())
+    val mask = 65535L
+    val banded = withSim.select($"id", $"simhash",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_no"),
+            shiftright($"simhash", b * 16).bitwiseAND(mask).as("sig"))): _*)).as("b"))
+      .select($"id", $"simhash", $"b.band_no", $"b.sig")
+    val sigB = (sh: Column, b: Int) => shiftright(sh, b * 16).bitwiseAND(mask)
+    val firstAgreeingBand =
+      when(sigB(col("x.simhash"), 0) === sigB(col("y.simhash"), 0), 0)
+        .when(sigB(col("x.simhash"), 1) === sigB(col("y.simhash"), 1), 1)
+        .when(sigB(col("x.simhash"), 2) === sigB(col("y.simhash"), 2), 2)
+        .otherwise(3)
+    banded.as("x").join(banded.as("y"),
+        col("x.band_no") === col("y.band_no") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .filter(col("x.band_no") === firstAgreeingBand)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+  }
+
   /** Benchmark decontamination: for every training document, the number
     * of distinct word `n`-gram shingles it shares with the evaluation
     * corpus, and a contamination verdict — the standard "remove train

@@ -470,6 +470,15 @@ object NorthStar {
         .orderBy("id")
     },
 
+    // 64-bit SimHash near-dup pairs in 4 x 16-bit bands — the scale
+    // variant of d06: 65536 buckets per band instead of 256, so bucket
+    // populations (and the band self-join) stay bounded as the corpus
+    // grows (see Dedup.simhash64NearPairs).
+    "d12_simhash64_pairs" -> { (s, dir) =>
+      Dedup.simhash64NearPairs(mutCorpus(s, dir), "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // Incremental near-dup: the mutated shard (every doc re-arriving
     // under id+100000 with 80% of its tokens) probed against the
     // build-once MinHash signature index of the existing corpus —
@@ -1401,6 +1410,36 @@ object NorthStar {
            |SELECT id_a, id_b, cast(bit_count(xor(sh_a, sh_b)) as bigint) AS hamming
            |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // 64-bit simhash spelled as two 32-bit halves (DuckDB BIGINT <<
+      // overflows at bit 63): bit b's vote is the parity of portable-
+      // hash family member b over the token's rolling hash; bands 0,1
+      // come from lo, bands 2,3 from hi; hamming = sum of half-xors
+      "d12_simhash64_pairs" -> {
+        def half(lo: Int, hi: Int, shift: Int) =
+          s"""cast(list_aggregate(list_transform(range($lo, $hi), b ->
+             |  CASE WHEN 2 * len(list_filter(hashes,
+             |         h -> ((2*b+1)*h + b*b + 7) % $P % 2 = 1)) > len(hashes)
+             |  THEN cast(pow(2.0, b - $shift) as bigint) ELSE 0 END), 'sum') as bigint)""".stripMargin
+        s"""WITH u AS ($mutCorpusSql),
+           |t AS (SELECT doc_id AS id,
+           |  list_transform(${toksSql("text")}, tok -> ${rollSql("tok")}) AS hashes FROM u),
+           |sim AS (SELECT id, ${half(0, 32, 0)} AS lo, ${half(32, 64, 32)} AS hi FROM t),
+           |bands AS (
+           |  SELECT id, lo, hi, 0 AS band_no, (lo >> 0) & 65535 AS sig FROM sim
+           |  UNION ALL SELECT id, lo, hi, 1, (lo >> 16) & 65535 FROM sim
+           |  UNION ALL SELECT id, lo, hi, 2, (hi >> 0) & 65535 FROM sim
+           |  UNION ALL SELECT id, lo, hi, 3, (hi >> 16) & 65535 FROM sim),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+           |    x.lo AS lo_a, x.hi AS hi_a, y.lo AS lo_b, y.hi AS hi_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id)
+           |SELECT id_a, id_b,
+           |  cast(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) as bigint) AS hamming
+           |FROM pairs
+           |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      },
 
       "d07_embedding_neardup" ->
         s"""WITH u AS (
