@@ -539,6 +539,11 @@ object Similarity {
       nlist: Int = 32, nprobe: Int = 4, m: Int = 8, ncode: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nlist >= 1 && nprobe >= 1, s"nlist=$nlist nprobe=$nprobe must be positive")
+    // the per-(query, list) LUT key below packs q_id*10000 + c_id into
+    // one long for pqSubspaced's single-id contract; c_id < nlist keeps
+    // the pack collision-free only while nlist stays under the radix
+    require(nlist <= 10000, s"nlist=$nlist exceeds the 10000 LUT-key radix")
     val cent = broadcast(corpus.filter(col(idCol) < nlist)
       .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
     val assigned = corpus.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))

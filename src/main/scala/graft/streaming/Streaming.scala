@@ -281,7 +281,12 @@ object Streaming {
               UserState(uid, math.max(acc.max_value, e._2), acc.n_events + 1)
             }
             state.update(next)
-            state.setTimeoutTimestamp(maxEventMs + ttlHours * 3600L * 1000L)
+            // Spark rejects a timeout at-or-below the current watermark;
+            // a key whose batch lags the watermark by more than the TTL
+            // would otherwise throw — clamp to strictly above it.
+            state.setTimeoutTimestamp(math.max(
+              maxEventMs + ttlHours * 3600L * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
             next
           }
       }

@@ -47,11 +47,18 @@ object ScaleBench {
     df.coalesce(1).write.mode("overwrite")
       .option("parquet.block.size", (4 * 1024 * 1024).toString)
       .parquet(staging.toString)
-    val part = Files.list(staging)
-      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    def listed[A](dir: Path)(f: java.util.stream.Stream[Path] => A): A = {
+      val st = Files.list(dir)
+      try f(st) finally st.close()
+    }
+    val part = listed(staging)(_.filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get())
     Files.move(part, outDir.resolve(s"$table.parquet"), StandardCopyOption.REPLACE_EXISTING)
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+      if (Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        listed(p)(_.iterator().asScala.toList).foreach(rm)
+      }
       Files.deleteIfExists(p)
     }
     rm(staging)
