@@ -134,6 +134,53 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space coarsely, then compare pairs ONLY within each
+    * cluster — a document is a semantic duplicate when a lower-id
+    * member of its own cluster is within `minCos`. This is the
+    * embedding-space counterpart of the MinHash/SimHash lexical dedups:
+    * it drops re-phrasings and translations that share no n-grams.
+    *
+    * Scale shape: the all-pairs product is confined to each cluster —
+    * one corpus scan against `nlist` broadcast centroids (the
+    * [[ivfTopK]] coarse quantizer, same deterministic lowest-id
+    * centroid convention so an oracle can replay the assignment), then
+    * ONE equi-join on the cluster id. At 100 TB the cluster id is the
+    * shuffle key and per-cluster work is O((n/nlist)^2) instead of
+    * O(n^2); skewed clusters surface to AQE as ordinary join skew.
+    *
+    * Returns one row per corpus vector: (idCol, c_id, dup_of, keep)
+    * where `dup_of` is the LOWEST id of any same-cluster neighbor
+    * within `minCos` (null when none — deterministic canonical
+    * representative, matching the keep-lowest convention of
+    * [[graft.operators.Dedup]]), and `keep = dup_of IS NULL`.
+    */
+  def semanticDedup(corpus: DataFrame, nlist: Int = 32, minCos: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(nlist >= 1, s"nlist=$nlist must be positive")
+    val cent = broadcast(corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
+    val assigned = scope.own(corpus
+      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(cent)
+      .withColumn("cos_c", cosine(col("n_vec"), col("c_vec")))
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("cos_c"), (-col("c_id")).as("neg_c"),
+        col("c_id"), col("n_vec"))).as("best"))
+      .select(col("n_id"), col("best.c_id").as("c_id"), col("best.n_vec").as("n_vec"))
+      .withColumn("nrm", norm(col("n_vec")))
+      .persist())
+    val dup = assigned.as("x").join(assigned.as("y"),
+        col("x.c_id") === col("y.c_id") && col("y.n_id") < col("x.n_id"))
+      .filter(dot(col("x.n_vec"), col("y.n_vec")) / (col("x.nrm") * col("y.nrm")) >= minCos)
+      .groupBy(col("x.n_id").as("n_id"))
+      .agg(min(col("y.n_id")).as("dup_of"))
+    assigned.join(dup, Seq("n_id"), "left")
+      .select(col("n_id").as(idCol), col("c_id"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** Product-quantization ADC top-k (Jégou et al. 2011) — the third ANN
     * scale path beside hyperplane LSH and IVF, and the one that shrinks
     * the SCAN itself: each vector is stored as `m` small codes (one per

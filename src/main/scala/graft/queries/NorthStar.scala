@@ -685,6 +685,18 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // Semantic dedup (SemDeDup): coarse-cluster the embedding space
+    // with the deterministic s04 quantizer, then mark any vector with
+    // a lower-id same-cluster neighbor at cos >= 0.95 a duplicate of
+    // the LOWEST such id. The pairwise product is confined to each
+    // cluster — one equi-join on the cluster id, never all-pairs.
+    "s19_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.semanticDedup(emb, nlist = 32, minCos = 0.95)
+        .orderBy("vec_id")
+    },
+
     // Grid-bucketed eps-distance self-join: per-event neighborhood size
     // in (value, hours) space — DBSCAN's core test as a relational op,
     // planned as a hash equi-join on cell keys (never a nested loop).
@@ -1491,6 +1503,24 @@ object NorthStar {
            |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
            |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // SemDeDup: s04's deterministic coarse assignment, then pairs
+      // confined to each cluster; dup_of = lowest same-cluster id at
+      // cos >= 0.95 (null = canonical representative)
+      "s19_semantic_dedup" ->
+        s"""WITH e AS (SELECT cast(vec_id as bigint) AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |cent AS (SELECT id AS c_id, v AS cv FROM e WHERE id < 32),
+           |asg AS (SELECT id AS n_id, c_id, v FROM (
+           |    SELECT e.id, e.v, c.c_id, row_number() OVER (PARTITION BY e.id
+           |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |dup AS (SELECT x.n_id AS n_id, min(y.n_id) AS dup_of
+           |  FROM asg x JOIN asg y ON y.c_id = x.c_id AND y.n_id < x.n_id
+           |  WHERE ${cosSql("x.v", "y.v")} >= 0.95 GROUP BY 1)
+           |SELECT a.n_id AS vec_id, a.c_id, d.dup_of, d.dup_of IS NULL AS keep
+           |FROM asg a LEFT JOIN dup d ON d.n_id = a.n_id
+           |ORDER BY vec_id""".stripMargin,
 
       "s12_pq_topk" -> {
         // subspace-local squared L2 between two 8-element slices, as the
