@@ -548,4 +548,64 @@ object Dedup {
       .select($"id".as("doc_id"), $"n_lines", $"n_dup_lines",
         round($"n_dup_lines".cast("double") / $"n_lines", 6).as("dup_ratio"))
   }
+
+  /** Long-span substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): for every document
+    * pair that shares at least one exact `windowTokens`-token window,
+    * report how many windows they share and the longest CONSECUTIVE
+    * shared span in tokens. The paper finds repeated >=50-token spans
+    * with a suffix array; the distributed respelling is positional
+    * window-hash postings — an equi-join on the window hash, then a
+    * gaps-and-islands pass per (pair, diagonal) to recover maximal
+    * runs: windows at positions (pa, pb) and (pa+1, pb+1) extend the
+    * same span, so runs are consecutive `pa` values within a fixed
+    * diagonal pa - pb.
+    *
+    * Scale shape: one scan explodes each doc into its windows (n - w + 1
+    * rows); a count aggregate keeps only hashes seen 2..dfCap times
+    * (singletons — the overwhelming majority — never reach the
+    * self-join, and ultra-common boilerplate windows above `dfCap` are
+    * excluded rather than allowed to explode the join quadratically —
+    * boilerplate is [[lineDupStats]]'s job). The run detection is a
+    * window function partitioned by (pair, diagonal) — never a global
+    * sort. Every shuffle key is (hash) or (id_a, id_b[, diag]).
+    *
+    * Docs shorter than `windowTokens` tokens have no window and never
+    * pair. span_tokens = longest run + windowTokens - 1.
+    */
+  def longSpanPairs(docs: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 8, dfCap: Int = 1000,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    require(dfCap >= 2, s"dfCap must be >= 2 (pairs need two postings), got $dfCap")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val winStrs = transform(sequence(lit(1), size($"toks") - (windowTokens - 1)),
+      p => array_join(slice($"toks", p, lit(windowTokens)), " "))
+    val wins = scope.own(docs
+      .select(col(idCol).cast("long").as("id"), toks.as("toks"))
+      .filter(size($"toks") >= windowTokens)
+      .select($"id", posexplode(winStrs).as(Seq("p0", "win")))
+      .select($"id", ($"p0" + 1).as("p"), TextAnalysis.stringHash($"win").as("wh"))
+      .persist()) // feeds the df aggregate and both join sides
+    val shared = wins.join(
+      wins.groupBy($"wh").agg(count(lit(1)).as("df"))
+        .filter($"df" >= 2 && $"df" <= dfCap)
+        .select($"wh"),
+      "wh")
+    val pairs = shared.as("a").join(shared.as("b"),
+        col("a.wh") === col("b.wh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.p").as("pa"), col("b.p").as("pb"))
+    val runs = pairs
+      .withColumn("diag", $"pa" - $"pb")
+      .withColumn("grp", $"pa" - row_number().over(
+        Window.partitionBy($"id_a", $"id_b", $"diag").orderBy($"pa")))
+      .groupBy($"id_a", $"id_b", $"diag", $"grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"id_a", $"id_b")
+      .agg(max($"run").as("max_run"), sum($"run").as("n_shared"))
+    runs.select($"id_a", $"id_b", $"n_shared", $"max_run",
+      ($"max_run" + (windowTokens - 1)).as("span_tokens"))
+  }
 }

@@ -479,6 +479,16 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     },
 
+    // Long-span substring dedup (Lee et al. 2021): pairs sharing an
+    // exact 8-token window, with the longest consecutive shared span
+    // recovered per (pair, diagonal) — the planted 80%-prefix copies
+    // surface as near-full-document spans.
+    "d13_long_spans" -> { (s, dir) =>
+      Dedup.longSpanPairs(mutCorpus(s, dir), "text", "doc_id",
+          windowTokens = 8, dfCap = 1000)
+        .orderBy("id_a", "id_b")
+    },
+
     // Incremental near-dup: the mutated shard (every doc re-arriving
     // under id+100000 with 80% of its tokens) probed against the
     // build-once MinHash signature index of the existing corpus —
@@ -1452,6 +1462,28 @@ object NorthStar {
            |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      // positional 8-token window-hash postings (df 2..1000), pair
+      // equi-join on the hash, gaps-and-islands per (pair, diagonal)
+      "d13_long_spans" ->
+        s"""WITH u AS ($mutCorpusSql),
+           |t AS (SELECT cast(doc_id as bigint) AS id, ${toksSql("text")} AS toks FROM u),
+           |w AS (SELECT id, unnest(range(1, len(toks) - 8 + 2)) AS p, toks
+           |  FROM t WHERE len(toks) >= 8),
+           |h AS (SELECT id, p,
+           |  ${rollSql("list_aggregate(toks[p : p + 7], 'string_agg', ' ')")} AS wh FROM w),
+           |df AS (SELECT wh FROM h GROUP BY wh HAVING count(*) BETWEEN 2 AND 1000),
+           |s AS (SELECT h.id, h.p, h.wh FROM h JOIN df USING (wh)),
+           |j AS (SELECT a.id AS id_a, b.id AS id_b, a.p AS pa, b.p AS pb
+           |  FROM s a JOIN s b ON a.wh = b.wh AND a.id < b.id),
+           |d AS (SELECT id_a, id_b, pa - pb AS diag, pa,
+           |    pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+           |  FROM j),
+           |runs AS (SELECT id_a, id_b, count(*) AS run
+           |  FROM d GROUP BY id_a, id_b, diag, grp)
+           |SELECT id_a, id_b, cast(sum(run) as bigint) AS n_shared, max(run) AS max_run,
+           |  max(run) + 7 AS span_tokens
+           |FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
 
       "d07_embedding_neardup" ->
         s"""WITH u AS (
