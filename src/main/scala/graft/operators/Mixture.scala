@@ -194,4 +194,75 @@ object Mixture {
       .withColumn("pack_end", expr(s"(cum - 1) div ${seqLen}L"))
       .drop("__start", "__shard")
   }
+
+  /** Temperature-weighted domain mixture (the GPT-3 / Gopher sampling
+    * scheme, Brown et al. 2020 §2.2, Rae et al. 2021 — also the
+    * multilingual temperature sampling of Conneau & Lample 2019):
+    * domain d with `tot_d` tokens gets sampling weight `tot_d^alpha`
+    * (alpha < 1 flattens the natural distribution toward uniform, so
+    * small domains are over-represented relative to their size), a
+    * token target of `budget * w_d / Σw`, and a per-row keep rate of
+    * `min(1, target_d / tot_d)`, applied with the same deterministic
+    * hash predicate as [[stratifiedSample]] (member [[SampleI]]).
+    *
+    * Cross-engine determinism: the weight is FIXED-POINT —
+    * `round(tot^alpha * 1e6)` as a long — so the weight SUM is exact
+    * integer arithmetic with no float-summation-order hazard, and the
+    * rate is one double expression over exact integers (identical in
+    * any IEEE engine). alpha = 0.5 uses `sqrt`, which IEEE requires to
+    * be correctly rounded; other alphas go through `pow`, correctly
+    * rounded in practice but not guaranteed by the standard (the 1e-10
+    * fixed-point boundary makes a ULP flip astronomically unlikely).
+    *
+    * Scale shape: one partial-aggregated groupBy for the domain totals
+    * (|domains| rows — tiny), weights and rates computed on that tiny
+    * table, broadcast-joined back, then a pure per-row hash predicate.
+    * No data-sized shuffle at all beyond the totals aggregate.
+    *
+    * Returns one row per input doc: (domain, id, n_tokens, rate, keep).
+    */
+  def temperatureMixture(docs: DataFrame, domainCol: String, idCol: String,
+      tokenCount: Column, budgetTokens: Long, alpha: Double = 0.5,
+      denom: Long = 1000000L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(denom > 0, s"denom must be positive, got $denom")
+    val perDoc = docs.select(col(domainCol).as("domain"),
+      col(idCol).cast("long").as("id"), tokenCount.cast("long").as("n_tokens"))
+    val tot = col("tot_tokens").cast("double")
+    val wexp = if (alpha == 0.5) sqrt(tot) else pow(tot, alpha)
+    val weights = perDoc.groupBy(col("domain"))
+      .agg(sum(col("n_tokens")).as("tot_tokens"))
+      .withColumn("w", round(wexp * denom).cast("long"))
+    val wsum = weights.agg(sum(col("w")).as("wsum"))
+    val rates = weights.crossJoin(broadcast(wsum))
+      .withColumn("rate", least(lit(1.0),
+        (lit(budgetTokens.toDouble) * col("w").cast("double")) /
+          (col("wsum").cast("double") * col("tot_tokens").cast("double"))))
+      .select(col("domain"), col("rate"),
+        round(col("rate") * denom).cast("long").as("__thr"))
+    perDoc.join(broadcast(rates), "domain")
+      .select(col("domain"), col("id"), col("n_tokens"), col("rate"),
+        (portableHash(col("id"), SampleI) % denom < col("__thr")).as("keep"))
+  }
+
+  /** SQL (DuckDB) spelling of [[temperatureMixture]]'s verdicts for
+    * oracles, alpha = 0.5. `perDocSql` must yield (domain, id,
+    * n_tokens) with id/n_tokens BIGINT.
+    */
+  def temperatureMixtureSql(perDocSql: String, budgetTokens: Long,
+      denom: Long = 1000000L): String =
+    s"""p AS ($perDocSql),
+       |wt AS (SELECT domain, sum(n_tokens) AS tot_tokens,
+       |    cast(round(sqrt(cast(sum(n_tokens) as double)) * $denom) as bigint) AS w
+       |  FROM p GROUP BY domain),
+       |r AS (SELECT domain, rate,
+       |    cast(round(rate * $denom) as bigint) AS thr FROM (
+       |  SELECT domain, least(1.0,
+       |      ($budgetTokens.0 * cast(w as double)) /
+       |      (cast((SELECT sum(w) FROM wt) as double) * cast(tot_tokens as double))) AS rate
+       |  FROM wt)),
+       |v AS (SELECT p.domain, p.id, p.n_tokens, r.rate,
+       |    (${portableHashSql("p.id", SampleI)}) % $denom < r.thr AS keep
+       |  FROM p JOIN r USING (domain))""".stripMargin
 }

@@ -236,6 +236,27 @@ object NorthStar {
         .orderBy($"doc_id")
     },
 
+    // Temperature-weighted domain mixture (GPT-3 / Gopher sampling):
+    // weight each source by tot_tokens^0.5, scale to a 26k-token
+    // budget, clamp at 1, keep rows by the deterministic hash
+    // predicate. Per-domain summary so the oracle checks rates AND the
+    // exact keep-set's doc/token counts (26k clamps 2 of the 20
+    // sources at sf0.01 — both least() branches execute).
+    "t19_temperature_mix" -> { (s, dir) =>
+      import s.implicits._
+      Mixture.temperatureMixture(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "source", "doc_id", TextAnalysis.tokenCount($"text"),
+          budgetTokens = 26000L, alpha = 0.5)
+        .groupBy($"domain", round($"rate", 6).as("rate"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tot_tokens"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"keep", $"n_tokens").otherwise(0L)).as("kept_tokens"))
+        .select($"domain", $"n_docs", $"tot_tokens", $"rate",
+          $"n_kept", $"kept_tokens")
+        .orderBy($"domain")
+    },
+
     // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
     // shape): per-document metrics + one flag per rule + the conjunctive
     // keep verdict. Every metric is exact-integer-derived double
@@ -1128,6 +1149,20 @@ object NorthStar {
            |  cast(len(k.toks) as bigint) AS n_tokens
            |FROM k JOIN c ON c.doc_id = k.doc_id AND c.fp = md5(k.text)
            |ORDER BY k.doc_id""".stripMargin,
+
+      // sqrt-temperature mixture rates from exact fixed-point weights;
+      // keep-set by the SampleI hash predicate — summary per domain
+      "t19_temperature_mix" ->
+        s"""WITH ${Mixture.temperatureMixtureSql(
+             s"""SELECT source AS domain, cast(doc_id as bigint) AS id,
+                |    cast(len($tk) as bigint) AS n_tokens FROM documents""".stripMargin,
+             budgetTokens = 26000L)}
+           |SELECT domain, count(*) AS n_docs,
+           |  cast(sum(n_tokens) as bigint) AS tot_tokens,
+           |  round(rate, 6) AS rate,
+           |  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           |  cast(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) as bigint) AS kept_tokens
+           |FROM v GROUP BY domain, round(rate, 6) ORDER BY domain""".stripMargin,
 
       "t18_source_triage" ->
         s"""WITH mt AS (SELECT doc_id, source, toks, len(toks) AS n,

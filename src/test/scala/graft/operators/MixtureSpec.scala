@@ -154,4 +154,36 @@ class MixtureSpec extends AnyFunSuite with Matchers {
     // lexicographic break -> b
     top2 shouldBe Seq("a", "b")
   }
+
+  test("temperatureMixture: sqrt flattening, clamp branch, and exact budget math") {
+    import spark.implicits._
+    // big domain 9000 tokens, small domain 100 tokens (90:1 natural,
+    // sqrt weights 30:1 -> the small domain is over-represented)
+    val docs = ((1L to 900L).map(i => (i, "big", 10L)) ++
+      (1001L to 1010L).map(i => (i, "small", 10L)))
+      .toDF("doc_id", "domain", "n_tok")
+    val out = Mixture.temperatureMixture(docs, "domain", "doc_id",
+        col("n_tok"), budgetTokens = 3100L, alpha = 0.5)
+    val rates = out.select($"domain", $"rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // exact fixed-point arithmetic: w_big = round(sqrt(9000)*1e6),
+    // w_small = round(sqrt(100)*1e6); rate = min(1, B*w/(wsum*tot))
+    val wBig = math.round(math.sqrt(9000.0) * 1e6)
+    val wSmall = math.round(math.sqrt(100.0) * 1e6)
+    val wsum = (wBig + wSmall).toDouble
+    rates("big") shouldBe (3100.0 * wBig / (wsum * 9000.0)) +- 1e-12
+    rates("small") shouldBe 1.0 // 3100*wSmall/(wsum*100) = 2.86... -> clamps
+    rates("big") should be < 1.0
+    // the small domain keeps EVERYTHING (rate 1); kept fraction of the
+    // big domain approximates its rate
+    val kept = out.filter($"keep").groupBy($"domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("small") shouldBe 10L
+    kept("big").toDouble / 900.0 shouldBe rates("big") +- 0.08
+    // deterministic: same input -> identical keep set
+    val again = Mixture.temperatureMixture(docs, "domain", "doc_id",
+        col("n_tok"), budgetTokens = 3100L, alpha = 0.5)
+      .filter($"keep").select($"id").collect().map(_.getLong(0)).sorted
+    out.filter($"keep").select($"id").collect().map(_.getLong(0)).sorted shouldBe again
+  }
 }
