@@ -40,6 +40,15 @@ object Bench {
         .select("doc_id", "text")
       graft.operators.Dedup.lshCandidatePairs(docs200, "text", "doc_id", 16, 4, 3).count()
       graft.operators.Dedup.simhashNearPairs(docs200, "text", "doc_id", 3).count()
+      // the embedding-graph path (hyperplane banding -> pair join ->
+      // CC labeling) JITs separately from the text kernels and costs
+      // ~6-8 s of C2 on whichever of s08/s10 runs first
+      val emb200 = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+        .selectExpr("cast(vec_id as long) as vec_id", "embedding")
+      graft.operators.Similarity.cosineDBSCAN(emb200, minCos = 0.3, minPts = 3,
+        neighborPairs = Some(graft.operators.Similarity.bandedLshNeighborPairs(
+          emb200, minCosine = 0.3, bands = 4, planesPerBand = 16))).count()
+      graft.operators.Similarity.lshNeighborPairs(emb200, minCosine = 0.3, nPlanes = 8).count()
       spark.catalog.clearCache()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pipeline warmup failed: $e")
