@@ -1017,6 +1017,15 @@ object NorthStar {
     "st08_stream_index_probe" -> { (s, dir) =>
       graft.streaming.Streaming.streamIndexProbe(s, dir)
         .orderBy("doc_id")
+    },
+
+    // Streaming semantic dedup: per-row coarse assignment against the
+    // broadcast centroids, stream-static join against the batch
+    // SemDeDup representatives (see Streaming.streamSemanticDedup).
+    "st14_stream_semantic_dedup" -> { (s, dir) =>
+      graft.streaming.Streaming.streamSemanticDedup(s, dir,
+          nlist = 32, minCos = 0.95)
+        .orderBy("vec_id")
     })
 
   // ---------- oracles ----------
@@ -1588,6 +1597,35 @@ object NorthStar {
            |SELECT a.n_id AS vec_id, a.c_id, d.dup_of, d.dup_of IS NULL AS keep
            |FROM asg a LEFT JOIN dup d ON d.n_id = a.n_id
            |ORDER BY vec_id""".stripMargin,
+
+      // stream = batch for the stateless assign-and-probe: s19's reps,
+      // the +100000 shard (+10.0/element for odd ids), min matching rep
+      "st14_stream_semantic_dedup" ->
+        s"""WITH e AS (SELECT cast(vec_id as bigint) AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |cent AS (SELECT id AS c_id, v AS cv FROM e WHERE id < 32),
+           |asg AS (SELECT id AS n_id, c_id, v FROM (
+           |    SELECT e.id, e.v, c.c_id, row_number() OVER (PARTITION BY e.id
+           |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |dup AS (SELECT x.n_id AS n_id, min(y.n_id) AS dup_of
+           |  FROM asg x JOIN asg y ON y.c_id = x.c_id AND y.n_id < x.n_id
+           |  WHERE ${cosSql("x.v", "y.v")} >= 0.95 GROUP BY 1),
+           |reps AS (SELECT a.n_id AS rep_id, a.c_id, a.v AS rv
+           |  FROM asg a LEFT JOIN dup d ON d.n_id = a.n_id WHERE d.dup_of IS NULL),
+           |shard AS (SELECT id + 100000 AS id,
+           |    CASE WHEN id % 2 = 1 THEN list_transform(v, x -> x + 10.0)
+           |      ELSE v END AS sv
+           |  FROM e),
+           |sasg AS (SELECT id, c_id, sv FROM (
+           |    SELECT s.id, c.c_id, s.sv, row_number() OVER (PARTITION BY s.id
+           |      ORDER BY ${cosSql("s.sv", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM shard s, cent c) t WHERE rn = 1),
+           |m AS (SELECT sa.id, min(r.rep_id) AS dup_of
+           |  FROM sasg sa JOIN reps r ON r.c_id = sa.c_id
+           |  WHERE ${cosSql("sa.sv", "r.rv")} >= 0.95 GROUP BY 1)
+           |SELECT sa.id AS vec_id, sa.c_id, m.dup_of, m.dup_of IS NULL AS is_new
+           |FROM sasg sa LEFT JOIN m ON m.id = sa.id ORDER BY vec_id""".stripMargin,
 
       "s12_pq_topk" -> {
         // subspace-local squared L2 between two 8-element slices, as the

@@ -502,4 +502,89 @@ object Streaming {
         coalesce(col("dup_of"), col("doc_id")).as("canonical_id"),
         col("dup_of").isNull.as("is_new"))
   }
+
+  /** Streaming semantic dedup — the incremental half of
+    * [[graft.operators.Similarity.semanticDedup]] (SemDeDup, Abbas et
+    * al. 2023): each incoming vector is coarse-assigned to its cluster
+    * per-row against the driver-collected centroids (nlist × d doubles,
+    * ~16 KB — the same sanctioned tiny planning collect as
+    * [[streamPqMatch]]'s codebook), then stream-static LEFT-joined
+    * against the batch-kept cluster REPRESENTATIVES on the cluster id,
+    * with the cosine threshold inside the join condition. A vector with
+    * no representative within `minCos` of it is semantically new.
+    *
+    * Stateless (no watermark, no state store): verdicts are
+    * batch-invariant, so the batch spelling of the same
+    * assign-and-probe is an exact oracle. At corpus scale the static
+    * side is the kept-representative table — the join is an ordinary
+    * stream-static equi-join on c_id that Spark broadcasts or shuffles
+    * per microbatch; candidates per row are its cluster's reps, never
+    * the corpus.
+    *
+    * The probe shard is the streamPqMatch mutation: every corpus vector
+    * re-arrives under id+100000, unchanged for even ids (cos 1 against
+    * its source, so it dedups iff its source's cluster kept a rep
+    * within threshold), +10.0 per element (exactly replicable in
+    * double) for odd ids — a direction change that usually lands
+    * semantically new.
+    *
+    * The JVM assignment loop reproduces the batch expression's
+    * arithmetic bit-for-bit: sequential double dot fold,
+    * cos = dot / (sqrt(dot(v,v)) · sqrt(dot(c,c))), ties to the lowest
+    * centroid id — so stream and batch labels can never disagree.
+    */
+  def streamSemanticDedup(s: SparkSession, dir: String,
+      nlist: Int = 32, minCos: Double = 0.95): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    val corpus = s.read.parquet(s"$dir/embeddings.parquet")
+    val reps = Similarity.semanticDedup(corpus, nlist, minCos)
+      .filter(col("keep"))
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id").as("rep_id"), col("c_id").as("rc_id"),
+        transform(col("embedding"), x => x.cast("double")).as("r_vec"))
+    val cents: Array[(Long, Array[Double])] = corpus
+      .filter(col("vec_id") < nlist)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => x.cast("double")))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(cents.nonEmpty, s"no centroids: corpus has no id < $nlist")
+    val bc = s.sparkContext.broadcast(cents)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val shard = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).as("id"),
+        when(col("vec_id") % 2 === 1,
+          transform(col("embedding"), x => x.cast("double") + 10.0))
+          .otherwise(transform(col("embedding"), x => x.cast("double")))
+          .as("vec"))
+    val assigned = shard.as[(Long, Array[Double])]
+      .map { case (id, vec) =>
+        val nv = math.sqrt(dotSeq(vec, vec))
+        var bestC = Long.MaxValue; var bestCos = Double.NegativeInfinity
+        bc.value.foreach { case (cId, cVec) =>
+          val cos = dotSeq(vec, cVec) / (nv * math.sqrt(dotSeq(cVec, cVec)))
+          if (cos > bestCos || (cos == bestCos && cId < bestC)) {
+            bestCos = cos; bestC = cId
+          }
+        }
+        (id, bestC, vec)
+      }
+      .toDF("id", "c_id", "vec")
+    val joined = assigned.join(reps,
+        col("c_id") === col("rc_id") &&
+          Similarity.dot(col("vec"), col("r_vec")) /
+            (Similarity.norm(col("vec")) * Similarity.norm(col("r_vec"))) >= minCos,
+        "left_outer")
+      .select(col("id"), col("c_id"), col("rep_id"))
+    runToTable(joined, "append")
+      .groupBy("id", "c_id")
+      .agg(min(col("rep_id")).as("dup_of"))
+      .select(col("id").as("vec_id"), col("c_id"), col("dup_of"),
+        col("dup_of").isNull.as("is_new"))
+  }
 }
