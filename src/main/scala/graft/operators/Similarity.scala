@@ -149,6 +149,23 @@ object Similarity {
     * shuffle key and per-cluster work is O((n/nlist)^2) instead of
     * O(n^2); skewed clusters surface to AQE as ordinary join skew.
     *
+    * Choosing nlist: growing nlist ∝ corpus keeps per-cluster
+    * population (and the pair join's per-item cost) constant, but a
+    * FLAT O(n·nlist) assignment scan would then grow per-item (the
+    * round-8 ladder measured it at 1.75× per item at 30×). Above
+    * `hierarchicalAbove` centroids the assignment therefore goes
+    * two-level (the standard coarse-quantizer tree): rows pick the
+    * best of ~√nlist SUPER-centroids (the `superList` lowest ids),
+    * then argmax only among the centroids pre-assigned to that super
+    * cell — O(n·(superList + nlist/superList)) instead of O(n·nlist),
+    * deterministic and replayable (both levels are the same
+    * max-cos/lowest-id-tie rule). Cluster contents differ slightly
+    * from the flat argmax (a row near a cell boundary may land in a
+    * neighboring cell — the approximation every IVF tree makes); the
+    * keep-lowest verdict semantics are unchanged. The registered
+    * oracle query runs nlist = 32 ≤ `hierarchicalAbove`, i.e. the
+    * exact flat path.
+    *
     * Returns one row per corpus vector: (idCol, c_id, dup_of, keep)
     * where `dup_of` is the LOWEST id of any same-cluster neighbor
     * within `minCos` (null when none — deterministic canonical
@@ -157,18 +174,45 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, nlist: Int = 32, minCos: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      superList: Int = 32, hierarchicalAbove: Int = 128): DataFrame = {
     require(nlist >= 1, s"nlist=$nlist must be positive")
+    require(superList >= 1 && hierarchicalAbove >= superList,
+      s"superList=$superList must be in [1, hierarchicalAbove=$hierarchicalAbove]")
     val cent = broadcast(corpus.filter(col(idCol) < nlist)
       .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
-    val assigned = scope.own(corpus
-      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
-      .crossJoin(cent)
+    val rows = corpus.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+    val bestOf = (cands: DataFrame) => cands
       .withColumn("cos_c", cosine(col("n_vec"), col("c_vec")))
       .groupBy(col("n_id"))
       .agg(max(struct(col("cos_c"), (-col("c_id")).as("neg_c"),
         col("c_id"), col("n_vec"))).as("best"))
       .select(col("n_id"), col("best.c_id").as("c_id"), col("best.n_vec").as("n_vec"))
+    val picked =
+      if (nlist <= hierarchicalAbove) bestOf(rows.crossJoin(cent))
+      else {
+        // level 1: the superList lowest-id centroids are the super
+        // cells; every centroid is pre-assigned to one (tiny cross)
+        val supers = broadcast(cent.filter(col("c_id") < superList)
+          .select(col("c_id").as("s_id"), col("c_vec").as("s_vec")))
+        val centCell = broadcast(cent
+          .crossJoin(supers)
+          .withColumn("cos_s", cosine(col("c_vec"), col("s_vec")))
+          .groupBy(col("c_id"))
+          .agg(max(struct(col("cos_s"), (-col("s_id")).as("neg_s"),
+            col("s_id"), col("c_vec"))).as("b"))
+          .select(col("b.s_id").as("s_id"), col("c_id"), col("b.c_vec").as("c_vec")))
+        // level 2: rows pick their super cell, then argmax among only
+        // that cell's centroids (equi-join on s_id)
+        val rowCell = rows.crossJoin(supers)
+          .withColumn("cos_s", cosine(col("n_vec"), col("s_vec")))
+          .groupBy(col("n_id"))
+          .agg(max(struct(col("cos_s"), (-col("s_id")).as("neg_s"),
+            col("s_id"), col("n_vec"))).as("b"))
+          .select(col("n_id"), col("b.s_id").as("s_id"), col("b.n_vec").as("n_vec"))
+        bestOf(rowCell.join(centCell, "s_id"))
+      }
+    val assigned = scope.own(picked
       .withColumn("nrm", norm(col("n_vec")))
       .persist())
     val dup = assigned.as("x").join(assigned.as("y"),

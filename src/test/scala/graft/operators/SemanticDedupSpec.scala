@@ -58,4 +58,34 @@ class SemanticDedupSpec extends AnyFunSuite with Matchers {
       byId(dupOf)._1 shouldBe r.getLong(1)
     }
   }
+
+  test("two-level assignment keeps the contract (and stays scale-invariant)") {
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb0.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val planted = emb0.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    val emb = base.unionByName(planted)
+
+    // hierarchicalAbove = superList forces the two-level path at nlist=64
+    val out = Similarity.semanticDedup(emb, nlist = 64, minCos = 0.95,
+      superList = 8, hierarchicalAbove = 8)
+    val rows = out.collect()
+    rows.length shouldBe emb.count()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toMap
+    // both quantizer levels are scale-invariant (cosine): a planted
+    // positive-scaled copy lands in its source's cell and cluster and
+    // dedups against it
+    byId.keys.filter(_ >= 100000L).foreach { p =>
+      byId(p)._1 shouldBe byId(p - 100000L)._1
+      byId(p)._3 shouldBe false
+    }
+    // centroid ids assigned through the tree are real centroids, and
+    // every cluster's lowest member keeps
+    rows.foreach(r => r.getLong(1) should be < 64L)
+    byId.groupBy(_._2._1).foreach { case (_, members) =>
+      byId(members.keys.min)._3 shouldBe true
+    }
+  }
 }
