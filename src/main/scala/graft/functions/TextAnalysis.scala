@@ -145,4 +145,32 @@ object TextAnalysis {
     val stopRatio = stopwordCount(text, stopwords).cast("double") / n
     round(diversity * 0.4 + lengthScore * 0.3 + stopRatio * 0.3, 6)
   }
+
+  // ---------- fastText-shaped hashed-ngram linear scorer ----------
+
+  /** Hashing-trick feature buckets for a fastText-shaped linear text
+    * classifier (Joulin et al. 2016 model shape: bag of unigrams +
+    * bigrams, each hashed into one of `dim` buckets). One pass over
+    * the token array with higher-order functions only — no explode, no
+    * shuffle; the per-document feature vector never materializes wider
+    * than the token list itself.
+    */
+  def hashedNgramBuckets(text: Column, dim: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(toks, bigrams), f => pmod(stringHash(f), lit(dim.toLong)))
+  }
+
+  /** The fixed weight of one hashed feature bucket: a Knuth
+    * multiplicative hash of the bucket id folded into the symmetric
+    * integer range [-(wMod-1)/2, (wMod-1)/2]. A deterministic
+    * stand-in for a trained weight table: integer-exact, so the doc
+    * score (mean of feature weights) is engine-portable with a single
+    * final division.
+    */
+  def bucketWeight(bucket: Column, wMod: Long = 2000003L): Column =
+    bucket * lit(2654435761L) % lit(wMod) - lit((wMod - 1) / 2)
 }

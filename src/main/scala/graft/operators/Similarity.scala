@@ -225,6 +225,65 @@ object Similarity {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** Embedding-space decontamination: flag every corpus vector whose
+    * cosine against ANY eval-set vector reaches `minCos`, reporting
+    * the best-matching eval id (max cos, ties to the lowest eval id —
+    * the argmax convention shared with [[ivfTopK]]'s quantizer).
+    * The semantic sibling of [[graft.operators.Dedup.contamination]]'s
+    * n-gram overlap: it catches paraphrased/reworded benchmark leakage
+    * that exact n-grams miss.
+    *
+    * Same size contract as d10: `evalIsBenchmarkSized = true` is the
+    * caller vouching that the eval set is benchmark-sized (thousands
+    * of vectors), which buys the EXACT verdict — one corpus scan
+    * against the broadcast eval set with a partial-aggregatable argmax
+    * (map-side combine collapses to one row per corpus vector before
+    * any shuffle). Without the vouch the probe is centroid-BLOCKED:
+    * both sides coarse-assign to the corpus-derived `nlist` centroids
+    * ([[semanticDedup]]'s quantizer) and only same-cell pairs meet —
+    * an equi-join on the cell id that scales to eval sets of any size,
+    * trading exactness for the usual IVF boundary approximation (a
+    * corpus row whose best eval match sits in a neighboring cell scores
+    * against its own cell's eval rows only; recall is measured in
+    * SemanticContaminationSpec).
+    *
+    * Returns one row per corpus vector:
+    * (idCol, eval_id, cos_sim, contaminated) — eval_id/cos_sim null in
+    * the blocked path when the row's cell holds no eval vectors.
+    */
+  def semanticContamination(corpus: DataFrame, eval: DataFrame,
+      minCos: Double = 0.8, evalIsBenchmarkSized: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      evalIdCol: String = "eval_id", evalVecCol: String = "embedding",
+      nlist: Int = 32): DataFrame = {
+    val rows = corpus.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+    val ev = eval.select(col(evalIdCol).cast("long").as("e_id"), col(evalVecCol).as("e_vec"))
+    val best = (cands: DataFrame) => cands
+      .withColumn("cos_e", cosine(col("n_vec"), col("e_vec")))
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("cos_e"), (-col("e_id")).as("neg_e"), col("e_id"))).as("b"))
+      .select(col("n_id"), col("b.e_id").as("eval_id"), col("b.cos_e").as("cos_e"))
+    val scored =
+      if (evalIsBenchmarkSized) best(rows.crossJoin(broadcast(ev)))
+      else {
+        val cent = broadcast(corpus.filter(col(idCol) < nlist)
+          .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
+        def assign(df: DataFrame, id: String, vec: String): DataFrame = df
+          .crossJoin(cent)
+          .withColumn("cos_c", cosine(col(vec), col("c_vec")))
+          .groupBy(col(id))
+          .agg(max(struct(col("cos_c"), (-col("c_id")).as("neg_c"),
+            col("c_id"), col(vec))).as("b"))
+          .select(col(id), col("b.c_id").as("c_id"), col(s"b.$vec").as(vec))
+        val evCell = assign(ev, "e_id", "e_vec")
+        val matched = best(assign(rows, "n_id", "n_vec").join(evCell, "c_id"))
+        rows.select(col("n_id")).join(matched, Seq("n_id"), "left")
+      }
+    scored.select(col("n_id").as(idCol), col("eval_id"),
+      round(col("cos_e"), 6).as("cos_sim"),
+      coalesce((col("cos_e") >= minCos).cast("long"), lit(0L)).as("contaminated"))
+  }
+
   /** Product-quantization ADC top-k (Jégou et al. 2011) — the third ANN
     * scale path beside hyperplane LSH and IVF, and the one that shrinks
     * the SCAN itself: each vector is stored as `m` small codes (one per

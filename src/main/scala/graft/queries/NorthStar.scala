@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Mixture, Multimodal, Similarity, TextIndex}
+import graft.operators.{Dedup, Graph, Mixture, Multimodal, Similarity, TextIndex}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -255,6 +255,46 @@ object NorthStar {
         .select($"domain", $"n_docs", $"tot_tokens", $"rate",
           $"n_kept", $"kept_tokens")
         .orderBy($"domain")
+    },
+
+    // fastText-shaped hashed-ngram linear quality scorer (Joulin et
+    // al. 2016 shape): unigram+bigram hashing-trick features over 1024
+    // buckets, a fixed Knuth-multiplicative weight table standing in
+    // for trained weights, mean-of-weights score. All-integer until
+    // the single final division — the oracle reproduces it exactly.
+    // The 100 TB shape: one narrow scan, per-row higher-order-function
+    // arithmetic, zero shuffles before the display sort.
+    "t20_linear_quality" -> { (s, dir) =>
+      import s.implicits._
+      val buckets = TextAnalysis.hashedNgramBuckets($"text", 1024)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", buckets.as("buckets"))
+        .select($"doc_id", size($"buckets").cast("long").as("n_feats"),
+          aggregate($"buckets", lit(0L),
+            (acc, b) => acc + TextAnalysis.bucketWeight(b)).as("w_sum"))
+        .select($"doc_id", $"n_feats", $"w_sum",
+          round($"w_sum".cast("double") /
+            ($"n_feats".cast("double") * 1000001.0), 6).as("score"),
+          ($"w_sum" > 0).cast("long").as("keep"))
+        .orderBy($"doc_id")
+    },
+
+    // Link-authority scoring (PageRank as a curation quality prior):
+    // 5 damped power iterations over a deterministic synthetic link
+    // graph (fanout 3), in FIXED-POINT INTEGER arithmetic so the
+    // oracle replays the iteration bit-for-bit (float PageRank differs
+    // across engines in the last ULP because reduction order differs).
+    // Each iteration: one equi-join on src + one partial-agg sum keyed
+    // by dst — the graph's natural shuffle key.
+    "t21_link_authority" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val nodes = docs.select($"doc_id".cast("long").as("id"))
+      val edges = Graph.syntheticLinks(docs, "doc_id", nodes.count())
+      Graph.pageRankFixedPoint(nodes, edges, iters = 5)
+        .select($"id".as("node"), $"rank_fp",
+          round($"rank_fp".cast("double") / 1e12, 6).as("rank"))
+        .orderBy("node")
     },
 
     // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
@@ -728,6 +768,25 @@ object NorthStar {
         .orderBy("vec_id")
     },
 
+    // Semantic decontamination (the embedding-space sibling of d10):
+    // corpus = vectors not divisible by 97, eval set = the ~1% that
+    // are. Exact broadcast path (evalIsBenchmarkSized vouched — the
+    // d10 size contract); per corpus vector, the best-matching eval id
+    // + cosine + the contaminated verdict at 0.40 (the synthetic
+    // embeddings' natural cross-pair cosine tops out near 0.47, so
+    // 0.40 yields a real positive class; the nearest pair sits 0.007
+    // from the bar — safely beyond cross-engine float divergence).
+    "d14_semantic_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.semanticContamination(
+          emb.filter($"vec_id" % 97 =!= 0),
+          emb.filter($"vec_id" % 97 === 0)
+            .select($"vec_id".as("eval_id"), $"embedding"),
+          minCos = 0.40, evalIsBenchmarkSized = true)
+        .orderBy("vec_id")
+    },
+
     // Grid-bucketed eps-distance self-join: per-event neighborhood size
     // in (value, hours) space — DBSCAN's core test as a relational op,
     // planned as a hash equi-join on cell keys (never a nested loop).
@@ -1035,6 +1094,18 @@ object NorthStar {
 
     // Knuth-mixed hyperplane weights — MUST mirror HyperplaneBucketExpr
     // exactly: w(g, d) = (((g*131071 + d) * 2654435761) % 2^31) % 7 - 3
+    // t21: one unrolled fixed-point PageRank iteration per k (DuckDB
+    // disallows aggregates in a recursive CTE term; the iteration
+    // count is a fixed query parameter anyway)
+    val prIters = (iters: Int) => (0 until iters).map { k =>
+      s"""i$k AS (SELECT e.dst AS id, sum(r$k.r // e.deg) AS s
+         |  FROM e JOIN r$k ON r$k.id = e.src GROUP BY 1),
+         |r${k + 1} AS (SELECT nodes.id,
+         |    cast((150000000000 // (SELECT nn FROM n)) +
+         |      (85 * coalesce(i.s, 0)) // 100 as bigint) AS r
+         |  FROM nodes LEFT JOIN i$k i ON i.id = nodes.id)""".stripMargin
+    }.mkString(",\n")
+
     val planeW = (g: Int) =>
       s"((($g*131071 + (i-1)) * 2654435761) % 2147483648) % 7 - 3"
     val s02Projs = (0 until 8).map { j =>
@@ -1229,6 +1300,41 @@ object NorthStar {
            |    '$PiiIpRe', '<IP>', 'g'),
            |    '$PiiPhoneRe', '<PHONE>', 'g')) AS redacted_md5
            |FROM a ORDER BY doc_id""".stripMargin,
+
+      // hashed-ngram linear scorer: unigrams + bigrams -> rolling-hash
+      // bucket in [0,1024) -> Knuth-multiplicative integer weight;
+      // exact bigint sum, one final division
+      "t20_linear_quality" ->
+        s"""WITH d AS (SELECT doc_id, $tk AS toks FROM documents),
+           |f AS (SELECT doc_id, list_concat(toks,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1])) AS feats FROM d),
+           |b AS (SELECT doc_id, cast(len(feats) as bigint) AS n_feats,
+           |    cast(list_sum(list_transform(feats,
+           |      ft -> ((${rollSql("ft")}) % 1024) * 2654435761 % 2000003
+           |            - 1000001)) as bigint) AS w_sum
+           |  FROM f)
+           |SELECT doc_id, n_feats, w_sum,
+           |  round(cast(w_sum as double) /
+           |        (cast(n_feats as double) * 1000001.0), 6) AS score,
+           |  cast(CASE WHEN w_sum > 0 THEN 1 ELSE 0 END as bigint) AS keep
+           |FROM b ORDER BY doc_id""".stripMargin,
+
+      // fixed-point PageRank over the deterministic fanout-3 link
+      // graph; 5 unrolled damped iterations, integer-exact
+      "t21_link_authority" ->
+        s"""WITH n AS (SELECT cast(count(*) as bigint) AS nn FROM documents),
+           |nodes AS (SELECT cast(doc_id as bigint) AS id FROM documents),
+           |e1 AS (SELECT id AS src,
+           |    ((id + j) * 2654435761) % 1000003 % (SELECT nn FROM n) AS dst
+           |  FROM nodes, (SELECT unnest([1,2,3]) AS j) jt),
+           |dg AS (SELECT src, cast(count(*) as bigint) AS deg FROM e1 GROUP BY 1),
+           |e AS (SELECT e1.src, e1.dst, dg.deg FROM e1 JOIN dg ON dg.src = e1.src),
+           |r0 AS (SELECT id, 1000000000000 // (SELECT nn FROM n) AS r FROM nodes),
+           |${prIters(5)}
+           |SELECT r5.id AS node, cast(r5.r as bigint) AS rank_fp,
+           |  round(cast(r5.r as double) / 1e12, 6) AS rank
+           |FROM r5 ORDER BY node""".stripMargin,
 
       "t14_quality_rules" ->
         s"""SELECT doc_id, cast(n as bigint) AS n_words,
@@ -1597,6 +1703,22 @@ object NorthStar {
            |SELECT a.n_id AS vec_id, a.c_id, d.dup_of, d.dup_of IS NULL AS keep
            |FROM asg a LEFT JOIN dup d ON d.n_id = a.n_id
            |ORDER BY vec_id""".stripMargin,
+
+      // semantic decontamination: per corpus vector the argmax eval
+      // match (ties to lowest eval id) + the >= 0.40 verdict
+      "d14_semantic_decontam" ->
+        s"""WITH e AS (SELECT cast(vec_id as bigint) AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |ev AS (SELECT id AS e_id, v AS evec FROM e WHERE id % 97 = 0),
+           |c AS (SELECT id, v FROM e WHERE id % 97 <> 0),
+           |best AS (SELECT id, e_id, cs FROM (
+           |    SELECT c.id, ev.e_id, ${cosSql("c.v", "ev.evec")} AS cs,
+           |      row_number() OVER (PARTITION BY c.id
+           |        ORDER BY ${cosSql("c.v", "ev.evec")} DESC, ev.e_id ASC) AS rn
+           |    FROM c, ev) t WHERE rn = 1)
+           |SELECT id AS vec_id, e_id AS eval_id, round(cs, 6) AS cos_sim,
+           |  cast(CASE WHEN cs >= 0.40 THEN 1 ELSE 0 END as bigint) AS contaminated
+           |FROM best ORDER BY vec_id""".stripMargin,
 
       // stream = batch for the stateless assign-and-probe: s19's reps,
       // the +100000 shard (+10.0/element for odd ids), min matching rep

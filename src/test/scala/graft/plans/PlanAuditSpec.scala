@@ -35,7 +35,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s16_ivf_pq_residual" -> "same sanctioned shapes as s15 over residual codes: corpus x 32 broadcast centroids, residual-code scan x broadcast per-(query,list) LUTs; the data-sized join is the c_id equi-join",
     "s17_sql_knn" -> "SQL spelling of s01's exact brute-force baseline (5 broadcast queries x corpus scan) — intentionally the same sanctioned shape",
     "s19_semantic_dedup" -> "s04's sanctioned coarse-assignment shape (corpus x 32 broadcast centroids); the data-sized pair join is an equi-join on the cluster id",
-    "s18_hybrid_search" -> "the vector half is the sanctioned 3-broadcast-queries x corpus baseline (swap in s15's pruned ADC at corpus scale); the lexical half is a posting equi-join")
+    "s18_hybrid_search" -> "the vector half is the sanctioned 3-broadcast-queries x corpus baseline (swap in s15's pruned ADC at corpus scale); the lexical half is a posting equi-join",
+    "t19_temperature_mix" -> "the |domains|-row weight table crossJoins the broadcast 1-row weight-sum aggregate — both sides tiny by construction; the data-sized join is the broadcast rate join on domain",
+    "d14_semantic_decontam" -> "d10's size contract applied to embeddings: the caller vouches the eval set is benchmark-sized, buying the exact one-scan x broadcast-eval argmax; the unvouched path is the centroid-blocked equi-join (SemanticContaminationSpec)")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
