@@ -243,6 +243,42 @@ object Dedup {
         (coalesce($"canon", $"doc_id") === $"doc_id").as("is_kept"))
   }
 
+  /** [[dedupVerdicts]] with a QUALITY-ARGMAX canonical rule: within
+    * each near-dup component, keep the member with the highest
+    * `quality` (ties to the lowest id) instead of blindly the lowest
+    * id — the "keep the best copy" policy of a production dedup pass
+    * (the truncated/boilerplate copy loses to the full original even
+    * when it has the smaller id).
+    *
+    * `quality` must be an INTEGRAL column expression (it is cast to
+    * long): integer argmax is exact in any engine, where a float
+    * quality could flip ties in the last ULP. The extra cost over
+    * [[dedupVerdicts]] is one partial-aggregatable argmax per
+    * component plus a component-keyed equi-join — both shuffle on
+    * `canonical_id`, the partitioning the verdict join already uses.
+    *
+    * Returns (doc_id, canonical_id, quality, kept_id, is_kept) where
+    * `canonical_id` is still the min-id component label (the stable
+    * cluster key) and `kept_id` is the quality-argmax member.
+    */
+  def dedupVerdictsByQuality(docs: DataFrame, textCol: String, idCol: String,
+      quality: Column, k: Int = 16, bands: Int = 4, n: Int = 3,
+      minEstSim: Double = 0.5,
+      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val v = dedupVerdicts(docs, textCol, idCol, k, bands, n, minEstSim,
+      driverMaxEdges, scope)
+    val q = docs.select(col(idCol).cast("long").as("doc_id"),
+      quality.cast("long").as("quality"))
+    val withQ = v.join(q, "doc_id")
+    val best = withQ.groupBy($"canonical_id")
+      .agg(max(struct($"quality", (-$"doc_id").as("neg_id"), $"doc_id")).as("b"))
+      .select($"canonical_id", $"b.doc_id".as("kept_id"))
+    withQ.join(best, "canonical_id")
+      .select($"doc_id", $"canonical_id", $"quality", $"kept_id",
+        ($"doc_id" === $"kept_id").as("is_kept"))
+  }
+
   /** Build-once MinHash signature index for a corpus: `(id, minhashes)`
     * persisted as parquet in the warehouse dir, keyed by a
     * source-fingerprint marker (path + size + mtime) so it is computed

@@ -265,4 +265,74 @@ object Mixture {
        |v AS (SELECT p.domain, p.id, p.n_tokens, r.rate,
        |    (${portableHashSql("p.id", SampleI)}) % $denom < r.thr AS keep
        |  FROM p JOIN r USING (domain))""".stripMargin
+
+  // ---------- DSIR-style importance resampling ----------
+
+  /** 16.16 fixed-point floor-linear log2 of a positive integer SQL
+    * expression — INTEGER-EXACT in any engine, which is the whole
+    * point: `log2fp(x) = p*65536 + ((x << 16) >> p) - 65536` with
+    * `p = floor(log2 x)` read off the binary-string length. No
+    * transcendental call (whose last ULP differs across engines'
+    * libm), just string length, one multiply, one shift. The
+    * piecewise-linear mantissa is within 0.086 of true log2 —
+    * irrelevant for ranking/thresholding, decisive for replayability.
+    */
+  private def log2Fp(x: String): Column = expr(
+    s"cast((length(bin($x)) - 1) * 65536 " +
+      s"+ shiftright(($x) * 65536, cast(length(bin($x)) - 1 as int)) " +
+      s"- 65536 as bigint)")
+
+  /** DuckDB spelling of the same fixed-point log2 (binary string via
+    * `format('{:b}', x)`), for oracles. Bit-identical to [[log2Fp]].
+    */
+  def log2FpSql(x: String): String =
+    s"((length(format('{:b}', $x))-1)*65536 " +
+      s"+ (($x)*65536 // (1::BIGINT << (length(format('{:b}', $x))-1))) - 65536)"
+
+  /** DSIR-shaped importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how target-like its hashed-ngram features are.
+    * Features are [[TextAnalysis.hashedNgramBuckets]] (unigrams +
+    * bigrams hashed into `dim` buckets); each bucket's log-likelihood
+    * ratio is `log2(ct_target+1) - log2(ct_raw+1)` in the integer-exact
+    * 16.16 fixed point of [[log2Fp]], so a document's score (sum of
+    * its features' ratios) is a sum of bigints — exact under any
+    * aggregation order, replayable by the oracle engine bit-for-bit.
+    *
+    * `isTarget` marks the in-domain rows (the distribution to steer
+    * toward); the raw distribution is the whole corpus. `thrFp` is the
+    * keep bar on the MEAN feature ratio in fixed-point units; the
+    * verdict is the pure integer comparison
+    * `lr_sum >= thrFp * n_feats` — deliberately not an integer
+    * division, whose negative-operand rounding differs across engines
+    * (floor vs truncation).
+    *
+    * 100 TB shape: one exploded scan feeds a `dim`-row partial-agg
+    * count table (tiny — broadcast back), then a second scan sums the
+    * per-feature ratios per document with map-side combine. No
+    * data-sized shuffle beyond the per-doc sum; the bucket table is
+    * the only coordination point, and it is O(dim), not O(corpus).
+    *
+    * Returns (doc_id, n_feats, lr_sum, importance, keep) with
+    * `importance = lr_sum / (n_feats * 65536)` — mean log2 ratio.
+    */
+  def dsirImportance(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dim: Int = 1024, thrFp: Long = -170000L): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val feats = docs.select(col(idCol).cast("long").as("doc_id"),
+      isTarget.as("is_t"),
+      explode(TextAnalysis.hashedNgramBuckets(col(textCol), dim)).as("bucket"))
+    val counts = feats.groupBy(col("bucket")).agg(
+      count(lit(1)).as("ct_raw"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct_t"))
+    val lr = counts.select(col("bucket"),
+      (log2Fp("ct_t + 1") - log2Fp("ct_raw + 1")).as("lr_fp"))
+    feats.join(broadcast(lr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_feats"), sum(col("lr_fp")).as("lr_sum"))
+      .select(col("doc_id"), col("n_feats"), col("lr_sum"),
+        round(col("lr_sum").cast("double") /
+          (col("n_feats").cast("double") * 65536.0), 6).as("importance"),
+        (col("lr_sum") >= lit(thrFp) * col("n_feats")).as("keep"))
+  }
 }

@@ -297,6 +297,23 @@ object NorthStar {
         .orderBy("node")
     },
 
+    // DSIR-shaped importance resampling (Xie et al. 2023): target =
+    // src0-src2 (15% of the corpus), features = t20's hashed unigram+
+    // bigram buckets, per-bucket log-likelihood ratio in the
+    // integer-exact 16.16 fixed-point log2 (binary-string-length
+    // exponent + linear mantissa — no libm call to drift by a ULP).
+    // keep = mean feature ratio >= -170000/65536 ~ -2.594 bits,
+    // i.e. "no more below-average-target-likeness than the corpus
+    // bulk" (target prior is log2(0.15) ~ -2.74).
+    "t22_dsir_importance" -> { (s, dir) =>
+      import s.implicits._
+      Mixture.dsirImportance(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", $"source".isin("src0", "src1", "src2"),
+          dim = 1024, thrFp = -170000L)
+        .orderBy("doc_id")
+    },
+
     // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
     // shape): per-document metrics + one flag per rule + the conjunctive
     // keep verdict. Every metric is exact-integer-derived double
@@ -523,6 +540,19 @@ object NorthStar {
     "d08_dedup_pipeline" -> { (s, dir) =>
       Dedup.dedupVerdicts(mutCorpus(s, dir), "text", "doc_id",
         k = 16, bands = 4, n = 3, minEstSim = 0.5)
+        .orderBy("doc_id")
+    },
+
+    // d08's pipeline with the "keep the best copy" canonical rule:
+    // within each near-dup component keep the quality-argmax member
+    // (quality = distinct-token count, integer-exact; ties to lowest
+    // id) — the 80%-truncated copies lose to their originals even
+    // though their ids sort later.
+    "d15_canonical_by_quality" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.dedupVerdictsByQuality(mutCorpus(s, dir), "text", "doc_id",
+          size(array_distinct(TextAnalysis.tokens($"text"))).cast("long"),
+          k = 16, bands = 4, n = 3, minEstSim = 0.5)
         .orderBy("doc_id")
     },
 
@@ -1336,6 +1366,33 @@ object NorthStar {
            |  round(cast(r5.r as double) / 1e12, 6) AS rank
            |FROM r5 ORDER BY node""".stripMargin,
 
+      // DSIR importance: per-bucket counts over the same hashed
+      // unigram+bigram features as t20, log-likelihood ratio in the
+      // shared integer-exact fixed-point log2 (Mixture.log2FpSql),
+      // exact bigint doc sums; keep avoids integer division (floor vs
+      // truncation differs on negatives) via lr_sum >= thr * n_feats
+      "t22_dsir_importance" ->
+        s"""WITH d AS (SELECT doc_id, source IN ('src0','src1','src2') AS is_t,
+           |    $tk AS toks FROM documents),
+           |f AS (SELECT doc_id, is_t, list_concat(toks,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1])) AS feats FROM d),
+           |x AS (SELECT doc_id, is_t, ((${rollSql("ft")}) % 1024) AS bucket
+           |  FROM f, unnest(feats) AS u(ft)),
+           |c AS (SELECT bucket, count(*) AS ct_raw,
+           |    count(*) FILTER (is_t) AS ct_t FROM x GROUP BY 1),
+           |lr AS (SELECT bucket,
+           |    ${Mixture.log2FpSql("ct_t+1")} - ${Mixture.log2FpSql("ct_raw+1")}
+           |      AS lr_fp FROM c),
+           |sc AS (SELECT doc_id, cast(count(*) as bigint) AS n_feats,
+           |    cast(sum(lr_fp) as bigint) AS lr_sum
+           |  FROM x JOIN lr USING (bucket) GROUP BY 1)
+           |SELECT doc_id, n_feats, lr_sum,
+           |  round(cast(lr_sum as double) /
+           |        (cast(n_feats as double) * 65536.0), 6) AS importance,
+           |  (lr_sum >= -170000 * n_feats) AS keep
+           |FROM sc ORDER BY doc_id""".stripMargin,
+
       "t14_quality_rules" ->
         s"""SELECT doc_id, cast(n as bigint) AS n_words,
            |  round(mwl, 6) AS mean_word_len, round(div, 6) AS diversity,
@@ -1470,6 +1527,43 @@ object NorthStar {
            |SELECT src AS doc_id, min(dst) AS canonical_id,
            |  (src = min(dst)) AS is_kept
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      // d08's components re-canonicalized by quality argmax: the kept
+      // member is the distinct-token-count maximum (ties to lowest id)
+      "d15_canonical_by_quality" ->
+        s"""WITH RECURSIVE ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+           |p AS (SELECT pr.id_a, pr.id_b FROM pairs pr
+           |  JOIN mh a ON a.id = pr.id_a JOIN mh b ON b.id = pr.id_b
+           |  WHERE cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16
+           |    >= 0.5),
+           |e AS (SELECT id_a AS s, id_b AS d FROM p
+           |  UNION SELECT id_b, id_a FROM p),
+           |ids AS (SELECT DISTINCT doc_id AS id FROM u),
+           |reach AS (
+           |  SELECT id AS src, id AS dst FROM ids
+           |  UNION
+           |  SELECT r.src, e.d FROM reach r JOIN e ON e.s = r.dst),
+           |comp AS (SELECT src AS doc_id, min(dst) AS canonical_id
+           |  FROM reach GROUP BY src),
+           |q AS (SELECT doc_id, cast(len(list_distinct($tk)) as bigint) AS quality
+           |  FROM u),
+           |best AS (SELECT canonical_id, doc_id AS kept_id FROM (
+           |    SELECT c.canonical_id, c.doc_id,
+           |      row_number() OVER (PARTITION BY c.canonical_id
+           |        ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+           |    FROM comp c JOIN q USING (doc_id)) t WHERE rn = 1)
+           |SELECT c.doc_id, c.canonical_id, q.quality, b.kept_id,
+           |  (c.doc_id = b.kept_id) AS is_kept
+           |FROM comp c JOIN q USING (doc_id)
+           |JOIN best b USING (canonical_id) ORDER BY doc_id""".stripMargin,
 
       // the shard ids live at >= 100000, the indexed corpus below;
       // min matched existing id per new doc, LSH-band candidates
