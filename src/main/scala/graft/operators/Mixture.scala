@@ -316,18 +316,34 @@ object Mixture {
     * Returns (doc_id, n_feats, lr_sum, importance, keep) with
     * `importance = lr_sum / (n_feats * 65536)` — mean log2 ratio.
     */
+  /** The per-bucket fixed-point log-likelihood ratio table of
+    * [[dsirImportance]] — `(bucket, lr_fp)` with
+    * `lr_fp = log2fp(ct_target+1) - log2fp(ct_raw+1)`. Exposed
+    * separately because it is the LEARNED ASSET of importance
+    * resampling: built once over the corpus (one exploded scan into a
+    * `dim`-row partial aggregate), then reused to score any shard or
+    * stream (see [[graft.streaming.Streaming.streamDsirScore]]).
+    * Buckets absent from the corpus have ratio 0 by construction
+    * (log2fp(1) - log2fp(1)); scorers coalesce misses to 0.
+    */
+  def dsirRatioTable(docs: DataFrame, textCol: String, isTarget: Column,
+      dim: Int = 1024): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    docs.select(isTarget.as("is_t"),
+        explode(TextAnalysis.hashedNgramBuckets(col(textCol), dim)).as("bucket"))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("ct_raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct_t"))
+      .select(col("bucket"),
+        (log2Fp("ct_t + 1") - log2Fp("ct_raw + 1")).as("lr_fp"))
+  }
+
   def dsirImportance(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, dim: Int = 1024, thrFp: Long = -170000L): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val feats = docs.select(col(idCol).cast("long").as("doc_id"),
-      isTarget.as("is_t"),
       explode(TextAnalysis.hashedNgramBuckets(col(textCol), dim)).as("bucket"))
-    val counts = feats.groupBy(col("bucket")).agg(
-      count(lit(1)).as("ct_raw"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct_t"))
-    val lr = counts.select(col("bucket"),
-      (log2Fp("ct_t + 1") - log2Fp("ct_raw + 1")).as("lr_fp"))
-    feats.join(broadcast(lr), "bucket")
+    feats.join(broadcast(dsirRatioTable(docs, textCol, isTarget, dim)), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_feats"), sum(col("lr_fp")).as("lr_sum"))
       .select(col("doc_id"), col("n_feats"), col("lr_sum"),

@@ -1115,6 +1115,15 @@ object NorthStar {
       graft.streaming.Streaming.streamSemanticDedup(s, dir,
           nlist = 32, minCos = 0.95)
         .orderBy("vec_id")
+    },
+
+    // Streaming DSIR scoring against the batch-learned ratio asset:
+    // stateless per-row projection (the 1024-row table rides along as
+    // a literal map), so the batch t22 arithmetic is an exact oracle.
+    "st15_stream_dsir" -> { (s, dir) =>
+      graft.streaming.Streaming.streamDsirScore(s, dir,
+          dim = 1024, thrFp = -170000L)
+        .orderBy("doc_id")
     })
 
   // ---------- oracles ----------
@@ -2419,6 +2428,9 @@ object NorthStar {
       // operator and the graft_minhash_sig SQL text must agree exactly
       ("d11_sql_lsh_pairs" -> m("d04_lsh_pairs")) +
       // SQL-authored exact kNN through graft_cosine — shares s01's oracle
-      ("s17_sql_knn" -> m("s01_knn_bruteforce"))
+      ("s17_sql_knn" -> m("s01_knn_bruteforce")) +
+      // stateless stream = batch: streaming DSIR scoring shares t22's
+      // exact-integer arithmetic and therefore its oracle verbatim
+      ("st15_stream_dsir" -> m("t22_dsir_importance"))
   }
 }

@@ -587,4 +587,39 @@ object Streaming {
       .select(col("id").as("vec_id"), col("c_id"), col("dup_of"),
         col("dup_of").isNull.as("is_new"))
   }
+
+  /** Streaming DSIR scoring: each microbatch of documents is scored
+    * against the BATCH-learned bucket ratio table
+    * ([[graft.operators.Mixture.dsirRatioTable]]) — the deployment
+    * shape of importance resampling: the ratio asset is learned once
+    * over the corpus, the ingest stream is scored row-by-row against
+    * it. The `dim`-row table (~16 KB) rides along as one literal map
+    * (the sanctioned tiny-planning-collect of st10's codebook and
+    * st14's centroids), so scoring is a pure per-row projection: no
+    * join node, no watermark, no state store. Stateless => verdicts
+    * are batch-invariant, and t22's arithmetic over the same rows is
+    * an exact oracle. Buckets unseen at learn time coalesce to ratio 0
+    * (log2fp(1) - log2fp(1)).
+    */
+  def streamDsirScore(s: SparkSession, dir: String, dim: Int = 1024,
+      thrFp: Long = -170000L): DataFrame = {
+    import graft.functions.TextAnalysis
+    import s.implicits.{newLongEncoder, newProductEncoder}
+    val lrMap: Map[Long, Long] = graft.operators.Mixture
+      .dsirRatioTable(s.read.parquet(s"$dir/documents.parquet"), "text",
+        col("source").isin("src0", "src1", "src2"), dim)
+      .as[(Long, Long)].collect().toMap
+    val lrLit = typedLit(lrMap)
+    val scored = graft.sources.Sources.documentsStream(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextAnalysis.hashedNgramBuckets(col("text"), dim).as("buckets"))
+      .select(col("doc_id"), size(col("buckets")).cast("long").as("n_feats"),
+        aggregate(col("buckets"), lit(0L),
+          (acc, b) => acc + coalesce(element_at(lrLit, b), lit(0L))).as("lr_sum"))
+      .select(col("doc_id"), col("n_feats"), col("lr_sum"),
+        round(col("lr_sum").cast("double") /
+          (col("n_feats").cast("double") * 65536.0), 6).as("importance"),
+        (col("lr_sum") >= lit(thrFp) * col("n_feats")).as("keep"))
+    runToTable(scored, "append")
+  }
 }
