@@ -52,7 +52,7 @@ object Graph {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum,
       s"need iters>=1 and 0 < dampNum < dampDen; got $iters, $dampNum/$dampDen")
     val n = nodes.count()
-    require(n > 0, "pageRank over an empty node set")
+    if (n == 0) return nodes.select(col("id"), lit(0L).as("rank_fp"))
     val base = scaleFp * (dampDen - dampNum) / dampDen / n
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val e = edges.join(outDeg, "src")

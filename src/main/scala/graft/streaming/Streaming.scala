@@ -548,7 +548,8 @@ object Streaming {
       .select(col("vec_id").cast("long"),
         transform(col("embedding"), x => x.cast("double")))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
-    require(cents.nonEmpty, s"no centroids: corpus has no id < $nlist")
+    require(cents.nonEmpty || corpus.isEmpty,
+      s"no centroids: non-empty corpus has no id < $nlist")
     val bc = s.sparkContext.broadcast(cents)
     def dotSeq(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
