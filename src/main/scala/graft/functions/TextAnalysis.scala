@@ -173,4 +173,13 @@ object TextAnalysis {
     */
   def bucketWeight(bucket: Column, wMod: Long = 2000003L): Column =
     bucket * lit(2654435761L) % lit(wMod) - lit((wMod - 1) / 2)
+
+  /** Aggressive normalization for "fuzzy-exact" dedup (the
+    * RefinedWeb-style pass that catches case / punctuation /
+    * whitespace variants byte-exact dedup misses): lowercase, collapse
+    * every run of non-alphanumerics to one space, trim. RE2-subset
+    * regex — Spark's java.util.regex and DuckDB's RE2 agree.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 }

@@ -277,7 +277,7 @@ object Mixture {
     * piecewise-linear mantissa is within 0.086 of true log2 —
     * irrelevant for ranking/thresholding, decisive for replayability.
     */
-  private def log2Fp(x: String): Column = expr(
+  private[graft] def log2Fp(x: String): Column = expr(
     s"cast((length(bin($x)) - 1) * 65536 " +
       s"+ shiftright(($x) * 65536, cast(length(bin($x)) - 1 as int)) " +
       s"- 65536 as bigint)")
@@ -350,5 +350,180 @@ object Mixture {
         round(col("lr_sum").cast("double") /
           (col("n_feats").cast("double") * 65536.0), 6).as("importance"),
         (col("lr_sum") >= lit(thrFp) * col("n_feats")).as("keep"))
+  }
+
+  // ---------- hashed-bigram LM perplexity filter (CCNet-style) ----------
+
+  /** Per-position (context, bigram) hash-bucket pairs of a text column:
+    * for tokens w1..wn, position i yields
+    * `(bucket_ctx(w_i), bucket_bi(w_i + " " + w_{i+1}))` — the context
+    * token hashed into `[0, ctxDim)` and the joined bigram into
+    * `[0, biDim)` under the engine-portable rolling hash. The hashed
+    * stand-in for a bigram LM's (history, event) pair; `biDim >>
+    * ctxDim` keeps event buckets sparse enough to discriminate.
+    */
+  private[graft] def lmPairBuckets(text: Column, ctxDim: Int,
+      biDim: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => struct(
+        pmod(TextAnalysis.stringHash(a), lit(ctxDim.toLong)).as("ctx"),
+        pmod(TextAnalysis.stringHash(concat(a, lit(" "), b)),
+          lit(biDim.toLong)).as("bi")))
+  }
+
+  /** Hashed-bigram language model counts (the hashing-trick stand-in
+    * for CCNet's KenLM, Wenzek et al. 2020): ONE exploded scan with
+    * map-side partial aggregation collapses the corpus to
+    * `(kind, bucket, ct)` — kind 0 = context-token buckets (`ctxDim`
+    * rows at most), kind 1 = bigram buckets (`biDim` rows at most).
+    * Both marginals are dim-bounded BY CONSTRUCTION, independent of
+    * corpus size, so they broadcast at any scale. This is the LEARNED
+    * ASSET of perplexity filtering: built once, reused to score any
+    * shard or stream.
+    */
+  def lmBigramCounts(docs: DataFrame, textCol: String,
+      ctxDim: Int = 1024, biDim: Int = 65536): DataFrame = {
+    require(ctxDim > 0 && biDim > 0, s"dims must be positive: $ctxDim, $biDim")
+    docs.select(explode(lmPairBuckets(col(textCol), ctxDim, biDim)).as("pr"))
+      .select(explode(array(
+        struct(lit(0).as("kind"), col("pr.ctx").as("bucket")),
+        struct(lit(1).as("kind"), col("pr.bi").as("bucket")))).as("k"))
+      .groupBy(col("k.kind").as("kind"), col("k.bucket").as("bucket"))
+      .agg(count(lit(1)).as("ct"))
+  }
+
+  /** CCNet-shaped perplexity filter: score every document by its mean
+    * hashed-bigram surprisal under [[lmBigramCounts]],
+    *
+    *   bits(ctx, bi) = log2fp(ct_ctx + biDim) - log2fp(ct_bi + 1)
+    *
+    * (add-one-smoothed `-log2 P(bigram | context)` in the shared
+    * integer-exact 16.16 fixed-point log2 — no libm call to drift by a
+    * ULP). Keep = the fluent half: the document's FLOOR-mean surprisal
+    * is at most the corpus floor-mean (`bits_sum div n_bigrams <=
+    * tot_bits div tot_n` — both divisions over non-negatives, where
+    * floor and truncation agree across engines). A relative bar, so
+    * the verdict discriminates at every corpus scale, unlike a fixed
+    * bits constant whose meaning drifts as counts grow.
+    *
+    * 100 TB shape: scan 1 builds the dim-bounded marginal tables; scan
+    * 2 explodes the corpus once more and joins BOTH BROADCAST
+    * marginals — the per-doc sum is the only data-sized shuffle, and
+    * it partial-aggregates map-side. The corpus mean is a second tiny
+    * reduction over the per-doc table, joined back on a constant key
+    * (a broadcast hash join, not a nested loop). No data-sized join,
+    * ever.
+    */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      ctxDim: Int = 1024, biDim: Int = 65536): DataFrame = {
+    val counts = lmBigramCounts(docs, textCol, ctxDim, biDim)
+    val ctxT = counts.filter(col("kind") === 0)
+      .select(col("bucket").as("ctx"), col("ct").as("ct_ctx"))
+    val biT = counts.filter(col("kind") === 1)
+      .select(col("bucket").as("bi"), col("ct").as("ct_bi"))
+    val pairs = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(lmPairBuckets(col(textCol), ctxDim, biDim)).as("pr"))
+      .select(col("doc_id"), col("pr.ctx").as("ctx"), col("pr.bi").as("bi"))
+    val scored = pairs.join(broadcast(ctxT), "ctx").join(broadcast(biT), "bi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(log2Fp(s"ct_ctx + $biDim") - log2Fp("ct_bi + 1")).as("bits_sum"))
+    val corpusMean = scored.agg(
+        expr("sum(bits_sum) div sum(n_bigrams)").as("corpus_mean_fp"))
+      .withColumn("jk", lit(1))
+    scored.withColumn("jk", lit(1))
+      .join(broadcast(corpusMean), "jk")
+      .select(col("doc_id"), col("n_bigrams"), col("bits_sum"),
+        round(col("bits_sum").cast("double") /
+          (col("n_bigrams").cast("double") * 65536.0), 6).as("bits_per_bigram"),
+        col("corpus_mean_fp"),
+        (expr("bits_sum div n_bigrams") <= col("corpus_mean_fp")).as("keep"))
+  }
+
+  // ---------- weighted sampling without replacement ----------
+
+  /** Spark-SQL spelling of the 16.16 fixed-point log2 (same function
+    * as [[log2Fp]], as a composable SQL fragment).
+    */
+  private def log2FpSparkSql(x: String): String =
+    s"cast((length(bin($x)) - 1) * 65536 " +
+      s"+ shiftright(($x) * 65536, cast(length(bin($x)) - 1 as int)) " +
+      s"- 65536 as bigint)"
+
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement, `k`
+    * rows per stratum, deterministic and integer-exact: each row draws
+    * `u = hash(id) % 65536 + 1` (its reproducible uniform) and ranks by
+    *
+    *   es_key = (16·65536 - log2fp(u)) * 1e6  div  max(weight, 1)
+    *
+    * — the E-S key `-log u / w` with `-log2(u/65536)` in fixed point;
+    * the k SMALLEST keys per stratum win, ties to the lowest id. Both
+    * `div` operands are non-negative, so floor and truncation agree
+    * across engines. Inclusion probability is proportional to weight
+    * in the without-replacement sense of E-S (SODA'06).
+    *
+    * 100 TB shape: the key is a pure per-row projection; the
+    * rank-filtered window plans as `WindowGroupLimit` — every task
+    * keeps only its local top-k per stratum before the shuffle, so no
+    * stratum is ever sorted whole.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+      weightSql: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = s"((${portableHashSql(idCol, SampleI)}) % 65536 + 1)"
+    val keySql = s"((${16L * 65536L} - ${log2FpSparkSql(u)}) * 1000000) " +
+      s"div greatest(cast(($weightSql) as bigint), 1)"
+    df.select(col(stratumCol).as("stratum"),
+        col(idCol).cast("long").as("doc_id"),
+        greatest(expr(weightSql).cast("long"), lit(1L)).as("w"),
+        expr(keySql).as("es_key"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("stratum").orderBy(col("es_key"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  // ---------- histogram-quantile threshold selection ----------
+
+  /** Per-stratum top-fraction selection by HISTOGRAM quantile: bucket
+    * an integer score into `nBuckets` fixed-width bins, count per
+    * `(stratum, bucket)` — a table bounded by |strata|·nBuckets, never
+    * by the corpus — and pick, per stratum, the highest bucket whose
+    * from-the-top cumulative count first covers
+    * `ceil(total * num/den)` docs. Keep = `bucket >= thr`. The
+    * threshold is integer-exact (counts and a ceiling division of
+    * non-negatives), so the verdict never sits on a float boundary.
+    *
+    * This is the scale-sane spelling of "keep the top 10% by score per
+    * domain": an exact per-stratum rank needs a full sort of each
+    * stratum (a scale-killer when one domain is 40 TB); the bucket
+    * histogram needs one partial-aggregated scan plus tiny-table
+    * arithmetic, and is exact at bucket granularity (keeps the minimal
+    * bucket-aligned superset of the top fraction).
+    */
+  def histogramThreshold(df: DataFrame, stratumCol: String, idCol: String,
+      scoreSql: String, bucketWidth: Long = 16L, nBuckets: Int = 256,
+      topNum: Long = 1L, topDen: Long = 10L): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 0 && topNum > 0 && topDen >= topNum,
+      s"bad params: width=$bucketWidth n=$nBuckets frac=$topNum/$topDen")
+    val scored = df.select(col(stratumCol).as("stratum"),
+      col(idCol).cast("long").as("doc_id"),
+      expr(scoreSql).cast("long").as("score"),
+      least(expr(s"cast(($scoreSql) as bigint) div $bucketWidth"),
+        lit(nBuckets - 1L)).as("bucket"))
+    val hist = scored.groupBy("stratum", "bucket").agg(count(lit(1)).as("ct"))
+    val cum = hist.withColumn("cum", sum("ct").over(
+        Window.partitionBy("stratum")
+          .orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("ct").over(Window.partitionBy("stratum")))
+    val thr = cum
+      .filter(col("cum") * topDen >= col("total") * topNum)
+      .groupBy("stratum").agg(max("bucket").as("thr_bucket"))
+    scored.join(broadcast(thr), Seq("stratum"))
+      .select(col("doc_id"), col("stratum"), col("score"), col("bucket"),
+        col("thr_bucket"), (col("bucket") >= col("thr_bucket")).as("keep"))
   }
 }

@@ -314,6 +314,46 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // CCNet-shaped perplexity filter (Wenzek et al. 2020): a hashed-
+    // bigram LM stands in for KenLM — the corpus collapses to
+    // dim-bounded context/bigram marginal count tables (broadcastable
+    // at ANY corpus size by construction), per-bigram surprisal in the
+    // shared integer-exact 16.16 fixed-point log2, keep = doc
+    // floor-mean bits <= corpus floor-mean bits (a relative bar that
+    // discriminates at every scale). Two corpus scans total: model
+    // build + broadcast-join scoring.
+    "t23_lm_perplexity" -> { (s, dir) =>
+      Mixture.lmPerplexity(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", ctxDim = 1024, biDim = 65536)
+        .orderBy("doc_id")
+    },
+
+    // Efraimidis-Spirakis weighted sampling without replacement, 50
+    // docs per source, weight = doc length: rank by the integer-exact
+    // fixed-point key -log2(u)/w (u from the portable hash family);
+    // the rank-filtered window plans as WindowGroupLimit, so every
+    // task keeps only a local top-k before the shuffle.
+    "t24_weighted_sample" -> { (s, dir) =>
+      Mixture.weightedSample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "source", "doc_id", "n_chars", k = 50)
+        .orderBy("stratum", "rn")
+    },
+
+    // Per-source top-10% selection by HISTOGRAM quantile (score =
+    // n_chars bucketed by 16, 256 bins): the threshold derives from a
+    // |sources|x256-bounded count table, never from a per-source sort —
+    // the scale-sane spelling of "keep the longest tenth per domain",
+    // exact at bucket granularity.
+    "t25_histogram_threshold" -> { (s, dir) =>
+      Mixture.histogramThreshold(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "source", "doc_id", "n_chars",
+          bucketWidth = 16L, nBuckets = 256, topNum = 1L, topDen = 10L)
+        .orderBy("doc_id")
+    },
+
     // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
     // shape): per-document metrics + one flag per rule + the conjunctive
     // keep verdict. Every metric is exact-integer-derived double
@@ -554,6 +594,25 @@ object NorthStar {
           size(array_distinct(TextAnalysis.tokens($"text"))).cast("long"),
           k = 16, bands = 4, n = 3, minEstSim = 0.5)
         .orderBy("doc_id")
+    },
+
+    // "Fuzzy-exact" dedup: exact dedup of the NORMALIZED text
+    // (lowercase, punctuation runs collapsed to one space) — catches
+    // the case/punctuation variants byte-exact d01 misses. The noisy
+    // corpus re-adds every doc uppercased with trailing punctuation;
+    // normalization folds each pair back to one content group. Same
+    // single-hash-aggregate scale shape as d01.
+    "d16_normalized_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val noisy = docs.select($"doc_id", $"text").unionByName(
+        docs.select(($"doc_id" + 100000).as("doc_id"),
+          concat(upper($"text"), lit(" !!")).as("text")))
+      Dedup.exactDuplicates(
+          noisy.select($"doc_id",
+            TextAnalysis.normalizedText($"text").as("text")),
+          "text", "doc_id")
+        .orderBy("content_md5")
     },
 
     "d05_simhash" -> { (s, dir) =>
@@ -1124,6 +1183,16 @@ object NorthStar {
       graft.streaming.Streaming.streamDsirScore(s, dir,
           dim = 1024, thrFp = -170000L)
         .orderBy("doc_id")
+    },
+
+    // Streaming perplexity scoring against the batch-learned bigram
+    // LM: the marginal tables ride along as literal maps of
+    // pre-computed fixed-point surprisal halves, so scoring is a
+    // stateless per-row fold and batch t23 is an exact oracle.
+    "st16_stream_lm_score" -> { (s, dir) =>
+      graft.streaming.Streaming.streamLmScore(s, dir,
+          ctxDim = 1024, biDim = 65536)
+        .orderBy("doc_id")
     })
 
   // ---------- oracles ----------
@@ -1402,6 +1471,71 @@ object NorthStar {
            |  (lr_sum >= -170000 * n_feats) AS keep
            |FROM sc ORDER BY doc_id""".stripMargin,
 
+      // hashed-bigram LM perplexity: context marginal (rolling hash %
+      // 1024) and bigram marginal (% 65536) counts, add-one-smoothed
+      // surprisal in the shared integer-exact fixed-point log2, keep
+      // via the integer cross-multiplication (never a division)
+      "t23_lm_perplexity" ->
+        s"""WITH d AS (SELECT doc_id, $tk AS toks FROM documents),
+           |f AS (SELECT doc_id,
+           |    list_transform(range(1, len(toks)), i -> toks[i]) AS cs,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1]) AS bs FROM d),
+           |x AS (SELECT doc_id, (${rollSql("cw")}) % 1024 AS ctx,
+           |    (${rollSql("bw")}) % 65536 AS bi
+           |  FROM (SELECT doc_id, unnest(cs) AS cw, unnest(bs) AS bw FROM f)),
+           |cc AS (SELECT ctx, cast(count(*) as bigint) AS ct_ctx FROM x GROUP BY 1),
+           |bc AS (SELECT bi, cast(count(*) as bigint) AS ct_bi FROM x GROUP BY 1),
+           |sc AS (SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+           |    cast(sum(${Mixture.log2FpSql("ct_ctx + 65536")}
+           |      - ${Mixture.log2FpSql("ct_bi + 1")}) as bigint) AS bits_sum
+           |  FROM x JOIN cc USING (ctx) JOIN bc USING (bi) GROUP BY 1),
+           |tot AS (SELECT cast(sum(bits_sum) as bigint)
+           |    // cast(sum(n_bigrams) as bigint) AS corpus_mean_fp FROM sc)
+           |SELECT doc_id, n_bigrams, bits_sum,
+           |  round(cast(bits_sum as double) /
+           |        (cast(n_bigrams as double) * 65536.0), 6) AS bits_per_bigram,
+           |  tot.corpus_mean_fp,
+           |  (bits_sum // n_bigrams <= tot.corpus_mean_fp) AS keep
+           |FROM sc, tot ORDER BY doc_id""".stripMargin,
+
+      // Efraimidis-Spirakis without replacement: u from the portable
+      // SampleI hash, key = -log2fp(u/65536) * 1e6 // weight (all
+      // operands non-negative, so floor == truncate across engines)
+      "t24_weighted_sample" ->
+        s"""WITH d AS (SELECT source AS stratum, doc_id,
+           |    greatest(cast(n_chars as bigint), 1) AS w,
+           |    ((${Mixture.portableHashSql("doc_id", Mixture.SampleI)}) % 65536 + 1) AS u
+           |  FROM documents),
+           |k AS (SELECT stratum, doc_id, w,
+           |    ((1048576 - (${Mixture.log2FpSql("u")})) * 1000000) // w AS es_key
+           |  FROM d),
+           |r AS (SELECT stratum, doc_id, w, es_key, cast(row_number() OVER (
+           |    PARTITION BY stratum ORDER BY es_key, doc_id) as bigint) AS rn
+           |  FROM k)
+           |SELECT stratum, doc_id, w, es_key, rn FROM r WHERE rn <= 50
+           |ORDER BY stratum, rn""".stripMargin,
+
+      // histogram-quantile threshold: per-(stratum, score-bucket)
+      // counts, from-the-top cumulative coverage of ceil(total/10),
+      // keep = bucket >= per-stratum threshold bucket
+      "t25_histogram_threshold" ->
+        s"""WITH s AS (SELECT doc_id, source AS stratum,
+           |    cast(n_chars as bigint) AS score,
+           |    least(cast(n_chars as bigint) // 16, 255) AS bucket
+           |  FROM documents),
+           |h AS (SELECT stratum, bucket, count(*) AS ct FROM s GROUP BY 1, 2),
+           |c AS (SELECT stratum, bucket,
+           |    cast(sum(ct) OVER (PARTITION BY stratum ORDER BY bucket DESC
+           |      ROWS UNBOUNDED PRECEDING) as bigint) AS cum,
+           |    cast(sum(ct) OVER (PARTITION BY stratum) as bigint) AS total
+           |  FROM h),
+           |t AS (SELECT stratum, max(bucket) AS thr_bucket FROM c
+           |  WHERE cum * 10 >= total GROUP BY 1)
+           |SELECT s.doc_id, s.stratum, s.score, s.bucket, t.thr_bucket,
+           |  (s.bucket >= t.thr_bucket) AS keep
+           |FROM s JOIN t USING (stratum) ORDER BY doc_id""".stripMargin,
+
       "t14_quality_rules" ->
         s"""SELECT doc_id, cast(n as bigint) AS n_words,
            |  round(mwl, 6) AS mean_word_len, round(div, 6) AS diversity,
@@ -1474,6 +1608,18 @@ object NorthStar {
         s"""SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
            |  count(*) AS n_copies
            |FROM ($dupCorpusSql) GROUP BY 1 ORDER BY content_md5""".stripMargin,
+
+      // normalized exact dedup: DuckDB regexp_replace needs the 'g'
+      // flag to match Spark's replace-all default
+      "d16_normalized_dedup" ->
+        s"""WITH n AS (SELECT doc_id,
+           |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+           |  FROM (SELECT doc_id, text FROM documents
+           |        UNION ALL SELECT doc_id + 100000, upper(text) || ' !!'
+           |        FROM documents))
+           |SELECT md5(t) AS content_md5, min(doc_id) AS canonical_id,
+           |  count(*) AS n_copies
+           |FROM n GROUP BY 1 ORDER BY content_md5""".stripMargin,
 
       "d02_ngram_jaccard" ->
         s"""WITH ${shingleSql(mutCorpusSql)},
@@ -2431,6 +2577,9 @@ object NorthStar {
       ("s17_sql_knn" -> m("s01_knn_bruteforce")) +
       // stateless stream = batch: streaming DSIR scoring shares t22's
       // exact-integer arithmetic and therefore its oracle verbatim
-      ("st15_stream_dsir" -> m("t22_dsir_importance"))
+      ("st15_stream_dsir" -> m("t22_dsir_importance")) +
+      // stateless stream = batch: streaming LM scoring replays t23's
+      // integer surprisal arithmetic and therefore its oracle verbatim
+      ("st16_stream_lm_score" -> m("t23_lm_perplexity"))
   }
 }

@@ -623,4 +623,59 @@ object Streaming {
         (col("lr_sum") >= lit(thrFp) * col("n_feats")).as("keep"))
     runToTable(scored, "append")
   }
+
+  /** Streaming CCNet-style perplexity scoring against the batch-built
+    * hashed-bigram LM ([[graft.operators.Mixture.lmBigramCounts]]).
+    * The dim-bounded marginal tables collapse to two literal maps of
+    * PRE-COMPUTED fixed-point surprisal halves — `log2fp(ct_ctx +
+    * biDim)` and `log2fp(ct_bi + 1)` are evaluated at build time, so a
+    * stream row only adds and subtracts map lookups over its bigram
+    * pairs (the sanctioned tiny-planning-collect of st10/st14/st15).
+    * The corpus-mean keep bar is likewise computed batch-side once.
+    * Stateless — no join node, no watermark, no state store — so
+    * verdicts are batch-invariant and t23's arithmetic over the same
+    * rows is an exact oracle. Unseen context buckets coalesce to
+    * `log2fp(biDim)` (zero count), unseen bigram buckets to
+    * `log2fp(1) = 0`.
+    */
+  def streamLmScore(s: SparkSession, dir: String, ctxDim: Int = 1024,
+      biDim: Int = 65536): DataFrame = {
+    import graft.operators.Mixture
+    import s.implicits.newProductEncoder
+    val counts = Mixture.lmBigramCounts(
+      s.read.parquet(s"$dir/documents.parquet"), "text", ctxDim, biDim)
+    def half(kind: Int, smooth: String): Map[Long, Long] = counts
+      .filter(col("kind") === kind)
+      .select(col("bucket"), Mixture.log2Fp(s"ct + $smooth"))
+      .as[(Long, Long)].collect().toMap
+    val ctxBits = typedLit(half(0, biDim.toString))
+    val biBits = typedLit(half(1, "1"))
+    // log2fp(0 + biDim) for an unseen context bucket; biDim is a power
+    // of two in practice but compute it exactly either way
+    val defCtx: Long = {
+      val x = biDim.toLong
+      val p = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      p.toLong * 65536L + ((x << 16) >> p) - 65536L
+    }
+    val meanFp: Long = Mixture.lmPerplexity(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        ctxDim, biDim)
+      .select(col("corpus_mean_fp")).limit(1).collect()
+      .headOption.map(_.getLong(0)).getOrElse(0L)
+    val scored = graft.sources.Sources.documentsStream(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Mixture.lmPairBuckets(col("text"), ctxDim, biDim).as("pairs"))
+      .filter(size(col("pairs")) > 0)
+      .select(col("doc_id"), size(col("pairs")).cast("long").as("n_bigrams"),
+        aggregate(col("pairs"), lit(0L), (acc, pr) => acc
+          + coalesce(element_at(ctxBits, pr.getField("ctx")), lit(defCtx))
+          - coalesce(element_at(biBits, pr.getField("bi")), lit(0L)))
+          .as("bits_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("bits_sum"),
+        round(col("bits_sum").cast("double") /
+          (col("n_bigrams").cast("double") * 65536.0), 6).as("bits_per_bigram"),
+        lit(meanFp).as("corpus_mean_fp"),
+        (expr("bits_sum div n_bigrams") <= lit(meanFp)).as("keep"))
+    runToTable(scored, "append")
+  }
 }
