@@ -39,7 +39,8 @@ object ScaleBench {
     "d04_lsh_pairs", "d08_dedup_pipeline", "d13_long_spans", "s09_lsh_banded",
     "s13_pq_index_probe", "s15_ivf_pq_topk", "s19_semantic_dedup",
     "t17_curation_pipeline", "t18_source_triage", "t19_temperature_mix",
-    "t21_link_authority", "t22_dsir_importance",
+    "t21_link_authority", "t22_dsir_importance", "t23_lm_perplexity",
+    "t24_weighted_sample", "t25_histogram_threshold",
     "q34_decile_spend", "q38_global_rank",
     "dbscan_events", "st08_stream_index_probe")
 
