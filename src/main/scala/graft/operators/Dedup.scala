@@ -492,24 +492,37 @@ object Dedup {
       maxHamming: Int = 3,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val withSim = scope.own(withSimhash64(docs, textCol, idCol).persist())
+    bandedNearPairs64(withSim.select($"id", $"simhash".as("sig64")), maxHamming)
+  }
+
+  /** The 4 x 16-bit banding engine over ANY 64-bit signature relation
+    * `(id, sig64)`: pigeonhole candidate equi-join on (band_no, band
+    * value), inline first-agreeing-band dedup (no distinct exchange),
+    * exact hamming via `bit_count` over the xor. Shared by
+    * [[simhash64NearPairs]] (text SimHash) and
+    * [[Multimodal.phashNearPairs]] (binary-payload perceptual hash) —
+    * the signature FAMILY changes, the scale shape doesn't.
+    */
+  private[graft] def bandedNearPairs64(withSig: DataFrame,
+      maxHamming: Int): DataFrame = {
     val mask = 65535L
-    val banded = withSim.select($"id", $"simhash",
+    val banded = withSig.select($"id", $"sig64",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_no"),
-            shiftright($"simhash", b * 16).bitwiseAND(mask).as("sig"))): _*)).as("b"))
-      .select($"id", $"simhash", $"b.band_no", $"b.sig")
+            shiftright($"sig64", b * 16).bitwiseAND(mask).as("sig"))): _*)).as("b"))
+      .select($"id", $"sig64", $"b.band_no", $"b.sig")
     val sigB = (sh: Column, b: Int) => shiftright(sh, b * 16).bitwiseAND(mask)
     val firstAgreeingBand =
-      when(sigB(col("x.simhash"), 0) === sigB(col("y.simhash"), 0), 0)
-        .when(sigB(col("x.simhash"), 1) === sigB(col("y.simhash"), 1), 1)
-        .when(sigB(col("x.simhash"), 2) === sigB(col("y.simhash"), 2), 2)
+      when(sigB(col("x.sig64"), 0) === sigB(col("y.sig64"), 0), 0)
+        .when(sigB(col("x.sig64"), 1) === sigB(col("y.sig64"), 1), 1)
+        .when(sigB(col("x.sig64"), 2) === sigB(col("y.sig64"), 2), 2)
         .otherwise(3)
     banded.as("x").join(banded.as("y"),
         col("x.band_no") === col("y.band_no") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
       .filter(col("x.band_no") === firstAgreeingBand)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+        bit_count(col("x.sig64").bitwiseXOR(col("y.sig64"))).cast("long").as("hamming"))
       .filter($"hamming" <= maxHamming)
   }
 

@@ -469,12 +469,21 @@ object Mixture {
     * keeps only its local top-k per stratum before the shuffle, so no
     * stratum is ever sorted whole.
     */
+  /** The E-S ranking key as a Spark-SQL fragment over an id expression
+    * and a weight expression — shared by [[weightedSample]] and the
+    * streaming [[graft.streaming.Streaming.streamWeightedSample]] so
+    * batch and stream can never rank differently.
+    */
+  private[graft] def esKeySql(idExpr: String, wExpr: String): String = {
+    val u = s"((${portableHashSql(idExpr, SampleI)}) % 65536 + 1)"
+    s"((${16L * 65536L} - ${log2FpSparkSql(u)}) * 1000000) " +
+      s"div greatest(cast(($wExpr) as bigint), 1)"
+  }
+
   def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
       weightSql: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val u = s"((${portableHashSql(idCol, SampleI)}) % 65536 + 1)"
-    val keySql = s"((${16L * 65536L} - ${log2FpSparkSql(u)}) * 1000000) " +
-      s"div greatest(cast(($weightSql) as bigint), 1)"
+    val keySql = esKeySql(idCol, weightSql)
     df.select(col(stratumCol).as("stratum"),
         col(idCol).cast("long").as("doc_id"),
         greatest(expr(weightSql).cast("long"), lit(1L)).as("w"),

@@ -131,6 +131,63 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("n_shared"), round(ov, 6).as("overlap"))
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of a binary payload —
+    * the classic image near-dup signature. The "decode" half is the
+    * stub convention of [[StubCodec]]: sample 64 bytes evenly across
+    * the payload (the stand-in for an 8x8 luma downsample a real
+    * decoder would produce), then bit i = sample_i >= the integer
+    * floor-mean of the 64 samples. Deterministic, integer-only, and
+    * engine-portable (two's-complement 64-bit pack). Payloads under 64
+    * bytes yield no hash — an image smaller than the grid.
+    */
+  def perceptualHash(payload: Array[Byte]): Option[Long] = {
+    val n = payload.length
+    if (n < 64) None
+    else {
+      val smp = new Array[Long](64)
+      var i = 0
+      while (i < 64) { smp(i) = payload(i * n / 64) & 0xffL; i += 1 }
+      var sum = 0L
+      i = 0
+      while (i < 64) { sum += smp(i); i += 1 }
+      val mean = sum / 64
+      var h = 0L
+      i = 0
+      while (i < 64) { if (smp(i) >= mean) h |= 1L << i; i += 1 }
+      Some(h)
+    }
+  }
+
+  /** `(id, sig64)` perceptual-hash relation over the binary payload,
+    * via the same typed per-partition pass as the other decode stages.
+    */
+  def withPerceptualHash(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withBinaryPayload(docs, textCol)
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        perceptualHash(if (p == null) Array.empty else p).map(h => (id, h))
+      }
+      .toDF("id", "sig64")
+  }
+
+  /** Binary-payload near-duplicate pairs by perceptual hash: aHash
+    * signatures through [[Dedup.bandedNearPairs64]] — the SAME
+    * 4 x 16-bit pigeonhole band join, first-agreeing-band dedup, and
+    * exact-hamming verify as text SimHash (d12), only the signature
+    * family differs. The re-encode / watermark / crop-robust
+    * complement to [[chunkOverlapPairs]]'s byte-level CDC matching.
+    */
+  def phashNearPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 6,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val sigs = scope.own(withPerceptualHash(docs, textCol, idCol).persist())
+    Dedup.bandedNearPairs64(sigs, maxHamming)
+  }
+
   /** Per-partition decode of binary payloads into typed features —
     * iterator-to-iterator (spill-safe, constant memory per task), the
     * shape a Pandas-UDF/mapInPandas batch decode takes in PySpark.

@@ -34,6 +34,60 @@ object TextIndex {
   def docFrequencies(tf: DataFrame): DataFrame =
     tf.groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Count-min sketch over the corpus token stream (Cormode &
+    * Muthukrishnan 2005): `depth` hash rows x `width` columns of
+    * counts, built in ONE exploded scan with map-side partial
+    * aggregation — the sketch is `depth * width` cells BY CONSTRUCTION
+    * regardless of corpus size, so it broadcasts anywhere. Hashes are
+    * `depth` large-multiplier members of the portable family over the
+    * term's rolling hash, so the sketch — like the KMV/Bloom sketches —
+    * is a DETERMINISTIC function of the token stream that the DuckDB
+    * oracle replays bit-for-bit (an engine-native CM sketch has no
+    * such cross-engine spelling).
+    */
+  def cmSketch(docs: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch dims: $depth x $width")
+    val base = TextAnalysis.stringHash(col("term"))
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("row"),
+          (Mixture.portableHash(base, Mixture.OrderI + j) % width)
+            .as("col"))): _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.col").as("col"))
+      .agg(count(lit(1)).as("ct"))
+  }
+
+  /** Heavy hitters by count-min estimate, with the exact count beside
+    * the estimate as the measured overcount (the sketch never
+    * undercounts — `est >= exact` is a structural invariant the spec
+    * asserts). The production path needs only the broadcast sketch and
+    * a distinct-term probe stream; the exact side here is the quality
+    * measurement, same convention as q35's KMV-vs-countDistinct.
+    */
+  def cmHeavyHitters(docs: DataFrame, textCol: String, minCount: Long,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    val sketch = cmSketch(docs, textCol, depth, width)
+    val exact = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("exact"))
+    val base = TextAnalysis.stringHash(col("term"))
+    val probes = exact.select(col("term"), col("exact"),
+        explode(array((0 until depth).map(j =>
+          struct(lit(j).as("row"),
+            (Mixture.portableHash(base, Mixture.OrderI + j) % width)
+              .as("col"))): _*)).as("c"))
+      .select(col("term"), col("exact"),
+        col("c.row").as("row"), col("c.col").as("col"))
+    probes.join(broadcast(sketch), Seq("row", "col"))
+      .groupBy("term")
+      .agg(first(col("exact")).as("exact"), min(col("ct")).as("est"))
+      .filter(col("est") >= minCount)
+      .select(col("term"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+  }
+
   /** Top-`k` most salient terms per document by (tf DESC, df ASC, term). */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)

@@ -354,6 +354,19 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // Count-min heavy hitters over the token stream: the 4x1024
+    // sketch is size-bounded BY CONSTRUCTION (broadcasts at any corpus
+    // scale); estimates come from one broadcast probe join; the exact
+    // count rides along as the measured overcount, q35's
+    // sketch-vs-exact convention. Deterministic portable hashes, so
+    // the oracle replays the sketch bit-for-bit.
+    "t26_cm_heavy_hitters" -> { (s, dir) =>
+      TextIndex.cmHeavyHitters(
+          s.read.parquet(s"$dir/documents.parquet"), "text",
+          minCount = 500L, depth = 4, width = 1024)
+        .orderBy("term")
+    },
+
     // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
     // shape): per-document metrics + one flag per rule + the conjunctive
     // keep verdict. Every metric is exact-integer-derived double
@@ -772,6 +785,25 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // FILTERED ANN — s15's composed plan with a metadata predicate
+    // gating the candidate set (the production "one shared index,
+    // per-query filters" shape): the label semi-join prunes the code
+    // table BEFORE the ADC fold, so filtered queries scan less, not
+    // more. Everything else (coarse probe, broadcast LUTs, list-id
+    // equi-join) is byte-identical to s15.
+    "s20_filtered_ann" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val allowed = emb.filter($"label" <= 2)
+        .select($"vec_id".cast("long").as("n_id"))
+      val codes = Similarity.ensurePqIndex(s, dir, m = 8, ncode = 32)
+        .join(allowed, "n_id")
+      Similarity.ivfPqTopK(emb, emb.filter($"vec_id" < 5), k = 5,
+          nlist = 32, nprobe = 4, m = 8, ncode = 32, codes = Some(codes))
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_d2")
+        .orderBy("q_id", "rnk")
+    },
+
     // Hybrid retrieval — the fusion shape every retrieval-augmented
     // curation pipeline runs: lexical top-k (distinct-token posting
     // equi-join, never all-pairs text compare) and vector top-k
@@ -1088,6 +1120,25 @@ object NorthStar {
     // planted-near-dup corpus: prefix-trimmed copies keep every chunk
     // before the cut, so they surface at high overlap; the df<=16
     // posting cap bounds the join (see chunkOverlapPairs).
+    // Perceptual-hash near-dup over the binary payload: aHash of the
+    // stubbed decode (64 evenly-sampled bytes ~ an 8x8 luma grid),
+    // then EXACTLY d12's 4 x 16-bit band join via the shared engine.
+    // The noisy corpus re-adds every payload with its first three
+    // bytes case-flipped — a SAME-LENGTH perturbation (grid positions
+    // stay aligned, like a small watermark on an image) that
+    // byte-exact (d01) and chunk-level (m05) matching treat as a
+    // different file but the perceptual hash folds together.
+    "m06_phash_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val noisy = docs.select($"doc_id", $"text").unionByName(
+        docs.select(($"doc_id" + 100000).as("doc_id"),
+          concat(upper(substring($"text", 1, 3)),
+            expr("substring(text, 4)")).as("text")))
+      Multimodal.phashNearPairs(noisy, "text", "doc_id", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+
     "m05_chunk_overlap" -> { (s, dir) =>
       Multimodal.chunkOverlapPairs(mutCorpus(s, dir), "text", "doc_id",
           w = 8, mask = 63, dfCap = 16, minOverlap = 0.5)
@@ -1193,6 +1244,14 @@ object NorthStar {
       graft.streaming.Streaming.streamLmScore(s, dir,
           ctxDim = 1024, biDim = 65536)
         .orderBy("doc_id")
+    },
+
+    // Streaming weighted top-k with bounded per-stratum state (the
+    // k-smallest E-S buffer); emissions are a superset of the final
+    // answer, so the batch rank over the sink reproduces t24 exactly.
+    "st17_stream_weighted_sample" -> { (s, dir) =>
+      graft.streaming.Streaming.streamWeightedSample(s, dir, k = 50)
+        .orderBy("stratum", "rn")
     })
 
   // ---------- oracles ----------
@@ -1235,6 +1294,46 @@ object NorthStar {
       s"""(list_reduce(list_transform(range(1,65), i -> $a[i]*$b[i]), (x,y)->x+y) /
          | (sqrt(list_reduce(list_transform(range(1,65), i -> $a[i]*$a[i]), (x,y)->x+y)) *
          |  sqrt(list_reduce(list_transform(range(1,65), i -> $b[i]*$b[i]), (x,y)->x+y))))""".stripMargin
+
+    // s15 / s20 share one IVFxPQ ADC replay; `candFilter` is an extra
+    // predicate on the candidate rows (filtered-ANN metadata gate)
+    def ivfPqOracleSql(candFilter: String): String = {
+      val d2 = (a: String, b: String) =>
+        s"""list_reduce(list_transform(range(1, 9),
+           |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
+      val adcSum = (0 until 8).map(j =>
+        s"sum(CASE WHEN l.j = $j THEN l.d2 END)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+         |js AS (SELECT unnest(range(0, 8)) AS j),
+         |cb AS (SELECT j, id AS c_id, v[j*8+1 : j*8+8] AS cv FROM e, js WHERE id < 32),
+         |sub AS (SELECT id, j, v[j*8+1 : j*8+8] AS sv FROM e, js),
+         |enc AS (SELECT id AS n_id, j, c_id AS code FROM (
+         |    SELECT s.id, s.j, c.c_id, row_number() OVER (PARTITION BY s.id, s.j
+         |      ORDER BY ${d2("s.sv", "c.cv")} ASC, c.c_id ASC) AS rn
+         |    FROM sub s JOIN cb c ON s.j = c.j) t WHERE rn = 1),
+         |cent AS (SELECT id AS c_id, v AS cv FROM e WHERE id < 32),
+         |asg AS (SELECT id AS n_id, c_id FROM (
+         |    SELECT e.id, c.c_id, row_number() OVER (PARTITION BY e.id
+         |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |probe AS (SELECT q_id, c_id FROM (
+         |    SELECT e.id AS q_id, c.c_id, row_number() OVER (PARTITION BY e.id
+         |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+         |    FROM e, cent c WHERE e.id < 5) t WHERE rn <= 4),
+         |lut AS (SELECT s.id AS q_id, c.j, c.c_id, ${d2("s.sv", "c.cv")} AS d2
+         |  FROM sub s JOIN cb c ON s.j = c.j WHERE s.id < 5),
+         |adc AS (SELECT l.q_id, en.n_id, $adcSum AS adc
+         |  FROM enc en
+         |  JOIN asg a ON a.n_id = en.n_id
+         |  JOIN probe p ON p.c_id = a.c_id
+         |  JOIN lut l ON l.q_id = p.q_id AND l.j = en.j AND l.c_id = en.code
+         |  WHERE en.n_id <> l.q_id$candFilter GROUP BY 1, 2)
+         |SELECT q_id, n_id, rn AS rnk, round(adc, 6) AS adc_d2 FROM (
+         |  SELECT q_id, n_id, adc, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc ASC, n_id ASC) AS rn FROM adc) t
+         |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+    }
 
     val m = Map(
       "t01_token_stats" ->
@@ -1535,6 +1634,31 @@ object NorthStar {
            |SELECT s.doc_id, s.stratum, s.score, s.bucket, t.thr_bucket,
            |  (s.bucket >= t.thr_bucket) AS keep
            |FROM s JOIN t USING (stratum) ORDER BY doc_id""".stripMargin,
+
+      // count-min sketch replay: 4 large-multiplier portable-family
+      // hashes over each term's rolling hash; est = min of the 4 cells
+      "t26_cm_heavy_hitters" -> {
+        val rows = (0 until 4).map { j =>
+          s"SELECT $j AS row, (${Mixture.portableHashSql("base",
+            Mixture.OrderI + j)}) % 1024 AS col FROM b"
+        }.mkString("\n  UNION ALL ")
+        val probes = (0 until 4).map { j =>
+          s"SELECT term, exact, $j AS row, (${Mixture.portableHashSql(
+            s"(${rollSql("term")})", Mixture.OrderI + j)}) % 1024 AS col FROM e"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT unnest($tk) AS term FROM documents),
+           |b AS (SELECT term, (${rollSql("term")}) AS base FROM t),
+           |c AS (SELECT row, col, count(*) AS ct FROM (
+           |  $rows) GROUP BY 1, 2),
+           |e AS (SELECT term, count(*) AS exact FROM t GROUP BY 1),
+           |p AS ($probes),
+           |est AS (SELECT term, min(exact) AS exact, min(ct) AS est
+           |  FROM p JOIN c USING (row, col) GROUP BY term)
+           |SELECT term, cast(est as bigint) AS est,
+           |  cast(exact as bigint) AS exact,
+           |  cast(est - exact as bigint) AS overcount
+           |FROM est WHERE est >= 500 ORDER BY term""".stripMargin
+      },
 
       "t14_quality_rules" ->
         s"""SELECT doc_id, cast(n as bigint) AS n_words,
@@ -2029,43 +2153,13 @@ object NorthStar {
       // composition of s04's coarse assignment/probe and s12's enc/lut
       // ADC: a neighbor scores iff its assigned list is probed by the
       // query; distances are s12's (raw-vector codebook, no residual)
-      "s15_ivf_pq_topk" -> {
-        val d2 = (a: String, b: String) =>
-          s"""list_reduce(list_transform(range(1, 9),
-             |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)""".stripMargin
-        val adcSum = (0 until 8).map(j =>
-          s"sum(CASE WHEN l.j = $j THEN l.d2 END)").mkString(" + ")
-        s"""WITH e AS (SELECT vec_id AS id,
-           |    list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-           |js AS (SELECT unnest(range(0, 8)) AS j),
-           |cb AS (SELECT j, id AS c_id, v[j*8+1 : j*8+8] AS cv FROM e, js WHERE id < 32),
-           |sub AS (SELECT id, j, v[j*8+1 : j*8+8] AS sv FROM e, js),
-           |enc AS (SELECT id AS n_id, j, c_id AS code FROM (
-           |    SELECT s.id, s.j, c.c_id, row_number() OVER (PARTITION BY s.id, s.j
-           |      ORDER BY ${d2("s.sv", "c.cv")} ASC, c.c_id ASC) AS rn
-           |    FROM sub s JOIN cb c ON s.j = c.j) t WHERE rn = 1),
-           |cent AS (SELECT id AS c_id, v AS cv FROM e WHERE id < 32),
-           |asg AS (SELECT id AS n_id, c_id FROM (
-           |    SELECT e.id, c.c_id, row_number() OVER (PARTITION BY e.id
-           |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn = 1),
-           |probe AS (SELECT q_id, c_id FROM (
-           |    SELECT e.id AS q_id, c.c_id, row_number() OVER (PARTITION BY e.id
-           |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c WHERE e.id < 5) t WHERE rn <= 4),
-           |lut AS (SELECT s.id AS q_id, c.j, c.c_id, ${d2("s.sv", "c.cv")} AS d2
-           |  FROM sub s JOIN cb c ON s.j = c.j WHERE s.id < 5),
-           |adc AS (SELECT l.q_id, en.n_id, $adcSum AS adc
-           |  FROM enc en
-           |  JOIN asg a ON a.n_id = en.n_id
-           |  JOIN probe p ON p.c_id = a.c_id
-           |  JOIN lut l ON l.q_id = p.q_id AND l.j = en.j AND l.c_id = en.code
-           |  WHERE en.n_id <> l.q_id GROUP BY 1, 2)
-           |SELECT q_id, n_id, rn AS rnk, round(adc, 6) AS adc_d2 FROM (
-           |  SELECT q_id, n_id, adc, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY adc ASC, n_id ASC) AS rn FROM adc) t
-           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
-      },
+      "s15_ivf_pq_topk" -> ivfPqOracleSql(candFilter = ""),
+
+      // s15's plan with a metadata predicate restricting the CANDIDATE
+      // set (the filtered-ANN production shape: one shared index,
+      // per-query filters) — only the candidate gate differs
+      "s20_filtered_ann" -> ivfPqOracleSql(
+        candFilter = " AND en.n_id IN (SELECT vec_id FROM embeddings WHERE label <= 2)"),
 
       // lexical ranks from the distinct-token posting join, vector
       // ranks from the exact cosine, RRF = 1/(60+lr) + 1/(60+vr)
@@ -2375,6 +2469,44 @@ object NorthStar {
            |      (a, c) -> (a*31 + c) % $P)), ',') AS chunk_hashes_csv
            |FROM be ORDER BY doc_id""".stripMargin,
 
+      // aHash over ascii codes (the corpus is ASCII, so char codes ==
+      // payload bytes, the m02/m03 convention); 4 x 16-bit bands,
+      // first-agreeing-band dedup, exact hamming via bit_count(xor)
+      "m06_phash_neardup" ->
+        s"""WITH u AS (SELECT doc_id, text FROM documents
+           |      UNION ALL SELECT doc_id + 100000,
+           |        upper(text[1:3]) || substring(text, 4) FROM documents),
+           |c AS (SELECT doc_id, list_transform(string_split(text, ''),
+           |    ch -> cast(ascii(ch) as bigint)) AS codes FROM u),
+           |g AS (SELECT doc_id, len(codes) AS n, codes FROM c
+           |  WHERE len(codes) >= 64),
+           |sm AS (SELECT doc_id,
+           |    list_transform(range(0, 64), i -> codes[(i*n)//64 + 1]) AS smp
+           |  FROM g),
+           |m AS (SELECT doc_id, smp,
+           |    cast(list_sum(smp) as bigint) // 64 AS mean FROM sm),
+           |bs AS (SELECT doc_id, list_transform(range(0, 4), j ->
+           |    cast(list_sum(list_transform(range(0, 16), i ->
+           |      CASE WHEN smp[j*16 + i + 1] >= mean
+           |        THEN (1::BIGINT << i) ELSE 0 END)) as bigint)) AS bands
+           |  FROM m),
+           |e AS (SELECT doc_id, jt.j, bands[jt.j + 1] AS sig, bands
+           |  FROM bs, (SELECT unnest(range(0, 4)) AS j) jt),
+           |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           |    x.bands AS ba, y.bands AS bb
+           |  FROM e x JOIN e y
+           |  ON x.j = y.j AND x.sig = y.sig AND x.doc_id < y.doc_id
+           |  WHERE x.j = CASE WHEN x.bands[1] = y.bands[1] THEN 0
+           |    WHEN x.bands[2] = y.bands[2] THEN 1
+           |    WHEN x.bands[3] = y.bands[3] THEN 2 ELSE 3 END)
+           |SELECT * FROM (
+           |  SELECT id_a, id_b,
+           |    cast(bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+           |       + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
+           |      as bigint) AS hamming
+           |  FROM p)
+           |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
       "m05_chunk_overlap" ->
         s"""WITH u AS ($mutCorpusSql),
            |t AS (SELECT doc_id, list_transform(string_split(text, ''),
@@ -2580,6 +2712,9 @@ object NorthStar {
       ("st15_stream_dsir" -> m("t22_dsir_importance")) +
       // stateless stream = batch: streaming LM scoring replays t23's
       // integer surprisal arithmetic and therefore its oracle verbatim
-      ("st16_stream_lm_score" -> m("t23_lm_perplexity"))
+      ("st16_stream_lm_score" -> m("t23_lm_perplexity")) +
+      // bounded-state streaming top-k emits a superset of the batch
+      // answer; the final rank replays t24's key — oracle verbatim
+      ("st17_stream_weighted_sample" -> m("t24_weighted_sample"))
   }
 }

@@ -737,6 +737,45 @@ object Relational {
           min($"spend_dec").cast("double").as("min_spend"),
           max($"spend_dec").cast("double").as("max_spend"))
         .orderBy($"decile")
+    },
+
+    // Data-sized INTERVAL OVERLAP join without a nested loop: which
+    // user sessions ran concurrently? Both sides are corpus-sized
+    // (q19's gap-sessions), so neither broadcasts — q04's broadcast
+    // band shape doesn't apply. The distributed interval join: each
+    // interval explodes to the hour cells it covers (bounded: sessions
+    // are minutes long), candidates meet in an EQUI-join on the cell,
+    // and each overlapping pair is counted exactly once at the cell of
+    // the LATER start (which both intervals provably cover) — the
+    // "responsibility cell" dedup, no distinct exchange. Cell width
+    // trades fan-out for per-cell population, the knob a 100 TB
+    // deployment sizes to its session-length distribution.
+    "q39_interval_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+      val iv = events(s, dir)
+        .withColumn("sec", secs)
+        .withColumn("prev_s", lag($"sec", 1).over(w))
+        .withColumn("ns",
+          when($"prev_s".isNull || ($"sec" - $"prev_s") > 1800, 1).otherwise(0))
+        .withColumn("sess", sum($"ns").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"sec").as("st"), max($"sec").as("en"))
+      val cells = iv.select($"user_id", $"sess", $"st", $"en",
+        explode(sequence(expr("st div 3600"), expr("en div 3600"))).as("cell"))
+      cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.user_id") < col("b.user_id") &&
+            col("a.st") <= col("b.en") && col("b.st") <= col("a.en") &&
+            expr("greatest(a.st, b.st) div 3600") === col("a.cell"))
+        .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+          col("a.sess").cast("long").as("sess_a"),
+          col("b.sess").cast("long").as("sess_b"),
+          (least(col("a.en"), col("b.en")) -
+            greatest(col("a.st"), col("b.st"))).as("ov_secs"))
+        .orderBy($"user_a", $"user_b", $"sess_a", $"sess_b")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1050,5 +1089,27 @@ object Relational {
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_custkey, cast(spend_dec as double) AS spend,
         |  row_number() OVER (ORDER BY spend_dec DESC, o_custkey ASC) AS spend_rank
-        |FROM spend ORDER BY spend_rank""".stripMargin)
+        |FROM spend ORDER BY spend_rank""".stripMargin,
+
+    // the naive range self-join over the session intervals — DuckDB's
+    // IEJoin handles it directly; the engine's bucketed equi-join must
+    // produce the identical pair set
+    "q39_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) // 1000 AS s FROM events),
+        |o AS (SELECT user_id, event_id, s,
+        |    lag(s, 1) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_s
+        |  FROM e),
+        |m AS (SELECT user_id, event_id, s,
+        |    CASE WHEN prev_s IS NULL OR s - prev_s > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |g AS (SELECT user_id, s, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m),
+        |iv AS (SELECT user_id, sess, min(s) AS st, max(s) AS en
+        |  FROM g GROUP BY 1, 2)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  cast(a.sess as bigint) AS sess_a, cast(b.sess as bigint) AS sess_b,
+        |  least(a.en, b.en) - greatest(a.st, b.st) AS ov_secs
+        |FROM iv a JOIN iv b
+        |  ON a.st <= b.en AND b.st <= a.en AND a.user_id < b.user_id
+        |ORDER BY user_a, user_b, sess_a, sess_b""".stripMargin)
 }

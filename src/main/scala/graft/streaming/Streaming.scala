@@ -678,4 +678,48 @@ object Streaming {
         (expr("bits_sum div n_bigrams") <= lit(meanFp)).as("keep"))
     runToTable(scored, "append")
   }
+
+  /** Streaming Efraimidis–Spirakis weighted top-k per stratum with
+    * BOUNDED per-key state: the group state is the current k-smallest
+    * `(es_key, doc_id, w)` buffer — O(k) per stratum, no watermark, no
+    * timeline. Each micro-batch merges its rows into the buffer
+    * (the key is the SAME integer fragment batch t24 ranks by, so the
+    * two can never disagree) and emits the surviving members; a row
+    * evicted from the buffer can never re-enter the true top-k (keys
+    * are static), so the union of emissions is a superset of the final
+    * answer and the batch-side rank over the sink table reproduces
+    * [[graft.operators.Mixture.weightedSample]] exactly — t24 is the
+    * oracle, hash-verified.
+    */
+  def streamWeightedSample(s: SparkSession, dir: String,
+      k: Int = 50): DataFrame = {
+    import graft.operators.Mixture
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits.{newLongEncoder, newProductEncoder, newStringEncoder,
+      newSequenceEncoder}
+    require(k > 0, s"k must be positive, got $k")
+    val keyed = graft.sources.Sources.documentsStream(s, dir)
+      .selectExpr("source AS stratum", "cast(doc_id as bigint) AS doc_id",
+        "greatest(cast(n_chars as bigint), 1) AS w")
+      .withColumn("es_key", expr(Mixture.esKeySql("doc_id", "w")))
+      .as[(String, Long, Long, Long)]
+    val survivors = keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (stratum: String, rows: Iterator[(String, Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[(Long, Long, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(r => (r._4, r._2, r._3))).distinct
+            .sortBy(t => (t._1, t._2)).take(k)
+          state.update(merged)
+          merged.iterator.map(t => (stratum, t._2, t._3, t._1))
+      }
+    runToTable(survivors.toDF("stratum", "doc_id", "w", "es_key"), "update")
+      .distinct()
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("stratum").orderBy(col("es_key"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rn") <= k)
+  }
 }

@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s13_pq_index_probe" -> "same ADC shape as s12, reading the build-once code asset instead of encoding inline",
     "s15_ivf_pq_topk" -> "composition of the two sanctioned shapes: corpus x 32 broadcast centroids (s04's assignment/probe) + code scan x broadcast probe-LUT rows (s12's ADC); the data-sized join — codes to probed lists — is an equi-join on c_id",
     "s16_ivf_pq_residual" -> "same sanctioned shapes as s15 over residual codes: corpus x 32 broadcast centroids, residual-code scan x broadcast per-(query,list) LUTs; the data-sized join is the c_id equi-join",
+    "s20_filtered_ann" -> "s15's sanctioned shapes verbatim (corpus x 32 broadcast centroids, code scan x broadcast LUTs); the added label gate is an ordinary equi-semi-join pruning the code table before the ADC fold",
     "s17_sql_knn" -> "SQL spelling of s01's exact brute-force baseline (5 broadcast queries x corpus scan) — intentionally the same sanctioned shape",
     "s19_semantic_dedup" -> "s04's sanctioned coarse-assignment shape (corpus x 32 broadcast centroids); the data-sized pair join is an equi-join on the cluster id",
     "s18_hybrid_search" -> "the vector half is the sanctioned 3-broadcast-queries x corpus baseline (swap in s15's pruned ADC at corpus scale); the lexical half is a posting equi-join",
