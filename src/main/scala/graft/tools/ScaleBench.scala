@@ -41,7 +41,8 @@ object ScaleBench {
     "t17_curation_pipeline", "t18_source_triage", "t19_temperature_mix",
     "t21_link_authority", "t22_dsir_importance", "t23_lm_perplexity",
     "t24_weighted_sample", "t25_histogram_threshold",
-    "q34_decile_spend", "q38_global_rank",
+    "q34_decile_spend", "q38_global_rank", "q39_interval_overlap",
+    "m06_phash_neardup", "t26_cm_heavy_hitters",
     "dbscan_events", "st08_stream_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
