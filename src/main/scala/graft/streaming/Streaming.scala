@@ -642,26 +642,30 @@ object Streaming {
       biDim: Int = 65536): DataFrame = {
     import graft.operators.Mixture
     import s.implicits.newProductEncoder
-    val counts = Mixture.lmBigramCounts(
-      s.read.parquet(s"$dir/documents.parquet"), "text", ctxDim, biDim)
-    def half(kind: Int, smooth: String): Map[Long, Long] = counts
-      .filter(col("kind") === kind)
-      .select(col("bucket"), Mixture.log2Fp(s"ct + $smooth"))
-      .as[(Long, Long)].collect().toMap
-    val ctxBits = typedLit(half(0, biDim.toString))
-    val biBits = typedLit(half(1, "1"))
-    // log2fp(0 + biDim) for an unseen context bucket; biDim is a power
-    // of two in practice but compute it exactly either way
-    val defCtx: Long = {
-      val x = biDim.toLong
+    def log2FpL(x: Long): Long = {
       val p = 63 - java.lang.Long.numberOfLeadingZeros(x)
       p.toLong * 65536L + ((x << 16) >> p) - 65536L
     }
-    val meanFp: Long = Mixture.lmPerplexity(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        ctxDim, biDim)
-      .select(col("corpus_mean_fp")).limit(1).collect()
-      .headOption.map(_.getLong(0)).getOrElse(0L)
+    // ONE collect of the dim-bounded count table; surprisal halves AND
+    // the corpus mean derive on the driver. The mean is separable over
+    // the marginals — sum_pairs bits = sum_c ct_c*log2fp(ct_c+biDim)
+    // - sum_b ct_b*log2fp(ct_b+1) — so no second corpus pass is needed
+    // (the batch t23 query computes the identical value relationally).
+    val all = Mixture.lmBigramCounts(
+        s.read.parquet(s"$dir/documents.parquet"), "text", ctxDim, biDim)
+      .select(col("kind"), col("bucket"), col("ct"))
+      .as[(Int, Long, Long)].collect()
+    val ctxCt = all.collect { case (0, b, c) => b -> c }.toMap
+    val biCt = all.collect { case (1, b, c) => b -> c }.toMap
+    val ctxBits = typedLit(ctxCt.map { case (b, c) => b -> log2FpL(c + biDim) })
+    val biBits = typedLit(biCt.map { case (b, c) => b -> log2FpL(c + 1) })
+    // log2fp(0 + biDim) for an unseen context bucket
+    val defCtx: Long = log2FpL(biDim.toLong)
+    val totPairs = ctxCt.valuesIterator.sum
+    val totBits =
+      ctxCt.valuesIterator.map(c => c * log2FpL(c + biDim)).sum -
+        biCt.valuesIterator.map(c => c * log2FpL(c + 1)).sum
+    val meanFp: Long = if (totPairs == 0) 0L else totBits / totPairs
     val scored = graft.sources.Sources.documentsStream(s, dir)
       .select(col("doc_id").cast("long").as("doc_id"),
         Mixture.lmPairBuckets(col("text"), ctxDim, biDim).as("pairs"))
