@@ -488,6 +488,54 @@ object Dedup {
     * dedup (no distinct exchange); exact hamming via `bit_count` over
     * the xor.
     */
+  /** ASYMMETRIC containment pairs — the "quote / excerpt / subset"
+    * detector Jaccard misses: a 200-word excerpt inside a 4000-word
+    * original has Jaccard ~0.05 but containment(excerpt→original)
+    * ~1.0 (Broder's containment, the statistic behind
+    * suffix/substring-level corpus piracy checks). Candidates come
+    * from the same distinct-shingle posting equi-join as d02/m05 with
+    * the m05-style document-frequency cap (a hot shingle's pair
+    * contribution is bounded by dfCap²; the cap UNDERcounts shared
+    * shingles and is mirrored exactly in the oracle); denominators are
+    * the full per-doc distinct-shingle sizes. Emits both directions
+    * per (id_a < id_b) pair; keep when either direction clears
+    * `minContainment`.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, dfCap: Long = 32, minContainment: Double = 0.8,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(n >= 1, s"shingle n=$n must be >= 1")
+    require(dfCap >= 1, s"dfCap=$dfCap must be >= 1")
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment=$minContainment must be in (0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
+    val sh = scope.own(docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.TextKernels
+          .shingleHashes(if (t == null) "" else t, n).iterator.map(h => (id, h))
+      }
+      .toDF("id", "sh")
+      .persist())
+    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_sh"))
+    val rare = sh.join(
+      sh.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= dfCap), "sh")
+    val pairs = rare.as("a").join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val contA = $"n_shared".cast("double") / $"n_a"
+    val contB = $"n_shared".cast("double") / $"n_b"
+    pairs
+      .join(sizes.select($"id".as("id_a"), $"n_sh".as("n_a")), "id_a")
+      .join(sizes.select($"id".as("id_b"), $"n_sh".as("n_b")), "id_b")
+      .filter(greatest(contA, contB) >= minContainment)
+      .select($"id_a", $"id_b", $"n_shared",
+        round(contA, 6).as("cont_a_in_b"), round(contB, 6).as("cont_b_in_a"))
+  }
+
   def simhash64NearPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {

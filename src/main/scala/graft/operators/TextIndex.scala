@@ -66,9 +66,17 @@ object TextIndex {
     * measurement, same convention as q35's KMV-vs-countDistinct.
     */
   def cmHeavyHitters(docs: DataFrame, textCol: String, minCount: Long,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    cmSelect(cmSketch(docs, textCol, depth, width), docs, textCol,
+      minCount, depth, width)
+
+  /** The selection half of [[cmHeavyHitters]], parameterized on the
+    * sketch relation so a STREAM-maintained sketch (st18) probes
+    * through the identical plan as the batch-built one.
+    */
+  def cmSelect(sketch: DataFrame, docs: DataFrame, textCol: String,
+      minCount: Long, depth: Int = 4, width: Int = 1024): DataFrame = {
     require(minCount >= 1, s"minCount must be positive, got $minCount")
-    val sketch = cmSketch(docs, textCol, depth, width)
     val exact = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("exact"))

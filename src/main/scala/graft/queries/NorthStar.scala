@@ -65,6 +65,28 @@ object NorthStar {
           slice(toks, lit(1), greatest(floor(size(toks) * 0.8).cast("int"), lit(1))),
           " ").as("text")))
   }
+  /** Corpus with planted EXCERPTS: each doc again under id+100000 as
+    * its middle-half token slice — near-total containment in the
+    * original, but Jaccard only ~0.5 (the asymmetry d17 exists for).
+    */
+  private def subCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    docs.selectExpr("doc_id", "text").unionByName(
+      docs.selectExpr("doc_id + 100000 AS doc_id",
+        """array_join(slice(split(trim(text), '\\s+'),
+          |  (size(split(trim(text), '\\s+')) div 4) + 1,
+          |  greatest(size(split(trim(text), '\\s+')) div 2, 1)), ' ')
+          |  AS text""".stripMargin))
+  }
+  private val subCorpusSql = {
+    val tk = toksSql("text")
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL SELECT doc_id + 100000,
+       |  array_to_string(tk[(len(tk)//4 + 1) :
+       |    (len(tk)//4) + greatest(len(tk)//2, 1)], ' ')
+       |FROM (SELECT doc_id, $tk AS tk FROM documents)""".stripMargin
+  }
+
   private val mutCorpusSql = {
     val tk = toksSql("text")
     s"""SELECT doc_id, text FROM documents
@@ -607,6 +629,17 @@ object NorthStar {
           size(array_distinct(TextAnalysis.tokens($"text"))).cast("long"),
           k = 16, bands = 4, n = 3, minEstSim = 0.5)
         .orderBy("doc_id")
+    },
+
+    // Asymmetric containment ("is A quoted inside B?") over planted
+    // excerpts — each doc's middle half re-added as a new doc: Jaccard
+    // vs the original is only ~0.5, but containment(excerpt->original)
+    // is ~1.0. Same posting equi-join + df-cap scale shape as d02/m05;
+    // the statistic, not the plan, is what's new.
+    "d17_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(subCorpus(s, dir), "text", "doc_id",
+          n = 3, dfCap = 32, minContainment = 0.8)
+        .orderBy("id_a", "id_b")
     },
 
     // "Fuzzy-exact" dedup: exact dedup of the NORMALIZED text
@@ -1252,6 +1285,15 @@ object NorthStar {
     "st17_stream_weighted_sample" -> { (s, dir) =>
       graft.streaming.Streaming.streamWeightedSample(s, dir, k = 50)
         .orderBy("stratum", "rn")
+    },
+
+    // Streaming CM-sketch maintenance (state = the 4x1024 cell table,
+    // bounded by construction); selection probes the stream-built
+    // sketch through batch t26's exact plan and oracle.
+    "st18_stream_cm_sketch" -> { (s, dir) =>
+      graft.streaming.Streaming.streamCmHeavyHitters(s, dir,
+          minCount = 500L, depth = 4, width = 1024)
+        .orderBy("term")
     })
 
   // ---------- oracles ----------
@@ -1732,6 +1774,25 @@ object NorthStar {
         s"""SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
            |  count(*) AS n_copies
            |FROM ($dupCorpusSql) GROUP BY 1 ORDER BY content_md5""".stripMargin,
+
+      // containment: distinct-shingle posting join under the df cap,
+      // full distinct-shingle sizes as denominators, both directions
+      "d17_containment" ->
+        s"""WITH ${shingleSql(subCorpusSql)},
+           |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+           |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 32),
+           |p AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           |  WHERE a.sh IN (SELECT sh FROM rare) GROUP BY 1, 2),
+           |c AS (SELECT p.id_a, p.id_b, p.n_shared,
+           |    cast(p.n_shared as double) / sa.n_sh AS ca,
+           |    cast(p.n_shared as double) / sb.n_sh AS cb
+           |  FROM p JOIN sizes sa ON sa.id = p.id_a
+           |  JOIN sizes sb ON sb.id = p.id_b)
+           |SELECT id_a, id_b, n_shared,
+           |  round(ca, 6) AS cont_a_in_b, round(cb, 6) AS cont_b_in_a
+           |FROM c WHERE greatest(ca, cb) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin,
 
       // normalized exact dedup: DuckDB regexp_replace needs the 'g'
       // flag to match Spark's replace-all default
@@ -2715,6 +2776,9 @@ object NorthStar {
       ("st16_stream_lm_score" -> m("t23_lm_perplexity")) +
       // bounded-state streaming top-k emits a superset of the batch
       // answer; the final rank replays t24's key — oracle verbatim
-      ("st17_stream_weighted_sample" -> m("t24_weighted_sample"))
+      ("st17_stream_weighted_sample" -> m("t24_weighted_sample")) +
+      // the stream-maintained sketch equals the batch sketch cell for
+      // cell, so t26's selection oracle verifies st18 verbatim
+      ("st18_stream_cm_sketch" -> m("t26_cm_heavy_hitters"))
   }
 }

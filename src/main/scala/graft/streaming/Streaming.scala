@@ -683,6 +683,28 @@ object Streaming {
     runToTable(scored, "append")
   }
 
+  /** Streaming maintenance of the count-min sketch asset: the token
+    * stream partial-aggregates into the <= depth x width cell counts —
+    * a streaming aggregation whose state is BOUNDED BY CONSTRUCTION
+    * (4096 cells at the defaults), the textbook "sketch absorbs an
+    * unbounded stream in O(1) memory" shape. The memory sink keeps one
+    * row per cell per update, so the final sketch is the per-cell max
+    * (counts only grow); heavy-hitter selection then probes the
+    * stream-built sketch through the IDENTICAL plan as batch t26 —
+    * whose oracle verifies the result by hash.
+    */
+  def streamCmHeavyHitters(s: SparkSession, dir: String,
+      minCount: Long = 500L, depth: Int = 4, width: Int = 1024): DataFrame = {
+    import graft.operators.TextIndex
+    val updates = TextIndex.cmSketch(
+      graft.sources.Sources.documentsStream(s, dir), "text", depth, width)
+    val sketch = runToTable(updates, "update")
+      .groupBy(col("row"), col("col")).agg(max(col("ct")).as("ct"))
+    TextIndex.cmSelect(sketch,
+      s.read.parquet(s"$dir/documents.parquet"), "text",
+      minCount, depth, width)
+  }
+
   /** Streaming Efraimidis–Spirakis weighted top-k per stratum with
     * BOUNDED per-key state: the group state is the current k-smallest
     * `(es_key, doc_id, w)` buffer — O(k) per stratum, no watermark, no
