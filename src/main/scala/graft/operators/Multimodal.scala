@@ -146,7 +146,8 @@ object Multimodal {
     else {
       val smp = new Array[Long](64)
       var i = 0
-      while (i < 64) { smp(i) = payload(i * n / 64) & 0xffL; i += 1 }
+      // long arithmetic: i*n overflows Int for payloads over ~34 MB
+      while (i < 64) { smp(i) = payload((i.toLong * n / 64).toInt) & 0xffL; i += 1 }
       var sum = 0L
       i = 0
       while (i < 64) { sum += smp(i); i += 1 }
