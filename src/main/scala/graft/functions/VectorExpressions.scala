@@ -311,3 +311,61 @@ case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
     copy(child = newChild)
 }
+
+/** Sign-bit binary quantization of a float/double array column: bit d
+  * (0 <= d < min(64, len)) is set iff element d is strictly positive —
+  * the 1-bit-per-dimension embedding compression (32x narrower than
+  * float32) whose Hamming distance approximates angular distance.
+  * Dimensions beyond 64 are ignored (one packed long per vector; the
+  * caller slices the array to pack more words). Null array or null
+  * element -> NULL, matching the other vector kernels.
+  */
+case class SignPackExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.elemKind(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sign_pack needs an array<float|double> input, got ${child.dataType}")
+    }
+
+  private lazy val kind = VectorExprUtil.elemKind(child.dataType).get
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), 64)
+    var sig = 0L
+    var d = 0
+    while (d < n) {
+      if (arr.isNullAt(d)) return null
+      if (VectorExprUtil.getAsDouble(arr, d, kind) > 0) sig |= (1L << d)
+      d += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val sig = ctx.freshName("sig")
+      val get = if (kind == "float") s"(double) $c.getFloat($d)" else s"$c.getDouble($d)"
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), 64);
+         |long $sig = 0L;
+         |for (int $d = 0; $d < $n; $d++) {
+         |  if ($c.isNullAt($d)) { ${ev.isNull} = true; break; }
+         |  if ($get > 0) $sig |= (1L << $d);
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $sig;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignPackExpr =
+    copy(child = newChild)
+}

@@ -535,4 +535,37 @@ object Mixture {
       .select(col("doc_id"), col("stratum"), col("score"), col("bucket"),
         col("thr_bucket"), (col("bucket") >= col("thr_bucket")).as("keep"))
   }
+
+  /** RAG/training-window chunking with overlap: split each document's
+    * whitespace tokens into windows of `chunkTok` tokens whose starts
+    * advance by `stride` (stride < chunkTok = overlapping context
+    * windows — the standard retrieval/packing chunk layout; the final
+    * window may be short). Chunk count is exact integer arithmetic
+    * (ceil spelled as floor-div of non-negatives, so any engine
+    * replays it bit-for-bit) and chunking is tokenize-once + one
+    * exploded `sequence` + per-row `slice` — a completely narrow op:
+    * no shuffle, no state, scales as a pure map over the corpus. The
+    * emitted rolling hash stands in for the window text so downstream
+    * chunk-level dedup/joins move 8 bytes per chunk, not the string.
+    */
+  def chunkOverlap(docs: DataFrame, chunkTok: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTok >= 1 && stride >= 1 && stride <= chunkTok,
+      s"need 1 <= stride <= chunkTok, got chunkTok=$chunkTok stride=$stride")
+    val base = docs.select(col(idCol),
+        graft.functions.TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= chunkTok, lit(1L))
+          .otherwise(expr(s"((n_tok - $chunkTok + ${stride - 1}) div $stride) + 1")))
+    base.select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk",
+        slice(col("toks"), (col("start_tok") + 1).cast("int"), lit(chunkTok)))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("chunk_tok"),
+        graft.functions.TextAnalysis.rollingHash(array_join(col("chunk"), " "))
+          .as("chunk_hash"))
+  }
 }

@@ -912,4 +912,58 @@ object Similarity {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Sign-bit binary signature of an embedding: bit d set iff
+    * component d is strictly positive, packed into one long (dims past
+    * 64 ignored). 1 bit per dimension — a 32x narrower representation
+    * than float32 whose Hamming distance tracks angular distance.
+    * Codegen-native ([[graft.functions.SignPackExpr]]).
+    */
+  def signPack(vec: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.SignPackExpr(Bridge.expression(vec)))
+  }
+
+  /** Binary-quantization ANN with exact rerank — the third compressed
+    * ANN family beside PQ/ADC ([[pqTopK]]) and IVF ([[ivfTopK]]), and
+    * the cheapest candidate generator of the three: the corpus is
+    * represented as ONE long per vector ([[signPack]]), so the
+    * candidate stage scans 8 bytes/row instead of 256 (float32 d=64)
+    * and scores each row with a single xor+popcount against the
+    * broadcast query signatures. The top `cand` candidates per query by
+    * (Hamming, id) are then exact-reranked: a broadcast semi-join pulls
+    * only those `|Q| * cand` full vectors for the true-cosine top-k.
+    *
+    * Scale shape: candidate scan is narrow + codegen (bit_count over a
+    * bitwiseXOR); the per-query top-cand row_number is pushed to a
+    * per-partition partial by Spark's WindowGroupLimit, so no partition
+    * ever materializes the full |Q| x corpus score list; the rerank
+    * join broadcasts the tiny candidate set against the (pruned) full
+    * scan. At 100 TB the signature column is the thing you persist
+    * beside the embeddings (d09/s13's build-once asset contract applies
+    * verbatim — 8 bytes/vector, 1/32 of the raw embedding bytes).
+    */
+  def binaryRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cand: Int = 40, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && cand >= k, s"need cand >= k >= 1, got k=$k cand=$cand")
+    val sigs = corpus.select(col(idCol).as("n_id"), signPack(col(vecCol)).as("n_sig"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      signPack(col(vecCol)).as("q_sig")))
+    val wh = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    val candidates = sigs.join(q, col("n_id") =!= col("q_id"))
+      .withColumn("hamming", bit_count(col("n_sig").bitwiseXOR(col("q_sig"))).cast("long"))
+      .withColumn("crnk", row_number().over(wh))
+      .filter(col("crnk") <= cand)
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("hamming"))
+    val full = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    full.join(broadcast(candidates), "n_id")
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("hamming"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
 }

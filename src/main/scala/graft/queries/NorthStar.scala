@@ -389,6 +389,18 @@ object NorthStar {
         .orderBy("term")
     },
 
+    // RAG/training-window chunking with overlap (64-token windows,
+    // stride 48): tokenize once, explode one sequence, slice — a
+    // completely narrow per-row op (no shuffle anywhere in the plan).
+    // Chunk counts are exact floor-div arithmetic and the emitted
+    // rolling hash stands in for the window text, so chunk-level dedup
+    // downstream moves 8 bytes per chunk.
+    "t27_chunk_overlap" -> { (s, dir) =>
+      Mixture.chunkOverlap(s.read.parquet(s"$dir/documents.parquet"),
+          chunkTok = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
     // shape): per-document metrics + one flag per rule + the conjunctive
     // keep verdict. Every metric is exact-integer-derived double
@@ -834,6 +846,21 @@ object NorthStar {
       Similarity.ivfPqTopK(emb, emb.filter($"vec_id" < 5), k = 5,
           nlist = 32, nprobe = 4, m = 8, ncode = 32, codes = Some(codes))
         .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_d2")
+        .orderBy("q_id", "rnk")
+    },
+
+    // BINARY-QUANTIZATION ANN — the third compressed candidate
+    // generator beside PQ (s12) and IVF (s04), and the cheapest: one
+    // sign-bit long per vector (32x narrower than the float scan),
+    // Hamming = xor+popcount against the broadcast query signatures,
+    // top-40 candidates per query (WindowGroupLimit keeps the rank
+    // partial), then an exact-cosine rerank of only those 200 vectors.
+    "s21_binary_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.binaryRerankTopK(emb, emb.filter($"vec_id" < 5), k = 5, cand = 40)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"),
+          $"hamming", $"cos_sim")
         .orderBy("q_id", "rnk")
     },
 
@@ -1294,6 +1321,13 @@ object NorthStar {
       graft.streaming.Streaming.streamCmHeavyHitters(s, dir,
           minCount = 500L, depth = 4, width = 1024)
         .orderBy("term")
+    },
+
+    // Streaming chunk-level dedup (the RAG-ingestion shape): t27's
+    // narrow chunking runs unchanged on the document stream; each
+    // distinct chunk hash is admitted once (st06's key-set convention).
+    "st19_stream_chunk_dedup" -> { (s, dir) =>
+      graft.streaming.Streaming.streamChunkDedup(s, dir)
     })
 
   // ---------- oracles ----------
@@ -1701,6 +1735,37 @@ object NorthStar {
            |  cast(est - exact as bigint) AS overcount
            |FROM est WHERE est >= 500 ORDER BY term""".stripMargin
       },
+
+      // overlapping token windows: n_chunks = ceil((n-64)/48)+1 spelled
+      // as floor-div of non-negatives; chunk hash = rolling hash of the
+      // space-joined window (t05's fingerprint convention)
+      "t27_chunk_overlap" ->
+        s"""WITH d AS (SELECT doc_id, $tk AS toks FROM documents),
+           |n AS (SELECT doc_id, toks, cast(len(toks) as bigint) AS n_tok FROM d),
+           |m AS (SELECT doc_id, toks,
+           |  CASE WHEN n_tok <= 64 THEN 1::BIGINT
+           |       ELSE ((n_tok - 64 + 47) // 48) + 1 END AS n_chunks FROM n),
+           |c AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM m)
+           |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+           |  cast(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) as bigint)
+           |    AS chunk_tok,
+           |  (${rollSql("array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')")})
+           |    AS chunk_hash
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+      // streaming chunk dedup replay: the distinct chunk-hash set of
+      // t27's windows (st06's key-set convention)
+      "st19_stream_chunk_dedup" ->
+        s"""WITH d AS (SELECT doc_id, $tk AS toks FROM documents),
+           |n AS (SELECT doc_id, toks, cast(len(toks) as bigint) AS n_tok FROM d),
+           |m AS (SELECT doc_id, toks,
+           |  CASE WHEN n_tok <= 64 THEN 1::BIGINT
+           |       ELSE ((n_tok - 64 + 47) // 48) + 1 END AS n_chunks FROM n),
+           |c AS (SELECT toks, unnest(range(n_chunks)) AS chunk_id FROM m)
+           |SELECT DISTINCT
+           |  (${rollSql("array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')")})
+           |    AS chunk_hash
+           |FROM c ORDER BY chunk_hash""".stripMargin,
 
       "t14_quality_rules" ->
         s"""SELECT doc_id, cast(n as bigint) AS n_words,
@@ -2221,6 +2286,31 @@ object NorthStar {
       // per-query filters) — only the candidate gate differs
       "s20_filtered_ann" -> ivfPqOracleSql(
         candFilter = " AND en.n_id IN (SELECT vec_id FROM embeddings WHERE label <= 2)"),
+
+      // sign-bit signatures (bit d set iff component d > 0), Hamming
+      // top-40 candidates, exact-cosine rerank. Bit 63 is added as the
+      // min-long literal because DuckDB range-checks (1 << 63).
+      "s21_binary_rerank" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |s AS (SELECT id, v,
+           |  cast(list_sum(list_transform(range(63), d ->
+           |    CASE WHEN v[d+1] > 0 THEN (1::BIGINT << d) ELSE 0::BIGINT END)) as bigint)
+           |  + (CASE WHEN v[64] > 0 THEN (-9223372036854775807::BIGINT - 1::BIGINT)
+           |     ELSE 0::BIGINT END) AS sig FROM e),
+           |cand AS (SELECT * FROM (
+           |  SELECT q.id AS q_id, q.v AS qv, n.id AS n_id, n.v AS nv,
+           |    cast(bit_count(xor(q.sig, n.sig)) as bigint) AS hamming,
+           |    row_number() OVER (PARTITION BY q.id
+           |      ORDER BY bit_count(xor(q.sig, n.sig)) ASC, n.id ASC) AS crn
+           |  FROM s q JOIN s n ON n.id <> q.id WHERE q.id < 5) t
+           |  WHERE crn <= 40)
+           |SELECT q_id, n_id, rn AS rnk, hamming, cos_sim FROM (
+           |  SELECT q_id, n_id, hamming, round(${cosSql("qv", "nv")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY ${cosSql("qv", "nv")} DESC, n_id ASC) AS rn
+           |  FROM cand) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
 
       // lexical ranks from the distinct-token posting join, vector
       // ranks from the exact cosine, RRF = 1/(60+lr) + 1/(60+vr)

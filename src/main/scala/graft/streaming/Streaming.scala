@@ -748,4 +748,23 @@ object Streaming {
         .cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** Streaming chunk-level dedup — the RAG-ingestion shape: chunk each
+    * arriving document into overlapping token windows
+    * ([[graft.operators.Mixture.chunkOverlap]] — a completely narrow
+    * op, so it runs unchanged on the stream) and admit each distinct
+    * chunk hash once. Output is the distinct chunk-key set (st06's
+    * convention: which document first contributed a shared chunk is
+    * micro-batch-order-dependent, so only the key column is emitted),
+    * and the batch replay shares t27's chunk arithmetic so the oracle
+    * is closed-form. State is one entry per distinct chunk hash; with
+    * an ingest-time column, bound it exactly like st11
+    * (`dropDuplicatesWithinWatermark` over time-bucketed keys).
+    */
+  def streamChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.Mixture.chunkOverlap(
+      graft.sources.Sources.documentsStream(s, dir), chunkTok = 64, stride = 48)
+    runToTable(chunks.select(col("chunk_hash")).dropDuplicates("chunk_hash"), "append")
+      .orderBy("chunk_hash")
+  }
 }
