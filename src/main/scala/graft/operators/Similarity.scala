@@ -966,4 +966,43 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"), col("hamming"),
         round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Matryoshka/prefix-dimension two-stage ANN: coarse-score on the
+    * FIRST `prefixDims` components only (matryoshka-trained embeddings
+    * order information by prefix, so a short prefix is itself a valid
+    * low-rank embedding), keep the top `cand` per query, exact-rerank
+    * on the full vector. The coarse pass reads prefixDims/d of the
+    * embedding bytes (d=64, prefix=16: a 4x narrower scan — persist
+    * the prefix as its own column at corpus scale and the scan prunes
+    * to it); everything downstream is [[binaryRerankTopK]]'s rerank
+    * shape: WindowGroupLimit keeps the candidate rank partial, the
+    * full-vector fetch is a broadcast-candidate equi-join.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      prefixDims: Int = 16, cand: Int = 40,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && cand >= k && prefixDims >= 1,
+      s"need cand >= k >= 1 and prefixDims >= 1, got k=$k cand=$cand prefixDims=$prefixDims")
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      slice(col(vecCol), 1, prefixDims).as("q_pre")))
+    val pre = corpus.select(col(idCol).as("n_id"),
+      slice(col(vecCol), 1, prefixDims).as("n_pre"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("pre_cos").desc, col("n_id").asc)
+    val candidates = pre.join(q, col("n_id") =!= col("q_id"))
+      .withColumn("pre_cos", cosine(col("q_pre"), col("n_pre")))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= cand)
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("pre_cos"))
+    val full = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    full.join(broadcast(candidates), "n_id")
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("pre_cos"), 6).as("pre_cos"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
 }

@@ -864,6 +864,21 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // MATRYOSHKA PREFIX-DIM ANN — coarse cosine over the first 16 of
+    // 64 components (a 4x narrower coarse scan; MRL embeddings order
+    // information by prefix), top-40 candidates per query, exact
+    // full-dim rerank. Same two-stage rerank engine as s21 with a
+    // different (and composable) coarse scorer.
+    "s22_matryoshka" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.matryoshkaTopK(emb, emb.filter($"vec_id" < 5), k = 5,
+          prefixDims = 16, cand = 40)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"),
+          $"pre_cos", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+
     // Hybrid retrieval — the fusion shape every retrieval-augmented
     // curation pipeline runs: lexical top-k (distinct-token posting
     // equi-join, never all-pairs text compare) and vector top-k
@@ -2311,6 +2326,30 @@ object NorthStar {
            |      ORDER BY ${cosSql("qv", "nv")} DESC, n_id ASC) AS rn
            |  FROM cand) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // prefix-16 coarse cosine (same sequential fold over the first 16
+      // components), top-40 candidates, exact full-dim rerank
+      "s22_matryoshka" -> {
+        val preCos = (a: String, b: String) =>
+          s"""(list_reduce(list_transform(range(1,17), i -> $a[i]*$b[i]), (x,y)->x+y) /
+             | (sqrt(list_reduce(list_transform(range(1,17), i -> $a[i]*$a[i]), (x,y)->x+y)) *
+             |  sqrt(list_reduce(list_transform(range(1,17), i -> $b[i]*$b[i]), (x,y)->x+y))))""".stripMargin
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |cand AS (SELECT * FROM (
+           |  SELECT q.id AS q_id, q.v AS qv, n.id AS n_id, n.v AS nv,
+           |    ${preCos("q.v", "n.v")} AS pre_cos,
+           |    row_number() OVER (PARTITION BY q.id
+           |      ORDER BY ${preCos("q.v", "n.v")} DESC, n.id ASC) AS crn
+           |  FROM e q JOIN e n ON n.id <> q.id WHERE q.id < 5) t
+           |  WHERE crn <= 40)
+           |SELECT q_id, n_id, rn AS rnk, round(pre_cos, 6) AS pre_cos, cos_sim FROM (
+           |  SELECT q_id, n_id, pre_cos, round(${cosSql("qv", "nv")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY ${cosSql("qv", "nv")} DESC, n_id ASC) AS rn
+           |  FROM cand) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
 
       // lexical ranks from the distinct-token posting join, vector
       // ranks from the exact cosine, RRF = 1/(60+lr) + 1/(60+vr)
