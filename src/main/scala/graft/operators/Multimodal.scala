@@ -115,10 +115,24 @@ object Multimodal {
       }
       .toDF("id", "ch")
       .persist())
-    val sizes = chunks.groupBy(col("id")).agg(count(lit(1)).as("nch"))
-    val rareDf = chunks.groupBy(col("ch")).agg(count(lit(1)).as("df"))
+    keyOverlapPairs(chunks, dfCap, minOverlap)
+  }
+
+  /** Shared posting-overlap pair engine over per-id integer keys
+    * ("id", "ch" — already distinct per id): keys with document
+    * frequency > `dfCap` are dropped BEFORE the pair join (bounding
+    * any hot key's pair contribution to dfCap^2), candidates are one
+    * equi-join on the key, overlap = shared / min(|keys_a|, |keys_b|)
+    * thresholded on the RAW ratio. The engine behind both the CDC
+    * chunk dedup (m05) and the sampled-frame dedup (m07) — never an
+    * all-pairs product.
+    */
+  private def keyOverlapPairs(keys: DataFrame, dfCap: Long,
+      minOverlap: Double): DataFrame = {
+    val sizes = keys.groupBy(col("id")).agg(count(lit(1)).as("nch"))
+    val rareDf = keys.groupBy(col("ch")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
-    val rare = chunks.join(rareDf, "ch")
+    val rare = keys.join(rareDf, "ch")
     val pairs = rare.as("a").join(rare.as("b"),
         col("a.ch") === col("b.ch") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -129,6 +143,51 @@ object Multimodal {
       .join(sizes.select(col("id").as("id_b"), col("nch").as("nch_b")), "id_b")
       .filter(ov >= minOverlap)
       .select(col("id_a"), col("id_b"), col("n_shared"), round(ov, 6).as("overlap"))
+  }
+
+  /** Frame-level near-duplicate pairs — the video/image counterpart of
+    * [[chunkOverlapPairs]]: decode (stub convention), keep every
+    * `stride`-th 16-byte block ("frame sampling", [[sampleFrames]]'s
+    * cadence), key each sampled frame by its exact integer content
+    * (byte-sum * 64 + block length — order-free, so a re-containered
+    * copy with identical frames matches), and feed the per-payload
+    * distinct frame-key sets through the shared df-capped posting
+    * engine. One typed pass per payload + the m05 equi-join — never
+    * all-pairs, and the sampled keys are stride× fewer than blocks.
+    */
+  def frameNearPairs(docs: DataFrame, textCol: String, idCol: String,
+      stride: Int = 4, dfCap: Long = 16, minOverlap: Double = 0.5,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    require(dfCap >= 1, s"dfCap=$dfCap must be >= 1")
+    require(minOverlap > 0 && minOverlap <= 1,
+      s"minOverlap=$minOverlap must be in (0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bs = StubCodec.BlockSize
+    val keys = scope.own(withBinaryPayload(docs, textCol)
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val nb = ((p.length.toLong + bs - 1) / bs).toInt
+        val ks = scala.collection.mutable.HashSet.empty[Long]
+        var i = 0
+        while (i < nb) {
+          if (i % stride == 0) {
+            val start = i * bs
+            val end = math.min(p.length.toLong, (i.toLong + 1) * bs).toInt
+            var s = 0L
+            var j = start
+            while (j < end) { s += p(j) & 0xff; j += 1 }
+            ks += s * 64L + (end - start)
+          }
+          i += 1
+        }
+        ks.iterator.map(k => (id, k))
+      }
+      .toDF("id", "ch")
+      .persist())
+    keyOverlapPairs(keys, dfCap, minOverlap)
   }
 
   /** Average-hash (aHash) perceptual fingerprint of a binary payload —

@@ -1220,6 +1220,15 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     },
 
+    // Frame-level near-dup (the video counterpart of m05): every 4th
+    // 16-byte block keyed by exact integer content, per-payload
+    // distinct key sets through the shared df-capped posting engine.
+    "m07_frame_neardup" -> { (s, dir) =>
+      Multimodal.frameNearPairs(mutCorpus(s, dir), "text", "doc_id",
+          stride = 4, dfCap = 16, minOverlap = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     // --- streaming ---
     "st01_stream_hourly" -> { (s, dir) =>
       graft.streaming.Streaming.hourlyStats(s, dir)
@@ -2717,6 +2726,32 @@ object NorthStar {
            |sizes AS (SELECT doc_id, count(*) AS nch FROM ch GROUP BY 1),
            |fdf AS (SELECT ch, count(*) AS df FROM ch GROUP BY 1),
            |rare AS (SELECT c.doc_id, c.ch FROM ch c JOIN fdf USING (ch) WHERE fdf.df <= 16),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           |  FROM rare a JOIN rare b ON a.ch = b.ch AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT id_a, id_b, n_shared, round(ov, 6) AS overlap FROM (
+           |  SELECT p.id_a, p.id_b, p.n_shared,
+           |    cast(p.n_shared as double) / least(sa.nch, sb.nch) AS ov
+           |  FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+           |  JOIN sizes sb ON sb.doc_id = p.id_b) t
+           |WHERE ov >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+      // frame-level near-dup: every 4th 16-byte block keyed by exact
+      // integer content (byte-sum*64 + block length), m05's df-capped
+      // posting-pair tail over the distinct frame-key sets
+      "m07_frame_neardup" ->
+        s"""WITH u AS ($mutCorpusSql),
+           |t AS (SELECT doc_id, list_transform(string_split(text, ''),
+           |    c -> cast(ascii(c) as bigint)) AS codes FROM u),
+           |d AS (SELECT doc_id, codes, len(codes) AS n,
+           |    cast(ceil(len(codes) / 16.0) as bigint) AS nb FROM t),
+           |k AS (SELECT DISTINCT doc_id,
+           |    unnest(list_transform(list_filter(range(0, nb), i -> i % 4 = 0), i ->
+           |      cast(list_aggregate(codes[i*16+1 : least(n, (i+1)*16)], 'sum') as bigint) * 64
+           |        + (least(n, (i+1)*16) - i*16))) AS ch
+           |  FROM d),
+           |sizes AS (SELECT doc_id, count(*) AS nch FROM k GROUP BY 1),
+           |fdf AS (SELECT ch, count(*) AS df FROM k GROUP BY 1),
+           |rare AS (SELECT c.doc_id, c.ch FROM k c JOIN fdf USING (ch) WHERE fdf.df <= 16),
            |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
            |  FROM rare a JOIN rare b ON a.ch = b.ch AND a.doc_id < b.doc_id GROUP BY 1, 2)
            |SELECT id_a, id_b, n_shared, round(ov, 6) AS overlap FROM (
