@@ -107,4 +107,29 @@ object TextIndex {
       .filter(col("rank") <= k)
       .select(col("id"), col("term"), col("tf"), col("df"), col("rank"))
   }
+
+  /** Corpus novelty score per document: the fraction of the document's
+    * DISTINCT n-gram shingles appearing nowhere else in the corpus
+    * (df == 1). ~1 = unique content, ~0 = boilerplate or a copy — the
+    * memorization/novelty signal a curation run reads next to the
+    * dedup verdicts (a near-dup's novelty collapses without ever
+    * running a pair join). Dataflow: one posting pass
+    * ([[Dedup.shingles]] — per-doc JVM kernel, already distinct), one
+    * map-side-combinable df aggregate, the posting equi-join back on
+    * the shingle hash, one per-doc aggregate. Every shuffle is on a
+    * bounded-width integer key; there is NO pair join anywhere, so the
+    * cost is linear in posting volume at any corpus size.
+    */
+  def noveltyScores(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val posts = Dedup.shingles(docs, textCol, idCol, n)
+    val df = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    posts.join(df, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as("doc_id"),
+        col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+  }
 }

@@ -389,6 +389,53 @@ object NorthStar {
         .orderBy("term")
     },
 
+    // SQL-authored curation pipeline — t17's quality filter -> exact
+    // dedup -> hash split spelled entirely in spark.sql (the d11/s17
+    // move applied to curation: a SQL-only user can run the whole
+    // pipeline); shares t17's oracle verbatim.
+    "t29_sql_curation" -> { (s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("graft_t29_docs")
+      s.sql(s"""WITH u AS (
+              |  SELECT doc_id, text, lang FROM graft_t29_docs
+              |  UNION ALL
+              |  SELECT doc_id + 100000, text, lang FROM graft_t29_docs),
+              |f AS (SELECT doc_id, text, lang,
+              |    split(trim(text), '\\\\s+') AS toks FROM u),
+              |g AS (SELECT doc_id, text, lang, toks,
+              |    size(toks) AS n,
+              |    aggregate(transform(toks, t -> cast(length(t) as bigint)),
+              |      0L, (a, b) -> a + b) AS lensum,
+              |    size(array_distinct(toks)) AS ndist,
+              |    size(filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS stop,
+              |    array_max(transform(array_distinct(toks),
+              |      d -> cast(size(filter(toks, x -> x = d)) as bigint))) AS mf
+              |  FROM f),
+              |k AS (SELECT doc_id, text, lang FROM g
+              |  WHERE n >= 40
+              |    AND cast(lensum as double) / n >= 3.0
+              |    AND cast(lensum as double) / n <= 10.0
+              |    AND cast(ndist as double) / n >= 0.5
+              |    AND stop >= 2
+              |    AND cast(mf as double) / n <= 0.12),
+              |fp AS (SELECT doc_id, text, lang, md5(text) AS fp FROM k),
+              |canon AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp)
+              |SELECT c.doc_id, fp.lang,
+              |  ${Mixture.splitColumnSql("c.doc_id")} AS split,
+              |  cast(size(split(trim(fp.text), '\\\\s+')) as bigint) AS n_tokens
+              |FROM fp JOIN canon c ON c.fp = fp.fp AND c.doc_id = fp.doc_id
+              |ORDER BY doc_id""".stripMargin)
+    },
+
+    // Corpus novelty scoring: fraction of each doc's distinct trigram
+    // shingles with corpus df == 1 — posting aggregates only, no pair
+    // join. On the planted-copy corpus originals keep only their
+    // truncated tail as novel; copies collapse to ~0.
+    "t28_novelty" -> { (s, dir) =>
+      TextIndex.noveltyScores(mutCorpus(s, dir), "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    },
+
     // RAG/training-window chunking with overlap (64-token windows,
     // stride 48): tokenize once, explode one sequence, slice — a
     // completely narrow per-row op (no shuffle anywhere in the plan).
@@ -1352,6 +1399,14 @@ object NorthStar {
     // distinct chunk hash is admitted once (st06's key-set convention).
     "st19_stream_chunk_dedup" -> { (s, dir) =>
       graft.streaming.Streaming.streamChunkDedup(s, dir)
+    },
+
+    // Streaming sign-bit near-dup vs the corpus signature column
+    // (s21's binary family + d12's 4x16-bit pigeonhole bands, verify
+    // inside the stream-static join condition). Stateless and
+    // batch-invariant.
+    "st20_stream_binary_neardup" -> { (s, dir) =>
+      graft.streaming.Streaming.streamBinaryNearDup(s, dir, maxHamming = 3)
     })
 
   // ---------- oracles ----------
@@ -1760,6 +1815,17 @@ object NorthStar {
            |FROM est WHERE est >= 500 ORDER BY term""".stripMargin
       },
 
+      // novelty = fraction of distinct trigram shingles with df == 1,
+      // over the shared shingle CTE on the planted-copy corpus
+      "t28_novelty" ->
+        s"""WITH ${shingleSql(mutCorpusSql)},
+           |fdf AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+           |SELECT s.id AS doc_id, count(*) AS n_shingles,
+           |  cast(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) as bigint) AS n_novel,
+           |  round(cast(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) as double)
+           |    / count(*), 6) AS novelty
+           |FROM sh s JOIN fdf f USING (sh) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
       // overlapping token windows: n_chunks = ceil((n-64)/48)+1 spelled
       // as floor-div of non-negatives; chunk hash = rolling hash of the
       // space-joined window (t05's fingerprint convention)
@@ -1776,6 +1842,33 @@ object NorthStar {
            |  (${rollSql("array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')")})
            |    AS chunk_hash
            |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+      // streaming binary near-dup replay: corpus + shifted-shard sign
+      // signatures, any-band agreement + hamming verify, min corpus id
+      "st20_stream_binary_neardup" -> {
+        val signSql = (v: String) =>
+          s"""(cast(list_sum(list_transform(range(63), d ->
+             |    CASE WHEN $v[d+1] > 0 THEN (1::BIGINT << d) ELSE 0::BIGINT END)) as bigint)
+             |  + (CASE WHEN $v[64] > 0 THEN (-9223372036854775807::BIGINT - 1::BIGINT)
+             |     ELSE 0::BIGINT END))""".stripMargin
+        val bandAgree = (0 until 4).map(b =>
+          s"((q.sig >> ${b * 16}) & 65535) = ((s.sig >> ${b * 16}) & 65535)")
+          .mkString("(", " OR ", ")")
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |sp AS (SELECT id, ${signSql("v")} AS sig FROM e),
+           |q0 AS (SELECT id + 100000 AS q_id,
+           |  CASE WHEN id % 2 = 1 THEN list_transform(v, x -> x + 10.0) ELSE v END AS v
+           |  FROM e),
+           |qs AS (SELECT q_id, ${signSql("v")} AS sig FROM q0),
+           |m AS (SELECT q.q_id, min(s.id) AS match_id
+           |  FROM qs q JOIN sp s ON $bandAgree
+           |    AND bit_count(xor(q.sig, s.sig)) <= 3
+           |  GROUP BY q.q_id)
+           |SELECT q.q_id AS vec_id, coalesce(m.match_id, q.q_id) AS canonical_id,
+           |  (m.match_id IS NULL) AS is_new
+           |FROM qs q LEFT JOIN m ON m.q_id = q.q_id ORDER BY vec_id""".stripMargin
+      },
 
       // streaming chunk dedup replay: the distinct chunk-hash set of
       // t27's windows (st06's key-set convention)
@@ -2932,6 +3025,8 @@ object NorthStar {
       ("d11_sql_lsh_pairs" -> m("d04_lsh_pairs")) +
       // SQL-authored exact kNN through graft_cosine — shares s01's oracle
       ("s17_sql_knn" -> m("s01_knn_bruteforce")) +
+      // SQL-authored curation pipeline — shares t17's oracle verbatim
+      ("t29_sql_curation" -> m("t17_curation_pipeline")) +
       // stateless stream = batch: streaming DSIR scoring shares t22's
       // exact-integer arithmetic and therefore its oracle verbatim
       ("st15_stream_dsir" -> m("t22_dsir_importance")) +

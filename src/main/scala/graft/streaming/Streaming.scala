@@ -767,4 +767,56 @@ object Streaming {
     runToTable(chunks.select(col("chunk_hash")).dropDuplicates("chunk_hash"), "append")
       .orderBy("chunk_hash")
   }
+
+  /** Streaming sign-bit near-dup vs the batch corpus — the streaming
+    * face of the s21 binary family: each arriving embedding is
+    * sign-packed to one long (1 bit/dim, [[graft.operators.Similarity.signPack]]),
+    * its 4 16-bit pigeonhole bands are stream-static LEFT-joined
+    * against the corpus band table (band equality admits every pair
+    * within Hamming 3 of a corpus signature — d12's guarantee), and
+    * the join condition carries the exact-verify (`bit_count(xor) <=
+    * maxHamming`), so a band collision that fails verification nulls
+    * out rather than matching. Emission per arriving vector: the
+    * lowest verified corpus id, or itself when new. Stateless — the
+    * static side is the persisted 8-byte signature column at corpus
+    * scale — and batch-invariant (micro-batch slicing cannot change
+    * any verdict), so the batch replay is closed-form.
+    */
+  def streamBinaryNearDup(s: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.Column
+    val mask = 65535L
+    def bands(sig: Column): Column =
+      explode(array((0 until 4).map(b => struct(lit(b).as("band_no"),
+        shiftright(sig, b * 16).bitwiseAND(lit(mask)).as("bsig"))): _*))
+    val corpus = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("n_id"),
+        Similarity.signPack(col("embedding")).as("n_sig"))
+      .select(col("n_id"), col("n_sig"), bands(col("n_sig")).as("b"))
+      .select(col("n_id"), col("n_sig"), col("b.band_no"), col("b.bsig"))
+    val shard = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).as("q_id"),
+        when(col("vec_id") % 2 === 1,
+          transform(col("embedding"), x => x.cast("double") + 10.0))
+          .otherwise(transform(col("embedding"), x => x.cast("double")))
+          .as("vec"))
+      .select(col("q_id"), Similarity.signPack(col("vec")).as("q_sig"))
+      .select(col("q_id"), col("q_sig"), bands(col("q_sig")).as("b"))
+      .select(col("q_id"), col("q_sig"), col("b.band_no"), col("b.bsig"))
+    val joined = shard.join(corpus,
+        shard("band_no") === corpus("band_no") &&
+          shard("bsig") === corpus("bsig") &&
+          bit_count(shard("q_sig").bitwiseXOR(corpus("n_sig")))
+            .cast("int") <= maxHamming,
+        "left_outer")
+      .select(col("q_id"), col("n_id"))
+    runToTable(joined, "append")
+      .groupBy("q_id")
+      .agg(min(col("n_id")).as("match_id"))
+      .select(col("q_id").as("vec_id"),
+        coalesce(col("match_id"), col("q_id")).as("canonical_id"),
+        col("match_id").isNull.as("is_new"))
+      .orderBy("vec_id")
+  }
 }
