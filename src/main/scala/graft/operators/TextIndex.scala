@@ -132,4 +132,59 @@ object TextIndex {
         col("n_shingles"), col("n_novel"),
         round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
   }
+
+  /** HyperLogLog distinct-count sketch over ANY portable-hash column —
+    * the fourth member of the sketch family (Bloom q26, KMV q35,
+    * count-min t26). Input is a relation with a non-negative hash in
+    * [0, 2^30) (the rolling-hash family's range: shingle hashes, chunk
+    * hashes, fingerprints); p bucket bits pick one of m = 2^p
+    * registers, the (30 - p)-bit window ABOVE the bucket bits supplies
+    * the rank (leading-zero count + 1, spelled as
+    * `(31 - p) - length(bin(w))` — pure integer/string ops any engine
+    * reproduces), each register keeps its max rank, and the raw HLL
+    * estimate comes out of an exact integer numerator
+    * (sum over registers of 2^(maxRho - rho), empty registers at
+    * 2^maxRho) so the only float arithmetic is one textually-fixed
+    * expression both engines evaluate identically. No small-range
+    * correction (it would need a transcendental ln whose last ulp can
+    * differ across engines) — callers estimate domains with
+    * n >> 2.5m, and the exact count rides along as the measured
+    * error, q35's convention. 100 TB shape: the register table is 2^p
+    * rows BY CONSTRUCTION (broadcastable at any corpus size) and both
+    * passes are partial-aggregatable hash aggregates — HLL registers
+    * merge by max, which is exactly what the partial aggregate does.
+    */
+  def hllDistinct(values: DataFrame, hashCol: String, p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p must be in [4, 16]")
+    val m = 1 << p
+    val hashed = values.select(col(hashCol).as("h"))
+    // rank window = the (30 - p) hash bits above the bucket bits
+    // (rollingHash < 2^30); max rank = window width + 1
+    val maxRho = 31 - p
+    val regs = hashed
+      .select((col("h") % m).as("bucket"), expr(s"h div $m").as("w"))
+      .withColumn("rho",
+        expr(s"CASE WHEN w = 0 THEN $maxRho ELSE $maxRho - length(bin(w)) END"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+    val denom = 1L << maxRho
+    val sums = regs.agg(count(lit(1)).as("present"),
+      sum(expr(s"cast(shiftleft(1L, cast($maxRho - rho as int)) as bigint)"))
+        .as("num_present"))
+    val exact = hashed.agg(countDistinct(col("h")).as("n_exact"))
+    val estExpr =
+      s"""cast(0.7213 as double) / (cast(1.0 as double)
+         |  + cast(1.079 as double) / cast($m as double))
+         |  * cast($m as double) * cast($m as double)
+         |  * cast($denom as double) / cast(num as double)""".stripMargin
+    sums.crossJoin(exact)
+      .select(lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("present")).as("v_zero"),
+        col("n_exact"),
+        (col("num_present") + (lit(m.toLong) - col("present")) * denom)
+          .as("num"))
+      .select(col("m"), col("v_zero"), col("n_exact"),
+        expr(s"round($estExpr, 6)").as("est"),
+        expr(s"round(abs(($estExpr) - cast(n_exact as double)) " +
+          "/ cast(n_exact as double), 6)").as("rel_err"))
+  }
 }

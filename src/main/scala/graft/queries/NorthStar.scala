@@ -389,6 +389,20 @@ object NorthStar {
         .orderBy("term")
     },
 
+    // HyperLogLog distinct-trigram estimate (p=10, 1024 registers) —
+    // the fourth sketch beside Bloom/KMV/CM, over the shingle-hash
+    // stream (~16k distinct: the raw-HLL regime; the 31-term token
+    // vocabulary would sit in the small-range regime raw HLL cannot
+    // serve without a transcendental correction). Exact integer
+    // numerator, one textually-fixed double expression, measured error
+    // vs the exact distinct count (q35's convention).
+    "t30_hll_distinct" -> { (s, dir) =>
+      TextIndex.hllDistinct(
+        Dedup.shingles(s.read.parquet(s"$dir/documents.parquet"),
+          "text", "doc_id", n = 3).select(col("sh")),
+        "sh", p = 10)
+    },
+
     // SQL-authored curation pipeline — t17's quality filter -> exact
     // dedup -> hash split spelled entirely in spark.sql (the d11/s17
     // move applied to curation: a SQL-only user can run the whole
@@ -1813,6 +1827,36 @@ object NorthStar {
            |  cast(exact as bigint) AS exact,
            |  cast(est - exact as bigint) AS overcount
            |FROM est WHERE est >= 500 ORDER BY term""".stripMargin
+      },
+
+      // HLL replay over the shared shingle CTE: bucket/rank from the
+      // shingle hash, max-rank registers, exact integer numerator, the
+      // SAME est text as the engine (one identical double expression)
+      "t30_hll_distinct" -> {
+        val est =
+          """cast(0.7213 as double) / (cast(1.0 as double)
+            |  + cast(1.079 as double) / cast(1024 as double))
+            |  * cast(1024 as double) * cast(1024 as double)
+            |  * cast(2097152 as double) / cast(num as double)""".stripMargin
+        s"""WITH ${shingleSql("SELECT doc_id, text FROM documents")},
+           |h AS (SELECT sh AS h FROM sh),
+           |r0 AS (SELECT h % 1024 AS bucket, h // 1024 AS w FROM h),
+           |r1 AS (SELECT bucket,
+           |    max(CASE WHEN w = 0 THEN 21 ELSE 21 - length(bin(w)) END) AS rho
+           |  FROM r0 GROUP BY 1),
+           |s AS (SELECT count(*) AS present,
+           |    cast(sum(cast((1::BIGINT << (21 - rho)) as bigint)) as bigint)
+           |      AS num_present FROM r1),
+           |e AS (SELECT count(DISTINCT h) AS n_exact FROM h),
+           |n AS (SELECT s.present, e.n_exact,
+           |    s.num_present + (1024 - s.present) * 2097152 AS num FROM s, e)
+           |SELECT cast(1024 as bigint) AS m,
+           |  cast(1024 - present as bigint) AS v_zero,
+           |  cast(n_exact as bigint) AS n_exact,
+           |  round($est, 6) AS est,
+           |  round(abs(($est) - cast(n_exact as double))
+           |    / cast(n_exact as double), 6) AS rel_err
+           |FROM n""".stripMargin
       },
 
       // novelty = fraction of distinct trigram shingles with df == 1,
