@@ -154,23 +154,43 @@ object TextIndex {
     * passes are partial-aggregatable hash aggregates — HLL registers
     * merge by max, which is exactly what the partial aggregate does.
     */
-  def hllDistinct(values: DataFrame, hashCol: String, p: Int = 10): DataFrame = {
+  def hllDistinct(values: DataFrame, hashCol: String, p: Int = 10): DataFrame =
+    hllSelect(hllRegisters(values, hashCol, p), values, hashCol, p)
+
+  /** The register-build half of [[hllDistinct]]: per-bucket max rank.
+    * Streaming-safe (max in update mode), which is how st21 maintains
+    * the registers over an unbounded stream in O(2^p) state.
+    */
+  def hllRegisters(values: DataFrame, hashCol: String, p: Int = 10): DataFrame = {
     require(p >= 4 && p <= 16, s"p=$p must be in [4, 16]")
     val m = 1 << p
-    val hashed = values.select(col(hashCol).as("h"))
     // rank window = the (30 - p) hash bits above the bucket bits
     // (rollingHash < 2^30); max rank = window width + 1
     val maxRho = 31 - p
-    val regs = hashed
-      .select((col("h") % m).as("bucket"), expr(s"h div $m").as("w"))
+    values.select((col(hashCol) % m).as("bucket"),
+        expr(s"$hashCol div $m").as("w"))
       .withColumn("rho",
         expr(s"CASE WHEN w = 0 THEN $maxRho ELSE $maxRho - length(bin(w)) END"))
       .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** The estimate half of [[hllDistinct]], parameterized on the
+    * register relation so a STREAM-maintained register table (st21)
+    * reads out through the identical arithmetic as the batch-built
+    * one (t26/st18's cmSelect convention). `exactSource` supplies the
+    * measured-error baseline.
+    */
+  def hllSelect(regs: DataFrame, exactSource: DataFrame, hashCol: String,
+      p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p must be in [4, 16]")
+    val m = 1 << p
+    val maxRho = 31 - p
     val denom = 1L << maxRho
     val sums = regs.agg(count(lit(1)).as("present"),
       sum(expr(s"cast(shiftleft(1L, cast($maxRho - rho as int)) as bigint)"))
         .as("num_present"))
-    val exact = hashed.agg(countDistinct(col("h")).as("n_exact"))
+    val exact = exactSource
+      .agg(countDistinct(col(hashCol)).as("n_exact"))
     val estExpr =
       s"""cast(0.7213 as double) / (cast(1.0 as double)
          |  + cast(1.079 as double) / cast($m as double))

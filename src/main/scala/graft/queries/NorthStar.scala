@@ -1421,6 +1421,14 @@ object NorthStar {
     // batch-invariant.
     "st20_stream_binary_neardup" -> { (s, dir) =>
       graft.streaming.Streaming.streamBinaryNearDup(s, dir, maxHamming = 3)
+    },
+
+    // Streaming HLL maintenance (st18's bounded-state move applied to
+    // t30): the shingle stream updates 2^p max-rank registers; the
+    // estimate reads out through hllSelect's identical arithmetic, so
+    // the query shares t30's oracle verbatim (merge-by-max invariance).
+    "st21_stream_hll" -> { (s, dir) =>
+      graft.streaming.Streaming.streamHllDistinct(s, dir, p = 10)
     })
 
   // ---------- oracles ----------
@@ -3071,6 +3079,9 @@ object NorthStar {
       ("s17_sql_knn" -> m("s01_knn_bruteforce")) +
       // SQL-authored curation pipeline — shares t17's oracle verbatim
       ("t29_sql_curation" -> m("t17_curation_pipeline")) +
+      // stream-maintained HLL registers equal the batch build
+      // (merge-by-max) — shares t30's oracle verbatim
+      ("st21_stream_hll" -> m("t30_hll_distinct")) +
       // stateless stream = batch: streaming DSIR scoring shares t22's
       // exact-integer arithmetic and therefore its oracle verbatim
       ("st15_stream_dsir" -> m("t22_dsir_importance")) +

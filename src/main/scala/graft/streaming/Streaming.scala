@@ -819,4 +819,30 @@ object Streaming {
         col("match_id").isNull.as("is_new"))
       .orderBy("vec_id")
   }
+
+  /** Streaming HLL register maintenance — st18's bounded-cell move
+    * applied to the t30 sketch: the document stream's shingle hashes
+    * update per-bucket max ranks (streaming aggregation whose state is
+    * 2^p rows BY CONSTRUCTION — the sketch absorbs an unbounded stream
+    * in O(1) memory), and the estimate reads out through the identical
+    * arithmetic as the batch build ([[graft.operators.TextIndex.hllSelect]],
+    * the cmSelect convention). Registers merge by max, so the
+    * stream-maintained table equals the batch-built one whatever the
+    * micro-batch slicing (HllSpec proves the invariance) — the query
+    * shares t30's oracle verbatim. The exact-count side reads the
+    * batch table: it is the measured-error baseline, not the
+    * production path.
+    */
+  def streamHllDistinct(s: SparkSession, dir: String, p: Int = 10): DataFrame = {
+    import graft.operators.{Dedup, TextIndex}
+    val streamShingles = Dedup.shingles(
+      graft.sources.Sources.documentsStream(s, dir), "text", "doc_id", n = 3)
+      .select(col("sh"))
+    val regs = runToTable(TextIndex.hllRegisters(streamShingles, "sh", p), "update")
+      .groupBy("bucket").agg(max("rho").as("rho"))
+    val batchShingles = Dedup.shingles(
+      s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id", n = 3)
+      .select(col("sh"))
+    TextIndex.hllSelect(regs, batchShingles, "sh", p)
+  }
 }

@@ -44,6 +44,7 @@ object ScaleBench {
     "q34_decile_spend", "q38_global_rank", "q39_interval_overlap",
     "m06_phash_neardup", "m07_frame_neardup", "t26_cm_heavy_hitters",
     "s21_binary_rerank", "s22_matryoshka", "t27_chunk_overlap", "t28_novelty",
+    "t30_hll_distinct",
     "dbscan_events", "st08_stream_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
