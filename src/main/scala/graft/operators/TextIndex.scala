@@ -207,4 +207,48 @@ object TextIndex {
         expr(s"round(abs(($estExpr) - cast(n_exact as double)) " +
           "/ cast(n_exact as double), 6)").as("rel_err"))
   }
+
+  /** Per-group HLL distinct estimates — APPROX_COUNT_DISTINCT as an
+    * explicit mergeable sketch: registers keyed by (group, bucket), so
+    * the whole computation is still two partial-aggregatable hash
+    * aggregates and the register state is |groups| * 2^p rows BY
+    * CONSTRUCTION. Same exact-integer numerator and textually-fixed
+    * double readout as [[hllDistinct]]; the exact per-group count
+    * rides along as the measured error. Pick p so every group's
+    * cardinality clears the ~2.5 * 2^p small-range bar (no ln
+    * correction, by design — see [[hllDistinct]]).
+    */
+  def hllDistinctByGroup(values: DataFrame, groupCol: String,
+      hashCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p must be in [4, 16]")
+    val m = 1 << p
+    val maxRho = 31 - p
+    val denom = 1L << maxRho
+    val regs = values
+      .select(col(groupCol).as("grp"), (col(hashCol) % m).as("bucket"),
+        expr(s"$hashCol div $m").as("w"))
+      .withColumn("rho",
+        expr(s"CASE WHEN w = 0 THEN $maxRho ELSE $maxRho - length(bin(w)) END"))
+      .groupBy("grp", "bucket").agg(max("rho").as("rho"))
+    val sums = regs.groupBy("grp").agg(count(lit(1)).as("present"),
+      sum(expr(s"cast(shiftleft(1L, cast($maxRho - rho as int)) as bigint)"))
+        .as("num_present"))
+    val exact = values.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(hashCol)).as("n_exact"))
+    val estExpr =
+      s"""cast(0.7213 as double) / (cast(1.0 as double)
+         |  + cast(1.079 as double) / cast($m as double))
+         |  * cast($m as double) * cast($m as double)
+         |  * cast($denom as double) / cast(num as double)""".stripMargin
+    sums.join(exact, "grp")
+      .select(col("grp"),
+        (lit(m.toLong) - col("present")).as("v_zero"),
+        col("n_exact"),
+        (col("num_present") + (lit(m.toLong) - col("present")) * denom)
+          .as("num"))
+      .select(col("grp"), col("v_zero"), col("n_exact"),
+        expr(s"round($estExpr, 6)").as("est"),
+        expr(s"round(abs(($estExpr) - cast(n_exact as double)) " +
+          "/ cast(n_exact as double), 6)").as("rel_err"))
+  }
 }

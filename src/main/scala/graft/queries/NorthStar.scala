@@ -403,6 +403,18 @@ object NorthStar {
         "sh", p = 10)
     },
 
+    // Per-language HLL distinct-trigram estimates (p=8, 256 registers
+    // per group) — APPROX_COUNT_DISTINCT as an explicit mergeable
+    // sketch; register state = |langs| * 2^p rows by construction.
+    "t31_hll_by_lang" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val withLang = Dedup.shingles(docs, "text", "doc_id", n = 3)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+      TextIndex.hllDistinctByGroup(withLang, "lang", "sh", p = 8)
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang")
+    },
+
     // SQL-authored curation pipeline — t17's quality filter -> exact
     // dedup -> hash split spelled entirely in spark.sql (the d11/s17
     // move applied to curation: a SQL-only user can run the whole
@@ -1865,6 +1877,37 @@ object NorthStar {
            |  round(abs(($est) - cast(n_exact as double))
            |    / cast(n_exact as double), 6) AS rel_err
            |FROM n""".stripMargin
+      },
+
+      // per-lang HLL replay (p=8): (lang, bucket) max-rank registers,
+      // same exact-numerator + fixed double readout as t30
+      "t31_hll_by_lang" -> {
+        val est =
+          """cast(0.7213 as double) / (cast(1.0 as double)
+            |  + cast(1.079 as double) / cast(256 as double))
+            |  * cast(256 as double) * cast(256 as double)
+            |  * cast(8388608 as double) / cast(num as double)""".stripMargin
+        s"""WITH ${shingleSql("SELECT doc_id, text FROM documents")},
+           |l AS (SELECT s.id, s.sh, d.lang FROM sh s
+           |  JOIN documents d ON d.doc_id = s.id),
+           |r0 AS (SELECT lang, sh % 256 AS bucket, sh // 256 AS w FROM l),
+           |r1 AS (SELECT lang, bucket,
+           |    max(CASE WHEN w = 0 THEN 23 ELSE 23 - length(bin(w)) END) AS rho
+           |  FROM r0 GROUP BY 1, 2),
+           |sm AS (SELECT lang, count(*) AS present,
+           |    cast(sum(cast((1::BIGINT << (23 - rho)) as bigint)) as bigint)
+           |      AS num_present
+           |  FROM r1 GROUP BY 1),
+           |e AS (SELECT lang, count(DISTINCT sh) AS n_exact FROM l GROUP BY 1),
+           |n AS (SELECT sm.lang, sm.present, e.n_exact,
+           |    sm.num_present + (256 - sm.present) * 8388608 AS num
+           |  FROM sm JOIN e USING (lang))
+           |SELECT lang, cast(256 - present as bigint) AS v_zero,
+           |  cast(n_exact as bigint) AS n_exact,
+           |  round($est, 6) AS est,
+           |  round(abs(($est) - cast(n_exact as double))
+           |    / cast(n_exact as double), 6) AS rel_err
+           |FROM n ORDER BY lang""".stripMargin
       },
 
       // novelty = fraction of distinct trigram shingles with df == 1,

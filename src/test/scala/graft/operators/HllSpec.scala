@@ -48,6 +48,23 @@ class HllSpec extends AnyFunSuite with Matchers {
     e11 should be < math.max(0.17, e10 * 2)
   }
 
+  test("per-group sketch matches running the global sketch on each group alone") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val withLang = Dedup.shingles(docs, "text", "doc_id", n = 3)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+    val grouped = TextIndex.hllDistinctByGroup(withLang, "lang", "sh", p = 8)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    grouped.keySet.size should be >= 3
+    for ((lang, row) <- grouped) {
+      val alone = TextIndex.hllDistinct(
+        withLang.filter(col("lang") === lang).select(col("sh")), "sh", p = 8).head
+      // keying registers by group is EXACTLY partitioning the stream:
+      // per-group rows must equal the global sketch of that group alone
+      (alone.getLong(1), alone.getLong(2), alone.getDouble(3)) shouldBe row
+    }
+  }
+
   test("parameter guard") {
     val vals = Seq(1L, 2L).toDF("sh")
     an[IllegalArgumentException] should be thrownBy
