@@ -776,6 +776,39 @@ object Relational {
           (least(col("a.en"), col("b.en")) -
             greatest(col("a.st"), col("b.st"))).as("ov_secs"))
         .orderBy($"user_a", $"user_b", $"sess_a", $"sess_b")
+    },
+
+    // Conversion funnel over gap sessions: view -> click (at or after
+    // the first view) -> purchase (at or after that click), counted
+    // per (user, session) by CHAINED conditional mins — three
+    // aggregates reusing one (user_id, sess) shuffle key — rolled up
+    // to the single stage-count row of a conversion dashboard.
+    "q40_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+      val sess = events(s, dir)
+        .withColumn("sec", secs)
+        .withColumn("prev_s", lag($"sec", 1).over(w))
+        .withColumn("ns",
+          when($"prev_s".isNull || ($"sec" - $"prev_s") > 1800, 1).otherwise(0))
+        .withColumn("sess", sum($"ns").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"user_id", $"sess", $"event_type", $"sec")
+      val mv = sess.groupBy($"user_id", $"sess")
+        .agg(min(when($"event_type" === "view", $"sec")).as("mv"))
+      val mc = sess.join(mv, Seq("user_id", "sess"))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"mv").as("mv"),
+          min(when($"event_type" === "click" && $"sec" >= $"mv", $"sec")).as("mc"))
+      val mp = sess.join(mc, Seq("user_id", "sess"))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"mv").as("mv"), min($"mc").as("mc"),
+          min(when($"event_type" === "purchase" && $"sec" >= $"mc", $"sec")).as("mp"))
+      mp.agg(count(lit(1)).as("n_sessions"),
+        sum(when($"mv".isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when($"mc".isNotNull, 1L).otherwise(0L)).as("n_click"),
+        sum(when($"mp".isNotNull, 1L).otherwise(0L)).as("n_purchase"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -1111,5 +1144,32 @@ object Relational {
         |  least(a.en, b.en) - greatest(a.st, b.st) AS ov_secs
         |FROM iv a JOIN iv b
         |  ON a.st <= b.en AND b.st <= a.en AND a.user_id < b.user_id
-        |ORDER BY user_a, user_b, sess_a, sess_b""".stripMargin)
+        |ORDER BY user_a, user_b, sess_a, sess_b""".stripMargin,
+
+    "q40_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) // 1000 AS s FROM events),
+        |o AS (SELECT user_id, event_id, event_type, s,
+        |    lag(s, 1) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_s
+        |  FROM e),
+        |m AS (SELECT user_id, event_id, event_type, s,
+        |    CASE WHEN prev_s IS NULL OR s - prev_s > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |g AS (SELECT user_id, event_type, s,
+        |    sum(ns) OVER (PARTITION BY user_id
+        |      ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m),
+        |v AS (SELECT user_id, sess,
+        |    min(CASE WHEN event_type = 'view' THEN s END) AS mv
+        |  FROM g GROUP BY 1, 2),
+        |c AS (SELECT g.user_id, g.sess, min(v.mv) AS mv,
+        |    min(CASE WHEN g.event_type = 'click' AND g.s >= v.mv THEN g.s END) AS mc
+        |  FROM g JOIN v USING (user_id, sess) GROUP BY 1, 2),
+        |p AS (SELECT g.user_id, g.sess, min(c.mv) AS mv, min(c.mc) AS mc,
+        |    min(CASE WHEN g.event_type = 'purchase' AND g.s >= c.mc THEN g.s END) AS mp
+        |  FROM g JOIN c USING (user_id, sess) GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |  cast(sum(CASE WHEN mv IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_view,
+        |  cast(sum(CASE WHEN mc IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_click,
+        |  cast(sum(CASE WHEN mp IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_purchase
+        |FROM p""".stripMargin)
 }
