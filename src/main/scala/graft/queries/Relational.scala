@@ -809,6 +809,91 @@ object Relational {
         sum(when($"mv".isNotNull, 1L).otherwise(0L)).as("n_view"),
         sum(when($"mc".isNotNull, 1L).otherwise(0L)).as("n_click"),
         sum(when($"mp".isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+    },
+
+    // SCD2 dimension-history build (the warehouse "type-2 slowly
+    // changing dimension"): collapse each user's event-type sequence
+    // into change runs (islands by VALUE change, vs q19's islands by
+    // time gap), then derive [valid_from, valid_to) intervals with the
+    // open current row flagged. One shuffle by user_id serves both
+    // windows and the run aggregate; the interval chaining (lead) is a
+    // second window over the already-aggregated runs — rows there are
+    // runs, not events, so the re-sort is over the collapsed set.
+    "q41_scd2_history" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+      val runs = events(s, dir)
+        .withColumn("sec", secs)
+        .withColumn("prev_t", lag($"event_type", 1).over(w))
+        .withColumn("chg",
+          when($"prev_t".isNull || $"prev_t" =!= $"event_type", 1).otherwise(0))
+        .withColumn("run_id", sum($"chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"run_id")
+        .agg(min($"event_type").as("status"), min($"sec").as("valid_from"),
+          count(lit(1)).as("n_events"))
+      val wu = Window.partitionBy($"user_id").orderBy($"run_id")
+      runs
+        .withColumn("valid_to", lead($"valid_from", 1).over(wu))
+        .withColumn("is_current", when($"valid_to".isNull, 1).otherwise(0))
+        .orderBy($"user_id", $"run_id")
+    },
+
+    // Z-order (Morton) storage clustering key over the events point
+    // space — the Delta/Iceberg ZORDER layout primitive, computed with
+    // codegen'd bitwise builtins (functions/ZOrder.scala). Truncating
+    // the interleaved key (z div 256) IS the enclosing 16x16-cell
+    // spatial tile, which the query proves by aggregating per-tile
+    // coordinate envelopes: every tile's x/y span stays inside one
+    // 16-cell-aligned window, exactly the property that makes per-file
+    // min/max stats prune 2-D range predicates after a z-sorted write
+    // (ZOrderLayoutSpec measures the file-level pruning itself).
+    "q42_zorder_tiles" -> { (s, dir) =>
+      import s.implicits._
+      val xc = expr("cast(floor(value * 2) as bigint)")
+      val yc = expr("(ts div 1000000000 - 1704067200) div 3600")
+      events(s, dir)
+        .select(graft.functions.ZOrder.interleave(xc, yc).as("z"),
+          xc.as("xc"), yc.as("yc"))
+        .groupBy(expr("z div 256").as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min($"xc").as("x_min"), max($"xc").as("x_max"),
+          min($"yc").as("y_min"), max($"yc").as("y_max"))
+        .orderBy($"tile")
+    },
+
+    // Deequ-style data audit: the whole constraint suite (row count,
+    // null completeness, key uniqueness, value range, categorical
+    // domain, date bounds) computed in ONE pass over the fact table —
+    // a single partial-aggregatable global aggregate (plus the
+    // count-distinct expand) — then unpivoted to the per-constraint
+    // verdict rows of a data-quality dashboard. All metrics are exact
+    // integers, so the report is engine-portable bit-for-bit.
+    "q43_data_audit" -> { (s, dir) =>
+      import s.implicits._
+      rd(s, dir, "orders").agg(
+          count(lit(1)).as("n_rows"),
+          count($"o_custkey").as("nn_cust"),
+          countDistinct($"o_orderkey").as("uniq_key"),
+          sum(when($"o_totalprice" > 0 && $"o_totalprice" <= 600000, 1L)
+            .otherwise(0L)).as("price_ok"),
+          sum(when($"o_orderstatus".isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("status_ok"),
+          sum(when($"o_orderdate" >= lit("1992-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("2010-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("date_ok"))
+        .select(
+          expr("stack(6, " +
+            "'completeness_custkey', nn_cust, " +
+            "'domain_orderdate', date_ok, " +
+            "'domain_status', status_ok, " +
+            "'range_totalprice', price_ok, " +
+            "'row_count', n_rows, " +
+            "'unique_orderkey', uniq_key) as (check_name, observed)"),
+          $"n_rows".as("total"))
+        .withColumn("pass", when($"observed" === $"total", 1).otherwise(0))
+        .orderBy($"check_name")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1171,5 +1256,75 @@ object Relational {
         |  cast(sum(CASE WHEN mv IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_view,
         |  cast(sum(CASE WHEN mc IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_click,
         |  cast(sum(CASE WHEN mp IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_purchase
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+
+    "q41_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) // 1000 AS s FROM events),
+        |o AS (SELECT user_id, event_id, event_type, s,
+        |    lag(event_type, 1)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_t
+        |  FROM e),
+        |m AS (SELECT user_id, event_id, event_type, s,
+        |    CASE WHEN prev_t IS NULL OR prev_t <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM o),
+        |g AS (SELECT user_id, event_type, s,
+        |    cast(sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) as bigint) AS run_id
+        |  FROM m),
+        |r AS (SELECT user_id, run_id, min(event_type) AS status,
+        |    min(s) AS valid_from, count(*) AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, run_id, status, valid_from, n_events,
+        |  lead(valid_from, 1)
+        |    OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+        |  CASE WHEN lead(valid_from, 1)
+        |    OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+        |    THEN 1 ELSE 0 END AS is_current
+        |FROM r ORDER BY user_id, run_id""".stripMargin,
+
+    "q42_zorder_tiles" ->
+      """WITH e AS (SELECT cast(floor("value" * 2) as bigint) AS xc,
+        |    ((epoch_ms(ts) // 1000) - 1704067200) // 3600 AS yc
+        |  FROM events),
+        |s1 AS (SELECT xc, yc,
+        |    (xc | (xc << 8)) & 16711935 AS ax,
+        |    (yc | (yc << 8)) & 16711935 AS ay FROM e),
+        |s2 AS (SELECT xc, yc,
+        |    (ax | (ax << 4)) & 252645135 AS mx,
+        |    (ay | (ay << 4)) & 252645135 AS my FROM s1),
+        |s3 AS (SELECT xc, yc,
+        |    (mx | (mx << 2)) & 858993459 AS cx,
+        |    (my | (my << 2)) & 858993459 AS cy FROM s2),
+        |s4 AS (SELECT xc, yc,
+        |    (cx | (cx << 1)) & 1431655765 AS dx,
+        |    (cy | (cy << 1)) & 1431655765 AS dy FROM s3),
+        |zz AS (SELECT xc, yc, dx | (dy << 1) AS z FROM s4)
+        |SELECT z // 256 AS tile, count(*) AS n,
+        |  min(xc) AS x_min, max(xc) AS x_max,
+        |  min(yc) AS y_min, max(yc) AS y_max
+        |FROM zz GROUP BY 1 ORDER BY tile""".stripMargin,
+
+    "q43_data_audit" ->
+      """WITH m AS (SELECT count(*) AS n_rows, count(o_custkey) AS nn_cust,
+        |    count(DISTINCT o_orderkey) AS uniq_key,
+        |    cast(sum(CASE WHEN o_totalprice > 0 AND o_totalprice <= 600000
+        |      THEN 1 ELSE 0 END) as bigint) AS price_ok,
+        |    cast(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) as bigint) AS status_ok,
+        |    cast(sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+        |      AND o_orderdate < TIMESTAMP '2010-01-01'
+        |      THEN 1 ELSE 0 END) as bigint) AS date_ok
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'row_count' AS check_name, n_rows AS observed, n_rows AS total FROM m
+        |  UNION ALL SELECT 'completeness_custkey', nn_cust, n_rows FROM m
+        |  UNION ALL SELECT 'unique_orderkey', uniq_key, n_rows FROM m
+        |  UNION ALL SELECT 'range_totalprice', price_ok, n_rows FROM m
+        |  UNION ALL SELECT 'domain_status', status_ok, n_rows FROM m
+        |  UNION ALL SELECT 'domain_orderdate', date_ok, n_rows FROM m)
+        |SELECT check_name, observed, total,
+        |  CASE WHEN observed = total THEN 1 ELSE 0 END AS pass
+        |FROM u ORDER BY check_name""".stripMargin)
 }
