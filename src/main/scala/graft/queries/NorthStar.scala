@@ -1441,6 +1441,13 @@ object NorthStar {
     // the query shares t30's oracle verbatim (merge-by-max invariance).
     "st21_stream_hll" -> { (s, dir) =>
       graft.streaming.Streaming.streamHllDistinct(s, dir, p = 10)
+    },
+
+    // Stream-stream LEFT OUTER join: st04 plus watermark-gated null
+    // rows for never-matched clicks (see Streaming.clickViewJoinOuter
+    // for the closed-form emission contract the oracle replays).
+    "st22_stream_outer_join" -> { (s, dir) =>
+      graft.streaming.Streaming.clickViewJoinOuter(s, dir)
     })
 
   // ---------- oracles ----------
@@ -3030,6 +3037,29 @@ object NorthStar {
           |  ON c.event_type = 'click' AND v.event_type = 'view'
           |  AND v.user_id = c.user_id
           |  AND v.sec <= c.sec AND v.sec >= c.sec - 3600
+          |ORDER BY c_id, v_id""".stripMargin,
+
+      // left-outer closed form: inner matches are the batch join;
+      // null (-1) rows are exactly the unmatched clicks decidable
+      // under the final global watermark min(max click, max view) - 1h
+      "st22_stream_outer_join" ->
+        """WITH e AS (SELECT event_id, user_id, event_type,
+          |    epoch_ms(ts) // 1000 AS sec FROM events),
+          |c AS (SELECT event_id AS c_id, user_id, sec FROM e
+          |  WHERE event_type = 'click'),
+          |v AS (SELECT event_id AS v_id, user_id, sec FROM e
+          |  WHERE event_type = 'view'),
+          |j AS (SELECT c.c_id, v.v_id, c.user_id FROM c JOIN v
+          |    ON v.user_id = c.user_id
+          |    AND v.sec <= c.sec AND v.sec >= c.sec - 3600),
+          |wm AS (SELECT least((SELECT max(sec) FROM c),
+          |    (SELECT max(sec) FROM v)) - 3600 AS w),
+          |un AS (SELECT c.c_id, -1 AS v_id, c.user_id FROM c, wm
+          |    WHERE c.sec <= wm.w AND NOT EXISTS (SELECT 1 FROM v
+          |      WHERE v.user_id = c.user_id
+          |        AND v.sec <= c.sec AND v.sec >= c.sec - 3600))
+          |SELECT c_id, cast(v_id as bigint) AS v_id, user_id
+          |FROM (SELECT * FROM j UNION ALL SELECT * FROM un)
           |ORDER BY c_id, v_id""".stripMargin,
 
       "st05_stream_sessions" ->

@@ -173,6 +173,41 @@ object Streaming {
     runToTable(clickViewJoinStream(s, dir), "append")
       .orderBy("c_id", "v_id")
 
+  /** Stream-stream LEFT OUTER join (st22): st04's click-view
+    * attribution, but clicks that never matched a view ALSO emit —
+    * with a null view side — once the global watermark proves no
+    * matching view can still arrive. Because the range condition says
+    * matching views satisfy v_time <= c_time, a click is decidable as
+    * soon as the watermark passes its own event time; Spark emits its
+    * null row and drops its state in the watermark-advancing (possibly
+    * no-data) micro-batch. The deterministic consequence — and the
+    * oracle's closed form — is: inner matches are emitted ungated
+    * (exactly the batch join), while null rows appear for precisely
+    * the unmatched clicks with c_time <= min(max c_time, max v_time)
+    * - delay, the final global watermark of the bounded replay. The
+    * null view id is canonicalized to -1 so both engines order the
+    * rows identically (engines disagree on NULL sort placement).
+    */
+  def clickViewJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, idAs: String, userAs: String, timeAs: String): DataFrame =
+      eventStream(s, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          timestamp_seconds(expr("ts div 1000000000")).as(timeAs))
+        .withWatermark(timeAs, "1 hour")
+    val clicks = side("click", "c_id", "c_user", "c_time")
+    val views = side("view", "v_id", "v_user", "v_time")
+    val joined = clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("v_time") <= col("c_time") &&
+          col("v_time") >= col("c_time") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("c_id"), coalesce(col("v_id"), lit(-1L)).as("v_id"),
+        col("c_user").as("user_id"))
+    runToTable(joined, "append")
+      .orderBy("c_id", "v_id")
+  }
+
   /** Arbitrary stateful processing: per-user running (max, count) via
     * mapGroupsWithState (update mode). The memory table is re-aggregated
     * at the end so multi-batch replays stay correct.
