@@ -863,6 +863,63 @@ object Relational {
         .orderBy($"tile")
     },
 
+    // Per-node triangle counts over the session-overlap user graph —
+    // the community-density metric — via DEGREE-ORIENTED wedge
+    // enumeration (Schank-Wagner / compact-forward): orient every
+    // edge from its (degree, id)-smaller endpoint, enumerate wedges
+    // only at each triangle's orientation-minimum vertex, and close
+    // them with one equi-join against the canonical edge set. Wedge
+    // fan-out is then bounded by out-degree <= O(sqrt(m)) per node
+    // REGARDLESS of hub skew — the property that keeps the self-join
+    // alive at 100 TB where id-ordered enumeration dies on the first
+    // high-degree hub. The oracle counts the same triangles the naive
+    // id-ordered way, so it independently checks the orientation
+    // logic end-to-end (per-node counts are orientation-invariant).
+    "q44_triangles" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+      val iv = events(s, dir)
+        .withColumn("sec", secs)
+        .withColumn("prev_s", lag($"sec", 1).over(w))
+        .withColumn("ns",
+          when($"prev_s".isNull || ($"sec" - $"prev_s") > 1800, 1).otherwise(0))
+        .withColumn("sess", sum($"ns").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"sec").as("st"), max($"sec").as("en"))
+      val cells = iv.select($"user_id", $"st", $"en",
+        explode(sequence(expr("st div 3600"), expr("en div 3600"))).as("cell"))
+      val edges = cells.as("a").join(cells.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.user_id") < col("b.user_id") &&
+            col("a.st") <= col("b.en") && col("b.st") <= col("a.en") &&
+            expr("greatest(a.st, b.st) div 3600") === col("a.cell"))
+        .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
+        .distinct()
+      val deg = edges.select($"ua".as("u")).union(edges.select($"ub".as("u")))
+        .groupBy($"u").agg(count(lit(1)).as("dg"))
+      val byLow = $"da" < $"db" || ($"da" === $"db" && $"ua" < $"ub")
+      val dirEdges = edges
+        .join(deg.select($"u".as("ua"), $"dg".as("da")), "ua")
+        .join(deg.select($"u".as("ub"), $"dg".as("db")), "ub")
+        .select(when(byLow, $"ua").otherwise($"ub").as("src"),
+          when(byLow, $"ub").otherwise($"ua").as("dst"))
+      val wedges = dirEdges.as("x").join(dirEdges.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.src").as("u"), col("x.dst").as("v"),
+          col("y.dst").as("wv"))
+      val tri = wedges.join(edges, $"v" === $"ua" && $"wv" === $"ub")
+        .select($"u", $"v", $"wv")
+      tri.select($"u".as("user_id"))
+        .union(tri.select($"v".as("user_id")))
+        .union(tri.select($"wv".as("user_id")))
+        .groupBy($"user_id").agg(count(lit(1)).as("n_tri"))
+        .join(deg.select($"u".as("user_id"), $"dg".as("degree")), "user_id")
+        .select($"user_id", $"degree", $"n_tri")
+        .orderBy($"user_id")
+    },
+
     // Deequ-style data audit: the whole constraint suite (row count,
     // null completeness, key uniqueness, value range, categorical
     // domain, date bounds) computed in ONE pass over the fact table —
@@ -1283,6 +1340,37 @@ object Relational {
         |    OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
         |    THEN 1 ELSE 0 END AS is_current
         |FROM r ORDER BY user_id, run_id""".stripMargin,
+
+    "q44_triangles" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ms(ts) // 1000 AS s FROM events),
+        |o AS (SELECT user_id, event_id, s,
+        |    lag(s, 1) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_s
+        |  FROM e),
+        |m AS (SELECT user_id, event_id, s,
+        |    CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |g AS (SELECT user_id, s,
+        |    sum(ns) OVER (PARTITION BY user_id
+        |      ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m),
+        |iv AS (SELECT user_id, sess, min(s) AS st, max(s) AS en
+        |  FROM g GROUP BY 1, 2),
+        |ed AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        |  FROM iv a JOIN iv b
+        |    ON a.st <= b.en AND b.st <= a.en AND a.user_id < b.user_id),
+        |tri AS (SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+        |  FROM ed e1 JOIN ed e2 ON e2.ua = e1.ub
+        |    JOIN ed e3 ON e3.ua = e1.ua AND e3.ub = e2.ub),
+        |n AS (SELECT a AS user_id FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |d AS (SELECT u AS user_id, count(*) AS degree FROM
+        |    (SELECT ua AS u FROM ed UNION ALL SELECT ub FROM ed)
+        |  GROUP BY 1)
+        |SELECT n.user_id, d.degree, count(*) AS n_tri
+        |FROM n JOIN d ON d.user_id = n.user_id
+        |GROUP BY n.user_id, d.degree ORDER BY n.user_id""".stripMargin,
 
     "q42_zorder_tiles" ->
       """WITH e AS (SELECT cast(floor("value" * 2) as bigint) AS xc,
