@@ -18,17 +18,55 @@ object Sources {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read `ts` as epoch-nano long (SPARK-40819 legacy switch).
-    * Keep all ts arithmetic in exact integer division.
+  /** The engine's canonical `ts` encoding: epoch-nanosecond Long. Every
+    * downstream consumer (batch queries, streaming windows, the bench
+    * fixtures) does exact integer arithmetic on this contract, e.g.
+    * `ts div 1000000000` for epoch seconds.
+    *
+    * The physical encoding in events.parquet has drifted across data
+    * generations — INT64 TIMESTAMP(NANOS) historically, TIMESTAMP(
+    * MICROS, isAdjustedToUTC=false) currently — so the read path sniffs
+    * the footer-derived Spark type and normalizes here, in one place,
+    * instead of asserting one encoding at 14 call sites. Naive (NTZ)
+    * timestamps are interpreted as UTC, matching the DuckDB oracle's
+    * `epoch_ms(ts)` reading of the same files.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // already epoch-nano long (legacy NANOS read)
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // NTZ -> TZ cast interprets the wall-clock in the session time
+        // zone; callers below pin it to UTC before reading.
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other")
+    }
+
+  /** Conf pins shared by every events read: UTC so naive timestamps
+    * have one meaning, and the SPARK-40819 legacy switch so a
+    * TIMESTAMP(NANOS) file (the historical encoding) arrives as
+    * epoch-nano long instead of failing the scan.
+    */
+  private def pinTsConfs(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
   }
 
-  /** The events schema as the file stream source needs it (explicit
-    * schema is mandatory for streams; ts as epoch-nano long).
+  /** The events table with `ts` normalized to epoch-nano Long,
+    * whatever the file's physical timestamp encoding.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    pinTsConfs(s)
+    normalizeTs(s.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** The events schema with `ts` as the canonical epoch-nano long;
+    * the stream source swaps in the file's physical ts type and
+    * normalizes after the scan.
     */
   val eventsStreamSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -39,13 +77,23 @@ object Sources {
     StructField("props", StringType)))
 
   /** Streaming read of the events table (file source; glob-filtered so
-    * the directory's other tables are ignored).
+    * the directory's other tables are ignored). File streams require an
+    * explicit schema, and an explicit schema must match the physical
+    * encoding — so sniff the footer type with a driver-side batch read
+    * of the same file, stream with that type, then normalize to the
+    * canonical epoch-nano long. A one-file footer read costs nothing at
+    * any scale and makes the stream survive encoding drift the same way
+    * the batch path does.
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsStreamSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    pinTsConfs(s)
+    val physicalTs = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(eventsStreamSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = physicalTs) else f))
+    normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** The documents schema for the file stream source. */

@@ -18,10 +18,10 @@ final case class UserState(user_id: Long, max_value: Double, n_events: Long)
   * a real source (kafka/files) at scale — aggregation state is keyed
   * and partitioned by the group columns.
   *
-  * events.ts is TIMESTAMP(NANOS) in parquet, unsupported by Spark's
-  * reader; the explicit stream schema types it as epoch-nano long
-  * (with spark.sql.legacy.parquet.nanosAsLong) and bucket arithmetic
-  * is exact integer division.
+  * events.ts arrives from Sources normalized to the canonical
+  * epoch-nano long whatever the file's physical timestamp encoding
+  * (Sources.normalizeTs), so bucket arithmetic here is exact integer
+  * division on nanos.
   */
 object Streaming {
 
