@@ -103,10 +103,20 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 32, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKCb(corpus, queries, k,
+      broadcast(corpus.filter(col(idCol) < nlist)
+        .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))),
+      nprobe, idCol, vecCol)
+
+  /** [[ivfTopK]]'s body against an explicit broadcast centroid frame
+    * (c_id, c_vec) — shared by the deterministic and trained coarse
+    * quantizers; only where the centroids come from differs.
+    */
+  private def ivfTopKCb(corpus: DataFrame, queries: DataFrame, k: Int,
+      cent: DataFrame, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = broadcast(corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec")))
     // arg-max centroid per corpus vector: max of (cos, -c_id) struct
     val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .crossJoin(cent)
@@ -132,6 +142,94 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"),
         round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** TRAINED IVF coarse quantizer: spherical k-means, fully replayable
+    * — the coarse-quantizer counterpart of [[pqTrainCodebookLocal]].
+    *
+    * The deterministic lowest-id centroids ([[ivfTopK]]) exist so the
+    * oracle can replay the exact partition, but arbitrary corpus
+    * points make lopsided cells and recall pays. This trainer uses the
+    * same replayability recipe as the PQ trainer: a bounded
+    * deterministic sample (smallest portable hash of id, distributed
+    * top-k — never a full collect), lowest-id init, fixed-order
+    * driver-local iterations. Spherical variant because IVF assignment
+    * is max-cosine: points and centroids live on the unit sphere
+    * (assignment = max dot, ties to lower index; update = member mean
+    * re-normalized; empty cells and zero-norm means keep the previous
+    * centroid). Returns dense centroid ids 0..nlist-1.
+    */
+  def ivfTrainCentroidsLocal(corpus: DataFrame, nlist: Int = 32,
+      iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Double])] = {
+    val P = 1000000007L
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        ((lit(3L) * (col(idCol).cast("long") % P) + 8L) % P).as("h"))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(sampleN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    if (sample.isEmpty) return Array.empty // empty shard: no centroids, empty search
+    def unit(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val pts = sample.map(s => unit(s._2))
+    val d = pts.head.length
+    val cent = Array.tabulate(math.min(nlist, pts.length))(c => pts(c).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cent.length)(new Array[Double](d))
+      val counts = new Array[Long](cent.length)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+        while (c < cent.length) {
+          var dot = 0.0; var i = 0
+          while (i < d) { dot += p(i) * cent(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c } // strict >: ties to lower index
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < cent.length) {
+        if (counts(c) > 0) {
+          var s = 0.0; var i = 0
+          while (i < d) { s += sums(c)(i) * sums(c)(i); i += 1 }
+          val n = math.sqrt(s)
+          if (n > 0.0) {
+            i = 0
+            while (i < d) { cent(c)(i) = sums(c)(i) / n; i += 1 }
+          } // zero-norm mean: keep previous centroid
+        } // empty cell: keep previous centroid
+        c += 1
+      }
+      it += 1
+    }
+    cent.zipWithIndex.map { case (cv, c) => (c.toLong, cv) }
+  }
+
+  /** [[ivfTopK]] with trained spherical-k-means centroids: train on the
+    * deterministic sample, then run the identical probed-list search
+    * (one broadcast assignment scan, equi-join on the list id, exact
+    * rank within nprobe lists). Recall delta vs the deterministic
+    * lowest-id quantizer is measured in AnnRecallSpec.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val trained = ivfTrainCentroidsLocal(corpus, nlist, iters, sampleN, idCol, vecCol)
+    val cent = broadcast(trained.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("c_id", "c_vec"))
+    ivfTopKCb(corpus, queries, k, cent, nprobe, idCol, vecCol)
   }
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the

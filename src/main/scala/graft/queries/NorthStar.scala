@@ -952,6 +952,22 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // TRAINED-QUANTIZER IVF — s04's probed-list search with spherical
+    // k-means centroids instead of the lowest-id convention (recall
+    // 0.43 vs 0.40 at sf0.001, AnnRecallSpec). Training is driver-local
+    // Lloyd over a deterministic bounded sample, so the result is
+    // replayable run-to-run but not SQL-expressible — registered
+    // rows-only (no oracleSql entry), like the spec-checked planning
+    // queries.
+    "s23_ivf_trained_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopKTrained(emb, emb.filter($"vec_id" < 5), k = 5,
+          nlist = 32, nprobe = 4)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+
     // Hybrid retrieval — the fusion shape every retrieval-augmented
     // curation pipeline runs: lexical top-k (distinct-token posting
     // equi-join, never all-pairs text compare) and vector top-k

@@ -156,6 +156,37 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     both should be > 0.1
   }
 
+  test("trained spherical-k-means IVF centroids vs deterministic lowest-id: recall delta") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val k = 10
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(exact: Map[Long, Set[Long]], got: Map[Long, Set[Long]]) = {
+      val rs = exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).count(ex).toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val exact = topk(Similarity.bruteForceTopK(emb, queries, k))
+    val det = recall(exact, topk(Similarity.ivfTopK(emb, queries, k, nlist = 32, nprobe = 4)))
+    val trained = recall(exact, topk(Similarity.ivfTopKTrained(emb, queries, k,
+      nlist = 32, nprobe = 4)))
+    info(f"IVF recall@$k (nlist=32, nprobe=4): deterministic $det%.3f, trained spherical k-means $trained%.3f")
+    // trained centers must not be materially worse than arbitrary
+    // corpus points, and must stay useful
+    trained should be >= det - 0.05
+    trained should be > 0.2
+  }
+
+  test("trained IVF centroids are replayable: two trainings bit-agree") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val c1 = Similarity.ivfTrainCentroidsLocal(emb, nlist = 32)
+    val c2 = Similarity.ivfTrainCentroidsLocal(emb, nlist = 32)
+    c1.map(_._1).toSeq shouldBe c2.map(_._1).toSeq
+    c1.zip(c2).foreach { case ((_, va), (_, vb)) => va.toSeq shouldBe vb.toSeq }
+  }
+
   test("residual IVF x PQ vs raw-vector composition; nprobe recall/latency knob") {
     // (a) the faiss-shape residual encoding must beat (or match) the
     // raw-vector ADC at identical code size — the coarse quantizer

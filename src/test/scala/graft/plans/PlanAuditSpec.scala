@@ -29,6 +29,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q04_theta_band_join" -> "documented broadcast band-containment shape: 5-row broadcast band table, fact side streams once",
     "q18_scalar_subquery" -> "scalar subquery compare = join against one broadcast row",
     "s04_ivf_topk" -> "coarse quantizer: corpus x 32 broadcast centroids is the IVF assignment step by construction",
+    "s23_ivf_trained_topk" -> "s04's sanctioned assignment/probe shape with trained centroids — corpus x 32 broadcast k-means centers",
     "s12_pq_topk" -> "ADC by construction: one code-table scan x broadcast per-query LUTs (plus the corpus x broadcast codebook encode step)",
     "s13_pq_index_probe" -> "same ADC shape as s12, reading the build-once code asset instead of encoding inline",
     "s15_ivf_pq_topk" -> "composition of the two sanctioned shapes: corpus x 32 broadcast centroids (s04's assignment/probe) + code scan x broadcast probe-LUT rows (s12's ADC); the data-sized join — codes to probed lists — is an equi-join on c_id",
