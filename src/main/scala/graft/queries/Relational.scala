@@ -29,9 +29,10 @@ object Relational {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     graft.sources.Sources.table(s, dir, t)
 
-  /** See [[graft.sources.Sources.events]] (TIMESTAMP(NANOS) handling).
-    * All ts arithmetic below uses exact integer division — going
-    * through double would lose sub-second precision at 1.7e18 ns.
+  /** See [[graft.sources.Sources.events]] — ts arrives normalized to
+    * the canonical epoch-nano long whatever the file's physical
+    * encoding. All ts arithmetic below uses exact integer division —
+    * going through double would lose sub-second precision at 1.7e18 ns.
     */
   private[queries] def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.Sources.events(s, dir)

@@ -14,8 +14,7 @@ object DbscanProfile {
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[dprof] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val pts = spark.read.parquet(s"$dir/events.parquet").select(
+    val pts = graft.sources.Sources.events(spark, dir).select(
       $"value".as("x"),
       ((expr("ts div 1000000000") - lit(1704067200L)) / 3600.0).as("y"))
     pts.persist().count()

@@ -16,7 +16,6 @@ object StreamProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time[T](name: String)(f: => T): T = {
@@ -46,7 +45,7 @@ object StreamProfile {
 
     // dbscan in-bench-like conditions: fresh read, no pre-persisted input
     import org.apache.spark.sql.functions._
-    val pts = spark.read.parquet(s"$dir/events.parquet").select(
+    val pts = graft.sources.Sources.events(spark, dir).select(
       col("value").as("x"),
       ((expr("ts div 1000000000") - lit(1704067200L)) / 3600.0).as("y"))
     time("dbscan mpp=2000 (cold read)")(
