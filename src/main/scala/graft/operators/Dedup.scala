@@ -253,9 +253,12 @@ object Dedup {
     * `quality` must be an INTEGRAL column expression (it is cast to
     * long): integer argmax is exact in any engine, where a float
     * quality could flip ties in the last ULP. The extra cost over
-    * [[dedupVerdicts]] is one partial-aggregatable argmax per
-    * component plus a component-keyed equi-join — both shuffle on
-    * `canonical_id`, the partitioning the verdict join already uses.
+    * [[dedupVerdicts]] is ONE window argmax over `canonical_id` — a
+    * single shuffle, and critically a single execution of the
+    * upstream signature/CC pipeline. (The agg-then-self-join spelling
+    * of the same argmax evaluates that pipeline in BOTH branches —
+    * exchange reuse does not rescue it across the aggregate — and
+    * measured 13x slower at sf0.1.)
     *
     * Returns (doc_id, canonical_id, quality, kept_id, is_kept) where
     * `canonical_id` is still the min-id component label (the stable
@@ -266,17 +269,17 @@ object Dedup {
       minEstSim: Double = 0.5,
       driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val v = dedupVerdicts(docs, textCol, idCol, k, bands, n, minEstSim,
       driverMaxEdges, scope)
     val q = docs.select(col(idCol).cast("long").as("doc_id"),
       quality.cast("long").as("quality"))
-    val withQ = v.join(q, "doc_id")
-    val best = withQ.groupBy($"canonical_id")
-      .agg(max(struct($"quality", (-$"doc_id").as("neg_id"), $"doc_id")).as("b"))
-      .select($"canonical_id", $"b.doc_id".as("kept_id"))
-    withQ.join(best, "canonical_id")
-      .select($"doc_id", $"canonical_id", $"quality", $"kept_id",
-        ($"doc_id" === $"kept_id").as("is_kept"))
+    val w = Window.partitionBy($"canonical_id")
+    v.join(q, "doc_id")
+      .withColumn("b",
+        max(struct($"quality", (-$"doc_id").as("neg_id"), $"doc_id")).over(w))
+      .select($"doc_id", $"canonical_id", $"quality",
+        $"b.doc_id".as("kept_id"), ($"doc_id" === $"b.doc_id").as("is_kept"))
   }
 
   /** Build-once MinHash signature index for a corpus: `(id, minhashes)`
