@@ -954,7 +954,7 @@ object NorthStar {
 
     // TRAINED-QUANTIZER IVF — s04's probed-list search with spherical
     // k-means centroids instead of the lowest-id convention (recall
-    // 0.43 vs 0.40 at sf0.001, AnnRecallSpec). Training is driver-local
+    // 0.53 vs 0.40 at sf0.001, AnnRecallSpec). Training is driver-local
     // Lloyd over a deterministic bounded sample, so the result is
     // replayable run-to-run but not SQL-expressible — registered
     // rows-only (no oracleSql entry), like the spec-checked planning

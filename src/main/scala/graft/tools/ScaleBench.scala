@@ -42,6 +42,7 @@ object ScaleBench {
     "t21_link_authority", "t22_dsir_importance", "t23_lm_perplexity",
     "t24_weighted_sample", "t25_histogram_threshold",
     "q34_decile_spend", "q38_global_rank", "q39_interval_overlap",
+    "q44_triangles",
     "m06_phash_neardup", "m07_frame_neardup", "t26_cm_heavy_hitters",
     "s21_binary_rerank", "s22_matryoshka", "t27_chunk_overlap", "t28_novelty",
     "t30_hll_distinct",
