@@ -921,6 +921,50 @@ object Relational {
         .orderBy($"user_id")
     },
 
+    // Approximate quantiles via the MERGEABLE one-pass sketch
+    // (percentile_approx — Spark's Greenwald-Khanna summary): the
+    // bounded-state path that survives 100 TB where q28's sort-based
+    // exact percentile does not. The sketch value itself is not
+    // engine-portable, so the ORACLE-CHECKED claim is the sketch's
+    // guarantee: its estimate's rank lies within n/accuracy of the
+    // target rank — a boolean both engines agree on (true when the
+    // sketch honors its bound), alongside the exact quantile as the
+    // comparable payload. Shape: two scans, both partial-aggregatable
+    // (sketch+exact agg, then a broadcast-joined rank count); no sort,
+    // no raw-value shuffle.
+    "q45_approx_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      val fracs = Seq(0.25, 0.5, 0.75, 0.95)
+      val fracArr = array(fracs.map(lit): _*)
+      val li = rd(s, dir, "lineitem").select($"l_returnflag".as("flag"),
+        expr("cast(l_extendedprice as bigint)").as("v"))
+      val agg = li.groupBy($"flag").agg(
+        expr("percentile_approx(v, array(0.25D, 0.5D, 0.75D, 0.95D), 1000)")
+          .as("apx"),
+        expr("percentile(v, array(0.25D, 0.5D, 0.75D, 0.95D))").as("exact"),
+        count(lit(1)).as("n"))
+      val est = agg.select($"flag", $"n",
+          posexplode(arrays_zip($"apx", $"exact")))
+        .select($"flag", $"n",
+          element_at(fracArr, $"pos" + 1).as("frac"),
+          $"col.apx".as("est_v"), $"col.exact".as("exact_v"))
+      // the estimate is an actual input value; with duplicates its rank
+      // is the interval [count(v < est), count(v <= est)] — the bound
+      // holds when target rank frac*n intersects that interval grown by
+      // n/accuracy + 1 (the +1 absorbs the discreteness of the sketch's
+      // internal target rank — at n=1962 the summary's error is exactly
+      // 2 ranks vs the real-valued 1.962 bound)
+      li.join(broadcast(est), "flag")
+        .groupBy($"flag", $"frac", $"n", $"exact_v")
+        .agg(
+          sum(when($"v" < $"est_v", 1L).otherwise(0L)).as("lt"),
+          sum(when($"v" <= $"est_v", 1L).otherwise(0L)).as("le"))
+        .select($"flag", $"frac", $"exact_v",
+          ($"lt" - ($"n" / lit(1000.0) + 1) <= $"frac" * $"n" &&
+            $"le" + ($"n" / lit(1000.0) + 1) >= $"frac" * $"n").as("within_bound"))
+        .orderBy($"flag", $"frac")
+    },
+
     // Deequ-style data audit: the whole constraint suite (row count,
     // null completeness, key uniqueness, value range, categorical
     // domain, date bounds) computed in ONE pass over the fact table —
@@ -1394,6 +1438,13 @@ object Relational {
         |  min(xc) AS x_min, max(xc) AS x_max,
         |  min(yc) AS y_min, max(yc) AS y_max
         |FROM zz GROUP BY 1 ORDER BY tile""".stripMargin,
+
+    "q45_approx_quantiles" ->
+      Seq(0.25, 0.5, 0.75, 0.95).map(f =>
+        s"""SELECT l_returnflag AS flag, cast($f as double) AS frac,
+           |  quantile_cont(cast(floor(l_extendedprice) as bigint), $f) AS exact_v,
+           |  true AS within_bound FROM lineitem GROUP BY 1""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY flag, frac"),
 
     "q43_data_audit" ->
       """WITH m AS (SELECT count(*) AS n_rows, count(o_custkey) AS nn_cust,
