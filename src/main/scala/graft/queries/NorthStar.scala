@@ -1464,6 +1464,14 @@ object NorthStar {
     // for the closed-form emission contract the oracle replays).
     "st22_stream_outer_join" -> { (s, dir) =>
       graft.streaming.Streaming.clickViewJoinOuter(s, dir)
+    },
+
+    // Streaming approximate quantiles (q45's mergeable GK sketch as
+    // bounded keyed state). Merge-order-dependent estimates → no SQL
+    // oracle (rows-only); StreamingQuantileSpec holds the rank-bound
+    // guarantee against the batch exact percentile.
+    "st23_stream_quantiles" -> { (s, dir) =>
+      graft.streaming.Streaming.streamQuantiles(s, dir)
     })
 
   // ---------- oracles ----------

@@ -880,4 +880,30 @@ object Streaming {
       .select(col("sh"))
     TextIndex.hllSelect(regs, batchShingles, "sh", p)
   }
+
+  /** Streaming approximate quantiles — q45's mergeable Greenwald-
+    * Khanna sketch (percentile_approx) as the stream aggregate, per
+    * event type in complete mode. The sketch buffer IS the keyed state:
+    * O(accuracy) per group over an unbounded stream, the only quantile
+    * shape with bounded state (exact percentile would buffer every
+    * value ever seen). Estimates depend on merge order, so there is no
+    * SQL oracle; StreamingQuantileSpec pins each estimate's rank within
+    * the sketch's n/accuracy + 1 bound against the batch exact
+    * percentile on the same data.
+    */
+  def streamQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val fracs = Seq(0.5, 0.9, 0.99)
+    val agg = eventStream(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 1000)")
+          .as("apx"),
+        count(lit(1)).as("n"))
+    runToTable(agg, "complete")
+      .select(col("event_type"), col("n"), posexplode(col("apx")))
+      .select(col("event_type"),
+        element_at(array(fracs.map(lit): _*), col("pos") + 1).as("frac"),
+        col("col").as("est_v"), col("n"))
+      .orderBy("event_type", "frac")
+  }
 }
