@@ -965,6 +965,38 @@ object Relational {
         .orderBy($"flag", $"frac")
     },
 
+    // CDC MERGE / SCD1 upsert apply: fold a change feed (latest event
+    // per key — count + argmax-struct, one partial-aggregatable shuffle)
+    // into a dimension via ONE full-outer equi-join on the merge key,
+    // classifying every output row insert/update/keep. The shape every
+    // warehouse CDC apply wants at 100 TB: no window over the raw feed,
+    // no driver state, and the change aggregate and the merge join share
+    // the same hash key so AQE can plan both exchanges together. The
+    // feed's compact user-id space is rebased (*31, a sparse spread)
+    // onto the dimension key range so all three MERGE branches carry
+    // rows at every verification scale.
+    "q46_merge_upsert" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val ch = events(s, dir)
+        .select(($"user_id" * 31L).as("mk"), $"event_id", $"event_type", secs.as("s"))
+        .groupBy($"mk")
+        .agg(count(lit(1)).as("n_events"),
+          max(struct($"s", $"event_id", $"event_type")).as("last"))
+        .select($"mk", $"n_events",
+          $"last.s".as("last_seen_s"), $"last.event_type".as("last_type"))
+      rd(s, dir, "customer")
+        .join(ch, $"c_custkey" === $"mk", "full_outer")
+        .select(
+          coalesce($"c_custkey", $"mk").as("merge_key"),
+          when($"c_custkey".isNotNull && $"mk".isNotNull, "update")
+            .when($"c_custkey".isNull, "insert")
+            .otherwise("keep").as("action"),
+          $"c_name", $"c_mktsegment", $"last_type", $"last_seen_s",
+          coalesce($"n_events", lit(0L)).as("n_events"))
+        .orderBy($"merge_key")
+    },
+
     // Deequ-style data audit: the whole constraint suite (row count,
     // null completeness, key uniqueness, value range, categorical
     // domain, date bounds) computed in ONE pass over the fact table —
@@ -1445,6 +1477,29 @@ object Relational {
            |  quantile_cont(cast(floor(l_extendedprice) as bigint), $f) AS exact_v,
            |  true AS within_bound FROM lineitem GROUP BY 1""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY flag, frac"),
+
+    "q46_merge_upsert" ->
+      """WITH e AS (
+        |  SELECT user_id * 31 AS mk, event_id, event_type,
+        |    epoch_ms(ts) // 1000 AS s
+        |  FROM events),
+        |agg AS (SELECT mk, count(*) AS n_events FROM e GROUP BY mk),
+        |last AS (
+        |  SELECT mk, event_type AS last_type, s AS last_seen_s FROM (
+        |    SELECT mk, event_type, s, row_number() OVER (
+        |      PARTITION BY mk ORDER BY s DESC, event_id DESC) AS rn
+        |    FROM e) r WHERE rn = 1),
+        |ch AS (
+        |  SELECT agg.mk, agg.n_events, last.last_type, last.last_seen_s
+        |  FROM agg JOIN last USING (mk))
+        |SELECT coalesce(c.c_custkey, ch.mk) AS merge_key,
+        |  CASE WHEN c.c_custkey IS NOT NULL AND ch.mk IS NOT NULL THEN 'update'
+        |       WHEN c.c_custkey IS NULL THEN 'insert'
+        |       ELSE 'keep' END AS action,
+        |  c.c_name, c.c_mktsegment, ch.last_type, ch.last_seen_s,
+        |  coalesce(ch.n_events, 0) AS n_events
+        |FROM customer c FULL OUTER JOIN ch ON ch.mk = c.c_custkey
+        |ORDER BY merge_key""".stripMargin,
 
     "q43_data_audit" ->
       """WITH m AS (SELECT count(*) AS n_rows, count(o_custkey) AS nn_cust,

@@ -96,7 +96,7 @@ object Sources {
         .parquet(dir))
   }
 
-  /** The documents schema for the file stream source. */
+  /** The documents schema every consumer sees (canonical types). */
   val documentsStreamSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -104,23 +104,38 @@ object Sources {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Streaming read of the documents table (file source). */
-  def documentsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(documentsStreamSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-
-  /** The embeddings schema for the file stream source. */
+  /** The embeddings schema every consumer sees (canonical types). */
   val embeddingsStreamSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** File streams require an explicit schema, and an explicit schema
+    * asserts a physical encoding — the exact failure mode of the r8/r9
+    * events `ts` regression (the writer re-encoded, the hardcoded
+    * schema misread). So every stream source here sniffs the physical
+    * schema from the footer with a driver-side batch read (one footer,
+    * costs nothing at any scale), streams with THAT, then casts to the
+    * canonical schema. Integer-width or float-width drift (int32
+    * n_chars, float64 embeddings, int64 label) becomes a cast instead
+    * of a silent misread or a scan error.
+    */
+  private def sniffedStream(s: SparkSession, dir: String, table: String,
+      canonical: StructType): DataFrame = {
+    val physical = s.read.parquet(s"$dir/$table.parquet").schema
+    val raw = s.readStream.schema(physical)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+    raw.select(canonical.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Streaming read of the documents table (file source). */
+  def documentsStream(s: SparkSession, dir: String): DataFrame =
+    sniffedStream(s, dir, "documents", documentsStreamSchema)
+
   /** Streaming read of the embeddings table (file source). */
   def embeddingsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(embeddingsStreamSchema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
+    sniffedStream(s, dir, "embeddings", embeddingsStreamSchema)
 
   /** Headerless x,y[,label] points CSV (the reference's input format). */
   def pointsCsv(s: SparkSession, path: String): DataFrame =
