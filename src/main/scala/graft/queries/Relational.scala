@@ -898,14 +898,19 @@ object Relational {
             expr("greatest(a.st, b.st) div 3600") === col("a.cell"))
         .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
         .distinct()
+        // reused by deg (twice), dirEdges, and the closing join — persist
+        // or the sessionize+explode+self-join pipeline runs four times
+        .persist()
       val deg = edges.select($"ua".as("u")).union(edges.select($"ub".as("u")))
         .groupBy($"u").agg(count(lit(1)).as("dg"))
+        .persist()
       val byLow = $"da" < $"db" || ($"da" === $"db" && $"ua" < $"ub")
       val dirEdges = edges
         .join(deg.select($"u".as("ua"), $"dg".as("da")), "ua")
         .join(deg.select($"u".as("ub"), $"dg".as("db")), "ub")
         .select(when(byLow, $"ua").otherwise($"ub").as("src"),
           when(byLow, $"ub").otherwise($"ua").as("dst"))
+        .persist()
       val wedges = dirEdges.as("x").join(dirEdges.as("y"),
           col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
         .select(col("x.src").as("u"), col("x.dst").as("v"),

