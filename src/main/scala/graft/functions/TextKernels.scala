@@ -254,6 +254,101 @@ object TextKernels {
     sim
   }
 
+  /** Train BPE merges over a word-frequency table (pure, deterministic,
+    * driver-local — the tokenizer-training counterpart of the PQ/IVF
+    * codebook trainers). Classic Sennrich BPE without an end-of-word
+    * marker: every word starts as its character symbols; each step
+    * merges the adjacent symbol pair with the highest corpus frequency
+    * (weighted by word frequency), ties broken by the lexicographically
+    * smallest (left, right) pair so two trainings bit-agree. Stops
+    * early when no pair occurs twice.
+    */
+  def bpeTrainMerges(wordFreq: Seq[(String, Long)],
+      nMerges: Int): Array[(String, String)] = {
+    var words: Array[(Array[String], Long)] = wordFreq
+      .map { case (w, f) => (w.toCharArray.map(_.toString), f) }.toArray
+    val merges = Array.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (p, c)) =>
+          if (c < 2) acc
+          else acc match {
+            case Some((bp, bc)) =>
+              if (c > bc || (c == bc && (p._1 < bp._1 ||
+                  (p._1 == bp._1 && p._2 < bp._2)))) Some((p, c))
+              else acc
+            case None => Some((p, c))
+          }
+      }
+      best match {
+        case None => done = true
+        case Some(((a, b), _)) =>
+          merges += ((a, b))
+          val ab = a + b
+          words = words.map { case (syms, f) =>
+            if (syms.length < 2) (syms, f)
+            else {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                  out += ab; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              (out.result(), f)
+            }
+          }
+          m += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Segment one word with ranked merges — the standard apply loop:
+    * repeatedly merge the adjacent pair with the LOWEST training rank
+    * until no learned pair remains. Invariants (BpeSpec): segments
+    * concatenate back to the word; zero merges = character split.
+    */
+  def bpeSegment(word: String,
+      ranks: collection.Map[(String, String), Int]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    var syms = word.toCharArray.map(_.toString)
+    var go = true
+    while (go && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i + 1 < syms.length) {
+        ranks.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestAt = i }
+        }
+        i += 1
+      }
+      if (bestAt < 0) go = false
+      else {
+        val out = new Array[String](syms.length - 1)
+        var j = 0
+        while (j < bestAt) { out(j) = syms(j); j += 1 }
+        out(bestAt) = syms(bestAt) + syms(bestAt + 1)
+        j = bestAt + 1
+        while (j < out.length) { out(j) = syms(j + 1); j += 1 }
+        syms = out
+      }
+    }
+    syms
+  }
+
   def simhash32(text: String): Long = {
     val toks = tokens(text)
     val counts = new Array[Int](32)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Graph, Mixture, Multimodal, Similarity, TextIndex}
+import graft.operators.{BpeTokenizer, Dedup, Graph, Mixture, Multimodal, Similarity, TextIndex}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -966,6 +966,25 @@ object NorthStar {
           nlist = 32, nprobe = 4)
         .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"cos_sim")
         .orderBy("q_id", "rnk")
+    },
+
+    // TRAINED BPE TOKENIZER — the "train the tokenizer" pipeline step,
+    // on the codebook recipe: deterministic bounded sample -> capped
+    // word-frequency table -> driver-local merge training with total
+    // tie-breaks (bit-replayable, BpeSpec), then one distributed apply
+    // scan with the KB-scale merge table broadcast. Driver-local
+    // training is not SQL-expressible -> registered rows-only, like
+    // s23; BpeSpec holds the semantic bounds (segments concatenate
+    // back, n_words <= n_bpe <= n_sym, counts monotone in merges).
+    "t32_bpe_trained" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = BpeTokenizer.trainMergesLocal(docs, "text", "doc_id",
+        nMerges = 200, sampleN = 2048, maxWords = 4096)
+      BpeTokenizer.tokenCounts(docs, merges, "text", "doc_id")
+        .withColumn("compression",
+          round($"n_sym".cast("double") / $"n_bpe", 6))
+        .orderBy("doc_id")
     },
 
     // Hybrid retrieval — the fusion shape every retrieval-augmented

@@ -1002,6 +1002,35 @@ object Relational {
         .orderBy($"merge_key")
     },
 
+    // Cohort retention: users cohorted by first-SIGNUP epoch-week, then
+    // the (cohort, week-offset) activity matrix every growth dashboard
+    // draws (activity at/after signup; never-signed-up users drop out
+    // via the inner join). Plan: distinct (user, week) pairs (one
+    // shuffle), per-user min signup week (re-uses the same user_id hash
+    // partitioning), equi-join cohort back onto activity, and a final
+    // small aggregate keyed by (cohort, offset) — activity rows are
+    // unique per (user, week), so count(*) IS count-distinct-users with
+    // no expand. Cohort sizes come from offset 0 via a broadcast-sized
+    // self-join on the tiny result, not a second pass over the feed.
+    "q47_retention_cohorts" -> { (s, dir) =>
+      import s.implicits._
+      val wk = expr("ts div 1000000000 div 604800")
+      val ev = events(s, dir)
+      val act = ev.select($"user_id", wk.as("week")).distinct()
+      val cohort = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min(wk).as("cw"))
+      val ret = act.join(cohort, "user_id")
+        .filter($"week" >= $"cw")
+        .groupBy($"cw".as("cohort_week"), ($"week" - $"cw").as("offset_weeks"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = ret.filter($"offset_weeks" === 0)
+        .select($"cohort_week", $"n_active".as("cohort_size"))
+      ret.join(broadcast(sizes), "cohort_week")
+        .select($"cohort_week", $"offset_weeks", $"n_active", $"cohort_size",
+          round($"n_active".cast("double") / $"cohort_size", 6).as("retention"))
+        .orderBy($"cohort_week", $"offset_weeks")
+    },
+
     // Deequ-style data audit: the whole constraint suite (row count,
     // null completeness, key uniqueness, value range, categorical
     // domain, date bounds) computed in ONE pass over the fact table —
@@ -1505,6 +1534,27 @@ object Relational {
         |  coalesce(ch.n_events, 0) AS n_events
         |FROM customer c FULL OUTER JOIN ch ON ch.mk = c.c_custkey
         |ORDER BY merge_key""".stripMargin,
+
+    "q47_retention_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, (epoch_ms(ts) // 1000) // 604800 AS week
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min((epoch_ms(ts) // 1000) // 604800) AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |ret AS (
+        |  SELECT c.cw AS cohort_week, a.week - c.cw AS offset_weeks,
+        |    count(*) AS n_active
+        |  FROM act a JOIN cohort c USING (user_id)
+        |  WHERE a.week >= c.cw
+        |  GROUP BY 1, 2),
+        |sizes AS (
+        |  SELECT cohort_week, n_active AS cohort_size FROM ret
+        |  WHERE offset_weeks = 0)
+        |SELECT r.cohort_week, r.offset_weeks, r.n_active, s.cohort_size,
+        |  round(cast(r.n_active as double) / s.cohort_size, 6) AS retention
+        |FROM ret r JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, offset_weeks""".stripMargin,
 
     "q43_data_audit" ->
       """WITH m AS (SELECT count(*) AS n_rows, count(o_custkey) AS nn_cust,

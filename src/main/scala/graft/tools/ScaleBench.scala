@@ -46,6 +46,7 @@ object ScaleBench {
     "m06_phash_neardup", "m07_frame_neardup", "t26_cm_heavy_hitters",
     "s21_binary_rerank", "s22_matryoshka", "t27_chunk_overlap", "t28_novelty",
     "t30_hll_distinct",
+    "q46_merge_upsert", "q47_retention_cohorts", "t32_bpe_trained",
     "dbscan_events", "st08_stream_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
@@ -129,6 +130,16 @@ object ScaleBench {
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
     }.reduce(_ unionByName _), outDir, "orders")
+
+    // customer: same key shift as o_custkey, so the dim grows with the
+    // fact side (q46's merge-key space replicates at constant density —
+    // note the event user-id shift differs, so each copy contributes
+    // its own insert band too, like organic growth would)
+    val cust = s.read.parquet(s"$base/customer.parquet")
+    writeSingleFile((0 until copies).map { i =>
+      cust.select((col("c_custkey") + i * 100000000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_ unionByName _), outDir, "customer")
   }
 
   def main(args: Array[String]): Unit = {
