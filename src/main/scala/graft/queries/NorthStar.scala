@@ -1346,6 +1346,10 @@ object NorthStar {
       graft.streaming.Streaming.userRunningState(s, dir)
     },
 
+    "st24_stream_merge_upsert" -> { (s, dir) =>
+      graft.streaming.Streaming.streamMergeUpsert(s, dir)
+    },
+
     "st03_stream_watermark" -> { (s, dir) =>
       graft.streaming.Streaming.hourlyStatsWatermarked(s, dir, delayHours = 2)
     },
@@ -3062,6 +3066,30 @@ object NorthStar {
       "st02_stream_user_state" ->
         """SELECT user_id, max(value) AS max_value, count(*) AS n_events
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      // q46's MERGE oracle minus the keep branch: a CDC stream only
+      // surfaces touched keys
+      "st24_stream_merge_upsert" ->
+        """WITH e AS (
+          |  SELECT user_id * 31 AS mk, event_id, event_type,
+          |    epoch_ms(ts) // 1000 AS s
+          |  FROM events),
+          |agg AS (SELECT mk, count(*) AS n_events FROM e GROUP BY mk),
+          |last AS (
+          |  SELECT mk, event_type AS last_type, s AS last_seen_s FROM (
+          |    SELECT mk, event_type, s, row_number() OVER (
+          |      PARTITION BY mk ORDER BY s DESC, event_id DESC) AS rn
+          |    FROM e) r WHERE rn = 1),
+          |ch AS (
+          |  SELECT agg.mk, agg.n_events, last.last_type, last.last_seen_s
+          |  FROM agg JOIN last USING (mk))
+          |SELECT ch.mk AS merge_key,
+          |  CASE WHEN c.c_custkey IS NOT NULL THEN 'update'
+          |       ELSE 'insert' END AS action,
+          |  c.c_name, c.c_mktsegment, ch.last_type, ch.last_seen_s,
+          |  ch.n_events
+          |FROM ch LEFT JOIN customer c ON c.c_custkey = ch.mk
+          |ORDER BY merge_key""".stripMargin,
 
       "st03_stream_watermark" ->
         """WITH e AS (SELECT epoch_ms(ts) // 1000 AS sec, event_type, value FROM events)

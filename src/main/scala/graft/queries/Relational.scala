@@ -1004,22 +1004,26 @@ object Relational {
 
     // Cohort retention: users cohorted by first-SIGNUP epoch-week, then
     // the (cohort, week-offset) activity matrix every growth dashboard
-    // draws (activity at/after signup; never-signed-up users drop out
-    // via the inner join). Plan: distinct (user, week) pairs (one
-    // shuffle), per-user min signup week (re-uses the same user_id hash
-    // partitioning), equi-join cohort back onto activity, and a final
-    // small aggregate keyed by (cohort, offset) — activity rows are
-    // unique per (user, week), so count(*) IS count-distinct-users with
-    // no expand. Cohort sizes come from offset 0 via a broadcast-sized
-    // self-join on the tiny result, not a second pass over the feed.
+    // draws (activity at/after signup; never-signed-up users drop out).
+    // Plan: ONE scan and ONE user_id shuffle for the whole feed — a
+    // single hash aggregate computes both the distinct active weeks
+    // (collect_set: state bounded by the retention horizon, partials
+    // dedup map-side) and the conditional signup min; explode the
+    // per-user week set (rows are unique per (user, week) by
+    // construction, so the final (cohort, offset) count IS
+    // count-distinct-users with no expand). The naive spelling
+    // (distinct + separate cohort agg + join) scans the feed twice and
+    // shuffles three times. Cohort sizes come from offset 0 via a
+    // broadcast-sized self-join on the tiny result.
     "q47_retention_cohorts" -> { (s, dir) =>
       import s.implicits._
       val wk = expr("ts div 1000000000 div 604800")
-      val ev = events(s, dir)
-      val act = ev.select($"user_id", wk.as("week")).distinct()
-      val cohort = ev.filter($"event_type" === "signup")
-        .groupBy($"user_id").agg(min(wk).as("cw"))
-      val ret = act.join(cohort, "user_id")
+      val ret = events(s, dir)
+        .groupBy($"user_id")
+        .agg(collect_set(wk).as("weeks"),
+          min(when($"event_type" === "signup", wk)).as("cw"))
+        .filter($"cw".isNotNull)
+        .select($"cw", explode($"weeks").as("week"))
         .filter($"week" >= $"cw")
         .groupBy($"cw".as("cohort_week"), ($"week" - $"cw").as("offset_weeks"))
         .agg(count(lit(1)).as("n_active"))

@@ -9,6 +9,9 @@ import org.apache.spark.sql.types._
 
 final case class UserEvent(user_id: Long, value: Double)
 final case class UserState(user_id: Long, max_value: Double, n_events: Long)
+final case class ChangeEvent(mk: Long, event_id: Long, event_type: String, s: Long)
+final case class ChangeState(mk: Long, last_s: Long, last_id: Long,
+  last_type: String, n_events: Long)
 
 /** Structured Streaming operators over the events table.
   *
@@ -231,6 +234,56 @@ object Streaming {
       .groupBy("user_id")
       .agg(max("max_value").as("max_value"), max("n_events").as("n_events"))
       .orderBy("user_id")
+  }
+
+  /** Streaming CDC apply — the streaming arm of the q46 batch MERGE:
+    * per-merge-key latest-change state (argmax by (s, event_id), plus
+    * the running change count) via mapGroupsWithState, then the final
+    * key states classified insert/update against the static dimension.
+    * 'keep' rows are never emitted — a CDC stream surfaces only touched
+    * keys, which is exactly what makes it cheaper than the batch apply
+    * at scale: state and output are O(touched keys), not O(dim).
+    * The update-mode memory table holds one row per key per touching
+    * micro-batch; the re-aggregate keeps the argmax row (the (s, id)
+    * pair grows monotonically per key, so max(struct) is the last
+    * update — same replay-safety recipe as st02). Shares q46's oracle
+    * minus the keep branch.
+    */
+  def streamMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updates = eventStream(s, dir)
+      .select((col("user_id") * 31L).as("mk"), col("event_id"),
+        col("event_type"), expr("ts div 1000000000").as("s"))
+      .as[ChangeEvent]
+      .groupByKey(_.mk)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (mk: Long, evs: Iterator[ChangeEvent],
+            state: org.apache.spark.sql.streaming.GroupState[ChangeState]) =>
+          val prev = state.getOption.getOrElse(
+            ChangeState(mk, Long.MinValue, Long.MinValue, null, 0L))
+          val next = evs.foldLeft(prev) { (acc, e) =>
+            val newer = e.s > acc.last_s ||
+              (e.s == acc.last_s && e.event_id > acc.last_id)
+            if (newer) ChangeState(mk, e.s, e.event_id, e.event_type,
+              acc.n_events + 1)
+            else acc.copy(n_events = acc.n_events + 1)
+          }
+          state.update(next)
+          next
+      }
+    val finalState = runToTable(updates.toDF(), "update")
+      .groupBy(col("mk"))
+      .agg(max(struct(col("last_s"), col("last_id"), col("last_type"))).as("last"),
+        max(col("n_events")).as("n_events"))
+    val cust = graft.sources.Sources.table(s, dir, "customer")
+    finalState.join(cust, col("mk") === col("c_custkey"), "left_outer")
+      .select(col("mk").as("merge_key"),
+        when(col("c_custkey").isNotNull, "update").otherwise("insert").as("action"),
+        col("c_name"), col("c_mktsegment"),
+        col("last.last_type").as("last_type"),
+        col("last.last_s").as("last_seen_s"),
+        col("n_events"))
+      .orderBy("merge_key")
   }
 
   /** Streaming exact dedup — the streaming half of the batch exact-dedup
