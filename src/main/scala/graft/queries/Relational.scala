@@ -1027,6 +1027,9 @@ object Relational {
         .filter($"week" >= $"cw")
         .groupBy($"cw".as("cohort_week"), ($"week" - $"cw").as("offset_weeks"))
         .agg(count(lit(1)).as("n_active"))
+        // dozens of rows, two consumers — persist or the feed aggregate
+        // runs once per branch (PlanShapeSpec pins the single feed scan)
+        .persist()
       val sizes = ret.filter($"offset_weeks" === 0)
         .select($"cohort_week", $"n_active".as("cohort_size"))
       ret.join(broadcast(sizes), "cohort_week")

@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.TestSpark
+
+/** Shuffle-budget pins for representative un-cached query plans — the
+  * cheap half of the plan-evidence story (PLANS.md claims a shuffle
+  * count; this makes the claim executable). Counts come from the
+  * STATIC executed-plan string, so only queries without persist() are
+  * pinned (a cached branch prints its whole lineage and the counts
+  * stop meaning anything — see tools/PlanShapeProbe, the diagnostic
+  * this spec grew from). Bounds are upper bounds: AQE may reuse or
+  * drop exchanges at runtime, never add them. A regression here is the
+  * d15/q44 class — a respelling that silently re-executes or
+  * re-shuffles an expensive branch.
+  */
+class PlanShapeSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def shapes(name: String): (Int, Int, Int) = {
+    val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    def c(p: String) = p.r.findAllIn(plan).length
+    (c("Exchange hashpartitioning"), c("BroadcastExchange"),
+      c("FileScan|BatchScan"))
+  }
+
+  test("q01 pricing summary: one aggregate exchange, one scan") {
+    val (sh, _, scans) = shapes("q01_pricing_summary")
+    sh should be <= 3 // partial/final agg + decimal re-exchange ceiling
+    scans shouldBe 1
+  }
+
+  test("q05 star join: dims broadcast, fact scanned once, no fact re-shuffle") {
+    val (sh, bc, _) = shapes("q05_star_join_revenue")
+    sh should be <= 2
+    bc should be >= 3 // every dim side arrives broadcast, never shuffled
+  }
+
+  test("q46 merge upsert: agg + full-outer join on one key, two scans") {
+    val (sh, _, scans) = shapes("q46_merge_upsert")
+    sh should be <= 3 // change agg + the join's two sides, ceiling
+    scans shouldBe 2 // events once, customer once — no re-scan
+  }
+
+  test("t01 token stats: single aggregate, single scan, no joins") {
+    val (sh, bc, scans) = shapes("t01_token_stats")
+    sh should be <= 1
+    bc shouldBe 0
+    scans shouldBe 1
+  }
+
+  test("q47 retention: the live operator tree reads only the cache") {
+    // q47 persists its tiny (cohort, offset) aggregate; the guard here
+    // is the recompute class — the OPERATOR TREE (cached lineage builds
+    // once, off-tree) must contain no direct feed scan: every consumer
+    // reads the InMemoryRelation, so the feed is scanned exactly once
+    // at cache build
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val nodes = flatten(
+      graft.SparkEntry.queries("q47_retention_cohorts")(spark, sfDir)
+        .queryExecution.executedPlan)
+    nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    } shouldBe empty
+    nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]
+    ) should be >= 2 // both branches hit the cache
+  }
+}
