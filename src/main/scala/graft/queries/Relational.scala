@@ -39,6 +39,40 @@ object Relational {
 
   private val M = DecimalType(18, 4)
 
+  /** Session-overlap user graph (shared by q44 triangles and q48 k-hop
+    * reach): undirected edges (ua < ub) between users whose activity
+    * sessions (30-min-gap sessionization) overlap in time. Candidate
+    * generation is the hour-cell equi-join — never an interval
+    * cross-join — with the greatest-start-owns-the-pair convention so
+    * each overlapping pair survives in exactly one cell. Returned
+    * persisted: every caller composes a multi-pass graph algorithm on
+    * it (the unmanaged-cache query convention).
+    */
+  private def sessionOverlapEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val secs = expr("ts div 1000000000")
+    val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+    val iv = events(s, dir)
+      .withColumn("sec", secs)
+      .withColumn("prev_s", lag($"sec", 1).over(w))
+      .withColumn("ns",
+        when($"prev_s".isNull || ($"sec" - $"prev_s") > 1800, 1).otherwise(0))
+      .withColumn("sess", sum($"ns").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"sec").as("st"), max($"sec").as("en"))
+    val cells = iv.select($"user_id", $"st", $"en",
+      explode(sequence(expr("st div 3600"), expr("en div 3600"))).as("cell"))
+    cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.user_id") < col("b.user_id") &&
+          col("a.st") <= col("b.en") && col("b.st") <= col("a.en") &&
+          expr("greatest(a.st, b.st) div 3600") === col("a.cell"))
+      .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
+      .distinct()
+      .persist()
+  }
+
   /** One-time bucketed-warehouse fixture for q29: orders + lineitem
     * written `bucketBy(8, key).sortBy(key)`, table names tagged by the
     * sf dir so different scales never collide. Reuse paths, cheapest
@@ -878,29 +912,7 @@ object Relational {
     // logic end-to-end (per-node counts are orientation-invariant).
     "q44_triangles" -> { (s, dir) =>
       import s.implicits._
-      val secs = expr("ts div 1000000000")
-      val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
-      val iv = events(s, dir)
-        .withColumn("sec", secs)
-        .withColumn("prev_s", lag($"sec", 1).over(w))
-        .withColumn("ns",
-          when($"prev_s".isNull || ($"sec" - $"prev_s") > 1800, 1).otherwise(0))
-        .withColumn("sess", sum($"ns").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"user_id", $"sess")
-        .agg(min($"sec").as("st"), max($"sec").as("en"))
-      val cells = iv.select($"user_id", $"st", $"en",
-        explode(sequence(expr("st div 3600"), expr("en div 3600"))).as("cell"))
-      val edges = cells.as("a").join(cells.as("b"),
-          col("a.cell") === col("b.cell") &&
-            col("a.user_id") < col("b.user_id") &&
-            col("a.st") <= col("b.en") && col("b.st") <= col("a.en") &&
-            expr("greatest(a.st, b.st) div 3600") === col("a.cell"))
-        .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
-        .distinct()
-        // reused by deg (twice), dirEdges, and the closing join — persist
-        // or the sessionize+explode+self-join pipeline runs four times
-        .persist()
+      val edges = sessionOverlapEdges(s, dir)
       val deg = edges.select($"ua".as("u")).union(edges.select($"ub".as("u")))
         .groupBy($"u").agg(count(lit(1)).as("dg"))
         .persist()
@@ -1036,6 +1048,31 @@ object Relational {
         .select($"cohort_week", $"offset_weeks", $"n_active", $"cohort_size",
           round($"n_active".cast("double") / $"cohort_size", 6).as("retention"))
         .orderBy($"cohort_week", $"offset_weeks")
+    },
+
+    // Bounded-hop BFS reachability — the iterative-join graph shape
+    // (frontier x edges equi-join + min-hop re-aggregate per round,
+    // the textbook distributed BFS) that CC/PageRank/triangles don't
+    // cover. Hops are FIXED (3), so the plan is three bounded
+    // equi-join passes over an edge set that stays keyed by node id —
+    // no driver-side frontier, no unbounded iteration. Seeds are the
+    // deterministic u % 50 == 0 nodes (seed density constant as the
+    // corpus scales). The oracle replays it as a recursive CTE.
+    "q48_khop_reach" -> { (s, dir) =>
+      import s.implicits._
+      val edges = sessionOverlapEdges(s, dir)
+      val sym = edges.select($"ua".as("u"), $"ub".as("v"))
+        .unionByName(edges.select($"ub".as("u"), $"ua".as("v")))
+        .persist()
+      var dist = sym.select($"u").distinct().filter($"u" % 50 === 0)
+        .select($"u", lit(0L).as("hops"))
+      for (h <- 1 to 3) {
+        val next = dist.filter($"hops" === (h - 1)).join(sym, "u")
+          .select($"v".as("u"), lit(h.toLong).as("hops"))
+        dist = dist.unionByName(next)
+          .groupBy($"u").agg(min($"hops").as("hops")).persist()
+      }
+      dist.select($"u".as("user_id"), $"hops").orderBy($"user_id")
     },
 
     // Deequ-style data audit: the whole constraint suite (row count,
@@ -1489,6 +1526,36 @@ object Relational {
         |SELECT n.user_id, d.degree, count(*) AS n_tri
         |FROM n JOIN d ON d.user_id = n.user_id
         |GROUP BY n.user_id, d.degree ORDER BY n.user_id""".stripMargin,
+
+    "q48_khop_reach" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id,
+        |    epoch_ms(ts) // 1000 AS s FROM events),
+        |o AS (SELECT user_id, event_id, s,
+        |    lag(s, 1) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_s
+        |  FROM e),
+        |m AS (SELECT user_id, event_id, s,
+        |    CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |g AS (SELECT user_id, s,
+        |    sum(ns) OVER (PARTITION BY user_id
+        |      ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m),
+        |iv AS (SELECT user_id, sess, min(s) AS st, max(s) AS en
+        |  FROM g GROUP BY 1, 2),
+        |ed AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        |  FROM iv a JOIN iv b
+        |    ON a.st <= b.en AND b.st <= a.en AND a.user_id < b.user_id),
+        |sym AS (SELECT ua AS u, ub AS v FROM ed
+        |  UNION ALL SELECT ub, ua FROM ed),
+        |walk(u, hops) AS (
+        |  SELECT u, cast(0 as bigint) AS hops
+        |  FROM (SELECT DISTINCT u FROM sym) n WHERE u % 50 = 0
+        |  UNION
+        |  SELECT s2.v, w.hops + 1 FROM walk w
+        |  JOIN sym s2 ON s2.u = w.u WHERE w.hops < 3)
+        |SELECT u AS user_id, min(hops) AS hops FROM walk
+        |GROUP BY u ORDER BY user_id""".stripMargin,
 
     "q42_zorder_tiles" ->
       """WITH e AS (SELECT cast(floor("value" * 2) as bigint) AS xc,
