@@ -523,8 +523,11 @@ object Dedup {
       .toDF("id", "sh")
       .persist())
     val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_sh"))
-    val rare = sh.join(
+    // both sides of the pairs self-join consume `rare`; persist or the
+    // df-cap aggregate + join replays once per side
+    val rare = scope.own(sh.join(
       sh.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= dfCap), "sh")
+      .persist())
     val pairs = rare.as("a").join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -688,6 +691,10 @@ object Dedup {
       .select($"id", posexplode(winStrs).as(Seq("p0", "win")))
       .select($"id", ($"p0" + 1).as("p"), TextAnalysis.stringHash($"win").as("wh"))
       .persist()) // feeds the df aggregate and both join sides
+    // `shared` feeds both join sides unpersisted on purpose: the
+    // subtrees are identical, AQE exchange reuse serves the second
+    // side from the first's shuffle files (persisting measured
+    // slightly SLOWER — see the m05 note in Multimodal)
     val shared = wins.join(
       wins.groupBy($"wh").agg(count(lit(1)).as("df"))
         .filter($"df" >= 2 && $"df" <= dfCap)

@@ -132,6 +132,11 @@ object Multimodal {
     val sizes = keys.groupBy(col("id")).agg(count(lit(1)).as("nch"))
     val rareDf = keys.groupBy(col("ch")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
+    // `rare` feeds both sides of the pairs self-join UNPERSISTED on
+    // purpose: the two subtrees are identical, so AQE exchange reuse
+    // serves the second side from the first's shuffle files — measured
+    // m05 0.75 s vs 5.0 s with an explicit persist (materializing the
+    // full posting set costs far more than the reused exchange)
     val rare = keys.join(rareDf, "ch")
     val pairs = rare.as("a").join(rare.as("b"),
         col("a.ch") === col("b.ch") && col("a.id") < col("b.id"))
