@@ -1050,6 +1050,79 @@ object Relational {
         .orderBy($"cohort_week", $"offset_weeks")
     },
 
+    // k-distance diagnostic for DBSCAN eps selection — the missing
+    // piece of the reference's own workflow (its README has users pick
+    // eps by eyeballing the sorted k-NN-distance curve; reference:
+    // README.md:40-75). A BOUNDED deterministic probe set (smallest
+    // portable hash of event_id, distributed top-k — the codebook
+    // recipe, so probe count is constant at any corpus size) broadcasts
+    // against ONE corpus scan in the dbscan_events (value, hours)
+    // space; the exact 4-NN distance per probe comes from a per-probe
+    // per-partition top-k kernel over the probe x corpus pairs: the
+    // 256 probes ride the task closure (KBs), each partition streams
+    // its rows ONCE through a tight distance loop keeping the 4
+    // smallest (d2, id) per probe in insertion-sorted arrays, and the
+    // shuffle carries <= 256 x 4 rows per partition into the KDistAgg
+    // merge. The declarative spellings measured: global window 29 s,
+    // typed groupByKey aggregate 19 s (the per-pair encoder/allocation
+    // tax on 26M rows); this kernel ~1 s — the sanctioned
+    // mapPartitions case, same contract as the local-DBSCAN kernels.
+    "q49_kdist_eps" -> { (s, dir) =>
+      import s.implicits._
+      val P = 1000000007L
+      val pts = events(s, dir).select($"event_id",
+        $"value".as("x"),
+        ((expr("ts div 1000000000") - lit(1704067200L)) / 3600.0).as("y"))
+      val probeRows = pts
+        .withColumn("h", (lit(3L) * ($"event_id" % P) + 8L) % P)
+        .orderBy($"h", $"event_id").limit(256)
+        .select($"event_id", $"x", $"y")
+        .collect() // bounded at 256 by construction
+      val qId = probeRows.map(_.getLong(0))
+      val qx = probeRows.map(_.getDouble(1))
+      val qy = probeRows.map(_.getDouble(2))
+      val k = 4
+      val partials = pts.as[(Long, Double, Double)].mapPartitions { it =>
+        val nq = qId.length
+        val bd = Array.fill(nq, k)(Double.PositiveInfinity)
+        val bi = Array.fill(nq, k)(Long.MaxValue)
+        it.foreach { case (id, x, y) =>
+          var q = 0
+          while (q < nq) {
+            if (id != qId(q)) {
+              val dx = x - qx(q); val dy = y - qy(q)
+              val d2 = dx * dx + dy * dy
+              val ds = bd(q); val ids = bi(q)
+              if (d2 < ds(k - 1) || (d2 == ds(k - 1) && id < ids(k - 1))) {
+                var p = k - 1
+                while (p > 0 && (d2 < ds(p - 1) ||
+                    (d2 == ds(p - 1) && id < ids(p - 1)))) {
+                  ds(p) = ds(p - 1); ids(p) = ids(p - 1); p -= 1
+                }
+                ds(p) = d2; ids(p) = id
+              }
+            }
+            q += 1
+          }
+        }
+        Iterator.range(0, nq).flatMap { q =>
+          Iterator.range(0, k).filter(j => bd(q)(j) < Double.PositiveInfinity)
+            .map(j => (qId(q), bd(q)(j), bi(q)(j)))
+        }
+      }
+      val kd = partials
+        .groupByKey(_._1)
+        .agg(new graft.functions.KDistAgg(k).toColumn.name("d4"))
+        .toDF("q_id", "d4")
+        .filter(!isnan($"d4"))
+        .select($"q_id", round(sqrt($"d4"), 6).as("kdist"))
+      val wD = Window.orderBy($"kdist", $"q_id")
+      kd.withColumn("decile", ntile(10).over(wD).cast("long"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"), max($"kdist").as("kdist_max"))
+        .orderBy($"decile")
+    },
+
     // Bounded-hop BFS reachability — the iterative-join graph shape
     // (frontier x edges equi-join + min-hop re-aggregate per round,
     // the textbook distributed BFS) that CC/PageRank/triangles don't
@@ -1526,6 +1599,26 @@ object Relational {
         |SELECT n.user_id, d.degree, count(*) AS n_tri
         |FROM n JOIN d ON d.user_id = n.user_id
         |GROUP BY n.user_id, d.degree ORDER BY n.user_id""".stripMargin,
+
+    "q49_kdist_eps" ->
+      """WITH pts AS (SELECT event_id, "value" AS x,
+        |    ((epoch_ms(ts) // 1000) - 1704067200) / 3600.0 AS y
+        |  FROM events),
+        |probes AS (SELECT event_id AS q_id, x AS qx, y AS qy FROM pts
+        |  ORDER BY (3 * (event_id % 1000000007) + 8) % 1000000007, event_id
+        |  LIMIT 256),
+        |kd AS (SELECT q_id, round(sqrt(d2), 6) AS kdist FROM (
+        |    SELECT p.q_id,
+        |      (t.x - p.qx) * (t.x - p.qx) + (t.y - p.qy) * (t.y - p.qy) AS d2,
+        |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+        |        (t.x - p.qx) * (t.x - p.qx) + (t.y - p.qy) * (t.y - p.qy),
+        |        t.event_id) AS rn
+        |    FROM pts t JOIN probes p ON t.event_id <> p.q_id) a
+        |  WHERE rn = 4),
+        |d AS (SELECT q_id, kdist,
+        |    ntile(10) OVER (ORDER BY kdist, q_id) AS decile FROM kd)
+        |SELECT decile, count(*) AS n, max(kdist) AS kdist_max
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
     "q48_khop_reach" ->
       """WITH RECURSIVE e AS (SELECT user_id, event_id,

@@ -47,7 +47,7 @@ object ScaleBench {
     "s21_binary_rerank", "s22_matryoshka", "t27_chunk_overlap", "t28_novelty",
     "t30_hll_distinct",
     "q46_merge_upsert", "q47_retention_cohorts", "t32_bpe_trained",
-    "q48_khop_reach",
+    "q48_khop_reach", "q49_kdist_eps",
     "dbscan_events", "st08_stream_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
