@@ -84,3 +84,25 @@ final class KmvAgg(k: Int, mod: Long = 1000000007L)
 
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** [[KmvAgg]] variant that surfaces the SKETCH itself (the sorted
+  * bottom-k distinct hash array) instead of collapsing it to the
+  * distinct-count estimate — the mergeable object a sketch ALGEBRA
+  * needs: union two sketches by sorted-distinct-merge-truncate, then
+  * estimate |A∪B| from the merged k-th minimum and Jaccard from the
+  * bottom-k overlap fraction (Beyer et al., SIGMOD'07 §4). Same state,
+  * reduce, and merge as [[KmvAgg]]; only `finish` differs, so the two
+  * can never drift.
+  */
+final class KmvSketchAgg(k: Int, mod: Long = 1000000007L)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val core = new KmvAgg(k, mod)
+  override def zero: Array[Long] = core.zero
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = core.reduce(buf, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = core.merge(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -987,6 +987,58 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // KMV SKETCH ALGEBRA — the cross-source corpus-overlap matrix from
+    // mergeable bottom-k sketches (Beyer et al., SIGMOD'07 §4): per
+    // source, the bottom-64 distinct spread shingle hashes
+    // (KmvSketchAgg — O(k) state, map-side combinable, ONE pass over
+    // the shingle stream); then every pairwise union / intersection /
+    // Jaccard ESTIMATE is pure k-array algebra on the |sources|-row
+    // sketch table — union sketch = sorted-distinct-merge-truncate,
+    // |A∪B| from the merged k-th minimum, Jaccard = bottom-k overlap
+    // fraction. At 100 TB this is the only viable overlap-matrix
+    // shape: exact pairwise shingle joins grow with corpus², the
+    // sketch table stays |sources| × k longs and the 190 pair
+    // estimates never touch the data again. The per-source exact
+    // distinct count (one linear hash aggregate, q35's convention)
+    // rides along so estimate error is visible in the output.
+    // Deterministic under the portable spread hash → the oracle
+    // replays every estimate bit-for-bit.
+    "t33_sketch_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val k = 64
+      val bigP = 1000000007L
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val sp = Dedup.shingles(docs, "text", "doc_id", n = 3)
+        .join(docs.select($"doc_id".as("id"), $"source"), "id")
+        .select($"source".as("src"),
+          ((lit(736238393L) * ($"sh" % bigP) + 12345L) % bigP).as("h"))
+      val sk = sp.as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.KmvSketchAgg(k).toColumn.name("kv"))
+        .toDF("src", "kv")
+      val nd = sp.groupBy($"src").agg(countDistinct($"h").as("nd"))
+      val skn = sk.join(nd, "src")
+      skn.as("a").join(skn.as("b"), col("a.src") < col("b.src"))
+        .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+          col("a.nd").as("nd_a"), col("b.nd").as("nd_b"),
+          col("a.kv").as("ka"), col("b.kv").as("kb"))
+        .withColumn("mg",
+          slice(array_sort(array_distinct(concat($"ka", $"kb"))), 1, k))
+        .withColumn("m_n", size($"mg"))
+        .withColumn("n_both", size(filter($"mg",
+          h => array_contains($"ka", h) && array_contains($"kb", h))))
+        .withColumn("union_raw",
+          when($"m_n" < k, $"m_n".cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(bigP.toDouble) /
+              element_at($"mg", k).cast("double")))
+        .select($"src_a", $"src_b", $"nd_a", $"nd_b",
+          round($"union_raw", 6).as("union_est"),
+          round($"n_both".cast("double") / $"m_n", 6).as("jacc_est"),
+          round(($"n_both".cast("double") / $"m_n") * $"union_raw", 6)
+            .as("inter_est"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Hybrid retrieval — the fusion shape every retrieval-augmented
     // curation pipeline runs: lexical top-k (distinct-token posting
     // equi-join, never all-pairs text compare) and vector top-k
@@ -1348,6 +1400,10 @@ object NorthStar {
 
     "st24_stream_merge_upsert" -> { (s, dir) =>
       graft.streaming.Streaming.streamMergeUpsert(s, dir)
+    },
+
+    "st25_stream_scd2_enrich" -> { (s, dir) =>
+      graft.streaming.Streaming.streamScd2Enrich(s, dir)
     },
 
     "st03_stream_watermark" -> { (s, dir) =>
@@ -1963,6 +2019,37 @@ object NorthStar {
            |    / cast(n_exact as double), 6) AS rel_err
            |FROM n ORDER BY lang""".stripMargin
       },
+
+      // KMV sketch-algebra replay: per-source bottom-64 of the spread
+      // shingle hashes via list_sort(list(DISTINCT ..))[1:64], pairwise
+      // merged-truncate union sketch, the SAME union/Jaccard estimate
+      // expressions as the engine (q35's replay convention)
+      "t33_sketch_overlap" ->
+        s"""WITH ${shingleSql("SELECT doc_id, text FROM documents")},
+           |sp AS (SELECT DISTINCT d.source AS src,
+           |    (736238393 * (sh.sh % $P) + 12345) % $P AS h
+           |  FROM sh JOIN documents d ON d.doc_id = sh.id),
+           |sk AS (SELECT src, (list_sort(list(DISTINCT h)))[1:64] AS kv,
+           |    count(DISTINCT h) AS nd
+           |  FROM sp GROUP BY src),
+           |pr AS (SELECT a.src AS src_a, b.src AS src_b,
+           |    a.nd AS nd_a, b.nd AS nd_b, a.kv AS ka, b.kv AS kb
+           |  FROM sk a JOIN sk b ON a.src < b.src),
+           |m AS (SELECT src_a, src_b, nd_a, nd_b, ka, kb,
+           |    (list_sort(list_distinct(ka || kb)))[1:64] AS mg FROM pr),
+           |c AS (SELECT src_a, src_b, nd_a, nd_b,
+           |    len(mg) AS m_n,
+           |    len(list_filter(mg, h -> list_contains(ka, h)
+           |      AND list_contains(kb, h))) AS n_both,
+           |    CASE WHEN len(mg) < 64 THEN cast(len(mg) as double)
+           |         ELSE 63.0 * 1000000007.0 / cast(mg[64] as double)
+           |    END AS union_raw
+           |  FROM m)
+           |SELECT src_a, src_b, nd_a, nd_b,
+           |  round(union_raw, 6) AS union_est,
+           |  round(cast(n_both as double) / m_n, 6) AS jacc_est,
+           |  round((cast(n_both as double) / m_n) * union_raw, 6) AS inter_est
+           |FROM c ORDER BY src_a, src_b""".stripMargin,
 
       // novelty = fraction of distinct trigram shingles with df == 1,
       // over the shared shingle CTE on the planted-copy corpus
@@ -3090,6 +3177,33 @@ object NorthStar {
           |  ch.n_events
           |FROM ch LEFT JOIN customer c ON c.c_custkey = ch.mk
           |ORDER BY merge_key""".stripMargin,
+
+      // q41's run history + predecessor status, replayed batch-side;
+      // the interval join picks each event's enclosing run
+      "st25_stream_scd2_enrich" ->
+        """WITH e AS (SELECT event_id, user_id, event_type, value,
+          |    epoch_ms(ts) // 1000 AS sec FROM events),
+          |o AS (SELECT *, lag(event_type, 1) OVER (
+          |    PARTITION BY user_id ORDER BY sec, event_id) AS prev_t FROM e),
+          |m AS (SELECT *, CASE WHEN prev_t IS NULL OR prev_t <> event_type
+          |    THEN 1 ELSE 0 END AS chg FROM o),
+          |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+          |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS run_id FROM m),
+          |r AS (SELECT user_id, run_id, min(event_type) AS status,
+          |    min(sec) AS valid_from FROM g GROUP BY 1, 2),
+          |h AS (SELECT user_id, valid_from,
+          |    lead(valid_from, 1) OVER (
+          |      PARTITION BY user_id ORDER BY run_id) AS valid_to,
+          |    coalesce(lag(status, 1) OVER (
+          |      PARTITION BY user_id ORDER BY run_id), 'none') AS prev_status
+          |  FROM r),
+          |j AS (SELECT e.event_type, h.prev_status, e.value
+          |  FROM e JOIN h ON e.user_id = h.user_id
+          |    AND e.sec >= h.valid_from
+          |    AND (h.valid_to IS NULL OR e.sec < h.valid_to))
+          |SELECT event_type, prev_status, count(*) AS n,
+          |  cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+          |FROM j GROUP BY 1, 2 ORDER BY event_type, prev_status""".stripMargin,
 
       "st03_stream_watermark" ->
         """WITH e AS (SELECT epoch_ms(ts) // 1000 AS sec, event_type, value FROM events)

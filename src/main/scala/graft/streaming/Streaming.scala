@@ -286,6 +286,57 @@ object Streaming {
       .orderBy("merge_key")
   }
 
+  /** Stream enriched against a slowly-changing dimension AT EVENT TIME
+    * — the canonical streaming-warehouse pattern the board's other
+    * stream-static probes (st08/st09/st14: point lookups into static
+    * assets) don't cover: a TEMPORAL interval lookup. The dimension is
+    * q41's type-2 run history (built batch-side from the same corpus,
+    * plus the run's PREDECESSOR status via one more lag over runs);
+    * each streamed event joins the single history row whose
+    * [valid_from, valid_to) interval contains its event time — "what
+    * state was this user in before the run this event belongs to".
+    * Per micro-batch the join plans as a user_id hash equi-join with
+    * the interval predicate as a residual filter; at warehouse scale
+    * both sides are bucketed by the key and the dimension is the usual
+    * build-once asset. The run intervals partition each user's
+    * timeline from their first event, so every event matches EXACTLY
+    * one row (count invariant: output n sums to the corpus row count).
+    * Complete-mode (event_type, prev_status) rollup keeps the output
+    * deterministic under any micro-batch split.
+    */
+  def streamScd2Enrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val secs = expr("ts div 1000000000")
+    val wE = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+    val runs = graft.sources.Sources.events(s, dir)
+      .withColumn("sec", secs)
+      .withColumn("prev_t", lag($"event_type", 1).over(wE))
+      .withColumn("chg",
+        when($"prev_t".isNull || $"prev_t" =!= $"event_type", 1).otherwise(0))
+      .withColumn("run_id", sum($"chg").over(
+        wE.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"run_id")
+      .agg(min($"event_type").as("status"), min($"sec").as("valid_from"))
+    val wu = Window.partitionBy($"user_id").orderBy($"run_id")
+    val hist = runs
+      .withColumn("valid_to", lead($"valid_from", 1).over(wu))
+      .withColumn("prev_status",
+        coalesce(lag($"status", 1).over(wu), lit("none")))
+      .select($"user_id".as("h_uid"), $"valid_from", $"valid_to",
+        $"prev_status")
+    val joined = eventStream(s, dir)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .join(hist, col("user_id") === col("h_uid") &&
+        col("sec") >= col("valid_from") &&
+        (col("valid_to").isNull || col("sec") < col("valid_to")))
+    val agg = joined.groupBy(col("event_type"), col("prev_status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("total_value"))
+    runToTable(agg, "complete").orderBy("event_type", "prev_status")
+  }
+
   /** Streaming exact dedup — the streaming half of the batch exact-dedup
     * operator ([[graft.operators.Dedup.exactDuplicates]]): keyed
     * `dropDuplicates` state, each key emitted once (append mode). The

@@ -48,6 +48,7 @@ object ScaleBench {
     "t30_hll_distinct",
     "q46_merge_upsert", "q47_retention_cohorts", "t32_bpe_trained",
     "q48_khop_reach", "q49_kdist_eps",
+    "t33_sketch_overlap", "st25_stream_scd2_enrich",
     "dbscan_events", "st08_stream_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is

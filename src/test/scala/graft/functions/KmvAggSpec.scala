@@ -40,6 +40,31 @@ class KmvAggSpec extends AnyFunSuite with Matchers {
     math.abs(e - n) / n should be < (3.0 / math.sqrt(k))
   }
 
+  test("sketch algebra: merging two sketches equals the union's sketch (t33's identity)") {
+    val agg = new KmvSketchAgg(64)
+    val a = (0L until 3000L).map(x => hash(x * 17 + 1))
+    val b = (0L until 3000L).map(x => hash(x * 29 + 5))
+    val skA = a.foldLeft(agg.zero)(agg.reduce)
+    val skB = b.foldLeft(agg.zero)(agg.reduce)
+    val skU = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+    agg.merge(skA, skB).toSeq shouldBe skU.toSeq
+  }
+
+  test("bottom-k Jaccard estimate tracks true Jaccard on planted overlap") {
+    // A and B share exactly their first 2000 elements: true J = 1/3
+    val shared = (0L until 2000L).map(_ * 7 + 3)
+    val a = shared ++ (0L until 2000L).map(_ * 11 + 100000000L)
+    val b = shared ++ (0L until 2000L).map(_ * 13 + 200000000L)
+    val k = 256
+    val agg = new KmvSketchAgg(k)
+    val skA = a.map(hash).foldLeft(agg.zero)(agg.reduce)
+    val skB = b.map(hash).foldLeft(agg.zero)(agg.reduce)
+    val mg = agg.merge(skA, skB) // bottom-k of the union
+    val both = mg.count(h => skA.contains(h) && skB.contains(h))
+    val jacc = both.toDouble / mg.length
+    math.abs(jacc - 1.0 / 3) should be < (3.0 / math.sqrt(k))
+  }
+
   test("reduce keeps the k smallest distinct hashes in order") {
     val agg = new KmvAgg(4)
     val buf = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L).foldLeft(agg.zero)(agg.reduce)
