@@ -699,7 +699,8 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    require(sample.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+    if (sample.isEmpty) // empty shard: empty codebook, empty search
+      return Array.fill(m)(Array.empty[(Long, Array[Double])])
     val d = sample.head._2.length
     require(d % m == 0, s"graft.pq: embedding dimension must be a multiple of m=$m; got dim=$d")
     val subW = d / m
@@ -817,7 +818,6 @@ object Similarity {
   def ivfPqTopKResidual(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 32, nprobe: Int = 4, m: Int = 8, ncode: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nlist >= 1 && nprobe >= 1, s"nlist=$nlist nprobe=$nprobe must be positive")
     // the per-(query, list) LUT key below packs q_id*10000 + c_id into
     // one long for pqSubspaced's single-id contract; c_id < nlist keeps
@@ -825,6 +825,61 @@ object Similarity {
     require(nlist <= 10000, s"nlist=$nlist exceeds the 10000 LUT-key radix")
     val cent = broadcast(corpus.filter(col(idCol) < nlist)
       .select(col(idCol).cast("long").as("c_id"), col(vecCol).as("c_vec")))
+    // residual codebook: subspace slices of the ncode lowest-id
+    // residuals PAST the centroid range — the nlist lowest ids are the
+    // centroids themselves, which assign to themselves with residual
+    // ZERO (a codebook of zeros degenerates ADC to id order). Codeword
+    // ids re-based to dense 0..ncode-1.
+    ivfPqResidualSearch(corpus, queries, k, cent, nprobe, m, ncode,
+      idCol, vecCol,
+      assigned => broadcast(pqSubspaced(
+          assigned.filter(col("n_id") >= nlist && col("n_id") < nlist + ncode)
+            .select((col("n_id") - nlist).as("rid"), col("res")),
+          "c_id2", m, "rid", "res")
+        .select(col("j"), col("c_id2").as("cw"), col("sub").as("cv"))))
+  }
+
+  /** [[ivfPqTopKResidual]] with BOTH stages trained — the full faiss
+    * IVFPQ recipe on the engine's replayable-training recipes: coarse
+    * centroids from the spherical-k-means trainer
+    * ([[ivfTrainCentroidsLocal]], s23's quantizer) and the residual
+    * codebook from per-subspace Lloyd k-means
+    * ([[pqTrainCodebookLocal]]) run over the deterministic hash-sample
+    * of the RESIDUALS — the quantity the codebook actually encodes.
+    * Identical search dataflow; only the two broadcast assets differ.
+    * Recall deltas vs the deterministic composition are measured in
+    * AnnRecallSpec.
+    */
+  def ivfPqTopKResidualTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, m: Int = 8, ncode: Int = 16,
+      iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    require(nlist >= 1 && nprobe >= 1, s"nlist=$nlist nprobe=$nprobe must be positive")
+    require(nlist <= 10000, s"nlist=$nlist exceeds the 10000 LUT-key radix")
+    val trained = ivfTrainCentroidsLocal(corpus, nlist, iters, sampleN, idCol, vecCol)
+    val cent = broadcast(trained.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("c_id", "c_vec"))
+    ivfPqResidualSearch(corpus, queries, k, cent, nprobe, m, ncode,
+      idCol, vecCol,
+      assigned => {
+        val cb = pqTrainCodebookLocal(
+          assigned.select(col("n_id").as("vec_id"), col("res").as("embedding")),
+          m, ncode, iters, sampleN)
+        cbFrame(corpus.sparkSession, cb)
+          .select(col("j"), col("c_id").as("cw"), col("cv"))
+      })
+  }
+
+  /** Shared residual-IVFPQ search dataflow: assignment + residuals vs
+    * the given centroid frame, codebook from `mkCb(assigned)`, then
+    * s15's probed-list ADC with per-(query, list) LUTs.
+    */
+  private def ivfPqResidualSearch(corpus: DataFrame, queries: DataFrame,
+      k: Int, cent: DataFrame, nprobe: Int, m: Int, ncode: Int,
+      idCol: String, vecCol: String,
+      mkCb: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val assigned = corpus.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
       .crossJoin(cent)
       .withColumn("cos_c", cosine(col("n_vec"), col("c_vec")))
@@ -834,15 +889,7 @@ object Similarity {
       .select(col("n_id"), col("best.c_id").as("c_id"),
         zip_with(col("best.n_vec"), col("best.c_vec"),
           (a, b) => a.cast("double") - b.cast("double")).as("res"))
-    // residual codebook: subspace slices of the ncode lowest-id
-    // residuals PAST the centroid range — the nlist lowest ids are the
-    // centroids themselves, which assign to themselves with residual
-    // ZERO (a codebook of zeros degenerates ADC to id order). Codeword
-    // ids re-based to dense 0..ncode-1.
-    val cbSrc = assigned.filter(col("n_id") >= nlist && col("n_id") < nlist + ncode)
-      .select((col("n_id") - nlist).as("rid"), col("res"))
-    val cb = broadcast(pqSubspaced(cbSrc, "c_id2", m, "rid", "res")
-      .select(col("j"), col("c_id2").as("cw"), col("sub").as("cv")))
+    val cb = mkCb(assigned)
     val codes = pqSubspaced(assigned.select(col("n_id"), col("res")), "n_id", m, "n_id", "res")
       .join(assigned.select(col("n_id"), col("c_id")), "n_id")
       .join(cb, "j")

@@ -968,6 +968,23 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // FULLY-TRAINED residual IVF x PQ — the complete faiss-IVFPQ
+    // training recipe (trained spherical-k-means coarse quantizer +
+    // per-subspace Lloyd residual codebook, both on deterministic
+    // hash-samples) over s16's residual-ADC search dataflow. Training
+    // is driver-local over a bounded sample (not SQL-expressible) →
+    // rows-only like s23; AnnRecallSpec holds the recall delta vs the
+    // deterministic composition and bit-replayability of the trained
+    // pipeline.
+    "s24_ivf_pq_trained" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfPqTopKResidualTrained(emb, emb.filter($"vec_id" < 5),
+          k = 5, nlist = 32, nprobe = 4, m = 8, ncode = 32)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_d2")
+        .orderBy("q_id", "rnk")
+    },
+
     // TRAINED BPE TOKENIZER — the "train the tokenizer" pipeline step,
     // on the codebook recipe: deterministic bounded sample -> capped
     // word-frequency table -> driver-local merge training with total
@@ -1012,12 +1029,16 @@ object NorthStar {
         .join(docs.select($"doc_id".as("id"), $"source"), "id")
         .select($"source".as("src"),
           ((lit(736238393L) * ($"sh" % bigP) + 12345L) % bigP).as("h"))
-      val sk = sp.as[(String, Long)]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(new graft.functions.KmvSketchAgg(k).toColumn.name("kv"))
-        .toDF("src", "kv")
-      val nd = sp.groupBy($"src").agg(countDistinct($"h").as("nd"))
-      val skn = sk.join(nd, "src")
+      // ONE aggregation pass computes both the sketch (Aggregator via
+      // udaf, keeps map-side partials) and the exact distinct count;
+      // the |sources|-row result is persisted so the pair self-join
+      // reads the cache instead of replaying the corpus lineage twice
+      // (q47's two-consumer rule: expensive rebuild, tiny cache).
+      val sketch = udaf(new graft.functions.KmvSketchAgg(k),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val skn = sp.groupBy($"src")
+        .agg(sketch($"h").as("kv"), countDistinct($"h").as("nd"))
+        .persist()
       skn.as("a").join(skn.as("b"), col("a.src") < col("b.src"))
         .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
           col("a.nd").as("nd_a"), col("b.nd").as("nd_b"),

@@ -1123,6 +1123,45 @@ object Relational {
         .orderBy($"decile")
     },
 
+    // Approximate-string (edit-distance <= 1) key-resolution join —
+    // the dirty-key entity-resolution operator, via the SymSpell /
+    // FastSS deletion neighborhood: two strings are within one edit
+    // iff they share a member of D1(x) = {x} ∪ {x minus one char}, so
+    // candidate generation is an EQUI-join on exploded deletion
+    // variants (an O(len) per-key posting blow-up — never an all-pairs
+    // string compare), then the exact levenshtein verifies the
+    // candidates (both engines ship the same levenshtein, so the
+    // verdict is engine-portable). Probes are deterministic one-char-
+    // deletion typos of every 7th customer name; a probe in a zero run
+    // legitimately resolves to several customers one digit apart —
+    // exactly the many-many verdict a real resolution pipeline ranks.
+    // 100 TB shape: both variant sets are keyed by the variant string,
+    // the join shuffles on it, and the verify is a per-row kernel.
+    "q50_fuzzy_join" -> { (s, dir) =>
+      import s.implicits._
+      def dvars(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_distinct(concat(array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1),
+            c.substr(i + 1, length(c))))))
+      val cust = rd(s, dir, "customer")
+      val pos = ($"c_custkey" % length($"c_name")).cast("int") + 1
+      val probes = cust.filter($"c_custkey" % 7 === 0)
+        .select($"c_custkey".as("probe_key"),
+          concat($"c_name".substr(lit(1), pos - 1),
+            $"c_name".substr(pos + 1, length($"c_name"))).as("probe"))
+      val pv = probes.select($"probe_key", $"probe",
+        explode(dvars($"probe")).as("v"))
+      val nv = cust.select($"c_custkey", $"c_name",
+        explode(dvars($"c_name")).as("v"))
+      pv.join(nv, "v")
+        .select($"probe_key", $"probe", $"c_custkey", $"c_name")
+        .distinct()
+        .withColumn("dist", levenshtein($"probe", $"c_name").cast("long"))
+        .filter($"dist" <= 1)
+        .orderBy("probe_key", "c_custkey")
+    },
+
     // Bounded-hop BFS reachability — the iterative-join graph shape
     // (frontier x edges equi-join + min-hop re-aggregate per round,
     // the textbook distributed BFS) that CC/PageRank/triangles don't
@@ -1599,6 +1638,33 @@ object Relational {
         |SELECT n.user_id, d.degree, count(*) AS n_tri
         |FROM n JOIN d ON d.user_id = n.user_id
         |GROUP BY n.user_id, d.degree ORDER BY n.user_id""".stripMargin,
+
+    // deletion-neighborhood candidates + exact levenshtein verify,
+    // replayed with list_transform/unnest
+    "q50_fuzzy_join" ->
+      """WITH pc AS (SELECT c_custkey, c_name, len(c_name) AS L FROM customer),
+        |pr AS (SELECT c_custkey AS probe_key,
+        |    substr(c_name, 1, cast(c_custkey % L as int)) ||
+        |      substr(c_name, cast(c_custkey % L as int) + 2, L) AS probe
+        |  FROM pc WHERE c_custkey % 7 = 0),
+        |pv AS (SELECT probe_key, probe,
+        |    unnest(list_distinct([probe] ||
+        |      list_transform(range(1, len(probe) + 1),
+        |        i -> substr(probe, 1, i - 1) ||
+        |             substr(probe, i + 1, len(probe))))) AS v
+        |  FROM pr),
+        |nv AS (SELECT c_custkey, c_name,
+        |    unnest(list_distinct([c_name] ||
+        |      list_transform(range(1, len(c_name) + 1),
+        |        i -> substr(c_name, 1, i - 1) ||
+        |             substr(c_name, i + 1, len(c_name))))) AS v
+        |  FROM pc),
+        |cand AS (SELECT DISTINCT probe_key, probe, c_custkey, c_name
+        |  FROM pv JOIN nv USING (v))
+        |SELECT probe_key, probe, c_custkey, c_name,
+        |  cast(levenshtein(probe, c_name) as bigint) AS dist
+        |FROM cand WHERE levenshtein(probe, c_name) <= 1
+        |ORDER BY probe_key, c_custkey""".stripMargin,
 
     "q49_kdist_eps" ->
       """WITH pts AS (SELECT event_id, "value" AS x,

@@ -48,7 +48,7 @@ object ScaleBench {
     "t30_hll_distinct",
     "q46_merge_upsert", "q47_retention_cohorts", "t32_bpe_trained",
     "q48_khop_reach", "q49_kdist_eps",
-    "t33_sketch_overlap", "st25_stream_scd2_enrich",
+    "t33_sketch_overlap", "st25_stream_scd2_enrich", "q50_fuzzy_join",
     "dbscan_events", "st08_stream_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
@@ -137,9 +137,22 @@ object ScaleBench {
     // fact side (q46's merge-key space replicates at constant density —
     // note the event user-id shift differs, so each copy contributes
     // its own insert band too, like organic growth would)
+    // c_name gets a per-copy 2-char tag from a code where any two
+    // distinct copies differ in BOTH positions ((i mod 31, 2i mod 31)
+    // over a 31-char alphabet — 31 prime, so equal first chars force
+    // equal copies): cross-copy name pairs sit at edit distance >= 2,
+    // and q50's deletion-neighborhood join keeps constant per-item
+    // match density (identical names across copies would multiply
+    // every probe's candidate set by N — the same degeneracy the
+    // documents `_i` suffix avoids for shingles). Within-copy
+    // structure is untouched; q46 reads names as payload only.
     val cust = s.read.parquet(s"$base/customer.parquet")
+    val code = "abcdefghijklmnopqrstuvwxyz01234"
     writeSingleFile((0 until copies).map { i =>
-      cust.select((col("c_custkey") + i * 100000000L).as("c_custkey"),
+      val tagged = if (i == 0) cust
+        else cust.withColumn("c_name", concat(col("c_name"),
+          lit(s"${code(i % 31)}${code((2 * i) % 31)}")))
+      tagged.select((col("c_custkey") + i * 100000000L).as("c_custkey"),
         col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }.reduce(_ unionByName _), outDir, "customer")
   }

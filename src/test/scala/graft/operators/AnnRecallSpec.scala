@@ -228,6 +228,35 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     once.map(_.toString).sorted shouldBe twice.map(_.toString).sorted
   }
 
+  test("fully-trained residual IVF x PQ (trained coarse + trained residual codebook) vs deterministic") {
+    // the complete faiss-IVFPQ training recipe: does training BOTH
+    // stages compound? The deterministic composition is the oracle-
+    // replayable floor; this is the recall the production path ships.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val k = 10
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(exact: Map[Long, Set[Long]], got: Map[Long, Set[Long]]) = {
+      val rs = exact.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty).count(ex).toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val exact = topk(Similarity.bruteForceTopK(emb, queries, k))
+    val det = recall(exact, topk(Similarity.ivfPqTopKResidual(emb, queries, k,
+      nlist = 32, nprobe = 4, m = 8, ncode = 32)))
+    val trained = recall(exact, topk(Similarity.ivfPqTopKResidualTrained(emb,
+      queries, k, nlist = 32, nprobe = 4, m = 8, ncode = 32)))
+    info(f"residual IVFxPQ recall@$k: deterministic $det%.3f, fully trained $trained%.3f")
+    trained should be >= det - 0.05 // training must not lose recall
+    // replayability: both trainers are deterministic, so the whole
+    // trained pipeline bit-agrees across runs
+    val once = Similarity.ivfPqTopKResidualTrained(emb, queries, k, 32, 4, 8, 32).collect()
+    val twice = Similarity.ivfPqTopKResidualTrained(emb, queries, k, 32, 4, 8, 32).collect()
+    once.map(_.toString).sorted shouldBe twice.map(_.toString).sorted
+  }
+
   test("IVF top-k recall vs brute force") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)

@@ -34,6 +34,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s13_pq_index_probe" -> "same ADC shape as s12, reading the build-once code asset instead of encoding inline",
     "s15_ivf_pq_topk" -> "composition of the two sanctioned shapes: corpus x 32 broadcast centroids (s04's assignment/probe) + code scan x broadcast probe-LUT rows (s12's ADC); the data-sized join — codes to probed lists — is an equi-join on c_id",
     "s16_ivf_pq_residual" -> "same sanctioned shapes as s15 over residual codes: corpus x 32 broadcast centroids, residual-code scan x broadcast per-(query,list) LUTs; the data-sized join is the c_id equi-join",
+    "s24_ivf_pq_trained" -> "s16's sanctioned residual shapes with trained broadcast assets (32 k-means centroids, m x ncode codebook); the data-sized join is the c_id equi-join",
     "s20_filtered_ann" -> "s15's sanctioned shapes verbatim (corpus x 32 broadcast centroids, code scan x broadcast LUTs); the added label gate is an ordinary equi-semi-join pruning the code table before the ADC fold",
     "s17_sql_knn" -> "SQL spelling of s01's exact brute-force baseline (5 broadcast queries x corpus scan) — intentionally the same sanctioned shape",
     "s21_binary_rerank" -> "candidate stage: 5 broadcast query signatures x ONE 16-byte (id, sig) scan — 1/32 of the s01 scan bytes; the rerank is an ordinary broadcast-candidate equi-join on n_id",
