@@ -47,6 +47,13 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     scans shouldBe 2 // events once, customer once — no re-scan
   }
 
+  test("q50 fuzzy join: broadcast probe variants, two scans, no all-pairs") {
+    val (sh, bc, scans) = shapes("q50_fuzzy_join")
+    sh should be <= 2 // candidate distinct + global orderBy ceiling
+    bc should be >= 1 // probe variant side arrives broadcast
+    scans shouldBe 2 // customer scanned once per join side
+  }
+
   test("t01 token stats: single aggregate, single scan, no joins") {
     val (sh, bc, scans) = shapes("t01_token_stats")
     sh should be <= 1
