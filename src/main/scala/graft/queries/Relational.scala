@@ -1162,6 +1162,27 @@ object Relational {
         .orderBy("probe_key", "c_custkey")
     },
 
+    // DISTRIBUTED connected components with an oracle row: the
+    // large-star/small-star rounds (Kiveris et al. 2014) forced past
+    // the driver union-find gate (driverMaxEdges = 0), labeling every
+    // user's session-overlap component by its minimum id. d08 and the
+    // dedup pipeline take the threshold-gated path (driver UF at
+    // oracle scale); this row pins the DISTRIBUTED arm — the one a
+    // 100 TB edge set actually runs — against a recursive-CTE
+    // min-label-closure oracle on the same edge derivation. Both arms
+    // label by component minimum, so the outputs are interchangeable
+    // by construction; this makes that claim oracle-checked instead
+    // of spec-asserted.
+    "q51_graph_components" -> { (s, dir) =>
+      import s.implicits._
+      val edges = sessionOverlapEdges(s, dir)
+      val nodes = events(s, dir).select($"user_id").distinct()
+      graft.operators.ConnectedComponents
+        .assign(edges, nodes, driverMaxEdges = 0L)
+        .select($"id".as("user_id"), $"component")
+        .orderBy("user_id")
+    },
+
     // Bounded-hop BFS reachability — the iterative-join graph shape
     // (frontier x edges equi-join + min-hop re-aggregate per round,
     // the textbook distributed BFS) that CC/PageRank/triangles don't
@@ -1638,6 +1659,37 @@ object Relational {
         |SELECT n.user_id, d.degree, count(*) AS n_tri
         |FROM n JOIN d ON d.user_id = n.user_id
         |GROUP BY n.user_id, d.degree ORDER BY n.user_id""".stripMargin,
+
+    // q48's edge derivation + unbounded min-label closure: every
+    // (node, label) reachable pair, min per node = component minimum
+    "q51_graph_components" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id,
+        |    epoch_ms(ts) // 1000 AS s FROM events),
+        |o AS (SELECT user_id, event_id, s,
+        |    lag(s, 1) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_s
+        |  FROM e),
+        |m AS (SELECT user_id, event_id, s,
+        |    CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |g AS (SELECT user_id, s,
+        |    sum(ns) OVER (PARTITION BY user_id
+        |      ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM m),
+        |iv AS (SELECT user_id, sess, min(s) AS st, max(s) AS en
+        |  FROM g GROUP BY 1, 2),
+        |ed AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+        |  FROM iv a JOIN iv b
+        |    ON a.st <= b.en AND b.st <= a.en AND a.user_id < b.user_id),
+        |sym AS (SELECT ua AS u, ub AS v FROM ed
+        |  UNION ALL SELECT ub, ua FROM ed),
+        |nodes AS (SELECT DISTINCT user_id AS u FROM events),
+        |walk(u, l) AS (
+        |  SELECT u, u FROM nodes
+        |  UNION
+        |  SELECT s2.u, w.l FROM walk w JOIN sym s2 ON s2.v = w.u)
+        |SELECT u AS user_id, min(l) AS component FROM walk
+        |GROUP BY u ORDER BY user_id""".stripMargin,
 
     // deletion-neighborhood candidates + exact levenshtein verify,
     // replayed with list_transform/unnest
