@@ -1060,6 +1060,52 @@ object NorthStar {
         .orderBy("src_a", "src_b")
     },
 
+    // OKAPI BM25 TOP-K — the canonical lexical retrieval scorer (k1 =
+    // 1.2, b = 0.75), spelled INTEGER-EXACT so the oracle replays
+    // every score bit-for-bit (the t22 house style): idf in the 16.16
+    // fixed-point log2 — log2Fp(2N-2df+1) - log2Fp(2df+1) is
+    // log2((N-df+.5)/(df+.5)) with no libm call, clamped at 0 like
+    // every production BM25 — and the tf saturation as one integer
+    // division (22·tf·L) div (10·tf·L + 3·L + 9·dl·N), which is
+    // tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) multiplied through by
+    // 10·L (avgdl = L/N). All-positive operands, so floor = truncate
+    // in any engine. Dataflow: one token explode feeds tf, dl, and df
+    // (3 differing consumers → persist), the corpus-level (N, L) pair
+    // rides as a broadcast 1-row aggregate (t23's scalar shape), and
+    // candidate scoring is the posting equi-join on the term — never
+    // an all-pairs text compare. At LLM-corpus scale the bigint
+    // products need decimal(38) headroom (L ~ 1e13); at the test SFs
+    // they sit well inside long range.
+    "t34_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tf = docs.select($"doc_id".cast("long").as("id"),
+          explode(TextAnalysis.tokens($"text")).as("tok"))
+        .groupBy($"id", $"tok").agg(count(lit(1)).as("tf"))
+        .persist()
+      val dl = tf.groupBy($"id").agg(sum($"tf").as("dl"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val nl = broadcast(dl.agg(count(lit(1)).as("nn"), sum($"dl").as("ll")))
+      val scored = tf.join(df, "tok").join(dl, "id").crossJoin(nl)
+        .withColumn("idf_fp", greatest(lit(0L),
+          graft.operators.Mixture.log2Fp("2*nn - 2*df + 1") -
+            graft.operators.Mixture.log2Fp("2*df + 1")))
+        .withColumn("term_fp", expr(
+          "(idf_fp * 22 * tf * ll) div (10 * tf * ll + 3 * ll + 9 * dl * nn)"))
+        .select($"id".as("n_id"), $"tok", $"term_fp")
+      val qterms = tf.filter($"id" < 3).select($"id".as("q_id"), $"tok")
+      val hits = qterms.join(scored, "tok")
+        .filter($"n_id" =!= $"q_id")
+        .groupBy($"q_id", $"n_id")
+        .agg(sum($"term_fp").as("score_fp"))
+      val w = Window.partitionBy($"q_id").orderBy($"score_fp".desc, $"n_id".asc)
+      hits.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"score_fp")
+        .orderBy("q_id", "rnk")
+    },
+
     // Hybrid retrieval — the fusion shape every retrieval-augmented
     // curation pipeline runs: lexical top-k (distinct-token posting
     // equi-join, never all-pairs text compare) and vector top-k
@@ -2040,6 +2086,35 @@ object NorthStar {
            |    / cast(n_exact as double), 6) AS rel_err
            |FROM n ORDER BY lang""".stripMargin
       },
+
+      // BM25 replay: same integer-exact idf (fixed-point log2, clamped
+      // at 0) and the multiplied-through tf saturation; all operands
+      // positive so // matches div
+      "t34_bm25_topk" ->
+        s"""WITH tk AS (SELECT doc_id AS id, unnest(${toksSql("text")}) AS tok
+           |  FROM documents),
+           |tf AS (SELECT id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+           |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+           |d AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |nl AS (SELECT count(*) AS nn, sum(dl) AS ll FROM dl),
+           |sc AS (SELECT tf.id AS n_id, tf.tok,
+           |    greatest(0, ${Mixture.log2FpSql("2*nn - 2*df + 1")} -
+           |      ${Mixture.log2FpSql("2*df + 1")}) AS idf_fp,
+           |    tf.tf, dl.dl, nn, ll
+           |  FROM tf JOIN d USING (tok) JOIN dl USING (id) CROSS JOIN nl),
+           |term AS (SELECT n_id, tok,
+           |    (idf_fp * 22 * tf * ll) // (10 * tf * ll + 3 * ll + 9 * dl * nn)
+           |      AS term_fp
+           |  FROM sc),
+           |q AS (SELECT id AS q_id, tok FROM tf WHERE id < 3),
+           |hits AS (SELECT q.q_id, t.n_id, sum(t.term_fp) AS score_fp
+           |  FROM q JOIN term t USING (tok) WHERE t.n_id <> q.q_id
+           |  GROUP BY 1, 2),
+           |r AS (SELECT q_id, n_id, score_fp, row_number() OVER (
+           |    PARTITION BY q_id ORDER BY score_fp DESC, n_id ASC) AS rnk
+           |  FROM hits)
+           |SELECT q_id, n_id, rnk, score_fp FROM r WHERE rnk <= 10
+           |ORDER BY q_id, rnk""".stripMargin,
 
       // KMV sketch-algebra replay: per-source bottom-64 of the spread
       // shingle hashes via list_sort(list(DISTINCT ..))[1:64], pairwise

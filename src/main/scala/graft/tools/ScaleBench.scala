@@ -49,7 +49,7 @@ object ScaleBench {
     "q46_merge_upsert", "q47_retention_cohorts", "t32_bpe_trained",
     "q48_khop_reach", "q49_kdist_eps",
     "t33_sketch_overlap", "st25_stream_scd2_enrich", "q50_fuzzy_join",
-    "q51_graph_components",
+    "q51_graph_components", "t34_bm25_topk",
     "dbscan_events", "st08_stream_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is

@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "d14_semantic_decontam" -> "d10's size contract applied to embeddings: the caller vouches the eval set is benchmark-sized, buying the exact one-scan x broadcast-eval argmax; the unvouched path is the centroid-blocked equi-join (SemanticContaminationSpec)",
     "t23_lm_perplexity" -> "the per-doc score table joins the broadcast ONE-ROW corpus-mean aggregate (t19's scalar shape; the constant join key folds to a trivially-true condition); the data-sized joins are the broadcast marginal-count equi-joins",
     "t30_hll_distinct" -> "the 1-row register-sum aggregate crossJoins the 1-row exact-count aggregate (t19's scalar shape — both sides single rows by construction); the data-sized work is two partial-aggregatable hash aggregates",
-    "t33_sketch_overlap" -> "the |sources|-row (20) KMV sketch table self-joins on src < src — both sides k-long bottom-k arrays by construction; the data-sized work is the one-pass map-side-combinable sketch aggregate")
+    "t33_sketch_overlap" -> "the |sources|-row (20) KMV sketch table self-joins on src < src — both sides k-long bottom-k arrays by construction; the data-sized work is the one-pass map-side-combinable sketch aggregate",
+    "t34_bm25_topk" -> "the posting table crossJoins the broadcast ONE-ROW (N, L) corpus aggregate (t23's scalar shape); the data-sized work is the term posting equi-join and hash aggregates")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
