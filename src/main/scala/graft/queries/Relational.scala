@@ -1208,6 +1208,25 @@ object Relational {
       dist.select($"u".as("user_id"), $"hops").orderBy($"user_id")
     },
 
+    // 2-D skyline / Pareto frontier ("largest recent orders"): the
+    // orders no other order beats on BOTH total price (maximize) and
+    // order date (minimize). Two-phase distributed skyline
+    // ([[graft.operators.Skyline]]): per-partition sort + O(1)-state
+    // sweep prunes to local candidates, one shuffle moves only the
+    // candidates to a single merge sweep — the corpus never leaves
+    // phase 1's narrow scan. Comparisons only (no float arithmetic),
+    // so the NOT EXISTS oracle replays the exact row set.
+    "q52_skyline" -> { (s, dir) =>
+      import s.implicits._
+      val o = rd(s, dir, "orders").select($"o_orderkey",
+        $"o_totalprice",
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("epoch_day"))
+      graft.operators.Skyline
+        .skyline2D(s, o, "o_orderkey", "o_totalprice", "epoch_day")
+        .orderBy($"o_orderkey")
+    },
+
     // Deequ-style data audit: the whole constraint suite (row count,
     // null completeness, key uniqueness, value range, categorical
     // domain, date bounds) computed in ONE pass over the fact table —
@@ -1861,5 +1880,21 @@ object Relational {
         |  UNION ALL SELECT 'domain_orderdate', date_ok, n_rows FROM m)
         |SELECT check_name, observed, total,
         |  CASE WHEN observed = total THEN 1 ELSE 0 END AS pass
-        |FROM u ORDER BY check_name""".stripMargin)
+        |FROM u ORDER BY check_name""".stripMargin,
+
+    // dominance spelled directly: the engine's two-phase sweep must
+    // reproduce the NOT EXISTS row set exactly (comparisons only, no
+    // float arithmetic to drift)
+    "q52_skyline" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+        |    datediff('day', DATE '1970-01-01', cast(o_orderdate as date))
+        |      AS epoch_day
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice, epoch_day FROM o r
+        |WHERE NOT EXISTS (SELECT 1 FROM o s
+        |  WHERE s.o_totalprice >= r.o_totalprice
+        |    AND s.epoch_day <= r.epoch_day
+        |    AND (s.o_totalprice > r.o_totalprice
+        |      OR s.epoch_day < r.epoch_day))
+        |ORDER BY o_orderkey""".stripMargin)
 }
