@@ -1106,6 +1106,44 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // TextRank-style keyword extraction (Mihalcea & Tarau 2004): nodes
+    // = non-stopword tokens (keyed by the shared rolling hash — a
+    // collision merges two words, deterministically in BOTH engines),
+    // edges = adjacent-token co-occurrence in both directions with
+    // parallel edges kept, so t21's fixed-point integer PageRank runs
+    // WEIGHTED by co-occurrence count for free. Top 20 keywords by
+    // rank, ties broken by token — TakeOrderedAndProject, no global
+    // sort. Every iteration is the graph's natural token-hash
+    // equi-join + partial-agg sum; the oracle replays all 5 damped
+    // iterations bit-for-bit (same reuse as t21's prIters).
+    "t35_textrank_keywords" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(TextAnalysis.tokens($"text").as("toks"))
+      val pairs = toks.select(
+          expr("slice(toks, 1, size(toks)-1)").as("la"),
+          expr("slice(toks, 2, size(toks)-1)").as("lb"))
+        .select(explode(arrays_zip($"la", $"lb")).as("p"))
+        .select($"p.la".as("a"), $"p.lb".as("b"))
+        .filter(!$"a".isin(stopList: _*) && !$"b".isin(stopList: _*))
+      val he = pairs.select(TextAnalysis.stringHash($"a").as("ha"),
+          TextAnalysis.stringHash($"b").as("hb"))
+        .filter($"ha" =!= $"hb")
+      val edges = he.select($"ha".as("src"), $"hb".as("dst"))
+        .unionByName(he.select($"hb".as("src"), $"ha".as("dst")))
+      val nt = toks.select(explode($"toks").as("w"))
+        .filter(!$"w".isin(stopList: _*))
+        .select($"w", TextAnalysis.stringHash($"w").as("h"))
+      val nodes = nt.select($"h".as("id")).distinct()
+      val rep = nt.groupBy($"h").agg(min($"w").as("token"))
+      Graph.pageRankFixedPoint(nodes, edges, iters = 5)
+        .join(rep, col("id") === col("h"))
+        .select($"token", $"rank_fp",
+          round($"rank_fp".cast("double") / 1e12, 6).as("rank"))
+        .orderBy($"rank_fp".desc, $"token".asc)
+        .limit(20)
+    },
+
     // Hybrid retrieval — the fusion shape every retrieval-augmented
     // curation pipeline runs: lexical top-k (distinct-token posting
     // equi-join, never all-pairs text compare) and vector top-k
@@ -2115,6 +2153,36 @@ object NorthStar {
            |  FROM hits)
            |SELECT q_id, n_id, rnk, score_fp FROM r WHERE rnk <= 10
            |ORDER BY q_id, rnk""".stripMargin,
+
+      // TextRank replay: adjacent-pair edges from zipped unnests, the
+      // shared rolling token hash as node id, then t21's 5 unrolled
+      // fixed-point PageRank iterations (prIters) verbatim
+      "t35_textrank_keywords" ->
+        s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+           |pr0 AS (SELECT unnest(toks[1:len(toks)-1]) AS a,
+           |    unnest(toks[2:len(toks)]) AS b FROM t),
+           |p AS (SELECT a, b FROM pr0
+           |  WHERE a NOT IN ($stopSql) AND b NOT IN ($stopSql)),
+           |he AS (SELECT ${rollSql("a")} AS ha, ${rollSql("b")} AS hb FROM p),
+           |ed1 AS (SELECT ha AS src, hb AS dst FROM he WHERE ha <> hb
+           |  UNION ALL SELECT hb, ha FROM he WHERE ha <> hb),
+           |wt AS (SELECT unnest(toks) AS w FROM t),
+           |nt AS (SELECT w, ${rollSql("w")} AS h FROM wt
+           |  WHERE w NOT IN ($stopSql)),
+           |nodes AS (SELECT DISTINCT h AS id FROM nt),
+           |rep AS (SELECT h, min(w) AS token FROM nt GROUP BY 1),
+           |n AS (SELECT cast(count(*) as bigint) AS nn FROM nodes),
+           |dg AS (SELECT src, cast(count(*) as bigint) AS deg
+           |  FROM ed1 GROUP BY 1),
+           |e AS (SELECT ed1.src, ed1.dst, dg.deg
+           |  FROM ed1 JOIN dg ON dg.src = ed1.src),
+           |r0 AS (SELECT id, 1000000000000 // (SELECT nn FROM n) AS r
+           |  FROM nodes),
+           |${prIters(5)}
+           |SELECT rep.token, cast(r5.r as bigint) AS rank_fp,
+           |  round(cast(r5.r as double) / 1e12, 6) AS rank
+           |FROM r5 JOIN rep ON rep.h = r5.id
+           |ORDER BY rank_fp DESC, token LIMIT 20""".stripMargin,
 
       // KMV sketch-algebra replay: per-source bottom-64 of the spread
       // shingle hashes via list_sort(list(DISTINCT ..))[1:64], pairwise
