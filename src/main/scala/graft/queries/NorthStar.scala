@@ -1656,6 +1656,14 @@ object NorthStar {
     // guarantee against the batch exact percentile.
     "st23_stream_quantiles" -> { (s, dir) =>
       graft.streaming.Streaming.streamQuantiles(s, dir)
+    },
+
+    // Streaming per-key anomaly detection: each user's inter-arrival
+    // gap judged against the exact integer moments (n, Σg, Σg²) of the
+    // key's own gap history — O(1) state, 3σ rule evaluated without
+    // floats so the batch window oracle replays every verdict.
+    "st26_stream_anomaly" -> { (s, dir) =>
+      graft.streaming.Streaming.streamGapAnomaly(s, dir)
     })
 
   // ---------- oracles ----------
@@ -3368,6 +3376,33 @@ object NorthStar {
           |SELECT event_type, prev_status, count(*) AS n,
           |  cast(sum(cast(value as decimal(18,4))) as double) AS total_value
           |FROM j GROUP BY 1, 2 ORDER BY event_type, prev_status""".stripMargin,
+
+      // batch replay of the streaming gap-anomaly state machine: the
+      // prior-gap moments via UNBOUNDED PRECEDING..1 PRECEDING frames,
+      // the 3-sigma verdict in the same integer arithmetic (HUGEINT —
+      // (g*n)^2 overflows bigint exactly where the engine needs BigInt)
+      "st26_stream_anomaly" ->
+        """WITH e AS (SELECT user_id, event_id,
+          |    epoch_ms(ts) // 1000 AS s FROM events),
+          |l AS (SELECT user_id, event_id, s,
+          |    s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+          |      AS g FROM e),
+          |gp AS (SELECT user_id, event_id, s, g FROM l WHERE g IS NOT NULL),
+          |st AS (SELECT user_id, g,
+          |    count(g) OVER w AS pn,
+          |    coalesce(sum(g) OVER w, 0) AS ps,
+          |    coalesce(sum(g*g) OVER w, 0) AS pq
+          |  FROM gp WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          |fl AS (SELECT user_id,
+          |    CASE WHEN pn >= 8 AND
+          |      (cast(g as hugeint)*pn - ps) * (cast(g as hugeint)*pn - ps)
+          |        > 9 * (cast(pn as hugeint)*pq - cast(ps as hugeint)*ps)
+          |    THEN 1 ELSE 0 END AS anom
+          |  FROM st)
+          |SELECT user_id, cast(count(*) as bigint) AS n_gaps,
+          |  cast(sum(anom) as bigint) AS n_anomalies
+          |FROM fl GROUP BY 1 ORDER BY user_id""".stripMargin,
 
       "st03_stream_watermark" ->
         """WITH e AS (SELECT epoch_ms(ts) // 1000 AS sec, event_type, value FROM events)

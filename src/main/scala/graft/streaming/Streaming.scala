@@ -12,6 +12,9 @@ final case class UserState(user_id: Long, max_value: Double, n_events: Long)
 final case class ChangeEvent(mk: Long, event_id: Long, event_type: String, s: Long)
 final case class ChangeState(mk: Long, last_s: Long, last_id: Long,
   last_type: String, n_events: Long)
+final case class GapEvent(user_id: Long, s: Long, event_id: Long)
+final case class GapState(user_id: Long, last_s: Long, last_id: Long,
+  n_gaps: Long, sum_g: Long, sum_g2: Long, n_anomalies: Long)
 
 /** Structured Streaming operators over the events table.
   *
@@ -1009,5 +1012,67 @@ object Streaming {
         element_at(array(fracs.map(lit): _*), col("pos") + 1).as("frac"),
         col("col").as("est_v"), col("n"))
       .orderBy("event_type", "frac")
+  }
+
+  /** Streaming anomaly detection over per-user inter-arrival gaps —
+    * the online-monitoring shape (rate-change / bot-burst detection)
+    * the board's other keyed states don't cover: each event is judged
+    * against the DISTRIBUTION of the key's own history, not a static
+    * asset or a fixed predicate.
+    *
+    * State per user: last event (sec, id) + exact integer moments of
+    * the gap history (n, Σg, Σg²) — O(1) per key, mergeable, never a
+    * buffer of past events. A new gap g is anomalous when the key has
+    * >= 8 prior gaps and |g − mean| > 3σ, evaluated WITHOUT floats as
+    *   (g·n − Σg)² > 9·(n·Σg² − (Σg)²)
+    * (both sides exact in BigInt here, HUGEINT in the oracle — long
+    * arithmetic would overflow at (g·n)² ~ 1e20). Emitted running
+    * (n_gaps, n_anomalies) are monotone per key, so the update-mode
+    * memory table re-aggregates with max, st02's replay-safety recipe.
+    *
+    * Ordering contract: gaps are computed in (sec, event_id) order.
+    * Rows are sorted within each micro-batch's group iterator, and the
+    * deterministic file-source replay delivers one batch; a production
+    * deployment feeds this from an event-time-sorted upstream (or
+    * buffers a watermark's worth per key) — the state transition
+    * itself is order-defined, exactly like the batch window oracle.
+    */
+  def streamGapAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updates = eventStream(s, dir)
+      .select(col("user_id"), expr("ts div 1000000000").as("s"),
+        col("event_id"))
+      .as[GapEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[GapEvent],
+            state: org.apache.spark.sql.streaming.GroupState[GapState]) =>
+          val prev = state.getOption.getOrElse(
+            GapState(uid, Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L))
+          val sorted = rows.toArray.sortBy(e => (e.s, e.event_id))
+          val next = sorted.foldLeft(prev) { (st, e) =>
+            if (st.last_id == Long.MinValue) // first event for this key
+              st.copy(last_s = e.s, last_id = e.event_id)
+            else {
+              val g = e.s - st.last_s
+              val n = BigInt(st.n_gaps)
+              val sg = BigInt(st.sum_g)
+              val lhs = BigInt(g) * n - sg
+              val anom = st.n_gaps >= 8 &&
+                lhs * lhs > (n * BigInt(st.sum_g2) - sg * sg) * 9
+              GapState(uid, e.s, e.event_id, st.n_gaps + 1,
+                st.sum_g + g, st.sum_g2 + g * g,
+                st.n_anomalies + (if (anom) 1L else 0L))
+            }
+          }
+          state.update(next)
+          next
+      }
+    runToTable(updates.toDF(), "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_gaps")).as("n_gaps"),
+        max(col("n_anomalies")).as("n_anomalies"))
+      .filter(col("n_gaps") >= 1) // single-event keys have no gap history
+      .orderBy("user_id")
   }
 }
