@@ -1143,6 +1143,63 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Scalar-quantization (int8) ANN with exact rerank — the fourth
+    * compressed ANN family beside PQ ([[pqTopK]]), IVF ([[ivfTopK]])
+    * and sign-bit ([[binaryRerankTopK]]), sitting between binary and
+    * PQ on the fidelity/size curve: [[int8Quantize]]'s per-vector
+    * symmetric codes are 1 byte/dim (4x narrower than float32), and
+    * the candidate score is the INTEGER dot product of two code
+    * arrays — exact, order-independent arithmetic, so candidate
+    * selection is a deterministic (idot, id) ordering the oracle
+    * replays bit-for-bit (the float ANN stages can only be replayed
+    * because their expression trees match; integer scores remove even
+    * that caveat). Per-vector scales cancel out of the RANKING for a
+    * fixed query (score = idot · qscale · nscale with nscale varying —
+    * idot alone is the rank proxy; the exact rerank absorbs the
+    * residual misordering, measured in AnnRecallSpec).
+    *
+    * Scale shape: identical to [[binaryRerankTopK]] — narrow
+    * codes-column candidate scan, WindowGroupLimit keeps the per-query
+    * top-cand partial, broadcast-candidate equi-join fetches only
+    * |Q|·cand full vectors for the true-cosine top-k. At 100 TB the
+    * codes column is the persisted build-once asset (1/4 of the raw
+    * embedding bytes, SIMD-friendly integer products).
+    */
+  def sq8RerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cand: Int = 40, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && cand >= k, s"need cand >= k >= 1, got k=$k cand=$cand")
+    def codes(df: DataFrame, outId: String, outCodes: String): DataFrame = {
+      val v = transform(col(vecCol), x => x.cast("double"))
+      val scale = array_max(transform(v, x => abs(x))) / 127.0
+      val cs = when(scale === 0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v, x => floor(x / scale + 0.5).cast("long")))
+      df.select(col(idCol).cast("long").as(outId), cs.as(outCodes))
+    }
+    val n = codes(corpus, "n_id", "n_codes")
+    val q = broadcast(codes(queries, "q_id", "q_codes")
+      .join(queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).as("q_vec")), "q_id"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("idot").desc, col("n_id").asc)
+    val candidates = n.join(q, col("n_id") =!= col("q_id"))
+      .withColumn("idot", aggregate(
+        zip_with(col("q_codes"), col("n_codes"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= cand)
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("idot"))
+    val full = corpus.select(col(idCol).cast("long").as("n_id"),
+      col(vecCol).as("n_vec"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    full.join(broadcast(candidates), "n_id")
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("idot"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Matryoshka/prefix-dimension two-stage ANN: coarse-score on the
     * FIRST `prefixDims` components only (matryoshka-trained embeddings
     * order information by prefix, so a short prefix is itself a valid

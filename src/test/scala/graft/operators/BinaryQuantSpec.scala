@@ -113,6 +113,27 @@ class BinaryQuantSpec extends AnyFunSuite with Matchers {
     r40 should be > 0.2 // 1 bit/dim is coarse; floor = "useful at all"
   }
 
+  test("sq8 (int8 scalar quantization) recall@k vs exact; beats 1-bit at equal cand") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val k = 10
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(Similarity.bruteForceTopK(emb, queries, k))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (qid, ex) =>
+        got.getOrElse(qid, Set.empty).count(ex).toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val sq40 = recall(topk(Similarity.sq8RerankTopK(emb, queries, k, cand = 40)))
+    val bin40 = recall(topk(Similarity.binaryRerankTopK(emb, queries, k, cand = 40)))
+    info(f"sq8-rerank recall@$k vs exact cosine: cand=40 $sq40%.3f (1-bit at cand=40: $bin40%.3f)")
+    // 8 bits/dim carries far more of the geometry than 1 bit/dim
+    sq40 should be >= bin40
+    sq40 should be > 0.5
+  }
+
   test("parameter guard: cand must cover k") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     an[IllegalArgumentException] should be thrownBy
