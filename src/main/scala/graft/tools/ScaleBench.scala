@@ -50,6 +50,8 @@ object ScaleBench {
     "q48_khop_reach", "q49_kdist_eps",
     "t33_sketch_overlap", "st25_stream_scd2_enrich", "q50_fuzzy_join",
     "q51_graph_components", "t34_bm25_topk",
+    "q52_skyline", "t35_textrank_keywords", "s25_sq8_rerank",
+    "st26_stream_anomaly",
     "dbscan_events", "st08_stream_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
