@@ -1678,6 +1678,14 @@ object NorthStar {
     // floats so the batch window oracle replays every verdict.
     "st26_stream_anomaly" -> { (s, dir) =>
       graft.streaming.Streaming.streamGapAnomaly(s, dir)
+    },
+
+    // Streaming Pareto-frontier maintenance — q52's skyline as keyed
+    // state: the frontier IS the state (expected O(log n) points),
+    // order-independent insert/evict, so the batch NOT EXISTS oracle
+    // replays the final frontier exactly.
+    "st27_stream_skyline" -> { (s, dir) =>
+      graft.streaming.Streaming.streamSkyline(s, dir)
     })
 
   // ---------- oracles ----------
@@ -3445,6 +3453,18 @@ object NorthStar {
           |SELECT user_id, cast(count(*) as bigint) AS n_gaps,
           |  cast(sum(anom) as bigint) AS n_anomalies
           |FROM fl GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      // the final maintained frontier = the batch skyline per type,
+      // spelled as direct dominance (q52's oracle shape, grouped)
+      "st27_stream_skyline" ->
+        """WITH e AS (SELECT event_type, value,
+          |    epoch_ms(ts) // 1000 AS sec FROM events)
+          |SELECT event_type, value, sec FROM e r
+          |WHERE NOT EXISTS (SELECT 1 FROM e s
+          |  WHERE s.event_type = r.event_type
+          |    AND s.value >= r.value AND s.sec <= r.sec
+          |    AND (s.value > r.value OR s.sec < r.sec))
+          |ORDER BY event_type, sec, value""".stripMargin,
 
       "st03_stream_watermark" ->
         """WITH e AS (SELECT epoch_ms(ts) // 1000 AS sec, event_type, value FROM events)

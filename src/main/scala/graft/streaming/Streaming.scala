@@ -15,6 +15,9 @@ final case class ChangeState(mk: Long, last_s: Long, last_id: Long,
 final case class GapEvent(user_id: Long, s: Long, event_id: Long)
 final case class GapState(user_id: Long, last_s: Long, last_id: Long,
   n_gaps: Long, sum_g: Long, sum_g2: Long, n_anomalies: Long)
+final case class SkyEvent(event_type: String, value: Double, sec: Long)
+final case class SkyState(event_type: String, n_seen: Long,
+  vs: List[Double], ss: List[Long])
 
 /** Structured Streaming operators over the events table.
   *
@@ -1074,5 +1077,71 @@ object Streaming {
         max(col("n_anomalies")).as("n_anomalies"))
       .filter(col("n_gaps") >= 1) // single-event keys have no gap history
       .orderBy("user_id")
+  }
+
+  /** Streaming Pareto-frontier maintenance — the incremental arm of
+    * the q52 batch skyline ([[graft.operators.Skyline]]): per event
+    * type, the running set of events no other event beats on BOTH
+    * value (maximize) and time (minimize), kept as keyed state.
+    *
+    * The state IS the frontier: inserting a point drops it if some
+    * candidate dominates it, else adds it and evicts the candidates it
+    * dominates — so state size is the skyline size (expected O(log n)
+    * for non-adversarial data), a genuinely bounded footprint over an
+    * unbounded stream, with no watermark needed. The maintained set is
+    * ORDER-INDEPENDENT (a point survives iff nothing seen dominates
+    * it, whatever the arrival order), so any micro-batch split yields
+    * the same final frontier and the batch NOT EXISTS oracle replays
+    * it exactly — same comparison-only portability as q52. Duplicates
+    * of an undominated point all survive, matching the batch
+    * dominance definition.
+    *
+    * Emission: each touching micro-batch emits the key's current
+    * frontier with its monotone n_seen; the update-mode memory table
+    * keeps the latest per key (argmax by n_seen) and explodes it.
+    */
+  def streamSkyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updates = skylineTransform(
+      eventStream(s, dir)
+        .select(col("event_type"), col("value"),
+          expr("ts div 1000000000").as("sec"))
+        .as[SkyEvent])
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("n_seen").desc)
+    runToTable(updates.toDF(), "update")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // latest frontier per key
+      .select(col("event_type"), explode(arrays_zip(col("vs"), col("ss"))).as("p"))
+      .select(col("event_type"), col("p.vs").as("value"), col("p.ss").as("sec"))
+      .orderBy("event_type", "sec", "value")
+  }
+
+  /** The st27 state machine on any [[SkyEvent]] stream — factored out
+    * so the multi-batch spec drives the REAL transform through
+    * MemoryStream splits.
+    */
+  def skylineTransform(ds: org.apache.spark.sql.Dataset[SkyEvent])
+      : org.apache.spark.sql.Dataset[SkyState] = {
+    import ds.sparkSession.implicits._
+    def dominates(av: Double, as_ : Long, bv: Double, bs: Long): Boolean =
+      av >= bv && as_ <= bs && (av > bv || as_ < bs)
+    ds.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[SkyEvent],
+            state: org.apache.spark.sql.streaming.GroupState[SkyState]) =>
+          val prev = state.getOption.getOrElse(SkyState(et, 0L, Nil, Nil))
+          var sky = prev.vs.zip(prev.ss)
+          var n = prev.n_seen
+          rows.foreach { e =>
+            n += 1
+            if (!sky.exists { case (v, t) => dominates(v, t, e.value, e.sec) })
+              sky = (e.value, e.sec) ::
+                sky.filterNot { case (v, t) => dominates(e.value, e.sec, v, t) }
+          }
+          val next = SkyState(et, n, sky.map(_._1), sky.map(_._2))
+          state.update(next)
+          next
+      }
   }
 }
