@@ -54,12 +54,21 @@ object Graph {
     val n = nodes.count()
     if (n == 0) return nodes.select(col("id"), lit(0L).as("rank_fp"))
     val base = scaleFp * (dampDen - dampNum) / dampDen / n
-    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(outDeg, "src")
+    // Parallel edges collapse to ONE weighted row per (src, dst):
+    // w parallel copies each contribute (r div deg), so the summed
+    // contribution is exactly w * (r div deg) — bit-identical, but the
+    // per-iteration join input shrinks from |edges| to |distinct
+    // pairs| (TextRank co-occurrence graphs repeat pairs heavily).
+    // Persisted: the edge derivation upstream (tokenize/explode/hash
+    // for t35, the synthetic expansion for t21) would otherwise be
+    // recomputed by every one of the `iters` chained iterations.
+    val ew = edges.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outDeg = ew.groupBy("src").agg(sum(col("w")).as("deg"))
+    val e = ew.join(outDeg, "src").persist()
     var r = nodes.select(col("id"), lit(scaleFp / n).as("r"))
     for (_ <- 1 to iters) {
       val in = e.join(r, e("src") === r("id"))
-        .select(col("dst"), expr("r div deg").as("c"))
+        .select(col("dst"), expr("w * (r div deg)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       r = nodes.join(in, nodes("id") === in("dst"), "left")
         .select(nodes("id"),
