@@ -87,19 +87,17 @@ object TextAnalysis {
     */
   def maxTokenFreq(text: Column): Column = modeCount(tokens(text))
 
-  /** Space-joined k-grams of the whitespace tokens (k in 2..3).
-    * Built from aligned slices + zip_with so a doc with fewer than k
-    * tokens yields an empty array instead of a slice error.
+  /** Space-joined k-grams of the whitespace tokens (k >= 2).
+    * Built from aligned slices + a zip_with fold so a doc with fewer
+    * than k tokens yields an empty array instead of a slice error.
     */
   def tokenNgrams(text: Column, k: Int): Column = {
-    require(k == 2 || k == 3, s"tokenNgrams supports k=2 or 3, got $k")
+    require(k >= 2, s"tokenNgrams needs k >= 2, got $k")
     val toks = tokens(text)
     val m = greatest(size(toks) - (k - 1), lit(0))
-    val s1 = slice(toks, lit(1), m)
-    val s2 = slice(toks, lit(2), m)
-    if (k == 2) zip_with(s1, s2, (a, b) => concat_ws(" ", a, b))
-    else zip_with(zip_with(s1, s2, (a, b) => concat_ws(" ", a, b)),
-      slice(toks, lit(3), m), (ab, c) => concat_ws(" ", ab, c))
+    (2 to k).foldLeft(slice(toks, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), m), (a, b) => concat_ws(" ", a, b))
+    }
   }
 
   /** Occurrence count of the most frequent element of an array column

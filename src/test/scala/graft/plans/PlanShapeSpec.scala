@@ -54,6 +54,24 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     scans shouldBe 2 // customer scanned once per join side
   }
 
+  test("q52 skyline: one scan, ONE exchange (candidates only), two sweeps") {
+    val plan = graft.SparkEntry.queries("q52_skyline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    def c(p: String) = p.r.findAllIn(plan).length
+    c("Exchange") shouldBe 1 // only the candidate move to the merge task
+    c("FileScan|BatchScan") shouldBe 1 // the corpus never re-scans
+    c("MapPartitions") shouldBe 2 // local sweep + merge sweep
+  }
+
+  test("s25 sq8: WindowGroupLimit keeps both top-cand and top-k partial") {
+    val plan = graft.SparkEntry.queries("s25_sq8_rerank")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    def c(p: String) = p.r.findAllIn(plan).length
+    c("WindowGroupLimit") should be >= 4 // partial+final, both stages
+    c("BroadcastHashJoin") should be >= 1 // rerank is a broadcast equi-join
+    c("BroadcastNestedLoopJoin") shouldBe 1 // only the sanctioned codes scan
+  }
+
   test("t01 token stats: single aggregate, single scan, no joins") {
     val (sh, bc, scans) = shapes("t01_token_stats")
     sh should be <= 1
