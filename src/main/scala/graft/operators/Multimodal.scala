@@ -19,6 +19,16 @@ final case class FrameSample(
     frame_means: Seq[Double],
     resized: Seq[Double])
 
+/** Per-asset activity segmentation (m08): run structure of the
+  * above-threshold "energy" blocks.
+  */
+final case class VadSegments(
+    doc_id: Long,
+    n_blocks: Int,
+    n_active: Long,
+    n_segments: Long,
+    longest_run: Long)
+
 /** Multimodal (binary) column plumbing for image/audio/video-bearing
   * tables.
   *
@@ -267,6 +277,44 @@ object Multimodal {
         it.map { case (id, payload) =>
           val (n, meanByte, nBlocks, blockMeans) = StubCodec.decode(payload)
           MediaFeatures(id, n, meanByte, nBlocks, blockMeans)
+        }
+      }
+  }
+
+  /** VAD-style activity segmentation (the audio voice-activity /
+    * video motion-detection shape): threshold each decoded block's
+    * "energy", then extract the RUN structure — segment count, active
+    * block count, longest run — per asset. The threshold compare is
+    * exact integer arithmetic on the block byte SUM (blockSum >=
+    * thr·blockLen, never a float mean), so the oracle replays every
+    * verdict; the run fold is the gaps-and-islands kernel the event
+    * queries (q19/q41) run on rows, here applied inside one row's
+    * decoded payload. Same iterator-to-iterator partition shape as
+    * [[decodeFeatures]] — constant memory, no shuffle; a real
+    * deployment swaps the stub block source only.
+    */
+  def vadSegments(spark: SparkSession, docsWithPayload: DataFrame,
+      idCol: String = "doc_id", thr: Int = 100): Dataset[VadSegments] = {
+    import spark.implicits._
+    docsWithPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          var nAct = 0L; var nSeg = 0L; var longest = 0L; var cur = 0L
+          var nBlocks = 0
+          val grouped = payload.grouped(StubCodec.BlockSize)
+          grouped.foreach { blk =>
+            nBlocks += 1
+            var s = 0L; var j = 0
+            while (j < blk.length) { s += blk(j) & 0xff; j += 1 }
+            if (s >= thr.toLong * blk.length) {
+              nAct += 1; cur += 1
+              if (cur == 1L) nSeg += 1
+              if (cur > longest) longest = cur
+            } else cur = 0L
+          }
+          VadSegments(id, nBlocks, nAct, nSeg, longest)
         }
       }
   }

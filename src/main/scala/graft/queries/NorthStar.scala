@@ -1508,6 +1508,26 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     },
 
+    // VAD-style activity segmentation over the decoded payload: block
+    // "energy" thresholded in exact integer arithmetic (blockSum >=
+    // thr*blockLen), then the run structure (segments / active blocks /
+    // longest run) — q19's gaps-and-islands kernel applied INSIDE one
+    // row's payload. One typed partition pass, no shuffle.
+    "m08_vad_segments" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.vadSegments(s,
+          Multimodal.withBinaryPayload(docs.select($"doc_id", $"text"), "text"),
+          thr = 95)
+        .toDF()
+        .withColumn("active_frac", round(
+          when($"n_blocks" > 0, $"n_active".cast("double") / $"n_blocks")
+            .otherwise(0.0), 6))
+        .select($"doc_id", $"n_blocks".cast("long").as("n_blocks"),
+          $"n_active", $"n_segments", $"longest_run", $"active_frac")
+        .orderBy("doc_id")
+    },
+
     // --- streaming ---
     "st01_stream_hourly" -> { (s, dir) =>
       graft.streaming.Streaming.hourlyStats(s, dir)
@@ -3218,6 +3238,37 @@ object NorthStar {
            |    list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
            |      (a, c) -> (a*31 + c) % $P)), ',') AS chunk_hashes_csv
            |FROM be ORDER BY doc_id""".stripMargin,
+
+      // block energy over ascii codes (char codes == payload bytes,
+      // the m02/m03 convention); integer threshold compare, run count
+      // via run-start indicators, longest run via a state-encoded fold
+      // (state = cur*1e6 + best — nb is far below 1e6)
+      "m08_vad_segments" ->
+        """WITH t AS (SELECT doc_id, list_transform(string_split(text, ''),
+          |    c -> cast(ascii(c) as bigint)) AS codes FROM documents),
+          |b AS (SELECT doc_id, len(codes) AS n,
+          |    cast(ceil(len(codes) / 16.0) as int) AS nb, codes FROM t),
+          |a AS (SELECT doc_id, nb, list_transform(range(0, nb), i ->
+          |    CASE WHEN list_aggregate(codes[i*16+1 : least(n, (i+1)*16)], 'sum')
+          |      >= 95 * (least(n, (i+1)*16) - i*16)
+          |    THEN cast(1 as bigint) ELSE cast(0 as bigint) END) AS act
+          |  FROM b),
+          |s AS (SELECT doc_id, nb,
+          |    coalesce(cast(list_sum(act) as bigint), 0) AS n_active,
+          |    coalesce(cast(list_sum(list_transform(range(1, len(act) + 1), i ->
+          |      CASE WHEN act[i] = 1 AND (i = 1 OR act[i-1] = 0)
+          |      THEN 1 ELSE 0 END)) as bigint), 0) AS n_segments,
+          |    list_reduce(list_prepend(cast(0 as bigint), act), (st, x) ->
+          |      CASE WHEN x = 1
+          |      THEN (st // 1000000 + 1) * 1000000 +
+          |        greatest(st % 1000000, st // 1000000 + 1)
+          |      ELSE st % 1000000 END) % 1000000 AS longest_run
+          |  FROM a)
+          |SELECT doc_id, cast(nb as bigint) AS n_blocks, n_active, n_segments,
+          |  cast(longest_run as bigint) AS longest_run,
+          |  round(CASE WHEN nb > 0
+          |    THEN cast(n_active as double) / nb ELSE 0.0 END, 6) AS active_frac
+          |FROM s ORDER BY doc_id""".stripMargin,
 
       // aHash over ascii codes (the corpus is ASCII, so char codes ==
       // payload bytes, the m02/m03 convention); 4 x 16-bit bands,
