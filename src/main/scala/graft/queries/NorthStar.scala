@@ -1706,6 +1706,14 @@ object NorthStar {
     // replays the final frontier exactly.
     "st27_stream_skyline" -> { (s, dir) =>
       graft.streaming.Streaming.streamSkyline(s, dir)
+    },
+
+    // Streaming distribution-drift monitor: live per-key value
+    // histogram as streaming state vs a batch reference asset; total
+    // variation distance from exact integer cross-products (per
+    // bucket |obs*Nref - ref*Nobs|), divided once at the end.
+    "st28_stream_drift" -> { (s, dir) =>
+      graft.streaming.Streaming.streamDrift(s, dir)
     })
 
   // ---------- oracles ----------
@@ -3504,6 +3512,30 @@ object NorthStar {
           |SELECT user_id, cast(count(*) as bigint) AS n_gaps,
           |  cast(sum(anom) as bigint) AS n_anomalies
           |FROM fl GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+      // even-half reference vs odd-half live, 20 value buckets; exact
+      // integer L1 cross-products, one final division to TVD
+      "st28_stream_drift" ->
+        """WITH e AS (SELECT event_type, user_id,
+          |    cast(least(floor(value / 25), 19) as bigint) AS b FROM events),
+          |r AS (SELECT event_type, b, count(*) AS ref_n FROM e
+          |  WHERE user_id % 2 = 0 GROUP BY 1, 2),
+          |o AS (SELECT event_type, b, count(*) AS obs_n FROM e
+          |  WHERE user_id % 2 = 1 GROUP BY 1, 2),
+          |f AS (SELECT coalesce(o.event_type, r.event_type) AS event_type,
+          |    coalesce(o.obs_n, 0) AS obs_n, coalesce(r.ref_n, 0) AS ref_n
+          |  FROM o FULL JOIN r ON r.event_type = o.event_type AND r.b = o.b),
+          |t AS (SELECT event_type, cast(sum(obs_n) as bigint) AS n_obs,
+          |    cast(sum(ref_n) as bigint) AS n_ref FROM f GROUP BY 1),
+          |l AS (SELECT f.event_type,
+          |    cast(sum(abs(f.obs_n * t.n_ref - f.ref_n * t.n_obs)) as bigint)
+          |      AS l1_fp
+          |  FROM f JOIN t ON t.event_type = f.event_type GROUP BY 1)
+          |SELECT l.event_type, t.n_obs, t.n_ref, l.l1_fp,
+          |  round(cast(l.l1_fp as double) / (cast(t.n_obs as double) * t.n_ref * 2.0), 6)
+          |    AS tvd
+          |FROM l JOIN t ON t.event_type = l.event_type
+          |ORDER BY l.event_type""".stripMargin,
 
       // the final maintained frontier = the batch skyline per type,
       // spelled as direct dominance (q52's oracle shape, grouped)

@@ -1117,6 +1117,53 @@ object Streaming {
       .orderBy("event_type", "sec", "value")
   }
 
+  /** Streaming distribution-drift monitor — the data-quality shape a
+    * production ingest runs beside every model-feeding stream: the
+    * LIVE value histogram per key, maintained as streaming aggregate
+    * state, compared against a batch REFERENCE histogram of the same
+    * metric. Here the corpus's even-user half is the reference and the
+    * odd-user half streams in — two samples of one distribution, so
+    * the reported drift is honest sampling noise; a real deployment
+    * swaps the reference asset and alert threshold only.
+    *
+    * Drift is total variation distance computed EXACTLY: per bucket
+    * |obs·N_ref − ref·N_obs| (integer cross-products — no per-bucket
+    * float rates to drift between engines), summed per key, divided
+    * once at the end: tvd = l1_fp / (2·N_obs·N_ref). State is the
+    * (key × 20 buckets) count grid — O(1) per key; the comparison
+    * join touches only the tiny histogram table, never the stream.
+    * At LLM-corpus scale the cross-products need decimal(38) headroom
+    * (t34's caveat); at the test SFs they sit well inside long range.
+    */
+  def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    def bucket = least(floor(col("value") / 25.0), lit(19.0)).cast("long")
+    val ref = graft.sources.Sources.events(s, dir)
+      .filter(col("user_id") % 2 === 0)
+      .groupBy(col("event_type").as("r_type"), bucket.as("r_bucket"))
+      .agg(count(lit(1)).as("ref_n"))
+    val live = eventStream(s, dir)
+      .filter(col("user_id") % 2 === 1)
+      .groupBy(col("event_type"), bucket.as("o_bucket"))
+      .agg(count(lit(1)).as("obs_n"))
+    val counts = runToTable(live, "complete")
+    val full = counts.join(ref,
+        counts("event_type") === ref("r_type") &&
+          counts("o_bucket") === ref("r_bucket"), "full_outer")
+      .select(coalesce(col("event_type"), col("r_type")).as("et"),
+        coalesce(col("obs_n"), lit(0L)).as("obs_n"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"))
+    val tot = full.groupBy(col("et").as("t_et"))
+      .agg(sum(col("obs_n")).as("n_obs"), sum(col("ref_n")).as("n_ref"))
+    full.join(tot, col("et") === col("t_et"))
+      .groupBy(col("et").as("event_type"), col("n_obs"), col("n_ref"))
+      .agg(sum(abs(col("obs_n") * col("n_ref") - col("ref_n") * col("n_obs")))
+        .as("l1_fp"))
+      .select(col("event_type"), col("n_obs"), col("n_ref"), col("l1_fp"),
+        round(col("l1_fp").cast("double") /
+          (col("n_obs").cast("double") * col("n_ref") * 2.0), 6).as("tvd"))
+      .orderBy("event_type")
+  }
+
   /** The st27 state machine on any [[SkyEvent]] stream — factored out
     * so the multi-batch spec drives the REAL transform through
     * MemoryStream splits.
