@@ -1227,6 +1227,50 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    // ANALYZE-style one-pass column statistics — the CBO-stats
+    // backbone (what `ANALYZE TABLE ... FOR COLUMNS` computes): per
+    // column the row/null counts, exact NDV, and typed min/max, all
+    // in ONE global aggregate over the fact table, then unpivoted to
+    // per-column stat rows. The multi-count-distinct plans as one
+    // Expand (x4 rows) + partial-aggregatable hash aggregate; at
+    // 100 TB swap the exact NDVs for the t30 HLL sketch column-wise —
+    // same plan minus the expand. Numeric min/max surface as DOUBLE
+    // (both engines read identical parquet bits; string rendering of
+    // doubles differs between engines, values do not), string min/max
+    // as the untouched lexicographic extremes.
+    "q53_column_stats" -> { (s, dir) =>
+      import s.implicits._
+      val o = rd(s, dir, "orders").withColumn("epoch_day",
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long"))
+      o.agg(
+          count(lit(1)).as("n"),
+          count($"o_orderkey").as("nn_key"), countDistinct($"o_orderkey").as("ndv_key"),
+          min($"o_orderkey").cast("double").as("min_key"),
+          max($"o_orderkey").cast("double").as("max_key"),
+          count($"o_custkey").as("nn_cust"), countDistinct($"o_custkey").as("ndv_cust"),
+          min($"o_custkey").cast("double").as("min_cust"),
+          max($"o_custkey").cast("double").as("max_cust"),
+          count($"o_totalprice").as("nn_price"), countDistinct($"o_totalprice").as("ndv_price"),
+          min($"o_totalprice").as("min_price"), max($"o_totalprice").as("max_price"),
+          count($"epoch_day").as("nn_day"), countDistinct($"epoch_day").as("ndv_day"),
+          min($"epoch_day").cast("double").as("min_day"),
+          max($"epoch_day").cast("double").as("max_day"),
+          count($"o_orderstatus").as("nn_st"), countDistinct($"o_orderstatus").as("ndv_st"),
+          min($"o_orderstatus").as("min_st"), max($"o_orderstatus").as("max_st"))
+        .select(expr("""stack(5,
+            'o_custkey',       n - nn_cust,  ndv_cust,  min_cust,  max_cust,  cast(null as string), cast(null as string),
+            'o_orderdate_day', n - nn_day,   ndv_day,   min_day,   max_day,   cast(null as string), cast(null as string),
+            'o_orderkey',      n - nn_key,   ndv_key,   min_key,   max_key,   cast(null as string), cast(null as string),
+            'o_orderstatus',   n - nn_st,    ndv_st,    cast(null as double), cast(null as double), min_st, max_st,
+            'o_totalprice',    n - nn_price, ndv_price, min_price, max_price, cast(null as string), cast(null as string)
+          ) as (col_name, n_null, ndv, min_v, max_v, min_s, max_s)"""),
+          $"n".as("n_rows"))
+        .select($"col_name", $"n_rows", $"n_null", $"ndv",
+          $"min_v", $"max_v", $"min_s", $"max_s")
+        .orderBy($"col_name")
+    },
+
     // Deequ-style data audit: the whole constraint suite (row count,
     // null completeness, key uniqueness, value range, categorical
     // domain, date bounds) computed in ONE pass over the fact table —
@@ -1881,6 +1925,41 @@ object Relational {
         |SELECT check_name, observed, total,
         |  CASE WHEN observed = total THEN 1 ELSE 0 END AS pass
         |FROM u ORDER BY check_name""".stripMargin,
+
+    // one aggregate scan, unpivoted to per-column stat rows; NDVs
+    // exact, numeric min/max as double, string extremes untouched
+    "q53_column_stats" ->
+      """WITH o AS (SELECT *, datediff('day', DATE '1970-01-01',
+        |    cast(o_orderdate as date)) AS epoch_day FROM orders),
+        |m AS (SELECT count(*) AS n,
+        |    count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS ndv_key,
+        |    cast(min(o_orderkey) as double) AS min_key,
+        |    cast(max(o_orderkey) as double) AS max_key,
+        |    count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS ndv_cust,
+        |    cast(min(o_custkey) as double) AS min_cust,
+        |    cast(max(o_custkey) as double) AS max_cust,
+        |    count(o_totalprice) AS nn_price, count(DISTINCT o_totalprice) AS ndv_price,
+        |    min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |    count(epoch_day) AS nn_day, count(DISTINCT epoch_day) AS ndv_day,
+        |    cast(min(epoch_day) as double) AS min_day,
+        |    cast(max(epoch_day) as double) AS max_day,
+        |    count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS ndv_st,
+        |    min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st
+        |  FROM o),
+        |u AS (
+        |  SELECT 'o_custkey' AS col_name, n AS n_rows, n - nn_cust AS n_null,
+        |    ndv_cust AS ndv, min_cust AS min_v, max_cust AS max_v,
+        |    cast(NULL as varchar) AS min_s, cast(NULL as varchar) AS max_s FROM m
+        |  UNION ALL SELECT 'o_orderdate_day', n, n - nn_day, ndv_day,
+        |    min_day, max_day, NULL, NULL FROM m
+        |  UNION ALL SELECT 'o_orderkey', n, n - nn_key, ndv_key,
+        |    min_key, max_key, NULL, NULL FROM m
+        |  UNION ALL SELECT 'o_orderstatus', n, n - nn_st, ndv_st,
+        |    NULL, NULL, min_st, max_st FROM m
+        |  UNION ALL SELECT 'o_totalprice', n, n - nn_price, ndv_price,
+        |    min_price, max_price, NULL, NULL FROM m)
+        |SELECT col_name, n_rows, n_null, ndv, min_v, max_v, min_s, max_s
+        |FROM u ORDER BY col_name""".stripMargin,
 
     // dominance spelled directly: the engine's two-phase sweep must
     // reproduce the NOT EXISTS row set exactly (comparisons only, no
