@@ -1227,6 +1227,33 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    // Clickstream transition matrix (first-order Markov paths): for
+    // each consecutive same-session event pair (lead over the one
+    // per-user window shuffle, gap <= 30 min — q19's session
+    // convention), the (from, to) transition count and its row
+    // probability. The |types|^2-row count table re-aggregates and
+    // joins driver-light; everything data-sized is the single
+    // partitioned window pass. Integer counts; probability = one
+    // rounded division from exact integers.
+    "q54_transitions" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+      val tr = events(s, dir)
+        .withColumn("sec", secs)
+        .withColumn("nxt", lead($"event_type", 1).over(w))
+        .withColumn("nxt_sec", lead($"sec", 1).over(w))
+        .filter($"nxt".isNotNull && ($"nxt_sec" - $"sec") <= 1800)
+        .groupBy($"event_type".as("from_type"), $"nxt".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy($"from_type".as("f2"))
+        .agg(sum($"n").as("n_from"))
+      tr.join(tot, $"from_type" === $"f2")
+        .select($"from_type", $"to_type", $"n", $"n_from",
+          round($"n".cast("double") / $"n_from", 6).as("prob"))
+        .orderBy("from_type", "to_type")
+    },
+
     // ANALYZE-style one-pass column statistics — the CBO-stats
     // backbone (what `ANALYZE TABLE ... FOR COLUMNS` computes): per
     // column the row/null counts, exact NDV, and typed min/max, all
@@ -1925,6 +1952,24 @@ object Relational {
         |SELECT check_name, observed, total,
         |  CASE WHEN observed = total THEN 1 ELSE 0 END AS pass
         |FROM u ORDER BY check_name""".stripMargin,
+
+    // same-session consecutive pairs via lead, exact counts, one
+    // rounded division for the row probability
+    "q54_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) // 1000 AS sec FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER w AS to_type,
+        |    lead(sec) OVER w - sec AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |tr AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL AND gap <= 1800 GROUP BY 1, 2),
+        |t AS (SELECT from_type, cast(sum(n) as bigint) AS n_from
+        |  FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n, t.n_from,
+        |  round(cast(tr.n as double) / t.n_from, 6) AS prob
+        |FROM tr JOIN t ON t.from_type = tr.from_type
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin,
 
     // one aggregate scan, unpivoted to per-column stat rows; NDVs
     // exact, numeric min/max as double, string extremes untouched
