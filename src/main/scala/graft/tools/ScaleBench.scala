@@ -52,7 +52,7 @@ object ScaleBench {
     "q51_graph_components", "t34_bm25_topk",
     "q52_skyline", "t35_textrank_keywords", "s25_sq8_rerank",
     "st26_stream_anomaly", "st27_stream_skyline", "m08_vad_segments",
-    "st28_stream_drift",
+    "st28_stream_drift", "q53_column_stats", "q54_transitions",
     "dbscan_events", "st08_stream_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
