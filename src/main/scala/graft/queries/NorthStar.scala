@@ -1714,6 +1714,13 @@ object NorthStar {
     // bucket |obs*Nref - ref*Nobs|), divided once at the end.
     "st28_stream_drift" -> { (s, dir) =>
       graft.streaming.Streaming.streamDrift(s, dir)
+    },
+
+    // Streaming transition counting — q54's Markov matrix with O(1)
+    // per-user state (just the last event); transitions emitted as
+    // append-mode facts and counted batch-side. Shares q54's oracle.
+    "st29_stream_transitions" -> { (s, dir) =>
+      graft.streaming.Streaming.streamTransitions(s, dir)
     })
 
   // ---------- oracles ----------
@@ -3695,6 +3702,10 @@ object NorthStar {
       ("st17_stream_weighted_sample" -> m("t24_weighted_sample")) +
       // the stream-maintained sketch equals the batch sketch cell for
       // cell, so t26's selection oracle verifies st18 verbatim
-      ("st18_stream_cm_sketch" -> m("t26_cm_heavy_hitters"))
+      ("st18_stream_cm_sketch" -> m("t26_cm_heavy_hitters")) +
+      // the last-event state machine emits exactly the same-session
+      // consecutive pairs q54's window derives — oracle verbatim
+      ("st29_stream_transitions" ->
+        graft.queries.Relational.oracles("q54_transitions"))
   }
 }

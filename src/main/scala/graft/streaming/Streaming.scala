@@ -18,6 +18,11 @@ final case class GapState(user_id: Long, last_s: Long, last_id: Long,
 final case class SkyEvent(event_type: String, value: Double, sec: Long)
 final case class SkyState(event_type: String, n_seen: Long,
   vs: List[Double], ss: List[Long])
+final case class TransEvent(user_id: Long, event_type: String, s: Long,
+  event_id: Long)
+final case class TransLast(user_id: Long, last_type: String, last_s: Long,
+  last_id: Long)
+final case class Transition(from_type: String, to_type: String)
 
 /** Structured Streaming operators over the events table.
   *
@@ -1162,6 +1167,52 @@ object Streaming {
         round(col("l1_fp").cast("double") /
           (col("n_obs").cast("double") * col("n_ref") * 2.0), 6).as("tvd"))
       .orderBy("event_type")
+  }
+
+  /** Streaming transition counting — q54's Markov matrix with O(1)
+    * per-key state: the ONLY thing remembered per user is their last
+    * event (type, sec, id); each arriving event emits one transition
+    * when it extends the same session (gap <= 30 min, q54's
+    * convention) and replaces the state. flatMapGroupsWithState in
+    * append mode — emissions are transition facts, counted by an
+    * ordinary batch aggregate over the sink; no per-pair streaming
+    * state at all, so the state store is O(users), independent of how
+    * many transitions flow. Same ordering contract as st26 (rows
+    * sorted within the batch iterator; the file replay delivers one
+    * batch), and the final counts are exactly q54's minus nothing —
+    * the two share one oracle derivation.
+    */
+  def streamTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val trans = eventStream(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("s"), col("event_id"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TransEvent],
+            state: org.apache.spark.sql.streaming.GroupState[TransLast]) =>
+          val sorted = rows.toArray.sortBy(e => (e.s, e.event_id))
+          val out = List.newBuilder[Transition]
+          var last = state.getOption.orNull
+          sorted.foreach { e =>
+            if (last != null && e.s - last.last_s <= 1800)
+              out += Transition(last.last_type, e.event_type)
+            last = TransLast(uid, e.event_type, e.s, e.event_id)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+    val tr = runToTable(trans.toDF(), "append")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy(col("from_type").as("f2"))
+      .agg(sum(col("n")).as("n_from"))
+    tr.join(tot, col("from_type") === col("f2"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from"), 6).as("prob"))
+      .orderBy("from_type", "to_type")
   }
 
   /** The st27 state machine on any [[SkyEvent]] stream — factored out
