@@ -56,6 +56,49 @@ object Skyline {
     }
   }
 
+  /** 3-D skyline — maximize double `maxCol`, minimize long `minCol`,
+    * minimize string `minStrCol` (lexicographic). The 2-D sorted sweep
+    * does not generalize past two dimensions, so this is the GENERAL
+    * skyline engine: dominance-buffer maintenance (the block-nested-
+    * loop skyline) — insert a point unless a buffered candidate
+    * dominates it, evicting the candidates it dominates. The buffer IS
+    * the running skyline (order-independent, duplicates of undominated
+    * points all survive — the st27 streaming frontier state machine,
+    * here per partition), so the same two-phase reduction applies:
+    * local buffers over `sortWithinPartitions(maxCol desc)` input
+    * (descending first-dim makes early points likely dominators, the
+    * classic BNL presort), then one candidates-only shuffle and a
+    * final buffer pass. Comparisons only — portable to the NOT EXISTS
+    * oracle bit-for-bit.
+    */
+  def skyline3D(s: SparkSession, df: DataFrame, keyCol: String, maxCol: String,
+      minCol: String, minStrCol: String): DataFrame = {
+    import s.implicits._
+    def dom(a: (Long, Double, Long, String), b: (Long, Double, Long, String)): Boolean =
+      a._2 >= b._2 && a._3 <= b._3 && a._4 <= b._4 &&
+        (a._2 > b._2 || a._3 < b._3 || a._4 < b._4)
+    val prune: Iterator[(Long, Double, Long, String)] => Iterator[(Long, Double, Long, String)] = { it =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long, String)]
+      it.foreach { p =>
+        if (!buf.exists(q => dom(q, p))) {
+          val survivors = buf.filterNot(q => dom(p, q))
+          buf.clear(); buf ++= survivors; buf += p
+        }
+      }
+      buf.iterator
+    }
+    val typed = df.select(col(keyCol).cast("long").as("_1"),
+        col(maxCol).cast("double").as("_2"), col(minCol).cast("long").as("_3"),
+        col(minStrCol).cast("string").as("_4"))
+      .as[(Long, Double, Long, String)]
+    typed.sortWithinPartitions($"_2".desc, $"_3".asc, $"_4".asc)
+      .mapPartitions(prune)
+      .repartition(1)
+      .sortWithinPartitions($"_2".desc, $"_3".asc, $"_4".asc)
+      .mapPartitions(prune)
+      .toDF(keyCol, maxCol, minCol, minStrCol)
+  }
+
   /** Skyline of `df` maximizing double column `maxCol` and minimizing
     * long column `minCol`; `keyCol` is carried through. Returns
     * (keyCol, maxCol, minCol) with the original column names.

@@ -1227,6 +1227,24 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    // 3-D skyline (price maximize, date minimize, priority minimize —
+    // a STRING dimension, lexicographic): the general dominance-buffer
+    // skyline ([[graft.operators.Skyline.skyline3D]]) — the 2-D sweep
+    // doesn't generalize, so local phases maintain a running-frontier
+    // buffer over descending-presorted input, then one candidates-only
+    // shuffle merges. Comparisons only; NOT EXISTS oracle.
+    "q55_skyline3d" -> { (s, dir) =>
+      import s.implicits._
+      val o = rd(s, dir, "orders").select($"o_orderkey",
+        $"o_totalprice",
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("epoch_day"),
+        $"o_orderpriority")
+      graft.operators.Skyline.skyline3D(s, o, "o_orderkey",
+          "o_totalprice", "epoch_day", "o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+
     // Clickstream transition matrix (first-order Markov paths): for
     // each consecutive same-session event pair (lead over the one
     // per-user window shuffle, gap <= 30 min — q19's session
@@ -1952,6 +1970,23 @@ object Relational {
         |SELECT check_name, observed, total,
         |  CASE WHEN observed = total THEN 1 ELSE 0 END AS pass
         |FROM u ORDER BY check_name""".stripMargin,
+
+    // 3-way dominance spelled directly, string dim lexicographic
+    "q55_skyline3d" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+        |    datediff('day', DATE '1970-01-01', cast(o_orderdate as date))
+        |      AS epoch_day, o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice, epoch_day, o_orderpriority
+        |FROM o r
+        |WHERE NOT EXISTS (SELECT 1 FROM o s
+        |  WHERE s.o_totalprice >= r.o_totalprice
+        |    AND s.epoch_day <= r.epoch_day
+        |    AND s.o_orderpriority <= r.o_orderpriority
+        |    AND (s.o_totalprice > r.o_totalprice
+        |      OR s.epoch_day < r.epoch_day
+        |      OR s.o_orderpriority < r.o_orderpriority))
+        |ORDER BY o_orderkey""".stripMargin,
 
     // same-session consecutive pairs via lead, exact counts, one
     // rounded division for the row probability

@@ -63,4 +63,41 @@ class SkylineSpec extends AnyFunSuite with Matchers {
     val chain = (1L to 30L).map(i => (i, i * 10.0, 100L - i))
     run(chain, 6) shouldBe Set((30L, 300.0, 70L))
   }
+
+  // ---------- 3-D dominance-buffer engine ----------
+
+  private def brute3(rows: Seq[(Long, Double, Long, String)]): Set[(Long, Double, Long, String)] =
+    rows.filter { r =>
+      !rows.exists(s => s._2 >= r._2 && s._3 <= r._3 && s._4 <= r._4 &&
+        (s._2 > r._2 || s._3 < r._3 || s._4 < r._4))
+    }.toSet
+
+  private def run3(rows: Seq[(Long, Double, Long, String)], parts: Int): Set[(Long, Double, Long, String)] = {
+    val df = spark.createDataset(rows).toDF("k", "mx", "mn", "ms").repartition(parts)
+    Skyline.skyline3D(spark, df, "k", "mx", "mn", "ms")
+      .as[(Long, Double, Long, String)].collect().toSet
+  }
+
+  test("3-D matches brute force on tie-heavy random data, any partitioning") {
+    val rnd = new Random(13)
+    val prios = Array("1-URGENT", "2-HIGH", "3-MEDIUM")
+    for (trial <- 1 to 4) {
+      val rows = (1 to 80 + trial * 60).map(i =>
+        (i.toLong, (rnd.nextInt(12) * 50).toDouble, rnd.nextInt(12).toLong,
+          prios(rnd.nextInt(3))))
+      val expect = brute3(rows)
+      for (parts <- Seq(1, 4, 16)) run3(rows, parts) shouldBe expect
+    }
+  }
+
+  test("3-D: a point dominated only through the string dim dies; incomparables live") {
+    val rows = Seq(
+      (1L, 100.0, 5L, "1-URGENT"),
+      (2L, 100.0, 5L, "2-HIGH"),   // dominated by 1 via the string dim
+      (3L, 100.0, 4L, "3-MEDIUM"), // incomparable to 1 (better day, worse prio)
+      (4L, 120.0, 9L, "3-MEDIUM")) // incomparable (better price, worse day)
+    run3(rows, 3) shouldBe Set((1L, 100.0, 5L, "1-URGENT"),
+      (3L, 100.0, 4L, "3-MEDIUM"), (4L, 120.0, 9L, "3-MEDIUM"))
+    run3(rows, 3) shouldBe brute3(rows)
+  }
 }
