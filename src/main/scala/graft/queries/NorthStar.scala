@@ -220,6 +220,39 @@ object NorthStar {
         .orderBy($"lang", $"guess")
     },
 
+    // Classifier evaluation metrics — the ML-eval layer over t04's
+    // confusion matrix: per-class TP / predicted / actual counts and
+    // precision / recall / F1, each ONE rounded division from exact
+    // integers (F1 spelled 2tp/(n_pred+n_true) — never composed from
+    // already-rounded p and r). Class set = labels ∪ guesses via full
+    // outer join; a class never predicted (or never true) scores 0.
+    // Everything data-sized is the one confusion-matrix aggregate;
+    // the metric joins touch |classes| rows.
+    "t36_langid_metrics" -> { (s, dir) =>
+      import s.implicits._
+      val cm = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy($"lang", TextAnalysis.langGuess($"text").as("guess"))
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val byTrue = cm.groupBy($"lang".as("cls_t")).agg(sum($"n").as("n_true"))
+      val byPred = cm.groupBy($"guess".as("cls_p")).agg(sum($"n").as("n_pred"))
+      val diag = cm.filter($"lang" === $"guess")
+        .select($"lang".as("cls_d"), $"n".as("tp"))
+      byTrue.join(byPred, $"cls_t" === $"cls_p", "full_outer")
+        .select(coalesce($"cls_t", $"cls_p").as("cls"),
+          coalesce($"n_true", lit(0L)).as("n_true"),
+          coalesce($"n_pred", lit(0L)).as("n_pred"))
+        .join(diag, $"cls" === $"cls_d", "left_outer")
+        .select($"cls", coalesce($"tp", lit(0L)).as("tp"), $"n_pred", $"n_true")
+        .withColumn("precision", round(when($"n_pred" > 0,
+          $"tp".cast("double") / $"n_pred").otherwise(0.0), 6))
+        .withColumn("recall", round(when($"n_true" > 0,
+          $"tp".cast("double") / $"n_true").otherwise(0.0), 6))
+        .withColumn("f1", round(when($"n_pred" + $"n_true" > 0,
+          ($"tp" * 2).cast("double") / ($"n_pred" + $"n_true")).otherwise(0.0), 6))
+        .orderBy($"cls")
+    },
+
     "t05_fingerprints" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
@@ -1871,6 +1904,41 @@ object NorthStar {
            |  len(list_filter($tk, t -> t in ('el','la','de','que','y'))) AS es
            |  FROM documents)
            |GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin,
+
+      // t04's matrix -> per-class P/R/F1, each ONE division from exact
+      // integers (F1 = 2tp/(n_pred+n_true), never composed from
+      // rounded halves); class set = labels FULL JOIN guesses
+      "t36_langid_metrics" ->
+        s"""WITH cm AS (SELECT lang, CASE
+           |    WHEN en >= de AND en >= es THEN 'en'
+           |    WHEN de >= es THEN 'de' ELSE 'es' END AS guess, count(*) AS n
+           |  FROM (SELECT lang,
+           |    len(list_filter($tk, t -> t in ('the','a','of','and','to','in'))) AS en,
+           |    len(list_filter($tk, t -> t in ('der','die','das','und','ist'))) AS de,
+           |    len(list_filter($tk, t -> t in ('el','la','de','que','y'))) AS es
+           |    FROM documents)
+           |  GROUP BY 1, 2),
+           |bt AS (SELECT lang AS cls, cast(sum(n) as bigint) AS n_true
+           |  FROM cm GROUP BY 1),
+           |bp AS (SELECT guess AS cls, cast(sum(n) as bigint) AS n_pred
+           |  FROM cm GROUP BY 1),
+           |dg AS (SELECT lang AS cls, cast(n as bigint) AS tp FROM cm
+           |  WHERE lang = guess),
+           |cl AS (SELECT coalesce(bt.cls, bp.cls) AS cls,
+           |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred
+           |  FROM bt FULL JOIN bp ON bp.cls = bt.cls)
+           |SELECT cl.cls, coalesce(dg.tp, 0) AS tp, cl.n_pred, cl.n_true,
+           |  round(CASE WHEN cl.n_pred > 0
+           |    THEN cast(coalesce(dg.tp, 0) as double) / cl.n_pred
+           |    ELSE 0.0 END, 6) AS precision,
+           |  round(CASE WHEN cl.n_true > 0
+           |    THEN cast(coalesce(dg.tp, 0) as double) / cl.n_true
+           |    ELSE 0.0 END, 6) AS recall,
+           |  round(CASE WHEN cl.n_pred + cl.n_true > 0
+           |    THEN cast(coalesce(dg.tp, 0) * 2 as double) / (cl.n_pred + cl.n_true)
+           |    ELSE 0.0 END, 6) AS f1
+           |FROM cl LEFT JOIN dg ON dg.cls = cl.cls
+           |ORDER BY cl.cls""".stripMargin,
 
       "t05_fingerprints" ->
         s"""SELECT doc_id, md5(text) AS fp_md5, ${rollSql("text")} AS fp_roll
