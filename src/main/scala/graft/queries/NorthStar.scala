@@ -1754,6 +1754,14 @@ object NorthStar {
     // append-mode facts and counted batch-side. Shares q54's oracle.
     "st29_stream_transitions" -> { (s, dir) =>
       graft.streaming.Streaming.streamTransitions(s, dir)
+    },
+
+    // Streaming data profile — q53's stats backbone over the stream:
+    // exact counts/min/max from one complete-mode global aggregate +
+    // the portable HLL register sketch for the user-id NDV (batch
+    // exact NDV rides along as measured error, t30's convention).
+    "st30_stream_profile" -> { (s, dir) =>
+      graft.streaming.Streaming.streamProfile(s, dir)
     })
 
   // ---------- oracles ----------
@@ -3774,6 +3782,48 @@ object NorthStar {
       // the last-event state machine emits exactly the same-session
       // consecutive pairs q54's window derives — oracle verbatim
       ("st29_stream_transitions" ->
-        graft.queries.Relational.oracles("q54_transitions"))
+        graft.queries.Relational.oracles("q54_transitions")) +
+      // merge-closed stats replay directly; the HLL readout is t30's
+      // exact-integer numerator + textually-fixed double expr, over
+      // the t33 spread of user_id
+      ("st30_stream_profile" -> {
+        val est =
+          """cast(0.7213 as double) / (cast(1.0 as double)
+            |  + cast(1.079 as double) / cast(1024 as double))
+            |  * cast(1024 as double) * cast(1024 as double)
+            |  * cast(2097152 as double) / cast(num as double)""".stripMargin
+        s"""WITH b AS (SELECT count(*) AS n, count(value) AS nn_value,
+           |    min(value) AS min_value, max(value) AS max_value,
+           |    min(epoch_ms(ts) // 1000) AS min_sec,
+           |    max(epoch_ms(ts) // 1000) AS max_sec,
+           |    min(user_id) AS min_uid, max(user_id) AS max_uid FROM events),
+           |h AS (SELECT (736238393 * (user_id % 1000000007) + 12345)
+           |    % 1000000007 AS h FROM events),
+           |r0 AS (SELECT h % 1024 AS bucket, h // 1024 AS w FROM h),
+           |r1 AS (SELECT bucket,
+           |    max(CASE WHEN w = 0 THEN 21 ELSE 21 - length(bin(w)) END) AS rho
+           |  FROM r0 GROUP BY 1),
+           |sm AS (SELECT count(*) AS present,
+           |    cast(sum(cast((1::BIGINT << (21 - rho)) as bigint)) as bigint)
+           |      AS num_present FROM r1),
+           |e AS (SELECT count(DISTINCT h) AS n_exact FROM h),
+           |nn AS (SELECT sm.present, e.n_exact,
+           |    sm.num_present + (1024 - sm.present) * 2097152 AS num FROM sm, e),
+           |u AS (
+           |  SELECT 'n_rows' AS stat, n AS ival,
+           |    cast(NULL as double) AS dval FROM b
+           |  UNION ALL SELECT 'sec_max', max_sec, NULL FROM b
+           |  UNION ALL SELECT 'sec_min', min_sec, NULL FROM b
+           |  UNION ALL SELECT 'uid_max', max_uid, NULL FROM b
+           |  UNION ALL SELECT 'uid_min', min_uid, NULL FROM b
+           |  UNION ALL SELECT 'uid_ndv_est', cast(NULL as bigint),
+           |    round($est, 6) FROM nn
+           |  UNION ALL SELECT 'uid_ndv_exact', n_exact, NULL FROM nn
+           |  UNION ALL SELECT 'value_max', cast(NULL as bigint), max_value FROM b
+           |  UNION ALL SELECT 'value_min', cast(NULL as bigint), min_value FROM b
+           |  UNION ALL SELECT 'value_nulls', n - nn_value, NULL FROM b)
+           |SELECT stat, cast(ival as bigint) AS ival, dval
+           |FROM u ORDER BY stat""".stripMargin
+      })
   }
 }

@@ -1169,6 +1169,51 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** Streaming data profile — q53's ANALYZE-stats backbone maintained
+    * over the stream: exact row/null counts and typed min/max from ONE
+    * complete-mode global aggregate (count/min/max are the
+    * merge-closed subset of the batch profiler — the streaming-legal
+    * ANALYZE), plus the user-id NDV as the portable HLL register
+    * sketch (st21's machinery; exact distinct is not a streaming
+    * aggregate, and the sketch IS the q53-documented 100 TB spelling
+    * anyway). The batch exact NDV rides along as the measured error,
+    * t30's convention. State: one global row + 2^p registers.
+    */
+  def streamProfile(s: SparkSession, dir: String, p: Int = 10): DataFrame = {
+    val prime = 1000000007L
+    val secs = expr("ts div 1000000000")
+    val agg = eventStream(s, dir).agg(
+      count(lit(1)).as("n"),
+      count(col("value")).as("nn_value"),
+      min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+      min(secs).as("min_sec"), max(secs).as("max_sec"),
+      min(col("user_id")).as("min_uid"), max(col("user_id")).as("max_uid"))
+    val stats = runToTable(agg, "complete")
+    // t33's spread family folds the compact id space across the hash
+    // range so the register buckets actually populate
+    def spread = expr(s"(736238393 * (user_id % $prime) + 12345) % $prime")
+    val regs = runToTable(
+        graft.operators.TextIndex.hllRegisters(
+          eventStream(s, dir).select(spread.as("h")), "h", p), "update")
+      .groupBy("bucket").agg(max("rho").as("rho"))
+    val ndv = graft.operators.TextIndex.hllSelect(regs,
+      graft.sources.Sources.events(s, dir).select(spread.as("h")), "h", p)
+    stats.crossJoin(ndv)
+      .select(expr("""stack(10,
+          'n_rows', n, cast(null as double),
+          'sec_max', max_sec, cast(null as double),
+          'sec_min', min_sec, cast(null as double),
+          'uid_max', max_uid, cast(null as double),
+          'uid_min', min_uid, cast(null as double),
+          'uid_ndv_est', cast(null as bigint), est,
+          'uid_ndv_exact', n_exact, cast(null as double),
+          'value_max', cast(null as bigint), max_value,
+          'value_min', cast(null as bigint), min_value,
+          'value_nulls', n - nn_value, cast(null as double)
+        ) as (stat, ival, dval)"""))
+      .orderBy("stat")
+  }
+
   /** Streaming transition counting — q54's Markov matrix with O(1)
     * per-key state: the ONLY thing remembered per user is their last
     * event (type, sec, id); each arriving event emits one transition

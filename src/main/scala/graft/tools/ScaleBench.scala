@@ -53,7 +53,7 @@ object ScaleBench {
     "q52_skyline", "t35_textrank_keywords", "s25_sq8_rerank",
     "st26_stream_anomaly", "st27_stream_skyline", "m08_vad_segments",
     "st28_stream_drift", "q53_column_stats", "q54_transitions",
-    "st29_stream_transitions", "q55_skyline3d",
+    "st29_stream_transitions", "q55_skyline3d", "st30_stream_profile",
     "dbscan_events", "st08_stream_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
