@@ -1245,6 +1245,51 @@ object Relational {
         .orderBy($"o_orderkey")
     },
 
+    // Market-basket frequent pairs (a-priori first pass): top-50
+    // part-pair co-occurrences across order baskets, with each part's
+    // own support and the pair Jaccard. Scale shape: ONE shuffle
+    // builds the baskets (collect_set keyed by order — basket size is
+    // bounded by the schema, <= 7 parts/order, so per-key state is
+    // O(1)); pairs come from the sorted basket array via a codegen'd
+    // nested transform (never a lineitem self-join — the classic
+    // basket-mining trap of shuffling the fact table twice), then one
+    // hash aggregate counts pairs. Item supports re-derive from the
+    // persisted baskets (explode + count), so the corpus is scanned
+    // once. The support joins key on part — dim-sized, and AQE
+    // broadcasts them at bench scale; at 100 TB the part dim grows
+    // with the corpus and the same equi-join shuffles instead, still
+    // never all-pairs. Jaccard = one rounded division from exact
+    // integer counts; top-50 via TakeOrderedAndProject (partial
+    // per-partition top-k, only 50 rows reach the driver-side sort).
+    "q56_frequent_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val baskets = rd(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(array_sort(collect_set($"l_partkey")).as("parts"))
+        .persist()
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(parts, (x, i) ->
+            |  transform(slice(parts, i + 2, size(parts)),
+            |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+          .as("p"))
+        .groupBy($"p.part_a".as("part_a"), $"p.part_b".as("part_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val items = baskets
+        .select(explode($"parts").as("l_partkey"))
+        .groupBy($"l_partkey").agg(count(lit(1)).as("n_item"))
+      pairs
+        .join(items.select($"l_partkey".as("part_a"), $"n_item".as("n_a")),
+          "part_a")
+        .join(items.select($"l_partkey".as("part_b"), $"n_item".as("n_b")),
+          "part_b")
+        .select($"part_a", $"part_b", $"n_pairs", $"n_a", $"n_b",
+          round($"n_pairs".cast("double") / ($"n_a" + $"n_b" - $"n_pairs"), 6)
+            .as("jaccard"))
+        .orderBy($"n_pairs".desc, $"part_a", $"part_b")
+        .limit(50)
+    },
+
     // Clickstream transition matrix (first-order Markov paths): for
     // each consecutive same-session event pair (lead over the one
     // per-user window shuffle, gap <= 30 min — q19's session
@@ -1987,6 +2032,25 @@ object Relational {
         |      OR s.epoch_day < r.epoch_day
         |      OR s.o_orderpriority < r.o_orderpriority))
         |ORDER BY o_orderkey""".stripMargin,
+
+    // distinct-parts baskets, pair counts via the a < b self-join
+    // (the oracle can afford it at sf0.01), jaccard from exact counts
+    "q56_frequent_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_pairs
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |i AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1)
+        |SELECT p.part_a, p.part_b, p.n_pairs,
+        |  ia.n AS n_a, ib.n AS n_b,
+        |  round(cast(p.n_pairs as double) / (ia.n + ib.n - p.n_pairs), 6)
+        |    AS jaccard
+        |FROM p
+        |JOIN i ia ON ia.l_partkey = p.part_a
+        |JOIN i ib ON ib.l_partkey = p.part_b
+        |ORDER BY p.n_pairs DESC, p.part_a, p.part_b LIMIT 50""".stripMargin,
 
     // same-session consecutive pairs via lead, exact counts, one
     // rounded division for the row probability
