@@ -28,6 +28,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Several query builders persist() intra-query reuse branches
+      // (q26 hot set, q56 baskets, d17 postings, ...) whose lifetime is
+      // one query. A full 177-query verify run in a single session would
+      // otherwise accumulate every such cache — drop them between queries.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -253,6 +253,74 @@ object NorthStar {
         .orderBy($"cls")
     },
 
+    // Vocabulary-growth curve (Heaps' law) — the corpus-monitoring
+    // shape: as docs are ingested in id order, how many NEW token
+    // types each 50-doc bucket contributes vs its raw token volume.
+    // "First sighting" is min(doc_id) per distinct type — ONE
+    // data-sized hash aggregate over the exploded token stream (no
+    // window over tokens, no sort); everything after is per-bucket
+    // (O(n_docs/50) rows): two tiny aggregates, one equi-join, and
+    // prefix sums over the bucket axis. The curve's flattening rate
+    // is the dedup-potential diagnostic at 100 TB.
+    "t37_vocab_growth" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select($"doc_id".cast("long").as("doc_id"),
+        explode(TextAnalysis.tokens($"text")).as("tok"))
+      val newTypes = toks.groupBy($"tok").agg(min($"doc_id").as("first_doc"))
+        .groupBy(($"first_doc" / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      val vol = toks.groupBy(($"doc_id" / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val w = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vol.join(newTypes, Seq("bucket"), "left")
+        .na.fill(0L, Seq("new_types"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w).cast("long"))
+        .withColumn("cum_types", sum($"new_types").over(w).cast("long"))
+        .select($"bucket", $"n_tokens", $"new_types", $"cum_tokens", $"cum_types")
+        .orderBy($"bucket")
+    },
+
+    // Collocation mining (pointwise mutual information over adjacent
+    // token pairs) — the phrase-detection pass of a tokenizer/corpus
+    // pipeline. Bigrams come from a zero-shuffle array zip (slice +
+    // arrays_zip + explode), never a positional self-join; PMI is the
+    // shared integer-exact 16.16 fixed-point log2 (Mixture.log2Fp)
+    // summed termwise — log2fp(np) + 2·log2fp(N) − log2fp(Nb) −
+    // log2fp(na) − log2fp(nb) — so no product ever exceeds long range
+    // at any scale and the oracle replays the ranking bit-for-bit.
+    // Data-sized work: two token-stream hash aggregates + two
+    // vocab-sized equi-joins; top-100 via TakeOrderedAndProject.
+    "t38_collocations" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      val uni = docs.select(explode($"toks").as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+        .persist() // consumers: totals + the two bigram-side joins
+      val bi = docs
+        .select(explode(expr(
+          """arrays_zip(slice(toks, 1, size(toks) - 1),
+            |           slice(toks, 2, size(toks) - 1))""".stripMargin)).as("p"))
+        .select($"p".getField("0").as("tok_a"), $"p".getField("1").as("tok_b"))
+        .groupBy($"tok_a", $"tok_b").agg(count(lit(1)).as("n_pair"))
+      val tot = broadcast(uni.agg(sum($"n_tok").as("n_total")))
+      val nb = broadcast(bi.agg(sum($"n_pair").as("nb_total")))
+      import graft.operators.Mixture.log2Fp
+      bi.filter($"n_pair" >= 20)
+        .join(uni.select($"tok".as("tok_a"), $"n_tok".as("n_a")), "tok_a")
+        .join(uni.select($"tok".as("tok_b"), $"n_tok".as("n_b")), "tok_b")
+        .crossJoin(tot).crossJoin(nb)
+        .withColumn("pmi_fp",
+          (log2Fp("n_pair") + log2Fp("n_total") * 2 -
+            log2Fp("nb_total") - log2Fp("n_a") - log2Fp("n_b")).cast("long"))
+        .select($"tok_a", $"tok_b", $"n_pair", $"n_a", $"n_b", $"pmi_fp")
+        .orderBy($"pmi_fp".desc, $"tok_a", $"tok_b")
+        .limit(100)
+    },
+
     "t05_fingerprints" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
@@ -1947,6 +2015,43 @@ object NorthStar {
            |    ELSE 0.0 END, 6) AS f1
            |FROM cl LEFT JOIN dg ON dg.cls = cl.cls
            |ORDER BY cl.cls""".stripMargin,
+
+      "t37_vocab_growth" ->
+        s"""WITH t AS (SELECT doc_id, unnest($tk) AS tok FROM documents),
+           |nt AS (SELECT first_doc // 50 AS bucket, count(*) AS new_types
+           |  FROM (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY tok)
+           |  GROUP BY 1),
+           |vol AS (SELECT doc_id // 50 AS bucket, count(*) AS n_tokens
+           |  FROM t GROUP BY 1)
+           |SELECT vol.bucket, cast(vol.n_tokens as bigint) AS n_tokens,
+           |  cast(coalesce(nt.new_types, 0) as bigint) AS new_types,
+           |  cast(sum(vol.n_tokens) OVER (ORDER BY vol.bucket
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+           |    AS cum_tokens,
+           |  cast(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY vol.bucket
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+           |    AS cum_types
+           |FROM vol LEFT JOIN nt ON nt.bucket = vol.bucket
+           |ORDER BY vol.bucket""".stripMargin,
+
+      "t38_collocations" ->
+        s"""WITH d AS (SELECT doc_id, $tk AS toks FROM documents),
+           |uni AS (SELECT tok, count(*) AS n_tok
+           |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+           |bi AS (SELECT tok_a, tok_b, count(*) AS n_pair FROM (
+           |    SELECT unnest(toks[1:len(toks)-1]) AS tok_a,
+           |           unnest(toks[2:len(toks)]) AS tok_b FROM d)
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT cast(sum(n_tok) as bigint) AS n_total FROM uni),
+           |nbt AS (SELECT cast(sum(n_pair) as bigint) AS nb_total FROM bi)
+           |SELECT tok_a, tok_b, n_pair, ua.n_tok AS n_a, ub.n_tok AS n_b,
+           |  cast(${Mixture.log2FpSql("n_pair")} + 2*(${Mixture.log2FpSql("n_total")})
+           |    - (${Mixture.log2FpSql("nb_total")}) - (${Mixture.log2FpSql("ua.n_tok")})
+           |    - (${Mixture.log2FpSql("ub.n_tok")}) as bigint) AS pmi_fp
+           |FROM bi JOIN uni ua ON ua.tok = bi.tok_a
+           |JOIN uni ub ON ub.tok = bi.tok_b, tot, nbt
+           |WHERE n_pair >= 20
+           |ORDER BY pmi_fp DESC, tok_a, tok_b LIMIT 100""".stripMargin,
 
       "t05_fingerprints" ->
         s"""SELECT doc_id, md5(text) AS fp_md5, ${rollSql("text")} AS fp_roll

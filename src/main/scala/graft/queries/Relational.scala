@@ -1392,6 +1392,67 @@ object Relational {
           $"n_rows".as("total"))
         .withColumn("pass", when($"observed" === $"total", 1).otherwise(0))
         .orderBy($"check_name")
+    },
+
+    // Gap-filled time series (the dashboarding/feature-store shape):
+    // hourly event counts per type over a DENSE calendar — missing
+    // hours appear as explicit zero rows — plus a trailing 3-hour
+    // moving sum. The only data-sized work is the one hour×type
+    // aggregate; the calendar is GENERATED (sequence+explode over the
+    // observed [min,max] hour span) from the aggregate's own bounds,
+    // so the gap-fill join and the moving window run on O(hours×types)
+    // rows however big the fact table is. At 100 TB the dense grid for
+    // a year is still <50k rows/type — driver-light by construction.
+    "q57_gapfill_series" -> { (s, dir) =>
+      import s.implicits._
+      val counts = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 3600").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .persist() // three tiny consumers: bounds, types, the gap-fill join
+      val cal = counts.agg(min($"hour").as("h0"), max($"hour").as("h1"))
+        .select(explode(sequence($"h0", $"h1")).as("hour"))
+      val types = counts.select($"event_type").distinct()
+      val grid = cal.crossJoin(broadcast(types)) // dense hours × |types|
+      grid.join(counts, Seq("hour", "event_type"), "left")
+        .na.fill(0L, Seq("n"))
+        .withColumn("n_3h", sum($"n").over(
+          Window.partitionBy($"event_type").orderBy($"hour")
+            .rowsBetween(-2, Window.currentRow)).cast("long"))
+        .select($"event_type", $"hour", $"n", $"n_3h")
+        .orderBy($"event_type", $"hour")
+    },
+
+    // Recency-weighted engagement score (the feature-pipeline decay
+    // shape): every event contributes w(type) · 2^(30−age_hours) for
+    // age ≤ 30h before the corpus reference hour (= global max event
+    // hour), else 0. Powers of two on integer weights keep the score
+    // an EXACT bigint — order-independent under partial aggregation,
+    // bit-replayable by the oracle (no transcendental decay). One
+    // data-sized groupBy(user); the reference hour is a broadcast
+    // scalar. The double rendering is one long→double conversion and
+    // one exact ÷2^30 — deterministic in both engines.
+    "q58_decay_score" -> { (s, dir) =>
+      import s.implicits._
+      val e = events(s, dir)
+        .select($"user_id", expr("ts div 1000000000 div 3600").as("h"),
+          when($"event_type" === "purchase", 16L)
+            .when($"event_type" === "click", 4L)
+            .when($"event_type" === "view", 2L)
+            .when($"event_type" === "error", 0L)
+            .otherwise(1L).as("w"))
+      val ref = e.agg(max($"h").as("rh"))
+      e.crossJoin(broadcast(ref))
+        .withColumn("age", $"rh" - $"h")
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"age" <= 30,
+            $"w" * expr("shiftleft(1L, cast(30 - age as int))"))
+            .otherwise(0L)).cast("long").as("score_fp"),
+          sum(when($"age" <= 30, 1L).otherwise(0L)).cast("long").as("n_recent"),
+          count(lit(1)).as("n_events"))
+        .withColumn("score", $"score_fp".cast("double") / lit(1073741824.0))
+        .select($"user_id", $"score_fp", $"n_recent", $"n_events", $"score")
+        .orderBy($"user_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2119,5 +2180,38 @@ object Relational {
         |    AND s.epoch_day <= r.epoch_day
         |    AND (s.o_totalprice > r.o_totalprice
         |      OR s.epoch_day < r.epoch_day))
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q57_gapfill_series" ->
+      """WITH c AS (SELECT (epoch_ms(ts) // 1000) // 3600 AS hour,
+        |    event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM c),
+        |cal AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM c),
+        |g AS (SELECT ty.event_type, cal.hour, coalesce(c.n, 0) AS n
+        |  FROM cal CROSS JOIN ty
+        |  LEFT JOIN c ON c.hour = cal.hour AND c.event_type = ty.event_type)
+        |SELECT event_type, hour, cast(n as bigint) AS n,
+        |  cast(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as bigint) AS n_3h
+        |FROM g ORDER BY event_type, hour""".stripMargin,
+
+    "q58_decay_score" ->
+      """WITH e AS (SELECT user_id,
+        |    (epoch_ms(ts) // 1000) // 3600 AS h,
+        |    CASE event_type WHEN 'purchase' THEN 16 WHEN 'click' THEN 4
+        |      WHEN 'view' THEN 2 WHEN 'error' THEN 0 ELSE 1 END AS w
+        |  FROM events),
+        |r AS (SELECT max(h) AS rh FROM e)
+        |SELECT user_id,
+        |  cast(sum(CASE WHEN rh - h <= 30
+        |    THEN w * (1::BIGINT << cast(30 - (rh - h) as int)) ELSE 0 END)
+        |    as bigint) AS score_fp,
+        |  cast(sum(CASE WHEN rh - h <= 30 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_recent,
+        |  count(*) AS n_events,
+        |  cast(cast(sum(CASE WHEN rh - h <= 30
+        |    THEN w * (1::BIGINT << cast(30 - (rh - h) as int)) ELSE 0 END)
+        |    as bigint) as double) / 1073741824.0 AS score
+        |FROM e CROSS JOIN r GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

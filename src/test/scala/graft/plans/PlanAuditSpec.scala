@@ -47,7 +47,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "t23_lm_perplexity" -> "the per-doc score table joins the broadcast ONE-ROW corpus-mean aggregate (t19's scalar shape; the constant join key folds to a trivially-true condition); the data-sized joins are the broadcast marginal-count equi-joins",
     "t30_hll_distinct" -> "the 1-row register-sum aggregate crossJoins the 1-row exact-count aggregate (t19's scalar shape — both sides single rows by construction); the data-sized work is two partial-aggregatable hash aggregates",
     "t33_sketch_overlap" -> "the |sources|-row (20) KMV sketch table self-joins on src < src — both sides k-long bottom-k arrays by construction; the data-sized work is the one-pass map-side-combinable sketch aggregate",
-    "t34_bm25_topk" -> "the posting table crossJoins the broadcast ONE-ROW (N, L) corpus aggregate (t23's scalar shape); the data-sized work is the term posting equi-join and hash aggregates")
+    "t34_bm25_topk" -> "the posting table crossJoins the broadcast ONE-ROW (N, L) corpus aggregate (t23's scalar shape); the data-sized work is the term posting equi-join and hash aggregates",
+    "q57_gapfill_series" -> "the generated dense calendar crossJoins the broadcast |types|-row distinct-type table — both sides post-aggregate O(hours)/O(types) by construction; the data-sized work is the one hour x type hash aggregate",
+    "t38_collocations" -> "the filtered bigram table crossJoins the broadcast ONE-ROW token-total and bigram-total aggregates (t34's scalar shape); the data-sized work is the two token-stream hash aggregates and vocab-sized equi-joins",
+    "q58_decay_score" -> "q18's scalar shape: the event projection joins the ONE-ROW broadcast reference-hour aggregate; the data-sized work is the single groupBy(user) hash aggregate")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
