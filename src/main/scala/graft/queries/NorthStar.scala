@@ -1830,6 +1830,22 @@ object NorthStar {
     // exact NDV rides along as measured error, t30's convention).
     "st30_stream_profile" -> { (s, dir) =>
       graft.streaming.Streaming.streamProfile(s, dir)
+    },
+
+    // Streaming conversion funnel — q40's session funnel as O(1)
+    // per-user state (closed-session counters + the open session's
+    // live cells); the batch min-semantics fold into a one-pass scan
+    // because events arrive in time order. Shares q40's oracle.
+    "st31_stream_funnel" -> { (s, dir) =>
+      graft.streaming.Streaming.streamFunnel(s, dir)
+    },
+
+    // Streaming recency-decay scoring — q58's exact power-of-two decay
+    // with a bounded (≤31-cell) per-user hour ring as state; eviction
+    // by the user's own clock is lossless under any global reference.
+    // Shares q58's oracle.
+    "st32_stream_decay" -> { (s, dir) =>
+      graft.streaming.Streaming.streamDecayScore(s, dir)
     })
 
   // ---------- oracles ----------
@@ -3888,6 +3904,10 @@ object NorthStar {
       // consecutive pairs q54's window derives — oracle verbatim
       ("st29_stream_transitions" ->
         graft.queries.Relational.oracles("q54_transitions")) +
+      ("st31_stream_funnel" ->
+        graft.queries.Relational.oracles("q40_funnel")) +
+      ("st32_stream_decay" ->
+        graft.queries.Relational.oracles("q58_decay_score")) +
       // merge-closed stats replay directly; the HLL readout is t30's
       // exact-integer numerator + textually-fixed double expr, over
       // the t33 spread of user_id

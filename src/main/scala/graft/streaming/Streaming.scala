@@ -23,6 +23,16 @@ final case class TransEvent(user_id: Long, event_type: String, s: Long,
 final case class TransLast(user_id: Long, last_type: String, last_s: Long,
   last_id: Long)
 final case class Transition(from_type: String, to_type: String)
+final case class FunEvent(user_id: Long, event_type: String, s: Long,
+  event_id: Long)
+final case class FunState(user_id: Long, open: Boolean, last_s: Long,
+  mv: Long, mc: Long, mp: Long, pend_click: Long, pend_purch: Long,
+  cl_sessions: Long, cl_view: Long, cl_click: Long, cl_purchase: Long)
+final case class FunTotals(user_id: Long, n_sessions: Long, n_view: Long,
+  n_click: Long, n_purchase: Long)
+final case class DecayEvent(user_id: Long, h: Long, w: Long)
+final case class DecayState(user_id: Long, n_events: Long,
+  hours: List[Long], wsums: List[Long], cnts: List[Long])
 
 /** Structured Streaming operators over the events table.
   *
@@ -1258,6 +1268,187 @@ object Streaming {
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         round(col("n").cast("double") / col("n_from"), 6).as("prob"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** Streaming conversion funnel — q40's view→click→purchase session
+    * funnel maintained with O(1) per-user state. The batch funnel's
+    * min-semantics (mv = min view sec; mc = min click sec ≥ mv; mp =
+    * min purchase sec ≥ mc) fold into a one-pass scan because events
+    * arrive in (sec, event_id) order: the first view IS mv; the first
+    * click at-or-after mv IS mc — except a click in mv's exact second
+    * scanned before the view, which the single `pend_click` cell
+    * covers (only a sec == mv pending click can qualify, and the
+    * latest pending click ≤ mv has the max sec). Same cell trick for
+    * purchases vs mc. Closed sessions collapse into four counters;
+    * only the open session keeps live cells — state is 12 scalars per
+    * user however long the stream runs. Per-user totals are monotone,
+    * so the update-mode readout is max-per-key; the global rollup
+    * shares q40's oracle verbatim.
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updates = funnelTransform(eventStream(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("s"), col("event_id"))
+      .as[FunEvent])
+    runToTable(updates.toDF(), "update")
+      .groupBy(col("user_id")) // totals are monotone: max = latest
+      .agg(max(col("n_sessions")).as("u_sessions"),
+        max(col("n_view")).as("u_view"),
+        max(col("n_click")).as("u_click"),
+        max(col("n_purchase")).as("u_purchase"))
+      .agg(sum(col("u_sessions")).cast("long").as("n_sessions"),
+        sum(col("u_view")).cast("long").as("n_view"),
+        sum(col("u_click")).cast("long").as("n_click"),
+        sum(col("u_purchase")).cast("long").as("n_purchase"))
+  }
+
+  /** The st31 state machine on any [[FunEvent]] stream — factored out
+    * so the multi-batch spec drives the REAL transform (session close
+    * across micro-batch boundaries included) through MemoryStream
+    * splits. Events must arrive in (s, event_id) order across batches
+    * (within a batch they are sorted here).
+    */
+  def funnelTransform(ds: org.apache.spark.sql.Dataset[FunEvent])
+      : org.apache.spark.sql.Dataset[FunTotals] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunEvent],
+            state: org.apache.spark.sql.streaming.GroupState[FunState]) =>
+          def close(x: FunState): FunState =
+            if (!x.open) x
+            else x.copy(open = false,
+              cl_sessions = x.cl_sessions + 1,
+              cl_view = x.cl_view + (if (x.mv >= 0) 1L else 0L),
+              cl_click = x.cl_click + (if (x.mc >= 0) 1L else 0L),
+              cl_purchase = x.cl_purchase + (if (x.mp >= 0) 1L else 0L))
+          var st = state.getOption.getOrElse(
+            FunState(uid, open = false, 0L, -1L, -1L, -1L, -1L, -1L,
+              0L, 0L, 0L, 0L))
+          rows.toArray.sortBy(e => (e.s, e.event_id)).foreach { e =>
+            if (st.open && e.s - st.last_s > 1800) st = close(st)
+            if (!st.open)
+              st = st.copy(open = true, mv = -1L, mc = -1L, mp = -1L,
+                pend_click = -1L, pend_purch = -1L)
+            e.event_type match {
+              case "view" if st.mv < 0 =>
+                st = st.copy(mv = e.s)
+                if (st.pend_click == e.s) {
+                  st = st.copy(mc = e.s)
+                  if (st.pend_purch == e.s) st = st.copy(mp = e.s)
+                }
+              case "click" =>
+                if (st.mv >= 0) {
+                  if (st.mc < 0) {
+                    st = st.copy(mc = e.s)
+                    if (st.pend_purch == e.s) st = st.copy(mp = e.s)
+                  }
+                } else st = st.copy(pend_click = e.s)
+              case "purchase" =>
+                if (st.mc >= 0) {
+                  if (st.mp < 0) st = st.copy(mp = e.s)
+                } else st = st.copy(pend_purch = e.s)
+              case _ => ()
+            }
+            st = st.copy(last_s = e.s)
+          }
+          state.update(st)
+          FunTotals(uid,
+            st.cl_sessions + (if (st.open) 1L else 0L),
+            st.cl_view + (if (st.open && st.mv >= 0) 1L else 0L),
+            st.cl_click + (if (st.open && st.mc >= 0) 1L else 0L),
+            st.cl_purchase + (if (st.open && st.mp >= 0) 1L else 0L))
+      }
+  }
+
+  /** Streaming recency-decay scoring — q58's exact 2^(30−age_hours)
+    * engagement score over the stream. Exact decay needs per-hour
+    * resolution, so the state is a bounded ring of (hour → weighted
+    * sum, count) cells per user: cells older than 30h behind the
+    * user's OWN max hour are evicted (they would contribute 0 under
+    * any global reference ≥ the user's max, so eviction is lossless),
+    * capping state at 31 cells per key over an unbounded stream. The
+    * readout decays every retained cell against the GLOBAL reference
+    * hour — recoverable batch-side because each user's max hour is
+    * always retained, so max over all emitted cells = the corpus max.
+    * Integer weights × powers of two keep every sum an exact bigint;
+    * shares q58's oracle verbatim.
+    */
+  def streamDecayScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updates = decayTransform(eventStream(s, dir)
+      .select(col("user_id"),
+        expr("ts div 1000000000 div 3600").as("h"),
+        when(col("event_type") === "purchase", 16L)
+          .when(col("event_type") === "click", 4L)
+          .when(col("event_type") === "view", 2L)
+          .when(col("event_type") === "error", 0L)
+          .otherwise(1L).as("w"))
+      .as[DecayEvent])
+    decayReadout(runToTable(updates.toDF(), "update"))
+  }
+
+  /** The st32 state machine on any [[DecayEvent]] stream — factored
+    * out so the multi-batch spec drives the REAL transform (hour-cell
+    * upsert + lossless 31-cell eviction) through MemoryStream splits.
+    */
+  def decayTransform(ds: org.apache.spark.sql.Dataset[DecayEvent])
+      : org.apache.spark.sql.Dataset[DecayState] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[DecayEvent],
+            state: org.apache.spark.sql.streaming.GroupState[DecayState]) =>
+          val prev = state.getOption.getOrElse(DecayState(uid, 0L, Nil, Nil, Nil))
+          val m = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+          prev.hours.indices.foreach { i =>
+            m(prev.hours(i)) = (prev.wsums(i), prev.cnts(i))
+          }
+          var n = prev.n_events
+          rows.foreach { e =>
+            val (ws, c) = m.getOrElse(e.h, (0L, 0L))
+            m(e.h) = (ws + e.w, c + 1L)
+            n += 1L
+          }
+          val maxH = m.keysIterator.max
+          val kept = m.iterator.filter(_._1 >= maxH - 30).toSeq.sortBy(_._1)
+          val next = DecayState(uid, n, kept.map(_._1).toList,
+            kept.map(_._2._1).toList, kept.map(_._2._2).toList)
+          state.update(next)
+          next
+      }
+  }
+
+  /** q58's scoring arithmetic over the final [[DecayState]] rows (a
+    * plain DataFrame of user_id/n_events/hours/wsums/cnts — the
+    * update-mode memory table or a spec's collected states).
+    */
+  def decayReadout(states: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    val cells = states
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // latest state per key (n_events monotone)
+      .select(col("user_id"), col("n_events"),
+        explode(arrays_zip(col("hours"), col("wsums"), col("cnts"))).as("c"))
+      .select(col("user_id"), col("n_events"), col("c.hours").as("h"),
+        col("c.wsums").as("wsum"), col("c.cnts").as("cnt"))
+    val ref = broadcast(cells.agg(max(col("h")).as("rh")))
+    cells.crossJoin(ref)
+      .withColumn("age", col("rh") - col("h"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("age") <= 30,
+          col("wsum") * expr("shiftleft(1L, cast(30 - age as int))"))
+          .otherwise(0L)).cast("long").as("score_fp"),
+        sum(when(col("age") <= 30, col("cnt")).otherwise(0L)).cast("long")
+          .as("n_recent"),
+        max(col("n_events")).as("n_events"))
+      .withColumn("score", col("score_fp").cast("double") / lit(1073741824.0))
+      .select(col("user_id"), col("score_fp"), col("n_recent"),
+        col("n_events"), col("score"))
+      .orderBy("user_id")
   }
 
   /** The st27 state machine on any [[SkyEvent]] stream — factored out
