@@ -29,6 +29,16 @@ final case class VadSegments(
     n_segments: Long,
     longest_run: Long)
 
+/** Per-asset shot-boundary structure (m09): cuts where consecutive
+  * frame signatures jump by more than the threshold.
+  */
+final case class ShotCuts(
+    doc_id: Long,
+    n_frames: Long,
+    n_cuts: Long,
+    n_shots: Long,
+    max_jump: Long)
+
 /** Multimodal (binary) column plumbing for image/audio/video-bearing
   * tables.
   *
@@ -315,6 +325,42 @@ object Multimodal {
             } else cur = 0L
           }
           VadSegments(id, nBlocks, nAct, nSeg, longest)
+        }
+      }
+  }
+
+  /** Shot/scene-boundary detection (m09): treat each
+    * [[StubCodec.BlockSize]]-byte block of the payload as one decoded
+    * frame, its byte-sum as the frame signature, and declare a CUT
+    * wherever consecutive signatures jump by more than `thr` — the
+    * content-based shot segmentation a video-curation pipeline runs
+    * before per-shot sampling/captioning. Same execution contract as
+    * [[vadSegments]]: one typed iterator pass per partition, O(1)
+    * memory per row, no shuffle — the per-asset kernel is embarrassingly
+    * parallel at any corpus size. All arithmetic is exact integers, so
+    * the SQL oracle replays every cut.
+    */
+  def shotCuts(spark: SparkSession, docsWithPayload: DataFrame,
+      idCol: String = "doc_id", thr: Long = 96L): Dataset[ShotCuts] = {
+    import spark.implicits._
+    docsWithPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          var nF = 0L; var nC = 0L; var maxJ = 0L; var prev = -1L
+          payload.grouped(StubCodec.BlockSize).foreach { blk =>
+            nF += 1
+            var s = 0L; var j = 0
+            while (j < blk.length) { s += blk(j) & 0xff; j += 1 }
+            if (prev >= 0) {
+              val jump = math.abs(s - prev)
+              if (jump > thr) nC += 1
+              if (jump > maxJ) maxJ = jump
+            }
+            prev = s
+          }
+          ShotCuts(id, nF, nC, if (nF > 0) nC + 1 else 0L, maxJ)
         }
       }
   }

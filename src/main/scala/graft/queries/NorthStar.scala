@@ -1629,6 +1629,21 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // Shot-boundary detection over decoded payloads: per-frame byte-sum
+    // signatures (16-byte stub frames, m08's convention), a cut wherever
+    // consecutive signatures jump > thr. Integer-exact; one typed
+    // partition pass, no shuffle.
+    "m09_shot_cuts" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.shotCuts(s,
+          Multimodal.withBinaryPayload(docs.select($"doc_id", $"text"), "text"),
+          thr = 96L)
+        .toDF()
+        .select($"doc_id", $"n_frames", $"n_cuts", $"n_shots", $"max_jump")
+        .orderBy("doc_id")
+    },
+
     // --- streaming ---
     "st01_stream_hourly" -> { (s, dir) =>
       graft.streaming.Streaming.hourlyStats(s, dir)
@@ -3481,6 +3496,28 @@ object NorthStar {
           |  round(CASE WHEN nb > 0
           |    THEN cast(n_active as double) / nb ELSE 0.0 END, 6) AS active_frac
           |FROM s ORDER BY doc_id""".stripMargin,
+
+      // frame signature = 16-byte block sum over ascii codes (the m08
+      // payload convention); cuts from consecutive-signature jumps
+      "m09_shot_cuts" ->
+        """WITH t AS (SELECT doc_id, list_transform(string_split(text, ''),
+          |    c -> cast(ascii(c) as bigint)) AS codes FROM documents),
+          |b AS (SELECT doc_id, len(codes) AS n,
+          |    cast(ceil(len(codes) / 16.0) as int) AS nb, codes FROM t),
+          |sg AS (SELECT doc_id, nb, list_transform(range(0, nb), i ->
+          |    list_aggregate(codes[i*16+1 : least(n, (i+1)*16)], 'sum')) AS sig
+          |  FROM b),
+          |d AS (SELECT doc_id, nb, list_transform(range(2, nb + 1), i ->
+          |    abs(sig[i] - sig[i-1])) AS jumps FROM sg)
+          |SELECT doc_id, cast(nb as bigint) AS n_frames,
+          |  coalesce(cast(list_sum(list_transform(jumps, j ->
+          |    CASE WHEN j > 96 THEN 1 ELSE 0 END)) as bigint), 0) AS n_cuts,
+          |  CASE WHEN nb > 0
+          |    THEN coalesce(cast(list_sum(list_transform(jumps, j ->
+          |      CASE WHEN j > 96 THEN 1 ELSE 0 END)) as bigint), 0) + 1
+          |    ELSE 0 END AS n_shots,
+          |  coalesce(cast(list_max(jumps) as bigint), 0) AS max_jump
+          |FROM d ORDER BY doc_id""".stripMargin,
 
       // aHash over ascii codes (the corpus is ASCII, so char codes ==
       // payload bytes, the m02/m03 convention); 4 x 16-bit bands,

@@ -1453,6 +1453,39 @@ object Relational {
         .withColumn("score", $"score_fp".cast("double") / lit(1073741824.0))
         .select($"user_id", $"score_fp", $"n_recent", $"n_events", $"score")
         .orderBy($"user_id")
+    },
+
+    // TPC-H Q21's shape ("suppliers who kept orders waiting") WITHOUT
+    // the textbook lineitem self-joins: the correlated EXISTS (another
+    // supplier on the order) and NOT EXISTS (another LATE supplier)
+    // collapse into per-order aggregates — countDistinct suppliers,
+    // countDistinct late suppliers, and the arg-max trick (if exactly
+    // one supplier is late, max picks it). One fact-fact equi-join on
+    // the order key + one hash aggregate replaces THREE fact-table
+    // scans/joins — the decisive rewrite at 100 TB, where l1×l2×l3
+    // self-joins are the classic Q21 bottleneck. Supplier names ride
+    // a broadcast dim join; top-20 via TakeOrderedAndProject.
+    "q59_waiting_supplier" -> { (s, dir) =>
+      import s.implicits._
+      val j = rd(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        .join(rd(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .withColumn("late_supp", when(
+          datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date")) > 60,
+          $"l_suppkey"))
+      val per = j.groupBy($"l_orderkey")
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct($"late_supp").as("n_late_supp"),
+          max($"late_supp").as("the_late_supp"))
+      per.filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+        .groupBy($"the_late_supp".as("s_suppkey"))
+        .agg(count(lit(1)).as("n_waiting"))
+        .join(broadcast(rd(s, dir, "supplier").select($"s_suppkey", $"s_name")),
+          "s_suppkey")
+        .select($"s_suppkey", $"s_name", $"n_waiting")
+        .orderBy($"n_waiting".desc, $"s_suppkey")
+        .limit(20)
     })
 
   val oracles: Map[String, String] = Map(
@@ -2213,5 +2246,21 @@ object Relational {
         |  cast(cast(sum(CASE WHEN rh - h <= 30
         |    THEN w * (1::BIGINT << cast(30 - (rh - h) as int)) ELSE 0 END)
         |    as bigint) as double) / 1073741824.0 AS score
-        |FROM e CROSS JOIN r GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM e CROSS JOIN r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q59_waiting_supplier" ->
+      """WITH j AS (SELECT l_orderkey,  l_suppkey,
+        |    CASE WHEN datediff('day', cast(o_orderdate as date),
+        |        cast(l_shipdate as date)) > 60
+        |      THEN l_suppkey END AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |p AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT late_supp) AS n_late_supp,
+        |    max(late_supp) AS the_late_supp
+        |  FROM j GROUP BY 1)
+        |SELECT the_late_supp AS s_suppkey, s_name, count(*) AS n_waiting
+        |FROM p JOIN supplier ON s_suppkey = the_late_supp
+        |WHERE n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY 1, 2
+        |ORDER BY n_waiting DESC, s_suppkey LIMIT 20""".stripMargin)
 }
