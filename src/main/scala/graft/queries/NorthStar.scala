@@ -1861,6 +1861,13 @@ object NorthStar {
     // Shares q58's oracle.
     "st32_stream_decay" -> { (s, dir) =>
       graft.streaming.Streaming.streamDecayScore(s, dir)
+    },
+
+    // Streaming last-touch attribution — q60's LOCF carry-forward as
+    // one-string-per-user keyed state; purchases emit attribution
+    // facts in append mode. Shares q60's oracle.
+    "st33_stream_attribution" -> { (s, dir) =>
+      graft.streaming.Streaming.streamAttribution(s, dir)
     })
 
   // ---------- oracles ----------
@@ -3945,6 +3952,8 @@ object NorthStar {
         graft.queries.Relational.oracles("q40_funnel")) +
       ("st32_stream_decay" ->
         graft.queries.Relational.oracles("q58_decay_score")) +
+      ("st33_stream_attribution" ->
+        graft.queries.Relational.oracles("q60_attribution")) +
       // merge-closed stats replay directly; the HLL readout is t30's
       // exact-integer numerator + textually-fixed double expr, over
       // the t33 spread of user_id

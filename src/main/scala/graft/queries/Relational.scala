@@ -1486,6 +1486,31 @@ object Relational {
         .select($"s_suppkey", $"s_name", $"n_waiting")
         .orderBy($"n_waiting".desc, $"s_suppkey")
         .limit(20)
+    },
+
+    // Last-touch attribution — the LOCF (last-observation-carried-
+    // forward) window shape: each purchase is attributed to the
+    // user's most recent PRECEDING non-purchase event via
+    // last(..., ignoreNulls) over an unbounded-preceding frame; the
+    // carry-forward never materializes per-row state beyond the one
+    // window shuffle on user_id (the same single shuffle q19/q40/q54
+    // ride). Revenue sums are per-row decimal casts — exact under
+    // any partial-aggregation order. First-ever purchases attribute
+    // to 'none' (coalesce), so the row set partitions all purchases.
+    "q60_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("attr", last(
+          when($"event_type" =!= "purchase", $"event_type"),
+          ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy(coalesce($"attr", lit("none")).as("attr_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum($"value".cast(M)).cast("double").as("total_value"))
+        .orderBy($"attr_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2262,5 +2287,19 @@ object Relational {
         |FROM p JOIN supplier ON s_suppkey = the_late_supp
         |WHERE n_supp >= 2 AND n_late_supp = 1
         |GROUP BY 1, 2
-        |ORDER BY n_waiting DESC, s_suppkey LIMIT 20""".stripMargin)
+        |ORDER BY n_waiting DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    "q60_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_ms(ts) // 1000 AS s FROM events),
+        |a AS (SELECT user_id, event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+        |  FROM e)
+        |SELECT coalesce(attr, 'none') AS attr_type, count(*) AS n_purchases,
+        |  cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY attr_type""".stripMargin)
 }

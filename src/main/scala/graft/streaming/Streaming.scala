@@ -33,6 +33,10 @@ final case class FunTotals(user_id: Long, n_sessions: Long, n_view: Long,
 final case class DecayEvent(user_id: Long, h: Long, w: Long)
 final case class DecayState(user_id: Long, n_events: Long,
   hours: List[Long], wsums: List[Long], cnts: List[Long])
+final case class AttrEvent(user_id: Long, event_type: String, s: Long,
+  event_id: Long, value: Double)
+final case class AttrLast(user_id: Long, last_type: String)
+final case class AttrHit(attr_type: String, value: Double)
 
 /** Structured Streaming operators over the events table.
   *
@@ -1449,6 +1453,53 @@ object Streaming {
       .select(col("user_id"), col("score_fp"), col("n_recent"),
         col("n_events"), col("score"))
       .orderBy("user_id")
+  }
+
+  /** Streaming last-touch attribution — q60's LOCF window as keyed
+    * state: the only thing a user's history contributes to a future
+    * purchase is their latest non-purchase event type, so the state is
+    * ONE string per user. Purchases emit attribution facts in append
+    * mode (the real-time revenue-by-channel feed); the batch rollup
+    * over the emitted facts shares q60's oracle verbatim. Under
+    * time-ordered arrival the emitted fact set is batch-identical for
+    * any micro-batch split.
+    */
+  def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hits = attributionTransform(eventStream(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("s"), col("event_id"), col("value"))
+      .as[AttrEvent])
+    runToTable(hits.toDF(), "append")
+      .groupBy(col("attr_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          .as("total_value"))
+      .orderBy("attr_type")
+  }
+
+  /** The st33 state machine on any [[AttrEvent]] stream — factored out
+    * for the multi-batch spec (attribution carried across micro-batch
+    * boundaries).
+    */
+  def attributionTransform(ds: org.apache.spark.sql.Dataset[AttrEvent])
+      : org.apache.spark.sql.Dataset[AttrHit] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent],
+            state: org.apache.spark.sql.streaming.GroupState[AttrLast]) =>
+          var last = state.getOption.orNull
+          val out = List.newBuilder[AttrHit]
+          rows.toArray.sortBy(e => (e.s, e.event_id)).foreach { e =>
+            if (e.event_type == "purchase")
+              out += AttrHit(if (last == null) "none" else last.last_type, e.value)
+            else last = AttrLast(uid, e.event_type)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
   }
 
   /** The st27 state machine on any [[SkyEvent]] stream — factored out

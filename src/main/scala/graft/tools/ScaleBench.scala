@@ -54,7 +54,11 @@ object ScaleBench {
     "st26_stream_anomaly", "st27_stream_skyline", "m08_vad_segments",
     "st28_stream_drift", "q53_column_stats", "q54_transitions",
     "st29_stream_transitions", "q55_skyline3d", "st30_stream_profile",
-    "dbscan_events", "st08_stream_index_probe")
+    "dbscan_events", "st08_stream_index_probe",
+    "q57_gapfill_series", "q58_decay_score", "q59_waiting_supplier",
+    "t37_vocab_growth", "t38_collocations", "m09_shot_cuts",
+    "st31_stream_funnel", "st32_stream_decay", "q56_frequent_pairs",
+    "q60_attribution", "st33_stream_attribution")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -160,6 +164,28 @@ object ScaleBench {
       tagged.select((col("c_custkey") + i * 100000000L).as("c_custkey"),
         col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }.reduce(_ unionByName _), outDir, "customer")
+
+    // lineitem: order keys shift in lockstep with orders (joins stay
+    // aligned); part and supplier keys shift into disjoint per-copy id
+    // spaces, so q56's basket-pair structure and q59's per-supplier
+    // lateness profile replicate at CONSTANT per-item density (shared
+    // part ids across copies would multiply every pair's support ×N —
+    // the same degeneracy the documents `_i` suffix avoids).
+    val li = s.read.parquet(s"$base/lineitem.parquet")
+    writeSingleFile((0 until copies).map { i =>
+      li.select((col("l_orderkey") + i * 1000000000L).as("l_orderkey"),
+        (col("l_partkey") + i * 100000000L).as("l_partkey"),
+        (col("l_suppkey") + i * 10000000L).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ unionByName _), outDir, "lineitem")
+
+    val sup = s.read.parquet(s"$base/supplier.parquet")
+    writeSingleFile((0 until copies).map { i =>
+      sup.select((col("s_suppkey") + i * 10000000L).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    }.reduce(_ unionByName _), outDir, "supplier")
   }
 
   def main(args: Array[String]): Unit = {

@@ -155,6 +155,53 @@ class StreamFunnelDecaySpec extends AnyFunSuite with Matchers {
     driveDecay(rows.grouped(97).toSeq)._1 shouldBe expect
   }
 
+  // ---------- attribution (st33) ----------
+
+  test("attribution carries the last touch across micro-batch boundaries") {
+    val rows = Seq(
+      AttrEvent(1, "view", 10, 1, 5.0),
+      AttrEvent(1, "purchase", 20, 2, 7.0),  // -> view
+      // batch boundary; nothing between the purchases
+      AttrEvent(1, "purchase", 30, 3, 9.0),  // -> still view (LOCF)
+      AttrEvent(2, "purchase", 5, 1, 1.0),   // first-ever -> none
+      AttrEvent(2, "click", 6, 2, 2.0),
+      AttrEvent(2, "purchase", 7, 3, 3.0))   // -> click
+    def brute(rs: Seq[AttrEvent]): Map[String, (Long, Double)] =
+      rs.groupBy(_.user_id).values.flatMap { es =>
+        val sorted = es.toSeq.sortBy(e => (e.s, e.event_id))
+        sorted.zipWithIndex.collect { case (e, i) if e.event_type == "purchase" =>
+          val attr = sorted.take(i).reverse
+            .find(_.event_type != "purchase").map(_.event_type).getOrElse("none")
+          (attr, e.value)
+        }
+      }.toSeq.groupBy(_._1)
+        .map { case (k, vs) => k -> (vs.size.toLong, vs.map(_._2).sum) }
+    val expect = brute(rows)
+    def drive(batches: Seq[Seq[AttrEvent]]): Map[String, (Long, Double)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val src = MemoryStream[AttrEvent]
+        val name = s"graft_attr_${System.nanoTime()}"
+        val q = Streaming.attributionTransform(src.toDS()).toDF().writeStream
+          .outputMode("append").format("memory").queryName(name).start()
+        try {
+          batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect()
+            .groupBy(_.getString(0))
+            .map { case (k, rs) =>
+              k -> (rs.length.toLong, rs.map(_.getDouble(1)).sum)
+            }
+        } finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    drive(Seq(rows)) shouldBe expect
+    drive(Seq(rows.take(2), rows.slice(2, 4), rows.drop(4))) shouldBe expect
+    drive(rows.map(Seq(_))) shouldBe expect
+  }
+
   test("decay state is a bounded ring: old hour cells evict, score unchanged") {
     // one user active every hour for 200 hours: state must stay <= 31 cells
     val rows = (0 until 200).map(i => DecayEvent(1, 1000L + i, 2L))
