@@ -1868,6 +1868,14 @@ object NorthStar {
     // facts in append mode. Shares q60's oracle.
     "st33_stream_attribution" -> { (s, dir) =>
       graft.streaming.Streaming.streamAttribution(s, dir)
+    },
+
+    // Streaming Bloom maintenance — q26's approximate-membership
+    // sketch with the filter's SET BITS as streaming aggregate state
+    // (O(m) forever); readout probes customer keys, false positives
+    // replayed bit-for-bit by the set-semantics oracle.
+    "st34_stream_bloom" -> { (s, dir) =>
+      graft.streaming.Streaming.streamBloomMembers(s, dir)
     })
 
   // ---------- oracles ----------
@@ -3954,6 +3962,23 @@ object NorthStar {
         graft.queries.Relational.oracles("q58_decay_score")) +
       ("st33_stream_attribution" ->
         graft.queries.Relational.oracles("q60_attribution")) +
+      // q26's set-semantics Bloom replay over the streamed user set
+      ("st34_stream_bloom" ->
+        """WITH u AS (SELECT DISTINCT user_id FROM events),
+          |i3 AS (SELECT unnest(range(0, 3)) AS i),
+          |pos AS (SELECT DISTINCT
+          |    ((2*i + 1) * (user_id % 1024) + i*i + 7) % 1024 AS p
+          |  FROM u, i3),
+          |probe AS (SELECT c_custkey,
+          |    ((2*i + 1) * (c_custkey % 1024) + i*i + 7) % 1024 AS q
+          |  FROM customer, i3)
+          |SELECT c.c_custkey,
+          |  (SELECT count(*) FROM probe pr
+          |   WHERE pr.c_custkey = c.c_custkey
+          |     AND pr.q NOT IN (SELECT p FROM pos)) = 0 AS maybe_active,
+          |  EXISTS (SELECT 1 FROM u WHERE u.user_id = c.c_custkey)
+          |    AS exact_active
+          |FROM customer c ORDER BY c_custkey""".stripMargin) +
       // merge-closed stats replay directly; the HLL readout is t30's
       // exact-integer numerator + textually-fixed double expr, over
       // the t33 spread of user_id

@@ -1511,6 +1511,72 @@ object Relational {
         .agg(count(lit(1)).as("n_purchases"),
           sum($"value".cast(M)).cast("double").as("total_value"))
         .orderBy($"attr_type")
+    },
+
+    // Runtime Bloom-filtered join (sideband semi-join reduction — the
+    // generalization of Spark's runtime row-filtering to any join
+    // column): build a Bloom sketch over the SMALL side's keys
+    // (BloomAgg, one tiny aggregate), broadcast its 64-word bitset as
+    // a literal array, and pre-filter the FACT side with pure codegen
+    // column arithmetic (portable-hash positions + bit tests — no
+    // UDF) BEFORE the join shuffles. No false negatives, so the exact
+    // broadcast join downstream removes the (rare) false positives
+    // and the result is exactly the plain join — which is the oracle.
+    // At 100 TB this is the decisive move: the fact scan ships only
+    // ~|hot|/|customers| of its rows into the join.
+    "q61_bloom_join" -> { (s, dir) =>
+      import s.implicits._
+      val (m, kh) = (4096, 3)
+      val hot = rd(s, dir, "customer").filter($"c_acctbal" > 9000)
+        .select($"c_custkey", $"c_nationkey").persist()
+      val words = hot.select($"c_custkey").as[Long]
+        .groupByKey(_ => 0)
+        .agg(new graft.functions.BloomAgg(m, kh).toColumn.name("bloom"))
+        .map(_._2).collect().headOption
+        .getOrElse(new Array[Long](m / 64))
+      val w = lit(words)
+      val probed = (0 until kh).foldLeft(
+        rd(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")) {
+        (df, i) => df.withColumn(s"p$i",
+          ($"o_custkey" % m * (2 * i + 1) + lit(i.toLong * i + 7L)) % m)
+      }
+      val mightContain = (0 until kh).map { i =>
+        element_at(w, ($"p$i" / 64).cast("int") + 1)
+          .bitwiseAND(expr(s"shiftleft(1L, cast(p$i % 64 as int))")) =!= 0
+      }.reduce(_ && _)
+      probed.filter(mightContain)
+        .join(broadcast(hot), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast(M)).cast("double").as("total_price"))
+        .orderBy($"c_nationkey")
+    },
+
+    // Approximate query processing: estimate fact-table aggregates
+    // from a DETERMINISTIC hash sample (portable-hash keep predicate —
+    // the same sample on any engine/cluster, so the oracle replays the
+    // estimate bit-for-bit, false "sampling randomness" drift
+    // impossible). Scale-up is exact decimal × integer; the exact
+    // answer rides along as the measured error. The sample predicate
+    // is a pure projection — at 100 TB the sampled aggregate reads
+    // every block but shuffles 1/16 of the rows; with stored
+    // sample tables it reads 1/16 of the blocks too.
+    "q62_aqp_estimate" -> { (s, dir) =>
+      import s.implicits._
+      val li = rd(s, dir, "lineitem")
+        .withColumn("rid", $"l_orderkey" * 10 + $"l_linenumber")
+      val keep = graft.operators.Mixture.portableHash($"rid", i = 5) % 16 === 0
+      val samp = li.filter(keep).agg(
+        count(lit(1)).as("n_sample"),
+        (sum($"l_extendedprice".cast(M)) * 16).cast("double").as("est_revenue"))
+      val exact = li.agg(
+        count(lit(1)).as("n_total"),
+        sum($"l_extendedprice".cast(M)).cast("double").as("exact_revenue"))
+      samp.crossJoin(broadcast(exact))
+        .withColumn("rel_err",
+          round(abs($"est_revenue" - $"exact_revenue") / $"exact_revenue", 6))
+        .select($"n_total", $"n_sample", $"exact_revenue", $"est_revenue",
+          $"rel_err")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2301,5 +2367,32 @@ object Relational {
         |SELECT coalesce(attr, 'none') AS attr_type, count(*) AS n_purchases,
         |  cast(sum(cast(value as decimal(18,4))) as double) AS total_value
         |FROM a WHERE event_type = 'purchase'
-        |GROUP BY 1 ORDER BY attr_type""".stripMargin)
+        |GROUP BY 1 ORDER BY attr_type""".stripMargin,
+
+    // the Bloom pre-filter has no false negatives and the exact join
+    // removes false positives => result == the plain join
+    "q61_bloom_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  cast(sum(cast(o_totalprice as decimal(18,4))) as double)
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q62_aqp_estimate" -> {
+      val h = graft.operators.Mixture.portableHashSql(
+        "(l_orderkey*10 + l_linenumber)", 5)
+      s"""WITH s AS (SELECT count(*) AS n_sample,
+         |    cast(sum(cast(l_extendedprice as decimal(18,4))) * 16 as double)
+         |      AS est_revenue
+         |  FROM lineitem WHERE ($h) % 16 = 0),
+         |x AS (SELECT count(*) AS n_total,
+         |    cast(sum(cast(l_extendedprice as decimal(18,4))) as double)
+         |      AS exact_revenue
+         |  FROM lineitem)
+         |SELECT n_total, n_sample, exact_revenue, est_revenue,
+         |  round(abs(est_revenue - exact_revenue) / exact_revenue, 6)
+         |    AS rel_err
+         |FROM s, x""".stripMargin
+    })
 }

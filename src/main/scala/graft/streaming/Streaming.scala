@@ -1010,6 +1010,44 @@ object Streaming {
     TextIndex.hllSelect(regs, batchShingles, "sh", p)
   }
 
+  /** Streaming Bloom-filter maintenance — approximate membership over
+    * an unbounded stream (the st18/st21 bounded-sketch move applied to
+    * q26's Bloom): each event contributes its k portable-hash probe
+    * positions, and the filter's SET BITS are maintained as the
+    * streaming aggregate state (group-by-position — O(m) state however
+    * many events arrive; bit-OR merge == distinct-position union, so
+    * the result is batch-identical under any micro-batch split). The
+    * readout probes every customer key against the final position set
+    * with the same hash family: no false negatives by construction,
+    * and the oracle replays both verdict columns — INCLUDING the false
+    * positives — bit-for-bit via q26's set-semantics spelling.
+    */
+  def streamBloomMembers(s: SparkSession, dir: String,
+      m: Int = 1024, kh: Int = 3): DataFrame = {
+    def positions(key: org.apache.spark.sql.Column) =
+      explode(array((0 until kh).map(i =>
+        (key % m * (2 * i + 1) + lit(i.toLong * i + 7L)) % m): _*))
+    val pos = eventStream(s, dir).select(positions(col("user_id")).as("p"))
+    val bits = runToTable(pos.groupBy("p").agg(count(lit(1)).as("n")), "update")
+      .select(col("p")).distinct() // the filter's set bits
+    val probes = graft.sources.Sources.table(s, dir, "customer")
+      .select(col("c_custkey"))
+      .select(col("c_custkey"), positions(col("c_custkey")).as("q"))
+    val hits = probes.join(bits, probes("q") === bits("p"), "left_semi")
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_hit"))
+    val active = graft.sources.Sources.events(s, dir)
+      .select(col("user_id").as("c_custkey")).distinct()
+      .withColumn("is_active", lit(true))
+    graft.sources.Sources.table(s, dir, "customer")
+      .select(col("c_custkey"))
+      .join(hits, Seq("c_custkey"), "left")
+      .join(active, Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        (coalesce(col("n_hit"), lit(0L)) === kh).as("maybe_active"),
+        coalesce(col("is_active"), lit(false)).as("exact_active"))
+      .orderBy("c_custkey")
+  }
+
   /** Streaming approximate quantiles — q45's mergeable Greenwald-
     * Khanna sketch (percentile_approx) as the stream aggregate, per
     * event type in complete mode. The sketch buffer IS the keyed state:

@@ -50,7 +50,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "t34_bm25_topk" -> "the posting table crossJoins the broadcast ONE-ROW (N, L) corpus aggregate (t23's scalar shape); the data-sized work is the term posting equi-join and hash aggregates",
     "q57_gapfill_series" -> "the generated dense calendar crossJoins the broadcast |types|-row distinct-type table — both sides post-aggregate O(hours)/O(types) by construction; the data-sized work is the one hour x type hash aggregate",
     "t38_collocations" -> "the filtered bigram table crossJoins the broadcast ONE-ROW token-total and bigram-total aggregates (t34's scalar shape); the data-sized work is the two token-stream hash aggregates and vocab-sized equi-joins",
-    "q58_decay_score" -> "q18's scalar shape: the event projection joins the ONE-ROW broadcast reference-hour aggregate; the data-sized work is the single groupBy(user) hash aggregate")
+    "q58_decay_score" -> "q18's scalar shape: the event projection joins the ONE-ROW broadcast reference-hour aggregate; the data-sized work is the single groupBy(user) hash aggregate",
+    "q62_aqp_estimate" -> "t30's scalar shape: the ONE-ROW sample aggregate crossJoins the ONE-ROW exact aggregate — both sides single rows by construction; the data-sized work is two partial-aggregatable scans")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
