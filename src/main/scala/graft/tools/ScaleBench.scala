@@ -58,7 +58,8 @@ object ScaleBench {
     "q57_gapfill_series", "q58_decay_score", "q59_waiting_supplier",
     "t37_vocab_growth", "t38_collocations", "m09_shot_cuts",
     "st31_stream_funnel", "st32_stream_decay", "q56_frequent_pairs",
-    "q60_attribution", "st33_stream_attribution")
+    "q60_attribution", "st33_stream_attribution",
+    "q61_bloom_join", "q62_aqp_estimate", "st34_stream_bloom")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
