@@ -1876,6 +1876,14 @@ object NorthStar {
     // replayed bit-for-bit by the set-semantics oracle.
     "st34_stream_bloom" -> { (s, dir) =>
       graft.streaming.Streaming.streamBloomMembers(s, dir)
+    },
+
+    // Streaming KMV distinct sketch — t33's deterministic bottom-k
+    // as an O(k) streaming aggregate per source; the oracle replays
+    // sketch AND estimate bit-for-bit, batch exact NDV rides as
+    // measured error.
+    "st35_stream_kmv" -> { (s, dir) =>
+      graft.streaming.Streaming.streamKmvDistinct(s, dir)
     })
 
   // ---------- oracles ----------
@@ -3979,6 +3987,21 @@ object NorthStar {
           |  EXISTS (SELECT 1 FROM u WHERE u.user_id = c.c_custkey)
           |    AS exact_active
           |FROM customer c ORDER BY c_custkey""".stripMargin) +
+      // t33's deterministic KMV replay, per source: bottom-64 distinct
+      // spread hashes; estimate = (k-1)·P / h_k past saturation
+      ("st35_stream_kmv" ->
+        s"""WITH ${shingleSql("SELECT doc_id, text FROM documents")},
+           |sp AS (SELECT DISTINCT d.source AS src,
+           |    (736238393 * (sh.sh % $P) + 12345) % $P AS h
+           |  FROM sh JOIN documents d ON d.doc_id = sh.id),
+           |sk AS (SELECT src, (list_sort(list(DISTINCT h)))[1:64] AS kv,
+           |    count(DISTINCT h) AS nd
+           |  FROM sp GROUP BY src)
+           |SELECT src, nd,
+           |  round(CASE WHEN len(kv) < 64 THEN cast(len(kv) as double)
+           |    ELSE 63.0 * 1000000007.0 / cast(kv[64] as double) END, 6)
+           |    AS est
+           |FROM sk ORDER BY src""".stripMargin) +
       // merge-closed stats replay directly; the HLL readout is t30's
       // exact-integer numerator + textually-fixed double expr, over
       // the t33 spread of user_id

@@ -1048,6 +1048,45 @@ object Streaming {
       .orderBy("c_custkey")
   }
 
+  /** Streaming KMV (bottom-k) distinct sketch — t33's deterministic
+    * alternative to HLL, maintained per source over the DOCUMENT
+    * stream: the sketch is the k smallest distinct shingle hashes, an
+    * O(k) streaming aggregate whose insert/merge is order-independent,
+    * so the streamed sketch — and the estimate read from it — is a
+    * pure function of the distinct-value set and the batch oracle
+    * replays it bit-for-bit from `list_sort(list(DISTINCT h))[1:k]`.
+    * The batch exact NDV rides along as the measured error (t30's
+    * convention). Completes the streaming-sketch family: CM (st18),
+    * HLL (st21), GK quantiles (st23), Bloom (st34), KMV here.
+    */
+  def streamKmvDistinct(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import s.implicits._
+    val bigP = 1000000007L
+    def spread(sh: org.apache.spark.sql.Column) =
+      (lit(736238393L) * (sh % bigP) + 12345L) % bigP
+    val srcMap = s.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id".as("id"), $"source".as("src"))
+    val hashed = graft.operators.Dedup.shingles(
+        graft.sources.Sources.documentsStream(s, dir), "text", "doc_id", n = 3)
+      .join(srcMap, "id") // stream-static equi join, tiny dim
+      .select($"src", spread($"sh").as("h"))
+    val sketch = udaf(new graft.functions.KmvSketchAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val skn = runToTable(hashed.groupBy($"src").agg(sketch($"h").as("kv")),
+      "complete")
+    val exact = graft.operators.Dedup.shingles(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id", n = 3)
+      .join(srcMap, "id")
+      .select($"src", spread($"sh").as("h"))
+      .groupBy($"src").agg(countDistinct($"h").as("nd"))
+    skn.join(exact, "src")
+      .select($"src", $"nd",
+        round(when(size($"kv") < k, size($"kv").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(bigP.toDouble) /
+            element_at($"kv", k).cast("double")), 6).as("est"))
+      .orderBy("src")
+  }
+
   /** Streaming approximate quantiles — q45's mergeable Greenwald-
     * Khanna sketch (percentile_approx) as the stream aggregate, per
     * event type in complete mode. The sketch buffer IS the keyed state:
