@@ -1577,6 +1577,37 @@ object Relational {
           round(abs($"est_revenue" - $"exact_revenue") / $"exact_revenue", 6))
         .select($"n_total", $"n_sample", $"exact_revenue", $"est_revenue",
           $"rel_err")
+    },
+
+    // In-database closed-form OLS — metric trend detection (is each
+    // event type's daily volume rising or falling?): slope/intercept
+    // from the five EXACT integer moments (n, Σx, Σx², Σy, Σxy) of the
+    // per-type daily-count series, each metric ONE double division
+    // from bigints, so the fit is engine-portable bit-for-bit (no
+    // iterative solver, no libm beyond the division). Days are
+    // centered on the global min (broadcast scalar) to keep every
+    // moment product inside long range at any corpus age. Data-sized
+    // work: the single day×type count aggregate; the regression runs
+    // on O(days×types) rows.
+    "q63_trend" -> { (s, dir) =>
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy(expr("ts div 1000000000 div 86400").as("day"), $"event_type")
+        .agg(count(lit(1)).as("y"))
+      val ref = broadcast(daily.agg(min($"day").as("d0")))
+      daily.crossJoin(ref)
+        .withColumn("x", $"day" - $"d0")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+          sum($"y").as("sy"), sum($"x" * $"y").as("sxy"))
+        .withColumn("num", $"n_days" * $"sxy" - $"sx" * $"sy")
+        .withColumn("den", $"n_days" * $"sxx" - $"sx" * $"sx")
+        .select($"event_type", $"n_days", $"sy".as("n_events"),
+          round($"num".cast("double") / $"den".cast("double"), 6).as("slope"),
+          round(($"sy" * $"den" - $"num" * $"sx").cast("double") /
+            ($"n_days" * $"den").cast("double"), 6).as("intercept"))
+        .orderBy($"event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2394,5 +2425,24 @@ object Relational {
          |  round(abs(est_revenue - exact_revenue) / exact_revenue, 6)
          |    AS rel_err
          |FROM s, x""".stripMargin
-    })
+    },
+
+    "q63_trend" ->
+      """WITH daily AS (SELECT (epoch_ms(ts) // 1000) // 86400 AS day,
+        |    event_type, count(*) AS y FROM events GROUP BY 1, 2),
+        |r AS (SELECT min(day) AS d0 FROM daily),
+        |m AS (SELECT event_type, count(*) AS n_days,
+        |    cast(sum(day - d0) as bigint) AS sx,
+        |    cast(sum((day - d0) * (day - d0)) as bigint) AS sxx,
+        |    cast(sum(y) as bigint) AS sy,
+        |    cast(sum((day - d0) * y) as bigint) AS sxy
+        |  FROM daily CROSS JOIN r GROUP BY event_type)
+        |SELECT event_type, n_days, sy AS n_events,
+        |  round(cast(n_days * sxy - sx * sy as double)
+        |    / cast(n_days * sxx - sx * sx as double), 6) AS slope,
+        |  round(cast(sy * (n_days * sxx - sx * sx)
+        |      - (n_days * sxy - sx * sy) * sx as double)
+        |    / cast(n_days * (n_days * sxx - sx * sx) as double), 6)
+        |    AS intercept
+        |FROM m ORDER BY event_type""".stripMargin)
 }
