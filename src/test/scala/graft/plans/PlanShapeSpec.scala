@@ -54,6 +54,33 @@ class PlanShapeSpec extends AnyFunSuite with Matchers {
     scans shouldBe 2 // customer scanned once per join side
   }
 
+  test("q59 waiting supplier: ONE fact join, no lineitem self-join") {
+    val (sh, bc, scans) = shapes("q59_waiting_supplier")
+    // lineitem + orders scanned once each, supplier rides broadcast:
+    // the Q21 triple self-join never appears
+    scans shouldBe 3
+    bc should be >= 1 // supplier dim broadcast
+    sh should be <= 4 // join sides + per-order agg + supplier agg ceiling
+  }
+
+  test("q61 bloom join: fact scanned once, filter before the join, dim broadcast") {
+    val (sh, bc, scans) = shapes("q61_bloom_join")
+    scans should be <= 3 // orders + the two hot-side jobs' customer scans
+    bc should be >= 1    // hot side arrives broadcast
+    sh should be <= 1    // only the final aggregate may shuffle
+    val plan = graft.SparkEntry.queries("q61_bloom_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the bit-test prefilter runs as a plain Filter ahead of the join
+    plan should include ("Filter")
+  }
+
+  test("q63 trend: one data-sized aggregate, events scanned once per pass") {
+    val (sh, bc, scans) = shapes("q63_trend")
+    sh should be <= 3 // daily agg + per-type moment agg ceiling
+    bc should be >= 1 // min-day scalar broadcast
+    scans should be <= 2 // daily counts + the scalar's own pass
+  }
+
   test("q52 skyline: one scan, ONE exchange (candidates only), two sweeps") {
     val plan = graft.SparkEntry.queries("q52_skyline")(spark, sfDir)
       .queryExecution.executedPlan.toString
