@@ -108,4 +108,38 @@ object GlobalOrder {
            |END""".stripMargin))
       .drop("__grank", "__total")
   }
+
+  /** Global INCLUSIVE running sum of `valueCol` (integral — the sum is
+    * exact and order-independent) over the total order `sortCols`,
+    * added as `sumName`. Same two-pass shape as [[globalRank]]: range
+    * partition on the order, per-partition prefix sums in parallel,
+    * then the ≤ nParts per-partition totals prefix-summed on the tiny
+    * frame and broadcast back as offsets — the distributed scan
+    * primitive behind sweep-line analytics (interval concurrency,
+    * inventory balance), never a single-task sort.
+    * Same persist caveat as [[globalRank]].
+    */
+  def globalRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                       sumName: String = "cum", nParts: Int = 32,
+                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    require(nParts > 0, s"nParts must be positive, got $nParts")
+    (work :+ "__v" :+ "__cum").foreach(c => require(!df.columns.contains(c),
+      s"input must not already contain working column $c"))
+    val ranged = scope.own(df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id().cast("long"))
+      .withColumn("__v", valueCol.cast("long"))
+      .persist())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__cum", sum(col("__v")).over(wLocal))
+    val wPrefix = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(wPrefix), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(sumName, col("__offset") + col("__cum"))
+      .drop("__pid", "__v", "__cum", "__offset")
+  }
 }

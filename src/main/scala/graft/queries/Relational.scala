@@ -1608,6 +1608,42 @@ object Relational {
           round(($"sy" * $"den" - $"num" * $"sx").cast("double") /
             ($"n_days" * $"den").cast("double"), 6).as("intercept"))
         .orderBy($"event_type")
+    },
+
+    // Peak concurrency — the sweep-line / max-interval-overlap shape
+    // (capacity planning: most sessions alive at once): sessions
+    // become ±1 deltas at [st, en+1), and concurrency is the GLOBAL
+    // running sum over the (t, delta desc) total order — computed by
+    // GlobalOrder.globalRunningSum's two-pass range-partition scan,
+    // never a single-task sort. Ties process +1 before −1 (closed
+    // intervals: a session starting the second another ends counts as
+    // overlapping). The peak row (earliest t attaining the max) comes
+    // off a TakeOrderedAndProject; session count rides the broadcast
+    // scalar shape.
+    "q64_peak_concurrency" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+      val iv = events(s, dir)
+        .withColumn("sec", secs)
+        .withColumn("prev_s", lag($"sec", 1).over(w))
+        .withColumn("ns",
+          when($"prev_s".isNull || ($"sec" - $"prev_s") > 1800, 1).otherwise(0))
+        .withColumn("sess", sum($"ns").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sess")
+        .agg(min($"sec").as("st"), max($"sec").as("en"))
+        .persist() // three consumers: two delta projections + the count
+      val deltas = iv
+        .select($"st".as("t"), lit(1L).as("delta"), $"user_id", $"sess")
+        .unionByName(iv
+          .select(($"en" + 1).as("t"), lit(-1L).as("delta"), $"user_id", $"sess"))
+      val cum = graft.operators.GlobalOrder.globalRunningSum(deltas,
+        Seq($"t".asc, $"delta".desc, $"user_id".asc, $"sess".asc),
+        $"delta", sumName = "conc")
+      cum.orderBy($"conc".desc, $"t".asc).limit(1)
+        .select($"t".as("at_sec"), $"conc".as("peak_concurrency"))
+        .crossJoin(broadcast(iv.agg(count(lit(1)).as("n_sessions"))))
     })
 
   val oracles: Map[String, String] = Map(
@@ -2444,5 +2480,31 @@ object Relational {
         |      - (n_days * sxy - sx * sy) * sx as double)
         |    / cast(n_days * (n_days * sxx - sx * sx) as double), 6)
         |    AS intercept
-        |FROM m ORDER BY event_type""".stripMargin)
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q64_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) // 1000 AS s
+        |  FROM events),
+        |o AS (SELECT user_id, event_id, s,
+        |    lag(s, 1) OVER (PARTITION BY user_id ORDER BY s, event_id)
+        |      AS prev_s FROM e),
+        |g AS (SELECT user_id, s,
+        |    sum(CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sess
+        |  FROM o),
+        |iv AS (SELECT user_id, sess, min(s) AS st, max(s) AS en
+        |  FROM g GROUP BY 1, 2),
+        |d AS (SELECT st AS t, 1 AS delta, user_id, sess FROM iv
+        |  UNION ALL SELECT en + 1, -1, user_id, sess FROM iv),
+        |c AS (SELECT t, sum(delta)
+        |    OVER (ORDER BY t, delta DESC, user_id, sess
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS conc FROM d),
+        |n AS (SELECT count(*) AS n_sessions FROM iv)
+        |SELECT t AS at_sec, cast(conc as bigint) AS peak_concurrency,
+        |  n_sessions
+        |FROM c, n ORDER BY conc DESC, t ASC LIMIT 1""".stripMargin)
 }

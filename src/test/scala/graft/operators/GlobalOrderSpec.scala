@@ -47,6 +47,25 @@ class GlobalOrderSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("globalRunningSum == unpartitioned cumulative sum, any partition count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val df = (0 until 400)
+      .map(i => (i.toLong, rnd.nextInt(20).toLong, if (rnd.nextBoolean()) 1L else -1L))
+      .toDF("id", "t", "delta") // heavy t ties: the (t, delta desc, id) order is total
+    val order = Seq(col("t").asc, col("delta").desc, col("id").asc)
+    val want = df.withColumn("cum",
+        sum(col("delta")).over(Window.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (nParts <- Seq(1, 4, 17)) {
+      spark.catalog.clearCache() // each run owns its ranged persist
+      val got = GlobalOrder.globalRunningSum(df, order, col("delta"), nParts = nParts)
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"nParts=$nParts: ") { got shouldBe want }
+    }
+  }
+
   test("q34 plan: range-partitioned, data window partitioned by __pid, no ntile") {
     val plan = graft.SparkEntry.queries("q34_decile_spend")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
