@@ -1629,6 +1629,80 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // Corpus snapshot diff — dataset versioning's change-detection
+    // pass (what a nightly ingest reports before promoting a new
+    // corpus version): v1 FULL OUTER JOIN v2 on the document key,
+    // verdicts from content-hash comparison. Only (key, 16-byte md5)
+    // pairs ever shuffle — the texts stay in their scans — so the diff
+    // of a 100 TB corpus moves ~24 bytes/doc. The v2 snapshot is
+    // synthesized deterministically (drop %13, modify %7, add %11
+    // under new ids) so every verdict class is populated.
+    "d18_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val base = s.read.parquet(s"$dir/documents.parquet")
+      val v1 = base.select($"doc_id", md5($"text").as("fp1"))
+      val v2 = base.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id", md5(when($"doc_id" % 7 === 0,
+          concat($"text", lit(" v2"))).otherwise($"text")).as("fp2"))
+        .unionByName(base.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 200000).as("doc_id"),
+            md5(concat($"text", lit(" new"))).as("fp2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("verdict",
+          when($"fp1".isNull, "added")
+            .when($"fp2".isNull, "removed")
+            .when($"fp1" === $"fp2", "unchanged")
+            .otherwise("modified"))
+        .groupBy($"verdict").agg(count(lit(1)).as("n"))
+        .orderBy($"verdict")
+    },
+
+    // Dedup-subsystem EVALUATION as an oracle row — measured recall of
+    // the d04 MinHash-LSH candidate generator against exact ground
+    // truth: every planted (doc, 80%-mutant) pair's TRUE shingle
+    // Jaccard is computed exactly (per-pair posting intersection — N
+    // pairs, never N²), thresholded at 0.8, and checked against the
+    // LSH candidate set. Both sides are engine-portable (integer
+    // shingle counts; one double division per pair), so recall — the
+    // number a production dedup pipeline is tuned by — is itself
+    // oracle-checked, not spec-asserted.
+    "t39_dedup_eval" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = mutCorpus(s, dir)
+      val sh = Dedup.shingles(corpus, "text", "doc_id", n = 3)
+      val a = sh.filter($"id" < 100000).select($"id".as("pid"), $"sh")
+      val b = sh.filter($"id" >= 100000)
+        .select(($"id" - 100000).as("pid"), $"sh")
+      val inter = a.join(b, Seq("pid", "sh"))
+        .groupBy($"pid").agg(count(lit(1)).as("ni"))
+      val truth = a.groupBy($"pid").agg(count(lit(1)).as("na"))
+        .join(b.groupBy($"pid").agg(count(lit(1)).as("nb")), "pid")
+        .join(inter, Seq("pid"), "left")
+        .na.fill(0L, Seq("ni"))
+        .withColumn("jacc",
+          $"ni".cast("double") / ($"na" + $"nb" - $"ni").cast("double"))
+      val cand = Dedup.lshCandidatePairs(corpus, "text", "doc_id", 16, 4, 3)
+        .persist() // two consumers: the totals and the planted probe
+      val found = cand
+        .filter($"id_b" === $"id_a" + 100000 && $"id_a" < 100000)
+        .select($"id_a".as("pid")).distinct()
+        .withColumn("is_found", lit(true))
+      val agg1 = truth.join(found, Seq("pid"), "left")
+        .agg(count(lit(1)).as("n_planted"),
+          sum(when($"jacc" >= 0.8, 1L).otherwise(0L)).cast("long")
+            .as("n_true_dup"),
+          sum(when($"jacc" >= 0.8 && $"is_found", 1L).otherwise(0L))
+            .cast("long").as("n_found_true"))
+      val agg2 = cand.agg(count(lit(1)).as("n_candidates"),
+        sum(when($"id_b" === $"id_a" + 100000 && $"id_a" < 100000, 1L)
+          .otherwise(0L)).cast("long").as("n_cand_planted"))
+      agg1.crossJoin(broadcast(agg2))
+        .withColumn("recall",
+          round($"n_found_true".cast("double") / $"n_true_dup", 6))
+        .select($"n_planted", $"n_true_dup", $"n_found_true", $"recall",
+          $"n_candidates", $"n_cand_planted")
+    },
+
     // Shot-boundary detection over decoded payloads: per-frame byte-sum
     // signatures (16-byte stub frames, m08's convention), a cut wherever
     // consecutive signatures jump > thr. Integer-exact; one typed
@@ -3519,6 +3593,61 @@ object NorthStar {
           |  round(CASE WHEN nb > 0
           |    THEN cast(n_active as double) / nb ELSE 0.0 END, 6) AS active_frac
           |FROM s ORDER BY doc_id""".stripMargin,
+
+      "d18_snapshot_diff" ->
+        """WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
+          |v2 AS (SELECT doc_id,
+          |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+          |      AS fp2
+          |  FROM documents WHERE doc_id % 13 <> 0
+          |  UNION ALL SELECT doc_id + 200000, md5(text || ' new')
+          |  FROM documents WHERE doc_id % 11 = 0)
+          |SELECT CASE WHEN fp1 IS NULL THEN 'added'
+          |    WHEN fp2 IS NULL THEN 'removed'
+          |    WHEN fp1 = fp2 THEN 'unchanged'
+          |    ELSE 'modified' END AS verdict, count(*) AS n
+          |FROM v1 FULL JOIN v2 USING (doc_id)
+          |GROUP BY 1 ORDER BY verdict""".stripMargin,
+
+      // ground truth = exact per-planted-pair shingle Jaccard;
+      // candidates = d04's banding replay — recall itself oracle-checked
+      "t39_dedup_eval" ->
+        s"""WITH ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+           |pa AS (SELECT id AS pid, sh.sh FROM sh WHERE id < 100000),
+           |pb AS (SELECT id - 100000 AS pid, sh.sh FROM sh WHERE id >= 100000),
+           |sa AS (SELECT pid, count(*) AS na FROM pa GROUP BY 1),
+           |sb AS (SELECT pid, count(*) AS nb FROM pb GROUP BY 1),
+           |iv AS (SELECT pa.pid, count(*) AS ni
+           |  FROM pa JOIN pb ON pa.pid = pb.pid AND pa.sh = pb.sh GROUP BY 1),
+           |tr AS (SELECT sa.pid, na, nb, coalesce(ni, 0) AS ni,
+           |    cast(coalesce(ni, 0) as double)
+           |      / cast(na + nb - coalesce(ni, 0) as double) AS jacc
+           |  FROM sa JOIN sb USING (pid) LEFT JOIN iv ON iv.pid = sa.pid),
+           |cp AS (SELECT DISTINCT id_a AS pid FROM pairs
+           |  WHERE id_b = id_a + 100000 AND id_a < 100000),
+           |a1 AS (SELECT count(*) AS n_planted,
+           |    cast(sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END) as bigint)
+           |      AS n_true_dup,
+           |    cast(sum(CASE WHEN jacc >= 0.8
+           |        AND pid IN (SELECT pid FROM cp) THEN 1 ELSE 0 END) as bigint)
+           |      AS n_found_true
+           |  FROM tr),
+           |a2 AS (SELECT count(*) AS n_candidates,
+           |    cast(sum(CASE WHEN id_b = id_a + 100000 AND id_a < 100000
+           |      THEN 1 ELSE 0 END) as bigint) AS n_cand_planted
+           |  FROM pairs)
+           |SELECT n_planted, n_true_dup, n_found_true,
+           |  round(cast(n_found_true as double) / n_true_dup, 6) AS recall,
+           |  n_candidates, n_cand_planted
+           |FROM a1, a2""".stripMargin,
 
       // frame signature = 16-byte block sum over ascii codes (the m08
       // payload convention); cuts from consecutive-signature jumps

@@ -60,7 +60,8 @@ object ScaleBench {
     "st31_stream_funnel", "st32_stream_decay", "q56_frequent_pairs",
     "q60_attribution", "st33_stream_attribution",
     "q61_bloom_join", "q62_aqp_estimate", "st34_stream_bloom",
-    "st35_stream_kmv", "q63_trend", "q64_peak_concurrency")
+    "st35_stream_kmv", "q63_trend", "q64_peak_concurrency",
+    "d18_snapshot_diff", "t39_dedup_eval")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
