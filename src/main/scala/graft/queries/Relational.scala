@@ -1644,6 +1644,48 @@ object Relational {
       cum.orderBy($"conc".desc, $"t".asc).limit(1)
         .select($"t".as("at_sec"), $"conc".as("peak_concurrency"))
         .crossJoin(broadcast(iv.agg(count(lit(1)).as("n_sessions"))))
+    },
+
+    // A/B experiment readout — the online-experimentation shape:
+    // users assigned to arms by the portable hash (deterministic —
+    // the same user lands in the same arm on any engine/cluster,
+    // re-runs included), per-user purchase counts as the metric, and
+    // Welch's t from the per-arm EXACT integer moments (n, Σx, Σx²)
+    // — one textually-fixed double formula (sqrt is IEEE correctly
+    // rounded, so it cannot drift between engines, unlike pow/log).
+    // Data-sized work: ONE per-user aggregate; the arm stats are a
+    // 2-row frame.
+    "q65_ab_test" -> { (s, dir) =>
+      import s.implicits._
+      val arm = graft.operators.Mixture.portableHash($"user_id", i = 9) % 2
+      val per = events(s, dir)
+        .groupBy($"user_id")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .cast("long").as("x"))
+        .withColumn("arm", when(arm === 0, "A").otherwise("B"))
+      per.groupBy($"arm")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"x" * $"x").as("sxx"))
+        .agg(
+          max(when($"arm" === "A", $"n")).as("n_a"),
+          max(when($"arm" === "B", $"n")).as("n_b"),
+          max(when($"arm" === "A", $"sx")).as("sx_a"),
+          max(when($"arm" === "B", $"sx")).as("sx_b"),
+          max(when($"arm" === "A", $"sxx")).as("sxx_a"),
+          max(when($"arm" === "B", $"sxx")).as("sxx_b"))
+        .withColumn("mean_a", $"sx_a".cast("double") / $"n_a")
+        .withColumn("mean_b", $"sx_b".cast("double") / $"n_b")
+        .withColumn("var_a",
+          ($"n_a" * $"sxx_a" - $"sx_a" * $"sx_a").cast("double") /
+            ($"n_a" * ($"n_a" - 1)).cast("double"))
+        .withColumn("var_b",
+          ($"n_b" * $"sxx_b" - $"sx_b" * $"sx_b").cast("double") /
+            ($"n_b" * ($"n_b" - 1)).cast("double"))
+        .select($"n_a", $"n_b",
+          round($"mean_a", 6).as("mean_a"), round($"mean_b", 6).as("mean_b"),
+          round($"var_a", 6).as("var_a"), round($"var_b", 6).as("var_b"),
+          round(($"mean_a" - $"mean_b") /
+            sqrt($"var_a" / $"n_a" + $"var_b" / $"n_b"), 6).as("t_stat"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -2506,5 +2548,39 @@ object Relational {
         |n AS (SELECT count(*) AS n_sessions FROM iv)
         |SELECT t AS at_sec, cast(conc as bigint) AS peak_concurrency,
         |  n_sessions
-        |FROM c, n ORDER BY conc DESC, t ASC LIMIT 1""".stripMargin)
+        |FROM c, n ORDER BY conc DESC, t ASC LIMIT 1""".stripMargin,
+
+    "q65_ab_test" -> {
+      val h = graft.operators.Mixture.portableHashSql("user_id", 9)
+      s"""WITH per AS (SELECT user_id,
+         |    cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      as bigint) AS x
+         |  FROM events GROUP BY 1),
+         |armed AS (SELECT x,
+         |    CASE WHEN ($h) % 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM per),
+         |m AS (SELECT arm, count(*) AS n, cast(sum(x) as bigint) AS sx,
+         |    cast(sum(x * x) as bigint) AS sxx FROM armed GROUP BY arm),
+         |w AS (SELECT
+         |    max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+         |    max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+         |    max(CASE WHEN arm = 'A' THEN sx END) AS sx_a,
+         |    max(CASE WHEN arm = 'B' THEN sx END) AS sx_b,
+         |    max(CASE WHEN arm = 'A' THEN sxx END) AS sxx_a,
+         |    max(CASE WHEN arm = 'B' THEN sxx END) AS sxx_b
+         |  FROM m),
+         |v AS (SELECT n_a, n_b,
+         |    cast(sx_a as double) / n_a AS mean_a,
+         |    cast(sx_b as double) / n_b AS mean_b,
+         |    cast(n_a * sxx_a - sx_a * sx_a as double)
+         |      / cast(n_a * (n_a - 1) as double) AS var_a,
+         |    cast(n_b * sxx_b - sx_b * sx_b as double)
+         |      / cast(n_b * (n_b - 1) as double) AS var_b
+         |  FROM w)
+         |SELECT n_a, n_b, round(mean_a, 6) AS mean_a,
+         |  round(mean_b, 6) AS mean_b, round(var_a, 6) AS var_a,
+         |  round(var_b, 6) AS var_b,
+         |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+         |    AS t_stat
+         |FROM v""".stripMargin
+    })
 }
