@@ -1200,6 +1200,53 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** MIPS — maximum inner product search (the recommendation-retrieval
+    * metric: score = raw q·v, NOT cosine — unnormalized corpora rank
+    * differently under the two, which is exactly why MIPS exists as
+    * its own problem). Same two-stage shape as [[sq8RerankTopK]]:
+    * int8-code INTEGER dot products order the candidates (the
+    * approximate stage is oracle-exact), WindowGroupLimit keeps both
+    * rank stages partial, and the exact rerank re-scores the `cand`
+    * survivors by the full-precision dot product via the codegen
+    * [[graft.functions.DotProduct]] kernel. At corpus scale the
+    * candidate stage reads 1 byte/dim; only cand rows/query fetch the
+    * full vector.
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cand: Int = 40, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && cand >= k, s"need cand >= k >= 1, got k=$k cand=$cand")
+    def codes(df: DataFrame, outId: String, outCodes: String): DataFrame = {
+      val v = transform(col(vecCol), x => x.cast("double"))
+      val scale = array_max(transform(v, x => abs(x))) / 127.0
+      val cs = when(scale === 0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v, x => floor(x / scale + 0.5).cast("long")))
+      df.select(col(idCol).cast("long").as(outId), cs.as(outCodes))
+    }
+    val n = codes(corpus, "n_id", "n_codes")
+    val q = broadcast(codes(queries, "q_id", "q_codes")
+      .join(queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).as("q_vec")), "q_id"))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("idot").desc, col("n_id").asc)
+    val candidates = n.join(q, col("n_id") =!= col("q_id"))
+      .withColumn("idot", aggregate(
+        zip_with(col("q_codes"), col("n_codes"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= cand)
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("idot"))
+    val full = corpus.select(col(idCol).cast("long").as("n_id"),
+      col(vecCol).as("n_vec"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id").asc)
+    full.join(broadcast(candidates), "n_id")
+      .withColumn("ip", dot(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("idot"),
+        round(col("ip"), 6).as("ip"))
+  }
+
   /** Matryoshka/prefix-dimension two-stage ANN: coarse-score on the
     * FIRST `prefixDims` components only (matryoshka-trained embeddings
     * order information by prefix, so a short prefix is itself a valid

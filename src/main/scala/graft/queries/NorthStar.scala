@@ -1052,6 +1052,18 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // MIPS — top-k by raw INNER PRODUCT (the recommendation-retrieval
+    // metric; ranks differently from cosine on unnormalized vectors).
+    // s25's two-stage shape: integer-dot candidates, exact dot rerank.
+    "s26_mips_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.mipsTopK(emb, emb.filter($"vec_id" < 5), k = 5, cand = 40)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"),
+          $"idot", $"ip")
+        .orderBy("q_id", "rnk")
+    },
+
     // MATRYOSHKA PREFIX-DIM ANN — coarse cosine over the first 16 of
     // 64 components (a 4x narrower coarse scan; MRL embeddings order
     // information by prefix), top-40 candidates per query, exact
@@ -3228,6 +3240,36 @@ object NorthStar {
            |  SELECT q_id, n_id, idot, round(${cosSql("qv", "nv")}, 6) AS cos_sim,
            |    row_number() OVER (PARTITION BY q_id
            |      ORDER BY ${cosSql("qv", "nv")} DESC, n_id ASC) AS rn
+           |  FROM cand) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // s25's candidate replay, rerank by the raw inner-product fold
+      "s26_mips_topk" ->
+        s"""WITH vv AS (SELECT vec_id AS id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v
+           |  FROM embeddings),
+           |c AS (SELECT id, v,
+           |    list_transform(v, x -> cast(floor(x / scale + 0.5) as bigint))
+           |      AS codes
+           |  FROM (SELECT id, v,
+           |      list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0
+           |        AS scale FROM vv)),
+           |cand AS (SELECT * FROM (
+           |  SELECT q.id AS q_id, q.v AS qv, n.id AS n_id, n.v AS nv,
+           |    cast(list_sum(list_transform(range(1, len(q.codes) + 1),
+           |      i -> q.codes[i] * n.codes[i])) as bigint) AS idot,
+           |    row_number() OVER (PARTITION BY q.id
+           |      ORDER BY cast(list_sum(list_transform(range(1, len(q.codes) + 1),
+           |        i -> q.codes[i] * n.codes[i])) as bigint) DESC, n.id ASC) AS crn
+           |  FROM c q JOIN c n ON n.id <> q.id WHERE q.id < 5) t
+           |  WHERE crn <= 40)
+           |SELECT q_id, n_id, rn AS rnk, idot, ip FROM (
+           |  SELECT q_id, n_id, idot,
+           |    round(list_reduce(list_transform(range(1,65), i -> qv[i]*nv[i]),
+           |      (x,y) -> x+y), 6) AS ip,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY list_reduce(list_transform(range(1,65), i -> qv[i]*nv[i]),
+           |        (x,y) -> x+y) DESC, n_id ASC) AS rn
            |  FROM cand) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
 

@@ -40,6 +40,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s21_binary_rerank" -> "candidate stage: 5 broadcast query signatures x ONE 16-byte (id, sig) scan — 1/32 of the s01 scan bytes; the rerank is an ordinary broadcast-candidate equi-join on n_id",
     "s22_matryoshka" -> "coarse stage: 5 broadcast query prefixes x the 16-of-64-dim prefix projection (1/4 of the s01 scan bytes); the rerank is the same broadcast-candidate equi-join as s21",
     "s25_sq8_rerank" -> "candidate stage: 5 broadcast query code arrays x the int8-codes projection (1/4 of the s01 scan bytes, integer dot scoring); the rerank is the same broadcast-candidate equi-join as s21",
+    "s26_mips_topk" -> "s25's sanctioned candidate shape verbatim (5 broadcast query code arrays x the int8-codes projection); the rerank is the same broadcast-candidate equi-join, scored by raw inner product",
     "s19_semantic_dedup" -> "s04's sanctioned coarse-assignment shape (corpus x 32 broadcast centroids); the data-sized pair join is an equi-join on the cluster id",
     "s18_hybrid_search" -> "the vector half is the sanctioned 3-broadcast-queries x corpus baseline (swap in s15's pruned ADC at corpus scale); the lexical half is a posting equi-join",
     "t19_temperature_mix" -> "the |domains|-row weight table crossJoins the broadcast 1-row weight-sum aggregate — both sides tiny by construction; the data-sized join is the broadcast rate join on domain",
