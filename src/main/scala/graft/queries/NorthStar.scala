@@ -1970,6 +1970,13 @@ object NorthStar {
     // measured error.
     "st35_stream_kmv" -> { (s, dir) =>
       graft.streaming.Streaming.streamKmvDistinct(s, dir)
+    },
+
+    // Streaming A/B monitor — q65's Welch-t readout live over the
+    // stream: ONE long of keyed state per user (arm assignment is the
+    // stateless portable hash). Shares q65's oracle.
+    "st36_stream_ab_test" -> { (s, dir) =>
+      graft.streaming.Streaming.streamAbTest(s, dir)
     })
 
   // ---------- oracles ----------
@@ -4141,6 +4148,8 @@ object NorthStar {
         graft.queries.Relational.oracles("q58_decay_score")) +
       ("st33_stream_attribution" ->
         graft.queries.Relational.oracles("q60_attribution")) +
+      ("st36_stream_ab_test" ->
+        graft.queries.Relational.oracles("q65_ab_test")) +
       // q26's set-semantics Bloom replay over the streamed user set
       ("st34_stream_bloom" ->
         """WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -1048,6 +1048,63 @@ object Streaming {
       .orderBy("c_custkey")
   }
 
+  /** Streaming A/B experiment monitor — q65's Welch-t readout
+    * maintained over the stream: per-user purchase counts are the
+    * keyed state (ONE long per user; arm assignment is the
+    * deterministic portable hash, so it needs no storage), and the
+    * per-arm moments + t statistic are computed batch-side from the
+    * latest per-user emissions — the live significance dashboard an
+    * experimentation platform runs. Counts are monotone, so the
+    * update-mode readout is max-per-key; shares q65's oracle verbatim.
+    */
+  def streamAbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updates = eventStream(s, dir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          val prev = state.getOption.map(_._2).getOrElse(0L)
+          val next = prev + rows.map(_._2).sum
+          state.update((uid, next))
+          (uid, next)
+      }
+    val per = runToTable(updates.toDF("user_id", "x"), "update")
+      .groupBy(col("user_id")).agg(max(col("x")).as("x")) // monotone: max = latest
+      .withColumn("arm", when(
+        graft.operators.Mixture.portableHash(col("user_id"), i = 9) % 2 === 0,
+        "A").otherwise("B"))
+    per.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .agg(
+        max(when(col("arm") === "A", col("n"))).as("n_a"),
+        max(when(col("arm") === "B", col("n"))).as("n_b"),
+        max(when(col("arm") === "A", col("sx"))).as("sx_a"),
+        max(when(col("arm") === "B", col("sx"))).as("sx_b"),
+        max(when(col("arm") === "A", col("sxx"))).as("sxx_a"),
+        max(when(col("arm") === "B", col("sxx"))).as("sxx_b"))
+      .withColumn("mean_a", col("sx_a").cast("double") / col("n_a"))
+      .withColumn("mean_b", col("sx_b").cast("double") / col("n_b"))
+      .withColumn("var_a",
+        (col("n_a") * col("sxx_a") - col("sx_a") * col("sx_a")).cast("double") /
+          (col("n_a") * (col("n_a") - 1)).cast("double"))
+      .withColumn("var_b",
+        (col("n_b") * col("sxx_b") - col("sx_b") * col("sx_b")).cast("double") /
+          (col("n_b") * (col("n_b") - 1)).cast("double"))
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("var_a"), 6).as("var_a"),
+        round(col("var_b"), 6).as("var_b"),
+        round((col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+          .as("t_stat"))
+  }
+
   /** Streaming KMV (bottom-k) distinct sketch — t33's deterministic
     * alternative to HLL, maintained per source over the DOCUMENT
     * stream: the sketch is the k smallest distinct shingle hashes, an

@@ -61,7 +61,8 @@ object ScaleBench {
     "q60_attribution", "st33_stream_attribution",
     "q61_bloom_join", "q62_aqp_estimate", "st34_stream_bloom",
     "st35_stream_kmv", "q63_trend", "q64_peak_concurrency",
-    "d18_snapshot_diff", "t39_dedup_eval", "q65_ab_test", "s26_mips_topk")
+    "d18_snapshot_diff", "t39_dedup_eval", "q65_ab_test", "s26_mips_topk",
+    "st36_stream_ab_test")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
