@@ -39,6 +39,15 @@ final case class ShotCuts(
     n_shots: Long,
     max_jump: Long)
 
+/** Per-asset byte-entropy screen (m10): fixed-point Shannon entropy of
+  * the payload's byte histogram.
+  */
+final case class ByteEntropy(
+    doc_id: Long,
+    n_bytes: Long,
+    n_distinct: Long,
+    entropy_fp: Long)
+
 /** Multimodal (binary) column plumbing for image/audio/video-bearing
   * tables.
   *
@@ -361,6 +370,48 @@ object Multimodal {
             prev = s
           }
           ShotCuts(id, nF, nC, if (nF > 0) nC + 1 else 0L, maxJ)
+        }
+      }
+  }
+
+  /** Byte-entropy screen (m10): Shannon entropy of each payload's byte
+    * histogram — the junk detector a multimodal ingest runs first
+    * (compressed/encrypted blobs sit near 8 bits/byte, text near 4,
+    * constant padding near 0). Entropy is computed in the SHARED 16.16
+    * fixed-point log2 ([[graft.operators.Mixture.log2Fp]]'s exact
+    * arithmetic, inlined on longs): H_fp = Σ c·(log2fp(n) − log2fp(c))
+    * over the 256 byte counts — a pure-integer result the SQL oracle
+    * replays bit-for-bit (bits/byte ≈ H_fp / (n·65536)). One typed
+    * partition pass, O(256) memory per row, no shuffle.
+    */
+  def byteEntropy(spark: SparkSession, docsWithPayload: DataFrame,
+      idCol: String = "doc_id"): Dataset[ByteEntropy] = {
+    import spark.implicits._
+    def log2fp(x: Long): Long = {
+      val p = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      p.toLong * 65536 + ((x << 16) >> p) - 65536
+    }
+    docsWithPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val counts = new Array[Long](256)
+        it.map { case (id, payload) =>
+          java.util.Arrays.fill(counts, 0L)
+          var i = 0
+          while (i < payload.length) { counts(payload(i) & 0xff) += 1; i += 1 }
+          val n = payload.length.toLong
+          var nd = 0L; var hfp = 0L
+          if (n > 0) {
+            val ln = log2fp(n)
+            var b = 0
+            while (b < 256) {
+              val c = counts(b)
+              if (c > 0) { nd += 1; hfp += c * (ln - log2fp(c)) }
+              b += 1
+            }
+          }
+          ByteEntropy(id, n, nd, hfp)
         }
       }
   }

@@ -1730,6 +1730,24 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // Byte-entropy screen over payloads: fixed-point Shannon entropy
+    // of the 256-bucket byte histogram (the junk/compression detector)
+    // plus bits/byte as one exact division. Typed partition pass.
+    "m10_byte_entropy" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.byteEntropy(s,
+          Multimodal.withBinaryPayload(docs.select($"doc_id", $"text"), "text"))
+        .toDF()
+        .withColumn("bits_per_byte", round(
+          when($"n_bytes" > 0,
+            $"entropy_fp".cast("double") / ($"n_bytes" * 65536L).cast("double"))
+            .otherwise(0.0), 6))
+        .select($"doc_id", $"n_bytes", $"n_distinct", $"entropy_fp",
+          $"bits_per_byte")
+        .orderBy("doc_id")
+    },
+
     // --- streaming ---
     "st01_stream_hourly" -> { (s, dir) =>
       graft.streaming.Streaming.hourlyStats(s, dir)
@@ -3697,6 +3715,28 @@ object NorthStar {
            |  round(cast(n_found_true as double) / n_true_dup, 6) AS recall,
            |  n_candidates, n_cand_planted
            |FROM a1, a2""".stripMargin,
+
+      // byte histogram over ascii codes (the m08 payload convention);
+      // entropy in the shared integer-exact fixed-point log2
+      "m10_byte_entropy" ->
+        s"""WITH t AS (SELECT doc_id, list_transform(string_split(text, ''),
+          |    ch -> cast(ascii(ch) as bigint)) AS codes FROM documents),
+          |cc AS (SELECT doc_id, code, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(codes) AS code FROM t) GROUP BY 1, 2),
+          |nn AS (SELECT doc_id, cast(sum(c) as bigint) AS n,
+          |    count(*) AS nd FROM cc GROUP BY 1),
+          |e AS (SELECT cc.doc_id,
+          |    cast(sum(cc.c * ((${Mixture.log2FpSql("nn.n")})
+          |      - (${Mixture.log2FpSql("cc.c")}))) as bigint) AS efp
+          |  FROM cc JOIN nn USING (doc_id) GROUP BY 1)
+          |SELECT t.doc_id, coalesce(nn.n, 0) AS n_bytes,
+          |  cast(coalesce(nn.nd, 0) as bigint) AS n_distinct,
+          |  coalesce(e.efp, 0) AS entropy_fp,
+          |  round(CASE WHEN coalesce(nn.n, 0) > 0
+          |    THEN cast(e.efp as double) / cast(nn.n * 65536 as double)
+          |    ELSE 0.0 END, 6) AS bits_per_byte
+          |FROM t LEFT JOIN nn USING (doc_id) LEFT JOIN e USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin,
 
       // frame signature = 16-byte block sum over ascii codes (the m08
       // payload convention); cuts from consecutive-signature jumps
