@@ -1995,6 +1995,14 @@ object NorthStar {
     // stateless portable hash). Shares q65's oracle.
     "st36_stream_ab_test" -> { (s, dir) =>
       graft.streaming.Streaming.streamAbTest(s, dir)
+    },
+
+    // Streaming trend monitor — q63's closed-form OLS over a TRAILING
+    // 31-day window as bounded keyed state (st32's lossless
+    // self-clock eviction applied to per-type daily counts); own
+    // windowed oracle.
+    "st37_stream_trend" -> { (s, dir) =>
+      graft.streaming.Streaming.streamTrend(s, dir)
     })
 
   // ---------- oracles ----------
@@ -4190,6 +4198,28 @@ object NorthStar {
         graft.queries.Relational.oracles("q60_attribution")) +
       ("st36_stream_ab_test" ->
         graft.queries.Relational.oracles("q65_ab_test")) +
+      // q63's exact-moment OLS restricted to the trailing 31-day
+      // window anchored at the corpus max day
+      ("st37_stream_trend" ->
+        """WITH daily AS (SELECT (epoch_ms(ts) // 1000) // 86400 AS day,
+          |    event_type, count(*) AS y FROM events GROUP BY 1, 2),
+          |r AS (SELECT max(day) AS dmax FROM daily),
+          |wnd AS (SELECT event_type, day - (dmax - 30) AS x, y
+          |  FROM daily CROSS JOIN r WHERE day >= dmax - 30),
+          |m AS (SELECT event_type, count(*) AS n_days,
+          |    cast(sum(x) as bigint) AS sx,
+          |    cast(sum(x * x) as bigint) AS sxx,
+          |    cast(sum(y) as bigint) AS sy,
+          |    cast(sum(x * y) as bigint) AS sxy
+          |  FROM wnd GROUP BY 1)
+          |SELECT event_type, n_days, sy AS n_events,
+          |  round(cast(n_days * sxy - sx * sy as double)
+          |    / cast(n_days * sxx - sx * sx as double), 6) AS slope,
+          |  round(cast(sy * (n_days * sxx - sx * sx)
+          |      - (n_days * sxy - sx * sy) * sx as double)
+          |    / cast(n_days * (n_days * sxx - sx * sx) as double), 6)
+          |    AS intercept
+          |FROM m ORDER BY event_type""".stripMargin) +
       // q26's set-semantics Bloom replay over the streamed user set
       ("st34_stream_bloom" ->
         """WITH u AS (SELECT DISTINCT user_id FROM events),

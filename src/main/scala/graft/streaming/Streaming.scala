@@ -37,6 +37,8 @@ final case class AttrEvent(user_id: Long, event_type: String, s: Long,
   event_id: Long, value: Double)
 final case class AttrLast(user_id: Long, last_type: String)
 final case class AttrHit(attr_type: String, value: Double)
+final case class TrendState(event_type: String, n_events: Long,
+  days: List[Long], counts: List[Long])
 
 /** Structured Streaming operators over the events table.
   *
@@ -1103,6 +1105,66 @@ object Streaming {
         round((col("mean_a") - col("mean_b")) /
           sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
           .as("t_stat"))
+  }
+
+  /** Streaming trend monitor — q63's closed-form OLS over a TRAILING
+    * 31-day window, maintained as streaming state: per event type a
+    * bounded ring of (day → count) cells (st32's eviction rule — cells
+    * older than 30 days behind the type's own max day can never enter
+    * a trailing window anchored at the global max, so dropping them is
+    * lossless), slope/intercept read out batch-side from the exact
+    * integer moments of the retained cells. Unlike st32 the metric is
+    * day-granular volume, so the window is the days PRESENT in the
+    * ring (an empty day appears on neither engine). Own windowed
+    * oracle (q63's formula restricted to the trailing window).
+    */
+  def streamTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val updates = eventStream(s, dir)
+      .select(col("event_type").as("k"),
+        expr("ts div 1000000000 div 86400").as("d"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[TrendState]) =>
+          val prev = state.getOption.getOrElse(TrendState(key, 0L, Nil, Nil))
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          prev.days.indices.foreach(i => m(prev.days(i)) = prev.counts(i))
+          var n = prev.n_events
+          rows.foreach { r => m(r._2) = m.getOrElse(r._2, 0L) + 1L; n += 1L }
+          val maxD = m.keysIterator.max
+          val kept = m.iterator.filter(_._1 >= maxD - 30).toSeq.sortBy(_._1)
+          val next = TrendState(key, n,
+            kept.map(_._1).toList, kept.map(_._2).toList)
+          state.update(next)
+          next
+      }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("n_events").desc)
+    val cells = runToTable(updates.toDF(), "update")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // latest state per key (n_events monotone)
+      .select(col("event_type"),
+        explode(arrays_zip(col("days"), col("counts"))).as("c"))
+      .select(col("event_type"), col("c.days").as("day"),
+        col("c.counts").as("y"))
+    val ref = broadcast(cells.agg(max(col("day")).as("dmax")))
+    cells.crossJoin(ref)
+      .filter(col("day") >= col("dmax") - 30)
+      .withColumn("x", col("day") - (col("dmax") - 30))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .select(col("event_type"), col("n_days"), col("sy").as("n_events"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("slope"),
+        round((col("sy") * col("den") - col("num") * col("sx")).cast("double")
+          / (col("n_days") * col("den")).cast("double"), 6).as("intercept"))
+      .orderBy(col("event_type"))
   }
 
   /** Streaming KMV (bottom-k) distinct sketch — t33's deterministic
