@@ -1739,10 +1739,14 @@ object NorthStar {
       Multimodal.byteEntropy(s,
           Multimodal.withBinaryPayload(docs.select($"doc_id", $"text"), "text"))
         .toDF()
-        .withColumn("bits_per_byte", round(
+        // NO round(): the operands are identical bigints on both
+        // engines, so the ONE IEEE division is bit-identical — while
+        // round-to-6 can land on a .5 tie and split between the
+        // engines' rounding modes (observed at sf0.1: ...375 vs ...38)
+        .withColumn("bits_per_byte",
           when($"n_bytes" > 0,
             $"entropy_fp".cast("double") / ($"n_bytes" * 65536L).cast("double"))
-            .otherwise(0.0), 6))
+            .otherwise(0.0))
         .select($"doc_id", $"n_bytes", $"n_distinct", $"entropy_fp",
           $"bits_per_byte")
         .orderBy("doc_id")
@@ -3740,9 +3744,9 @@ object NorthStar {
           |SELECT t.doc_id, coalesce(nn.n, 0) AS n_bytes,
           |  cast(coalesce(nn.nd, 0) as bigint) AS n_distinct,
           |  coalesce(e.efp, 0) AS entropy_fp,
-          |  round(CASE WHEN coalesce(nn.n, 0) > 0
+          |  CASE WHEN coalesce(nn.n, 0) > 0
           |    THEN cast(e.efp as double) / cast(nn.n * 65536 as double)
-          |    ELSE 0.0 END, 6) AS bits_per_byte
+          |    ELSE 0.0 END AS bits_per_byte
           |FROM t LEFT JOIN nn USING (doc_id) LEFT JOIN e USING (doc_id)
           |ORDER BY t.doc_id""".stripMargin,
 
