@@ -1715,6 +1715,53 @@ object NorthStar {
           $"n_candidates", $"n_cand_planted")
     },
 
+    // LSH band/row TRADEOFF CURVE — the tuning table a production
+    // dedup pipeline is configured from: for k=16 minhashes laid out
+    // as 2×8 / 4×4 / 8×2 (bands × rows-per-band), the measured recall
+    // against t39's exact planted-pair ground truth and the candidate
+    // volume paid for it. More bands ⇒ higher collision probability ⇒
+    // higher recall AND more candidates — this query measures the
+    // curve's actual shape on this corpus, oracle-replayed end to end.
+    "t40_lsh_tradeoff" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = mutCorpus(s, dir)
+      val sh = Dedup.shingles(corpus, "text", "doc_id", n = 3)
+      val a = sh.filter($"id" < 100000).select($"id".as("pid"), $"sh")
+      val b = sh.filter($"id" >= 100000)
+        .select(($"id" - 100000).as("pid"), $"sh")
+      val inter = a.join(b, Seq("pid", "sh"))
+        .groupBy($"pid").agg(count(lit(1)).as("ni"))
+      val trueDups = a.groupBy($"pid").agg(count(lit(1)).as("na"))
+        .join(b.groupBy($"pid").agg(count(lit(1)).as("nb")), "pid")
+        .join(inter, Seq("pid"), "left")
+        .na.fill(0L, Seq("ni"))
+        .filter($"ni".cast("double") /
+          ($"na" + $"nb" - $"ni").cast("double") >= 0.8)
+        .select($"pid")
+        .persist() // probed once per band layout
+      val nTrue = broadcast(trueDups.agg(count(lit(1)).as("n_true_dup")))
+      val rows = Seq(2, 4, 8).map { nb =>
+        val cand = Dedup.lshCandidatePairs(corpus, "text", "doc_id",
+          k = 16, bands = nb, n = 3).persist()
+        val found = cand
+          .filter($"id_b" === $"id_a" + 100000 && $"id_a" < 100000)
+          .select($"id_a".as("pid")).distinct()
+          .join(trueDups, "pid")
+          .agg(count(lit(1)).as("n_found"))
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(found))
+          .select(lit(nb.toLong).as("bands"),
+            lit((16 / nb).toLong).as("rows_per_band"),
+            $"n_found", $"n_candidates")
+      }
+      rows.reduce(_ unionByName _)
+        .crossJoin(nTrue)
+        .select($"bands", $"rows_per_band", $"n_true_dup", $"n_found",
+          round($"n_found".cast("double") / $"n_true_dup", 6).as("recall"),
+          $"n_candidates")
+        .orderBy($"bands")
+    },
+
     // Shot-boundary detection over decoded payloads: per-frame byte-sum
     // signatures (16-byte stub frames, m08's convention), a cut wherever
     // consecutive signatures jump > thr. Integer-exact; one typed
@@ -3727,6 +3774,48 @@ object NorthStar {
            |  round(cast(n_found_true as double) / n_true_dup, 6) AS recall,
            |  n_candidates, n_cand_planted
            |FROM a1, a2""".stripMargin,
+
+      // three band layouts over the same 16 minhashes; ground truth =
+      // t39's exact planted-pair Jaccard, thresholded at 0.8
+      "t40_lsh_tradeoff" -> {
+        val layouts = Seq(2, 4, 8).map { nb =>
+          val r = 16 / nb
+          val bandRows = (0 until nb).map(i =>
+            s"SELECT id, $i AS band_no, array_to_string(mh[${i * r + 1}:${(i + 1) * r}], '-') AS sig FROM mh")
+            .mkString("\n  UNION ALL ")
+          s"""bands$nb AS (
+             |  $bandRows),
+             |pairs$nb AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             |  FROM bands$nb x JOIN bands$nb y
+             |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+             |row$nb AS (SELECT cast($nb as bigint) AS bands,
+             |    cast($r as bigint) AS rows_per_band,
+             |    cast((SELECT count(DISTINCT p.id_a) FROM pairs$nb p
+             |      JOIN td ON td.pid = p.id_a
+             |      WHERE p.id_b = p.id_a + 100000 AND p.id_a < 100000)
+             |      as bigint) AS n_found,
+             |    (SELECT count(*) FROM pairs$nb) AS n_candidates)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${shingleSql(mutCorpusSql)}, $mhSql,
+           |pa AS (SELECT id AS pid, sh.sh FROM sh WHERE id < 100000),
+           |pb AS (SELECT id - 100000 AS pid, sh.sh FROM sh WHERE id >= 100000),
+           |sa AS (SELECT pid, count(*) AS na FROM pa GROUP BY 1),
+           |sb AS (SELECT pid, count(*) AS nb FROM pb GROUP BY 1),
+           |iv AS (SELECT pa.pid, count(*) AS ni
+           |  FROM pa JOIN pb ON pa.pid = pb.pid AND pa.sh = pb.sh GROUP BY 1),
+           |td AS (SELECT sa.pid FROM sa JOIN sb USING (pid)
+           |  LEFT JOIN iv ON iv.pid = sa.pid
+           |  WHERE cast(coalesce(ni, 0) as double)
+           |    / cast(na + nb - coalesce(ni, 0) as double) >= 0.8),
+           |nt AS (SELECT count(*) AS n_true_dup FROM td),
+           |$layouts
+           |SELECT bands, rows_per_band, n_true_dup, n_found,
+           |  round(cast(n_found as double) / n_true_dup, 6) AS recall,
+           |  n_candidates
+           |FROM (SELECT * FROM row2 UNION ALL SELECT * FROM row4
+           |      UNION ALL SELECT * FROM row8), nt
+           |ORDER BY bands""".stripMargin
+      },
 
       // byte histogram over ascii codes (the m08 payload convention);
       // entropy in the shared integer-exact fixed-point log2

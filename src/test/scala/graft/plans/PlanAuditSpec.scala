@@ -55,7 +55,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q62_aqp_estimate" -> "t30's scalar shape: the ONE-ROW sample aggregate crossJoins the ONE-ROW exact aggregate — both sides single rows by construction; the data-sized work is two partial-aggregatable scans",
     "q63_trend" -> "q18's scalar shape: the O(days x types) daily-count table crossJoins the ONE-ROW broadcast min-day aggregate; the data-sized work is the single day x type hash aggregate",
     "q64_peak_concurrency" -> "t30's scalar shape: the ONE peak row crossJoins the ONE-ROW session-count aggregate; the data-sized work is the session window pass and the two-pass range-partition running sum",
-    "t39_dedup_eval" -> "t30's scalar shape: the ONE-ROW truth aggregate crossJoins the ONE-ROW candidate-count aggregate; the data-sized work is the planted-pair posting join and d04's banded candidate join")
+    "t39_dedup_eval" -> "t30's scalar shape: the ONE-ROW truth aggregate crossJoins the ONE-ROW candidate-count aggregate; the data-sized work is the planted-pair posting join and d04's banded candidate join",
+    "t40_lsh_tradeoff" -> "t30's scalar shape x3 layouts: per layout the ONE-ROW candidate-count aggregate crossJoins the ONE-ROW found-count aggregate, and the 3-row union crossJoins the ONE-ROW truth count; the data-sized work is the three banded candidate joins")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
