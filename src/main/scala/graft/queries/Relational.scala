@@ -1686,6 +1686,43 @@ object Relational {
           round($"var_a", 6).as("var_a"), round($"var_b", 6).as("var_b"),
           round(($"mean_a" - $"mean_b") /
             sqrt($"var_a" / $"n_a" + $"var_b" / $"n_b"), 6).as("t_stat"))
+    },
+
+    // Revenue proration / allocation — the finance-analytics shape
+    // (recognize each line's revenue evenly across its service window):
+    // spans are GENERATED (sequence+explode over the clamped
+    // order→ship window, ≤90 days), and the split is EXACT
+    // largest-remainder integer cents — day i gets cents div nd plus
+    // one extra cent iff i < cents mod nd — so per-line allocations
+    // sum back to the line exactly and the daily totals are bigints
+    // any engine reproduces. One partition-prunable year filter keeps
+    // the fact side bounded; the explode is a narrow codegen Generate
+    // (no shuffle until the final daily aggregate).
+    "q66_prorated_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val li = rd(s, dir, "lineitem")
+        .join(rd(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-01-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .select(
+          ($"l_extendedprice".cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"),
+          least(greatest(datediff($"l_shipdate".cast("date"),
+            $"o_orderdate".cast("date")) + 1, lit(1)), lit(90))
+            .cast("long").as("nd"),
+          datediff($"o_orderdate".cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("e0"))
+      li.select($"cents", $"nd", $"e0",
+          explode(sequence(lit(0L), $"nd" - 1)).as("i"))
+        .select(($"e0" + $"i").as("epoch_day"),
+          expr("cents div nd + (CASE WHEN i < cents % nd THEN 1 ELSE 0 END)")
+            .as("amt"))
+        .groupBy($"epoch_day")
+        .agg(count(lit(1)).as("n_alloc"),
+          sum($"amt").cast("long").as("revenue_cents"))
+        .withColumn("revenue", $"revenue_cents".cast("double") / 100.0)
+        .orderBy($"epoch_day")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2582,5 +2619,24 @@ object Relational {
          |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
          |    AS t_stat
          |FROM v""".stripMargin
-    })
+    },
+
+    "q66_prorated_revenue" ->
+      """WITH li AS (SELECT
+        |    cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+        |      AS cents,
+        |    least(greatest(datediff('day', cast(o_orderdate as date),
+        |      cast(l_shipdate as date)) + 1, 1), 90) AS nd,
+        |    datediff('day', DATE '1970-01-01', cast(o_orderdate as date))
+        |      AS e0
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |x AS (SELECT e0 + i AS epoch_day,
+        |    cents // nd + (CASE WHEN i < cents % nd THEN 1 ELSE 0 END) AS amt
+        |  FROM (SELECT cents, nd, e0, unnest(range(0, nd)) AS i FROM li))
+        |SELECT epoch_day, count(*) AS n_alloc,
+        |  cast(sum(amt) as bigint) AS revenue_cents,
+        |  cast(sum(amt) as bigint) / 100.0 AS revenue
+        |FROM x GROUP BY 1 ORDER BY epoch_day""".stripMargin)
 }

@@ -63,7 +63,7 @@ object ScaleBench {
     "st35_stream_kmv", "q63_trend", "q64_peak_concurrency",
     "d18_snapshot_diff", "t39_dedup_eval", "q65_ab_test", "s26_mips_topk",
     "st36_stream_ab_test", "m10_byte_entropy", "st37_stream_trend",
-    "t40_lsh_tradeoff")
+    "t40_lsh_tradeoff", "q66_prorated_revenue")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
