@@ -1120,26 +1120,10 @@ object Streaming {
     */
   def streamTrend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val updates = eventStream(s, dir)
+    val updates = trendTransform(eventStream(s, dir)
       .select(col("event_type").as("k"),
         expr("ts div 1000000000 div 86400").as("d"))
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Long)],
-            state: org.apache.spark.sql.streaming.GroupState[TrendState]) =>
-          val prev = state.getOption.getOrElse(TrendState(key, 0L, Nil, Nil))
-          val m = scala.collection.mutable.HashMap.empty[Long, Long]
-          prev.days.indices.foreach(i => m(prev.days(i)) = prev.counts(i))
-          var n = prev.n_events
-          rows.foreach { r => m(r._2) = m.getOrElse(r._2, 0L) + 1L; n += 1L }
-          val maxD = m.keysIterator.max
-          val kept = m.iterator.filter(_._1 >= maxD - 30).toSeq.sortBy(_._1)
-          val next = TrendState(key, n,
-            kept.map(_._1).toList, kept.map(_._2).toList)
-          state.update(next)
-          next
-      }
+      .as[(String, Long)])
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("n_events").desc)
     val cells = runToTable(updates.toDF(), "update")
@@ -1165,6 +1149,32 @@ object Streaming {
         round((col("sy") * col("den") - col("num") * col("sx")).cast("double")
           / (col("n_days") * col("den")).cast("double"), 6).as("intercept"))
       .orderBy(col("event_type"))
+  }
+
+  /** The st37 state machine on any (key, day) stream — factored out
+    * so the multi-batch spec drives the REAL ring maintenance
+    * (day-cell upsert + lossless ≤31-cell eviction) through
+    * MemoryStream splits.
+    */
+  def trendTransform(ds: org.apache.spark.sql.Dataset[(String, Long)])
+      : org.apache.spark.sql.Dataset[TrendState] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[TrendState]) =>
+          val prev = state.getOption.getOrElse(TrendState(key, 0L, Nil, Nil))
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          prev.days.indices.foreach(i => m(prev.days(i)) = prev.counts(i))
+          var n = prev.n_events
+          rows.foreach { r => m(r._2) = m.getOrElse(r._2, 0L) + 1L; n += 1L }
+          val maxD = m.keysIterator.max
+          val kept = m.iterator.filter(_._1 >= maxD - 30).toSeq.sortBy(_._1)
+          val next = TrendState(key, n,
+            kept.map(_._1).toList, kept.map(_._2).toList)
+          state.update(next)
+          next
+      }
   }
 
   /** Streaming KMV (bottom-k) distinct sketch — t33's deterministic
