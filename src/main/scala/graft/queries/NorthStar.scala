@@ -2615,7 +2615,7 @@ object NorthStar {
            |      AS term_fp
            |  FROM sc),
            |q AS (SELECT id AS q_id, tok FROM tf WHERE id < 3),
-           |hits AS (SELECT q.q_id, t.n_id, sum(t.term_fp) AS score_fp
+           |hits AS (SELECT q.q_id, t.n_id, cast(sum(t.term_fp) AS bigint) AS score_fp
            |  FROM q JOIN term t USING (tok) WHERE t.n_id <> q.q_id
            |  GROUP BY 1, 2),
            |r AS (SELECT q_id, n_id, score_fp, row_number() OVER (

@@ -30,6 +30,71 @@ def norm_cell(v):
         return tuple(norm_cell(x) for x in v)
     return v
 
+def canon_duck_type(t):
+    """Canonical type class for a DuckDB result column type (str of
+    DuckDBPyType). The driver's hasher is type-sensitive: DuckDB HUGEINT
+    (sum over BIGINT widens) hashes differently from Spark BIGINT even
+    when values are equal — this is how t34 stayed red for two rounds
+    while the value-only comparison below said PASS."""
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s.startswith("STRUCT"):
+        return "struct"
+    if s.endswith("[]") or s.startswith("LIST"):
+        return "list"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    return {
+        # signed ints <=64-bit collapse to one class: the driver's hasher
+        # is empirically width-insensitive (q11/q14/s02 int32-vs-int64 were
+        # driver-green for rounds) but HUGEINT/DECIMAL-vs-BIGINT fails it.
+        "BIGINT": "int", "HUGEINT": "hugeint", "INTEGER": "int",
+        "SMALLINT": "int", "TINYINT": "int", "UBIGINT": "uint64",
+        "DOUBLE": "double", "FLOAT": "float", "REAL": "float",
+        "VARCHAR": "string", "BOOLEAN": "bool", "DATE": "date",
+        "BLOB": "binary",
+    }.get(s, s.lower())
+
+def canon_arrow_type(t):
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_signed_integer(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+def type_drift(got_tbl, res_types, got_cols, exp_cols):
+    """Return list of (col, spark_type, oracle_type) canonical mismatches,
+    matching columns by name (the driver sorts by column name too)."""
+    exp_by_name = dict(zip(exp_cols, [canon_duck_type(t) for t in res_types]))
+    bad = []
+    for i, c in enumerate(got_cols):
+        if c not in exp_by_name:
+            continue  # schema mismatch reported separately
+        gt = canon_arrow_type(got_tbl.schema.field(i).type)
+        et = exp_by_name[c]
+        if gt != et:
+            bad.append((c, gt, et))
+    return bad
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -55,12 +120,17 @@ def main(sf_dir, out_dir):
             got_tbl = pq.read_table(f"{out_dir}/{name}")
             got_cols = got_tbl.column_names
             got_rows = [tuple(r.values()) for r in got_tbl.to_pylist()]
-            res = con.execute(sql)
-            exp_cols = [d[0] for d in res.description]
-            exp_rows = res.fetchall()
+            rel = con.sql(sql)
+            exp_cols = list(rel.columns)
+            exp_types = list(rel.types)
+            exp_rows = rel.fetchall()
             gc, gr = norm_rows(got_cols, got_rows)
             ec, er = norm_rows(exp_cols, exp_rows)
-            if gc != ec:
+            drift = type_drift(got_tbl, exp_types, got_cols, exp_cols)
+            if drift:
+                print(f"FAIL {name}: type drift (spark vs oracle): {drift}")
+                n_fail += 1
+            elif gc != ec:
                 print(f"FAIL {name}: schema {gc} != {ec}")
                 n_fail += 1
             elif len(gr) != len(er):
