@@ -131,7 +131,10 @@ object Bench {
         // Operators persist() intermediates for intra-query reuse; drop
         // them between reps/queries so each run is measured independently
         // (no cache hits, no accumulating executor memory).
-        try spark.catalog.clearCache() catch { case _: Throwable => }
+        try {
+          graft.operators.CacheScope.releaseSession(spark)
+          spark.catalog.clearCache()
+        } catch { case _: Throwable => }
         (dt, ok)
       }
       val ok = times.forall(_._2)

@@ -30,8 +30,10 @@ object Verify {
       }
       // Several query builders persist() intra-query reuse branches
       // (q26 hot set, q56 baskets, d17 postings, ...) whose lifetime is
-      // one query. A full 177-query verify run in a single session would
-      // otherwise accumulate every such cache — drop them between queries.
+      // one query. A full-board verify run in a single session would
+      // otherwise accumulate every such cache — drain the session scope
+      // registry, then clear anything persisted outside it.
+      graft.operators.CacheScope.releaseSession(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

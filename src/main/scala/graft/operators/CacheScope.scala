@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 import scala.collection.mutable.ArrayBuffer
 
 /** Caller-owned lifecycle for operator-internal `persist()`s.
@@ -20,15 +20,18 @@ import scala.collection.mutable.ArrayBuffer
   * }}}
   *
   * After `release()` the returned DataFrame is still valid — a further
-  * action simply recomputes from source. The default
-  * [[CacheScope.unmanaged]] keeps the legacy behavior (caches live
-  * until `spark.catalog.clearCache()`), so one-shot callers — the
-  * registered queries, whose driver clears the session cache between
-  * runs — are unchanged; long-lived sessions composing operators
-  * should pass a scope (CacheScopeSpec asserts the zero-residual
-  * contract).
+  * action simply recomputes from source.
+  *
+  * The default scope is [[CacheScope.session]]: every operator-internal
+  * persist is tracked in a per-SparkSession registry, so a long-lived
+  * session composing operators reclaims ALL of them with one
+  * `CacheScope.releaseSession(spark)` — no scope threading required and
+  * nothing is ever untracked. Callers wanting finer granularity pass
+  * their own `new CacheScope` (CacheScopeSpec asserts the zero-residual
+  * contract); [[CacheScope.unmanaged]] opts out of tracking entirely
+  * (caches then live until `spark.catalog.clearCache()`).
   */
-final class CacheScope private[operators] (track: Boolean) {
+class CacheScope private[operators] (track: Boolean) {
   def this() = this(true)
 
   private val owned = ArrayBuffer.empty[Dataset[_]]
@@ -49,7 +52,37 @@ final class CacheScope private[operators] (track: Boolean) {
 
 object CacheScope {
   /** Scope that tracks nothing — `release()` is a no-op and caches live
-    * until the session clears them (the pre-scope behavior).
+    * until the session clears them.
     */
   val unmanaged: CacheScope = new CacheScope(false)
+
+  /** The default scope: delegates each `own()` to a per-SparkSession
+    * registry (weak-keyed — a stopped, dereferenced session drops its
+    * entry). Everything an operator persists under it is reclaimable
+    * via [[releaseSession]], so library composition outside the
+    * one-shot Verify/Bench drivers cannot accumulate untracked caches.
+    */
+  val session: CacheScope = new CacheScope(false) {
+    override private[graft] def own[T <: Dataset[_]](ds: T): T =
+      sessionScope(ds.sparkSession).own(ds)
+  }
+
+  private val perSession =
+    new java.util.WeakHashMap[SparkSession, CacheScope]()
+
+  /** The managed registry scope for `s` (created on first use). */
+  def sessionScope(s: SparkSession): CacheScope = perSession.synchronized {
+    var sc = perSession.get(s)
+    if (sc == null) { sc = new CacheScope(true); perSession.put(s, sc) }
+    sc
+  }
+
+  /** Unpersist every operator-internal cache created under the default
+    * [[session]] scope for `s`. Idempotent; results stay valid (a
+    * further action recomputes from source).
+    */
+  def releaseSession(s: SparkSession): Unit = {
+    val sc = perSession.synchronized(perSession.get(s))
+    if (sc != null) sc.release()
+  }
 }

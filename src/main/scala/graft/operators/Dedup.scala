@@ -92,7 +92,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJaccard: Double = 0.6,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
     val docSets = scope.own(docs
@@ -182,7 +182,7 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, n: Int = 3,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val mh = scope.own(minhashes(docs, textCol, idCol, k, n).persist())
     // each exploded row carries ALL band sigs so the join can dedup
     // pairs inline: emit only from the FIRST band where the signatures
@@ -230,7 +230,7 @@ object Dedup {
       k: Int = 16, bands: Int = 4, n: Int = 3,
       minEstSim: Double = 0.5,
       driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val pairs = lshCandidatePairs(docs, textCol, idCol, k, bands, n, scope)
       .filter($"est_sim" >= minEstSim)
       .select($"id_a", $"id_b")
@@ -268,7 +268,7 @@ object Dedup {
       quality: Column, k: Int = 16, bands: Int = 4, n: Int = 3,
       minEstSim: Double = 0.5,
       driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = dedupVerdicts(docs, textCol, idCol, k, bands, n, minEstSim,
       driverMaxEdges, scope)
@@ -438,7 +438,7 @@ object Dedup {
     */
   def simhashNearPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     // persist: the signature computation feeds BOTH sides of the self-join
     val withSim = scope.own(withSimhash(docs, textCol, idCol).persist())
     val banded = withSim.select($"id", $"simhash",
@@ -506,7 +506,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, dfCap: Long = 32, minContainment: Double = 0.8,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(n >= 1, s"shingle n=$n must be >= 1")
     require(dfCap >= 1, s"dfCap=$dfCap must be >= 1")
     require(minContainment > 0 && minContainment <= 1,
@@ -544,7 +544,7 @@ object Dedup {
 
   def simhash64NearPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val withSim = scope.own(withSimhash64(docs, textCol, idCol).persist())
     bandedNearPairs64(withSim.select($"id", $"simhash".as("sig64")), maxHamming)
   }
@@ -632,7 +632,7 @@ object Dedup {
     */
   def lineDupStats(docs: DataFrame, textCol: String, idCol: String,
       lineTokens: Int = 10,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(lineTokens > 0, s"lineTokens must be positive, got $lineTokens")
     val toks = TextAnalysis.tokens(col(textCol))
     val nChunks = greatest(ceil(size(toks).cast("double") / lineTokens).cast("int"), lit(1))
@@ -678,7 +678,7 @@ object Dedup {
     */
   def longSpanPairs(docs: DataFrame, textCol: String, idCol: String,
       windowTokens: Int = 8, dfCap: Int = 1000,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     require(dfCap >= 2, s"dfCap must be >= 2 (pairs need two postings), got $dfCap")

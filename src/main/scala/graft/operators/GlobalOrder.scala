@@ -74,13 +74,14 @@ object GlobalOrder {
     * order (include a tiebreaker) for a deterministic result.
     *
     * PERSISTS the range-partitioned intermediate for the two passes.
-    * Under the default `CacheScope.unmanaged` the cache lives until
-    * the session clears it — long-lived sessions calling this
-    * repeatedly should pass a managed scope and `release()` it.
+    * Under the default [[CacheScope.session]] the cache is tracked in
+    * the per-session registry — reclaim it with
+    * `CacheScope.releaseSession(spark)` (or pass an explicit scope and
+    * `release()` it after the consuming action).
     */
   def globalRank(df: DataFrame, sortCols: Seq[Column], nParts: Int = 32,
                  rankName: String = "rank",
-                 scope: CacheScope = CacheScope.unmanaged): DataFrame =
+                 scope: CacheScope = CacheScope.session): DataFrame =
     rankedWithTotal(df, sortCols, nParts, scope)
       .drop("__total").withColumnRenamed("__grank", rankName)
 
@@ -94,7 +95,7 @@ object GlobalOrder {
     */
   def globalNtile(df: DataFrame, sortCols: Seq[Column], k: Int,
                   nParts: Int = 32, tileName: String = "tile",
-                  scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+                  scope: CacheScope = CacheScope.session): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     rankedWithTotal(df, sortCols, nParts, scope)
       .withColumn(tileName, expr(
@@ -121,10 +122,16 @@ object GlobalOrder {
     */
   def globalRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
                        sumName: String = "cum", nParts: Int = 32,
-                       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+                       scope: CacheScope = CacheScope.session): DataFrame = {
     require(nParts > 0, s"nParts must be positive, got $nParts")
     (work :+ "__v" :+ "__cum").foreach(c => require(!df.columns.contains(c),
       s"input must not already contain working column $c"))
+    // integral-only by contract: a float value would silently truncate
+    // through the long widening below — fail loudly instead
+    val vType = df.select(valueCol).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long").contains(vType.typeName),
+      s"globalRunningSum requires an integral valueCol (exact, " +
+        s"order-independent sum); got ${vType.typeName}")
     val ranged = scope.own(df.repartitionByRange(nParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id().cast("long"))
       .withColumn("__v", valueCol.cast("long"))

@@ -34,7 +34,7 @@ object GraphDBSCAN {
   def labels(ids: DataFrame, nb0: DataFrame, minPts: Int,
       idCol: String = "vec_id",
       driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val nb = scope.own(nb0.persist())
     val core = scope.own(nb.groupBy(col("ia")).count()
       .filter(col("count") + 1 >= minPts) // neighbor count includes self
@@ -88,7 +88,7 @@ object GraphDBSCAN {
       idCol: String = "vec_id", vecCol: String = "v",
       gridDims: Int = 2,
       driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val base = points.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     def cellAt(d: Int, c: Column = col("vec")): Column =
       floor(element_at(c, d + 1) / eps).cast("long")

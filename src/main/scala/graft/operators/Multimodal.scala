@@ -127,7 +127,7 @@ object Multimodal {
   def chunkOverlapPairs(docs: DataFrame, textCol: String, idCol: String,
       w: Int = 8, mask: Long = 63, dfCap: Long = 16,
       minOverlap: Double = 0.5,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(w >= 1, s"chunk window w=$w must be >= 1")
     require(mask >= 0, s"boundary mask=$mask must be >= 0")
     require(dfCap >= 1, s"dfCap=$dfCap must be >= 1")
@@ -191,7 +191,7 @@ object Multimodal {
     */
   def frameNearPairs(docs: DataFrame, textCol: String, idCol: String,
       stride: Int = 4, dfCap: Long = 16, minOverlap: Double = 0.5,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     require(stride >= 1, s"stride=$stride must be >= 1")
     require(dfCap >= 1, s"dfCap=$dfCap must be >= 1")
     require(minOverlap > 0 && minOverlap <= 1,
@@ -277,7 +277,7 @@ object Multimodal {
     */
   def phashNearPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 6,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val sigs = scope.own(withPerceptualHash(docs, textCol, idCol).persist())
     Dedup.bandedNearPairs64(sigs, maxHamming)
   }

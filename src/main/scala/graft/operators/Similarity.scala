@@ -300,7 +300,7 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, nlist: Int = 32, minCos: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      scope: CacheScope = CacheScope.unmanaged,
+      scope: CacheScope = CacheScope.session,
       superList: Int = 32, hierarchicalAbove: Int = 128): DataFrame = {
     require(nlist >= 1, s"nlist=$nlist must be positive")
     require(superList >= 1 && hierarchicalAbove >= superList,
@@ -998,7 +998,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
       neighborPairs: Option[DataFrame] = None,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.session): DataFrame = {
     val nb = neighborPairs match {
       case Some(p) =>
         // symmetrize: each undirected pair becomes two directed edges.
@@ -1204,35 +1204,45 @@ object Similarity {
     * metric: score = raw q·v, NOT cosine — unnormalized corpora rank
     * differently under the two, which is exactly why MIPS exists as
     * its own problem). Same two-stage shape as [[sq8RerankTopK]]:
-    * int8-code INTEGER dot products order the candidates (the
-    * approximate stage is oracle-exact), WindowGroupLimit keeps both
-    * rank stages partial, and the exact rerank re-scores the `cand`
-    * survivors by the full-precision dot product via the codegen
+    * int8-code INTEGER dot products drive the candidate stage, but —
+    * unlike the cosine reranks, where per-vector scales cancel — the
+    * candidate ORDER here must dequantize by the corpus vector's own
+    * scale: the raw code dot ranks by q·v / max|v|, a cosine-like
+    * score that systematically penalizes exactly the high-norm vectors
+    * MIPS should favor. So candidates rank by idot × n_scale (the
+    * query's scale is constant within a query partition and cannot
+    * change the order — one exact long×double multiply, engine-
+    * portable). WindowGroupLimit keeps both rank stages partial, and
+    * the exact rerank re-scores the `cand` survivors by the full-
+    * precision dot product via the codegen
     * [[graft.functions.DotProduct]] kernel. At corpus scale the
-    * candidate stage reads 1 byte/dim; only cand rows/query fetch the
-    * full vector.
+    * candidate stage reads 1 byte/dim + one double; only cand
+    * rows/query fetch the full vector.
     */
   def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       cand: Int = 40, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && cand >= k, s"need cand >= k >= 1, got k=$k cand=$cand")
-    def codes(df: DataFrame, outId: String, outCodes: String): DataFrame = {
+    def codes(df: DataFrame, outId: String, outCodes: String,
+        outScale: String): DataFrame = {
       val v = transform(col(vecCol), x => x.cast("double"))
       val scale = array_max(transform(v, x => abs(x))) / 127.0
       val cs = when(scale === 0, transform(v, _ => lit(0L)))
         .otherwise(transform(v, x => floor(x / scale + 0.5).cast("long")))
-      df.select(col(idCol).cast("long").as(outId), cs.as(outCodes))
+      df.select(col(idCol).cast("long").as(outId), cs.as(outCodes),
+        scale.as(outScale))
     }
-    val n = codes(corpus, "n_id", "n_codes")
-    val q = broadcast(codes(queries, "q_id", "q_codes")
+    val n = codes(corpus, "n_id", "n_codes", "n_scale")
+    val q = broadcast(codes(queries, "q_id", "q_codes", "q_scale")
       .join(queries.select(col(idCol).cast("long").as("q_id"),
         col(vecCol).as("q_vec")), "q_id"))
     val wc = Window.partitionBy(col("q_id"))
-      .orderBy(col("idot").desc, col("n_id").asc)
+      .orderBy(col("sdot").desc, col("n_id").asc)
     val candidates = n.join(q, col("n_id") =!= col("q_id"))
       .withColumn("idot", aggregate(
         zip_with(col("q_codes"), col("n_codes"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
+      .withColumn("sdot", col("idot").cast("double") * col("n_scale"))
       .withColumn("crnk", row_number().over(wc))
       .filter(col("crnk") <= cand)
       .select(col("q_id"), col("q_vec"), col("n_id"), col("idot"))

@@ -124,7 +124,7 @@ object NorthStar {
     * dedup semi join) regardless of corpus size.
     */
   def curationPipeline(corpus: DataFrame,
-      scope: graft.operators.CacheScope = graft.operators.CacheScope.unmanaged): DataFrame = {
+      scope: graft.operators.CacheScope = graft.operators.CacheScope.session): DataFrame = {
     val kept = scope.own(corpus
       .filter(TextAnalysis.qualityKeep(col("text"), stopList))
       .withColumn("fp", md5(col("text")))
@@ -3327,12 +3327,15 @@ object NorthStar {
            |  FROM cand) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
 
-      // s25's candidate replay, rerank by the raw inner-product fold
+      // s25's candidate replay, but candidates rank by the DEQUANTIZED
+      // integer dot (idot x the corpus vector's own scale — per-vector
+      // scales don't cancel under MIPS the way they do under cosine);
+      // rerank by the raw inner-product fold
       "s26_mips_topk" ->
         s"""WITH vv AS (SELECT vec_id AS id,
            |    list_transform(embedding, x -> cast(x as double)) AS v
            |  FROM embeddings),
-           |c AS (SELECT id, v,
+           |c AS (SELECT id, v, scale,
            |    list_transform(v, x -> cast(floor(x / scale + 0.5) as bigint))
            |      AS codes
            |  FROM (SELECT id, v,
@@ -3343,8 +3346,10 @@ object NorthStar {
            |    cast(list_sum(list_transform(range(1, len(q.codes) + 1),
            |      i -> q.codes[i] * n.codes[i])) as bigint) AS idot,
            |    row_number() OVER (PARTITION BY q.id
-           |      ORDER BY cast(list_sum(list_transform(range(1, len(q.codes) + 1),
-           |        i -> q.codes[i] * n.codes[i])) as bigint) DESC, n.id ASC) AS crn
+           |      ORDER BY cast(cast(list_sum(list_transform(
+           |          range(1, len(q.codes) + 1),
+           |          i -> q.codes[i] * n.codes[i])) as bigint) as double)
+           |        * n.scale DESC, n.id ASC) AS crn
            |  FROM c q JOIN c n ON n.id <> q.id WHERE q.id < 5) t
            |  WHERE crn <= 40)
            |SELECT q_id, n_id, rn AS rnk, idot, ip FROM (
@@ -4307,10 +4312,12 @@ object NorthStar {
           |  FROM wnd GROUP BY 1)
           |SELECT event_type, n_days, sy AS n_events,
           |  round(cast(n_days * sxy - sx * sy as double)
-          |    / cast(n_days * sxx - sx * sx as double), 6) AS slope,
+          |    / cast(NULLIF(n_days * sxx - sx * sx, 0) as double), 6)
+          |    AS slope,
           |  round(cast(sy * (n_days * sxx - sx * sx)
           |      - (n_days * sxy - sx * sy) * sx as double)
-          |    / cast(n_days * (n_days * sxx - sx * sx) as double), 6)
+          |    / cast(NULLIF(n_days * (n_days * sxx - sx * sx), 0)
+          |      as double), 6)
           |    AS intercept
           |FROM m ORDER BY event_type""".stripMargin) +
       // q26's set-semantics Bloom replay over the streamed user set

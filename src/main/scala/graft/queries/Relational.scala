@@ -1602,22 +1602,29 @@ object Relational {
           sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
           sum($"y").as("sy"), sum($"x" * $"y").as("sxy"))
         .withColumn("num", $"n_days" * $"sxy" - $"sx" * $"sy")
+        // den = 0 when a type has a single day (n*sxx = sx² exactly):
+        // the slope is undefined, not Inf/NaN — null-guard the division
+        // the same way the oracle does with NULLIF so both engines agree
         .withColumn("den", $"n_days" * $"sxx" - $"sx" * $"sx")
         .select($"event_type", $"n_days", $"sy".as("n_events"),
-          round($"num".cast("double") / $"den".cast("double"), 6).as("slope"),
-          round(($"sy" * $"den" - $"num" * $"sx").cast("double") /
-            ($"n_days" * $"den").cast("double"), 6).as("intercept"))
+          round(when($"den" =!= 0,
+            $"num".cast("double") / $"den".cast("double")), 6).as("slope"),
+          round(when($"den" =!= 0,
+            ($"sy" * $"den" - $"num" * $"sx").cast("double") /
+              ($"n_days" * $"den").cast("double")), 6).as("intercept"))
         .orderBy($"event_type")
     },
 
     // Peak concurrency — the sweep-line / max-interval-overlap shape
     // (capacity planning: most sessions alive at once): sessions
     // become ±1 deltas at [st, en+1), and concurrency is the GLOBAL
-    // running sum over the (t, delta desc) total order — computed by
+    // running sum over the (t, delta asc) total order — computed by
     // GlobalOrder.globalRunningSum's two-pass range-partition scan,
-    // never a single-task sort. Ties process +1 before −1 (closed
-    // intervals: a session starting the second another ends counts as
-    // overlapping). The peak row (earliest t attaining the max) comes
+    // never a single-task sort. Closed-interval semantics come from
+    // the −1 sitting at en+1 (a session ending at t and one starting
+    // at t DO overlap); at equal t the −1 processes before the +1 so
+    // a session starting the second after another ends is NOT counted
+    // as concurrent. The peak row (earliest t attaining the max) comes
     // off a TakeOrderedAndProject; session count rides the broadcast
     // scalar shape.
     "q64_peak_concurrency" -> { (s, dir) =>
@@ -1639,7 +1646,7 @@ object Relational {
         .unionByName(iv
           .select(($"en" + 1).as("t"), lit(-1L).as("delta"), $"user_id", $"sess"))
       val cum = graft.operators.GlobalOrder.globalRunningSum(deltas,
-        Seq($"t".asc, $"delta".desc, $"user_id".asc, $"sess".asc),
+        Seq($"t".asc, $"delta".asc, $"user_id".asc, $"sess".asc),
         $"delta", sumName = "conc")
       cum.orderBy($"conc".desc, $"t".asc).limit(1)
         .select($"t".as("at_sec"), $"conc".as("peak_concurrency"))
@@ -1675,17 +1682,23 @@ object Relational {
           max(when($"arm" === "B", $"sxx")).as("sxx_b"))
         .withColumn("mean_a", $"sx_a".cast("double") / $"n_a")
         .withColumn("mean_b", $"sx_b".cast("double") / $"n_b")
+        // an arm with n<=1 has sample variance undefined (denominator
+        // n*(n-1)=0): null, not Inf/NaN — mirrored by NULLIF in the
+        // oracle so a skewed/tiny corpus can't break engine parity
         .withColumn("var_a",
-          ($"n_a" * $"sxx_a" - $"sx_a" * $"sx_a").cast("double") /
-            ($"n_a" * ($"n_a" - 1)).cast("double"))
+          when($"n_a" > 1,
+            ($"n_a" * $"sxx_a" - $"sx_a" * $"sx_a").cast("double") /
+              ($"n_a" * ($"n_a" - 1)).cast("double")))
         .withColumn("var_b",
-          ($"n_b" * $"sxx_b" - $"sx_b" * $"sx_b").cast("double") /
-            ($"n_b" * ($"n_b" - 1)).cast("double"))
+          when($"n_b" > 1,
+            ($"n_b" * $"sxx_b" - $"sx_b" * $"sx_b").cast("double") /
+              ($"n_b" * ($"n_b" - 1)).cast("double")))
+        .withColumn("se2", $"var_a" / $"n_a" + $"var_b" / $"n_b")
         .select($"n_a", $"n_b",
           round($"mean_a", 6).as("mean_a"), round($"mean_b", 6).as("mean_b"),
           round($"var_a", 6).as("var_a"), round($"var_b", 6).as("var_b"),
-          round(($"mean_a" - $"mean_b") /
-            sqrt($"var_a" / $"n_a" + $"var_b" / $"n_b"), 6).as("t_stat"))
+          round(when($"se2" > 0,
+            ($"mean_a" - $"mean_b") / sqrt($"se2")), 6).as("t_stat"))
     },
 
     // Revenue proration / allocation — the finance-analytics shape
@@ -2554,10 +2567,10 @@ object Relational {
         |  FROM daily CROSS JOIN r GROUP BY event_type)
         |SELECT event_type, n_days, sy AS n_events,
         |  round(cast(n_days * sxy - sx * sy as double)
-        |    / cast(n_days * sxx - sx * sx as double), 6) AS slope,
+        |    / cast(NULLIF(n_days * sxx - sx * sx, 0) as double), 6) AS slope,
         |  round(cast(sy * (n_days * sxx - sx * sx)
         |      - (n_days * sxy - sx * sy) * sx as double)
-        |    / cast(n_days * (n_days * sxx - sx * sx) as double), 6)
+        |    / cast(NULLIF(n_days * (n_days * sxx - sx * sx), 0) as double), 6)
         |    AS intercept
         |FROM m ORDER BY event_type""".stripMargin,
 
@@ -2579,7 +2592,7 @@ object Relational {
         |d AS (SELECT st AS t, 1 AS delta, user_id, sess FROM iv
         |  UNION ALL SELECT en + 1, -1, user_id, sess FROM iv),
         |c AS (SELECT t, sum(delta)
-        |    OVER (ORDER BY t, delta DESC, user_id, sess
+        |    OVER (ORDER BY t, delta ASC, user_id, sess
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS conc FROM d),
         |n AS (SELECT count(*) AS n_sessions FROM iv)
@@ -2609,16 +2622,17 @@ object Relational {
          |    cast(sx_a as double) / n_a AS mean_a,
          |    cast(sx_b as double) / n_b AS mean_b,
          |    cast(n_a * sxx_a - sx_a * sx_a as double)
-         |      / cast(n_a * (n_a - 1) as double) AS var_a,
+         |      / cast(NULLIF(n_a * (n_a - 1), 0) as double) AS var_a,
          |    cast(n_b * sxx_b - sx_b * sx_b as double)
-         |      / cast(n_b * (n_b - 1) as double) AS var_b
-         |  FROM w)
+         |      / cast(NULLIF(n_b * (n_b - 1), 0) as double) AS var_b
+         |  FROM w),
+         |v2 AS (SELECT *, var_a / n_a + var_b / n_b AS se2 FROM v)
          |SELECT n_a, n_b, round(mean_a, 6) AS mean_a,
          |  round(mean_b, 6) AS mean_b, round(var_a, 6) AS var_a,
          |  round(var_b, 6) AS var_b,
-         |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
-         |    AS t_stat
-         |FROM v""".stripMargin
+         |  round(CASE WHEN se2 > 0
+         |    THEN (mean_a - mean_b) / sqrt(se2) END, 6) AS t_stat
+         |FROM v2""".stripMargin
     },
 
     "q66_prorated_revenue" ->

@@ -1091,19 +1091,26 @@ object Streaming {
         max(when(col("arm") === "B", col("sxx"))).as("sxx_b"))
       .withColumn("mean_a", col("sx_a").cast("double") / col("n_a"))
       .withColumn("mean_b", col("sx_b").cast("double") / col("n_b"))
+      // same degenerate-input guards as the q65 batch twin: n<=1 makes
+      // the sample variance undefined (null, not Inf/NaN)
       .withColumn("var_a",
-        (col("n_a") * col("sxx_a") - col("sx_a") * col("sx_a")).cast("double") /
-          (col("n_a") * (col("n_a") - 1)).cast("double"))
+        when(col("n_a") > 1,
+          (col("n_a") * col("sxx_a") - col("sx_a") * col("sx_a"))
+            .cast("double") /
+            (col("n_a") * (col("n_a") - 1)).cast("double")))
       .withColumn("var_b",
-        (col("n_b") * col("sxx_b") - col("sx_b") * col("sx_b")).cast("double") /
-          (col("n_b") * (col("n_b") - 1)).cast("double"))
+        when(col("n_b") > 1,
+          (col("n_b") * col("sxx_b") - col("sx_b") * col("sx_b"))
+            .cast("double") /
+            (col("n_b") * (col("n_b") - 1)).cast("double")))
+      .withColumn("se2", col("var_a") / col("n_a") + col("var_b") / col("n_b"))
       .select(col("n_a"), col("n_b"),
         round(col("mean_a"), 6).as("mean_a"),
         round(col("mean_b"), 6).as("mean_b"),
         round(col("var_a"), 6).as("var_a"),
         round(col("var_b"), 6).as("var_b"),
-        round((col("mean_a") - col("mean_b")) /
-          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+        round(when(col("se2") > 0,
+          (col("mean_a") - col("mean_b")) / sqrt(col("se2"))), 6)
           .as("t_stat"))
   }
 
@@ -1142,12 +1149,16 @@ object Streaming {
         sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
       .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      // den = 0 when a type has one retained day: slope undefined →
+      // null, matching the q63 batch twin and the windowed oracle
       .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
       .select(col("event_type"), col("n_days"), col("sy").as("n_events"),
-        round(col("num").cast("double") / col("den").cast("double"), 6)
+        round(when(col("den") =!= 0,
+          col("num").cast("double") / col("den").cast("double")), 6)
           .as("slope"),
-        round((col("sy") * col("den") - col("num") * col("sx")).cast("double")
-          / (col("n_days") * col("den")).cast("double"), 6).as("intercept"))
+        round(when(col("den") =!= 0,
+          (col("sy") * col("den") - col("num") * col("sx")).cast("double")
+            / (col("n_days") * col("den")).cast("double")), 6).as("intercept"))
       .orderBy(col("event_type"))
   }
 

@@ -77,15 +77,20 @@ class CacheScopeSpec extends AnyFunSuite with Matchers {
     out.count() shouldBe n // released result recomputes identically
   }
 
-  test("unmanaged scope keeps the legacy behavior and a no-op release") {
+  test("default scope is session-managed: releaseSession reclaims all") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
+    // no scope passed — the default CacheScope.session tracks these in
+    // the per-session registry
     val lsh = Dedup.lshCandidatePairs(docs, "text", "doc_id")
-    lsh.count()
+    val n = lsh.count()
     val during = sc.getPersistentRDDs.keySet -- before
     during should not be empty
     CacheScope.unmanaged.release() // no-op: tracked nothing
     (sc.getPersistentRDDs.keySet -- before) shouldBe during
-    spark.catalog.clearCache() // tidy up for other suites
+    CacheScope.releaseSession(spark)
+    (sc.getPersistentRDDs.keySet -- before) shouldBe empty
+    lsh.count() shouldBe n // released result recomputes identically
+    CacheScope.releaseSession(spark) // idempotent
   }
 }
