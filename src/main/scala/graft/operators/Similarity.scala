@@ -244,6 +244,139 @@ object Similarity {
     cent.zipWithIndex.map { case (cv, c) => (c.toLong, cv) }
   }
 
+  /** FIXED-POINT spherical k-means: the trained coarse quantizer in
+    * pure integer arithmetic, so training is exactly SQL-replayable
+    * (the s23 oracle unrolls these iterations in DuckDB and must
+    * reproduce every centroid bit-for-bit).
+    *
+    * Why integers: the double-accumulation trainer above is bit-stable
+    * only under ONE summation order — an oracle replaying it in SQL
+    * would need order-pinned float folds everywhere, one rounding apart
+    * from red. Integer sums commute, so the only engine-sensitive ops
+    * left are floor/sqrt/division, all IEEE-exact on these magnitudes:
+    *
+    *   - quantize: qv_i = floor(x_i · 512) (×2^9 is exact on doubles)
+    *   - seeds: sample points at positions ⌊c·n/nc⌋ of the hash order
+    *     (the hash order is pseudo-random, so the seeds are spread)
+    *   - assign: argmax_c of the integer dot qv·cent_c, ties → lowest c
+    *   - update: per-dim integer sums (commutative), renormalized to
+    *     ‖c‖ ≈ 2^15 via v_i·32768 / ⌊√‖v‖²⌋ (truncating division —
+    *     DuckDB's `//` and Scala's `Long./` agree); empty or zero-sum
+    *     cells keep their previous centroid
+    *
+    * Bounds: ‖x‖≈1 ⇒ |qv_i| ≤ 512, per-dim sums ≤ 4096·512 = 2^21,
+    * ‖sum‖² ≤ 64·2^42 = 2^48 < 2^53 (exact sqrt domain), dot ≤
+    * 64·512·2^15 = 2^30 — everything fits a Long with headroom.
+    * Returns integer-valued doubles (exact ≤ 2^53) so the centroids
+    * drop into the cosine probe/search dataflow unchanged.
+    */
+  def ivfTrainCentroidsFp(corpus: DataFrame, nlist: Int = 32,
+      iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scaleQ: Long = 512L, normQ: Long = 32768L): Array[(Long, Array[Double])] = {
+    val P = 1000000007L
+    // keep the (h, id) hash order — seed positions index into it
+    val sample: Array[Array[Long]] = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scaleQ).cast("long")).as("qv"),
+        ((lit(3L) * (col(idCol).cast("long") % P) + 8L) % P).as("h"))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    if (sample.isEmpty) return Array.empty
+    val n = sample.length
+    val d = sample.head.length
+    val nc = math.min(nlist, n)
+    // ‖v‖² > 0: v·32768 / ⌊√‖v‖²⌋, truncating; ‖v‖² = 0: null (caller
+    // keeps the previous centroid — mirrors the oracle's CASE)
+    def renorm(v: Array[Long]): Array[Long] = {
+      var n2 = 0L; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      if (n2 == 0L) null
+      else {
+        val is = math.floor(math.sqrt(n2.toDouble)).toLong
+        val out = new Array[Long](v.length)
+        i = 0
+        while (i < v.length) { out(i) = v(i) * normQ / is; i += 1 }
+        out
+      }
+    }
+    // farthest-point (k-center) seeding in exact integers: renormalize
+    // every sample point to ‖·‖ ≈ 2^15 (so integer dots are comparable
+    // across pairs), seed 0 = first point in hash order, each next seed
+    // the point whose max-dot against the seeds so far is SMALLEST
+    // (ties → lowest position). No epsilon folds — argmin over exact
+    // Longs, replayed verbatim by the oracle's unrolled seed rounds.
+    val rp = sample.map { p => val r = renorm(p); if (r == null) p else r }
+    val seedPos = new Array[Int](nc)
+    val maxDot = Array.fill(n)(Long.MinValue)
+    seedPos(0) = 0
+    var s0 = 1
+    while (s0 < nc) {
+      val last = rp(seedPos(s0 - 1))
+      var i = 0
+      while (i < n) {
+        var dot = 0L; var j = 0
+        while (j < d) { dot += rp(i)(j) * last(j); j += 1 }
+        if (dot > maxDot(i)) maxDot(i) = dot
+        i += 1
+      }
+      var best = 0; var bestDot = Long.MaxValue
+      i = 0
+      while (i < n) {
+        if (maxDot(i) < bestDot) { bestDot = maxDot(i); best = i } // strict <: ties to lower pos
+        i += 1
+      }
+      seedPos(s0) = best
+      s0 += 1
+    }
+    val cent = Array.tabulate(nc)(c => rp(seedPos(c)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nc)(new Array[Long](d))
+      val counts = new Array[Long](nc)
+      sample.foreach { p =>
+        var best = 0; var bestDot = Long.MinValue; var c = 0
+        while (c < nc) {
+          var dot = 0L; var i = 0
+          while (i < d) { dot += p(i) * cent(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c } // strict >: ties to lower c
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < nc) {
+        if (counts(c) > 0) {
+          val r = renorm(sums(c))
+          if (r != null) cent(c) = r
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cent.zipWithIndex.map { case (cv, c) => (c.toLong, cv.map(_.toDouble)) }
+  }
+
+  /** [[ivfTopK]] with the fixed-point trained quantizer — s23's path:
+    * train via [[ivfTrainCentroidsFp]] (SQL-replayable), then run the
+    * identical probed-list cosine search (one broadcast assignment
+    * scan, equi-join on the list id, exact rank within nprobe lists).
+    */
+  def ivfTopKTrainedFp(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN, idCol, vecCol)
+    val cent = broadcast(trained.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("c_id", "c_vec"))
+    ivfTopKCb(corpus, queries, k, cent, nprobe, idCol, vecCol)
+  }
+
   /** [[ivfTopK]] with trained spherical-k-means centroids: train on the
     * deterministic sample, then run the identical probed-list search
     * (one broadcast assignment scan, equi-join on the list id, exact
@@ -869,6 +1002,151 @@ object Similarity {
         cbFrame(corpus.sparkSession, cb)
           .select(col("j"), col("c_id").as("cw"), col("cv"))
       })
+  }
+
+  /** Per-subspace Lloyd k-means over quantized residual slices in pure
+    * integer arithmetic — the residual-codebook half of s24's
+    * SQL-replayable training (the coarse half is
+    * [[ivfTrainCentroidsFp]]). `sample` rows are whole quantized
+    * residual vectors in deterministic hash order. Per subspace j:
+    * seeds at positions ⌊cw·n/ncw⌋, assignment by min integer L2
+    * (ties → lowest cw), update = per-dim truncating integer mean;
+    * empty cells keep their previous codeword. Returns [j][cw][sub].
+    */
+  private[graft] def pqTrainCodebookFp(sample: Array[Array[Long]], m: Int,
+      ncode: Int, iters: Int): Array[Array[Array[Long]]] = {
+    if (sample.isEmpty) return Array.empty
+    val n = sample.length
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val sub = d / m
+    val ncw = math.min(ncode, n)
+    def sliceOf(p: Array[Long], j: Int): Array[Long] =
+      java.util.Arrays.copyOfRange(p, j * sub, (j + 1) * sub)
+    val cb = Array.tabulate(m) { j =>
+      Array.tabulate(ncw)(cw => sliceOf(sample((cw.toLong * n / ncw).toInt), j))
+    }
+    var it = 0
+    while (it < iters) {
+      var j = 0
+      while (j < m) {
+        val sums = Array.fill(ncw)(new Array[Long](sub))
+        val counts = new Array[Long](ncw)
+        sample.foreach { p =>
+          var best = 0; var bestD2 = Long.MaxValue; var cw = 0
+          while (cw < ncw) {
+            var d2 = 0L; var i = 0
+            while (i < sub) {
+              val t = p(j * sub + i) - cb(j)(cw)(i); d2 += t * t; i += 1
+            }
+            if (d2 < bestD2) { bestD2 = d2; best = cw } // strict <: ties to lower cw
+            cw += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(j * sub + i); i += 1 }
+          counts(best) += 1
+        }
+        var cw = 0
+        while (cw < ncw) {
+          if (counts(cw) > 0) {
+            var i = 0
+            while (i < sub) { cb(j)(cw)(i) = sums(cw)(i) / counts(cw); i += 1 }
+          }
+          cw += 1
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cb
+  }
+
+  /** FULLY-TRAINED residual IVF×PQ in fixed point — s24's path: the
+    * faiss-IVFPQ recipe with BOTH trainings SQL-replayable. Coarse
+    * centroids from [[ivfTrainCentroidsFp]]; residuals taken against
+    * the UNIT-rescaled centroid (cv/2^15 — an exact power-of-two
+    * division) and quantized at ×2^12 (floor — exact); the residual
+    * codebook from [[pqTrainCodebookFp]]'s integer Lloyd over the
+    * deterministic hash-sample of those quantized residuals. ADC is
+    * the exact INTEGER sum of per-subspace squared distances — the
+    * oracle replays training, encoding, probing, and scoring
+    * bit-for-bit (no float folds anywhere past the probe cosines,
+    * which follow the proven s04 fold pattern).
+    *
+    * Bounds: |res_i| ≤ ~2 ⇒ |qres_i| ≤ 2^13; per-subspace d² ≤
+    * 8·(2^14)² = 2^31; ADC ≤ 2^34 — Longs with headroom.
+    */
+  def ivfPqTopKResidualTrainedFp(corpus: DataFrame, queries: DataFrame,
+      k: Int, nlist: Int = 32, nprobe: Int = 4, m: Int = 8, ncode: Int = 32,
+      iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import corpus.sparkSession.implicits._
+    require(k >= 1 && nlist >= 1 && nprobe >= 1,
+      s"need k/nlist/nprobe >= 1, got k=$k nlist=$nlist nprobe=$nprobe")
+    val P = 1000000007L
+    val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN, idCol, vecCol)
+    val cent = broadcast(trained.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("c_id", "c_vec"))
+    val d = 64
+    val sub = d / m
+    // quantized residual vs the assigned centroid: exact ops only
+    def qresOf(vec: Column) = zip_with(vec, col("c_vec"),
+      (a, b) => floor((a.cast("double") - b / 32768.0d) * 4096.0d).cast("long"))
+    val wAsg = Window.partitionBy(col("n_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(cent)
+      .withColumn("cos_c", cosine(col("n_vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("n_id"), col("c_id"), qresOf(col("n_vec")).as("qres"))
+    // residual-codebook training over the deterministic hash-sample
+    val rsample: Array[Array[Long]] = assigned
+      .withColumn("h", (lit(3L) * (col("n_id") % P) + 8L) % P)
+      .orderBy(col("h").asc, col("n_id").asc)
+      .limit(sampleN)
+      .select(col("qres"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    val cbArr = pqTrainCodebookFp(rsample, m, ncode, iters)
+    val cb = broadcast(cbArr.zipWithIndex.flatMap { case (cws, j) =>
+      cws.zipWithIndex.map { case (cv, cw) => (j, cw.toLong, cv.toSeq) }
+    }.toSeq.toDF("j", "cw", "cv"))
+    def d2Fp(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, t) => acc + t)
+    def subspaced(df: DataFrame, keys: Seq[Column]) = df
+      .select(keys :+ posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("qres"), j * sub + 1, lit(sub)))): _*)
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "slice")
+    // encode: best codeword per (corpus vector, subspace)
+    val codes = subspaced(assigned, Seq(col("n_id"), col("c_id")))
+      .join(cb, "j")
+      .groupBy(col("n_id"), col("c_id"), col("j"))
+      .agg(min(struct(d2Fp(col("slice"), col("cv")).as("d2"), col("cw"))).as("b"))
+      .select(col("n_id"), col("c_id"), col("j"), col("b.cw").as("cw"))
+    // probe: nprobe best lists per query by cosine, residual per list
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_q").desc, col("c_id").asc)
+    val probes = queries
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(cent)
+      .withColumn("cos_q", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("c_id"), qresOf(col("q_vec")).as("qres"))
+    // LUT: integer d² of the query's residual slice vs every codeword
+    val lut = subspaced(probes, Seq(col("q_id"), col("c_id")))
+      .join(cb, "j")
+      .select(col("q_id"), col("c_id"), col("j"), col("cw"),
+        d2Fp(col("slice"), col("cv")).as("d2"))
+    val wk = Window.partitionBy(col("q_id")).orderBy(col("adc_fp").asc, col("n_id").asc)
+    codes.join(broadcast(lut), Seq("c_id", "j", "cw"))
+      .filter(col("n_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("d2")).as("adc_fp"))
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("adc_fp"))
   }
 
   /** Shared residual-IVFPQ search dataflow: assignment + residuals vs

@@ -1079,36 +1079,38 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
-    // TRAINED-QUANTIZER IVF — s04's probed-list search with spherical
-    // k-means centroids instead of the lowest-id convention (recall
-    // 0.53 vs 0.40 at sf0.001, AnnRecallSpec). Training is driver-local
-    // Lloyd over a deterministic bounded sample, so the result is
-    // replayable run-to-run but not SQL-expressible — registered
-    // rows-only (no oracleSql entry), like the spec-checked planning
-    // queries.
+    // TRAINED-QUANTIZER IVF — s04's probed-list search with trained
+    // spherical k-means centroids instead of the lowest-id convention.
+    // The quantizer is the FIXED-POINT trainer (integer Lloyd rounds:
+    // commutative sums, truncating renormalization — no order-pinned
+    // float folds), so the full training is replayed verbatim by the
+    // SQL oracle: this query is hash-checked end to end, training
+    // included. AnnRecallSpec holds the recall floor vs the
+    // deterministic quantizer.
     "s23_ivf_trained_topk" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.ivfTopKTrained(emb, emb.filter($"vec_id" < 5), k = 5,
+      Similarity.ivfTopKTrainedFp(emb, emb.filter($"vec_id" < 5), k = 5,
           nlist = 32, nprobe = 4)
         .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"cos_sim")
         .orderBy("q_id", "rnk")
     },
 
     // FULLY-TRAINED residual IVF x PQ — the complete faiss-IVFPQ
-    // training recipe (trained spherical-k-means coarse quantizer +
-    // per-subspace Lloyd residual codebook, both on deterministic
-    // hash-samples) over s16's residual-ADC search dataflow. Training
-    // is driver-local over a bounded sample (not SQL-expressible) →
-    // rows-only like s23; AnnRecallSpec holds the recall delta vs the
-    // deterministic composition and bit-replayability of the trained
-    // pipeline.
+    // training recipe (trained coarse quantizer + per-subspace Lloyd
+    // residual codebook, both on deterministic hash-samples) over
+    // s16's residual-ADC search dataflow, in FIXED POINT: integer
+    // Lloyd rounds on ×2^12-quantized residuals and an exact integer
+    // ADC, so the oracle replays training, encoding, probing, and
+    // scoring bit-for-bit — hash-checked end to end like s23.
+    // AnnRecallSpec holds the recall delta vs the deterministic
+    // composition.
     "s24_ivf_pq_trained" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.ivfPqTopKResidualTrained(emb, emb.filter($"vec_id" < 5),
+      Similarity.ivfPqTopKResidualTrainedFp(emb, emb.filter($"vec_id" < 5),
           k = 5, nlist = 32, nprobe = 4, m = 8, ncode = 32)
-        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_d2")
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_fp")
         .orderBy("q_id", "rnk")
     },
 
@@ -1956,11 +1958,13 @@ object NorthStar {
     },
 
     // Streaming approximate quantiles (q45's mergeable GK sketch as
-    // bounded keyed state). Merge-order-dependent estimates → no SQL
-    // oracle (rows-only); StreamingQuantileSpec holds the rank-bound
-    // guarantee against the batch exact percentile.
+    // bounded keyed state), read out through q45's rank-bound pattern:
+    // the merge-order-dependent estimate reduces to a SQL-checkable
+    // boolean (its rank interval grown by n/accuracy + 1 contains
+    // frac·n) next to the exact percentile of the same integral
+    // metric; StreamingQuantileSpec additionally holds the raw bound.
     "st23_stream_quantiles" -> { (s, dir) =>
-      graft.streaming.Streaming.streamQuantiles(s, dir)
+      graft.streaming.Streaming.streamQuantilesChecked(s, dir)
     },
 
     // Streaming per-key anomaly detection: each user's inter-arrival
@@ -2096,6 +2100,75 @@ object NorthStar {
       s"""(list_reduce(list_transform(range(1,65), i -> $a[i]*$b[i]), (x,y)->x+y) /
          | (sqrt(list_reduce(list_transform(range(1,65), i -> $a[i]*$a[i]), (x,y)->x+y)) *
          |  sqrt(list_reduce(list_transform(range(1,65), i -> $b[i]*$b[i]), (x,y)->x+y))))""".stripMargin
+
+    // Fixed-point k-means training replay (ivfTrainCentroidsFp): the
+    // `iters` Lloyd rounds unrolled as CTE layers. All arithmetic is
+    // integer (commutative sums; `//` truncates exactly like Scala
+    // Long division; floor/sqrt are IEEE-exact on these magnitudes),
+    // so each round reproduces the Scala trainer bit-for-bit. Assumes
+    // |sample| >= nlist (true at every driver scale). Yields a final
+    // CTE `cent(c_id, cv)` with integer-valued DOUBLE lists, ready for
+    // the s04 cosine probe skeleton. Requires a preceding CTE
+    // `e(id, v)` with the double-cast embeddings.
+    def ivfFpCentSql(nlist: Int, iters: Int, sampleN: Int): String = {
+      def renorm(sv: String, n2: String) =
+        s"""list_transform($sv, x -> (x * 32768)
+           |      // cast(floor(sqrt(cast($n2 as double))) as bigint))""".stripMargin
+      val dot = (a: String, b: String) =>
+        s"""cast(list_sum(list_transform(range(1, 65),
+           |        j -> $a[j] * $b[j])) as bigint)""".stripMargin
+      // farthest-point seeding: rp = points renormalized to ‖·‖≈2^15,
+      // seed 0 = hash-order first; each round keeps the running
+      // max-dot-to-seeds and picks its argmin (ties → lowest pos)
+      val seedRounds = (1 until nlist).map { r =>
+        s"""md$r AS MATERIALIZED (SELECT m.pos, m.qv, m.rv,
+           |    greatest(m.md, ${dot("m.rv", "s.rv")}) AS md
+           |  FROM md${r - 1} m, sd${r - 1} s),
+           |sd$r AS MATERIALIZED (SELECT pos, rv FROM md$r
+           |  ORDER BY md ASC, pos ASC LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val seedUnion = (0 until nlist)
+        .map(r => s"SELECT $r AS c, rv AS cv FROM sd$r")
+        .mkString("\n  UNION ALL ")
+      val head =
+        s"""smp AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, id) - 1 AS pos, qv
+           |  FROM (SELECT id, (3 * (id % 1000000007) + 8) % 1000000007 AS h,
+           |      list_transform(v, x -> cast(floor(x * 512) as bigint)) AS qv
+           |    FROM e ORDER BY h, id LIMIT $sampleN) t),
+           |rp AS MATERIALIZED (SELECT pos, qv,
+           |    CASE WHEN n2 = 0 THEN qv ELSE ${renorm("qv", "n2")} END AS rv
+           |  FROM (SELECT pos, qv,
+           |      cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS n2
+           |    FROM smp) t),
+           |md0 AS MATERIALIZED (SELECT pos, qv, rv,
+           |    cast(-9223372036854775807 - 1 as bigint) AS md FROM rp),
+           |sd0 AS MATERIALIZED (SELECT pos, rv FROM rp WHERE pos = 0),
+           |$seedRounds,
+           |cent0 AS MATERIALIZED (
+           |  $seedUnion)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""asg$i AS MATERIALIZED (SELECT pos, qv, c FROM (
+           |    SELECT s.pos, s.qv, c.c, row_number() OVER (PARTITION BY s.pos
+           |      ORDER BY cast(list_sum(list_transform(range(1, 65),
+           |        j -> s.qv[j] * c.cv[j])) as bigint) DESC, c.c ASC) AS rn
+           |    FROM smp s, cent${i - 1} c) t WHERE rn = 1),
+           |nl$i AS MATERIALIZED (SELECT c, list(sv ORDER BY dim) AS sv FROM (
+           |    SELECT c, dim, cast(sum(qv[dim]) as bigint) AS sv
+           |    FROM asg$i, (SELECT unnest(range(1, 65)) AS dim) d
+           |    GROUP BY c, dim) t GROUP BY c),
+           |cent$i AS MATERIALIZED (SELECT p.c,
+           |    CASE WHEN q.sv IS NULL OR q.n2 = 0 THEN p.cv
+           |         ELSE ${renorm("q.sv", "q.n2")} END AS cv
+           |  FROM cent${i - 1} p LEFT JOIN (
+           |    SELECT c, sv,
+           |      cast(list_sum(list_transform(sv, x -> x * x)) as bigint) AS n2
+           |    FROM nl$i) q USING (c))""".stripMargin
+      }.mkString(",\n")
+      val fin =
+        s"""cent AS MATERIALIZED (SELECT c AS c_id,
+           |  list_transform(cv, x -> cast(x as double)) AS cv FROM cent$iters)""".stripMargin
+      s"$head,\n$rounds,\n$fin"
+    }
 
     // s15 / s20 share one IVFxPQ ADC replay; `candFilter` is an extra
     // predicate on the candidate rows (filtered-ANN metadata gate)
@@ -3171,6 +3244,109 @@ object NorthStar {
            |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
            |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // s04's probed-list skeleton over the FIXED-POINT TRAINED
+      // centroids — the full integer Lloyd training replayed in the
+      // CTE chain, then assignment, nprobe=4 probe, exact cosine rank
+      "s23_ivf_trained_topk" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |asg AS (
+           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
+           |    SELECT e.id, e.v, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |probe AS (
+           |  SELECT q_id, q_vec, c_id FROM (
+           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c WHERE e.id < 5) t WHERE rn <= 4)
+           |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
+           |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // s24: the full fixed-point faiss-IVFPQ replay — coarse training
+      // (s23's CTE chain), cosine assignment, ×2^12-quantized
+      // residuals, integer per-subspace Lloyd codebook, integer-ADC
+      // probe — every stage bit-replayed
+      "s24_ivf_pq_trained" -> {
+        val iters = 10
+        val d2 = (a: String, b: String) =>
+          s"""cast(list_sum(list_transform(range(1, 9),
+             |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) as bigint)""".stripMargin
+        val qresT = (v: String, cv: String) =>
+          s"""list_transform(range(1, 65),
+             |      i -> cast(floor(($v[i] - $cv[i] / 32768.0) * 4096.0) as bigint))""".stripMargin
+        val cbRounds = (1 to iters).map { i =>
+          s"""pa$i AS MATERIALIZED (SELECT pos, j, sl, cw FROM (
+             |    SELECT s.pos, s.j, s.sl, c.cw,
+             |      row_number() OVER (PARTITION BY s.pos, s.j
+             |        ORDER BY ${d2("s.sl", "c.cv")} ASC, c.cw ASC) AS rn
+             |    FROM rsl s JOIN cb${i - 1} c ON c.j = s.j) t WHERE rn = 1),
+             |cb$i AS MATERIALIZED (SELECT p.j, p.cw,
+             |    CASE WHEN q.sv IS NULL THEN p.cv ELSE q.sv END AS cv
+             |  FROM cb${i - 1} p LEFT JOIN (
+             |    SELECT j, cw, list(sv ORDER BY dim) AS sv FROM (
+             |      SELECT j, cw, dim,
+             |        cast(sum(sl[dim]) as bigint) // count(*) AS sv
+             |      FROM pa$i, (SELECT unnest(range(1, 9)) AS dim) dd
+             |      GROUP BY j, cw, dim) t GROUP BY j, cw) q USING (j, cw))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = iters, sampleN = 4096)},
+           |asgq AS MATERIALIZED (SELECT id AS n_id, c_id,
+           |    ${qresT("v", "cv")} AS qres
+           |  FROM (SELECT e.id, e.v, c.c_id, c.cv,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |rs AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, n_id) - 1 AS pos, qres
+           |  FROM (SELECT n_id, (3 * (n_id % 1000000007) + 8) % 1000000007 AS h, qres
+           |    FROM asgq ORDER BY h, n_id LIMIT 4096) t),
+           |rn_ AS (SELECT count(*) AS n FROM rs),
+           |rsl AS MATERIALIZED (SELECT pos, j,
+           |    list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
+           |  FROM rs, (SELECT unnest(range(0, 8)) AS j) jj),
+           |cb0 AS MATERIALIZED (SELECT s.j, c.cw, s.sl AS cv
+           |  FROM (SELECT unnest(range(0, 32)) AS cw) c
+           |  JOIN rsl s ON s.pos = (c.cw * (SELECT n FROM rn_)) // 32),
+           |$cbRounds,
+           |asl AS MATERIALIZED (SELECT n_id, c_id, j,
+           |    list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
+           |  FROM asgq, (SELECT unnest(range(0, 8)) AS j) jj),
+           |codes AS MATERIALIZED (SELECT n_id, c_id, j, cw FROM (
+           |    SELECT s.n_id, s.c_id, s.j, c.cw,
+           |      row_number() OVER (PARTITION BY s.n_id, s.j
+           |        ORDER BY ${d2("s.sl", "c.cv")} ASC, c.cw ASC) AS rn
+           |    FROM asl s JOIN cb$iters c ON c.j = s.j) t WHERE rn = 1),
+           |probe AS MATERIALIZED (SELECT q_id, c_id,
+           |    ${qresT("v", "cv")} AS qres
+           |  FROM (SELECT e.id AS q_id, e.v, c.c_id, c.cv,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c WHERE e.id < 5) t WHERE rn <= 4),
+           |lut AS MATERIALIZED (SELECT p.q_id, p.c_id, p.j, c.cw,
+           |    ${d2("p.sl", "c.cv")} AS d2
+           |  FROM (SELECT q_id, c_id, j,
+           |      list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
+           |    FROM probe, (SELECT unnest(range(0, 8)) AS j) jj) p
+           |  JOIN cb$iters c ON c.j = p.j)
+           |SELECT q_id, n_id, rn AS rnk, adc_fp FROM (
+           |  SELECT q_id, n_id, adc_fp, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY adc_fp ASC, n_id ASC) AS rn
+           |  FROM (SELECT l.q_id, cd.n_id, cast(sum(l.d2) as bigint) AS adc_fp
+           |    FROM codes cd JOIN lut l
+           |      ON l.c_id = cd.c_id AND l.j = cd.j AND l.cw = cd.cw
+           |    WHERE cd.n_id <> l.q_id GROUP BY 1, 2) t1) t2
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
 
       // SemDeDup: s04's deterministic coarse assignment, then pairs
       // confined to each cluster; dup_of = lowest same-cluster id at
@@ -4286,6 +4462,16 @@ object NorthStar {
       ("st18_stream_cm_sketch" -> m("t26_cm_heavy_hitters")) +
       // the last-event state machine emits exactly the same-session
       // consecutive pairs q54's window derives — oracle verbatim
+      // q45's rank-bound readout applied to the streaming GK state:
+      // exact_v is value-replayable (exact percentile of the integral
+      // metric), within_bound is the sketch guarantee both engines
+      // agree is TRUE without replaying the merge order
+      ("st23_stream_quantiles" ->
+        Seq(0.5, 0.9, 0.99).map(f =>
+          s"""SELECT event_type, cast($f as double) AS frac,
+             |  quantile_cont(cast(floor(value) as bigint), $f) AS exact_v,
+             |  true AS within_bound FROM events GROUP BY 1""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY event_type, frac")) +
       ("st29_stream_transitions" ->
         graft.queries.Relational.oracles("q54_transitions")) +
       ("st31_stream_funnel" ->

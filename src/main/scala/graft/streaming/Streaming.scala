@@ -1232,17 +1232,20 @@ object Streaming {
     * event type in complete mode. The sketch buffer IS the keyed state:
     * O(accuracy) per group over an unbounded stream, the only quantile
     * shape with bounded state (exact percentile would buffer every
-    * value ever seen). Estimates depend on merge order, so there is no
-    * SQL oracle; StreamingQuantileSpec pins each estimate's rank within
-    * the sketch's n/accuracy + 1 bound against the batch exact
-    * percentile on the same data.
+    * value ever seen). The metric is the integerized value (q45's
+    * recipe: exact readouts on an integral metric are engine-portable;
+    * an interpolated double percentile is not). Raw estimates depend
+    * on merge order — [[streamQuantilesChecked]] is the SQL-checkable
+    * readout; StreamingQuantileSpec additionally pins each estimate's
+    * rank within the sketch's n/accuracy + 1 bound.
     */
   def streamQuantiles(s: SparkSession, dir: String): DataFrame = {
     val fracs = Seq(0.5, 0.9, 0.99)
     val agg = eventStream(s, dir)
+      .select(col("event_type"), expr("cast(value as bigint)").as("v"))
       .groupBy(col("event_type"))
       .agg(
-        expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 1000)")
+        expr("percentile_approx(v, array(0.5D, 0.9D, 0.99D), 1000)")
           .as("apx"),
         count(lit(1)).as("n"))
     runToTable(agg, "complete")
@@ -1250,6 +1253,40 @@ object Streaming {
       .select(col("event_type"),
         element_at(array(fracs.map(lit): _*), col("pos") + 1).as("frac"),
         col("col").as("est_v"), col("n"))
+      .orderBy("event_type", "frac")
+  }
+
+  /** st23's oracle-checkable readout, q45's rank-bound pattern applied
+    * to the STREAMING sketch state: the GK estimate is an actual input
+    * value whose rank interval [count(v < est), count(v <= est)],
+    * grown by n/accuracy + 1, must contain the target rank frac·n —
+    * a boolean both engines agree on (the oracle asserts it true
+    * without replaying the merge order) — alongside the exact
+    * percentile of the same integral metric, which IS value-replayable
+    * in SQL. One broadcast of the 15 estimate rows against the batch
+    * table; the stream side is [[streamQuantiles]] unchanged.
+    */
+  def streamQuantilesChecked(s: SparkSession, dir: String): DataFrame = {
+    val est = streamQuantiles(s, dir)
+    val vals = graft.sources.Sources.events(s, dir)
+      .select(col("event_type"), expr("cast(value as bigint)").as("v"))
+    val exact = vals.groupBy(col("event_type"))
+      .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("ex"))
+      .select(col("event_type"), posexplode(col("ex")))
+      .select(col("event_type"),
+        element_at(array(Seq(0.5, 0.9, 0.99).map(lit): _*), col("pos") + 1)
+          .as("frac"),
+        col("col").as("exact_v"))
+    vals.join(broadcast(est), "event_type")
+      .groupBy(col("event_type"), col("frac"), col("n"), col("est_v"))
+      .agg(
+        sum(when(col("v") < col("est_v"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("v") <= col("est_v"), 1L).otherwise(0L)).as("le"))
+      .join(exact, Seq("event_type", "frac"))
+      .select(col("event_type"), col("frac"), col("exact_v"),
+        (col("lt") - (col("n") / lit(1000.0) + 1) <= col("frac") * col("n") &&
+          col("le") + (col("n") / lit(1000.0) + 1) >= col("frac") * col("n"))
+          .as("within_bound"))
       .orderBy("event_type", "frac")
   }
 

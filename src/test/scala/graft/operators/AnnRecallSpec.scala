@@ -172,11 +172,16 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     val det = recall(exact, topk(Similarity.ivfTopK(emb, queries, k, nlist = 32, nprobe = 4)))
     val trained = recall(exact, topk(Similarity.ivfTopKTrained(emb, queries, k,
       nlist = 32, nprobe = 4)))
-    info(f"IVF recall@$k (nlist=32, nprobe=4): deterministic $det%.3f, trained spherical k-means $trained%.3f")
+    val fp = recall(exact, topk(Similarity.ivfTopKTrainedFp(emb, queries, k,
+      nlist = 32, nprobe = 4)))
+    info(f"IVF recall@$k (nlist=32, nprobe=4): deterministic $det%.3f, " +
+      f"trained spherical k-means $trained%.3f, fixed-point trained (s23) $fp%.3f")
     // trained centers must not be materially worse than arbitrary
-    // corpus points, and must stay useful
+    // corpus points, and must stay useful — both trainers
     trained should be >= det - 0.05
     trained should be > 0.2
+    fp should be >= det - 0.05
+    fp should be > 0.2
   }
 
   test("trained IVF centroids are replayable: two trainings bit-agree") {
@@ -248,8 +253,13 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
       nlist = 32, nprobe = 4, m = 8, ncode = 32)))
     val trained = recall(exact, topk(Similarity.ivfPqTopKResidualTrained(emb,
       queries, k, nlist = 32, nprobe = 4, m = 8, ncode = 32)))
-    info(f"residual IVFxPQ recall@$k: deterministic $det%.3f, fully trained $trained%.3f")
+    val fp = recall(exact, topk(Similarity.ivfPqTopKResidualTrainedFp(emb,
+      queries, k, nlist = 32, nprobe = 4, m = 8, ncode = 32)))
+    info(f"residual IVFxPQ recall@$k: deterministic $det%.3f, " +
+      f"fully trained $trained%.3f, fixed-point trained (s24) $fp%.3f")
     trained should be >= det - 0.05 // training must not lose recall
+    fp should be >= det - 0.1 // the SQL-replayable trainer stays competitive
+    fp should be > 0.1
     // replayability: both trainers are deterministic, so the whole
     // trained pipeline bit-agrees across runs
     val once = Similarity.ivfPqTopKResidualTrained(emb, queries, k, 32, 4, 8, 32).collect()

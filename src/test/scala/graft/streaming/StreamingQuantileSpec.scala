@@ -25,13 +25,13 @@ class StreamingQuantileSpec extends AnyFunSuite with Matchers {
       .collect()
     est.length shouldBe 15 // 5 event types x 3 fracs
     val vals = graft.sources.Sources.events(spark, dir)
-      .select(col("event_type"), col("value").as("v"))
+      .select(col("event_type"), expr("cast(value as bigint)").as("v"))
       .collect()
       .groupBy(_.getString(0))
-      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+      .view.mapValues(_.map(_.getLong(1).toDouble).sorted).toMap
     est.foreach { r =>
       val (et, frac, ev, n) =
-        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+        (r.getString(0), r.getDouble(1), r.getLong(2).toDouble, r.getLong(3))
       val vs = vals(et)
       vs.length.toLong shouldBe n
       val lt = vs.count(_ < ev).toDouble
