@@ -106,69 +106,90 @@ object ScaleBench {
     rm(staging)
   }
 
-  /** Deterministic Nx synthesis of the flagship tables into `out`. */
+  /** Deterministic Nx synthesis of the flagship tables into `out`.
+    * GRAFT_SCALE_TABLES (comma-separated) restricts which tables are
+    * synthesized — for single-query ladder rungs (e.g. q50 at 100x
+    * needs only customer) where writing a 60M-row lineitem would be
+    * pure overhead. Unset = all tables (the full-evidence run).
+    */
   def synth(s: SparkSession, base: String, out: String, copies: Int): Unit = {
     val outDir = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(outDir)
+    val tables = sys.env.get("GRAFT_SCALE_TABLES").map(_.split(",").toSet)
+    def want(t: String): Boolean = tables.forall(_.contains(t))
 
-    val docs = s.read.parquet(s"$base/documents.parquet")
-    writeSingleFile((0 until copies).map { i =>
-      if (i == 0) docs
-      else {
-        val toks = split(trim(col("text")), "\\s+")
-        docs.select((col("doc_id") + i * 10000000L).as("doc_id"),
-          array_join(transform(toks, t => concat(t, lit(s"_$i"))), " ").as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }
-    }.reduce(_ unionByName _), outDir, "documents")
+    if (want("documents")) {
+      val docs = s.read.parquet(s"$base/documents.parquet")
+      writeSingleFile((0 until copies).map { i =>
+        if (i == 0) docs
+        else {
+          val toks = split(trim(col("text")), "\\s+")
+          docs.select((col("doc_id") + i * 10000000L).as("doc_id"),
+            array_join(transform(toks, t => concat(t, lit(s"_$i"))), " ").as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }
+      }.reduce(_ unionByName _), outDir, "documents")
+    }
 
-    val emb = s.read.parquet(s"$base/embeddings.parquet")
-    writeSingleFile((0 until copies).map { i =>
-      val r = (i * 7) % 64
-      val rot = if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r))
-      emb.select((col("vec_id") + i * 10000000L).as("vec_id"),
-        rot.as("embedding"), col("label"))
-    }.reduce(_ unionByName _), outDir, "embeddings")
+    if (want("embeddings")) {
+      val emb = s.read.parquet(s"$base/embeddings.parquet")
+      writeSingleFile((0 until copies).map { i =>
+        val r = (i * 7) % 64
+        val rot = if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r))
+        emb.select((col("vec_id") + i * 10000000L).as("vec_id"),
+          rot.as("embedding"), col("label"))
+      }.reduce(_ unionByName _), outDir, "embeddings")
+    }
 
-    val ev = graft.sources.Sources.events(s, base)
-    writeSingleFile((0 until copies).map { i =>
-      ev.select((col("event_id") + i * 100000000L).as("event_id"),
-        (col("ts") + lit(i * 50000L * 3600L * 1000000000L)).as("ts"),
-        (col("user_id") + i * 10000000L).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionByName _), outDir, "events")
+    if (want("events")) {
+      val ev = graft.sources.Sources.events(s, base)
+      writeSingleFile((0 until copies).map { i =>
+        ev.select((col("event_id") + i * 100000000L).as("event_id"),
+          (col("ts") + lit(i * 50000L * 3600L * 1000000000L)).as("ts"),
+          (col("user_id") + i * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _), outDir, "events")
+    }
 
-    val ord = s.read.parquet(s"$base/orders.parquet")
-    writeSingleFile((0 until copies).map { i =>
-      ord.select((col("o_orderkey") + i * 1000000000L).as("o_orderkey"),
-        (col("o_custkey") + i * 100000000L).as("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-        col("o_orderpriority"))
-    }.reduce(_ unionByName _), outDir, "orders")
+    if (want("orders")) {
+      val ord = s.read.parquet(s"$base/orders.parquet")
+      writeSingleFile((0 until copies).map { i =>
+        ord.select((col("o_orderkey") + i * 1000000000L).as("o_orderkey"),
+          (col("o_custkey") + i * 100000000L).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      }.reduce(_ unionByName _), outDir, "orders")
+    }
 
     // customer: same key shift as o_custkey, so the dim grows with the
     // fact side (q46's merge-key space replicates at constant density —
     // note the event user-id shift differs, so each copy contributes
     // its own insert band too, like organic growth would)
-    // c_name gets a per-copy 2-char tag from a code where any two
-    // distinct copies differ in BOTH positions ((i mod 31, 2i mod 31)
-    // over a 31-char alphabet — 31 prime, so equal first chars force
-    // equal copies): cross-copy name pairs sit at edit distance >= 2,
-    // and q50's deletion-neighborhood join keeps constant per-item
-    // match density (identical names across copies would multiply
-    // every probe's candidate set by N — the same degeneracy the
-    // documents `_i` suffix avoids for shingles). Within-copy
-    // structure is untouched; q46 reads names as payload only.
-    val cust = s.read.parquet(s"$base/customer.parquet")
-    val code = "abcdefghijklmnopqrstuvwxyz01234"
-    writeSingleFile((0 until copies).map { i =>
-      val tagged = if (i == 0) cust
-        else cust.withColumn("c_name", concat(col("c_name"),
-          lit(s"${code(i % 31)}${code((2 * i) % 31)}")))
-      tagged.select((col("c_custkey") + i * 100000000L).as("c_custkey"),
-        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-    }.reduce(_ unionByName _), outDir, "customer")
+    // c_name gets a per-copy 3-char PARITY-CODE tag (a, b, a+b mod 31)
+    // with a = i mod 31, b = i div 31 over a 31-char alphabet: any two
+    // distinct copies differ in >= 2 of the 3 positions (equal a and
+    // equal b force equal i; equal sum with one equal coordinate forces
+    // the other equal), so cross-copy name pairs sit at edit
+    // distance >= 2 for up to 961 copies — the old 2-char
+    // (i mod 31, 2i mod 31) code collided exactly at copies i and i+31,
+    // which would have made the 100x rung degenerate (identical names
+    // across copies multiply every q50 probe's candidate set by the
+    // collision count — the same degeneracy the documents `_i` suffix
+    // avoids for shingles). Within-copy structure is untouched; q46
+    // reads names as payload only.
+    if (want("customer")) {
+      val cust = s.read.parquet(s"$base/customer.parquet")
+      val code = "abcdefghijklmnopqrstuvwxyz01234"
+      writeSingleFile((0 until copies).map { i =>
+        val (a, b) = (i % 31, i / 31)
+        val tagged = if (i == 0) cust
+          else cust.withColumn("c_name", concat(col("c_name"),
+            lit(s"${code(a)}${code(b)}${code((a + b) % 31)}")))
+        tagged.select((col("c_custkey") + i * 100000000L).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      }.reduce(_ unionByName _), outDir, "customer")
+    }
 
     // lineitem: order keys shift in lockstep with orders (joins stay
     // aligned); part and supplier keys shift into disjoint per-copy id
@@ -176,21 +197,25 @@ object ScaleBench {
     // lateness profile replicate at CONSTANT per-item density (shared
     // part ids across copies would multiply every pair's support ×N —
     // the same degeneracy the documents `_i` suffix avoids).
-    val li = s.read.parquet(s"$base/lineitem.parquet")
-    writeSingleFile((0 until copies).map { i =>
-      li.select((col("l_orderkey") + i * 1000000000L).as("l_orderkey"),
-        (col("l_partkey") + i * 100000000L).as("l_partkey"),
-        (col("l_suppkey") + i * 10000000L).as("l_suppkey"),
-        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("l_tax"), col("l_returnflag"),
-        col("l_linestatus"), col("l_shipdate"))
-    }.reduce(_ unionByName _), outDir, "lineitem")
+    if (want("lineitem")) {
+      val li = s.read.parquet(s"$base/lineitem.parquet")
+      writeSingleFile((0 until copies).map { i =>
+        li.select((col("l_orderkey") + i * 1000000000L).as("l_orderkey"),
+          (col("l_partkey") + i * 100000000L).as("l_partkey"),
+          (col("l_suppkey") + i * 10000000L).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+      }.reduce(_ unionByName _), outDir, "lineitem")
+    }
 
-    val sup = s.read.parquet(s"$base/supplier.parquet")
-    writeSingleFile((0 until copies).map { i =>
-      sup.select((col("s_suppkey") + i * 10000000L).as("s_suppkey"),
-        col("s_name"), col("s_nationkey"), col("s_acctbal"))
-    }.reduce(_ unionByName _), outDir, "supplier")
+    if (want("supplier")) {
+      val sup = s.read.parquet(s"$base/supplier.parquet")
+      writeSingleFile((0 until copies).map { i =>
+        sup.select((col("s_suppkey") + i * 10000000L).as("s_suppkey"),
+          col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      }.reduce(_ unionByName _), outDir, "supplier")
+    }
   }
 
   def main(args: Array[String]): Unit = {
