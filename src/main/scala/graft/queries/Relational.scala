@@ -1736,6 +1736,173 @@ object Relational {
           sum($"amt").cast("long").as("revenue_cents"))
         .withColumn("revenue", $"revenue_cents".cast("double") / 100.0)
         .orderBy($"epoch_day")
+    },
+
+    // Mergeable-sketch ROLLUP — the property that makes sketches THE
+    // 100 TB aggregation tool: HLL registers built once at the finest
+    // grain (region, nation) and every coarser level derived by
+    // REGISTER MERGE (max per bucket — exactly the partial-aggregate
+    // op), never by rescanning the fact table. Three levels
+    // (nation / region / all) read out through the same exact-integer
+    // numerator + textually-fixed double estimate as t30/t31; the
+    // exact distinct count rides along as measured error. The fact
+    // scan happens ONCE; the rollup runs on 2^p-row register tables.
+    "q67_sketch_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val p = 8
+      val m = 1 << p
+      val maxRho = 31 - p
+      val denom = 1L << maxRho
+      val P = 1000000007L
+      val base = rd(s, dir, "orders")
+        .join(rd(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(rd(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .select($"n_regionkey".cast("long").as("region"), $"n_name".as("nation"),
+          (((lit(736238393L) * ($"o_custkey" % P) + 12345L) % P) % (1L << 30))
+            .as("h"))
+      val fine = base
+        .select($"region", $"nation", ($"h" % m).as("bucket"),
+          expr(s"h div $m").as("w"))
+        .withColumn("rho",
+          expr(s"CASE WHEN w = 0 THEN $maxRho ELSE $maxRho - length(bin(w)) END"))
+        .groupBy($"region", $"nation", $"bucket")
+        .agg(max($"rho").as("rho"))
+      val fineCached = graft.operators.CacheScope.sessionScope(s)
+        .own(fine.persist()) // three consumers: the three rollup levels
+      def readout(regs: DataFrame, keys: Seq[org.apache.spark.sql.Column], exact: DataFrame,
+          level: String): DataFrame = {
+        val estExpr =
+          s"""cast(0.7213 as double) / (cast(1.0 as double)
+             |  + cast(1.079 as double) / cast($m as double))
+             |  * cast($m as double) * cast($m as double)
+             |  * cast($denom as double) / cast(num as double)""".stripMargin
+        val sums = regs.groupBy(keys: _*).agg(
+          count(lit(1)).as("present"),
+          sum(expr(s"cast(shiftleft(1L, cast($maxRho - rho as int)) as bigint)"))
+            .as("num_present"))
+        sums.join(exact, keys.map(_.toString))
+          .withColumn("num",
+            $"num_present" + (lit(m.toLong) - $"present") * denom)
+          .select(lit(level).as("level") +: keys :+
+            (lit(m.toLong) - $"present").as("v_zero") :+ $"n_exact" :+
+            expr(s"round($estExpr, 6)").as("est"): _*)
+      }
+      val exFine = base.groupBy($"region", $"nation")
+        .agg(countDistinct($"h").as("n_exact"))
+      val exRegion = base.groupBy($"region")
+        .agg(countDistinct($"h").as("n_exact"))
+      val exAll = base.agg(countDistinct($"h").as("n_exact"))
+      val nat = readout(fineCached, Seq($"region", $"nation"), exFine, "nation")
+      val reg = readout(
+        fineCached.groupBy($"region", $"bucket").agg(max($"rho").as("rho")),
+        Seq($"region"), exRegion, "region")
+        .withColumn("nation", lit(null).cast("string"))
+      val all = readout(
+        fineCached.groupBy($"bucket").agg(max($"rho").as("rho"))
+          .withColumn("region", lit(-1L)),
+        Seq($"region"), exAll.select(lit(-1L).as("region"), $"n_exact"),
+        "all")
+        .withColumn("nation", lit(null).cast("string"))
+      nat.select($"level", $"region", $"nation", $"v_zero", $"n_exact", $"est")
+        .unionByName(reg.select($"level", $"region", $"nation", $"v_zero",
+          $"n_exact", $"est"))
+        .unionByName(all.select($"level", $"region", $"nation", $"v_zero",
+          $"n_exact", $"est"))
+        .orderBy($"level", $"region", $"nation")
+    },
+
+    // Robust outlier detection — median + MAD (median absolute
+    // deviation), the robust-statistics answer to q63's moment-based
+    // 3σ rule (one wild value cannot move either statistic). Both
+    // medians run on EVEN-scaled integers (2v, then 2·dev) so the
+    // exact percentile's midpoint interpolation lands on integers —
+    // engine-portable with no float drift — and the 3-MAD test is the
+    // cross-multiplied integer comparison 4·dev > 3·mad4. Two
+    // aggregate passes over events (medians per type, then deviations
+    // against the broadcast medians); no global sort.
+    "q68_mad_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val ev = graft.operators.CacheScope.sessionScope(s).own(
+        events(s, dir)
+          .select($"event_type", expr("cast(value as bigint)").as("v"))
+          .persist()) // three passes: median, MAD, outlier count
+      val med = ev.groupBy($"event_type")
+        .agg(expr("cast(percentile(2 * v, 0.5D) as bigint)").as("med2"),
+          count(lit(1)).as("n"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs($"v" * 2 - $"med2"))
+        .groupBy($"event_type", $"n", $"med2")
+        .agg(expr("cast(percentile(2 * dev, 0.5D) as bigint)").as("mad4"))
+      ev.join(broadcast(mad), "event_type")
+        .withColumn("dev", abs($"v" * 2 - $"med2"))
+        .groupBy($"event_type", $"n", $"med2", $"mad4")
+        .agg(sum(when($"dev" * 4 > $"mad4" * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+        .select($"event_type", $"n", ($"med2" / 2.0).as("med"),
+          ($"mad4" / 4.0).as("mad"), $"n_outliers")
+        .orderBy($"event_type")
+    },
+
+    // Share-of-total / ratio-to-report WITHOUT a global window: nation
+    // revenue as exact integer cents, region and grand totals as two
+    // tiny re-aggregates broadcast back — no Exchange SinglePartition
+    // over the data (the naive sum() OVER () would). Rank within
+    // region is a properly partitioned window. The three division
+    // readouts are single exact-double ops.
+    "q69_share_ratio" -> { (s, dir) =>
+      import s.implicits._
+      val cents = rd(s, dir, "orders")
+        .join(rd(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(rd(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .select($"n_regionkey".cast("long").as("region"),
+          $"n_name".as("nation"),
+          ($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"))
+        .groupBy($"region", $"nation")
+        .agg(sum($"cents").as("nc"))
+      val rc = cents.groupBy($"region").agg(sum($"nc").as("rc"))
+      val tc = cents.agg(sum($"nc").as("tc"))
+      val w = Window.partitionBy($"region").orderBy($"nc".desc, $"nation".asc)
+      cents.join(broadcast(rc), "region").crossJoin(broadcast(tc))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select($"region", $"nation", ($"nc" / 100.0).as("revenue"),
+          round($"nc".cast("double") / $"rc", 6).as("share_region"),
+          round($"nc".cast("double") / $"tc", 6).as("share_total"),
+          $"rnk")
+        .orderBy($"region", $"rnk")
+    },
+
+    // Dimension as-of enrichment — every event looked up against the
+    // SCD2 status history (q41's runs) valid STRICTLY BEFORE the
+    // event's own second: the point-in-time dimension join every
+    // warehouse event pipeline runs. AsOfJoin's ONE-shuffle merge
+    // interleave does the lookup (no theta-join explosion); a user's
+    // first-run events read status null (no prior version — surfaced
+    // as '(none)', not silently dropped). Output is the
+    // (prior_status, event_type) activity matrix.
+    "q70_dim_asof_enrich" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+      val ev = graft.operators.CacheScope.sessionScope(s).own(
+        events(s, dir)
+          .select($"user_id", $"event_id", $"event_type", secs.as("sec"))
+          .persist()) // consumed as both the fact side and the runs source
+      val runs = ev
+        .withColumn("prev_t", lag($"event_type", 1).over(w))
+        .withColumn("chg",
+          when($"prev_t".isNull || $"prev_t" =!= $"event_type", 1).otherwise(0))
+        .withColumn("run_id", sum($"chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"run_id")
+        .agg(min($"event_type").as("status"), min($"sec").as("valid_from"))
+      graft.operators.AsOfJoin.latestBefore(ev, runs,
+          key = "user_id", leftTime = "sec", rightTime = "valid_from",
+          payload = $"status", ord = $"run_id")
+        .select($"event_type", coalesce($"asof", lit("(none)")).as("prior_status"))
+        .groupBy($"prior_status", $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy($"prior_status", $"event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2652,5 +2819,131 @@ object Relational {
         |SELECT epoch_day, count(*) AS n_alloc,
         |  cast(sum(amt) as bigint) AS revenue_cents,
         |  cast(sum(amt) as bigint) / 100.0 AS revenue
-        |FROM x GROUP BY 1 ORDER BY epoch_day""".stripMargin)
+        |FROM x GROUP BY 1 ORDER BY epoch_day""".stripMargin,
+
+    // t31's HLL replay rolled up: registers built once at (region,
+    // nation) grain, region/all levels derived by bucketwise max —
+    // the merge IS the estimate's correctness, replayed per level
+    "q67_sketch_rollup" -> {
+      val est =
+        """cast(0.7213 as double) / (cast(1.0 as double)
+          |  + cast(1.079 as double) / cast(256 as double))
+          |  * cast(256 as double) * cast(256 as double)
+          |  * cast(8388608 as double) / cast(num as double)""".stripMargin
+      s"""WITH base AS (SELECT cast(n.n_regionkey as bigint) AS region,
+         |    n.n_name AS nation,
+         |    ((736238393 * (o.o_custkey % 1000000007) + 12345)
+         |      % 1000000007) % 1073741824 AS h
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         |fine AS (SELECT region, nation, bucket, max(rho) AS rho FROM (
+         |    SELECT region, nation, h % 256 AS bucket,
+         |      CASE WHEN h // 256 = 0 THEN 23
+         |           ELSE 23 - length(bin(h // 256)) END AS rho
+         |    FROM base) t GROUP BY 1, 2, 3),
+         |natr AS (SELECT region, nation, count(*) AS present,
+         |    cast(sum(cast((1::BIGINT << (23 - rho)) as bigint)) as bigint)
+         |      AS num_present
+         |  FROM fine GROUP BY 1, 2),
+         |natx AS (SELECT region, nation, count(DISTINCT h) AS n_exact
+         |  FROM base GROUP BY 1, 2),
+         |regr AS (SELECT region, count(*) AS present,
+         |    cast(sum(cast((1::BIGINT << (23 - rho)) as bigint)) as bigint)
+         |      AS num_present
+         |  FROM (SELECT region, bucket, max(rho) AS rho FROM fine
+         |        GROUP BY 1, 2) t GROUP BY 1),
+         |regx AS (SELECT region, count(DISTINCT h) AS n_exact
+         |  FROM base GROUP BY 1),
+         |allr AS (SELECT count(*) AS present,
+         |    cast(sum(cast((1::BIGINT << (23 - rho)) as bigint)) as bigint)
+         |      AS num_present
+         |  FROM (SELECT bucket, max(rho) AS rho FROM fine GROUP BY 1) t),
+         |allx AS (SELECT count(DISTINCT h) AS n_exact FROM base),
+         |u AS (
+         |  SELECT 'nation' AS level, r.region, r.nation,
+         |    256 - r.present AS v_zero, x.n_exact,
+         |    r.num_present + (256 - r.present) * 8388608 AS num
+         |  FROM natr r JOIN natx x USING (region, nation)
+         |  UNION ALL
+         |  SELECT 'region', r.region, NULL,
+         |    256 - r.present, x.n_exact,
+         |    r.num_present + (256 - r.present) * 8388608
+         |  FROM regr r JOIN regx x USING (region)
+         |  UNION ALL
+         |  SELECT 'all', -1, NULL,
+         |    256 - r.present, x.n_exact,
+         |    r.num_present + (256 - r.present) * 8388608
+         |  FROM allr r, allx x)
+         |SELECT level, region, nation, cast(v_zero as bigint) AS v_zero,
+         |  cast(n_exact as bigint) AS n_exact, round($est, 6) AS est
+         |FROM u ORDER BY level, region, nation""".stripMargin
+    },
+
+    // even-scaled exact medians (quantile_cont on 2v / 2·dev lands on
+    // integers) + the cross-multiplied 3-MAD integer test
+    "q68_mad_outliers" ->
+      """WITH ev AS (SELECT event_type,
+        |    cast(floor(value) as bigint) AS v FROM events),
+        |med AS (SELECT event_type,
+        |    cast(quantile_cont(2 * v, 0.5) as bigint) AS med2,
+        |    count(*) AS n
+        |  FROM ev GROUP BY 1),
+        |mad AS (SELECT ev.event_type, med.n, med.med2,
+        |    cast(quantile_cont(2 * abs(ev.v * 2 - med.med2), 0.5) as bigint)
+        |      AS mad4
+        |  FROM ev JOIN med USING (event_type) GROUP BY 1, 2, 3)
+        |SELECT ev.event_type, mad.n,
+        |  mad.med2 / 2.0 AS med, mad.mad4 / 4.0 AS mad,
+        |  cast(sum(CASE WHEN abs(ev.v * 2 - mad.med2) * 4 > mad.mad4 * 3
+        |    THEN 1 ELSE 0 END) as bigint) AS n_outliers
+        |FROM ev JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+
+    "q69_share_ratio" ->
+      """WITH nc AS (SELECT cast(n.n_regionkey as bigint) AS region,
+        |    n.n_name AS nation,
+        |    cast(sum(cast(cast(o.o_totalprice as decimal(18,2)) * 100
+        |      as bigint)) as bigint) AS nc
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |rc AS (SELECT region, cast(sum(nc) as bigint) AS rc FROM nc GROUP BY 1),
+        |tc AS (SELECT cast(sum(nc) as bigint) AS tc FROM nc)
+        |SELECT nc.region, nc.nation, nc.nc / 100.0 AS revenue,
+        |  round(cast(nc.nc as double) / rc.rc, 6) AS share_region,
+        |  round(cast(nc.nc as double) / tc.tc, 6) AS share_total,
+        |  cast(row_number() OVER (PARTITION BY nc.region
+        |    ORDER BY nc.nc DESC, nc.nation ASC) as bigint) AS rnk
+        |FROM nc JOIN rc USING (region), tc
+        |ORDER BY region, rnk""".stripMargin,
+
+    // q41's runs + latest version STRICTLY before each event's second
+    // (argmax valid_from, then run_id); first-run events read '(none)'
+    "q70_dim_asof_enrich" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) // 1000 AS s FROM events),
+        |o AS (SELECT user_id, event_id, event_type, s,
+        |    lag(event_type, 1)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_t
+        |  FROM e),
+        |g AS (SELECT user_id, event_type, s,
+        |    cast(sum(CASE WHEN prev_t IS NULL OR prev_t <> event_type
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id
+        |        ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) as bigint)
+        |      AS run_id
+        |  FROM o),
+        |r AS (SELECT user_id, run_id, min(event_type) AS status,
+        |    min(s) AS valid_from FROM g GROUP BY 1, 2),
+        |x AS (SELECT e.event_id, e.event_type, st.status FROM e
+        |  LEFT JOIN (
+        |    SELECT ee.event_id, rr.status, row_number() OVER (
+        |        PARTITION BY ee.event_id
+        |        ORDER BY rr.valid_from DESC, rr.run_id DESC) AS rn
+        |    FROM e ee JOIN r rr ON rr.user_id = ee.user_id
+        |      AND rr.valid_from < ee.s) st
+        |    ON st.event_id = e.event_id AND st.rn = 1)
+        |SELECT coalesce(status, '(none)') AS prior_status, event_type,
+        |  count(*) AS n_events
+        |FROM x GROUP BY 1, 2 ORDER BY prior_status, event_type""".stripMargin)
 }
