@@ -715,4 +715,64 @@ object Dedup {
     runs.select($"id_a", $"id_b", $"n_shared", $"max_run",
       ($"max_run" + (windowTokens - 1)).as("span_tokens"))
   }
+
+  /** WEIGHTED-Jaccard near-dup pairs — the multiset generalization the
+    * lexical dedups above don't cover: tokens carry integer weights
+    * w = min(tf, wCap) (capped term frequency, the standard damping),
+    * and similarity is Σ min(w_a, w_b) / Σ max(w_a, w_b). Repetition
+    * now counts: a doc that says "buy" 40 times is NOT a near-dup of
+    * one that says it once, even with identical vocabularies — exactly
+    * the spam/boilerplate case set-Jaccard (d02) is blind to.
+    *
+    * Everything is exact integer arithmetic: inter = Σ min over
+    * shared tokens, union = W_a + W_b − inter (W = per-doc weight
+    * mass), and the θ-threshold is the cross-multiplied comparison
+    * (den+num)·inter ≥ num·(W_a+W_b) — no float folds, the oracle
+    * replays every pair bit-for-bit.
+    *
+    * Scale shape: candidates come from a df-capped posting equi-join
+    * (a pair qualifies only via a shared token with df ≤ dfCap —
+    * documented approximation, same convention as containmentPairs'
+    * cap; hot tokens are exactly the ones that carry no signal), then
+    * ONE equi-join back over the candidates' full token-weight rows
+    * computes the exact intersection. Never all-pairs.
+    */
+  def weightedJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      wCap: Int = 3, dfCap: Long = 50,
+      thetaNum: Int = 1, thetaDen: Int = 2,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    require(wCap >= 1 && dfCap >= 1, s"wCap=$wCap dfCap=$dfCap must be >= 1")
+    require(thetaNum >= 0 && thetaDen >= 1,
+      s"theta = $thetaNum/$thetaDen must be a nonnegative rational")
+    val tw = scope.own(docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("id"), col("tok"))
+      .agg(least(count(lit(1)), lit(wCap.toLong)).as("w"))
+      .persist()) // feeds df counts, candidate join, and the exact pass
+    val wsum = tw.groupBy(col("id")).agg(sum(col("w")).as("wsum"))
+    val rare = tw.join(
+      tw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= dfCap)
+        .select(col("tok")),
+      "tok")
+    val cands = rare.as("a").join(rare.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cands
+      .join(tw.select(col("id").as("id_a"), col("tok"), col("w").as("wa")), "id_a")
+      .join(tw.select(col("id").as("id_b"), col("tok"), col("w").as("wb")),
+        Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("wa"), col("wb"))).as("inter"))
+    inter
+      .join(wsum.select(col("id").as("id_a"), col("wsum").as("w_a")), "id_a")
+      .join(wsum.select(col("id").as("id_b"), col("wsum").as("w_b")), "id_b")
+      .filter(col("inter") * (thetaDen + thetaNum) >= (col("w_a") + col("w_b")) * thetaNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("w_a"), col("w_b"),
+        round(col("inter").cast("double") / (col("w_a") + col("w_b") - col("inter")), 6)
+          .as("wjac"))
+  }
 }

@@ -251,4 +251,44 @@ object TextIndex {
         expr(s"round(abs(($estExpr) - cast(n_exact as double)) " +
           "/ cast(n_exact as double), 6)").as("rel_err"))
   }
+
+  /** Exact two-sample Kolmogorov-Smirnov readout from per-(group,
+    * value) counts — each group against the REST of the population:
+    * D = max_v |cdfA(v)·m − cdfB(v)·n| / (n·m) with the numerator a
+    * max over cross-multiplied bigint counts (no float CDFs to drift
+    * between engines) and one double division at the end. Shared by
+    * the batch t42 query and the streaming st38 state readout (whose
+    * state IS the (group, value) count table). The global CDF runs on
+    * the provably tiny distinct-value frame; per-group CDFs on a
+    * group-partitioned window.
+    */
+  def ksFromCounts(psv: DataFrame, groupCol: String = "source",
+      valueCol: String = "v", cntCol: String = "cnt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = psv.select(col(groupCol).as("source"), col(valueCol).as("v"),
+      col(cntCol).as("cnt"))
+    val totals = p.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val grand = totals.agg(sum(col("n")).as("nn"))
+    val gv = p.groupBy(col("v")).agg(sum(col("cnt")).as("gcnt"))
+      .withColumn("gcdf", sum(col("gcnt")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val grid = totals.select(col("source"), col("n"))
+      .crossJoin(broadcast(gv.select(col("v"), col("gcdf"))))
+      .join(p, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("acdf", sum(col("cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grid.crossJoin(broadcast(grand))
+      .withColumn("m", col("nn") - col("n"))
+      .withColumn("diff",
+        abs(col("acdf") * col("m") - (col("gcdf") - col("acdf")) * col("n")))
+      .groupBy(col("source"), col("n"), col("m"))
+      .agg(max(col("diff")).as("ks_num"))
+      .select(col("source"), col("n"), col("m"), col("ks_num"),
+        round(col("ks_num").cast("double")
+          / (col("n") * col("m")).cast("double"), 6).as("ks"))
+      .orderBy(col("source"))
+  }
 }

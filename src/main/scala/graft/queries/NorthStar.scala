@@ -1064,6 +1064,38 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // K-MEANS AS A FIRST-CLASS OPERATOR readout — the clustering
+    // itself (not a search built on it): fixed-point trained centroids
+    // (s23's trainer), one broadcast-assignment scan of the corpus,
+    // and per-cluster (size, Σ qv·cent) where the summed integer dots
+    // are the spherical k-means objective — exact bigints, so the
+    // oracle replays training, assignment, AND objective bit-for-bit.
+    // The training-quality readout a pipeline monitors (lopsided
+    // sizes / collapsing objective = retrain signal).
+    "s27_kmeans_train" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val trained = Similarity.ivfTrainCentroidsFp(emb, nlist = 32)
+      val cent = broadcast(trained.toSeq
+        .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("c_id", "c_vec"))
+      val w = Window.partitionBy($"n_id").orderBy($"cos_c".desc, $"c_id".asc)
+      emb.select($"vec_id".cast("long").as("n_id"),
+          transform($"embedding",
+            x => floor(x.cast("double") * 512).cast("long")).as("qv"),
+          $"embedding")
+        .crossJoin(cent)
+        .withColumn("cos_c", Similarity.cosine($"embedding", $"c_vec"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .withColumn("dot", aggregate(
+          zip_with($"qv", transform($"c_vec", x => x.cast("long")),
+            (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .groupBy($"c_id")
+        .agg(count(lit(1)).as("n_members"), sum($"dot").as("dot_sum"))
+        .orderBy($"c_id")
+    },
+
     // MATRYOSHKA PREFIX-DIM ANN — coarse cosine over the first 16 of
     // 64 components (a 4x narrower coarse scan; MRL embeddings order
     // information by prefix), top-40 candidates per query, exact
@@ -1671,6 +1703,17 @@ object NorthStar {
         .orderBy($"verdict")
     },
 
+    // Weighted (multiset) Jaccard near-dup over the mutated corpus —
+    // capped term frequencies as integer weights, exact integer
+    // intersection/union, cross-multiplied θ = 1/2 threshold. The
+    // repetition-sensitive dedup d02's set semantics can't express.
+    "d19_weighted_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.weightedJaccardPairs(mutCorpus(s, dir), "text", "doc_id",
+          wCap = 3, dfCap = 50, thetaNum = 1, thetaDen = 2)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Dedup-subsystem EVALUATION as an oracle row — measured recall of
     // the d04 MinHash-LSH candidate generator against exact ground
     // truth: every planted (doc, 80%-mutant) pair's TRUE shingle
@@ -1762,6 +1805,60 @@ object NorthStar {
           round($"n_found".cast("double") / $"n_true_dup", 6).as("recall"),
           $"n_candidates")
         .orderBy($"bands")
+    },
+
+    // Zipf rank-frequency fit — does the corpus obey the power law
+    // clean text should (a miner's quality gate: scraped boilerplate
+    // and spam flatten the curve)? Token ranks come from GlobalOrder's
+    // two-pass distributed rank (no single-task sort over the vocab),
+    // and the log-log OLS runs on t34's integer-exact 16.16 fixed-point
+    // log2 — five bigint moments over the top-1024 ranks (bounded so
+    // every moment product stays far inside long range), ONE double
+    // division each for slope/intercept. A healthy Zipf slope ≈ −1.
+    "t41_zipf_slope" -> { (s, dir) =>
+      import s.implicits._
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(trim($"text"), "\\s+")).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"tok").agg(count(lit(1)).as("freq"))
+      graft.operators.GlobalOrder.globalRank(toks,
+          Seq($"freq".desc, $"tok".asc), rankName = "rank")
+        .filter($"rank" <= 1024)
+        .select(graft.operators.Mixture.log2Fp("rank").as("x"),
+          graft.operators.Mixture.log2Fp("freq").as("y"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+          sum($"y").as("sy"), sum($"x" * $"y").as("sxy"))
+        .withColumn("num", $"n_tokens" * $"sxy" - $"sx" * $"sy")
+        .withColumn("den", $"n_tokens" * $"sxx" - $"sx" * $"sx")
+        // slope is exact-int-ratio; the intercept's exact numerator
+        // sy·den − num·sx overflows long at this scale, so it runs as
+        // a TEXTUALLY-FIXED double chain (ȳ − slope·x̄, each op one
+        // IEEE-rounded step both engines replay identically)
+        .withColumn("slope_d",
+          when($"den" =!= 0, $"num".cast("double") / $"den".cast("double")))
+        .select($"n_tokens",
+          round($"slope_d", 6).as("slope"),
+          round(($"sy".cast("double") / $"n_tokens".cast("double") -
+            $"slope_d" * ($"sx".cast("double") / $"n_tokens".cast("double")))
+            / 65536.0, 6).as("intercept_log2"))
+    },
+
+    // Two-sample Kolmogorov-Smirnov drift per source — "does src_i's
+    // length distribution match the rest of the corpus?" — computed
+    // EXACTLY in integers: D = max_v |cdfA(v)·m − cdfB(v)·n| / (n·m),
+    // the numerator a max over cross-multiplied bigint counts (no
+    // float CDFs to drift between engines), divided once at readout.
+    // Distributed shape: one (source, value) count aggregate, the
+    // global value CDF on a provably tiny frame (distinct lengths),
+    // per-source CDFs by a source-partitioned window — no data-sized
+    // single-task sort.
+    "t42_ks_drift" -> { (s, dir) =>
+      import s.implicits._
+      TextIndex.ksFromCounts(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select($"source", $"n_chars".cast("long").as("v"))
+          .groupBy($"source", $"v").agg(count(lit(1)).as("cnt")))
     },
 
     // Shot-boundary detection over decoded payloads: per-frame byte-sum
@@ -2056,6 +2153,13 @@ object NorthStar {
     // 31-day window as bounded keyed state (st32's lossless
     // self-clock eviction applied to per-type daily counts); own
     // windowed oracle.
+    // Streaming KS drift — t42's exact-integer two-sample KS with the
+    // (source, length) count table as streaming state; shares t42's
+    // oracle verbatim (the replayed stream reproduces the counts).
+    "st38_stream_ks" -> { (s, dir) =>
+      graft.streaming.Streaming.streamKsDrift(s, dir)
+    },
+
     "st37_stream_trend" -> { (s, dir) =>
       graft.streaming.Streaming.streamTrend(s, dir)
     })
@@ -3271,6 +3375,23 @@ object NorthStar {
            |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
 
+      // s27: the training chain + assignment + exact integer objective
+      "s27_kmeans_train" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |asg AS (SELECT id AS n_id, qv, c_id, cv FROM (
+           |    SELECT e.id, c.c_id, c.cv,
+           |      list_transform(e.v, x -> cast(floor(x * 512) as bigint)) AS qv,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1)
+           |SELECT c_id, count(*) AS n_members,
+           |  cast(sum(cast(list_sum(list_transform(range(1, 65),
+           |    i -> qv[i] * cast(cv[i] as bigint))) as bigint)) as bigint)
+           |    AS dot_sum
+           |FROM asg GROUP BY 1 ORDER BY c_id""".stripMargin,
+
       // s24: the full fixed-point faiss-IVFPQ replay — coarse training
       // (s23's CTE chain), cosine assignment, ×2^12-quantized
       // residuals, integer per-subspace Lloyd codebook, integer-ADC
@@ -3916,6 +4037,34 @@ object NorthStar {
           |FROM v1 FULL JOIN v2 USING (doc_id)
           |GROUP BY 1 ORDER BY verdict""".stripMargin,
 
+      // capped-tf integer weights, df-capped posting candidates, exact
+      // min/max multiset intersection, cross-multiplied theta = 1/2
+      "d19_weighted_jaccard" ->
+        s"""WITH u AS ($mutCorpusSql),
+           |tw AS (SELECT id, tok, least(count(*), 3) AS w FROM (
+           |    SELECT doc_id AS id, unnest(${toksSql("text")}) AS tok FROM u) t
+           |  WHERE length(tok) > 0 GROUP BY 1, 2),
+           |ws AS (SELECT id, cast(sum(w) as bigint) AS wsum FROM tw GROUP BY 1),
+           |rare AS (SELECT tw.id, tw.tok FROM tw JOIN (
+           |    SELECT tok, count(*) AS df FROM tw GROUP BY 1
+           |  ) d ON d.tok = tw.tok WHERE d.df >= 2 AND d.df <= 50),
+           |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM rare a JOIN rare b ON a.tok = b.tok AND a.id < b.id),
+           |iv AS (SELECT c.id_a, c.id_b,
+           |    cast(sum(least(a.w, b.w)) as bigint) AS inter
+           |  FROM cand c
+           |  JOIN tw a ON a.id = c.id_a
+           |  JOIN tw b ON b.id = c.id_b AND b.tok = a.tok
+           |  GROUP BY 1, 2)
+           |SELECT iv.id_a, iv.id_b, iv.inter,
+           |  wa.wsum AS w_a, wb.wsum AS w_b,
+           |  round(cast(iv.inter as double)
+           |    / cast(wa.wsum + wb.wsum - iv.inter as double), 6) AS wjac
+           |FROM iv JOIN ws wa ON wa.id = iv.id_a
+           |JOIN ws wb ON wb.id = iv.id_b
+           |WHERE iv.inter * 3 >= (wa.wsum + wb.wsum) * 1
+           |ORDER BY id_a, id_b""".stripMargin,
+
       // ground truth = exact per-planted-pair shingle Jaccard;
       // candidates = d04's banding replay — recall itself oracle-checked
       "t39_dedup_eval" ->
@@ -3997,6 +4146,63 @@ object NorthStar {
            |      UNION ALL SELECT * FROM row8), nt
            |ORDER BY bands""".stripMargin
       },
+
+      // top-1024 rank-frequency log-log OLS in the shared 16.16
+      // fixed-point log2; intercept rescaled to log2 units (/2^16)
+      "t41_zipf_slope" -> {
+        val x = Mixture.log2FpSql("rank")
+        val y = Mixture.log2FpSql("freq")
+        s"""WITH tk AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+           |tf AS (SELECT tok, count(*) AS freq FROM tk
+           |  WHERE length(tok) > 0 GROUP BY 1),
+           |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC)
+           |    AS rank FROM tf),
+           |xy AS (SELECT cast($x as bigint) AS x, cast($y as bigint) AS y
+           |  FROM r WHERE rank <= 1024),
+           |m AS (SELECT count(*) AS n, cast(sum(x) as bigint) AS sx,
+           |    cast(sum(x * x) as bigint) AS sxx,
+           |    cast(sum(y) as bigint) AS sy,
+           |    cast(sum(x * y) as bigint) AS sxy FROM xy),
+           |s AS (SELECT n, sx, sy,
+           |    cast(n * sxy - sx * sy as double)
+           |      / cast(NULLIF(n * sxx - sx * sx, 0) as double) AS slope_d
+           |  FROM m)
+           |SELECT n AS n_tokens, round(slope_d, 6) AS slope,
+           |  round((cast(sy as double) / cast(n as double)
+           |      - slope_d * (cast(sx as double) / cast(n as double)))
+           |    / 65536.0, 6) AS intercept_log2
+           |FROM s""".stripMargin
+      },
+
+      // exact integer two-sample KS per source vs rest-of-corpus:
+      // cross-multiplied CDF counts, one division at readout
+      "t42_ks_drift" ->
+        """WITH d AS (SELECT source, cast(n_chars as bigint) AS v
+          |  FROM documents),
+          |psv AS (SELECT source, v, count(*) AS cnt FROM d GROUP BY 1, 2),
+          |tot AS (SELECT source, cast(sum(cnt) as bigint) AS n
+          |  FROM psv GROUP BY 1),
+          |grand AS (SELECT cast(sum(n) as bigint) AS nn FROM tot),
+          |gv AS (SELECT v, cast(sum(cnt) as bigint) AS gcnt FROM psv
+          |  GROUP BY 1),
+          |gc AS (SELECT v, cast(sum(gcnt) OVER (ORDER BY v
+          |    ROWS UNBOUNDED PRECEDING) as bigint) AS gcdf FROM gv),
+          |grid AS (SELECT t.source, t.n, g.v, g.gcdf,
+          |    coalesce(p.cnt, 0) AS cnt
+          |  FROM tot t CROSS JOIN gc g
+          |  LEFT JOIN psv p ON p.source = t.source AND p.v = g.v),
+          |cdf AS (SELECT source, n, v, gcdf,
+          |    cast(sum(cnt) OVER (PARTITION BY source ORDER BY v
+          |      ROWS UNBOUNDED PRECEDING) as bigint) AS acdf
+          |  FROM grid)
+          |SELECT c.source, c.n, g.nn - c.n AS m,
+          |  cast(max(abs(c.acdf * (g.nn - c.n) - (c.gcdf - c.acdf) * c.n))
+          |    as bigint) AS ks_num,
+          |  round(cast(max(abs(c.acdf * (g.nn - c.n)
+          |      - (c.gcdf - c.acdf) * c.n)) as double)
+          |    / cast(c.n * (g.nn - c.n) as double), 6) AS ks
+          |FROM cdf c, grand g
+          |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
 
       // byte histogram over ascii codes (the m08 payload convention);
       // entropy in the shared integer-exact fixed-point log2
@@ -4480,6 +4686,9 @@ object NorthStar {
         graft.queries.Relational.oracles("q58_decay_score")) +
       ("st33_stream_attribution" ->
         graft.queries.Relational.oracles("q60_attribution")) +
+      // the replayed document stream reproduces the batch (source,
+      // length) count table exactly — t42's KS oracle verbatim
+      ("st38_stream_ks" -> m("t42_ks_drift")) +
       ("st36_stream_ab_test" ->
         graft.queries.Relational.oracles("q65_ab_test")) +
       // q63's exact-moment OLS restricted to the trailing 31-day

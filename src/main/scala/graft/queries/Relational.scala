@@ -1903,6 +1903,33 @@ object Relational {
         .groupBy($"prior_status", $"event_type")
         .agg(count(lit(1)).as("n_events"))
         .orderBy($"prior_status", $"event_type")
+    },
+
+    // Telemetry debounce — windowed duplicate suppression: an event is
+    // kept iff the previous RAW event of the same (user, type) is more
+    // than 300 s older (lag-based debounce — well-defined, one
+    // partitioned window, no running state; the chain-suppression
+    // variant is the st-side state machines' job). The standard
+    // duplicate-beacon screen every event pipeline runs before
+    // sessionization. Output: per-type kept/dropped accounting plus
+    // the per-type worst offender burst.
+    "q71_windowed_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"sec", $"event_id")
+      events(s, dir)
+        .select($"user_id", $"event_id", $"event_type", secs.as("sec"))
+        .withColumn("prev_s", lag($"sec", 1).over(w))
+        .withColumn("kept",
+          when($"prev_s".isNull || $"sec" - $"prev_s" > 300, 1L).otherwise(0L))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum($"kept").as("n_kept"),
+          max(when($"kept" === 0, $"sec" - $"prev_s")).as("tightest_gap_s"))
+        .select($"event_type", $"n_total", $"n_kept",
+          ($"n_total" - $"n_kept").as("n_dropped"), $"tightest_gap_s")
+        .orderBy($"event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2945,5 +2972,22 @@ object Relational {
         |    ON st.event_id = e.event_id AND st.rn = 1)
         |SELECT coalesce(status, '(none)') AS prior_status, event_type,
         |  count(*) AS n_events
-        |FROM x GROUP BY 1, 2 ORDER BY prior_status, event_type""".stripMargin)
+        |FROM x GROUP BY 1, 2 ORDER BY prior_status, event_type""".stripMargin,
+
+    "q71_windowed_dedup" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) // 1000 AS s FROM events),
+        |o AS (SELECT event_type, s,
+        |    lag(s, 1) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY s, event_id) AS prev_s
+        |  FROM e),
+        |k AS (SELECT event_type, s, prev_s,
+        |    CASE WHEN prev_s IS NULL OR s - prev_s > 300
+        |      THEN 1 ELSE 0 END AS kept
+        |  FROM o)
+        |SELECT event_type, count(*) AS n_total,
+        |  cast(sum(kept) as bigint) AS n_kept,
+        |  count(*) - cast(sum(kept) as bigint) AS n_dropped,
+        |  max(CASE WHEN kept = 0 THEN s - prev_s END) AS tightest_gap_s
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin)
 }

@@ -1783,4 +1783,20 @@ object Streaming {
           next
       }
   }
+
+  /** Streaming KS drift monitor — t42's exact-integer two-sample
+    * Kolmogorov-Smirnov per source, with the (source, length) count
+    * table maintained as STREAMING state (complete-mode count
+    * aggregate — the state is bounded by sources × distinct lengths,
+    * st28's histogram-state shape) and the KS readout running
+    * batch-side through the SHARED [[graft.operators.TextIndex
+    * .ksFromCounts]]. The replayed stream reproduces the batch count
+    * table exactly, so st38 shares t42's oracle verbatim.
+    */
+  def streamKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val live = graft.sources.Sources.documentsStream(s, dir)
+      .groupBy(col("source"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.TextIndex.ksFromCounts(runToTable(live, "complete"))
+  }
 }

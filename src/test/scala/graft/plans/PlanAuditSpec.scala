@@ -56,7 +56,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q63_trend" -> "q18's scalar shape: the O(days x types) daily-count table crossJoins the ONE-ROW broadcast min-day aggregate; the data-sized work is the single day x type hash aggregate",
     "q64_peak_concurrency" -> "t30's scalar shape: the ONE peak row crossJoins the ONE-ROW session-count aggregate; the data-sized work is the session window pass and the two-pass range-partition running sum",
     "t39_dedup_eval" -> "t30's scalar shape: the ONE-ROW truth aggregate crossJoins the ONE-ROW candidate-count aggregate; the data-sized work is the planted-pair posting join and d04's banded candidate join",
-    "t40_lsh_tradeoff" -> "t30's scalar shape x3 layouts: per layout the ONE-ROW candidate-count aggregate crossJoins the ONE-ROW found-count aggregate, and the 3-row union crossJoins the ONE-ROW truth count; the data-sized work is the three banded candidate joins")
+    "t40_lsh_tradeoff" -> "t30's scalar shape x3 layouts: per layout the ONE-ROW candidate-count aggregate crossJoins the ONE-ROW found-count aggregate, and the 3-row union crossJoins the ONE-ROW truth count; the data-sized work is the three banded candidate joins",
+    "q67_sketch_rollup" -> "rollup levels run on the 2^p-row register table by construction; the 'all' level's 1-row exact aggregate joins the 256-row register sum (t30's scalar shape) — the data-sized work is the ONE fact-scan register aggregate",
+    "q69_share_ratio" -> "q18's scalar shape: the 25-row nation-revenue table crossJoins the ONE-ROW broadcast grand-total aggregate; the data-sized work is the single orders hash aggregate",
+    "s27_kmeans_train" -> "s04's sanctioned assignment shape (corpus x 32 broadcast trained centroids); the readout is a 32-row aggregate",
+    "t42_ks_drift" -> "the |sources|-row totals table crossJoins (a) the broadcast distinct-length CDF frame and (b) the ONE-ROW grand-total aggregate — both provably tiny by construction; the data-sized work is the one (source, length) count aggregate")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
