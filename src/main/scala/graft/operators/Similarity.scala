@@ -1079,7 +1079,8 @@ object Similarity {
   def ivfPqTopKResidualTrainedFp(corpus: DataFrame, queries: DataFrame,
       k: Int, nlist: Int = 32, nprobe: Int = 4, m: Int = 8, ncode: Int = 32,
       iters: Int = 10, sampleN: Int = 4096,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import corpus.sparkSession.implicits._
     require(k >= 1 && nlist >= 1 && nprobe >= 1,
@@ -1093,14 +1094,21 @@ object Similarity {
     // quantized residual vs the assigned centroid: exact ops only
     def qresOf(vec: Column) = zip_with(vec, col("c_vec"),
       (a, b) => floor((a.cast("double") - b / 32768.0d) * 4096.0d).cast("long"))
-    val wAsg = Window.partitionBy(col("n_id"))
-      .orderBy(col("cos_c").desc, col("c_id").asc)
-    val assigned = corpus
+    // assignment as a partial-aggregatable max-struct argmax (cos DESC,
+    // c_id ASC via the negated id — same tie rule the oracle's
+    // row_number spells), not a 32x-corpus window shuffle; persisted:
+    // the residual-sample collect and the encode pass both read it
+    val assigned = scope.own(corpus
       .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("n_vec"))
       .crossJoin(cent)
       .withColumn("cos_c", cosine(col("n_vec"), col("c_vec")))
-      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .groupBy(col("n_id"))
+      .agg(max(struct(col("cos_c"), (-col("c_id")).as("neg_c"),
+        col("c_id"), col("n_vec"), col("c_vec"))).as("b"))
+      .select(col("n_id"), col("b.c_id").as("c_id"),
+        col("b.n_vec").as("n_vec"), col("b.c_vec").as("c_vec"))
       .select(col("n_id"), col("c_id"), qresOf(col("n_vec")).as("qres"))
+      .persist())
     // residual-codebook training over the deterministic hash-sample
     val rsample: Array[Array[Long]] = assigned
       .withColumn("h", (lit(3L) * (col("n_id") % P) + 8L) % P)

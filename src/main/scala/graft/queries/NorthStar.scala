@@ -1074,23 +1074,27 @@ object NorthStar {
     // sizes / collapsing objective = retrain signal).
     "s27_kmeans_train" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val trained = Similarity.ivfTrainCentroidsFp(emb, nlist = 32)
       val cent = broadcast(trained.toSeq
         .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("c_id", "c_vec"))
-      val w = Window.partitionBy($"n_id").orderBy($"cos_c".desc, $"c_id".asc)
+      // partial-aggregatable max-struct argmax (cos DESC, c_id ASC via
+      // the negated id) — not a 32x-corpus window shuffle; same tie
+      // rule the oracle's row_number spells
       emb.select($"vec_id".cast("long").as("n_id"),
           transform($"embedding",
             x => floor(x.cast("double") * 512).cast("long")).as("qv"),
           $"embedding")
         .crossJoin(cent)
         .withColumn("cos_c", Similarity.cosine($"embedding", $"c_vec"))
-        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .withColumn("dot", aggregate(
-          zip_with($"qv", transform($"c_vec", x => x.cast("long")),
-            (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x))
+        .groupBy($"n_id")
+        .agg(max(struct($"cos_c", (-$"c_id").as("neg_c"), $"c_id", $"qv",
+          $"c_vec")).as("b"))
+        .select($"n_id", $"b.c_id".as("c_id"),
+          aggregate(
+            zip_with($"b.qv", transform($"b.c_vec", x => x.cast("long")),
+              (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("dot"))
         .groupBy($"c_id")
         .agg(count(lit(1)).as("n_members"), sum($"dot").as("dot_sum"))
         .orderBy($"c_id")

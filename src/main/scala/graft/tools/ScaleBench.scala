@@ -63,7 +63,12 @@ object ScaleBench {
     "st35_stream_kmv", "q63_trend", "q64_peak_concurrency",
     "d18_snapshot_diff", "t39_dedup_eval", "q65_ab_test", "s26_mips_topk",
     "st36_stream_ab_test", "m10_byte_entropy", "st37_stream_trend",
-    "t40_lsh_tradeoff", "q66_prorated_revenue")
+    "t40_lsh_tradeoff", "q66_prorated_revenue",
+    "q67_sketch_rollup", "q68_mad_outliers", "q69_share_ratio",
+    "q70_dim_asof_enrich", "q71_windowed_dedup", "t41_zipf_slope",
+    "t42_ks_drift", "d19_weighted_jaccard", "s27_kmeans_train",
+    "st38_stream_ks", "s23_ivf_trained_topk", "s24_ivf_pq_trained",
+    "st23_stream_quantiles")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -215,6 +220,13 @@ object ScaleBench {
         sup.select((col("s_suppkey") + i * 10000000L).as("s_suppkey"),
           col("s_name"), col("s_nationkey"), col("s_acctbal"))
       }.reduce(_ unionByName _), outDir, "supplier")
+    }
+
+    // nation/region: fixed-size dimension tables — copied verbatim
+    // (organic growth adds facts, not countries); customer copies keep
+    // their base c_nationkey so the dims stay referenced
+    for (dim <- Seq("nation", "region") if want(dim)) {
+      writeSingleFile(s.read.parquet(s"$base/$dim.parquet"), outDir, dim)
     }
   }
 
