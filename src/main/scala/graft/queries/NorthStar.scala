@@ -1100,6 +1100,47 @@ object NorthStar {
         .orderBy($"c_id")
     },
 
+    // MULTI-VECTOR LATE INTERACTION (ColBERT-style MaxSim): the
+    // embedding is read as 4 token-vectors of 16 dims and
+    // score(q, d) = Σ_i max_j cos(q_i, d_j) — fine-grained
+    // term-to-term matching a single pooled cosine flattens. Two-stage
+    // like s21/s22: the full-vector cosine picks top-40 candidates
+    // (s01's sanctioned broadcast shape), then ONLY candidates pay the
+    // 4x4 sub-vector MaxSim — at corpus scale the rerank is a
+    // broadcast-candidate equi-join, never an all-pairs MaxSim. All
+    // scores are the proven sequential-fold cosines, replayed
+    // termwise by the oracle.
+    "s28_maxsim_rerank" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val e = emb.select($"vec_id".cast("long").as("n_id"),
+        transform($"embedding", x => x.cast("double")).as("v"))
+      val q = broadcast(e.filter($"n_id" < 5)
+        .select($"n_id".as("q_id"), $"v".as("q_vec")))
+      val wc = Window.partitionBy($"q_id")
+        .orderBy($"cos".desc, $"n_id".asc)
+      val cand = e.join(q, $"n_id" =!= $"q_id")
+        .withColumn("cos", Similarity.cosine($"q_vec", $"v"))
+        .withColumn("crnk", row_number().over(wc))
+        .filter($"crnk" <= 40)
+      def sub(vec: org.apache.spark.sql.Column, i: Int) =
+        slice(vec, i * 16 + 1, 16)
+      val maxsim = (0 until 4).map { i =>
+        greatest((0 until 4).map { j =>
+          Similarity.cosine(sub($"q_vec", i), sub($"v", j))
+        }: _*)
+      }.reduce(_ + _)
+      val wk = Window.partitionBy($"q_id")
+        .orderBy($"maxsim".desc, $"n_id".asc)
+      cand.withColumn("maxsim", maxsim)
+        .withColumn("rnk", row_number().over(wk).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"q_id", $"n_id", $"rnk", round($"maxsim", 6).as("maxsim"),
+          round($"cos", 6).as("cos_sim"))
+        .orderBy("q_id", "rnk")
+    },
+
     // MATRYOSHKA PREFIX-DIM ANN — coarse cosine over the first 16 of
     // 64 components (a 4x narrower coarse scan; MRL embeddings order
     // information by prefix), top-40 candidates per query, exact
@@ -1863,6 +1904,27 @@ object NorthStar {
         s.read.parquet(s"$dir/documents.parquet")
           .select($"source", $"n_chars".cast("long").as("v"))
           .groupBy($"source", $"v").agg(count(lit(1)).as("cnt")))
+    },
+
+    // Duplicated-n-gram fraction per document — the memorization-risk
+    // metric (Lee et al. 2022): what share of a doc's distinct
+    // 3-shingles appear ANYWHERE else in the corpus. One posting df
+    // aggregate + one equi-join back — per-doc exposure without any
+    // pair materialization (d02 finds WHO overlaps; this scores HOW
+    // MUCH of each doc is corpus-duplicated).
+    "t43_dup_ngram_fraction" -> { (s, dir) =>
+      import s.implicits._
+      val sh = graft.operators.CacheScope.sessionScope(s).own(
+        Dedup.shingles(s.read.parquet(s"$dir/documents.parquet"),
+          "text", "doc_id", n = 3).persist()) // df aggregate + join back
+      val df = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      sh.join(df, "sh")
+        .groupBy($"id".as("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select($"doc_id", $"n_sh", $"n_dup",
+          round($"n_dup".cast("double") / $"n_sh", 6).as("dup_frac"))
+        .orderBy($"doc_id")
     },
 
     // Shot-boundary detection over decoded payloads: per-frame byte-sum
@@ -3663,6 +3725,38 @@ object NorthStar {
            |  FROM cand) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
 
+      // s28: full-vector cosine candidates (s01's fold), then the 4x4
+      // sub-vector MaxSim — every sub-cosine the same sequential fold
+      // over its 16-component slice, summed left-associatively
+      "s28_maxsim_rerank" -> {
+        val subCos = (a: String, b: String, i: Int, j: Int) => {
+          val (oa, ob) = (i * 16, j * 16)
+          s"""(list_reduce(list_transform(range(1,17), k -> $a[$oa+k]*$b[$ob+k]), (x,y)->x+y) /
+             | (sqrt(list_reduce(list_transform(range(1,17), k -> $a[$oa+k]*$a[$oa+k]), (x,y)->x+y)) *
+             |  sqrt(list_reduce(list_transform(range(1,17), k -> $b[$ob+k]*$b[$ob+k]), (x,y)->x+y))))""".stripMargin
+        }
+        val maxsim = (0 until 4).map { i =>
+          "greatest(" + (0 until 4).map(j =>
+            subCos("qv", "nv", i, j)).mkString(",\n") + ")"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |cand AS (SELECT * FROM (
+           |  SELECT q.id AS q_id, q.v AS qv, n.id AS n_id, n.v AS nv,
+           |    ${cosSql("q.v", "n.v")} AS cos,
+           |    row_number() OVER (PARTITION BY q.id
+           |      ORDER BY ${cosSql("q.v", "n.v")} DESC, n.id ASC) AS crn
+           |  FROM e q JOIN e n ON n.id <> q.id WHERE q.id < 5) t
+           |  WHERE crn <= 40)
+           |SELECT q_id, n_id, rn AS rnk, round(ms, 6) AS maxsim,
+           |  round(cos, 6) AS cos_sim FROM (
+           |  SELECT q_id, n_id, cos, ($maxsim) AS ms,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY ($maxsim) DESC, n_id ASC) AS rn
+           |  FROM cand) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
+
       // prefix-16 coarse cosine (same sequential fold over the first 16
       // components), top-40 candidates, exact full-dim rerank
       "s22_matryoshka" -> {
@@ -4040,6 +4134,18 @@ object NorthStar {
           |    ELSE 'modified' END AS verdict, count(*) AS n
           |FROM v1 FULL JOIN v2 USING (doc_id)
           |GROUP BY 1 ORDER BY verdict""".stripMargin,
+
+      // per-doc share of distinct shingles with corpus df >= 2
+      "t43_dup_ngram_fraction" ->
+        s"""WITH ${shingleSql("SELECT doc_id, text FROM documents")},
+           |df AS (SELECT sh.sh, count(*) AS df FROM sh GROUP BY 1)
+           |SELECT s.id AS doc_id, count(*) AS n_sh,
+           |  cast(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) as bigint)
+           |    AS n_dup,
+           |  round(cast(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+           |    as double) / count(*), 6) AS dup_frac
+           |FROM sh s JOIN df ON df.sh = s.sh
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
       // capped-tf integer weights, df-capped posting candidates, exact
       // min/max multiset intersection, cross-multiplied theta = 1/2

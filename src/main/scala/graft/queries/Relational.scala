@@ -1930,6 +1930,34 @@ object Relational {
         .select($"event_type", $"n_total", $"n_kept",
           ($"n_total" - $"n_kept").as("n_dropped"), $"tightest_gap_s")
         .orderBy($"event_type")
+    },
+
+    // Per-entity quantile threshold join — "orders above their OWN
+    // customer's p90" (personalized anomaly gates, not one global
+    // cutoff). The p90 is EXACT and integer-portable: percentile(10·v,
+    // 0.9) interpolates as a + 9·(b−a) on ×10-scaled integer cents, so
+    // the threshold lands on integers and the strict compare is
+    // engine-exact (q68's even-scaling trick generalized to p/q
+    // fractions). One per-customer aggregate, one equi-join back on
+    // the same key (AQE plans both exchanges together), one segment
+    // readout.
+    "q72_above_own_p90" -> { (s, dir) =>
+      import s.implicits._
+      val o = rd(s, dir, "orders")
+        .select($"o_custkey",
+          ($"o_totalprice".cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"))
+      val p90 = o.groupBy($"o_custkey")
+        .agg(expr("cast(percentile(10 * cents, 0.9D) as bigint)").as("p90_10"))
+      o.join(p90, "o_custkey")
+        .join(rd(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when($"cents" * 10 > $"p90_10", 1L).otherwise(0L))
+            .as("n_above"))
+        .select($"c_mktsegment", $"n_orders", $"n_above",
+          round($"n_above".cast("double") / $"n_orders", 6).as("share_above"))
+        .orderBy($"c_mktsegment")
     })
 
   val oracles: Map[String, String] = Map(
@@ -2989,5 +3017,24 @@ object Relational {
         |  cast(sum(kept) as bigint) AS n_kept,
         |  count(*) - cast(sum(kept) as bigint) AS n_dropped,
         |  max(CASE WHEN kept = 0 THEN s - prev_s END) AS tightest_gap_s
-        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin)
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // exact per-customer p90 on x10-scaled integer cents (interpolation
+    // a + 9(b-a) lands on integers), strict integer compare
+    "q72_above_own_p90" ->
+      """WITH o AS (SELECT o_custkey,
+        |    cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)
+        |      AS cents
+        |  FROM orders),
+        |p AS (SELECT o_custkey,
+        |    cast(quantile_cont(10 * cents, 0.9) as bigint) AS p90_10
+        |  FROM o GROUP BY 1)
+        |SELECT c.c_mktsegment, count(*) AS n_orders,
+        |  cast(sum(CASE WHEN o.cents * 10 > p.p90_10 THEN 1 ELSE 0 END)
+        |    as bigint) AS n_above,
+        |  round(cast(sum(CASE WHEN o.cents * 10 > p.p90_10
+        |      THEN 1 ELSE 0 END) as double) / count(*), 6) AS share_above
+        |FROM o JOIN p USING (o_custkey)
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)
 }

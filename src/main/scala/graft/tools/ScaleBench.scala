@@ -68,7 +68,8 @@ object ScaleBench {
     "q70_dim_asof_enrich", "q71_windowed_dedup", "t41_zipf_slope",
     "t42_ks_drift", "d19_weighted_jaccard", "s27_kmeans_train",
     "st38_stream_ks", "s23_ivf_trained_topk", "s24_ivf_pq_trained",
-    "st23_stream_quantiles")
+    "st23_stream_quantiles", "s28_maxsim_rerank", "q72_above_own_p90",
+    "t43_dup_ngram_fraction")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow

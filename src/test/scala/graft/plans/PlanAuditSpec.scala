@@ -60,7 +60,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q67_sketch_rollup" -> "rollup levels run on the 2^p-row register table by construction; the 'all' level's 1-row exact aggregate joins the 256-row register sum (t30's scalar shape) — the data-sized work is the ONE fact-scan register aggregate",
     "q69_share_ratio" -> "q18's scalar shape: the 25-row nation-revenue table crossJoins the ONE-ROW broadcast grand-total aggregate; the data-sized work is the single orders hash aggregate",
     "s27_kmeans_train" -> "s04's sanctioned assignment shape (corpus x 32 broadcast trained centroids); the readout is a 32-row aggregate",
-    "t42_ks_drift" -> "the |sources|-row totals table crossJoins (a) the broadcast distinct-length CDF frame and (b) the ONE-ROW grand-total aggregate — both provably tiny by construction; the data-sized work is the one (source, length) count aggregate")
+    "t42_ks_drift" -> "the |sources|-row totals table crossJoins (a) the broadcast distinct-length CDF frame and (b) the ONE-ROW grand-total aggregate — both provably tiny by construction; the data-sized work is the one (source, length) count aggregate",
+    "s28_maxsim_rerank" -> "s01's sanctioned candidate shape (5 broadcast full-vector queries x corpus scan); the 4x4 sub-vector MaxSim runs only on the broadcast-candidate equi-join rows")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
