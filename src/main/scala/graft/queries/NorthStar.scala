@@ -2226,6 +2226,14 @@ object NorthStar {
       graft.streaming.Streaming.streamKsDrift(s, dir)
     },
 
+    // Streaming chain-suppression throttle — keep an event iff >=300s
+    // since the last KEPT event of its (user, type): inherently
+    // sequential state (q71's stateless debounce can't express it);
+    // the oracle replays the chain with a per-key recursive CTE.
+    "st39_stream_throttle" -> { (s, dir) =>
+      graft.streaming.Streaming.streamThrottle(s, dir)
+    },
+
     "st37_stream_trend" -> { (s, dir) =>
       graft.streaming.Streaming.streamTrend(s, dir)
     })
@@ -4799,6 +4807,36 @@ object NorthStar {
       // the replayed document stream reproduces the batch (source,
       // length) count table exactly — t42's KS oracle verbatim
       ("st38_stream_ks" -> m("t42_ks_drift")) +
+      // the chain-suppression state machine replayed as a per-(user,
+      // type) recursive CTE walking rows in (s, event_id) order
+      ("st39_stream_throttle" ->
+        """WITH RECURSIVE e AS (SELECT user_id, event_type,
+          |    epoch_ms(ts) // 1000 AS s, event_id FROM events),
+          |r AS (SELECT user_id, event_type, s,
+          |    row_number() OVER (PARTITION BY user_id, event_type
+          |      ORDER BY s, event_id) AS rn
+          |  FROM e),
+          |tot AS (SELECT user_id, event_type, max(rn) AS n_seen
+          |  FROM r GROUP BY 1, 2),
+          |k AS (
+          |  SELECT user_id, event_type, rn, s AS last_kept,
+          |    cast(1 as bigint) AS n_kept
+          |  FROM r WHERE rn = 1
+          |  UNION ALL
+          |  SELECT r.user_id, r.event_type, r.rn,
+          |    CASE WHEN r.s - k.last_kept >= 300 THEN r.s
+          |         ELSE k.last_kept END,
+          |    k.n_kept + CASE WHEN r.s - k.last_kept >= 300
+          |      THEN 1 ELSE 0 END
+          |  FROM k JOIN r ON r.user_id = k.user_id
+          |    AND r.event_type = k.event_type AND r.rn = k.rn + 1),
+          |fin AS (SELECT t.user_id, t.event_type, t.n_seen, k.n_kept
+          |  FROM tot t JOIN k ON k.user_id = t.user_id
+          |    AND k.event_type = t.event_type AND k.rn = t.n_seen)
+          |SELECT event_type, count(*) AS n_keys,
+          |  cast(sum(n_seen) as bigint) AS n_seen,
+          |  cast(sum(n_kept) as bigint) AS n_kept
+          |FROM fin GROUP BY 1 ORDER BY event_type""".stripMargin) +
       ("st36_stream_ab_test" ->
         graft.queries.Relational.oracles("q65_ab_test")) +
       // q63's exact-moment OLS restricted to the trailing 31-day

@@ -1958,6 +1958,33 @@ object Relational {
         .select($"c_mktsegment", $"n_orders", $"n_above",
           round($"n_above".cast("double") / $"n_orders", 6).as("share_above"))
         .orderBy($"c_mktsegment")
+    },
+
+    // Clickstream path mining — top same-session event-type TRIGRAMS
+    // (q54's Markov pairs see one step; three-step paths expose the
+    // funnel detours a transition matrix marginalizes away). Two leads
+    // on the user-keyed window, both gaps session-bounded (≤ 1800 s),
+    // one path count aggregate; the rank window runs on the ≤ |types|³
+    // path-count frame (125 here — provably tiny by construction).
+    "q73_path_trigrams" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+      val tri = events(s, dir)
+        .select($"user_id", $"event_id", $"event_type", secs.as("sec"))
+        .withColumn("t2", lead($"event_type", 1).over(w))
+        .withColumn("s2", lead($"sec", 1).over(w))
+        .withColumn("t3", lead($"event_type", 2).over(w))
+        .withColumn("s3", lead($"sec", 2).over(w))
+        .filter($"t3".isNotNull &&
+          $"s2" - $"sec" <= 1800 && $"s3" - $"s2" <= 1800)
+        .select(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n"))
+      tri.withColumn("rnk", row_number().over(
+          Window.orderBy($"n".desc, $"path".asc)).cast("long"))
+        .filter($"rnk" <= 20)
+        .select($"rnk", $"path", $"n")
+        .orderBy($"rnk")
     })
 
   val oracles: Map[String, String] = Map(
@@ -3036,5 +3063,21 @@ object Relational {
         |      THEN 1 ELSE 0 END) as double) / count(*), 6) AS share_above
         |FROM o JOIN p USING (o_custkey)
         |JOIN customer c ON c.c_custkey = o.o_custkey
-        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "q73_path_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) // 1000 AS s FROM events),
+        |o AS (SELECT event_type AS t1, s,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(s, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS t3,
+        |    lead(s, 2) OVER w AS s3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+        |p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+        |  FROM o WHERE t3 IS NOT NULL AND s2 - s <= 1800 AND s3 - s2 <= 1800
+        |  GROUP BY 1)
+        |SELECT cast(row_number() OVER (ORDER BY n DESC, path ASC) as bigint)
+        |    AS rnk, path, n
+        |FROM p QUALIFY rnk <= 20 ORDER BY rnk""".stripMargin)
 }

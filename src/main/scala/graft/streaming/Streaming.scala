@@ -15,6 +15,10 @@ final case class ChangeState(mk: Long, last_s: Long, last_id: Long,
 final case class GapEvent(user_id: Long, s: Long, event_id: Long)
 final case class GapState(user_id: Long, last_s: Long, last_id: Long,
   n_gaps: Long, sum_g: Long, sum_g2: Long, n_anomalies: Long)
+final case class ThrottleEvent(user_id: Long, event_type: String,
+  s: Long, event_id: Long)
+final case class ThrottleState(user_id: Long, event_type: String,
+  last_kept_s: Long, n_seen: Long, n_kept: Long)
 final case class SkyEvent(event_type: String, value: Double, sec: Long)
 final case class SkyState(event_type: String, n_seen: Long,
   vs: List[Double], ss: List[Long])
@@ -1779,6 +1783,62 @@ object Streaming {
                 sky.filterNot { case (v, t) => dominates(e.value, e.sec, v, t) }
           }
           val next = SkyState(et, n, sky.map(_._1), sky.map(_._2))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming rate limiter / chain-suppression throttle — the TRUE
+    * stateful cousin of q71's stateless lag-debounce, and semantically
+    * different: an event is kept iff ≥ `gapS` seconds passed since the
+    * last KEPT event of its (user, type), so a steady sub-gap drizzle
+    * re-emits every `gapS` seconds (debounce would swallow it
+    * entirely after the first). That needs the last-KEPT timestamp as
+    * state — O(1) per key (one long + two counters), the alerting /
+    * notification-dedup primitive every event pipeline deploys.
+    *
+    * Emitted running (n_seen, n_kept) are monotone per key, so the
+    * update-mode memory table re-aggregates with max (st02's recipe).
+    * Ordering contract: st26's — rows sort by (sec, event_id) within
+    * each batch group; the oracle replays the same chain with a
+    * per-(user, type) recursive CTE.
+    */
+  def streamThrottle(s: SparkSession, dir: String, gapS: Long = 300L): DataFrame = {
+    import s.implicits._
+    val updates = throttleTransform(eventStream(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("s"), col("event_id"))
+      .as[ThrottleEvent], gapS)
+    runToTable(updates.toDF(), "update")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n_seen")).as("n_seen"), max(col("n_kept")).as("n_kept"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_seen")).as("n_seen"), sum(col("n_kept")).as("n_kept"))
+      .orderBy("event_type")
+  }
+
+  /** The st39 chain-suppression state machine, factored so the
+    * multi-batch spec drives the REAL transition (StreamThrottleSpec
+    * proves batch-split invariance for in-order delivery).
+    */
+  def throttleTransform(ds: org.apache.spark.sql.Dataset[ThrottleEvent],
+      gapS: Long = 300L): org.apache.spark.sql.Dataset[ThrottleState] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[ThrottleEvent],
+            state: org.apache.spark.sql.streaming.GroupState[ThrottleState]) =>
+          val prev = state.getOption.getOrElse(
+            ThrottleState(key._1, key._2, Long.MinValue, 0L, 0L))
+          val sorted = rows.toArray.sortBy(e => (e.s, e.event_id))
+          val next = sorted.foldLeft(prev) { (st, e) =>
+            val keep = st.last_kept_s == Long.MinValue ||
+              e.s - st.last_kept_s >= gapS
+            ThrottleState(st.user_id, st.event_type,
+              if (keep) e.s else st.last_kept_s,
+              st.n_seen + 1, st.n_kept + (if (keep) 1L else 0L))
+          }
           state.update(next)
           next
       }
