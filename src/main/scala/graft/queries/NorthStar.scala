@@ -1141,6 +1141,33 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // IVF RECALL-vs-NPROBE CURVE as an oracle row — t40's
+    // "evaluation is itself a query" move applied to ANN: measured
+    // recall@10 of s04's deterministic IVF at nprobe ∈ {2, 4, 8}
+    // against the exact cosine top-10, every number engine-portable
+    // (hit counts are integer joins of two deterministic top-k sets).
+    // THE tuning table an ANN deployment reads before picking its
+    // latency/recall point.
+    "s29_ivf_recall_curve" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter($"vec_id" < 5)
+      val k = 10
+      val exact = graft.operators.CacheScope.sessionScope(s).own(
+        Similarity.bruteForceTopK(emb, queries, k)
+          .select($"q_id", $"n_id").persist()) // joined by all 3 arms
+      val nq = queries.count() // bounded: 5 by construction
+      Seq(2, 4, 8).map { np =>
+        Similarity.ivfTopK(emb, queries, k, nlist = 32, nprobe = np)
+          .select($"q_id", $"n_id")
+          .join(exact, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np.toLong).as("nprobe"), lit(k.toLong).as("k"),
+            lit(nq).as("n_queries"), $"n_hits",
+            round($"n_hits".cast("double") / (nq * k), 6).as("recall"))
+      }.reduce(_ unionByName _).orderBy($"nprobe")
+    },
+
     // MATRYOSHKA PREFIX-DIM ANN — coarse cosine over the first 16 of
     // 64 components (a 4x narrower coarse scan; MRL embeddings order
     // information by prefix), top-40 candidates per query, exact
@@ -3732,6 +3759,48 @@ object NorthStar {
            |        (x,y) -> x+y) DESC, n_id ASC) AS rn
            |  FROM cand) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // s29: the s04 probe replay at nprobe 2/4/8 + the s01 exact
+      // top-10; recall = the integer hit-count join per arm
+      "s29_ivf_recall_curve" -> {
+        val arms = Seq(2, 4, 8).map { np =>
+          s"""top$np AS (SELECT q_id, n_id FROM (
+             |  SELECT p.q_id, a.n_id,
+             |    row_number() OVER (PARTITION BY p.q_id
+             |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+             |  FROM (SELECT q_id, q_vec, c_id FROM probes WHERE prn <= $np) p
+             |  JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+             |  WHERE rn <= 10),
+             |hit$np AS (SELECT cast($np as bigint) AS nprobe,
+             |    cast(10 as bigint) AS k, (SELECT count(*) FROM q) AS n_queries,
+             |    count(*) AS n_hits,
+             |    round(cast(count(*) as double)
+             |      / ((SELECT count(*) FROM q) * 10), 6) AS recall
+             |  FROM top$np t JOIN ex ON ex.q_id = t.q_id AND ex.n_id = t.n_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |c AS (SELECT id AS c_id, v AS cv FROM e WHERE id < 32),
+           |q AS (SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5),
+           |asg AS (SELECT id AS n_id, v AS n_vec, c_id FROM (
+           |    SELECT e.id, e.v, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, c) t WHERE rn = 1),
+           |probes AS (SELECT q_id, q_vec, c_id, prn FROM (
+           |    SELECT q.q_id, q.q_vec, c.c_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${cosSql("q.q_vec", "c.cv")} DESC, c.c_id ASC) AS prn
+           |    FROM q, c) t WHERE prn <= 8),
+           |ex AS (SELECT q_id, n_id FROM (
+           |    SELECT q.q_id, n.id AS n_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${cosSql("q.q_vec", "n.v")} DESC, n.id ASC) AS rn
+           |    FROM q JOIN e n ON n.id <> q.q_id) t WHERE rn <= 10),
+           |$arms
+           |SELECT * FROM hit2 UNION ALL SELECT * FROM hit4
+           |UNION ALL SELECT * FROM hit8 ORDER BY nprobe""".stripMargin
+      },
 
       // s28: full-vector cosine candidates (s01's fold), then the 4x4
       // sub-vector MaxSim — every sub-cosine the same sequential fold

@@ -69,7 +69,8 @@ object ScaleBench {
     "t42_ks_drift", "d19_weighted_jaccard", "s27_kmeans_train",
     "st38_stream_ks", "s23_ivf_trained_topk", "s24_ivf_pq_trained",
     "st23_stream_quantiles", "s28_maxsim_rerank", "q72_above_own_p90",
-    "t43_dup_ngram_fraction", "q73_path_trigrams", "st39_stream_throttle")
+    "t43_dup_ngram_fraction", "q73_path_trigrams", "st39_stream_throttle",
+    "s29_ivf_recall_curve")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow

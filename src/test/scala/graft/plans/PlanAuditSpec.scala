@@ -61,7 +61,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q69_share_ratio" -> "q18's scalar shape: the 25-row nation-revenue table crossJoins the ONE-ROW broadcast grand-total aggregate; the data-sized work is the single orders hash aggregate",
     "s27_kmeans_train" -> "s04's sanctioned assignment shape (corpus x 32 broadcast trained centroids); the readout is a 32-row aggregate",
     "t42_ks_drift" -> "the |sources|-row totals table crossJoins (a) the broadcast distinct-length CDF frame and (b) the ONE-ROW grand-total aggregate — both provably tiny by construction; the data-sized work is the one (source, length) count aggregate",
-    "s28_maxsim_rerank" -> "s01's sanctioned candidate shape (5 broadcast full-vector queries x corpus scan); the 4x4 sub-vector MaxSim runs only on the broadcast-candidate equi-join rows")
+    "s28_maxsim_rerank" -> "s01's sanctioned candidate shape (5 broadcast full-vector queries x corpus scan); the 4x4 sub-vector MaxSim runs only on the broadcast-candidate equi-join rows",
+    "s29_ivf_recall_curve" -> "the evaluation row composes two sanctioned shapes: s01's exact arm (5 broadcast queries x corpus scan — the ground truth) and s04's corpus x 32 broadcast centroid assignment; every per-arm hit count is an equi-join of two top-k sets")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
