@@ -1972,6 +1972,88 @@ object NorthStar {
     // Byte-entropy screen over payloads: fixed-point Shannon entropy
     // of the 256-bucket byte histogram (the junk/compression detector)
     // plus bits/byte as one exact division. Typed partition pass.
+    // AUDIO-CONSTELLATION FINGERPRINT MATCHING (Wang 2003, the Shazam
+    // construction) over the m-family's deterministic byte-sample
+    // convention: frame energies (8-byte sums) → local peaks
+    // (left-strict/right-loose, plateau-deterministic) → anchor-target
+    // pairs (fan-out ≤ 3 within 16 frames) hashed as (lvl_a, lvl_b,
+    // dt) → a posting index. Snippet queries (each 25th doc's middle
+    // third, start SNAPPED to the 8-byte frame grid so query frame f
+    // IS doc frame f+start/8 — the aligned-sampling assumption the
+    // audio pipeline gets from a shared hop size) match via the hash
+    // equi-join, and the winner is the OFFSET-ALIGNED count argmax —
+    // the time-coherence vote that makes constellation matching
+    // robust. Every step integer; the decode stage is the documented
+    // byte-payload stub, the Spark-side plumbing (frames, windows,
+    // posting join, alignment vote) real. Levels are the exact frame
+    // energy (≤ 2047): a first cut at 16-byte frames with e/64 levels
+    // left only ~96 live hashes and the 10×/30× ladder walked
+    // 0.50 → 1.02 per-item (the N² posting term of a
+    // non-discriminative index); exact levels give max df 22 at sf0.1
+    // (median 2), and m06/m07's df-cap convention (document hashes
+    // with df > 64 dropped via a broadcast semi-join on the bounded
+    // kept-hash dim) keeps each query print's join fan-out ≤ 64 — the
+    // match stays linear in query prints at any corpus size.
+    "m11_constellation_match" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def prints(src: DataFrame): DataFrame = {
+        val codes = transform(split($"text", ""), c => ascii(c).cast("long"))
+        val frames = src
+          .select($"doc_id", codes.as("cs"))
+          .filter(size($"cs") >= 8)
+          .select($"doc_id", posexplode(transform(
+            sequence(lit(0), (size($"cs") / 8).cast("int") - 1),
+            f => aggregate(slice($"cs", f * 8 + 1, lit(8)),
+              lit(0L), (a, x) => a + x))))
+          .withColumnRenamed("pos", "f").withColumnRenamed("col", "e")
+        val w = Window.partitionBy($"doc_id").orderBy($"f")
+        val peaks = frames
+          .withColumn("l1", lag($"e", 1).over(w))
+          .withColumn("l2", lag($"e", 2).over(w))
+          .withColumn("r1", lead($"e", 1).over(w))
+          .withColumn("r2", lead($"e", 2).over(w))
+          .filter($"e" > coalesce($"l1", lit(-1L)) &&
+            $"e" > coalesce($"l2", lit(-1L)) &&
+            $"e" >= coalesce($"r1", lit(-1L)) &&
+            $"e" >= coalesce($"r2", lit(-1L)))
+          .select($"doc_id", $"f",
+            least($"e", lit(2047L)).as("lvl"))
+        val wp = Window.partitionBy($"doc_id", $"af").orderBy($"bf")
+        peaks.as("a").join(peaks.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.f") > col("a.f") && col("b.f") - col("a.f") <= 16)
+          .select(col("a.doc_id").as("doc_id"), col("a.f").as("af"),
+            col("b.f").as("bf"), col("a.lvl").as("la"), col("b.lvl").as("lb"))
+          .withColumn("fo", row_number().over(wp))
+          .filter($"fo" <= 3)
+          .select($"doc_id",
+            (($"la" * 2048 + $"lb") * 17 + ($"bf" - $"af")).as("hash"),
+            $"af".as("t"))
+      }
+      val dp0 = graft.operators.CacheScope.sessionScope(s).own(
+        prints(docs.select($"doc_id", $"text"))
+          .persist()) // df aggregate + match join read the same prints
+      val kept = dp0.groupBy($"hash").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 64).select($"hash")
+      val dp = dp0.join(broadcast(kept), Seq("hash"), "left_semi")
+      val qp = prints(docs.filter($"doc_id" % 25 === 0)
+          .select($"doc_id",
+            expr("substring(text, ((length(text) div 3) div 8) * 8 + 1," +
+              " length(text) div 3)").as("text")))
+        .select($"doc_id".as("q_id"), $"hash", $"t".as("qt"))
+      val wq = Window.partitionBy($"q_id")
+        .orderBy($"n_aligned".desc, $"doc_id".asc, $"off".asc)
+      qp.join(dp, "hash")
+        .groupBy($"q_id", $"doc_id", ($"t" - $"qt").as("off"))
+        .agg(count(lit(1)).as("n_aligned"))
+        .withColumn("rn", row_number().over(wq)).filter($"rn" === 1)
+        .select($"q_id", $"doc_id".as("match_id"), $"off", $"n_aligned",
+          ($"doc_id" === $"q_id").as("self_match"))
+        .orderBy($"q_id")
+    },
+
     "m10_byte_entropy" -> { (s, dir) =>
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -4390,6 +4472,51 @@ object NorthStar {
           |    / cast(c.n * (g.nn - c.n) as double), 6) AS ks
           |FROM cdf c, grand g
           |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
+
+      // m11: the full constellation chain replayed — byte codes,
+      // 8-byte frame energies, plateau-deterministic peaks, fan-out-3
+      // pair hashes, df-capped posting join, offset-aligned vote
+      "m11_constellation_match" -> {
+        def prSql(p: String, src: String) =
+          s"""${p}cs AS (SELECT doc_id, list_transform(string_split(text, ''),
+             |    ch -> cast(ascii(ch) as bigint)) AS cs FROM $src),
+             |${p}fr AS (SELECT doc_id, f,
+             |    cast(list_sum(cs[f*8+1 : f*8+8]) as bigint) AS e
+             |  FROM (SELECT doc_id, cs, unnest(range(0, len(cs) // 8)) AS f
+             |        FROM ${p}cs WHERE len(cs) >= 8) t),
+             |${p}pk AS (SELECT doc_id, f, least(e, 2047) AS lvl FROM (
+             |    SELECT doc_id, f, e,
+             |      lag(e, 1) OVER w AS l1, lag(e, 2) OVER w AS l2,
+             |      lead(e, 1) OVER w AS r1, lead(e, 2) OVER w AS r2
+             |    FROM ${p}fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)) t
+             |  WHERE e > coalesce(l1, -1) AND e > coalesce(l2, -1)
+             |    AND e >= coalesce(r1, -1) AND e >= coalesce(r2, -1)),
+             |${p}pr AS (SELECT doc_id,
+             |    (la * 2048 + lb) * 17 + (bf - af) AS hash, af AS t
+             |  FROM (SELECT a.doc_id, a.f AS af, b.f AS bf,
+             |      a.lvl AS la, b.lvl AS lb,
+             |      row_number() OVER (PARTITION BY a.doc_id, a.f
+             |        ORDER BY b.f) AS fo
+             |    FROM ${p}pk a JOIN ${p}pk b ON b.doc_id = a.doc_id
+             |      AND b.f > a.f AND b.f - a.f <= 16) t
+             |  WHERE fo <= 3)""".stripMargin
+        s"""WITH ${prSql("d", "documents")},
+           |qd AS (SELECT doc_id,
+           |    substring(text, ((length(text) // 3) // 8) * 8 + 1,
+           |      length(text) // 3) AS text
+           |  FROM documents WHERE doc_id % 25 = 0),
+           |${prSql("q", "qd")},
+           |dk AS (SELECT hash FROM dpr GROUP BY hash HAVING count(*) <= 64),
+           |m AS (SELECT q.doc_id AS q_id, d.doc_id, d.t - q.t AS off,
+           |    count(*) AS n_aligned
+           |  FROM qpr q JOIN dpr d ON d.hash = q.hash
+           |  JOIN dk ON dk.hash = d.hash GROUP BY 1, 2, 3)
+           |SELECT q_id, doc_id AS match_id, off, n_aligned,
+           |  doc_id = q_id AS self_match
+           |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY n_aligned DESC, doc_id ASC, off ASC) AS rn FROM m) t
+           |WHERE rn = 1 ORDER BY q_id""".stripMargin
+      },
 
       // byte histogram over ascii codes (the m08 payload convention);
       // entropy in the shared integer-exact fixed-point log2
