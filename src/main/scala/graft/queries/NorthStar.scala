@@ -1204,17 +1204,22 @@ object NorthStar {
     // training recipe (trained coarse quantizer + per-subspace Lloyd
     // residual codebook, both on deterministic hash-samples) over
     // s16's residual-ADC search dataflow, in FIXED POINT: integer
-    // Lloyd rounds on ×2^12-quantized residuals and an exact integer
-    // ADC, so the oracle replays training, encoding, probing, and
-    // scoring bit-for-bit — hash-checked end to end like s23.
-    // AnnRecallSpec holds the recall delta vs the deterministic
-    // composition.
+    // Lloyd rounds on ×2^12-quantized residuals, an exact integer
+    // ADC, and an exact-integer rerank of the ADC top-8k (the
+    // centroid cancels in qres_q - qres_n, so the rerank is scaled
+    // exact L2 of q-n — recall@10 0.310 ADC-only vs 0.514 reranked
+    // at sf0.01, the nprobe=4 coverage ceiling), so the oracle
+    // replays training, encoding, probing,
+    // scoring, AND the rerank bit-for-bit — hash-checked end to end
+    // like s23. AnnRecallSpec holds the recall delta vs the
+    // deterministic composition.
     "s24_ivf_pq_trained" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfPqTopKResidualTrainedFp(emb, emb.filter($"vec_id" < 5),
           k = 5, nlist = 32, nprobe = 4, m = 8, ncode = 32)
-        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_fp")
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"adc_fp",
+          $"d2_fp")
         .orderBy("q_id", "rnk")
     },
 
@@ -3641,14 +3646,28 @@ object NorthStar {
            |  FROM (SELECT q_id, c_id, j,
            |      list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
            |    FROM probe, (SELECT unnest(range(0, 8)) AS j) jj) p
-           |  JOIN cb$iters c ON c.j = p.j)
-           |SELECT q_id, n_id, rn AS rnk, adc_fp FROM (
-           |  SELECT q_id, n_id, adc_fp, row_number() OVER (PARTITION BY q_id
-           |      ORDER BY adc_fp ASC, n_id ASC) AS rn
-           |  FROM (SELECT l.q_id, cd.n_id, cast(sum(l.d2) as bigint) AS adc_fp
+           |  JOIN cb$iters c ON c.j = p.j),
+           |cand AS (SELECT q_id, n_id, c_id, adc_fp FROM (
+           |  SELECT q_id, n_id, c_id, adc_fp, row_number() OVER (
+           |      PARTITION BY q_id ORDER BY adc_fp ASC, n_id ASC) AS crn
+           |  FROM (SELECT l.q_id, cd.n_id, cd.c_id,
+           |      cast(sum(l.d2) as bigint) AS adc_fp
            |    FROM codes cd JOIN lut l
            |      ON l.c_id = cd.c_id AND l.j = cd.j AND l.cw = cd.cw
-           |    WHERE cd.n_id <> l.q_id GROUP BY 1, 2) t1) t2
+           |    WHERE cd.n_id <> l.q_id GROUP BY 1, 2, 3) t1) t2
+           |  WHERE crn <= 40)
+           |SELECT q_id, n_id, rn AS rnk, adc_fp, d2_fp FROM (
+           |  SELECT c.q_id, c.n_id, c.adc_fp,
+           |    cast(list_sum(list_transform(range(1, 65),
+           |      i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
+           |      as bigint) AS d2_fp,
+           |    row_number() OVER (PARTITION BY c.q_id ORDER BY
+           |      cast(list_sum(list_transform(range(1, 65),
+           |        i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
+           |        as bigint) ASC, c.n_id ASC) AS rn
+           |  FROM cand c
+           |  JOIN probe p ON p.q_id = c.q_id AND p.c_id = c.c_id
+           |  JOIN asgq a ON a.n_id = c.n_id) t3
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
       },
 

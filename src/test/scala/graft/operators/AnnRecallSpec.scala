@@ -253,12 +253,23 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
       nlist = 32, nprobe = 4, m = 8, ncode = 32)))
     val trained = recall(exact, topk(Similarity.ivfPqTopKResidualTrained(emb,
       queries, k, nlist = 32, nprobe = 4, m = 8, ncode = 32)))
+    val fpAdc = recall(exact, topk(Similarity.ivfPqTopKResidualTrainedFp(emb,
+      queries, k, nlist = 32, nprobe = 4, m = 8, ncode = 32, rerankC = 0)))
     val fp = recall(exact, topk(Similarity.ivfPqTopKResidualTrainedFp(emb,
       queries, k, nlist = 32, nprobe = 4, m = 8, ncode = 32)))
+    val coverage = recall(exact, topk(Similarity.ivfTopKTrainedFp(emb, queries,
+      k, nlist = 32, nprobe = 4)))
     info(f"residual IVFxPQ recall@$k: deterministic $det%.3f, " +
-      f"fully trained $trained%.3f, fixed-point trained (s24) $fp%.3f")
+      f"fully trained $trained%.3f, fixed-point trained ADC-only $fpAdc%.3f, " +
+      f"+ exact-integer rerank (s24) $fp%.3f, trained-IVF coverage ceiling $coverage%.3f")
     trained should be >= det - 0.05 // training must not lose recall
-    fp should be >= det - 0.1 // the SQL-replayable trainer stays competitive
+    fpAdc should be >= det - 0.1 // the SQL-replayable trainer stays competitive
+    // the exact-integer rerank of the ADC top-8k must recover the PQ
+    // scoring loss: at least ADC-only, and within 0.1 of the trained
+    // coarse quantizer's nprobe-list coverage ceiling (sf0.01 measured:
+    // 0.310 ADC-only -> 0.514 reranked = the ceiling exactly)
+    fp should be >= fpAdc
+    fp should be >= coverage - 0.1
     fp should be > 0.1
     // replayability: both trainers are deterministic, so the whole
     // trained pipeline bit-agrees across runs
