@@ -1959,6 +1959,71 @@ object NorthStar {
         .orderBy($"doc_id")
     },
 
+    // GOPHER REPETITION RULES (Rae et al. 2021, Table A1) in their
+    // n-gram form over the token-stream corpus: (a) top-bigram char
+    // fraction — occurrences of the doc's most frequent bigram
+    // (ties → lexicographically first) × its token chars / total
+    // token chars (the paper's definition; can exceed 1 on degenerate
+    // docs, by design); (b) duplicate-5-gram char coverage — the
+    // EXACT union of token positions covered by any 5-gram occurring
+    // ≥2 times in the doc (no double counting), charged by token
+    // length. Array-native n-gram generation (transform over the
+    // token array — no windows, no self-joins); coverage closes via
+    // one slim (doc_id, pos) equi-join against the position-length
+    // table. Everything per-doc ⇒ embarrassingly parallel at any
+    // corpus size; integers until the two readout divisions, gates as
+    // exact integer cross-multiplies (top2 > 0.20, dup5 > 0.15 — the
+    // paper's thresholds).
+    "t44_repetition_rules" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+        .filter(size($"toks") >= 5)
+        .withColumn("total_chars", aggregate(
+          transform($"toks", t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x))
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val toksC = scope.own(base.persist()) // bigram, 5-gram, position passes
+      val wTop = Window.partitionBy($"doc_id")
+        .orderBy($"cnt".desc, $"gram".asc)
+      val top2 = toksC
+        .select($"doc_id", $"total_chars", explode(transform(
+          sequence(lit(0), size($"toks") - 2),
+          i => concat_ws(" ", element_at($"toks", i + 1),
+            element_at($"toks", i + 2)))).as("gram"))
+        .groupBy($"doc_id", $"total_chars", $"gram")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wTop)).filter($"rn" === 1)
+        .select($"doc_id", $"total_chars", $"gram".as("top2_gram"),
+          ($"cnt" * (length($"gram") - 1)).as("top2_chars"))
+      val g5 = toksC.select($"doc_id", posexplode(transform(
+          sequence(lit(0), size($"toks") - 5),
+          i => concat_ws(" ", slice($"toks", i + 1, lit(5))))))
+        .withColumnRenamed("pos", "st").withColumnRenamed("col", "gram")
+      val dupStarts = g5
+        .withColumn("cnt", count(lit(1))
+          .over(Window.partitionBy($"doc_id", $"gram")))
+        .filter($"cnt" >= 2)
+      val posLen = toksC.select($"doc_id",
+          posexplode(transform($"toks", t => length(t).cast("long"))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok_len")
+      val dup5 = dupStarts
+        .select($"doc_id", explode(sequence($"st", $"st" + 4)).as("p"))
+        .distinct()
+        .join(posLen, Seq("doc_id", "p"))
+        .groupBy($"doc_id").agg(sum($"tok_len").as("dup5_chars"))
+      top2.join(dup5, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dup5_chars"))
+        .select($"doc_id", $"total_chars", $"top2_gram", $"top2_chars",
+          $"dup5_chars",
+          ($"top2_chars".cast("double") / $"total_chars").as("top2_frac"),
+          ($"dup5_chars".cast("double") / $"total_chars").as("dup5_frac"),
+          ($"top2_chars" * 5L > $"total_chars").as("flag_top2"),
+          ($"dup5_chars" * 20L > $"total_chars" * 3L).as("flag_dup5"))
+        .orderBy($"doc_id")
+    },
+
     // Shot-boundary detection over decoded payloads: per-frame byte-sum
     // signatures (16-byte stub frames, m08's convention), a cut wherever
     // consecutive signatures jump > thr. Integer-exact; one typed
@@ -4324,6 +4389,47 @@ object NorthStar {
            |    as double) / count(*), 6) AS dup_frac
            |FROM sh s JOIN df ON df.sh = s.sh
            |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      // Gopher repetition rules: top-bigram char fraction + exact
+      // duplicate-5-gram position coverage, integer gates
+      "t44_repetition_rules" ->
+        s"""WITH base AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(text), '\\s+') AS toks
+           |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5),
+           |tot AS (SELECT doc_id, toks,
+           |    cast(list_sum(list_transform(toks, t -> length(t))) as bigint)
+           |      AS total_chars FROM base),
+           |bi AS (SELECT doc_id, total_chars, gram, count(*) AS cnt FROM (
+           |    SELECT doc_id, total_chars,
+           |      toks[i+1] || ' ' || toks[i+2] AS gram
+           |    FROM tot, unnest(range(0, len(toks) - 1)) AS u(i)) t
+           |  GROUP BY 1, 2, 3),
+           |top2 AS (SELECT doc_id, total_chars, gram AS top2_gram,
+           |    cnt * (length(gram) - 1) AS top2_chars FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY cnt DESC, gram ASC) AS rn FROM bi) t WHERE rn = 1),
+           |g5 AS (SELECT doc_id, i AS st,
+           |    array_to_string(toks[i+1 : i+5], ' ') AS gram
+           |  FROM tot, unnest(range(0, len(toks) - 4)) AS u(i)),
+           |dupg AS (SELECT doc_id, gram FROM g5
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |cov AS (SELECT DISTINCT g.doc_id, p
+           |  FROM g5 g JOIN dupg d USING (doc_id, gram),
+           |    unnest(range(g.st, g.st + 5)) AS u(p)),
+           |plen AS (SELECT doc_id, i AS p, length(toks[i+1]) AS tok_len
+           |  FROM tot, unnest(range(0, len(toks))) AS u(i)),
+           |dup5 AS (SELECT c.doc_id,
+           |    cast(sum(p.tok_len) as bigint) AS dup5_chars
+           |  FROM cov c JOIN plen p USING (doc_id, p) GROUP BY 1)
+           |SELECT t.doc_id, t.total_chars, t.top2_gram, t.top2_chars,
+           |  coalesce(d.dup5_chars, 0) AS dup5_chars,
+           |  cast(t.top2_chars as double) / t.total_chars AS top2_frac,
+           |  cast(coalesce(d.dup5_chars, 0) as double) / t.total_chars
+           |    AS dup5_frac,
+           |  t.top2_chars * 5 > t.total_chars AS flag_top2,
+           |  coalesce(d.dup5_chars, 0) * 20 > t.total_chars * 3 AS flag_dup5
+           |FROM top2 t LEFT JOIN dup5 d USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       // capped-tf integer weights, df-capped posting candidates, exact
       // min/max multiset intersection, cross-multiplied theta = 1/2
