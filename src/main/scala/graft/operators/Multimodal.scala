@@ -39,6 +39,17 @@ final case class ShotCuts(
     n_shots: Long,
     max_jump: Long)
 
+/** One row per detected shot (m12): its frame span and the selected
+  * keyframe — the sharpest frame by the integer variance proxy.
+  */
+final case class ShotKeyframe(
+    doc_id: Long,
+    shot: Long,
+    start_f: Long,
+    end_f: Long,
+    key_f: Long,
+    sharp_fp: Long)
+
 /** Per-asset byte-entropy screen (m10): fixed-point Shannon entropy of
   * the payload's byte histogram.
   */
@@ -370,6 +381,49 @@ object Multimodal {
             prev = s
           }
           ShotCuts(id, nF, nC, if (nF > 0) nC + 1 else 0L, maxJ)
+        }
+      }
+  }
+
+  /** Keyframe selection (m12): the training-data step after shot
+    * detection — keep ONE representative frame per shot (the frame a
+    * captioner/CLIP encoder would see). Shots are m09's byte-sum-jump
+    * segments (same `thr`); the keyframe is the shot's frame with the
+    * highest sharpness, stubbed as the exact integer variance proxy
+    * blockLen·Σx² − (Σx)² over the frame's bytes (a real deployment
+    * swaps in a Laplacian-variance kernel at StubCodec's seam), ties
+    * to the earliest frame. Typed partition pass, one row per shot —
+    * no shuffle; at 100 TB this is a pure map over the media scan.
+    */
+  def shotKeyframes(spark: SparkSession, docsWithPayload: DataFrame,
+      idCol: String = "doc_id", thr: Long = 96L): Dataset[ShotKeyframe] = {
+    import spark.implicits._
+    docsWithPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ShotKeyframe]
+          var shot = 0L; var startF = 0L; var f = -1L
+          var keyF = -1L; var keySharp = Long.MinValue
+          var prev = -1L
+          payload.grouped(StubCodec.BlockSize).foreach { blk =>
+            f += 1
+            var s = 0L; var q = 0L; var j = 0
+            while (j < blk.length) {
+              val b = (blk(j) & 0xff).toLong; s += b; q += b * b; j += 1
+            }
+            val sharp = blk.length * q - s * s
+            if (prev >= 0 && math.abs(s - prev) > thr) {
+              out += ShotKeyframe(id, shot, startF, f - 1, keyF, keySharp)
+              shot += 1; startF = f
+              keyF = -1L; keySharp = Long.MinValue
+            }
+            if (sharp > keySharp) { keySharp = sharp; keyF = f }
+            prev = s
+          }
+          if (f >= 0) out += ShotKeyframe(id, shot, startF, f, keyF, keySharp)
+          out
         }
       }
   }

@@ -2124,6 +2124,23 @@ object NorthStar {
         .orderBy($"q_id")
     },
 
+    // Keyframe selection after shot detection (the m09 → "pick one
+    // frame per shot for the captioner" pipeline step): m09's
+    // byte-sum-jump shots, keyframe = argmax of the exact integer
+    // variance sharpness proxy (blockLen·Σx² − (Σx)², ties → earliest
+    // frame). One typed partition pass, one row per shot, no shuffle.
+    "m12_shot_keyframes" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.shotKeyframes(s,
+          Multimodal.withBinaryPayload(docs.select($"doc_id", $"text"), "text"),
+          thr = 96L)
+        .toDF()
+        .select($"doc_id", $"shot", $"start_f", $"end_f", $"key_f",
+          $"sharp_fp")
+        .orderBy("doc_id", "shot")
+    },
+
     "m10_byte_entropy" -> { (s, dir) =>
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -4686,6 +4703,40 @@ object NorthStar {
           |    ELSE 0 END AS n_shots,
           |  coalesce(cast(list_max(jumps) as bigint), 0) AS max_jump
           |FROM d ORDER BY doc_id""".stripMargin,
+
+      // m12: m09's shot segmentation replayed + per-shot argmax of the
+      // integer variance sharpness, ties to the earliest frame
+      "m12_shot_keyframes" ->
+        """WITH t AS (SELECT doc_id, list_transform(string_split(text, ''),
+          |    c -> cast(ascii(c) as bigint)) AS codes FROM documents),
+          |b AS (SELECT doc_id, len(codes) AS n,
+          |    cast(ceil(len(codes) / 16.0) as int) AS nb, codes FROM t),
+          |fr AS (SELECT doc_id, i AS f,
+          |    cast(list_sum(codes[i*16+1 : least(n, (i+1)*16)]) as bigint)
+          |      AS s,
+          |    cast(list_sum(list_transform(
+          |      codes[i*16+1 : least(n, (i+1)*16)], x -> x * x)) as bigint)
+          |      AS q,
+          |    cast(least(n, (i+1)*16) - i*16 as bigint) AS bl
+          |  FROM b, unnest(range(0, nb)) AS u(i)),
+          |j AS (SELECT doc_id, f, s, q, bl,
+          |    CASE WHEN lag(s) OVER w IS NULL THEN 0
+          |      WHEN abs(s - lag(s) OVER w) > 96 THEN 1 ELSE 0 END AS cut
+          |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+          |sid AS (SELECT doc_id, f, bl * q - s * s AS sharp,
+          |    cast(sum(cut) OVER (PARTITION BY doc_id ORDER BY f)
+          |      as bigint) AS shot
+          |  FROM j),
+          |g AS (SELECT doc_id, shot, f, sharp, row_number() OVER (
+          |    PARTITION BY doc_id, shot ORDER BY sharp DESC, f ASC) AS rn
+          |  FROM sid),
+          |agg AS (SELECT doc_id, shot, min(f) AS start_f, max(f) AS end_f
+          |  FROM sid GROUP BY 1, 2)
+          |SELECT a.doc_id, a.shot, a.start_f, a.end_f,
+          |  g.f AS key_f, g.sharp AS sharp_fp
+          |FROM agg a JOIN g ON g.doc_id = a.doc_id AND g.shot = a.shot
+          |  AND g.rn = 1
+          |ORDER BY a.doc_id, a.shot""".stripMargin,
 
       // aHash over ascii codes (the corpus is ASCII, so char codes ==
       // payload bytes, the m02/m03 convention); 4 x 16-bit bands,
