@@ -2068,48 +2068,14 @@ object NorthStar {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      def prints(src: DataFrame): DataFrame = {
-        val codes = transform(split($"text", ""), c => ascii(c).cast("long"))
-        val frames = src
-          .select($"doc_id", codes.as("cs"))
-          .filter(size($"cs") >= 8)
-          .select($"doc_id", posexplode(transform(
-            sequence(lit(0), (size($"cs") / 8).cast("int") - 1),
-            f => aggregate(slice($"cs", f * 8 + 1, lit(8)),
-              lit(0L), (a, x) => a + x))))
-          .withColumnRenamed("pos", "f").withColumnRenamed("col", "e")
-        val w = Window.partitionBy($"doc_id").orderBy($"f")
-        val peaks = frames
-          .withColumn("l1", lag($"e", 1).over(w))
-          .withColumn("l2", lag($"e", 2).over(w))
-          .withColumn("r1", lead($"e", 1).over(w))
-          .withColumn("r2", lead($"e", 2).over(w))
-          .filter($"e" > coalesce($"l1", lit(-1L)) &&
-            $"e" > coalesce($"l2", lit(-1L)) &&
-            $"e" >= coalesce($"r1", lit(-1L)) &&
-            $"e" >= coalesce($"r2", lit(-1L)))
-          .select($"doc_id", $"f",
-            least($"e", lit(2047L)).as("lvl"))
-        val wp = Window.partitionBy($"doc_id", $"af").orderBy($"bf")
-        peaks.as("a").join(peaks.as("b"),
-            col("a.doc_id") === col("b.doc_id") &&
-              col("b.f") > col("a.f") && col("b.f") - col("a.f") <= 16)
-          .select(col("a.doc_id").as("doc_id"), col("a.f").as("af"),
-            col("b.f").as("bf"), col("a.lvl").as("la"), col("b.lvl").as("lb"))
-          .withColumn("fo", row_number().over(wp))
-          .filter($"fo" <= 3)
-          .select($"doc_id",
-            (($"la" * 2048 + $"lb") * 17 + ($"bf" - $"af")).as("hash"),
-            $"af".as("t"))
-      }
       val dp0 = graft.operators.CacheScope.sessionScope(s).own(
-        prints(docs.select($"doc_id", $"text"))
+        Multimodal.constellationPrints(docs.select($"doc_id", $"text"))
           .persist()) // df aggregate + match join read the same prints
       val kept = dp0.groupBy($"hash").agg(count(lit(1)).as("df"))
         .filter($"df" <= 64).select($"hash")
       val dp = dp0.join(broadcast(kept), Seq("hash"), "left_semi")
-      val qp = prints(docs.filter($"doc_id" % 25 === 0)
-          .select($"doc_id",
+      val qp = Multimodal.constellationPrints(
+          docs.filter($"doc_id" % 25 === 0).select($"doc_id",
             expr("substring(text, ((length(text) div 3) div 8) * 8 + 1," +
               " length(text) div 3)").as("text")))
         .select($"doc_id".as("q_id"), $"hash", $"t".as("qt"))
@@ -2428,6 +2394,16 @@ object NorthStar {
     // the oracle replays the chain with a per-key recursive CTE.
     "st39_stream_throttle" -> { (s, dir) =>
       graft.streaming.Streaming.streamThrottle(s, dir)
+    },
+
+    // Streaming constellation-fingerprint identification: m11's
+    // snippet→source matching with the snippet side streamed against
+    // the static df-capped posting index; stateless per-row kernel
+    // prints + stream-static hash equi-join, vote argmax as the batch
+    // readout — batch m11 is the exact oracle.
+    "st40_stream_constellation" -> { (s, dir) =>
+      graft.streaming.Streaming.streamConstellationMatch(s, dir)
+        .orderBy("q_id")
     },
 
     "st37_stream_trend" -> { (s, dir) =>
@@ -5131,6 +5107,9 @@ object NorthStar {
     // deterministic codebook and ADC math as s12's inline encode —
     // s12's oracle checks the asset path verbatim
     m + ("st08_stream_index_probe" -> m("d09_incremental_neardup")) +
+      // stream prints = batch prints by the kernel/builder contract,
+      // so the m11 vote readout is bit-identical
+      ("st40_stream_constellation" -> m("m11_constellation_match")) +
       ("s13_pq_index_probe" -> m("s12_pq_topk")) +
       // SQL-authored spelling of the same eps join — rewrite-preserving
       ("s14_sql_eps_degree" -> m("s03_eps_degree")) +

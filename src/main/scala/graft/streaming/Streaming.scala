@@ -673,6 +673,52 @@ object Streaming {
         col("dup_of").isNull.as("is_new"))
   }
 
+  /** Streaming constellation-fingerprint identification (st40): m11's
+    * Shazam-style snippet→source matching with the snippet side as a
+    * STREAM. The document posting index (df-capped constellation
+    * prints) is the static build-once asset; each incoming snippet row
+    * fingerprints itself with the per-row kernel
+    * ([[graft.operators.Multimodal.constellationPrintsLocal]] — bit-
+    * identical to the batch builder by contract), probes the index via
+    * a stateless stream-static hash equi-join, and appends its matched
+    * prints; the offset-aligned vote argmax is the batch readout after
+    * the run, so batch m11 is the exact oracle. O(0) keyed state — the
+    * probe is stateless; the index is the only standing structure.
+    */
+  def streamConstellationMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Multimodal
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val scope = graft.operators.CacheScope.sessionScope(s)
+    val dp0 = scope.own(Multimodal.constellationPrints(
+      docs.select(col("doc_id"), col("text"))).persist())
+    val kept = dp0.groupBy(col("hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select(col("hash"))
+    val index = dp0.join(broadcast(kept), Seq("hash"), "left_semi")
+    val snippets = graft.sources.Sources.documentsStream(s, dir)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").cast("long").as("q_id"),
+        expr("substring(text, ((length(text) div 3) div 8) * 8 + 1," +
+          " length(text) div 3)").as("text"))
+    val qp = snippets.as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Multimodal.constellationPrintsLocal(text).map {
+          case (h, t) => (id, h, t) }
+      }
+      .toDF("q_id", "hash", "qt")
+    val matched = qp.join(index, Seq("hash"))
+      .select(col("q_id"), col("doc_id"), (col("t") - col("qt")).as("off"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_aligned").desc, col("doc_id").asc, col("off").asc)
+    runToTable(matched, "append")
+      .groupBy(col("q_id"), col("doc_id"), col("off"))
+      .agg(count(lit(1)).as("n_aligned"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+      .select(col("q_id"), col("doc_id").as("match_id"), col("off"),
+        col("n_aligned"), (col("doc_id") === col("q_id")).as("self_match"))
+  }
+
   /** Streaming semantic dedup — the incremental half of
     * [[graft.operators.Similarity.semanticDedup]] (SemDeDup, Abbas et
     * al. 2023): each incoming vector is coarse-assigned to its cluster

@@ -71,7 +71,8 @@ object ScaleBench {
     "st23_stream_quantiles", "s28_maxsim_rerank", "q72_above_own_p90",
     "t43_dup_ngram_fraction", "q73_path_trigrams", "st39_stream_throttle",
     "s29_ivf_recall_curve", "m11_constellation_match",
-    "t44_repetition_rules", "m12_shot_keyframes")
+    "t44_repetition_rules", "m12_shot_keyframes",
+    "st40_stream_constellation")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
