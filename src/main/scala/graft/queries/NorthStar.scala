@@ -452,6 +452,35 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // FASTTEXT-SHAPED QUALITY CLASSIFIER (the model-based filter step
+    // of CCNet/LLaMA-style pipelines, Joulin et al. 2016 architecture):
+    // hashed unigram+bigram features (t22's bucket convention, 2^17
+    // buckets) scored by a linear model and gated at 0. The weight
+    // table is a FROZEN deterministic stand-in (Knuth-mix of the
+    // bucket id → integer weight in [-1000, 1000], the same seam a
+    // trained .bin's weights drop into — the Spark-side plumbing:
+    // feature hashing, weight fold, margin gate, is the production
+    // dataflow); weights ride as a column expression, so scoring is
+    // ONE exploded scan + ONE partial-aggregated sum — no weight-table
+    // join at all, and nothing grows with the corpus.
+    "t45_quality_classifier" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val feats = docs.select($"doc_id", explode(
+        TextAnalysis.hashedNgramBuckets($"text", 131072)).as("bucket"))
+      val w = ($"bucket" + 1L) * lit(2654435761L) % 2147483648L % 2001L -
+        1000L
+      feats.select($"doc_id", w.as("w"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+          sum($"w").as("score_fp"))
+        .select($"doc_id", $"n_feats", $"score_fp",
+          ($"score_fp".cast("double") / ($"n_feats" * 1000.0))
+            .as("score"),
+          ($"score_fp" > 0L).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // Efraimidis-Spirakis weighted sampling without replacement, 50
     // docs per source, weight = doc length: rank by the integer-exact
     // fixed-point key -log2(u)/w (u from the portable hash family);
@@ -2396,6 +2425,13 @@ object NorthStar {
       graft.streaming.Streaming.streamThrottle(s, dir)
     },
 
+    // Streaming quality gate: t45's classifier as a stateless per-row
+    // fold (weights are column expressions — no state, no table).
+    "st41_stream_quality_gate" -> { (s, dir) =>
+      graft.streaming.Streaming.streamQualityGate(s, dir)
+        .orderBy("doc_id")
+    },
+
     // Streaming constellation-fingerprint identification: m11's
     // snippet→source matching with the snippet side streamed against
     // the static df-capped posting index; stateless per-row kernel
@@ -2865,6 +2901,24 @@ object NorthStar {
            |  round(cast(lr_sum as double) /
            |        (cast(n_feats as double) * 65536.0), 6) AS importance,
            |  (lr_sum >= -170000 * n_feats) AS keep
+           |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // frozen Knuth-mixed weights over t22's unigram+bigram buckets,
+      // linear margin gate at 0; raw IEEE division only at readout
+      "t45_quality_classifier" ->
+        s"""WITH d AS (SELECT doc_id, $tk AS toks FROM documents),
+           |f AS (SELECT doc_id, list_concat(toks,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1])) AS feats FROM d),
+           |x AS (SELECT doc_id, ((${rollSql("ft")}) % 131072) AS bucket
+           |  FROM f, unnest(feats) AS u(ft)),
+           |sc AS (SELECT doc_id, cast(count(*) as bigint) AS n_feats,
+           |    cast(sum((bucket + 1) * 2654435761 % 2147483648 % 2001
+           |      - 1000) as bigint) AS score_fp
+           |  FROM x GROUP BY 1)
+           |SELECT doc_id, n_feats, score_fp,
+           |  cast(score_fp as double) / (n_feats * 1000.0) AS score,
+           |  score_fp > 0 AS keep
            |FROM sc ORDER BY doc_id""".stripMargin,
 
       // hashed-bigram LM perplexity: context marginal (rolling hash %
@@ -5110,6 +5164,8 @@ object NorthStar {
       // stream prints = batch prints by the kernel/builder contract,
       // so the m11 vote readout is bit-identical
       ("st40_stream_constellation" -> m("m11_constellation_match")) +
+      // stateless per-row fold = batch exploded aggregate, same weights
+      ("st41_stream_quality_gate" -> m("t45_quality_classifier")) +
       ("s13_pq_index_probe" -> m("s12_pq_topk")) +
       // SQL-authored spelling of the same eps join — rewrite-preserving
       ("s14_sql_eps_degree" -> m("s03_eps_degree")) +

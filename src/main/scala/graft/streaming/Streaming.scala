@@ -719,6 +719,31 @@ object Streaming {
         col("n_aligned"), (col("doc_id") === col("q_id")).as("self_match"))
   }
 
+  /** Streaming quality gate (st41): t45's fastText-shaped linear
+    * classifier applied in-flight. The weights are column expressions
+    * (no table at all), so scoring is a stateless per-row FOLD over
+    * the hashed feature array — zero keyed state, append mode, and
+    * batch t45 is the exact oracle. Docs with no features are dropped
+    * to match the batch explode's inner semantics.
+    */
+  def streamQualityGate(s: SparkSession, dir: String,
+      dim: Int = 131072): DataFrame = {
+    val buckets = graft.functions.TextAnalysis
+      .hashedNgramBuckets(col("text"), dim)
+    val ws = transform(buckets,
+      b => (b + 1L) * lit(2654435761L) % 2147483648L % 2001L - 1000L)
+    val scored = graft.sources.Sources.documentsStream(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(buckets).cast("long").as("n_feats"),
+        aggregate(ws, lit(0L), (a, x) => a + x).as("score_fp"))
+      .filter(col("n_feats") > 0)
+    runToTable(scored, "append")
+      .select(col("doc_id"), col("n_feats"), col("score_fp"),
+        (col("score_fp").cast("double") / (col("n_feats") * 1000.0))
+          .as("score"),
+        (col("score_fp") > 0L).as("keep"))
+  }
+
   /** Streaming semantic dedup — the incremental half of
     * [[graft.operators.Similarity.semanticDedup]] (SemDeDup, Abbas et
     * al. 2023): each incoming vector is coarse-assigned to its cluster

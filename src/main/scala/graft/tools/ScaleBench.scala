@@ -72,7 +72,8 @@ object ScaleBench {
     "t43_dup_ngram_fraction", "q73_path_trigrams", "st39_stream_throttle",
     "s29_ivf_recall_curve", "m11_constellation_match",
     "t44_repetition_rules", "m12_shot_keyframes",
-    "st40_stream_constellation")
+    "st40_stream_constellation", "t45_quality_classifier",
+    "st41_stream_quality_gate")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
