@@ -1183,6 +1183,60 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // ENTITY RESOLUTION end-to-end (the Fellegi-Sunter pipeline shape:
+    // block → compare → cluster): two "sources" (customer + a
+    // deterministically-mutated shard standing in for a second feed),
+    // deletion-variant blocking (q50's neighborhood — candidates via
+    // an equi-join, never all-pairs), the match rule levenshtein ≤ 1
+    // AND nationkey AND acctbal agreement (fuzzy name + exact strong
+    // attributes — name-only lev ≤ 1 chains serial-numbered names
+    // transitively into a 980-member blob at sf0.1; the exact
+    // attribute is what real linkage rules anchor on), then the
+    // DISTRIBUTED large-star/small-star
+    // components (driverMaxEdges = 0, the arm a 100 TB record-linkage
+    // run executes) assign each record its canonical min-id entity.
+    // Oracle: recursive-CTE min-label closure over the same edges
+    // (q51's pattern).
+    "q74_entity_resolution" -> { (s, dir) =>
+      import s.implicits._
+      def dvars(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array_distinct(concat(array(c),
+          transform(sequence(lit(1), length(c)),
+            i => concat(c.substr(lit(1), i - 1),
+              c.substr(i + 1, length(c))))))
+      val cust = rd(s, dir, "customer")
+      val pos = ($"c_custkey" % length($"c_name")).cast("int") + 1
+      val shard = cust.select(($"c_custkey" + 1000000L).as("id"),
+        when($"c_custkey" % 3 =!= 0,
+          concat($"c_name".substr(lit(1), pos - 1),
+            $"c_name".substr(pos + 1, length($"c_name"))))
+          .otherwise($"c_name").as("name"),
+        $"c_nationkey", $"c_acctbal")
+      val recs = cust.select($"c_custkey".cast("long").as("id"),
+          $"c_name".as("name"), $"c_nationkey", $"c_acctbal")
+        .unionByName(shard)
+      val rv = recs.select($"id", $"name", $"c_nationkey", $"c_acctbal",
+        explode(dvars($"name")).as("v"))
+      val edges = rv.as("a").join(rv.as("b"),
+          col("a.v") === col("b.v") && col("a.id") < col("b.id") &&
+            col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.c_acctbal") === col("b.c_acctbal"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"),
+          col("a.name").as("na"), col("b.name").as("nb"))
+        .distinct()
+        .filter(levenshtein($"na", $"nb") <= 1)
+        .select($"src", $"dst")
+      val comp = graft.operators.ConnectedComponents
+        .assign(edges, recs.select($"id"), driverMaxEdges = 0L)
+        .select($"id", $"component".as("canonical"))
+      val sz = comp.groupBy($"canonical")
+        .agg(count(lit(1)).as("cluster_size"))
+      comp.join(sz, "canonical")
+        .select($"id", $"canonical", $"cluster_size",
+          ($"cluster_size" > 1L).as("matched"))
+        .orderBy("id")
+    },
+
     // Bounded-hop BFS reachability — the iterative-join graph shape
     // (frontier x edges equi-join + min-hop re-aggregate per round,
     // the textbook distributed BFS) that CC/PageRank/triangles don't
@@ -2436,6 +2490,44 @@ object Relational {
         |  SELECT s2.u, w.l FROM walk w JOIN sym s2 ON s2.v = w.u)
         |SELECT u AS user_id, min(l) AS component FROM walk
         |GROUP BY u ORDER BY user_id""".stripMargin,
+
+    // two-source records, deletion-variant blocking, lev<=1 + same
+    // nation rule, recursive min-label closure, canonical + size
+    "q74_entity_resolution" ->
+      """WITH RECURSIVE pc AS (SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal, len(c_name) AS L FROM customer),
+        |recs AS (SELECT cast(c_custkey as bigint) AS id, c_name AS name,
+        |    c_nationkey, c_acctbal FROM pc
+        |  UNION ALL SELECT c_custkey + 1000000,
+        |    CASE WHEN c_custkey % 3 <> 0
+        |      THEN substr(c_name, 1, cast(c_custkey % L as int)) ||
+        |        substr(c_name, cast(c_custkey % L as int) + 2, L)
+        |      ELSE c_name END,
+        |    c_nationkey, c_acctbal FROM pc),
+        |rv AS (SELECT id, name, c_nationkey, c_acctbal,
+        |    unnest(list_distinct([name] ||
+        |      list_transform(range(1, len(name) + 1),
+        |        i -> substr(name, 1, i - 1) ||
+        |          substr(name, i + 1, len(name))))) AS v
+        |  FROM recs),
+        |ed0 AS (SELECT DISTINCT a.id AS src, b.id AS dst,
+        |    a.name AS na, b.name AS nb
+        |  FROM rv a JOIN rv b ON b.v = a.v AND a.id < b.id
+        |    AND b.c_nationkey = a.c_nationkey
+        |    AND b.c_acctbal = a.c_acctbal),
+        |ed AS (SELECT src, dst FROM ed0 WHERE levenshtein(na, nb) <= 1),
+        |sym AS (SELECT src AS u, dst AS v FROM ed
+        |  UNION ALL SELECT dst, src FROM ed),
+        |nodes AS (SELECT id AS u FROM recs),
+        |walk(u, l) AS (
+        |  SELECT u, u FROM nodes
+        |  UNION
+        |  SELECT s2.u, w.l FROM walk w JOIN sym s2 ON s2.v = w.u),
+        |comp AS (SELECT u AS id, min(l) AS canonical FROM walk GROUP BY 1),
+        |sz AS (SELECT canonical, cast(count(*) as bigint) AS cluster_size
+        |  FROM comp GROUP BY 1)
+        |SELECT c.id, c.canonical, s.cluster_size, s.cluster_size > 1 AS matched
+        |FROM comp c JOIN sz s USING (canonical) ORDER BY id""".stripMargin,
 
     // deletion-neighborhood candidates + exact levenshtein verify,
     // replayed with list_transform/unnest

@@ -73,7 +73,7 @@ object ScaleBench {
     "s29_ivf_recall_curve", "m11_constellation_match",
     "t44_repetition_rules", "m12_shot_keyframes",
     "st40_stream_constellation", "t45_quality_classifier",
-    "st41_stream_quality_gate")
+    "st41_stream_quality_gate", "q74_entity_resolution")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
