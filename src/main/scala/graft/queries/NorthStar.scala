@@ -1256,18 +1256,26 @@ object NorthStar {
     // on the codebook recipe: deterministic bounded sample -> capped
     // word-frequency table -> driver-local merge training with total
     // tie-breaks (bit-replayable, BpeSpec), then one distributed apply
-    // scan with the KB-scale merge table broadcast. Driver-local
-    // training is not SQL-expressible -> registered rows-only, like
-    // s23; BpeSpec holds the semantic bounds (segments concatenate
-    // back, n_words <= n_bpe <= n_sym, counts monotone in merges).
+    // scan with the KB-scale merge table broadcast. The oracle replays
+    // the ENTIRE training loop in SQL (the s23/s24 end-to-end move):
+    // a recursive CTE carries every word type's segmentation state one
+    // merge step at a time (DuckDB's working-table semantics = the
+    // trainer's iteration), the merge sequence is recovered per step by
+    // the same weighted argmax/tie-break, and a second recursive CTE
+    // replays the ranked greedy segmentation of every corpus word — so
+    // the row is hash-checked end to end, training included. nMerges is
+    // held below the corpus's merge saturation point so the learned
+    // segmentation is genuinely partial (n_words < n_bpe < n_sym) and
+    // the check is discriminative. compression is the raw IEEE division
+    // (never round a float derived from exact integers).
     "t32_bpe_trained" -> { (s, dir) =>
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val merges = BpeTokenizer.trainMergesLocal(docs, "text", "doc_id",
-        nMerges = 200, sampleN = 2048, maxWords = 4096)
+        nMerges = 60, sampleN = 2048, maxWords = 4096)
       BpeTokenizer.tokenCounts(docs, merges, "text", "doc_id")
         .withColumn("compression",
-          round($"n_sym".cast("double") / $"n_bpe", 6))
+          when($"n_bpe" > 0, $"n_sym".cast("double") / $"n_bpe"))
         .orderBy("doc_id")
     },
 
@@ -3130,6 +3138,110 @@ object NorthStar {
            |  round(cast(r5.r as double) / 1e12, 6) AS rank
            |FROM r5 JOIN rep ON rep.h = r5.id
            |ORDER BY rank_fp DESC, token LIMIT 20""".stripMargin,
+
+      // Full BPE TRAINING replay (the s23/s24 end-to-end move): the
+      // first recursive CTE IS the trainer — DuckDB's working-table
+      // semantics (the recursive term sees exactly the previous
+      // iteration's rows) carries every sampled word type's
+      // segmentation state one merge step at a time; each step's chosen
+      // pair is the weighted argmax with the trainer's exact (count
+      // desc, pair asc) tie-break and count>=2 floor. Segmentation
+      // state is a string with every symbol wrapped in chr(1) sentinels
+      // so replace() of the wrapped pair is exactly the trainer's
+      // left-to-right non-overlapping merge scan (a merged token can
+      // never recreate its own pair: ab=a or ab=b would need an empty
+      // symbol). The merge sequence is then recovered per step by
+      // re-running the same argmax over the accumulated states, and a
+      // second recursive CTE replays bpeSegment's leftmost-lowest-rank
+      // greedy loop for every distinct corpus word. Sums cast to
+      // bigint (HUGEINT drift, the t34 lesson); compression is the raw
+      // IEEE division.
+      "t32_bpe_trained" ->
+        """WITH RECURSIVE
+          |doc AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+          |samp AS (SELECT t FROM (
+          |    SELECT t, doc_id,
+          |      (3 * (doc_id % 1000000007) + 8) % 1000000007 AS h FROM doc)
+          |  ORDER BY h, doc_id LIMIT 2048),
+          |wf AS (SELECT w AS word, count(*) AS freq FROM (
+          |    SELECT unnest(string_split_regex(trim(t), '\s+')) AS w FROM samp)
+          |  WHERE w <> '' GROUP BY w ORDER BY freq DESC, word LIMIT 4096),
+          |train AS (
+          |  SELECT word, freq,
+          |    chr(1) || array_to_string(string_split(word, ''),
+          |      chr(1) || chr(1)) || chr(1) AS state,
+          |    0 AS step
+          |  FROM wf
+          |  UNION ALL
+          |  SELECT w.word, w.freq,
+          |    replace(w.state, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
+          |            chr(1) || b.l || b.r || chr(1)),
+          |    w.step + 1
+          |  FROM train w CROSS JOIN (
+          |    SELECT l, r FROM (
+          |      SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS cnt FROM (
+          |        SELECT freq, unnest(list_transform(range(1, len(syms)),
+          |          i -> [syms[i], syms[i + 1]])) AS pr
+          |        FROM (SELECT freq,
+          |            string_split(trim(state, chr(1)), chr(1) || chr(1)) AS syms
+          |          FROM train)
+          |      ) GROUP BY 1, 2
+          |    ) WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1
+          |  ) b
+          |  WHERE w.step < 60
+          |),
+          |steps AS (SELECT freq,
+          |    string_split(trim(state, chr(1)), chr(1) || chr(1)) AS syms, step
+          |  FROM train),
+          |ranks AS (
+          |  SELECT l, r, step AS rank FROM (
+          |    SELECT step, l, r, cnt,
+          |      row_number() OVER (PARTITION BY step ORDER BY cnt DESC, l, r) AS rn
+          |    FROM (
+          |      SELECT step, pr[1] AS l, pr[2] AS r, sum(freq) AS cnt
+          |      FROM (SELECT step, freq, unnest(list_transform(range(1, len(syms)),
+          |              i -> [syms[i], syms[i + 1]])) AS pr FROM steps)
+          |      GROUP BY 1, 2, 3
+          |    ) WHERE cnt >= 2
+          |  ) WHERE rn = 1 AND step < (SELECT max(step) FROM steps)
+          |),
+          |rmap AS (SELECT
+          |  map_from_entries(list({'k': l || chr(1) || r, 'v': rank})) AS m
+          |  FROM ranks),
+          |docw AS (SELECT doc_id, w AS word, count(*) AS n FROM (
+          |    SELECT doc_id, unnest(string_split_regex(trim(t), '\s+')) AS w
+          |    FROM doc)
+          |  WHERE w <> '' GROUP BY doc_id, w),
+          |seg AS (
+          |  SELECT word, string_split(word, '') AS syms, 0 AS it
+          |  FROM (SELECT DISTINCT word FROM docw)
+          |  UNION ALL
+          |  SELECT word,
+          |    list_concat(list_concat(syms[1:best_at - 1],
+          |      [syms[best_at] || syms[best_at + 1]]), syms[best_at + 2:]),
+          |    it + 1
+          |  FROM (
+          |    SELECT word, syms, it, list_min(rks) AS best_rank,
+          |      list_position(rks, list_min(rks)) AS best_at
+          |    FROM (
+          |      SELECT word, syms, it, list_transform(range(1, len(syms)),
+          |        i -> coalesce(m[syms[i] || chr(1) || syms[i + 1]][1],
+          |               2147483647)) AS rks
+          |      FROM seg, rmap WHERE len(syms) > 1)
+          |  ) WHERE best_rank < 2147483647
+          |),
+          |fin AS (SELECT word, arg_max(syms, it) AS syms FROM seg GROUP BY word),
+          |agg AS (
+          |  SELECT d.doc_id, cast(sum(d.n) AS bigint) AS n_words,
+          |    cast(sum(d.n * len(d.word)) AS bigint) AS n_sym,
+          |    cast(sum(d.n * len(f.syms)) AS bigint) AS n_bpe
+          |  FROM docw d JOIN fin f ON f.word = d.word GROUP BY d.doc_id)
+          |SELECT doc.doc_id, coalesce(a.n_words, 0) AS n_words,
+          |  coalesce(a.n_sym, 0) AS n_sym, coalesce(a.n_bpe, 0) AS n_bpe,
+          |  CASE WHEN coalesce(a.n_bpe, 0) > 0
+          |    THEN cast(a.n_sym AS double) / a.n_bpe END AS compression
+          |FROM doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+          |ORDER BY doc.doc_id""".stripMargin,
 
       // KMV sketch-algebra replay: per-source bottom-64 of the spread
       // shingle hashes via list_sort(list(DISTINCT ..))[1:64], pairwise
