@@ -393,6 +393,73 @@ object Similarity {
     ivfTopKCb(corpus, queries, k, cent, nprobe, idCol, vecCol)
   }
 
+  /** BIG-BIG k-NN GRAPH via the IVF-partitioned block join — every
+    * vector's top-k neighbors, the precursor of semantic dedup /
+    * clustering over a whole corpus. Unlike the bounded-query top-k
+    * family ([[ivfTopKTrainedFp]] broadcasts the query side), BOTH
+    * sides here are the full corpus, so nothing is broadcast except
+    * the trained centroid table:
+    *
+    *   1. train the coarse quantizer ([[ivfTrainCentroidsFp]] —
+    *      fixed-point, SQL-replayable, KB-sized asset),
+    *   2. ONE corpus × broadcast-centroids scan ranks each vector's
+    *      `nprobe` nearest lists with a bounded
+    *      [[graft.functions.TopKCosAgg]] state (O(nprobe) per vector,
+    *      partial-aggregatable — no window sort over the n × nlist
+    *      product). List 1 of the ranking IS the IVF assignment, so
+    *      routing both sides costs one aggregation,
+    *   3. the candidate join is a plain shuffle EQUI-join on the list
+    *      id — queries meet exactly the corpus vectors in their probed
+    *      cells, never all-pairs. No broadcast hint: at benchmark
+    *      scale AQE may still pick broadcast, at 100 TB it degrades to
+    *      a shuffled hash join whose key (the cell id) is the physical
+    *      partitioning — skewed cells surface as ordinary AQE join
+    *      skew,
+    *   4. per-query top-k is again the bounded aggregator: per-cell
+    *      candidates fold into O(k) partial states map-side ("per-cell
+    *      exact top-k"), and the final shuffle merges n·nprobe partial
+    *      states instead of n·nprobe·cell_size scored rows.
+    *
+    * Growing nlist ∝ corpus keeps cell populations — and therefore
+    * per-item cost — constant. Tie order everywhere: higher cosine,
+    * then lower id (the board convention, replayed by the oracle).
+    */
+  def ivfKnnGraphTrainedFp(corpus: DataFrame, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN, idCol, vecCol)
+    val cent = broadcast(trained.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("c_id", "c_vec"))
+    val topNp = udaf(new graft.functions.TopKCosAgg(nprobe),
+      ExpressionEncoder[(Long, Double)]())
+    val topK = udaf(new graft.functions.TopKCosAgg(k),
+      ExpressionEncoder[(Long, Double)]())
+    // one scan routes every vector: probes[1] = assignment, probes[1..nprobe]
+    // = the query-side lists (first() is deterministic here — the vec is
+    // identical on every row of an id group by construction)
+    val routed = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .crossJoin(cent)
+      .withColumn("cos_c", cosine(col("vec"), col("c_vec")))
+      .groupBy(col("id"))
+      .agg(topNp(col("c_id"), col("cos_c")).as("probes"),
+        first(col("vec")).as("vec"))
+    val assigned = routed.select(col("id").as("n_id"), col("vec").as("n_vec"),
+      element_at(col("probes"), 1)("_1").as("c_id"))
+    val probes = routed.select(col("id").as("q_id"), col("vec").as("q_vec"),
+      explode(col("probes")("_1")).as("c_id"))
+    probes.join(assigned, Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .groupBy(col("q_id"))
+      .agg(topK(col("n_id"), col("cos")).as("nbrs"))
+      .select(col("q_id"), posexplode(col("nbrs")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space coarsely, then compare pairs ONLY within each
     * cluster — a document is a semantic duplicate when a lower-id

@@ -1197,6 +1197,22 @@ object NorthStar {
       }.reduce(_ unionByName _).orderBy($"nprobe")
     },
 
+    // BIG-BIG k-NN GRAPH — every vector's top-5 neighbors via the
+    // IVF-partitioned block join (both sides routed by the trained
+    // fixed-point quantizer, shuffle equi-join on the cell id, bounded
+    // top-k aggregator merge — never all-pairs, nothing data-sized
+    // broadcast). The one ANN shape the bounded-query family (vec_id<5)
+    // does not cover, and the 100 TB semantic-dedup precursor. The
+    // oracle replays training, routing, probing, and exact ranking
+    // end to end (the s23 contract with the query bound removed).
+    "s30_knn_graph" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfKnnGraphTrainedFp(emb, k = 5, nlist = 32, nprobe = 4)
+        .select($"q_id", $"n_id", $"rnk", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+
     // MATRYOSHKA PREFIX-DIM ANN — coarse cosine over the first 16 of
     // 64 components (a 4x narrower coarse scan; MRL embeddings order
     // information by prefix), top-40 candidates per query, exact
@@ -3780,6 +3796,33 @@ object NorthStar {
            |      row_number() OVER (PARTITION BY e.id
            |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
            |    FROM e, cent c WHERE e.id < 5) t WHERE rn <= 4)
+           |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
+           |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // s30: s23's trained-IVF replay with the query bound REMOVED —
+      // every vector probes its 4 nearest trained lists and ranks
+      // exactly within them; the engine's block join + bounded
+      // aggregator must reproduce this row-for-row
+      "s30_knn_graph" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |asg AS (
+           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
+           |    SELECT e.id, e.v, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |probe AS (
+           |  SELECT q_id, q_vec, c_id FROM (
+           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn <= 4)
            |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
            |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
            |    row_number() OVER (PARTITION BY p.q_id

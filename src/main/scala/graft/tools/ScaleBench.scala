@@ -73,7 +73,7 @@ object ScaleBench {
     "s29_ivf_recall_curve", "m11_constellation_match",
     "t44_repetition_rules", "m12_shot_keyframes",
     "st40_stream_constellation", "t45_quality_classifier",
-    "st41_stream_quality_gate", "q74_entity_resolution")
+    "st41_stream_quality_gate", "q74_entity_resolution", "s30_knn_graph")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -89,6 +89,18 @@ object ScaleBench {
       val n = if (copies <= 1) 32 else 32 * copies
       graft.operators.Similarity.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"), nlist = n, minCos = 0.95)
+    }
+    // s30: same reasoning — the k-NN-graph block join's per-item cost is
+    // nprobe x cell population; production grows nlist with the corpus
+    // so cells stay constant-sized. The training sample stays at its
+    // bounded default (the trainer is a driver-planning step, reference
+    // SURVEY §3.1 class; the hash-order sample spreads over every copy
+    // so the k-center seeds still cover the space).
+    case "s30_knn_graph" => Some { (s, dir) =>
+      val n = if (copies <= 1) 32 else 32 * copies
+      graft.operators.Similarity.ivfKnnGraphTrainedFp(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 5,
+        nlist = n, nprobe = 4)
     }
     case _ => None
   }
