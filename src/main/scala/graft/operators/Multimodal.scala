@@ -390,7 +390,7 @@ object Multimodal {
     * [[constellationPrintsLocal]] — the two MUST stay bit-identical.
     */
   def constellationPrints(src: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", fanOut: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val codes = transform(split(col(textCol), ""), c => ascii(c).cast("long"))
     val frames = src
@@ -420,7 +420,7 @@ object Multimodal {
       .select(col("a.doc_id").as("doc_id"), col("a.f").as("af"),
         col("b.f").as("bf"), col("a.lvl").as("la"), col("b.lvl").as("lb"))
       .withColumn("fo", row_number().over(wp))
-      .filter(col("fo") <= 3)
+      .filter(col("fo") <= fanOut)
       .select(col("doc_id"),
         ((col("la") * 2048 + col("lb")) * 17 + (col("bf") - col("af")))
           .as("hash"),

@@ -2160,6 +2160,54 @@ object NorthStar {
         .orderBy("doc_id", "shot")
     },
 
+    // CONSTELLATION MATCH RECALL as an oracle row (s29/t39's move for
+    // the fingerprint subsystem): the planted ground truth is m11's —
+    // every 25th doc's frame-aligned middle third IS its own source —
+    // and the row reports n_queries / n_matched / recall per
+    // configuration, with BOTH candidate levers measured in the same
+    // row: fan-out 3→6 (twice the anchor-target pairs per peak) and
+    // df-cap 64→256 (4× the posting fan-out allowance). MEASURED
+    // RESULT (sf0.1): recall is 108/158 = 0.684 under every arm — the
+    // misses are print-starved snippets (1-3 prints whose 1-vote tie
+    // the doc_id-asc tie-break loses, plus snippet-edge peaks whose
+    // prints don't exist in the source), so neither lever moves it;
+    // the binding constraint is snippet peak density, not index
+    // geometry. That finding is oracle-checked here, not a PLANS note.
+    "m13_constellation_recall" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Seq((3, 64), (3, 256), (6, 64)).map { case (fo, cap) =>
+        val dp0 = graft.operators.CacheScope.sessionScope(s).own(
+          Multimodal.constellationPrints(docs.select($"doc_id", $"text"),
+            fanOut = fo).persist()) // df aggregate + match join
+        val kept = dp0.groupBy($"hash").agg(count(lit(1)).as("df"))
+          .filter($"df" <= cap).select($"hash")
+        val dp = dp0.join(broadcast(kept), Seq("hash"), "left_semi")
+        val qp = graft.operators.CacheScope.sessionScope(s).own(
+          Multimodal.constellationPrints(
+            docs.filter($"doc_id" % 25 === 0).select($"doc_id",
+              expr("substring(text, ((length(text) div 3) div 8) * 8 + 1," +
+                " length(text) div 3)").as("text")), fanOut = fo)
+          .select($"doc_id".as("q_id"), $"hash", $"t".as("qt"))
+          .persist()) // query-count aggregate + match join
+        val wq = Window.partitionBy($"q_id")
+          .orderBy($"n_aligned".desc, $"doc_id".asc, $"off".asc)
+        val matched = qp.join(dp, "hash")
+          .groupBy($"q_id", $"doc_id", ($"t" - $"qt").as("off"))
+          .agg(count(lit(1)).as("n_aligned"))
+          .withColumn("rn", row_number().over(wq)).filter($"rn" === 1)
+          .filter($"doc_id" === $"q_id")
+          .agg(count(lit(1)).as("n_matched"))
+        qp.agg(countDistinct($"q_id").as("n_queries"))
+          .crossJoin(matched)
+          .select(lit(fo.toLong).as("fan_out"), lit(cap.toLong).as("df_cap"),
+            $"n_queries", $"n_matched",
+            when($"n_queries" > 0,
+              $"n_matched".cast("double") / $"n_queries").as("recall"))
+      }.reduce(_ unionByName _).orderBy($"fan_out", $"df_cap")
+    },
+
     "m10_byte_entropy" -> { (s, dir) =>
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -4843,6 +4891,68 @@ object NorthStar {
            |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
            |    ORDER BY n_aligned DESC, doc_id ASC, off ASC) AS rn FROM m) t
            |WHERE rn = 1 ORDER BY q_id""".stripMargin
+      },
+
+      // m13: m11's chain replayed per lever arm — (fan-out, df-cap) in
+      // {(3,64) registered, (3,256) cap lever, (6,64) fan lever} —
+      // reduced to the planted self-match counts; recall is the raw
+      // IEEE division
+      "m13_constellation_recall" -> {
+        def prSql(p: String, src: String, fanOut: Int) =
+          s"""${p}cs AS (SELECT doc_id, list_transform(string_split(text, ''),
+             |    ch -> cast(ascii(ch) as bigint)) AS cs FROM $src),
+             |${p}fr AS (SELECT doc_id, f,
+             |    cast(list_sum(cs[f*8+1 : f*8+8]) as bigint) AS e
+             |  FROM (SELECT doc_id, cs, unnest(range(0, len(cs) // 8)) AS f
+             |        FROM ${p}cs WHERE len(cs) >= 8) t),
+             |${p}pk AS (SELECT doc_id, f, least(e, 2047) AS lvl FROM (
+             |    SELECT doc_id, f, e,
+             |      lag(e, 1) OVER w AS l1, lag(e, 2) OVER w AS l2,
+             |      lead(e, 1) OVER w AS r1, lead(e, 2) OVER w AS r2
+             |    FROM ${p}fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)) t
+             |  WHERE e > coalesce(l1, -1) AND e > coalesce(l2, -1)
+             |    AND e >= coalesce(r1, -1) AND e >= coalesce(r2, -1)),
+             |${p}pr AS (SELECT doc_id,
+             |    (la * 2048 + lb) * 17 + (bf - af) AS hash, af AS t
+             |  FROM (SELECT a.doc_id, a.f AS af, b.f AS bf,
+             |      a.lvl AS la, b.lvl AS lb,
+             |      row_number() OVER (PARTITION BY a.doc_id, a.f
+             |        ORDER BY b.f) AS fo
+             |    FROM ${p}pk a JOIN ${p}pk b ON b.doc_id = a.doc_id
+             |      AND b.f > a.f AND b.f - a.f <= 16) t
+             |  WHERE fo <= $fanOut)""".stripMargin
+        def armSql(fo: Int, cap: Int) = {
+          val p = s"f${fo}c$cap"
+          s"""${prSql(s"${p}d", "documents", fo)},
+             |${p}qd AS (SELECT doc_id,
+             |    substring(text, ((length(text) // 3) // 8) * 8 + 1,
+             |      length(text) // 3) AS text
+             |  FROM documents WHERE doc_id % 25 = 0),
+             |${prSql(s"${p}q", s"${p}qd", fo)},
+             |${p}dk AS (SELECT hash FROM ${p}dpr GROUP BY hash
+             |  HAVING count(*) <= $cap),
+             |${p}m AS (SELECT q.doc_id AS q_id, d.doc_id, d.t - q.t AS off,
+             |    count(*) AS n_aligned
+             |  FROM ${p}qpr q JOIN ${p}dpr d ON d.hash = q.hash
+             |  JOIN ${p}dk dk ON dk.hash = d.hash GROUP BY 1, 2, 3),
+             |${p}res AS (SELECT cast($fo as bigint) AS fan_out,
+             |    cast($cap as bigint) AS df_cap,
+             |    (SELECT count(DISTINCT doc_id) FROM ${p}qpr) AS n_queries,
+             |    count(*) FILTER (WHERE doc_id = q_id) AS n_matched
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+             |      ORDER BY n_aligned DESC, doc_id ASC, off ASC) AS rn
+             |    FROM ${p}m) t
+             |  WHERE rn = 1)""".stripMargin
+        }
+        s"""WITH ${armSql(3, 64)},
+           |${armSql(3, 256)},
+           |${armSql(6, 64)}
+           |SELECT fan_out, df_cap, n_queries, n_matched,
+           |  CASE WHEN n_queries > 0
+           |    THEN cast(n_matched as double) / n_queries END AS recall
+           |FROM (SELECT * FROM f3c64res UNION ALL SELECT * FROM f3c256res
+           |      UNION ALL SELECT * FROM f6c64res)
+           |ORDER BY fan_out, df_cap""".stripMargin
       },
 
       // byte histogram over ascii codes (the m08 payload convention);
