@@ -377,6 +377,69 @@ object Similarity {
     ivfTopKCb(corpus, queries, k, cent, nprobe, idCol, vecCol)
   }
 
+  /** MULTI-PROBE (soft-assignment) trained IVF — the round-12 recall
+    * ceiling breaker. AnnTrainProbe proved the trained-IVF recall@10 at
+    * nprobe=4 sits EXACTLY on the list-coverage bound: Lloyd
+    * iterations and sample size are saturated, the misses are true
+    * neighbors whose single assigned list the query never probes
+    * (cell-boundary points). Soft assignment indexes every corpus
+    * vector into its `assign` nearest lists, so a boundary neighbor is
+    * reachable from BOTH adjacent cells; the scan budget per query is
+    * nprobe·assign·(n/nlist) candidate rows — (assign=2, nprobe=2)
+    * costs the same scan as the baseline (assign=1, nprobe=4) but
+    * covers the 2×2 list-pair union instead of a 1×4 line
+    * (AnnRecallSpec holds the measured table).
+    *
+    * Dataflow is [[ivfTopKTrainedFp]]'s with two changes: the routing
+    * aggregate keeps `assign` lists per corpus vector (bounded
+    * [[graft.functions.TopKCosAgg]] state, partial-aggregatable), and
+    * candidates dedup on (q_id, n_id) before the exact rank — a
+    * neighbor probed via two shared cells must not occupy two top-k
+    * slots. Same tie conventions as the whole family.
+    */
+  def ivfTopKTrainedFpSoft(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, assign: Int = 2,
+      iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.expressions.Window
+    val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN, idCol, vecCol)
+    val cent = broadcast(trained.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("c_id", "c_vec"))
+    val topA = udaf(new graft.functions.TopKCosAgg(assign),
+      ExpressionEncoder[(Long, Double)]())
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .crossJoin(cent)
+      .withColumn("cos_c", cosine(col("vec"), col("c_vec")))
+      .groupBy(col("id"))
+      .agg(topA(col("c_id"), col("cos_c")).as("lists"),
+        first(col("vec")).as("vec"))
+      .select(col("id").as("n_id"), col("vec").as("n_vec"),
+        explode(col("lists")("_1")).as("c_id"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_q").desc, col("c_id").asc)
+    val probes = queries.select(col(idCol).cast("long").as("q_id"),
+        col(vecCol).as("q_vec"))
+      .crossJoin(cent)
+      .withColumn("cos_q", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("c_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    broadcast(probes).join(assigned, Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+      .dropDuplicates("q_id", "n_id") // shared-cell pairs rank once
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** [[ivfTopK]] with trained spherical-k-means centroids: train on the
     * deterministic sample, then run the identical probed-list search
     * (one broadcast assignment scan, equi-join on the list id, exact

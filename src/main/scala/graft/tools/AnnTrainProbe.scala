@@ -59,6 +59,22 @@ object AnnTrainProbe {
       r(s"trainedFp ivf nprobe=$np",
         Similarity.ivfTopKTrainedFp(emb, queries, k, nlist = 32, nprobe = np))
     }
+    // multi-probe / soft assignment: scan budget per query is
+    // nprobe x assign x (n / nlist) — (2,2) matches the (4,1) baseline
+    for ((np, a) <- Seq((2, 2), (4, 2), (2, 3), (3, 2), (4, 4))) {
+      r(s"trainedFp SOFT nprobe=$np assign=$a (budget ~${np * a}/32)",
+        Similarity.ivfTopKTrainedFpSoft(emb, queries, k, nlist = 32,
+          nprobe = np, assign = a))
+    }
+    // finer quantization at CONSTANT scan fraction (nprobe·assign/nlist
+    // = 1/8 everywhere, the nlist=32/nprobe=4 budget) — the other way
+    // to spend the same scan: more, smaller cells
+    for ((nl, np, a) <- Seq((64, 8, 1), (64, 4, 2), (128, 16, 1), (128, 8, 2))) {
+      r(s"trainedFp nlist=$nl nprobe=$np assign=$a (budget ${np * a}/$nl)",
+        if (a == 1) Similarity.ivfTopKTrainedFp(emb, queries, k, nlist = nl, nprobe = np)
+        else Similarity.ivfTopKTrainedFpSoft(emb, queries, k, nlist = nl,
+          nprobe = np, assign = a))
+    }
     r("residual trainedFp ivfxpq ADC-only (rerankC=0)",
       Similarity.ivfPqTopKResidualTrainedFp(emb, queries, k,
         nlist = 32, nprobe = 4, m = 8, ncode = 32, rerankC = 0))
