@@ -57,10 +57,17 @@ object CacheScope {
   val unmanaged: CacheScope = new CacheScope(false)
 
   /** The default scope: delegates each `own()` to a per-SparkSession
-    * registry (weak-keyed — a stopped, dereferenced session drops its
-    * entry). Everything an operator persists under it is reclaimable
+    * registry. Everything an operator persists under it is reclaimable
     * via [[releaseSession]], so library composition outside the
     * one-shot Verify/Bench drivers cannot accumulate untracked caches.
+    *
+    * Registry lifetime: entries live until [[releaseSession]] empties
+    * them or the underlying SparkContext ends (a listener registered at
+    * first use removes the entry then). The map is weak-KEYED, but that
+    * eviction alone can never fire while a scope holds Datasets — each
+    * tracked Dataset strongly references its SparkSession, so the value
+    * reaches the key; the listener is what actually breaks the cycle
+    * for a process that stops sessions without calling releaseSession.
     */
   val session: CacheScope = new CacheScope(false) {
     override private[graft] def own[T <: Dataset[_]](ds: T): T =
@@ -73,7 +80,27 @@ object CacheScope {
   /** The managed registry scope for `s` (created on first use). */
   def sessionScope(s: SparkSession): CacheScope = perSession.synchronized {
     var sc = perSession.get(s)
-    if (sc == null) { sc = new CacheScope(true); perSession.put(s, sc) }
+    if (sc == null) {
+      sc = new CacheScope(true)
+      perSession.put(s, sc)
+      // Drop every entry of this context when it ends: without this, a
+      // long-lived process that stops and drops sessions would pin each
+      // stopped session (and all its tracked Datasets) forever — the
+      // scope's Dataset refs reach the session, defeating the weak key.
+      val ctx = s.sparkContext
+      ctx.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          perSession.synchronized {
+            val it = perSession.entrySet().iterator()
+            while (it.hasNext) {
+              val en = it.next()
+              if (en.getKey != null && (en.getKey.sparkContext eq ctx))
+                it.remove()
+            }
+          }
+      })
+    }
     sc
   }
 

@@ -256,8 +256,10 @@ object Similarity {
     * left are floor/sqrt/division, all IEEE-exact on these magnitudes:
     *
     *   - quantize: qv_i = floor(x_i · 512) (×2^9 is exact on doubles)
-    *   - seeds: sample points at positions ⌊c·n/nc⌋ of the hash order
-    *     (the hash order is pseudo-random, so the seeds are spread)
+    *   - seeds: farthest-point (k-center) over the ‖·‖≈2^15-renormalized
+    *     sample — seed 0 is the hash-order first point, each next seed
+    *     the point whose max integer dot against the seeds so far is
+    *     smallest (ties → lowest position)
     *   - assign: argmax_c of the integer dot qv·cent_c, ties → lowest c
     *   - update: per-dim integer sums (commutative), renormalized to
     *     ‖c‖ ≈ 2^15 via v_i·32768 / ⌊√‖v‖²⌋ (truncating division —

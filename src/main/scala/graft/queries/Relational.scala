@@ -1878,7 +1878,7 @@ object Relational {
       import s.implicits._
       val ev = graft.operators.CacheScope.sessionScope(s).own(
         events(s, dir)
-          .select($"event_type", expr("cast(value as bigint)").as("v"))
+          .select($"event_type", expr("cast(floor(value) as bigint)").as("v"))
           .persist()) // three passes: median, MAD, outlier count
       val med = ev.groupBy($"event_type")
         .agg(expr("cast(percentile(2 * v, 0.5D) as bigint)").as("med2"),

@@ -1317,7 +1317,7 @@ object Streaming {
   def streamQuantiles(s: SparkSession, dir: String): DataFrame = {
     val fracs = Seq(0.5, 0.9, 0.99)
     val agg = eventStream(s, dir)
-      .select(col("event_type"), expr("cast(value as bigint)").as("v"))
+      .select(col("event_type"), expr("cast(floor(value) as bigint)").as("v"))
       .groupBy(col("event_type"))
       .agg(
         expr("percentile_approx(v, array(0.5D, 0.9D, 0.99D), 1000)")
@@ -1344,7 +1344,7 @@ object Streaming {
   def streamQuantilesChecked(s: SparkSession, dir: String): DataFrame = {
     val est = streamQuantiles(s, dir)
     val vals = graft.sources.Sources.events(s, dir)
-      .select(col("event_type"), expr("cast(value as bigint)").as("v"))
+      .select(col("event_type"), expr("cast(floor(value) as bigint)").as("v"))
     val exact = vals.groupBy(col("event_type"))
       .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("ex"))
       .select(col("event_type"), posexplode(col("ex")))
