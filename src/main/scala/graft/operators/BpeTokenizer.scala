@@ -61,6 +61,28 @@ object BpeTokenizer {
     TextKernels.bpeTrainMerges(
       wordFrequencies(docs, textCol, idCol, sampleN, maxWords).toSeq, nMerges)
 
+  /** Rank lookup for [[countsKernel]] from an ordered merge table. */
+  def ranksOf(merges: Array[(String, String)]): Map[(String, String), Int] =
+    merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+
+  /** Per-document (n_words, n_sym, n_bpe) under the trained ranks —
+    * the ONE kernel behind both the batch apply ([[tokenCounts]]) and
+    * the streaming twin (st42): sharing the code is what makes "stream
+    * counts = batch counts" a structural fact instead of a contract
+    * comment.
+    */
+  def countsKernel(text: String,
+      ranks: collection.Map[(String, String), Int]): (Long, Long, Long) = {
+    val ws = TextKernels.tokens(if (text == null) "" else text).filter(_.nonEmpty)
+    var nSym = 0L
+    var nBpe = 0L
+    ws.foreach { w =>
+      nSym += w.length
+      nBpe += TextKernels.bpeSegment(w, ranks).length
+    }
+    (ws.length.toLong, nSym, nBpe)
+  }
+
   /** Distributed apply: per-doc token counts under the trained merges.
     * One scan, per-row kernel, merge ranks broadcast by closure (KBs);
     * `n_sym` is the pre-merge symbol count (word character count), so
@@ -70,20 +92,13 @@ object BpeTokenizer {
       textCol: String, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
-    val ranks: Map[(String, String), Int] =
-      merges.iterator.zipWithIndex.map { case (p, i) => (p, i) }.toMap
+    val ranks = ranksOf(merges)
     docs
       .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
-        val ws = TextKernels.tokens(if (t == null) "" else t).filter(_.nonEmpty)
-        var nSym = 0L
-        var nBpe = 0L
-        ws.foreach { w =>
-          nSym += w.length
-          nBpe += TextKernels.bpeSegment(w, ranks).length
-        }
-        (id, ws.length.toLong, nSym, nBpe)
+        val (nw, nSym, nBpe) = countsKernel(t, ranks)
+        (id, nw, nSym, nBpe)
       }
       .toDF("doc_id", "n_words", "n_sym", "n_bpe")
   }

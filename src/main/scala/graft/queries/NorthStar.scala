@@ -1261,6 +1261,32 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // MUTUAL-kNN SEMANTIC CLUSTERS — the composition s30 exists for:
+    // keep an edge only when BOTH endpoints rank each other in their
+    // top-k (the standard mutual-kNN graph — parameterless, and robust
+    // to hubness because a hub's one-sided votes are discarded), then
+    // label components with the forced DISTRIBUTED large-star/
+    // small-star arm (driverMaxEdges = 0, q51's convention — the shape
+    // a 100 TB semantic-clustering run needs). Everything upstream is
+    // s30's block join; the mutual filter is one self-equi-join on the
+    // (q_id, n_id) pair; the oracle replays the whole chain plus the
+    // min-label recursive closure.
+    "s32_knn_graph_components" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val knn = graft.operators.CacheScope.sessionScope(s).own(
+        Similarity.ivfKnnGraphTrainedFp(emb, k = 5, nlist = 32, nprobe = 4)
+          .select($"q_id", $"n_id").persist()) // both sides of the mutual join
+      val edges = knn.as("a").join(knn.as("b"),
+          col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id") &&
+            col("a.q_id") < col("a.n_id"))
+        .select(col("a.q_id").as("u"), col("a.n_id").as("v"))
+      graft.operators.ConnectedComponents
+        .assign(edges, emb.select($"vec_id"), driverMaxEdges = 0L)
+        .select($"id".as("vec_id"), $"component")
+        .orderBy("vec_id")
+    },
+
     // MATRYOSHKA PREFIX-DIM ANN — coarse cosine over the first 16 of
     // 64 components (a 4x narrower coarse scan; MRL embeddings order
     // information by prefix), top-40 candidates per query, exact
@@ -2549,6 +2575,15 @@ object NorthStar {
     // fold (weights are column expressions — no state, no table).
     "st41_stream_quality_gate" -> { (s, dir) =>
       graft.streaming.Streaming.streamQualityGate(s, dir)
+        .orderBy("doc_id")
+    },
+
+    // Streaming trained-BPE token counting: t32's tokenizer in-flight —
+    // train once on the static corpus, stream docs through the SHARED
+    // batch/stream counts kernel against the broadcast ranks.
+    // Stateless, append; shares t32's full training-replay oracle.
+    "st42_stream_bpe_tokens" -> { (s, dir) =>
+      graft.streaming.Streaming.streamBpeTokens(s, dir)
         .orderBy("doc_id")
     },
 
@@ -4018,6 +4053,42 @@ object NorthStar {
            |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
            |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // s32: s30's full k-NN-graph replay + the mutual filter + q51's
+      // min-label recursive closure over the undirected mutual edges
+      "s32_knn_graph_components" ->
+        s"""WITH RECURSIVE e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |asg AS (
+           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
+           |    SELECT e.id, e.v, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |probe AS (
+           |  SELECT q_id, q_vec, c_id FROM (
+           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn <= 4),
+           |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
+           |  SELECT p.q_id, a.n_id,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 5),
+           |mu AS (SELECT a.q_id AS u, a.n_id AS v
+           |  FROM knn a JOIN knn b ON b.q_id = a.n_id AND b.n_id = a.q_id
+           |  WHERE a.q_id < a.n_id),
+           |sym AS (SELECT u, v FROM mu UNION ALL SELECT v, u FROM mu),
+           |nodes AS (SELECT id AS u FROM e),
+           |walk(u, l) AS (
+           |  SELECT u, u FROM nodes
+           |  UNION
+           |  SELECT s2.u, w.l FROM walk w JOIN sym s2 ON s2.v = w.u)
+           |SELECT u AS vec_id, min(l) AS component FROM walk
+           |GROUP BY u ORDER BY vec_id""".stripMargin,
 
       // s27: the training chain + assignment + exact integer objective
       "s27_kmeans_train" ->
@@ -5572,6 +5643,9 @@ object NorthStar {
       ("st40_stream_constellation" -> m("m11_constellation_match")) +
       // stateless per-row fold = batch exploded aggregate, same weights
       ("st41_stream_quality_gate" -> m("t45_quality_classifier")) +
+      // shared batch/stream counts kernel -> t32's training-replay
+      // oracle checks the stream verbatim
+      ("st42_stream_bpe_tokens" -> m("t32_bpe_trained")) +
       ("s13_pq_index_probe" -> m("s12_pq_topk")) +
       // SQL-authored spelling of the same eps join — rewrite-preserving
       ("s14_sql_eps_degree" -> m("s03_eps_degree")) +

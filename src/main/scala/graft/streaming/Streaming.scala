@@ -744,6 +744,34 @@ object Streaming {
         (col("score_fp") > 0L).as("keep"))
   }
 
+  /** Streaming trained-BPE token counting (st42): t32's tokenizer
+    * applied in-flight. The merge table trains ONCE on the static
+    * corpus (the build-once KB-scale asset, st08's pattern), then
+    * every streamed doc runs the SAME [[graft.operators.BpeTokenizer
+    * .countsKernel]] the batch apply uses — shared code, so stream
+    * counts = batch counts structurally and batch t32 is the exact
+    * oracle. Stateless per-row map, append mode, zero keyed state.
+    */
+  def streamBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val ranks = graft.operators.BpeTokenizer.ranksOf(
+      graft.operators.BpeTokenizer.trainMergesLocal(docs, "text", "doc_id",
+        nMerges = 60, sampleN = 2048, maxWords = 4096))
+    val counted = graft.sources.Sources.documentsStream(s, dir)
+      .select(col("doc_id").cast("long").as("id"),
+        col("text").cast("string").as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (nw, nSym, nBpe) = graft.operators.BpeTokenizer.countsKernel(t, ranks)
+        (id, nw, nSym, nBpe)
+      }
+      .toDF("doc_id", "n_words", "n_sym", "n_bpe")
+    runToTable(counted, "append")
+      .withColumn("compression",
+        when(col("n_bpe") > 0, col("n_sym").cast("double") / col("n_bpe")))
+  }
+
   /** Streaming semantic dedup — the incremental half of
     * [[graft.operators.Similarity.semanticDedup]] (SemDeDup, Abbas et
     * al. 2023): each incoming vector is coarse-assigned to its cluster

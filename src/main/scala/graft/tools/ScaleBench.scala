@@ -73,7 +73,9 @@ object ScaleBench {
     "s29_ivf_recall_curve", "m11_constellation_match",
     "t44_repetition_rules", "m12_shot_keyframes",
     "st40_stream_constellation", "t45_quality_classifier",
-    "st41_stream_quality_gate", "q74_entity_resolution", "s30_knn_graph")
+    "st41_stream_quality_gate", "q74_entity_resolution", "s30_knn_graph",
+    "s31_ivf_multiprobe", "s32_knn_graph_components", "m13_constellation_recall",
+    "t46_trained_classifier", "st42_stream_bpe_tokens")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -101,6 +103,24 @@ object ScaleBench {
       graft.operators.Similarity.ivfKnnGraphTrainedFp(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 5,
         nlist = n, nprobe = 4)
+    }
+    // s32 composes s30 — same nlist ∝ corpus convention; the mutual
+    // join and star contraction ride on the constant-sized cells
+    case "s32_knn_graph_components" => Some { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val n = if (copies <= 1) 32 else 32 * copies
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val knn = graft.operators.CacheScope.sessionScope(s).own(
+        graft.operators.Similarity.ivfKnnGraphTrainedFp(emb, k = 5,
+          nlist = n, nprobe = 4)
+          .select(col("q_id"), col("n_id")).persist())
+      val edges = knn.as("a").join(knn.as("b"),
+          col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id") &&
+            col("a.q_id") < col("a.n_id"))
+        .select(col("a.q_id").as("u"), col("a.n_id").as("v"))
+      graft.operators.ConnectedComponents
+        .assign(edges, emb.select(col("vec_id")), driverMaxEdges = 0L)
+        .select(col("id").as("vec_id"), col("component"))
     }
     case _ => None
   }

@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s30_knn_graph" -> "one corpus x 32 broadcast trained centroids routing scan (s04's sanctioned quantizer shape); the data-sized candidate join is a shuffle EQUI-join on the cell id, merged by the bounded top-k aggregator",
     "m13_constellation_recall" -> "t30's scalar shape per lever arm: the ONE-ROW query-count aggregate crossJoins the ONE-ROW matched-count aggregate; the data-sized work is m11's df-capped posting equi-join per arm",
     "s31_ivf_multiprobe" -> "s23's sanctioned assignment/probe shape (corpus x 32 broadcast trained centroids) with soft rn<=2 routing; the data-sized join is the c_id equi-join, deduped on (q_id, n_id) before the exact rank",
+    "s32_knn_graph_components" -> "s30's sanctioned routing scan (corpus x 32 broadcast trained centroids); the data-sized joins are the cell-id equi-join, the mutual (q_id, n_id) self-equi-join, and the star-contraction equi-joins",
     "t46_trained_classifier" -> "t23's scalar shape inside the teacher (the per-doc score table joins the broadcast ONE-ROW corpus-mean aggregate); the data-sized work is the exploded feature scan against the 4096-row broadcast trained weight table and the teacher's marginal equi-joins",
     "s12_pq_topk" -> "ADC by construction: one code-table scan x broadcast per-query LUTs (plus the corpus x broadcast codebook encode step)",
     "s13_pq_index_probe" -> "same ADC shape as s12, reading the build-once code asset instead of encoding inline",
