@@ -491,7 +491,8 @@ object Similarity {
     */
   def ivfKnnGraphTrainedFp(corpus: DataFrame, k: Int,
       nlist: Int = 32, nprobe: Int = 4, iters: Int = 10, sampleN: Int = 4096,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
     import corpus.sparkSession.implicits._
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN, idCol, vecCol)
@@ -503,14 +504,18 @@ object Similarity {
       ExpressionEncoder[(Long, Double)]())
     // one scan routes every vector: probes[1] = assignment, probes[1..nprobe]
     // = the query-side lists (first() is deterministic here — the vec is
-    // identical on every row of an id group by construction)
-    val routed = corpus
+    // identical on every row of an id group by construction). Scope-persisted:
+    // both sides of the candidate join derive from it, and without the cache
+    // the O(n·nlist) routing scan runs twice (the .explain showed two full
+    // corpus × centroid aggregation branches under the join).
+    val routed = scope.own(corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .crossJoin(cent)
       .withColumn("cos_c", cosine(col("vec"), col("c_vec")))
       .groupBy(col("id"))
       .agg(topNp(col("c_id"), col("cos_c")).as("probes"),
         first(col("vec")).as("vec"))
+      .persist())
     val assigned = routed.select(col("id").as("n_id"), col("vec").as("n_vec"),
       element_at(col("probes"), 1)("_1").as("c_id"))
     val probes = routed.select(col("id").as("q_id"), col("vec").as("q_vec"),
