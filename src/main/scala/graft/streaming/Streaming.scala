@@ -758,7 +758,15 @@ object Streaming {
     val ranks = graft.operators.BpeTokenizer.ranksOf(
       graft.operators.BpeTokenizer.trainMergesLocal(docs, "text", "doc_id",
         nMerges = 60, sampleN = 2048, maxWords = 4096))
+    // A file-stream source emits one task per FILE per micro-batch (no
+    // intra-file splitting, unlike the batch scan) — a single large
+    // file would serialize the segmentation kernel onto one core. The
+    // kernel is the expensive step here, so redistribute first: the
+    // row shuffle costs far less than single-threading O(len²) BPE
+    // segmentation (the st42 30× ladder measured 1.73 per-item without
+    // this, 10× worse than batch t32 on identical work).
     val counted = graft.sources.Sources.documentsStream(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id").cast("long").as("id"),
         col("text").cast("string").as("t"))
       .as[(Long, String)]
