@@ -17,8 +17,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * (window-rank top-k) and n·nprobe·k.
   *
   * Tie order matches the board convention everywhere (higher score
-  * wins, then lower id); NaN scores never displace a real entry
-  * (every comparison against NaN is false).
+  * wins, then lower id). NaN scores are REJECTED at reduce: admitted
+  * into a buffer they would be unorderable — a NaN tail entry makes
+  * every later `before` comparison false and silently blocks real
+  * entries (caught by KnnGraphSpec's NaN test on the first cut).
   */
 final class TopKCosAgg(k: Int)
     extends Aggregator[(Long, Double), (Array[Long], Array[Double]),
@@ -36,6 +38,7 @@ final class TopKCosAgg(k: Int)
       in: (Long, Double)): (Array[Long], Array[Double]) = {
     val (ids, ss) = buf
     val (id, s) = in
+    if (s.isNaN) return buf
     val n = ids.length
     if (n == k && !before(s, id, ss(n - 1), ids(n - 1))) return buf
     // first position whose entry sorts after the new one
