@@ -415,6 +415,7 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .crossJoin(cent)
       .withColumn("cos_c", cosine(col("vec"), col("c_vec")))
+      .filter(col("cos_c").isNotNull) // zero-norm vectors: see ivfKnnGraphTrainedFp
       .groupBy(col("id"))
       .agg(topA(col("c_id"), col("cos_c")).as("lists"),
         first(col("vec")).as("vec"))
@@ -508,10 +509,16 @@ object Similarity {
     // both sides of the candidate join derive from it, and without the cache
     // the O(n·nlist) routing scan runs twice (the .explain showed two full
     // corpus × centroid aggregation branches under the join).
+    // NULL cosines (zero-norm vectors: x/0 is NULL in Spark) are
+    // filtered before every bounded aggregation — the typed (Long,
+    // Double) input cannot carry null, and a zero vector has no
+    // meaningful cosine neighbors anyway (the window-path family ranks
+    // them last for the same reason).
     val routed = scope.own(corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .crossJoin(cent)
       .withColumn("cos_c", cosine(col("vec"), col("c_vec")))
+      .filter(col("cos_c").isNotNull)
       .groupBy(col("id"))
       .agg(topNp(col("c_id"), col("cos_c")).as("probes"),
         first(col("vec")).as("vec"))
@@ -523,6 +530,7 @@ object Similarity {
     probes.join(assigned, Seq("c_id"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .filter(col("cos").isNotNull)
       .groupBy(col("q_id"))
       .agg(topK(col("n_id"), col("cos")).as("nbrs"))
       .select(col("q_id"), posexplode(col("nbrs")))
