@@ -1287,6 +1287,46 @@ object NorthStar {
         .orderBy("vec_id")
     },
 
+    // MARGIN-BASED PAIR SCORING — the CCMatrix/LASER ratio-margin
+    // criterion (Artetxe & Schwenk ACL'19; Schwenk et al. 2021) over
+    // s30's big-big k-NN graph: a candidate pair is kept by how much
+    // CLOSER the two vectors are than their OWN neighborhoods —
+    // margin(x,y) = cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2) — the
+    // standard mined-pair filter at corpus scale (an absolute cosine
+    // gate misses hub vectors whose entire neighborhood is close and
+    // over-keeps isolated ones). Arithmetic is exact-integer from the
+    // 6-dp cosines (cos_fp = round(cos·1e6)): the per-vector
+    // neighborhood sums are commutative bigint aggregates, the margin
+    // is ONE double division of exact integers, and the keep gate
+    // (margin >= 1.02) is cross-multiplied so it never compares
+    // floats. Dataflow: the s30 graph once (scope-persisted — the
+    // stats aggregate and the pair join both read it), one k-bounded
+    // aggregate, two equi-joins back on the vector id. Nothing
+    // data-sized broadcasts; at 100 TB every stage keys on the vector
+    // id and moves O(n·k) rows.
+    "s34_margin_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val knn = graft.operators.CacheScope.sessionScope(s).own(
+        Similarity.ivfKnnGraphTrainedFp(emb, k = 5, nlist = 32, nprobe = 4)
+          .withColumn("cos_fp", round($"cos_sim" * 1e6).cast("long"))
+          .persist()) // stats aggregate + pair join both read it
+      val stats = knn.groupBy($"q_id").agg(
+        sum($"cos_fp").as("s"), count(lit(1)).as("c"))
+      val sx = stats.select($"q_id", $"s".as("s_q"), $"c".as("c_q"))
+      val sy = stats.select($"q_id".as("n_id"), $"s".as("s_n"),
+        $"c".as("c_n"))
+      knn.join(sx, Seq("q_id")).join(sy, Seq("n_id"))
+        .withColumn("num", lit(2L) * $"cos_fp" * $"c_q" * $"c_n")
+        .withColumn("den", $"s_q" * $"c_n" + $"s_n" * $"c_q")
+        .select($"q_id", $"n_id", $"rnk", $"cos_sim",
+          when($"den" > 0L,
+            round($"num".cast("double") / $"den".cast("double"), 6))
+            .as("margin"),
+          ($"den" > 0L && $"num" * 100L >= $"den" * 102L).as("keep"))
+        .orderBy("q_id", "rnk")
+    },
+
     // MATRYOSHKA PREFIX-DIM ANN — coarse cosine over the first 16 of
     // 64 components (a 4x narrower coarse scan; MRL embeddings order
     // information by prefix), top-40 candidates per query, exact
@@ -4089,6 +4129,45 @@ object NorthStar {
            |  SELECT s2.u, w.l FROM walk w JOIN sym s2 ON s2.v = w.u)
            |SELECT u AS vec_id, min(l) AS component FROM walk
            |GROUP BY u ORDER BY vec_id""".stripMargin,
+
+      // s34: s30's full k-NN-graph replay + the ratio-margin readout —
+      // neighborhood sums over 6-dp fixed-point cosines (exact bigint),
+      // margin = one double division, keep gate cross-multiplied
+      "s34_margin_pairs" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |asg AS (
+           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
+           |    SELECT e.id, e.v, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |probe AS (
+           |  SELECT q_id, q_vec, c_id FROM (
+           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn <= 4),
+           |knn AS MATERIALIZED (SELECT q_id, n_id, rn AS rnk, cos_sim,
+           |  cast(round(cos_sim * 1000000) as bigint) AS cos_fp FROM (
+           |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 5),
+           |st AS (SELECT q_id AS id, sum(cos_fp) AS s, count(*) AS c
+           |  FROM knn GROUP BY 1)
+           |SELECT k.q_id, k.n_id, k.rnk, k.cos_sim,
+           |  CASE WHEN sx.s * sy.c + sy.s * sx.c > 0 THEN
+           |    round(cast(2 * k.cos_fp * sx.c * sy.c as double) /
+           |          cast(sx.s * sy.c + sy.s * sx.c as double), 6) END AS margin,
+           |  sx.s * sy.c + sy.s * sx.c > 0 AND
+           |    2 * k.cos_fp * sx.c * sy.c * 100 >=
+           |      (sx.s * sy.c + sy.s * sx.c) * 102 AS keep
+           |FROM knn k JOIN st sx ON sx.id = k.q_id
+           |JOIN st sy ON sy.id = k.n_id
+           |ORDER BY q_id, rnk""".stripMargin,
 
       // s27: the training chain + assignment + exact integer objective
       "s27_kmeans_train" ->
