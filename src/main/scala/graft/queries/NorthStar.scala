@@ -1327,6 +1327,24 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // JL RANDOM-PROJECTION ANN — the dimensionality-reduction arm the
+    // quantization family lacks: a data-independent Achlioptas ±1
+    // projection 64→16 (regenerated from indices — no stored matrix),
+    // integer-exact projected L2 as the coarse order (no sqrt, no
+    // float fold), exact full-dim cosine rerank of the top-40. Unlike
+    // s22's matryoshka prefix it needs NO cooperation from the
+    // embedding model, and unlike PQ it needs no training. One
+    // map-only projection scan + the two-stage rerank engine.
+    "s33_jl_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.jlTopK(emb, emb.filter($"vec_id" < 5), k = 5,
+          dims = 64, targetDims = 16, cand = 40)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"),
+          $"pre_d2", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+
     // MATRYOSHKA PREFIX-DIM ANN — coarse cosine over the first 16 of
     // 64 components (a 4x narrower coarse scan; MRL embeddings order
     // information by prefix), top-40 candidates per query, exact
@@ -4543,6 +4561,38 @@ object NorthStar {
 
       // prefix-16 coarse cosine (same sequential fold over the first 16
       // components), top-40 candidates, exact full-dim rerank
+      // s33: JL ±1 projection replay — integer-quantized inputs
+      // (floor(x·2^20)), sign(i,j) from the Knuth mix, exact-integer
+      // projected L2 coarse order, exact cosine rerank
+      "s33_jl_topk" -> {
+        val d2 = (a: String, b: String) =>
+          s"""cast(list_sum(list_transform(range(1, 17),
+             |      j -> ($a[j] - $b[j]) * ($a[j] - $b[j]))) as bigint)""".stripMargin
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |jl AS (SELECT id, v, list_transform(range(0, 16),
+           |    j -> cast(list_sum(list_transform(range(0, 64),
+           |      i -> cast(floor(v[i+1] * 1048576) as bigint) *
+           |        (CASE WHEN ((xor((i*16 + j + 1) * 2654435761 % 2147483648,
+           |             ((i*16 + j + 1) * 2654435761 % 2147483648) >> 13)
+           |           * 1274126177 % 2147483648) >> 7) % 2 = 0
+           |         THEN 1 ELSE -1 END)))
+           |      as bigint)) AS y FROM e),
+           |cand AS (SELECT * FROM (
+           |  SELECT q.id AS q_id, q.v AS qv, n.id AS n_id, n.v AS nv,
+           |    ${d2("q.y", "n.y")} AS pre_d2,
+           |    row_number() OVER (PARTITION BY q.id
+           |      ORDER BY ${d2("q.y", "n.y")} ASC, n.id ASC) AS crn
+           |  FROM jl q JOIN jl n ON n.id <> q.id WHERE q.id < 5) t
+           |  WHERE crn <= 40)
+           |SELECT q_id, n_id, rn AS rnk, pre_d2, cos_sim FROM (
+           |  SELECT q_id, n_id, pre_d2, round(${cosSql("qv", "nv")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY ${cosSql("qv", "nv")} DESC, n_id ASC) AS rn
+           |  FROM cand) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
+
       "s22_matryoshka" -> {
         val preCos = (a: String, b: String) =>
           s"""(list_reduce(list_transform(range(1,17), i -> $a[i]*$b[i]), (x,y)->x+y) /
