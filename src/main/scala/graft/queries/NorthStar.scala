@@ -1976,6 +1976,59 @@ object NorthStar {
         .orderBy($"id_a", $"id_b")
     },
 
+    // INCREMENTAL AGGREGATE MAINTENANCE — the don't-rescan-the-corpus
+    // arm of d18's versioning story: per-source stats for corpus v2
+    // derived from the STORED v1 aggregate plus the CHANGE FEED only
+    // (adds/removes/modifies as signed deltas), never from a v2 scan —
+    // at 100 TB the nightly ingest touches O(|delta| + |sources|)
+    // rows where a recompute reads everything. The v2 snapshot is
+    // d18's (drop %13, modify %7 → +3 chars, add %11 under new ids);
+    // deltas aggregate per source with commutative integer sums, the
+    // maintained result full-outer-joins the stored v1 stats, and the
+    // direct v2 recompute rides along as the witness — `consistent`
+    // proves delta-maintenance ≡ recompute row by row (the query IS
+    // the incremental-view-maintenance correctness check).
+    "d20_incremental_stats" -> { (s, dir) =>
+      import s.implicits._
+      val base = s.read.parquet(s"$dir/documents.parquet")
+      val v1 = base.select($"doc_id", $"source", length($"text").as("len"))
+      val v2 = base.filter($"doc_id" % 13 =!= 0)
+        .select($"doc_id", $"source",
+          (length($"text") + when($"doc_id" % 7 === 0, 3).otherwise(0))
+            .as("len"))
+        .unionByName(base.filter($"doc_id" % 11 === 0)
+          .select(($"doc_id" + 200000).as("doc_id"), $"source",
+            (length($"text") + 4).as("len")))
+      val statsV1 = v1.groupBy($"source")
+        .agg(count(lit(1)).as("n1"), sum($"len").cast("long").as("l1"))
+      val delta = v1.select($"doc_id", $"source".as("src1"), $"len".as("len1"))
+        .join(v2.select($"doc_id", $"source".as("src2"), $"len".as("len2")),
+          Seq("doc_id"), "full_outer")
+        .filter($"len1".isNull || $"len2".isNull || $"len1" =!= $"len2")
+        .select(coalesce($"src1", $"src2").as("source"),
+          (when($"len1".isNull, 1L).when($"len2".isNull, -1L).otherwise(0L))
+            .as("dn"),
+          (coalesce($"len2", lit(0)) - coalesce($"len1", lit(0)))
+            .cast("long").as("dl"))
+        .groupBy($"source")
+        .agg(sum($"dn").as("dn"), sum($"dl").as("dl"))
+      val incr = statsV1.join(delta, Seq("source"), "full_outer")
+        .select($"source",
+          (coalesce($"n1", lit(0L)) + coalesce($"dn", lit(0L)))
+            .as("n_docs_incr"),
+          (coalesce($"l1", lit(0L)) + coalesce($"dl", lit(0L)))
+            .as("sum_len_incr"))
+      val full = v2.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs_full"),
+          sum($"len").cast("long").as("sum_len_full"))
+      incr.join(full, Seq("source"), "full_outer")
+        .select($"source", $"n_docs_incr", $"sum_len_incr",
+          $"n_docs_full", $"sum_len_full",
+          ($"n_docs_incr" === $"n_docs_full" &&
+            $"sum_len_incr" === $"sum_len_full").as("consistent"))
+        .orderBy("source")
+    },
+
     // Dedup-subsystem EVALUATION as an oracle row — measured recall of
     // the d04 MinHash-LSH candidate generator against exact ground
     // truth: every planted (doc, 80%-mutant) pair's TRUE shingle
@@ -4953,6 +5006,39 @@ object NorthStar {
           |  round(CASE WHEN nb > 0
           |    THEN cast(n_active as double) / nb ELSE 0.0 END, 6) AS active_frac
           |FROM s ORDER BY doc_id""".stripMargin,
+
+      // d20: delta-maintained per-source stats vs the v2 recompute —
+      // signed deltas from the change feed, stored-v1 + delta = full
+      "d20_incremental_stats" ->
+        """WITH v1 AS (SELECT doc_id, source, length(text) AS len
+          |  FROM documents),
+          |v2 AS (SELECT doc_id, source,
+          |    length(text) + CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 0 END AS len
+          |  FROM documents WHERE doc_id % 13 <> 0
+          |  UNION ALL SELECT doc_id + 200000, source, length(text) + 4
+          |  FROM documents WHERE doc_id % 11 = 0),
+          |s1 AS (SELECT source, count(*) AS n1, cast(sum(len) as bigint) AS l1
+          |  FROM v1 GROUP BY 1),
+          |d AS (SELECT coalesce(a.source, b.source) AS source,
+          |    sum(CASE WHEN a.doc_id IS NULL THEN 1
+          |      WHEN b.doc_id IS NULL THEN -1 ELSE 0 END) AS dn,
+          |    cast(sum(coalesce(b.len, 0) - coalesce(a.len, 0)) as bigint) AS dl
+          |  FROM v1 a FULL JOIN v2 b USING (doc_id)
+          |  WHERE a.len IS NULL OR b.len IS NULL OR a.len <> b.len
+          |  GROUP BY 1),
+          |i AS (SELECT coalesce(s1.source, d.source) AS source,
+          |    cast(coalesce(n1, 0) + coalesce(dn, 0) as bigint) AS n_docs_incr,
+          |    cast(coalesce(l1, 0) + coalesce(dl, 0) as bigint) AS sum_len_incr
+          |  FROM s1 FULL JOIN d USING (source)),
+          |f AS (SELECT source, count(*) AS n_docs_full,
+          |    cast(sum(len) as bigint) AS sum_len_full
+          |  FROM v2 GROUP BY 1)
+          |SELECT coalesce(i.source, f.source) AS source,
+          |  n_docs_incr, sum_len_incr, n_docs_full, sum_len_full,
+          |  n_docs_incr = n_docs_full AND sum_len_incr = sum_len_full
+          |    AS consistent
+          |FROM i FULL JOIN f USING (source)
+          |ORDER BY source""".stripMargin,
 
       "d18_snapshot_diff" ->
         """WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
