@@ -110,6 +110,97 @@ object NorthStar {
        |  i -> list_aggregate(list_transform(shs, s -> ((i*2+1)*s + i*i + 7) % $P), 'min')) AS mh
        |  FROM (SELECT id, list(sh) AS shs FROM sh GROUP BY id))""".stripMargin
 
+  /** Shared t32/t47 oracle prefix: the FULL BPE training replay —
+    * deterministic sample, word-freq table, 60 recursive merge
+    * rounds (DuckDB working-table semantics = the trainer
+    * iteration), rank extraction, and the per-word greedy
+    * segmentation replay — ending in CTEs `doc(doc_id, t)`,
+    * `docw`, `fin`, and `agg(doc_id, n_words, n_sym, n_bpe)`.
+    * Readouts differ: t32 reports per doc, t47 aggregates per
+    * source.
+    */
+  private val bpeReplaySql: String =
+    """WITH RECURSIVE
+          |doc AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+          |samp AS (SELECT t FROM (
+          |    SELECT t, doc_id,
+          |      (3 * (doc_id % 1000000007) + 8) % 1000000007 AS h FROM doc)
+          |  ORDER BY h, doc_id LIMIT 2048),
+          |wf AS (SELECT w AS word, count(*) AS freq FROM (
+          |    SELECT unnest(string_split_regex(trim(t), '\s+')) AS w FROM samp)
+          |  WHERE w <> '' GROUP BY w ORDER BY freq DESC, word LIMIT 4096),
+          |train AS (
+          |  SELECT word, freq,
+          |    chr(1) || array_to_string(string_split(word, ''),
+          |      chr(1) || chr(1)) || chr(1) AS state,
+          |    0 AS step
+          |  FROM wf
+          |  UNION ALL
+          |  SELECT w.word, w.freq,
+          |    replace(w.state, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
+          |            chr(1) || b.l || b.r || chr(1)),
+          |    w.step + 1
+          |  FROM train w CROSS JOIN (
+          |    SELECT l, r FROM (
+          |      SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS cnt FROM (
+          |        SELECT freq, unnest(list_transform(range(1, len(syms)),
+          |          i -> [syms[i], syms[i + 1]])) AS pr
+          |        FROM (SELECT freq,
+          |            string_split(trim(state, chr(1)), chr(1) || chr(1)) AS syms
+          |          FROM train)
+          |      ) GROUP BY 1, 2
+          |    ) WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1
+          |  ) b
+          |  WHERE w.step < 60
+          |),
+          |steps AS (SELECT freq,
+          |    string_split(trim(state, chr(1)), chr(1) || chr(1)) AS syms, step
+          |  FROM train),
+          |ranks AS (
+          |  SELECT l, r, step AS rank FROM (
+          |    SELECT step, l, r, cnt,
+          |      row_number() OVER (PARTITION BY step ORDER BY cnt DESC, l, r) AS rn
+          |    FROM (
+          |      SELECT step, pr[1] AS l, pr[2] AS r, sum(freq) AS cnt
+          |      FROM (SELECT step, freq, unnest(list_transform(range(1, len(syms)),
+          |              i -> [syms[i], syms[i + 1]])) AS pr FROM steps)
+          |      GROUP BY 1, 2, 3
+          |    ) WHERE cnt >= 2
+          |  ) WHERE rn = 1 AND step < (SELECT max(step) FROM steps)
+          |),
+          |rmap AS (SELECT
+          |  map_from_entries(list({'k': l || chr(1) || r, 'v': rank})) AS m
+          |  FROM ranks),
+          |docw AS (SELECT doc_id, w AS word, count(*) AS n FROM (
+          |    SELECT doc_id, unnest(string_split_regex(trim(t), '\s+')) AS w
+          |    FROM doc)
+          |  WHERE w <> '' GROUP BY doc_id, w),
+          |seg AS (
+          |  SELECT word, string_split(word, '') AS syms, 0 AS it
+          |  FROM (SELECT DISTINCT word FROM docw)
+          |  UNION ALL
+          |  SELECT word,
+          |    list_concat(list_concat(syms[1:best_at - 1],
+          |      [syms[best_at] || syms[best_at + 1]]), syms[best_at + 2:]),
+          |    it + 1
+          |  FROM (
+          |    SELECT word, syms, it, list_min(rks) AS best_rank,
+          |      list_position(rks, list_min(rks)) AS best_at
+          |    FROM (
+          |      SELECT word, syms, it, list_transform(range(1, len(syms)),
+          |        i -> coalesce(m[syms[i] || chr(1) || syms[i + 1]][1],
+          |               2147483647)) AS rks
+          |      FROM seg, rmap WHERE len(syms) > 1)
+          |  ) WHERE best_rank < 2147483647
+          |),
+          |fin AS (SELECT word, arg_max(syms, it) AS syms FROM seg GROUP BY word),
+          |agg AS (
+          |  SELECT d.doc_id, cast(sum(d.n) AS bigint) AS n_words,
+          |    cast(sum(d.n * len(d.word)) AS bigint) AS n_sym,
+          |    cast(sum(d.n * len(f.syms)) AS bigint) AS n_bpe
+          |  FROM docw d JOIN fin f ON f.word = d.word GROUP BY d.doc_id)
+      |""".stripMargin
+
   // ---------- queries ----------
 
   /** The end-to-end curation pipeline behind t17, reusable with a
@@ -1425,6 +1516,37 @@ object NorthStar {
         .withColumn("compression",
           when($"n_bpe" > 0, $"n_sym".cast("double") / $"n_bpe"))
         .orderBy("doc_id")
+    },
+
+    // TOKENIZER FITNESS BY SOURCE — the evaluation table a tokenizer
+    // owner actually reads: per-source compression (chars/token) and
+    // fertility (tokens/word) under the t32-trained BPE merges. A
+    // domain whose compression sits far below the corpus mean is
+    // under-served by the vocabulary (its text shatters into single
+    // symbols) — the signal that drives domain re-training or vocab
+    // extension in production pipelines. Same trained ranks, same
+    // shared countsKernel, ONE apply scan + one |sources|-row
+    // aggregate of exact integer counts; each ratio is ONE double
+    // division at readout. The oracle replays the full training then
+    // aggregates the same per-doc counts per source.
+    "t47_tokenizer_fitness" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = BpeTokenizer.trainMergesLocal(docs, "text", "doc_id",
+        nMerges = 60, sampleN = 2048, maxWords = 4096)
+      BpeTokenizer.tokenCounts(docs, merges, "text", "doc_id")
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words").as("n_words"),
+          sum($"n_sym").as("n_sym"),
+          sum($"n_bpe").as("n_bpe"))
+        .select($"source", $"n_docs", $"n_words", $"n_sym", $"n_bpe",
+          when($"n_bpe" > 0L, $"n_sym".cast("double") / $"n_bpe")
+            .as("compression"),
+          when($"n_words" > 0L, $"n_bpe".cast("double") / $"n_words")
+            .as("fertility"))
+        .orderBy("source")
     },
 
     // KMV SKETCH ALGEBRA — the cross-source corpus-overlap matrix from
@@ -3477,92 +3599,31 @@ object NorthStar {
       // greedy loop for every distinct corpus word. Sums cast to
       // bigint (HUGEINT drift, the t34 lesson); compression is the raw
       // IEEE division.
-      "t32_bpe_trained" ->
-        """WITH RECURSIVE
-          |doc AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-          |samp AS (SELECT t FROM (
-          |    SELECT t, doc_id,
-          |      (3 * (doc_id % 1000000007) + 8) % 1000000007 AS h FROM doc)
-          |  ORDER BY h, doc_id LIMIT 2048),
-          |wf AS (SELECT w AS word, count(*) AS freq FROM (
-          |    SELECT unnest(string_split_regex(trim(t), '\s+')) AS w FROM samp)
-          |  WHERE w <> '' GROUP BY w ORDER BY freq DESC, word LIMIT 4096),
-          |train AS (
-          |  SELECT word, freq,
-          |    chr(1) || array_to_string(string_split(word, ''),
-          |      chr(1) || chr(1)) || chr(1) AS state,
-          |    0 AS step
-          |  FROM wf
-          |  UNION ALL
-          |  SELECT w.word, w.freq,
-          |    replace(w.state, chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
-          |            chr(1) || b.l || b.r || chr(1)),
-          |    w.step + 1
-          |  FROM train w CROSS JOIN (
-          |    SELECT l, r FROM (
-          |      SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS cnt FROM (
-          |        SELECT freq, unnest(list_transform(range(1, len(syms)),
-          |          i -> [syms[i], syms[i + 1]])) AS pr
-          |        FROM (SELECT freq,
-          |            string_split(trim(state, chr(1)), chr(1) || chr(1)) AS syms
-          |          FROM train)
-          |      ) GROUP BY 1, 2
-          |    ) WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1
-          |  ) b
-          |  WHERE w.step < 60
-          |),
-          |steps AS (SELECT freq,
-          |    string_split(trim(state, chr(1)), chr(1) || chr(1)) AS syms, step
-          |  FROM train),
-          |ranks AS (
-          |  SELECT l, r, step AS rank FROM (
-          |    SELECT step, l, r, cnt,
-          |      row_number() OVER (PARTITION BY step ORDER BY cnt DESC, l, r) AS rn
-          |    FROM (
-          |      SELECT step, pr[1] AS l, pr[2] AS r, sum(freq) AS cnt
-          |      FROM (SELECT step, freq, unnest(list_transform(range(1, len(syms)),
-          |              i -> [syms[i], syms[i + 1]])) AS pr FROM steps)
-          |      GROUP BY 1, 2, 3
-          |    ) WHERE cnt >= 2
-          |  ) WHERE rn = 1 AND step < (SELECT max(step) FROM steps)
-          |),
-          |rmap AS (SELECT
-          |  map_from_entries(list({'k': l || chr(1) || r, 'v': rank})) AS m
-          |  FROM ranks),
-          |docw AS (SELECT doc_id, w AS word, count(*) AS n FROM (
-          |    SELECT doc_id, unnest(string_split_regex(trim(t), '\s+')) AS w
-          |    FROM doc)
-          |  WHERE w <> '' GROUP BY doc_id, w),
-          |seg AS (
-          |  SELECT word, string_split(word, '') AS syms, 0 AS it
-          |  FROM (SELECT DISTINCT word FROM docw)
-          |  UNION ALL
-          |  SELECT word,
-          |    list_concat(list_concat(syms[1:best_at - 1],
-          |      [syms[best_at] || syms[best_at + 1]]), syms[best_at + 2:]),
-          |    it + 1
-          |  FROM (
-          |    SELECT word, syms, it, list_min(rks) AS best_rank,
-          |      list_position(rks, list_min(rks)) AS best_at
-          |    FROM (
-          |      SELECT word, syms, it, list_transform(range(1, len(syms)),
-          |        i -> coalesce(m[syms[i] || chr(1) || syms[i + 1]][1],
-          |               2147483647)) AS rks
-          |      FROM seg, rmap WHERE len(syms) > 1)
-          |  ) WHERE best_rank < 2147483647
-          |),
-          |fin AS (SELECT word, arg_max(syms, it) AS syms FROM seg GROUP BY word),
-          |agg AS (
-          |  SELECT d.doc_id, cast(sum(d.n) AS bigint) AS n_words,
-          |    cast(sum(d.n * len(d.word)) AS bigint) AS n_sym,
-          |    cast(sum(d.n * len(f.syms)) AS bigint) AS n_bpe
-          |  FROM docw d JOIN fin f ON f.word = d.word GROUP BY d.doc_id)
+      "t32_bpe_trained" -> (bpeReplaySql +
+        """
           |SELECT doc.doc_id, coalesce(a.n_words, 0) AS n_words,
           |  coalesce(a.n_sym, 0) AS n_sym, coalesce(a.n_bpe, 0) AS n_bpe,
           |  CASE WHEN coalesce(a.n_bpe, 0) > 0
           |    THEN cast(a.n_sym AS double) / a.n_bpe END AS compression
           |FROM doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
-          |ORDER BY doc.doc_id""".stripMargin,
+          |ORDER BY doc.doc_id""".stripMargin),
+
+      // t47: the same training replay, aggregated per source — exact
+      // integer count sums, one double division per ratio
+      "t47_tokenizer_fitness" -> (bpeReplaySql +
+        """
+          |SELECT d.source, count(*) AS n_docs,
+          |  cast(sum(coalesce(a.n_words, 0)) as bigint) AS n_words,
+          |  cast(sum(coalesce(a.n_sym, 0)) as bigint) AS n_sym,
+          |  cast(sum(coalesce(a.n_bpe, 0)) as bigint) AS n_bpe,
+          |  CASE WHEN sum(coalesce(a.n_bpe, 0)) > 0 THEN
+          |    cast(sum(coalesce(a.n_sym, 0)) as double) /
+          |      sum(coalesce(a.n_bpe, 0)) END AS compression,
+          |  CASE WHEN sum(coalesce(a.n_words, 0)) > 0 THEN
+          |    cast(sum(coalesce(a.n_bpe, 0)) as double) /
+          |      sum(coalesce(a.n_words, 0)) END AS fertility
+          |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+          |GROUP BY 1 ORDER BY source""".stripMargin),
 
       // KMV sketch-algebra replay: per-source bottom-64 of the spread
       // shingle hashes via list_sort(list(DISTINCT ..))[1:64], pairwise
