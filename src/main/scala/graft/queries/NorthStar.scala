@@ -2832,6 +2832,15 @@ object NorthStar {
 
     "st37_stream_trend" -> { (s, dir) =>
       graft.streaming.Streaming.streamTrend(s, dir)
+    },
+
+    // STREAMING INCREMENTAL VIEW MAINTENANCE — d20's change feed live:
+    // stateless per-row delta events, |sources|-row complete-mode
+    // state, readout = stored v1 aggregate + streamed deltas. The
+    // oracle recomputes v2 per source from scratch; maintained must
+    // equal recomputed.
+    "st43_stream_ivm" -> { (s, dir) =>
+      graft.streaming.Streaming.streamIncrementalStats(s, dir)
     })
 
   // ---------- oracles ----------
@@ -5067,6 +5076,17 @@ object NorthStar {
           |  round(CASE WHEN nb > 0
           |    THEN cast(n_active as double) / nb ELSE 0.0 END, 6) AS active_frac
           |FROM s ORDER BY doc_id""".stripMargin,
+
+      // st43: the maintained view must equal the from-scratch v2
+      // recompute — the oracle IS the recompute the stream avoids
+      "st43_stream_ivm" ->
+        """WITH v2 AS (SELECT doc_id, source,
+          |    length(text) + CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 0 END AS len
+          |  FROM documents WHERE doc_id % 13 <> 0
+          |  UNION ALL SELECT doc_id + 200000, source, length(text) + 4
+          |  FROM documents WHERE doc_id % 11 = 0)
+          |SELECT source, count(*) AS n_docs, cast(sum(len) as bigint) AS sum_len
+          |FROM v2 GROUP BY 1 HAVING count(*) > 0 ORDER BY source""".stripMargin,
 
       // d20: delta-maintained per-source stats vs the v2 recompute —
       // signed deltas from the change feed, stored-v1 + delta = full
