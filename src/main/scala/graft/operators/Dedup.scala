@@ -716,6 +716,71 @@ object Dedup {
       ($"max_run" + (windowTokens - 1)).as("span_tokens"))
   }
 
+  /** Corpus-duplicated SPAN extraction per document — the REMOVAL-side
+    * artifact of exact-substring dedup (Lee et al. 2021): for every
+    * document, the maximal token ranges covered by `windowTokens`-token
+    * windows whose exact text occurs in at least one OTHER document.
+    * [[longSpanPairs]] answers "who shares a span with whom"; this
+    * answers "which token ranges do I cut from each doc" — the edit
+    * list the removal pass applies, plus the per-span length the
+    * ≥50-token production threshold filters on.
+    *
+    * Scale shape: one scan explodes each doc into its positional
+    * windows; a countDistinct(doc) aggregate keeps window hashes seen
+    * in ≥2 documents (no pair join exists here at all — the postings
+    * only semi-join back, so no df cap is needed); maximal spans are
+    * a gaps-and-islands pass PER DOC (windows [p, p+w-1] merge while
+    * the next start is ≤ previous start + w), a window partitioned by
+    * doc id — never global. Every shuffle keys on (hash) or (doc id).
+    *
+    * Within-doc-only repeats do NOT mark a span (that within-doc
+    * exposure is the Gopher dup-5-gram rule's job): the filter is
+    * distinct-doc frequency, not raw frequency.
+    */
+  def dupSpans(docs: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 8,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val wins = scope.own(windowHashes(docs, textCol, idCol, windowTokens)
+      .persist()) // feeds the cross-doc df aggregate and the mark join
+    val crossDoc = wins.groupBy($"wh")
+      .agg(countDistinct($"id").as("ndocs"))
+      .filter($"ndocs" >= 2)
+      .select($"wh")
+    val marked = wins.join(crossDoc, "wh").select($"id", $"p")
+    val w = Window.partitionBy($"id").orderBy($"p")
+    marked
+      .withColumn("brk",
+        when(lag($"p", 1).over(w).isNull ||
+          $"p" > lag($"p", 1).over(w) + windowTokens, 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"id", $"grp")
+      .agg(min($"p").as("span_start"),
+        (max($"p") + (windowTokens - 1)).as("span_end"))
+      .select($"id".as("doc_id"), $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_tokens"))
+  }
+
+  /** Positional `windowTokens`-token window hashes: (id, p, wh) with p
+    * 1-based — the shared projection under [[dupSpans]] and the
+    * streaming cut-list probe (st44), so stream = batch structurally.
+    * Pure column expressions (stateless — safe on a streaming frame);
+    * docs shorter than the window emit nothing.
+    */
+  private[graft] def windowHashes(docs: DataFrame, textCol: String,
+      idCol: String, windowTokens: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val winStrs = transform(sequence(lit(1), size($"toks") - (windowTokens - 1)),
+      p => array_join(slice($"toks", p, lit(windowTokens)), " "))
+    docs
+      .select(col(idCol).cast("long").as("id"), toks.as("toks"))
+      .filter(size($"toks") >= windowTokens)
+      .select($"id", posexplode(winStrs).as(Seq("p0", "win")))
+      .select($"id", ($"p0" + 1).as("p"), TextAnalysis.stringHash($"win").as("wh"))
+  }
+
   /** WEIGHTED-Jaccard near-dup pairs — the multiset generalization the
     * lexical dedups above don't cover: tokens carry integer weights
     * w = min(tf, wCap) (capped term frequency, the standard damping),

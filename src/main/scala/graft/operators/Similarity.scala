@@ -538,6 +538,112 @@ object Similarity {
         col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
   }
 
+  /** Graph-routed ANN — beam search over the [[ivfKnnGraphTrainedFp]]
+    * k-NN graph: the DiskANN/HNSW-shaped search arm the quantization
+    * family (IVF/PQ/JL/matryoshka) doesn't cover. Entry points come
+    * from a hash-sampled navigation layer (corpus ids ≡ 0 mod
+    * `seedMod` — the flat stand-in for HNSW's sparse upper level):
+    * each query exact-scores that 1/seedMod slice once and keeps its
+    * top-`beam`. Then `rounds` expand-score-prune steps walk the
+    * graph: frontier → neighbor edges (equi-join on the node id),
+    * dedup, EXACT cosine re-score (id-keyed equi-join back to the
+    * corpus vectors, queries broadcast), bounded top-`beam` fold
+    * ([[graft.functions.TopKCosAgg]] — cos desc, id asc, the board
+    * convention). Every step is deterministic, so the DuckDB oracle
+    * replays the entire search — graph construction (trained
+    * quantizer included) and all beam rounds.
+    *
+    * Scale shape: the graph is an O(n·graphK) build-once asset; per
+    * query each round moves O(beam·graphK) id rows through equi-joins
+    * — INDEPENDENT of corpus size, the property that makes graph ANN
+    * the serving-side winner. The seed scan is |queries| broadcast
+    * rows × n/seedMod corpus rows (1/seedMod of the s01 brute-force
+    * bytes); growing seedMod ∝ corpus keeps entry cost constant while
+    * the graph keeps recall local.
+    */
+  def graphBeamSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+      beam: Int = 16, rounds: Int = 3, seedMod: Int = 64,
+      graphK: Int = 10, undirected: Boolean = true,
+      nlist: Int = 32, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val graph = scope.own(knnEdges(corpus, graphK, undirected, nlist, nprobe,
+        idCol, vecCol, scope)
+      .persist()) // read once per beam round
+    graphBeamSearchOver(graph, corpus, queries, k, beam, rounds, seedMod,
+      idCol, vecCol, scope)
+  }
+
+  /** (node, edge_to) walk edges from the [[ivfKnnGraphTrainedFp]]
+    * graph. `undirected` adds the REVERSED edges (DiskANN-style
+    * bidirectional links): the GraphAnnProbe sweep measured it as the
+    * single biggest navigability lever at identical walk cost —
+    * recall@5 0.376 → 0.600 at graphK=5/beam=16/rounds=3, because a
+    * hub's in-neighbors become reachable THROUGH the hub instead of
+    * only from it. Doubles edge count to ≤ 2·n·graphK; still O(n).
+    */
+  def knnEdges(corpus: DataFrame, graphK: Int, undirected: Boolean,
+      nlist: Int = 32, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val g0 = ivfKnnGraphTrainedFp(corpus, graphK, nlist, nprobe,
+        idCol = idCol, vecCol = vecCol, scope = scope)
+      .select(col("q_id").as("node"), col("n_id").as("edge_to"))
+    if (undirected)
+      g0.unionByName(g0.select(col("edge_to").as("node"),
+        col("node").as("edge_to"))).distinct()
+    else g0
+  }
+
+  /** [[graphBeamSearch]] over a PREBUILT (node, edge_to) graph — the
+    * multi-arm evaluation path (s36 measures recall at rounds 0/1/2
+    * against one shared graph instead of retraining per arm).
+    */
+  def graphBeamSearchOver(graph: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, beam: Int = 8, rounds: Int = 2,
+      seedMod: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    require(k <= beam, s"k=$k must be <= beam=$beam (the final read is a beam prefix)")
+    val topB = udaf(new graft.functions.TopKCosAgg(beam),
+      ExpressionEncoder[(Long, Double)]())
+    val vecs = scope.own(corpus
+      .select(col(idCol).cast("long").as("nid"), col(vecCol).as("nvec"))
+      .persist()) // seed scan + one score join per round
+    val q = broadcast(queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("q_vec")))
+    // exact-score candidate ids against their query, keep top-beam
+    def prune(cands: DataFrame): DataFrame = cands
+      .join(vecs, cands("n_id") === vecs("nid"))
+      .join(q, "q_id")
+      .withColumn("cos", cosine(col("q_vec"), col("nvec")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(topB(col("n_id"), col("cos")).as("beam"))
+    var beamed = vecs.filter(col("nid") % seedMod === 0)
+      .crossJoin(q)
+      .filter(col("nid") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nvec")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(topB(col("nid"), col("cos")).as("beam"))
+    for (_ <- 1 to rounds) {
+      val frontier = beamed.select(col("q_id"),
+        explode(col("beam")("_1")).as("n_id"))
+      val expanded = frontier.join(graph, frontier("n_id") === graph("node"))
+        .select(col("q_id"), col("edge_to").as("n_id"))
+      beamed = prune(frontier.unionByName(expanded)
+        .filter(col("n_id") =!= col("q_id"))
+        .distinct())
+    }
+    beamed.select(col("q_id"), posexplode(col("beam")))
+      .filter(col("pos") < k)
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space coarsely, then compare pairs ONLY within each
     * cluster — a document is a semantic duplicate when a lower-id

@@ -1020,6 +1020,20 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     },
 
+    // EXACT-SUBSTRING CUT LIST (Lee et al. 2021's removal artifact):
+    // per document, the maximal token ranges covered by 8-token
+    // windows occurring in >= 2 DISTINCT documents — the edit list the
+    // dedup pass applies, where d13 reports who-shares-with-whom and
+    // t43 how-much. No pair join anywhere: postings aggregate to
+    // distinct-doc counts and semi-join back; span merging is
+    // gaps-and-islands per doc. The planted 80%-prefix mutants
+    // guarantee near-full-prefix spans on both members of each pair.
+    "d21_dup_spans" -> { (s, dir) =>
+      Dedup.dupSpans(mutCorpus(s, dir), "text", "doc_id",
+          windowTokens = 8)
+        .orderBy("doc_id", "span_start")
+    },
+
     // Incremental near-dup: the mutated shard (every doc re-arriving
     // under id+100000 with 80% of its tokens) probed against the
     // build-once MinHash signature index of the existing corpus —
@@ -1418,6 +1432,57 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // GRAPH-ROUTED ANN — DiskANN/HNSW-shaped beam search over the s30
+    // kNN graph: hash-sampled navigation seeds (id % 64 — the flat
+    // stand-in for HNSW's upper layer), three expand-score-prune
+    // rounds walking UNDIRECTED degree-10 edges with a 16-wide beam,
+    // exact cosine re-scoring at every step. The one ANN search shape
+    // the quantization family doesn't cover: per-round cost is
+    // O(beam·graphK) per query — independent of corpus size. Config
+    // chosen by the GraphAnnProbe sweep (recall@5 0.868 at sf0.01/50
+    // queries; reversed edges alone 0.376→0.600 at equal walk cost).
+    // Fully deterministic (cos desc, id asc), so the oracle replays
+    // graph construction (trained quantizer included) AND the search.
+    "s35_graph_ann" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.graphBeamSearch(emb, emb.filter($"vec_id" < 5), k = 5,
+          beam = 16, rounds = 3, seedMod = 64, graphK = 10,
+          undirected = true, nlist = 32, nprobe = 4)
+        .orderBy("q_id", "rnk")
+    },
+
+    // GRAPH-ANN EVALUATION as an oracle row (s29's move applied to
+    // s35): recall@5 of the routed beam search at rounds 0/1/2/3
+    // against the exact brute-force truth, over ONE shared undirected
+    // graph — the curve that shows the walk recovering what the thin
+    // 1/64 entry slice misses (rounds=0 IS the entry slice alone).
+    // Integer hit-count joins of deterministic top-k sets; one double
+    // division per arm.
+    "s36_graph_ann_recall" -> { (s, dir) =>
+      import s.implicits._
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter($"vec_id" < 5)
+      val k = 5
+      val truth = scope.own(Similarity.bruteForceTopK(emb, queries, k)
+        .select($"q_id", $"n_id").persist()) // joined by all 4 arms
+      val graph = scope.own(Similarity.knnEdges(emb, graphK = 10,
+          undirected = true, nlist = 32, nprobe = 4)
+        .persist()) // walked by all 4 arms
+      val nq = queries.count() // bounded: 5 by construction
+      Seq(0, 1, 2, 3).map { r =>
+        Similarity.graphBeamSearchOver(graph, emb, queries, k = k,
+            beam = 16, rounds = r, seedMod = 64)
+          .select($"q_id", $"n_id")
+          .join(truth, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(r.toLong).as("rounds"), lit(k.toLong).as("k"),
+            lit(nq).as("n_queries"), $"n_hits",
+            round($"n_hits".cast("double") / (nq * k), 6).as("recall"))
+      }.reduce(_ unionByName _).orderBy($"rounds")
+    },
+
     // JL RANDOM-PROJECTION ANN — the dimensionality-reduction arm the
     // quantization family lacks: a data-independent Achlioptas ±1
     // projection 64→16 (regenerated from indices — no stored matrix),
@@ -1547,6 +1612,35 @@ object NorthStar {
           when($"n_words" > 0L, $"n_bpe".cast("double") / $"n_words")
             .as("fertility"))
         .orderBy("source")
+    },
+
+    // EDIT-DISTANCE VERIFICATION of LSH candidates — the exact-verify
+    // stage a production near-dup pipeline runs between candidate
+    // generation and the verdict: every d04 MinHash-LSH candidate
+    // pair re-scored by BANDED Levenshtein (Ukkonen band: exact
+    // distance when ≤ cap, -1 beyond — O(len·cap) per pair, never
+    // O(len²); Spark's codegen'd thresholded levenshtein, no UDF).
+    // The confirm gate is cross-multiplied (dist·5 ≤ maxlen ⟺
+    // normalized distance ≤ 0.2) so no float ever compares. Scale
+    // shape: candidates come from the banded equi-join (never
+    // all-pairs), the two text lookups are id-keyed equi-joins back
+    // to the corpus, and the kernel is a per-row scan op — at 100 TB
+    // the cost is |candidates|·len·cap, the budget the cap exists to
+    // bound.
+    "t48_edit_verify" -> { (s, dir) =>
+      import s.implicits._
+      val docs = graft.operators.CacheScope.sessionScope(s).own(
+        mutCorpus(s, dir).persist()) // LSH build + both text lookups
+      Dedup.lshCandidatePairs(docs, "text", "doc_id", 16, 4, 3)
+        .select($"id_a", $"id_b", $"est_sim")
+        .join(docs.select($"doc_id".as("id_a"), $"text".as("ta")), "id_a")
+        .join(docs.select($"doc_id".as("id_b"), $"text".as("tb")), "id_b")
+        .withColumn("dist", levenshtein($"ta", $"tb", 400).cast("long"))
+        .select($"id_a", $"id_b", $"est_sim", $"dist",
+          ($"dist" >= 0L &&
+            $"dist" * 5L <= greatest(length($"ta"), length($"tb")).cast("long"))
+            .as("confirmed"))
+        .orderBy("id_a", "id_b")
     },
 
     // KMV SKETCH ALGEBRA — the cross-source corpus-overlap matrix from
@@ -2841,6 +2935,26 @@ object NorthStar {
     // equal recomputed.
     "st43_stream_ivm" -> { (s, dir) =>
       graft.streaming.Streaming.streamIncrementalStats(s, dir)
+    },
+
+    // STREAMING EXACT-SUBSTRING CUT-LIST PROBE — d21's removal
+    // artifact in-flight: the arriving 80%-prefix shard probed against
+    // the frozen corpus's distinct window-hash set (a build-once asset
+    // at scale), stateless stream side sharing d21's exact window
+    // kernel, per-doc maximal spans recovered from the appended match
+    // table. Its own oracle replays shard + corpus + islands in SQL.
+    "st44_stream_dup_probe" -> { (s, dir) =>
+      graft.streaming.Streaming.streamDupSpanProbe(s, dir)
+        .orderBy("doc_id")
+    },
+
+    // STREAMING SEASONALITY MAINTENANCE — q75's hour-of-week profile
+    // kept live: bounded |types|·168-cell complete-mode state of
+    // milli-unit integer sums, batch-identical readout (index + peak
+    // rank). Shares q75's oracle verbatim.
+    "st45_stream_seasonality" -> { (s, dir) =>
+      graft.streaming.Streaming.streamSeasonality(s, dir)
+        .orderBy("event_type", "how")
     })
 
   // ---------- oracles ----------
@@ -3875,6 +3989,72 @@ object NorthStar {
            |FROM pairs p JOIN mh a ON a.id = p.id_a JOIN mh b ON b.id = p.id_b
            |ORDER BY id_a, id_b""".stripMargin,
 
+      // 80%-prefix shard windows vs the corpus's distinct window-hash
+      // set; islands per doc; per-doc totals left-join span stats
+      "st44_stream_dup_probe" -> {
+        val tk = toksSql("text")
+        s"""WITH sh AS (SELECT doc_id + 100000 AS doc_id,
+           |    array_to_string(($tk)[1:greatest(cast(floor(len($tk) * 0.8) as int), 1)], ' ') AS text
+           |  FROM documents),
+           |ct AS (SELECT ${toksSql("text")} AS toks FROM documents),
+           |cw AS (SELECT unnest(range(1, len(toks) - 8 + 2)) AS p, toks
+           |  FROM ct WHERE len(toks) >= 8),
+           |chs AS (SELECT DISTINCT ${rollSql("list_aggregate(toks[p : p + 7], 'string_agg', ' ')")} AS wh
+           |  FROM cw),
+           |st AS (SELECT cast(doc_id as bigint) AS id, ${toksSql("text")} AS toks FROM sh),
+           |sw AS (SELECT id, unnest(range(1, len(toks) - 8 + 2)) AS p, toks
+           |  FROM st WHERE len(toks) >= 8),
+           |shh AS (SELECT id, p,
+           |  ${rollSql("list_aggregate(toks[p : p + 7], 'string_agg', ' ')")} AS wh FROM sw),
+           |f AS (SELECT id, p,
+           |    CASE WHEN wh IN (SELECT wh FROM chs) THEN 1 ELSE 0 END AS hit
+           |  FROM shh),
+           |tot AS (SELECT id, count(*) AS n_wins, cast(sum(hit) as bigint) AS n_dup
+           |  FROM f GROUP BY id),
+           |m AS (SELECT id, p FROM f WHERE hit = 1),
+           |b AS (SELECT id, p, CASE WHEN lag(p) OVER (PARTITION BY id ORDER BY p) IS NULL
+           |    OR p > lag(p) OVER (PARTITION BY id ORDER BY p) + 8 THEN 1 ELSE 0 END AS brk
+           |  FROM m),
+           |g AS (SELECT id, p, cast(sum(brk) OVER (PARTITION BY id ORDER BY p) as bigint) AS grp
+           |  FROM b),
+           |sp0 AS (SELECT id, grp, min(p) AS ss, max(p) + 7 AS se FROM g GROUP BY id, grp),
+           |sp AS (SELECT id, count(*) AS n_spans,
+           |    cast(sum(se - ss + 1) as bigint) AS dup_tokens,
+           |    max(se - ss + 1) AS max_span FROM sp0 GROUP BY id)
+           |SELECT t.id AS doc_id, n_wins, n_dup,
+           |  coalesce(n_spans, 0) AS n_spans,
+           |  coalesce(dup_tokens, 0) AS dup_tokens,
+           |  coalesce(max_span, 0) AS max_span
+           |FROM tot t LEFT JOIN sp ON sp.id = t.id
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      // d04's banded candidate replay + exact Levenshtein verify with
+      // the 400 band cap (-1 beyond) and the cross-multiplied gate
+      "t48_edit_verify" ->
+        s"""WITH ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+           |est AS (SELECT p.id_a, p.id_b,
+           |    round(cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16, 6) AS est_sim
+           |  FROM pairs p JOIN mh a ON a.id = p.id_a JOIN mh b ON b.id = p.id_b),
+           |d AS (SELECT e.id_a, e.id_b, e.est_sim,
+           |    CASE WHEN levenshtein(x.text, y.text) <= 400
+           |      THEN cast(levenshtein(x.text, y.text) as bigint)
+           |      ELSE -1 END AS dist,
+           |    cast(greatest(len(x.text), len(y.text)) as bigint) AS maxlen
+           |  FROM est e JOIN u x ON x.doc_id = e.id_a
+           |  JOIN u y ON y.doc_id = e.id_b)
+           |SELECT id_a, id_b, est_sim, dist,
+           |  (dist >= 0 AND dist * 5 <= maxlen) AS confirmed
+           |FROM d ORDER BY id_a, id_b""".stripMargin,
+
       "d08_dedup_pipeline" ->
         s"""WITH RECURSIVE ${shingleSql(mutCorpusSql)}, $mhSql,
            |bands AS (
@@ -4101,6 +4281,26 @@ object NorthStar {
            |  max(run) + 7 AS span_tokens
            |FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
 
+      // same positional window hashes, distinct-doc df >= 2, islands
+      // per doc (windows [p, p+7] merge while next start <= prev + 8)
+      "d21_dup_spans" ->
+        s"""WITH u AS ($mutCorpusSql),
+           |t AS (SELECT cast(doc_id as bigint) AS id, ${toksSql("text")} AS toks FROM u),
+           |w AS (SELECT id, unnest(range(1, len(toks) - 8 + 2)) AS p, toks
+           |  FROM t WHERE len(toks) >= 8),
+           |h AS (SELECT id, p,
+           |  ${rollSql("list_aggregate(toks[p : p + 7], 'string_agg', ' ')")} AS wh FROM w),
+           |cd AS (SELECT wh FROM h GROUP BY wh HAVING count(DISTINCT id) >= 2),
+           |m AS (SELECT id, p FROM h JOIN cd USING (wh)),
+           |b AS (SELECT id, p, CASE WHEN lag(p) OVER (PARTITION BY id ORDER BY p) IS NULL
+           |    OR p > lag(p) OVER (PARTITION BY id ORDER BY p) + 8 THEN 1 ELSE 0 END AS brk
+           |  FROM m),
+           |g AS (SELECT id, p, cast(sum(brk) OVER (PARTITION BY id ORDER BY p) as bigint) AS grp
+           |  FROM b)
+           |SELECT id AS doc_id, min(p) AS span_start, max(p) + 7 AS span_end,
+           |  max(p) + 7 - min(p) + 1 AS span_tokens
+           |FROM g GROUP BY id, grp ORDER BY doc_id, span_start""".stripMargin,
+
       "d07_embedding_neardup" ->
         s"""WITH u AS (
            |  SELECT cast(vec_id as bigint) AS id,
@@ -4309,6 +4509,178 @@ object NorthStar {
            |FROM knn k JOIN st sx ON sx.id = k.q_id
            |JOIN st sy ON sy.id = k.n_id
            |ORDER BY q_id, rnk""".stripMargin,
+
+      // s35: s30's graph replay at degree 10 (trained quantizer
+      // included) made UNDIRECTED, + the seeded beam search — seed
+      // top-16 over the id%64 layer, three expand-dedup-exact-score-
+      // prune rounds, final top-5 read from the last candidate set
+      // (cos desc, id asc throughout)
+      "s35_graph_ann" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |asg AS (
+           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
+           |    SELECT e.id, e.v, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |probe AS (
+           |  SELECT q_id, q_vec, c_id FROM (
+           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn <= 4),
+           |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
+           |  SELECT p.q_id, a.n_id,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 10),
+           |knnu AS MATERIALIZED (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM knn
+           |  UNION ALL SELECT n_id, q_id FROM knn) t),
+           |qs AS (SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5),
+           |s0 AS (SELECT q_id, n_id FROM (
+           |  SELECT qq.q_id, e.id AS n_id,
+           |    row_number() OVER (PARTITION BY qq.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, e.id ASC) AS rn
+           |  FROM qs qq JOIN e ON e.id % 64 = 0 AND e.id <> qq.q_id) t
+           |  WHERE rn <= 16),
+           |c1 AS (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM s0
+           |  UNION ALL SELECT s0.q_id, knnu.n_id FROM s0
+           |    JOIN knnu ON knnu.q_id = s0.n_id) t
+           |  WHERE n_id <> q_id),
+           |s1 AS (SELECT q_id, n_id FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
+           |  FROM c1 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |  WHERE rn <= 16),
+           |c2 AS (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM s1
+           |  UNION ALL SELECT s1.q_id, knnu.n_id FROM s1
+           |    JOIN knnu ON knnu.q_id = s1.n_id) t
+           |  WHERE n_id <> q_id),
+           |s2 AS (SELECT q_id, n_id FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
+           |  FROM c2 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |  WHERE rn <= 16),
+           |c3 AS (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM s2
+           |  UNION ALL SELECT s2.q_id, knnu.n_id FROM s2
+           |    JOIN knnu ON knnu.q_id = s2.n_id) t
+           |  WHERE n_id <> q_id)
+           |SELECT q_id, rn AS rnk, n_id, cos_sim FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    round(${cosSql("qq.q_vec", "e.v")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
+           |  FROM c3 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // s36: s35's replay with rn exposed at each beam, top-5 prefix
+      // per arm (rounds 0/1/2/3), hit-joined against brute-force truth
+      "s36_graph_ann_recall" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |asg AS (
+           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
+           |    SELECT e.id, e.v, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |probe AS (
+           |  SELECT q_id, q_vec, c_id FROM (
+           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn <= 4),
+           |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
+           |  SELECT p.q_id, a.n_id,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 10),
+           |knnu AS MATERIALIZED (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM knn
+           |  UNION ALL SELECT n_id, q_id FROM knn) t),
+           |qs AS (SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5),
+           |truth AS (SELECT q_id, n_id FROM (
+           |  SELECT qq.q_id, e.id AS n_id,
+           |    row_number() OVER (PARTITION BY qq.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, e.id ASC) AS rn
+           |  FROM qs qq JOIN e ON e.id <> qq.q_id) t WHERE rn <= 5),
+           |s0 AS (SELECT q_id, n_id, rn FROM (
+           |  SELECT qq.q_id, e.id AS n_id,
+           |    row_number() OVER (PARTITION BY qq.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, e.id ASC) AS rn
+           |  FROM qs qq JOIN e ON e.id % 64 = 0 AND e.id <> qq.q_id) t
+           |  WHERE rn <= 16),
+           |c1 AS (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM s0
+           |  UNION ALL SELECT s0.q_id, knnu.n_id FROM s0
+           |    JOIN knnu ON knnu.q_id = s0.n_id) t
+           |  WHERE n_id <> q_id),
+           |s1 AS (SELECT q_id, n_id, rn FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
+           |  FROM c1 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |  WHERE rn <= 16),
+           |c2 AS (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM s1
+           |  UNION ALL SELECT s1.q_id, knnu.n_id FROM s1
+           |    JOIN knnu ON knnu.q_id = s1.n_id) t
+           |  WHERE n_id <> q_id),
+           |s2 AS (SELECT q_id, n_id, rn FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
+           |  FROM c2 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |  WHERE rn <= 16),
+           |c3 AS (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM s2
+           |  UNION ALL SELECT s2.q_id, knnu.n_id FROM s2
+           |    JOIN knnu ON knnu.q_id = s2.n_id) t
+           |  WHERE n_id <> q_id),
+           |s3 AS (SELECT q_id, n_id, rn FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
+           |  FROM c3 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |  WHERE rn <= 16),
+           |h0 AS (SELECT cast(0 as bigint) AS rounds, cast(5 as bigint) AS k,
+           |    (SELECT count(*) FROM qs) AS n_queries, count(*) AS n_hits,
+           |    round(cast(count(*) as double)
+           |      / ((SELECT count(*) FROM qs) * 5), 6) AS recall
+           |  FROM (SELECT q_id, n_id FROM s0 WHERE rn <= 5) a
+           |  JOIN truth USING (q_id, n_id)),
+           |h1 AS (SELECT cast(1 as bigint), cast(5 as bigint),
+           |    (SELECT count(*) FROM qs), count(*),
+           |    round(cast(count(*) as double)
+           |      / ((SELECT count(*) FROM qs) * 5), 6)
+           |  FROM (SELECT q_id, n_id FROM s1 WHERE rn <= 5) a
+           |  JOIN truth USING (q_id, n_id)),
+           |h2 AS (SELECT cast(2 as bigint), cast(5 as bigint),
+           |    (SELECT count(*) FROM qs), count(*),
+           |    round(cast(count(*) as double)
+           |      / ((SELECT count(*) FROM qs) * 5), 6)
+           |  FROM (SELECT q_id, n_id FROM s2 WHERE rn <= 5) a
+           |  JOIN truth USING (q_id, n_id)),
+           |h3 AS (SELECT cast(3 as bigint), cast(5 as bigint),
+           |    (SELECT count(*) FROM qs), count(*),
+           |    round(cast(count(*) as double)
+           |      / ((SELECT count(*) FROM qs) * 5), 6)
+           |  FROM (SELECT q_id, n_id FROM s3 WHERE rn <= 5) a
+           |  JOIN truth USING (q_id, n_id))
+           |SELECT * FROM h0 UNION ALL SELECT * FROM h1
+           |UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3
+           |ORDER BY rounds""".stripMargin,
 
       // s27: the training chain + assignment + exact integer objective
       "s27_kmeans_train" ->
@@ -5942,6 +6314,10 @@ object NorthStar {
       // shared batch/stream counts kernel -> t32's training-replay
       // oracle checks the stream verbatim
       ("st42_stream_bpe_tokens" -> m("t32_bpe_trained")) +
+      // complete-mode cell maintenance = batch hash aggregate cell for
+      // cell, readout shared — q75's oracle checks the stream verbatim
+      ("st45_stream_seasonality" ->
+        graft.queries.Relational.oracles("q75_seasonality")) +
       ("s13_pq_index_probe" -> m("s12_pq_topk")) +
       // SQL-authored spelling of the same eps join — rewrite-preserving
       ("s14_sql_eps_degree" -> m("s03_eps_degree")) +

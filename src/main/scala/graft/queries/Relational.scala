@@ -1197,6 +1197,40 @@ object Relational {
     // run executes) assign each record its canonical min-id entity.
     // Oracle: recursive-CTE min-label closure over the same edges
     // (q51's pattern).
+    // HOUR-OF-WEEK SEASONALITY PROFILE — the missing third of the
+    // time-series family (q57 gapfill, q63 trend, q58 decay): the
+    // 168-bucket weekly phase profile per event type, with the
+    // seasonal index a deseasonalization pass divides by and the
+    // peak-hour rank. Values integerize to exact milli-units
+    // (floor(value·1000) — the q68 convention) so every sum is a
+    // commutative bigint fold; the index is a ratio of two
+    // exact-double averages (no bigint cross-product that could
+    // overflow at 100 TB event counts). At scale: one hash aggregate
+    // over the fact scan, a |types|-row broadcast re-aggregate, and a
+    // window partitioned by type over ≤168 rows — no global window,
+    // no shuffle wider than the (type, hour) key space.
+    "q75_seasonality" -> { (s, dir) =>
+      import s.implicits._
+      val h = events(s, dir)
+        .select($"event_type",
+          expr("ts div 1000000000 div 3600 % 168").as("how"),
+          floor($"value" * 1000).cast("long").as("vfp"))
+        .groupBy($"event_type", $"how")
+        .agg(count(lit(1)).as("n"), sum($"vfp").as("sv"))
+      val t = h.groupBy($"event_type")
+        .agg(sum($"n").as("nt"), sum($"sv").as("st"))
+      val w = Window.partitionBy($"event_type")
+        .orderBy(($"sv".cast("double") / $"n").desc, $"how".asc)
+      h.join(broadcast(t), "event_type")
+        .withColumn("peak_rnk", row_number().over(w).cast("long"))
+        .select($"event_type", $"how", $"n",
+          round($"sv".cast("double") / ($"n" * 1000.0), 6).as("avg_value"),
+          round(($"sv".cast("double") / $"n") /
+            ($"st".cast("double") / $"nt"), 6).as("seasonal_index"),
+          $"peak_rnk")
+        .orderBy($"event_type", $"how")
+    },
+
     "q74_entity_resolution" -> { (s, dir) =>
       import s.implicits._
       def dvars(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -2490,6 +2524,25 @@ object Relational {
         |  SELECT s2.u, w.l FROM walk w JOIN sym s2 ON s2.v = w.u)
         |SELECT u AS user_id, min(l) AS component FROM walk
         |GROUP BY u ORDER BY user_id""".stripMargin,
+
+    // 168-bucket weekly phase profile: milli-unit integer sums, index
+    // as a ratio of two exact-double averages, per-type peak rank
+    "q75_seasonality" ->
+      """WITH e AS (SELECT event_type,
+        |    ((epoch_ms(ts) // 1000) // 3600) % 168 AS how,
+        |    cast(floor(value * 1000) as bigint) AS vfp FROM events),
+        |h AS (SELECT event_type, how, count(*) AS n,
+        |    cast(sum(vfp) as bigint) AS sv FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, cast(sum(n) as bigint) AS nt,
+        |    cast(sum(sv) as bigint) AS st FROM h GROUP BY 1)
+        |SELECT h.event_type, how, n,
+        |  round(cast(sv as double) / (n * 1000.0), 6) AS avg_value,
+        |  round((cast(sv as double) / n) / (cast(st as double) / nt), 6)
+        |    AS seasonal_index,
+        |  cast(row_number() OVER (PARTITION BY h.event_type
+        |    ORDER BY cast(sv as double) / n DESC, how) as bigint) AS peak_rnk
+        |FROM h JOIN t USING (event_type)
+        |ORDER BY event_type, how""".stripMargin,
 
     // two-source records, deletion-variant blocking, lev<=1 + same
     // nation rule, recursive min-label closure, canonical + size

@@ -719,6 +719,66 @@ object Streaming {
         col("n_aligned"), (col("doc_id") === col("q_id")).as("self_match"))
   }
 
+  /** Streaming exact-substring cut-list probe (st44): d21's removal
+    * artifact computed IN-FLIGHT for an arriving shard against the
+    * frozen corpus. The static side is the DISTINCT window-hash set of
+    * the existing corpus (at 100 TB a build-once parquet asset,
+    * bucket-joinable on the hash; here derived in-plan — one scan +
+    * one distinct aggregate). The stream side explodes each arriving
+    * doc into positional window hashes with the SAME column kernel the
+    * batch operator uses ([[graft.operators.Dedup.windowHashes]] —
+    * stateless, no keyed state, no watermark), and the stream-static
+    * left join flags which windows already exist in the corpus. Span
+    * merging (gaps-and-islands per doc) and the per-doc readout run
+    * over the appended match table. The arriving shard is st08's
+    * 80%-prefix mutation, so every probe doc carries a planted
+    * near-full-prefix duplicated span.
+    */
+  def streamDupSpanProbe(s: SparkSession, dir: String,
+      windowTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    val corpusHashes = Dedup.windowHashes(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")),
+        "text", "doc_id", windowTokens)
+      .select(col("wh")).distinct()
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val shard = graft.sources.Sources.documentsStream(s, dir)
+      .select((col("doc_id") + 100000).cast("long").as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest(floor(size(toks) * 0.8).cast("int"), lit(1))), " ").as("text"))
+    val flagged = Dedup.windowHashes(shard, "text", "doc_id", windowTokens)
+      .join(corpusHashes.withColumn("hit", lit(1L)), Seq("wh"), "left_outer")
+      .select(col("id"), col("p"), coalesce(col("hit"), lit(0L)).as("hit"))
+    val tbl = runToTable(flagged, "append")
+    val w = Window.partitionBy(col("id")).orderBy(col("p"))
+    val totals = tbl.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_wins"), sum(col("hit")).as("n_dup"))
+    val spans = tbl.filter(col("hit") === 1L)
+      .withColumn("brk", when(lag(col("p"), 1).over(w).isNull ||
+        col("p") > lag(col("p"), 1).over(w) + windowTokens, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("p")).as("ss"),
+        (max(col("p")) + (windowTokens - 1)).as("se"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).as("dup_tokens"),
+        max(col("se") - col("ss") + 1).cast("long").as("max_span"))
+      // fresh alias for the join key: both sides descend from the same
+      // memory-sink view, whose fixed attribute ids would otherwise
+      // conflict in the totals ⋈ spans join
+      .select(col("id").as("sp_id"), col("n_spans"), col("dup_tokens"),
+        col("max_span"))
+    totals.join(spans, col("id") === col("sp_id"), "left_outer")
+      .select(col("id").as("doc_id"), col("n_wins"), col("n_dup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+  }
+
   /** Streaming quality gate (st41): t45's fastText-shaped linear
     * classifier applied in-flight. The weights are column expressions
     * (no table at all), so scoring is a stateless per-row FOLD over
@@ -1271,6 +1331,40 @@ object Streaming {
           (col("sy") * col("den") - col("num") * col("sx")).cast("double")
             / (col("n_days") * col("den")).cast("double")), 6).as("intercept"))
       .orderBy(col("event_type"))
+  }
+
+  /** Streaming seasonality maintenance (st45): q75's hour-of-week
+    * profile kept LIVE — the stream maintains the (type, phase-bucket)
+    * integer cells (milli-unit sums, the q68/q75 convention; a BOUNDED
+    * |types|·168-row complete-mode state), and the readout derives the
+    * per-type averages, seasonal index and peak rank exactly as the
+    * batch query does. Batch q75 is the verbatim oracle — any drift
+    * between the streamed cell maintenance and the batch aggregate
+    * fails the hash compare.
+    */
+  def streamSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = eventStream(s, dir)
+      .select(col("event_type"),
+        expr("ts div 1000000000 div 3600 % 168").as("how"),
+        floor(col("value") * 1000).cast("long").as("vfp"))
+      .groupBy(col("event_type"), col("how"))
+      .agg(count(lit(1)).as("n"), sum(col("vfp")).as("sv"))
+    val h = runToTable(cells, "complete")
+    // the memory-sink view carries fixed attribute ids, so a view ⋈
+    // view-derived-aggregate join needs explicit aliases to resolve
+    val t = h.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("nt"), sum(col("sv")).as("st"))
+      .select(col("event_type").as("t_type"), col("nt"), col("st"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy((col("sv").cast("double") / col("n")).desc, col("how").asc)
+    h.join(broadcast(t), col("event_type") === col("t_type"))
+      .withColumn("peak_rnk", row_number().over(w).cast("long"))
+      .select(col("event_type"), col("how"), col("n"),
+        round(col("sv").cast("double") / (col("n") * 1000.0), 6).as("avg_value"),
+        round((col("sv").cast("double") / col("n")) /
+          (col("st").cast("double") / col("nt")), 6).as("seasonal_index"),
+        col("peak_rnk"))
   }
 
   /** The st37 state machine on any (key, day) stream — factored out

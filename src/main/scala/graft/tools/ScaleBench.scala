@@ -75,7 +75,9 @@ object ScaleBench {
     "st40_stream_constellation", "t45_quality_classifier",
     "st41_stream_quality_gate", "q74_entity_resolution", "s30_knn_graph",
     "s31_ivf_multiprobe", "s32_knn_graph_components", "m13_constellation_recall",
-    "t46_trained_classifier", "st42_stream_bpe_tokens")
+    "t46_trained_classifier", "st42_stream_bpe_tokens",
+    "s33_jl_topk", "s34_margin_pairs", "t47_tokenizer_fitness",
+    "d20_incremental_stats", "st43_stream_ivm")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -121,6 +123,32 @@ object ScaleBench {
       graft.operators.ConnectedComponents
         .assign(edges, emb.select(col("vec_id")), driverMaxEdges = 0L)
         .select(col("id").as("vec_id"), col("component"))
+    }
+    // s34 composes s30's graph — same nlist ∝ corpus convention so the
+    // per-cell population (and thus the block join's per-item cost)
+    // stays constant; the margin stats/join stages are O(n·k) equi-joins
+    case "s34_margin_pairs" => Some { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val n = if (copies <= 1) 32 else 32 * copies
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val knn = graft.operators.CacheScope.sessionScope(s).own(
+        graft.operators.Similarity.ivfKnnGraphTrainedFp(emb, k = 5,
+            nlist = n, nprobe = 4)
+          .withColumn("cos_fp", round(col("cos_sim") * 1e6).cast("long"))
+          .persist())
+      val stats = knn.groupBy(col("q_id")).agg(
+        sum(col("cos_fp")).as("s"), count(lit(1)).as("c"))
+      val sx = stats.select(col("q_id"), col("s").as("s_q"), col("c").as("c_q"))
+      val sy = stats.select(col("q_id").as("n_id"), col("s").as("s_n"),
+        col("c").as("c_n"))
+      knn.join(sx, Seq("q_id")).join(sy, Seq("n_id"))
+        .withColumn("num", lit(2L) * col("cos_fp") * col("c_q") * col("c_n"))
+        .withColumn("den", col("s_q") * col("c_n") + col("s_n") * col("c_q"))
+        .select(col("q_id"), col("n_id"), col("rnk"), col("cos_sim"),
+          when(col("den") > 0L,
+            round(col("num").cast("double") / col("den").cast("double"), 6))
+            .as("margin"),
+          (col("den") > 0L && col("num") * 100L >= col("den") * 102L).as("keep"))
     }
     case _ => None
   }

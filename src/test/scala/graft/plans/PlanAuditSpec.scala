@@ -67,7 +67,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s27_kmeans_train" -> "s04's sanctioned assignment shape (corpus x 32 broadcast trained centroids); the readout is a 32-row aggregate",
     "t42_ks_drift" -> "the |sources|-row totals table crossJoins (a) the broadcast distinct-length CDF frame and (b) the ONE-ROW grand-total aggregate — both provably tiny by construction; the data-sized work is the one (source, length) count aggregate",
     "s28_maxsim_rerank" -> "s01's sanctioned candidate shape (5 broadcast full-vector queries x corpus scan); the 4x4 sub-vector MaxSim runs only on the broadcast-candidate equi-join rows",
-    "s29_ivf_recall_curve" -> "the evaluation row composes two sanctioned shapes: s01's exact arm (5 broadcast queries x corpus scan — the ground truth) and s04's corpus x 32 broadcast centroid assignment; every per-arm hit count is an equi-join of two top-k sets")
+    "s29_ivf_recall_curve" -> "the evaluation row composes two sanctioned shapes: s01's exact arm (5 broadcast queries x corpus scan — the ground truth) and s04's corpus x 32 broadcast centroid assignment; every per-arm hit count is an equi-join of two top-k sets",
+    "s33_jl_topk" -> "s01's sanctioned candidate shape over the PROJECTED table: 5 broadcast 16-dim query projections x the corpus projection scan (1/4 of the s01 scan bytes, integer L2 scoring); the rerank is the same broadcast-candidate equi-join as s21",
+    "s34_margin_pairs" -> "s30's sanctioned routing scan (corpus x 32 broadcast trained centroids) building the kNN graph it scores; the margin stats and pair scoring are id-keyed equi-joins over the O(n*k) graph",
+    "s35_graph_ann" -> "two sanctioned shapes: s30's routing scan (corpus x 32 broadcast trained centroids) building the graph, and the seed stage's 5 broadcast queries x the 1/64 navigation slice (a fraction of s01's scan bytes); every beam round is an id-keyed equi-join",
+    "s36_graph_ann_recall" -> "the evaluation row composes three sanctioned shapes: s01's exact arm (the ground truth), s30's routing scan building the shared graph, and s35's seed slice per arm; every per-arm hit count is an equi-join of two top-k sets")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
