@@ -195,9 +195,17 @@ object TextKernels {
     * Returns the rolling hash of each chunk's content, in order.
     * Texts shorter than `w` are one chunk.
     */
-  def cdcChunkHashes(text: String, w: Int, mask: Long): Array[Long] = {
+  def cdcChunkHashes(text: String, w: Int, mask: Long): Array[Long] =
+    cdcChunks(text, w, mask).map(_._1)
+
+  /** [[cdcChunkHashes]] with each chunk's LENGTH alongside its hash —
+    * the storage-dedup readout (m14) charges duplicates by bytes, so
+    * it needs both. Boundaries and hashes are bit-identical to
+    * [[cdcChunkHashes]] (which now delegates here).
+    */
+  def cdcChunks(text: String, w: Int, mask: Long): Array[(Long, Int)] = {
     val n = text.length // ASCII corpus: 1 char = 1 code point (oracle parity)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
     var start = 0
     var i = w - 1
     if (n >= w) {
@@ -208,13 +216,14 @@ object TextKernels {
         var j = i - w + 1
         while (j <= i) { wh = (wh * 31 + text.codePointAt(j)) % P; j += 1 }
         if (wh % (mask + 1) == 0) {
-          out += RollingHash.hash(text.substring(start, i + 1), P)
+          out += ((RollingHash.hash(text.substring(start, i + 1), P), i + 1 - start))
           start = i + 1
         }
         i += 1
       }
     }
-    if (start < n || n == 0) out += RollingHash.hash(text.substring(start), P)
+    if (start < n || n == 0)
+      out += ((RollingHash.hash(text.substring(start), P), n - start))
     out.toArray
   }
 

@@ -2081,6 +2081,45 @@ object NorthStar {
     // Content-defined chunking: rolling-hash boundaries (w=8, mask 64)
     // over each document — the chunk-level dedup primitive for byte/
     // multimodal payloads (insertion-robust, unlike fixed blocks).
+    // CDC STORAGE-DEDUP READOUT — the backup/warehouse question m04's
+    // chunking exists to answer: per document, how many of its
+    // content-defined chunks (and how many bytes) already exist in
+    // ANOTHER document — the dedupable-storage estimate a chunk store
+    // realizes. Distinct-doc df >= 2 on the chunk hash (d21's rule:
+    // within-doc repeats are not cross-doc savings), postings
+    // semi-join back — no pair join anywhere. The planted 80%-prefix
+    // mutants guarantee shared prefix chunks; the content-defined
+    // boundaries make the shared prefix chunk IDENTICALLY on both
+    // sides (the property fixed-size blocks lack).
+    "m14_chunk_dedup_stats" -> { (s, dir) =>
+      import s.implicits._
+      val chunks = graft.operators.CacheScope.sessionScope(s).own(
+        mutCorpus(s, dir)
+          .select($"doc_id".cast("long").as("doc_id"), $"text")
+          .as[(Long, String)]
+          .flatMap { case (id, t) =>
+            graft.functions.TextKernels.cdcChunks(
+                if (t == null) "" else t, w = 8, mask = 63)
+              .map { case (h, l) => (id, h, l.toLong) }
+          }
+          .toDF("doc_id", "ch", "clen")
+          .persist()) // df aggregate + the mark join read the same rows
+      val dup = chunks.groupBy($"ch")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2).select($"ch", lit(1L).as("hit"))
+      chunks.join(dup, Seq("ch"), "left_outer")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum($"clen").as("total_bytes"),
+          sum(when($"hit" === 1L, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when($"hit" === 1L, $"clen").otherwise(0L)).as("dup_bytes"))
+        .select($"doc_id", $"n_chunks", $"total_bytes", $"n_dup_chunks",
+          $"dup_bytes",
+          round(when($"total_bytes" > 0L,
+            $"dup_bytes".cast("double") / $"total_bytes"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     "m04_cdc_chunks" -> { (s, dir) =>
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
@@ -5417,6 +5456,41 @@ object NorthStar {
            |    list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
            |      (a, c) -> (a*31 + c) % $P)), ',') AS chunk_hashes_csv
            |FROM be ORDER BY doc_id""".stripMargin,
+
+      // m04's boundary replay over the mutated corpus with per-chunk
+      // lengths (zipped unnests), distinct-doc df >= 2, byte charging
+      "m14_chunk_dedup_stats" ->
+        s"""WITH u AS ($mutCorpusSql),
+           |t AS (SELECT cast(doc_id as bigint) AS doc_id,
+           |    list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint)) AS codes
+           |  FROM u),
+           |d AS (SELECT doc_id, codes, len(codes) AS n FROM t),
+           |bnd AS (SELECT doc_id, codes, n,
+           |    list_filter(range(8, n + 1), i ->
+           |      list_reduce(codes[i-7 : i], (a, c) -> (a*31 + c) % $P) % 64 = 0) AS ends
+           |  FROM d),
+           |be AS (SELECT doc_id, codes,
+           |    CASE WHEN len(ends) > 0 AND ends[-1] = n THEN ends
+           |         ELSE list_append(ends, n) END AS b
+           |  FROM bnd),
+           |ce AS (SELECT doc_id,
+           |    list_transform(range(1, len(b) + 1), j ->
+           |      list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
+           |        (a, c) -> (a*31 + c) % $P)) AS hl,
+           |    list_transform(range(1, len(b) + 1), j ->
+           |      b[j] - (CASE WHEN j = 1 THEN 0 ELSE b[j-1] END)) AS ll
+           |  FROM be),
+           |cf AS (SELECT doc_id, unnest(hl) AS ch, unnest(ll) AS clen FROM ce),
+           |du AS (SELECT ch FROM cf GROUP BY ch HAVING count(DISTINCT doc_id) >= 2),
+           |ag AS (SELECT doc_id, count(*) AS n_chunks,
+           |    cast(sum(clen) as bigint) AS total_bytes,
+           |    cast(sum(CASE WHEN ch IN (SELECT ch FROM du) THEN 1 ELSE 0 END) as bigint) AS n_dup_chunks,
+           |    cast(sum(CASE WHEN ch IN (SELECT ch FROM du) THEN clen ELSE 0 END) as bigint) AS dup_bytes
+           |  FROM cf GROUP BY doc_id)
+           |SELECT doc_id, n_chunks, total_bytes, n_dup_chunks, dup_bytes,
+           |  round(CASE WHEN total_bytes > 0
+           |    THEN cast(dup_bytes as double) / total_bytes END, 6) AS dup_frac
+           |FROM ag ORDER BY doc_id""".stripMargin,
 
       // block energy over ascii codes (char codes == payload bytes,
       // the m02/m03 convention); integer threshold compare, run count

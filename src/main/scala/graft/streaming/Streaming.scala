@@ -744,7 +744,12 @@ object Streaming {
         "text", "doc_id", windowTokens)
       .select(col("wh")).distinct()
     val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    // st42's file-stream lesson: one task per FILE per micro-batch, so
+    // the per-doc window explosion (the expensive step) would
+    // single-thread on a one-file source — redistribute the raw rows
+    // first (the 10× ladder measured per-item 1.21 without this)
     val shard = graft.sources.Sources.documentsStream(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select((col("doc_id") + 100000).cast("long").as("doc_id"),
         array_join(slice(toks, lit(1),
           greatest(floor(size(toks) * 0.8).cast("int"), lit(1))), " ").as("text"))

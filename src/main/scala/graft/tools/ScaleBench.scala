@@ -77,7 +77,10 @@ object ScaleBench {
     "s31_ivf_multiprobe", "s32_knn_graph_components", "m13_constellation_recall",
     "t46_trained_classifier", "st42_stream_bpe_tokens",
     "s33_jl_topk", "s34_margin_pairs", "t47_tokenizer_fitness",
-    "d20_incremental_stats", "st43_stream_ivm")
+    "d20_incremental_stats", "st43_stream_ivm",
+    "q75_seasonality", "t48_edit_verify", "d21_dup_spans",
+    "st44_stream_dup_probe", "st45_stream_seasonality",
+    "s35_graph_ann", "s36_graph_ann_recall", "m14_chunk_dedup_stats")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -149,6 +152,45 @@ object ScaleBench {
             round(col("num").cast("double") / col("den").cast("double"), 6))
             .as("margin"),
           (col("den") > 0L && col("num") * 100L >= col("den") * 102L).as("keep"))
+    }
+    // s35 walks the s30-family graph — same nlist ∝ corpus convention
+    // (constant cell population keeps the graph build's per-item cost
+    // flat; the walk itself is corpus-size-independent per query)
+    case "s35_graph_ann" => Some { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val n = if (copies <= 1) 32 else 32 * copies
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.graphBeamSearch(emb,
+        emb.filter(col("vec_id") < 5), k = 5,
+        beam = 16, rounds = 3, seedMod = 64, graphK = 10,
+        undirected = true, nlist = n, nprobe = 4)
+    }
+    // s36 builds the same graph — without nlist ∝ corpus its fixed-32
+    // cells grow ×copies and the block join goes quadratic (measured:
+    // per-item 0.29 at 10× → 0.80 at 30× before this override)
+    case "s36_graph_ann_recall" => Some { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.operators.{CacheScope, Similarity}
+      val nl = if (copies <= 1) 32 else 32 * copies
+      val scope = CacheScope.sessionScope(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+      val k = 5
+      val truth = scope.own(Similarity.bruteForceTopK(emb, queries, k)
+        .select(col("q_id"), col("n_id")).persist())
+      val graph = scope.own(Similarity.knnEdges(emb, graphK = 10,
+        undirected = true, nlist = nl, nprobe = 4).persist())
+      val nq = queries.count()
+      Seq(0, 1, 2, 3).map { r =>
+        Similarity.graphBeamSearchOver(graph, emb, queries, k = k,
+            beam = 16, rounds = r, seedMod = 64)
+          .select(col("q_id"), col("n_id"))
+          .join(truth, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(r.toLong).as("rounds"), lit(k.toLong).as("k"),
+            lit(nq).as("n_queries"), col("n_hits"),
+            round(col("n_hits").cast("double") / (nq * k), 6).as("recall"))
+      }.reduce(_ unionByName _)
     }
     case _ => None
   }
