@@ -1538,6 +1538,51 @@ object Similarity {
     s.read.parquet(loc.getAbsolutePath)
   }
 
+  /** Build-once UNDIRECTED kNN-graph asset — the serving-side index
+    * the graph-ANN search ([[graphBeamSearchOver]]) walks. Same
+    * content-fingerprinted lifecycle as [[ensurePqIndex]] /
+    * [[graft.operators.Dedup.ensureSignatureIndex]]: built from the
+    * corpus once (the expensive trained-quantizer block join), stored
+    * as (node, edge_to) parquet in the warehouse dir, rebuilt only
+    * when the source files change. At 100 TB this is the nightly
+    * index-build job; every query-time search reads the asset and
+    * never re-trains.
+    */
+  def ensureKnnGraphIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      graphK: Int = 10, nlist: Int = 32, nprobe: Int = 4)
+      : DataFrame = Similarity.synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val loc = new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      s"graft_knn_graph_${graphK}_${nlist}_${nprobe}_$tag")
+    val src = new java.io.File(dir, "embeddings.parquet")
+    def fpOf(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toIndexedSeq
+          .filterNot(_.getName.startsWith(".")).flatMap(fpOf)
+      else Seq(s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
+    val fp = fpOf(src).mkString("\n")
+    val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
+    val fresh = marker.isFile && loc.isDirectory &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+    if (!fresh) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      Seq(loc, marker).filter(_.exists()).foreach(rm)
+      knnEdges(s.read.parquet(src.getAbsolutePath), graphK,
+          undirected = true, nlist, nprobe)
+        .write.mode("overwrite").parquet(loc.getAbsolutePath)
+      val tmp = java.io.File.createTempFile(loc.getName, ".tmp", loc.getParentFile)
+      java.nio.file.Files.write(tmp.toPath, fp.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    s.read.parquet(loc.getAbsolutePath)
+  }
+
   /** Density clustering of embeddings — DBSCAN generalized from the
     * 2-D euclidean core to n-D cosine space, on the similarity graph:
     * a point is core iff it has >= minPts neighbors at cosine >=

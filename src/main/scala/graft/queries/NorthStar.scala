@@ -1483,6 +1483,58 @@ object NorthStar {
       }.reduce(_ unionByName _).orderBy($"rounds")
     },
 
+    // GRAPH-ANN over the BUILD-ONCE INDEX ASSET — s13/d09's
+    // asset-lifecycle story applied to the graph family: the
+    // undirected kNN graph is built once into a content-fingerprinted
+    // parquet asset (the nightly index job at 100 TB) and the search
+    // only READS it — no retraining on the query path. Must equal s35
+    // row for row (same math, asset path vs inline build), so s35's
+    // oracle checks this row verbatim.
+    "s37_graph_index_probe" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val graph = graft.operators.CacheScope.sessionScope(s).own(
+        Similarity.ensureKnnGraphIndex(s, dir).persist()) // 3 beam rounds
+      Similarity.graphBeamSearchOver(graph, emb, emb.filter($"vec_id" < 5),
+          k = 5, beam = 16, rounds = 3, seedMod = 64)
+        .orderBy("q_id", "rnk")
+    },
+
+    // TERM DISPERSION ACROSS SOURCES — Gries' DP in exact-integer
+    // form for the corpus's top-50 tokens: how unevenly a term
+    // concentrates in particular sources (dp 0 = spread exactly like
+    // the source sizes; → 1 = confined to one source) — the
+    // corpus-linguistics diagnostic behind "this token is one
+    // domain's boilerplate". |c_ts/c_t − s_s/S| summed over sources
+    // becomes Σ|c_ts·S − s_s·c_t| / (2·c_t·S): the numerator is a
+    // commutative BIGINT sum (order-free), absent sources close in
+    // CLOSED FORM ((S − Σ_present s_s)·c_t — no token×source grid is
+    // ever materialized), and ONE double division lands at readout.
+    // Shuffles: one (source, tok) aggregate + bounded broadcasts.
+    "t49_term_dispersion" -> { (s, dir) =>
+      import s.implicits._
+      val tok = graft.operators.CacheScope.sessionScope(s).own(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select($"source", explode(TextAnalysis.tokens($"text")).as("tok"))
+          .filter(length($"tok") > 0)
+          .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+          .persist()) // source sizes, token totals, and the dp join
+      val ssz = tok.groupBy($"source").agg(sum($"c").as("ssz"))
+      val stot = ssz.agg(sum($"ssz").as("S"))
+      val top = tok.groupBy($"tok").agg(sum($"c").as("ct"))
+        .orderBy($"ct".desc, $"tok".asc).limit(50)
+      tok.join(broadcast(top), "tok")
+        .join(broadcast(ssz), "source")
+        .crossJoin(broadcast(stot))
+        .groupBy($"tok", $"ct", $"S")
+        .agg(sum(abs($"c" * $"S" - $"ssz" * $"ct")).as("numPresent"),
+          sum($"ssz").as("sPresent"))
+        .select($"tok", $"ct",
+          round(($"numPresent" + ($"S" - $"sPresent") * $"ct").cast("double")
+            / (lit(2.0) * $"ct" * $"S"), 6).as("dp"))
+        .orderBy($"ct".desc, $"tok".asc)
+    },
+
     // JL RANDOM-PROJECTION ANN — the dimensionality-reduction arm the
     // quantization family lacks: a data-independent Achlioptas ±1
     // projection 64→16 (regenerated from indices — no stored matrix),
@@ -4068,6 +4120,27 @@ object NorthStar {
            |ORDER BY doc_id""".stripMargin
       },
 
+      // exact-integer DP: Σ|c_ts·S − s_s·c_t| over present sources +
+      // closed-form absent term, one division by 2·c_t·S
+      "t49_term_dispersion" ->
+        s"""WITH tk AS (SELECT source, unnest(${toksSql("text")}) AS tok FROM documents),
+           |tok AS (SELECT source, tok, count(*) AS c FROM tk
+           |  WHERE len(tok) > 0 GROUP BY 1, 2),
+           |ssz AS (SELECT source, cast(sum(c) as bigint) AS ssz FROM tok GROUP BY 1),
+           |stot AS (SELECT cast(sum(ssz) as bigint) AS S FROM ssz),
+           |top AS (SELECT tok, cast(sum(c) as bigint) AS ct FROM tok
+           |  GROUP BY 1 ORDER BY ct DESC, tok ASC LIMIT 50),
+           |j AS (SELECT t.tok, t.ct, s.S,
+           |    cast(sum(abs(o.c * s.S - z.ssz * t.ct)) as bigint) AS numPresent,
+           |    cast(sum(z.ssz) as bigint) AS sPresent
+           |  FROM top t JOIN tok o ON o.tok = t.tok
+           |  JOIN ssz z ON z.source = o.source CROSS JOIN stot s
+           |  GROUP BY 1, 2, 3)
+           |SELECT tok, ct,
+           |  round(cast(numPresent + (S - sPresent) * ct as double)
+           |    / (2.0 * ct * S), 6) AS dp
+           |FROM j ORDER BY ct DESC, tok ASC""".stripMargin,
+
       // d04's banded candidate replay + exact Levenshtein verify with
       // the 400 band cap (-1 beyond) and the cross-multiplied gate
       "t48_edit_verify" ->
@@ -6393,6 +6466,9 @@ object NorthStar {
       ("st45_stream_seasonality" ->
         graft.queries.Relational.oracles("q75_seasonality")) +
       ("s13_pq_index_probe" -> m("s12_pq_topk")) +
+      // the graph search over the build-once asset must equal the
+      // inline build row for row — s35's oracle checks it verbatim
+      ("s37_graph_index_probe" -> m("s35_graph_ann")) +
       // SQL-authored spelling of the same eps join — rewrite-preserving
       ("s14_sql_eps_degree" -> m("s03_eps_degree")) +
       // SQL-authored spelling of the MinHash-LSH pipeline — the Scala

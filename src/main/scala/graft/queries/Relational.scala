@@ -1231,6 +1231,42 @@ object Relational {
         .orderBy($"event_type", $"how")
     },
 
+    // SESSION ENTRY / EXIT / BOUNCE ANALYSIS — the landing-page table
+    // every clickstream warehouse derives after sessionization: per
+    // event type, how often it OPENS a q19 session, CLOSES one, and
+    // how many of its entries are single-event (bounce) sessions.
+    // First/last rows fall out of one min/max over (sec, event_id,
+    // type) structs per session (event_id unique → no ties), so the
+    // whole query is the q19 user-keyed window + one (user, session)
+    // aggregate + two |types|-row readouts full-outer-joined.
+    "q76_entry_exit" -> { (s, dir) =>
+      import s.implicits._
+      val secs = expr("ts div 1000000000")
+      val w = Window.partitionBy($"user_id").orderBy(secs, $"event_id")
+      val g = events(s, dir)
+        .withColumn("sec", secs)
+        .withColumn("prev_s", lag($"sec", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_s".isNull || ($"sec" - $"prev_s") > 1800, 1).otherwise(0))
+        .withColumn("sid", sum($"new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(min(struct($"sec", $"event_id", $"event_type")).as("fst"),
+          max(struct($"sec", $"event_id", $"event_type")).as("lst"),
+          count(lit(1)).as("n"))
+      val entries = g.groupBy($"fst"("event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_entries"),
+          sum(when($"n" === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      val exits = g.groupBy($"lst"("event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_exits"))
+      entries.join(exits, Seq("event_type"), "full_outer")
+        .select($"event_type",
+          coalesce($"n_entries", lit(0L)).as("n_entries"),
+          coalesce($"n_exits", lit(0L)).as("n_exits"),
+          coalesce($"n_bounces", lit(0L)).as("n_bounces"))
+        .orderBy("event_type")
+    },
+
     "q74_entity_resolution" -> { (s, dir) =>
       import s.implicits._
       def dvars(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -2543,6 +2579,36 @@ object Relational {
         |    ORDER BY cast(sv as double) / n DESC, how) as bigint) AS peak_rnk
         |FROM h JOIN t USING (event_type)
         |ORDER BY event_type, how""".stripMargin,
+
+    // q19's sessions; first/last per session via asc/desc row_number
+    // (same (sec, event_id) order the struct min/max encodes)
+    "q76_entry_exit" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) // 1000 AS sec FROM events),
+        |a AS (SELECT *, lag(sec) OVER
+        |    (PARTITION BY user_id ORDER BY sec, event_id) AS prev_s FROM e),
+        |b AS (SELECT *, CASE WHEN prev_s IS NULL OR sec - prev_s > 1800
+        |    THEN 1 ELSE 0 END AS new_sess FROM a),
+        |c AS (SELECT *, sum(new_sess) OVER
+        |    (PARTITION BY user_id ORDER BY sec, event_id) AS sid FROM b),
+        |d AS (SELECT user_id, sid, event_type,
+        |    count(*) OVER (PARTITION BY user_id, sid) AS n,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY sec, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, sid
+        |      ORDER BY sec DESC, event_id DESC) AS rl
+        |  FROM c),
+        |ent AS (SELECT event_type, count(*) AS n_entries,
+        |    cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) as bigint) AS n_bounces
+        |  FROM d WHERE rf = 1 GROUP BY 1),
+        |ex AS (SELECT event_type, count(*) AS n_exits
+        |  FROM d WHERE rl = 1 GROUP BY 1)
+        |SELECT coalesce(ent.event_type, ex.event_type) AS event_type,
+        |  coalesce(n_entries, 0) AS n_entries,
+        |  coalesce(n_exits, 0) AS n_exits,
+        |  coalesce(n_bounces, 0) AS n_bounces
+        |FROM ent FULL JOIN ex ON ent.event_type = ex.event_type
+        |ORDER BY event_type""".stripMargin,
 
     // two-source records, deletion-variant blocking, lev<=1 + same
     // nation rule, recursive min-label closure, canonical + size

@@ -80,7 +80,8 @@ object ScaleBench {
     "d20_incremental_stats", "st43_stream_ivm",
     "q75_seasonality", "t48_edit_verify", "d21_dup_spans",
     "st44_stream_dup_probe", "st45_stream_seasonality",
-    "s35_graph_ann", "s36_graph_ann_recall", "m14_chunk_dedup_stats")
+    "s35_graph_ann", "s36_graph_ann_recall", "m14_chunk_dedup_stats",
+    "q76_entry_exit", "t49_term_dispersion", "s37_graph_index_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -191,6 +192,20 @@ object ScaleBench {
             lit(nq).as("n_queries"), col("n_hits"),
             round(col("n_hits").cast("double") / (nq * k), 6).as("recall"))
       }.reduce(_ unionByName _)
+    }
+    // s37 reads the build-once graph asset — built at nlist ∝ corpus
+    // (the nightly index job scales its quantizer with the corpus);
+    // min-of-reps then measures the probe path (rep 1 pays the build)
+    case "s37_graph_index_probe" => Some { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      import graft.operators.{CacheScope, Similarity}
+      val nl = if (copies <= 1) 32 else 32 * copies
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val graph = CacheScope.sessionScope(s).own(
+        Similarity.ensureKnnGraphIndex(s, dir, graphK = 10, nlist = nl)
+          .persist())
+      Similarity.graphBeamSearchOver(graph, emb, emb.filter(col("vec_id") < 5),
+        k = 5, beam = 16, rounds = 3, seedMod = 64)
     }
     case _ => None
   }
