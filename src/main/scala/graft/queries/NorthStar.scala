@@ -3039,6 +3039,16 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // STREAMING SESSION ENTRY/EXIT — q76's landing-page table over
+    // watermark-closed sessions: first/last events ride the built-in
+    // session_window as mergeable min/max structs (append mode, st13's
+    // exactly-once emission convention); own oracle replays the gap
+    // sessions with the watermark-closure filter.
+    "st46_stream_entry_exit" -> { (s, dir) =>
+      graft.streaming.Streaming.streamEntryExit(s, dir)
+        .orderBy("event_type")
+    },
+
     // STREAMING SEASONALITY MAINTENANCE — q75's hour-of-week profile
     // kept live: bounded |types|·168-cell complete-mode state of
     // milli-unit integer sums, batch-identical readout (index + peak
@@ -4119,6 +4129,40 @@ object NorthStar {
            |FROM tot t LEFT JOIN sp ON sp.id = t.id
            |ORDER BY doc_id""".stripMargin
       },
+
+      // q76's sessionization + first/last per session, kept only when
+      // the session end (+gap) clears the final watermark (st05's
+      // closure convention: last + 1800 <= max(sec) - 7200)
+      "st46_stream_entry_exit" ->
+        """WITH e AS (SELECT user_id, event_id, event_type,
+          |    epoch_ms(ts) // 1000 AS sec FROM events),
+          |a AS (SELECT *, lag(sec) OVER
+          |    (PARTITION BY user_id ORDER BY sec, event_id) AS prev_s FROM e),
+          |b AS (SELECT *, CASE WHEN prev_s IS NULL OR sec - prev_s > 1800
+          |    THEN 1 ELSE 0 END AS new_sess FROM a),
+          |c AS (SELECT *, sum(new_sess) OVER
+          |    (PARTITION BY user_id ORDER BY sec, event_id) AS sid FROM b),
+          |d AS (SELECT user_id, sid, event_type,
+          |    count(*) OVER (PARTITION BY user_id, sid) AS n,
+          |    max(sec) OVER (PARTITION BY user_id, sid) AS last_sec,
+          |    row_number() OVER (PARTITION BY user_id, sid
+          |      ORDER BY sec, event_id) AS rf,
+          |    row_number() OVER (PARTITION BY user_id, sid
+          |      ORDER BY sec DESC, event_id DESC) AS rl
+          |  FROM c),
+          |cl AS (SELECT * FROM d
+          |  WHERE last_sec + 1800 <= (SELECT max(sec) FROM e) - 7200),
+          |ent AS (SELECT event_type, count(*) AS n_entries,
+          |    cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) as bigint) AS n_bounces
+          |  FROM cl WHERE rf = 1 GROUP BY 1),
+          |ex AS (SELECT event_type, count(*) AS n_exits
+          |  FROM cl WHERE rl = 1 GROUP BY 1)
+          |SELECT coalesce(ent.event_type, ex.event_type) AS event_type,
+          |  coalesce(n_entries, 0) AS n_entries,
+          |  coalesce(n_exits, 0) AS n_exits,
+          |  coalesce(n_bounces, 0) AS n_bounces
+          |FROM ent FULL JOIN ex ON ent.event_type = ex.event_type
+          |ORDER BY event_type""".stripMargin,
 
       // exact-integer DP: Σ|c_ts·S − s_s·c_t| over present sources +
       // closed-form absent term, one division by 2·c_t·S

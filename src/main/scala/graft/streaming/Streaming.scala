@@ -177,6 +177,43 @@ object Streaming {
       .orderBy("user_id", "sess_start")
   }
 
+  /** Streaming session entry/exit/bounce analysis (st46): q76's
+    * landing-page table over WATERMARK-CLOSED sessions. The session
+    * aggregate carries the first and last event as min/max structs
+    * over (sec, event_id, type) — mergeable state, so it rides the
+    * built-in session_window in append mode (a session emits exactly
+    * once, when the watermark passes its end, st13's convention); the
+    * per-type readout is a batch post-pass over the emitted rows. The
+    * oracle replays gap-sessionization and keeps sessions whose
+    * end+gap clears the final watermark.
+    */
+  def streamEntryExit(s: SparkSession, dir: String,
+      gapMinutes: Int = 30, delayHours: Int = 2): DataFrame = {
+    val agg = eventStream(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // one task per FILE otherwise (st42's lesson)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+      .withWatermark("event_time", s"$delayHours hours")
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"$gapMinutes minutes").as("sw"))
+      .agg(min(struct(col("sec"), col("event_id"), col("event_type"))).as("fst"),
+        max(struct(col("sec"), col("event_id"), col("event_type"))).as("lst"),
+        count(lit(1)).as("n"))
+    val sess = runToTable(agg, "append")
+    // both readouts derive from the memory-sink view: expose only
+    // fresh aliases on each side so the full-outer join resolves
+    val entries = sess.groupBy(col("fst")("event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+    val exits = sess.groupBy(col("lst")("event_type").as("x_type"))
+      .agg(count(lit(1)).as("n_exits"))
+    entries.join(exits, col("event_type") === col("x_type"), "full_outer")
+      .select(coalesce(col("event_type"), col("x_type")).as("event_type"),
+        coalesce(col("n_entries"), lit(0L)).as("n_entries"),
+        coalesce(col("n_exits"), lit(0L)).as("n_exits"),
+        coalesce(col("n_bounces"), lit(0L)).as("n_bounces"))
+  }
+
   /** Stream-stream inner join with watermarks and an event-time range
     * condition: each click joined to the same user's views from the
     * preceding hour. Both sides keep watermarked state; the time bound
