@@ -3039,6 +3039,15 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // STREAMING TERM-DISPERSION MAINTENANCE — t49's corpus-mix
+    // monitor live: bounded |sources|·|vocab| complete-mode count
+    // cells, batch-identical exact-integer DP readout. Shares t49's
+    // oracle verbatim.
+    "st47_stream_dispersion" -> { (s, dir) =>
+      graft.streaming.Streaming.streamTermDispersion(s, dir)
+        .orderBy(col("ct").desc, col("tok").asc)
+    },
+
     // STREAMING SESSION ENTRY/EXIT — q76's landing-page table over
     // watermark-closed sessions: first/last events ride the built-in
     // session_window as mergeable min/max structs (append mode, st13's
@@ -6509,6 +6518,9 @@ object NorthStar {
       // cell, readout shared — q75's oracle checks the stream verbatim
       ("st45_stream_seasonality" ->
         graft.queries.Relational.oracles("q75_seasonality")) +
+      // complete-mode (source, token) cells = t49's aggregate cell for
+      // cell, same exact-integer DP readout — oracle verbatim
+      ("st47_stream_dispersion" -> m("t49_term_dispersion")) +
       ("s13_pq_index_probe" -> m("s12_pq_topk")) +
       // the graph search over the build-once asset must equal the
       // inline build row for row — s35's oracle checks it verbatim

@@ -177,6 +177,42 @@ object Streaming {
       .orderBy("user_id", "sess_start")
   }
 
+  /** Streaming term-dispersion maintenance (st47): t49's corpus-mix
+    * monitor kept LIVE — the stream maintains the (source, token)
+    * count cells (complete mode; state bounded by |sources|·|vocab|,
+    * the vocabulary being the bounded axis of any tokenized corpus),
+    * and the readout derives source sizes, the corpus total, the
+    * top-50 terms and each term's exact-integer DP exactly as the
+    * batch query does. Batch t49 is the verbatim oracle.
+    */
+  def streamTermDispersion(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.sources.Sources.documentsStream(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // one task per FILE otherwise
+      .select(col("source"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val tok = runToTable(cells, "complete")
+    // all readout sides derive from the memory-sink view: fresh
+    // aliases on every derived output so the joins resolve
+    val ssz = tok.groupBy(col("source").as("z_src"))
+      .agg(sum(col("c")).as("ssz"))
+    val stot = ssz.agg(sum(col("ssz")).as("S"))
+    val top = tok.groupBy(col("tok").as("t_tok"))
+      .agg(sum(col("c")).as("ct"))
+      .orderBy(col("ct").desc, col("t_tok").asc).limit(50)
+    tok.join(broadcast(top), col("tok") === col("t_tok"))
+      .join(broadcast(ssz), col("source") === col("z_src"))
+      .crossJoin(broadcast(stot))
+      .groupBy(col("t_tok"), col("ct"), col("S"))
+      .agg(sum(abs(col("c") * col("S") - col("ssz") * col("ct"))).as("numPresent"),
+        sum(col("ssz")).as("sPresent"))
+      .select(col("t_tok").as("tok"), col("ct"),
+        round((col("numPresent") + (col("S") - col("sPresent")) * col("ct"))
+          .cast("double") / (lit(2.0) * col("ct") * col("S")), 6).as("dp"))
+  }
+
   /** Streaming session entry/exit/bounce analysis (st46): q76's
     * landing-page table over WATERMARK-CLOSED sessions. The session
     * aggregate carries the first and last event as min/max structs
