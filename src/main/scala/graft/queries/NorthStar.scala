@@ -953,6 +953,37 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // B-CUBED EVALUATION of the dedup CLUSTERING — Bagga & Baldwin's
+    // per-item precision/recall against the planted truth (doc i and
+    // its 80%-prefix mutant i+100000 ARE one entity): t39 scores the
+    // candidate stage, this scores the final clustering after CC
+    // closure. One (pred, truth) contingency aggregate: per-item sums
+    // collapse to Σ n_pt²/n_p and Σ n_pt²/n_t over cells, computed in
+    // 1e6 fixed point per cell (exact integer floor division,
+    // order-free bigint sums — engine-portable where a float sum over
+    // cells would not be); F1 is one double expression at readout.
+    "d22_bcubed_eval" -> { (s, dir) =>
+      import s.implicits._
+      val cells = Dedup.dedupVerdicts(mutCorpus(s, dir), "text", "doc_id",
+          k = 16, bands = 4, n = 3, minEstSim = 0.5)
+        .select($"canonical_id".as("p"), ($"doc_id" % 100000).as("t"))
+        .groupBy($"p", $"t").agg(count(lit(1)).as("n_pt"))
+      val np = cells.groupBy($"p").agg(sum($"n_pt").as("n_p"))
+      val nt = cells.groupBy($"t").agg(sum($"n_pt").as("n_t"))
+      cells.join(np, "p").join(nt, "t")
+        .agg(sum($"n_pt").as("n_items"),
+          sum(expr("n_pt * n_pt * 1000000 div n_p")).as("pfp"),
+          sum(expr("n_pt * n_pt * 1000000 div n_t")).as("rfp"))
+        .select($"n_items",
+          round($"pfp".cast("double") /
+            ($"n_items".cast("double") * lit(1e6)), 6).as("bcubed_precision"),
+          round($"rfp".cast("double") /
+            ($"n_items".cast("double") * lit(1e6)), 6).as("bcubed_recall"),
+          round((lit(2.0) * $"pfp".cast("double") * $"rfp".cast("double")) /
+            (($"pfp" + $"rfp").cast("double") *
+              $"n_items".cast("double") * lit(1e6)), 6).as("bcubed_f1"))
+    },
+
     // d08's pipeline with the "keep the best copy" canonical rule:
     // within each near-dup component keep the quality-argmax member
     // (quality = distinct-token count, integer-exact; ties to lowest
@@ -4244,6 +4275,48 @@ object NorthStar {
            |SELECT src AS doc_id, min(dst) AS canonical_id,
            |  (src = min(dst)) AS is_kept
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      // d08's closure chain verbatim + the B-cubed contingency table
+      // in 1e6 fixed point (exact floor division per cell)
+      "d22_bcubed_eval" ->
+        s"""WITH RECURSIVE ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+           |p AS (SELECT pr.id_a, pr.id_b FROM pairs pr
+           |  JOIN mh a ON a.id = pr.id_a JOIN mh b ON b.id = pr.id_b
+           |  WHERE cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16
+           |    >= 0.5),
+           |e AS (SELECT id_a AS s, id_b AS d FROM p
+           |  UNION SELECT id_b, id_a FROM p),
+           |ids AS (SELECT DISTINCT doc_id AS id FROM u),
+           |reach AS (
+           |  SELECT id AS src, id AS dst FROM ids
+           |  UNION
+           |  SELECT r.src, e.d FROM reach r JOIN e ON e.s = r.dst),
+           |lbl AS (SELECT src AS doc_id, min(dst) AS pl, src % 100000 AS tl
+           |  FROM reach GROUP BY src),
+           |cells AS (SELECT pl, tl, count(*) AS n_pt FROM lbl GROUP BY 1, 2),
+           |np AS (SELECT pl, cast(sum(n_pt) as bigint) AS n_p FROM cells GROUP BY 1),
+           |nt AS (SELECT tl, cast(sum(n_pt) as bigint) AS n_t FROM cells GROUP BY 1),
+           |ag AS (SELECT cast(sum(n_pt) as bigint) AS n_items,
+           |    cast(sum(n_pt * n_pt * 1000000 // n_p) as bigint) AS pfp,
+           |    cast(sum(n_pt * n_pt * 1000000 // n_t) as bigint) AS rfp
+           |  FROM cells JOIN np USING (pl) JOIN nt USING (tl))
+           |SELECT n_items,
+           |  round(cast(pfp as double)
+           |    / (cast(n_items as double) * 1000000.0), 6) AS bcubed_precision,
+           |  round(cast(rfp as double)
+           |    / (cast(n_items as double) * 1000000.0), 6) AS bcubed_recall,
+           |  round((2.0 * cast(pfp as double) * cast(rfp as double))
+           |    / (cast(pfp + rfp as double) * cast(n_items as double) * 1000000.0), 6)
+           |    AS bcubed_f1
+           |FROM ag""".stripMargin,
 
       // d08's components re-canonicalized by quality argmax: the kept
       // member is the distinct-token-count maximum (ties to lowest id)
