@@ -369,3 +369,118 @@ case class SignPackExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SignPackExpr =
     copy(child = newChild)
 }
+
+/** Johnson–Lindenstrauss ±1 sign projection of a float/double array
+  * column to `targetDims` long components — the codegen kernel under
+  * [[graft.operators.Similarity.jlProject]]. Bit-identical to the
+  * higher-order-function column formulation it replaced: quantization
+  * multiplies by 2^20 (an exact exponent shift in float or double
+  * before the floor), the Achlioptas sign matrix is regenerated from
+  * indices by the same two-round xorshift-multiply mix, and the
+  * integer fold runs the same i = 0..dims-1 order (commutative sums
+  * anyway). JlProfile measured the HOF version at 6.6-7.3 s for the
+  * sf0.1 corpus scan — higher-order lambdas evaluate interpreted per
+  * element (dims × targetDims expression-tree walks per row) — vs one
+  * primitive loop inside whole-stage codegen here.
+  *
+  * NULL contract: a null array, a wrong-length array, or any null
+  * element yields NULL (the HOF version null-poisoned every component
+  * in those cases; no registered corpus contains them).
+  */
+case class JlProject(child: Expression, dims: Int, targetDims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "jl_project"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.elemKind(child.dataType) match {
+      case Some(_) if dims >= 1 && targetDims >= 1 => TypeCheckResult.TypeCheckSuccess
+      case Some(_) => TypeCheckResult.TypeCheckFailure(
+        s"jl_project needs dims >= 1 and targetDims >= 1, got $dims, $targetDims")
+      case None => TypeCheckResult.TypeCheckFailure(
+        s"jl_project needs an array<float|double> input, got ${child.dataType}")
+    }
+
+  private lazy val kind = VectorExprUtil.elemKind(child.dataType).get
+
+  // Achlioptas sign matrix regenerated from indices (Knuth multiply +
+  // one xorshift-multiply avalanche round — the derivation note lives
+  // on Similarity.jlProject); row-major s(i·targetDims + j)
+  private lazy val signs: Array[Byte] = {
+    val s = new Array[Byte](dims * targetDims)
+    var i = 0
+    while (i < dims) {
+      var j = 0
+      while (j < targetDims) {
+        val m1 = ((i.toLong * targetDims + j + 1) * 2654435761L) % 2147483648L
+        val m2 = ((m1 ^ (m1 >> 13)) * 1274126177L) % 2147483648L
+        s(i * targetDims + j) = if ((m2 >> 7) % 2 == 0) 1 else -1
+        j += 1
+      }
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dims) return null
+    val qx = new Array[Long](dims)
+    var i = 0
+    while (i < dims) {
+      if (arr.isNullAt(i)) return null
+      qx(i) = math.floor(
+        VectorExprUtil.getAsDouble(arr, i, kind) * 1048576.0).toLong
+      i += 1
+    }
+    val out = new Array[Long](targetDims)
+    var j = 0
+    while (j < targetDims) {
+      var acc = 0L
+      var ii = 0
+      while (ii < dims) { acc += qx(ii) * signs(ii * targetDims + j); ii += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sref = ctx.addReferenceObj("jlSigns", signs, "byte[]")
+      val qx = ctx.freshName("qx")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val ii = ctx.freshName("ii")
+      val acc = ctx.freshName("acc")
+      val get = if (kind == "float") s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |if ($a.numElements() != $dims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $qx = new long[$dims];
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $qx[$i] = (long) java.lang.Math.floor($get * 1048576.0D);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    long[] $out = new long[$targetDims];
+         |    for (int $j = 0; $j < $targetDims; $j++) {
+         |      long $acc = 0L;
+         |      for (int $ii = 0; $ii < $dims; $ii++) {
+         |        $acc += $qx[$ii] * $sref[$ii * $targetDims + $j];
+         |      }
+         |      $out[$j] = $acc;
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JlProject =
+    copy(child = newChild)
+}

@@ -1928,7 +1928,6 @@ object Similarity {
     * the concentration and recall floors).
     */
   def jlProject(vec: Column, dims: Int, targetDims: Int): Column = {
-    val qx = transform(vec, x => floor(x * lit(1048576L)).cast("long"))
     // sign = bit 7 of a two-round xorshift-multiply mix. One Knuth
     // multiply is NOT enough here: its low bit is the parity of k (for
     // even targetDims that collapses every matrix row to ±colsum), and
@@ -1936,15 +1935,14 @@ object Similarity {
     // consecutive k (measured: only 45% of pair distortions within
     // ±50% at r=16). The xorshift round avalanches: 87% within ±50%,
     // std 0.34 = the χ²₁₆ theory value (JlProjectionSpec holds both).
-    val sign = (i: Column, j: Column) => {
-      val m1 = (i * targetDims + j + 1) * lit(2654435761L) % lit(2147483648L)
-      val m2 = m1.bitwiseXOR(shiftright(m1, 13)) * lit(1274126177L) %
-        lit(2147483648L)
-      when(shiftright(m2, 7) % 2 === 0, lit(1L)).otherwise(lit(-1L))
-    }
-    transform(sequence(lit(0), lit(targetDims - 1)), j =>
-      aggregate(sequence(lit(0), lit(dims - 1)), lit(0L),
-        (acc, i) => acc + element_at(qx, (i + 1).cast("int")) * sign(i, j)))
+    // Evaluation is the codegen kernel (one primitive loop in
+    // whole-stage codegen); the interpreted higher-order-function
+    // formulation it replaced walked dims × targetDims lambda trees
+    // per row and dominated s33's runtime (JlProfile: 6.6-7.3 s of
+    // the 7.4-9.7 s total at sf0.1).
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.JlProject(
+      Bridge.expression(vec), dims, targetDims))
   }
 
   /** Two-stage ANN with the JL projection as the coarse scorer —
