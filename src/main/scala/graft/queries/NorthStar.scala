@@ -953,6 +953,47 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // DEDUP-AWARE MIXTURE REWEIGHTING — the pipeline composition every
+    // corpus build runs: dedup FIRST, then recompute the temperature
+    // sampling rates on what survived, so a source full of near-dups
+    // loses sampling weight exactly in proportion to what dedup took.
+    // d08's verdicts pick the kept members of the mutated corpus (the
+    // 80%-prefix mutants collapse onto their originals), kept docs
+    // inherit their original's source, and t19's fixed-point
+    // temperature math reruns on the kept token mass. Readout: per
+    // source, before/after doc+token mass, the post-dedup rate, and
+    // the sampled yield. The oracle replays the d08 closure AND the
+    // mixture end to end.
+    "t50_dedup_remix" -> { (s, dir) =>
+      import s.implicits._
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val mut = scope.own(mutCorpus(s, dir).persist()) // verdicts + before agg + kept corpus
+      val srcMap = docs.select($"doc_id".as("base_id"), $"source")
+      val keptIds = Dedup.dedupVerdicts(mut, "text", "doc_id",
+          k = 16, bands = 4, n = 3, minEstSim = 0.5)
+        .filter($"is_kept").select($"doc_id")
+      val withSrc = mut.withColumn("base_id", $"doc_id" % 100000)
+        .join(srcMap, "base_id")
+      val bef = withSrc.groupBy($"source".as("domain"))
+        .agg(count(lit(1)).as("n_docs_before"),
+          sum(TextAnalysis.tokenCount($"text")).as("tokens_before"))
+      val aft = Mixture.temperatureMixture(
+          withSrc.join(keptIds, Seq("doc_id"), "left_semi"),
+          "source", "doc_id", TextAnalysis.tokenCount($"text"),
+          budgetTokens = 26000L, alpha = 0.5)
+        .groupBy($"domain", round($"rate", 6).as("rate"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum($"n_tokens").as("tokens_kept"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_sampled"),
+          sum(when($"keep", $"n_tokens").otherwise(0L)).as("sampled_tokens"))
+      bef.join(aft, "domain")
+        .select($"domain", $"n_docs_before", $"tokens_before",
+          $"n_docs_kept", $"tokens_kept", $"rate", $"n_sampled",
+          $"sampled_tokens")
+        .orderBy($"domain")
+    },
+
     // B-CUBED EVALUATION of the dedup CLUSTERING — Bagga & Baldwin's
     // per-item precision/recall against the planted truth (doc i and
     // its 80%-prefix mutant i+100000 ARE one entity): t39 scores the
@@ -4275,6 +4316,53 @@ object NorthStar {
            |SELECT src AS doc_id, min(dst) AS canonical_id,
            |  (src = min(dst)) AS is_kept
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      // d08's closure (its pair-filter CTE renamed pp — the mixture
+      // helper owns `p`) → kept ids → source attach → t19's mixture
+      // replay on the kept mass → before/after join
+      "t50_dedup_remix" ->
+        s"""WITH RECURSIVE ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+           |pp AS (SELECT pr.id_a, pr.id_b FROM pairs pr
+           |  JOIN mh a ON a.id = pr.id_a JOIN mh b ON b.id = pr.id_b
+           |  WHERE cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16
+           |    >= 0.5),
+           |e AS (SELECT id_a AS s, id_b AS d FROM pp
+           |  UNION SELECT id_b, id_a FROM pp),
+           |ids AS (SELECT DISTINCT doc_id AS id FROM u),
+           |reach AS (
+           |  SELECT id AS src, id AS dst FROM ids
+           |  UNION
+           |  SELECT r.src, e.d FROM reach r JOIN e ON e.s = r.dst),
+           |keptids AS (SELECT src AS id FROM reach
+           |  GROUP BY src HAVING src = min(dst)),
+           |kd AS (SELECT u.doc_id, u.text FROM u
+           |  JOIN keptids k ON k.id = u.doc_id),
+           |bef AS (SELECT d.source AS domain, count(*) AS n_docs_before,
+           |    cast(sum(len(${toksSql("u.text")})) as bigint) AS tokens_before
+           |  FROM u JOIN documents d ON d.doc_id = u.doc_id % 100000
+           |  GROUP BY 1),
+           |${Mixture.temperatureMixtureSql(
+             s"""SELECT d.source AS domain, cast(kd.doc_id as bigint) AS id,
+                |    cast(len(${toksSql("kd.text")}) as bigint) AS n_tokens
+                |  FROM kd JOIN documents d ON d.doc_id = kd.doc_id % 100000""".stripMargin,
+             budgetTokens = 26000L)},
+           |aft AS (SELECT domain, round(rate, 6) AS rate,
+           |    count(*) AS n_docs_kept,
+           |    cast(sum(n_tokens) as bigint) AS tokens_kept,
+           |    cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_sampled,
+           |    cast(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) as bigint) AS sampled_tokens
+           |  FROM v GROUP BY domain, round(rate, 6))
+           |SELECT domain, n_docs_before, tokens_before, n_docs_kept,
+           |  tokens_kept, rate, n_sampled, sampled_tokens
+           |FROM bef JOIN aft USING (domain) ORDER BY domain""".stripMargin,
 
       // d08's closure chain verbatim + the B-cubed contingency table
       // in 1e6 fixed point (exact floor division per cell)
