@@ -49,6 +49,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s19_semantic_dedup" -> "s04's sanctioned coarse-assignment shape (corpus x 32 broadcast centroids); the data-sized pair join is an equi-join on the cluster id",
     "s18_hybrid_search" -> "the vector half is the sanctioned 3-broadcast-queries x corpus baseline (swap in s15's pruned ADC at corpus scale); the lexical half is a posting equi-join",
     "t19_temperature_mix" -> "the |domains|-row weight table crossJoins the broadcast 1-row weight-sum aggregate — both sides tiny by construction; the data-sized join is the broadcast rate join on domain",
+    "t50_dedup_remix" -> "t19's sanctioned mixture shape riding inside (the |domains|-row weight table crossJoins the 1-row weight-sum aggregate); the data-sized work is d08's banded candidate equi-join, the CC closure, and id-keyed source joins",
     "d14_semantic_decontam" -> "d10's size contract applied to embeddings: the caller vouches the eval set is benchmark-sized, buying the exact one-scan x broadcast-eval argmax; the unvouched path is the centroid-blocked equi-join (SemanticContaminationSpec)",
     "t23_lm_perplexity" -> "the per-doc score table joins the broadcast ONE-ROW corpus-mean aggregate (t19's scalar shape; the constant join key folds to a trivially-true condition); the data-sized joins are the broadcast marginal-count equi-joins",
     "t30_hll_distinct" -> "the 1-row register-sum aggregate crossJoins the 1-row exact-count aggregate (t19's scalar shape — both sides single rows by construction); the data-sized work is two partial-aggregatable hash aggregates",
