@@ -3111,6 +3111,16 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // STREAMING CDC CHUNK-SAVINGS PROBE — m14's storage-dedup readout
+    // for an arriving shard vs the frozen corpus chunk store: shared
+    // cdcChunks kernel in a stateless typed flatMap, stream-static
+    // hash join, per-doc byte accounting. Own shard+corpus replay
+    // oracle.
+    "st48_stream_chunk_probe" -> { (s, dir) =>
+      graft.streaming.Streaming.streamChunkProbe(s, dir)
+        .orderBy("doc_id")
+    },
+
     // STREAMING TERM-DISPERSION MAINTENANCE — t49's corpus-mix
     // monitor live: bounded |sources|·|vocab| complete-mode count
     // cells, batch-identical exact-integer DP readout. Shares t49's
@@ -5743,6 +5753,61 @@ object NorthStar {
            |    list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
            |      (a, c) -> (a*31 + c) % $P)), ',') AS chunk_hashes_csv
            |FROM be ORDER BY doc_id""".stripMargin,
+
+      // m04's boundary replay twice: 80%-prefix shard chunks (with
+      // lengths) probed against the corpus's distinct chunk hashes
+      "st48_stream_chunk_probe" -> {
+        val tk = toksSql("text")
+        s"""WITH sh AS (SELECT doc_id + 100000 AS doc_id,
+           |    array_to_string(($tk)[1:greatest(cast(floor(len($tk) * 0.8) as int), 1)], ' ') AS text
+           |  FROM documents),
+           |ct AS (SELECT list_transform(string_split(text, ''),
+           |    c -> cast(ascii(c) as bigint)) AS codes FROM documents),
+           |cd AS (SELECT codes, len(codes) AS n FROM ct),
+           |cbnd AS (SELECT codes, n,
+           |    list_filter(range(8, n + 1), i ->
+           |      list_reduce(codes[i-7 : i], (a, c) -> (a*31 + c) % $P) % 64 = 0) AS ends
+           |  FROM cd),
+           |cbe AS (SELECT codes,
+           |    CASE WHEN len(ends) > 0 AND ends[-1] = n THEN ends
+           |         ELSE list_append(ends, n) END AS b
+           |  FROM cbnd),
+           |chs AS (SELECT DISTINCT unnest(list_transform(range(1, len(b) + 1), j ->
+           |    list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
+           |      (a, c) -> (a*31 + c) % $P))) AS ch
+           |  FROM cbe),
+           |st AS (SELECT cast(doc_id as bigint) AS doc_id,
+           |    list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint)) AS codes
+           |  FROM sh),
+           |sd AS (SELECT doc_id, codes, len(codes) AS n FROM st),
+           |sbnd AS (SELECT doc_id, codes, n,
+           |    list_filter(range(8, n + 1), i ->
+           |      list_reduce(codes[i-7 : i], (a, c) -> (a*31 + c) % $P) % 64 = 0) AS ends
+           |  FROM sd),
+           |sbe AS (SELECT doc_id, codes,
+           |    CASE WHEN len(ends) > 0 AND ends[-1] = n THEN ends
+           |         ELSE list_append(ends, n) END AS b
+           |  FROM sbnd),
+           |sce AS (SELECT doc_id,
+           |    list_transform(range(1, len(b) + 1), j ->
+           |      list_reduce(codes[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) : b[j]],
+           |        (a, c) -> (a*31 + c) % $P)) AS hl,
+           |    list_transform(range(1, len(b) + 1), j ->
+           |      b[j] - (CASE WHEN j = 1 THEN 0 ELSE b[j-1] END)) AS ll
+           |  FROM sbe),
+           |scf AS (SELECT doc_id, unnest(hl) AS ch, unnest(ll) AS clen FROM sce),
+           |f AS (SELECT doc_id, clen,
+           |    CASE WHEN ch IN (SELECT ch FROM chs) THEN 1 ELSE 0 END AS hit
+           |  FROM scf)
+           |SELECT doc_id, count(*) AS n_chunks,
+           |  cast(sum(clen) as bigint) AS total_bytes,
+           |  cast(sum(hit) as bigint) AS n_dup_chunks,
+           |  cast(sum(CASE WHEN hit = 1 THEN clen ELSE 0 END) as bigint) AS dup_bytes,
+           |  round(CASE WHEN sum(clen) > 0
+           |    THEN cast(sum(CASE WHEN hit = 1 THEN clen ELSE 0 END) as double)
+           |      / sum(clen) END, 6) AS dup_frac
+           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
 
       // m04's boundary replay over the mutated corpus with per-chunk
       // lengths (zipped unnests), distinct-doc df >= 2, byte charging

@@ -213,6 +213,57 @@ object Streaming {
           .cast("double") / (lit(2.0) * col("ct") * col("S")), 6).as("dp"))
   }
 
+  /** Streaming CDC chunk-savings probe (st48): m14's storage-dedup
+    * question asked of an ARRIVING shard — per incoming doc, how many
+    * of its content-defined chunks (and bytes) already exist in the
+    * frozen corpus's chunk store. The static side is the corpus's
+    * distinct chunk-hash set (a build-once asset at scale); the
+    * stream side runs the SAME [[graft.functions.TextKernels.cdcChunks]]
+    * kernel in a typed flatMap (stateless; repartition first — the
+    * kernel is the expensive step on a one-file source), and the
+    * stream-static left join flags known chunks. No islands pass:
+    * chunk savings are per-chunk, not span-merged.
+    */
+  def streamChunkProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits.{newLongEncoder, newProductEncoder, newStringEncoder}
+    val corpusChunks = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("text").cast("string").as("t"))
+      .as[(Long, String)]
+      .flatMap { case (_, t) =>
+        graft.functions.TextKernels.cdcChunks(
+          if (t == null) "" else t, w = 8, mask = 63).map(_._1)
+      }
+      .toDF("ch").distinct()
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val probe = graft.sources.Sources.documentsStream(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select((col("doc_id") + 100000).cast("long").as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest(floor(size(toks) * 0.8).cast("int"), lit(1))), " ")
+          .cast("string").as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.TextKernels.cdcChunks(
+          if (t == null) "" else t, w = 8, mask = 63)
+          .map { case (h, l) => (id, h, l.toLong) }
+      }
+      .toDF("id", "ch", "clen")
+    val flagged = probe
+      .join(corpusChunks.withColumn("hit", lit(1L)), Seq("ch"), "left_outer")
+      .select(col("id"), col("clen"), coalesce(col("hit"), lit(0L)).as("hit"))
+    runToTable(flagged, "append")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("total_bytes"),
+        sum(col("hit")).as("n_dup_chunks"),
+        sum(when(col("hit") === 1L, col("clen")).otherwise(0L)).as("dup_bytes"))
+      .select(col("id").as("doc_id"), col("n_chunks"), col("total_bytes"),
+        col("n_dup_chunks"), col("dup_bytes"),
+        round(when(col("total_bytes") > 0L,
+          col("dup_bytes").cast("double") / col("total_bytes")), 6)
+          .as("dup_frac"))
+  }
+
   /** Streaming session entry/exit/bounce analysis (st46): q76's
     * landing-page table over WATERMARK-CLOSED sessions. The session
     * aggregate carries the first and last event as min/max structs
