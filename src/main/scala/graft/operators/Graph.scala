@@ -77,4 +77,36 @@ object Graph {
     }
     r.select(col("id"), col("r").as("rank_fp"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * deterministic tie-break (highest neighbor-label count, then
+    * smallest label). Labels seed with the node id; isolated nodes
+    * keep their own. `sym` must be the SYMMETRIZED edge list (u, v);
+    * `nodes` a single `id` column. Each round is one equi-join of the
+    * label table to the edges + two partial-aggregatable hash
+    * aggregates — the (node, label) count, then the
+    * max(struct(cnt, -label)) argmax; never a window over nodes — and
+    * a left join back to the node set. `pin` persists each round's
+    * label table (round r+1 reads it twice: count join + fallback);
+    * pass a CacheScope-owned persist from query code. Synchronous +
+    * exact tie-break = bit-replayable: the SQL oracle unrolls the
+    * rounds as layered CTEs. Returns (id, lbl).
+    */
+  def labelPropagation(nodes: DataFrame, sym: DataFrame, rounds: Int,
+      pin: DataFrame => DataFrame = identity): DataFrame = {
+    var labels = pin(nodes.select(col("id"), col("id").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val adopted = sym
+        .join(labels.select(col("id").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("u").as("id"), (-col("m")("neg")).as("new_lbl"))
+      labels = pin(nodes.join(adopted, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("new_lbl"), col("id")).as("lbl")))
+    }
+    labels
+  }
 }

@@ -536,6 +536,50 @@ object Mixture {
         col("thr_bucket"), (col("bucket") >= col("thr_bucket")).as("keep"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): per
+    * LANGUAGE, docs split into head/middle/tail thirds by LM bits —
+    * the lowest-perplexity third is the "head", the slice CCNet keeps
+    * for clean pretraining data. The per-doc score is [[lmPerplexity]]'s
+    * exact integer `bits_sum div n_bigrams` (1/65536-bit units); the
+    * tertile thresholds come from a per-language `nBuckets`-bin
+    * HISTOGRAM of that score (bin width 1/8 bit by default) — never a
+    * per-language sort: the threshold table is |langs| x nBuckets
+    * counts, broadcastable at any corpus size, and the class is exact
+    * at bucket granularity (t25's convention). Cut ranks use the
+    * ceil-thirds rule (cum·3 >= total, cum·3 >= 2·total); both window
+    * aggregates run over the bounded histogram, not the corpus. Docs
+    * with no bigram (single-token) have no LM score and are absent,
+    * exactly as in t23.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      bucketWidth: Long = 8192L, nBuckets: Int = 256): DataFrame = {
+    require(bucketWidth > 0 && nBuckets > 1,
+      s"bad params: width=$bucketWidth n=$nBuckets")
+    val scored = lmPerplexity(docs, idCol, textCol)
+      .select(col("doc_id"), expr("bits_sum div n_bigrams").as("bits_fp"))
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("lang")), "doc_id")
+      .withColumn("bucket",
+        least(expr(s"bits_fp div $bucketWidth"), lit(nBuckets - 1L)))
+    val hist = scored.groupBy("lang", "bucket").agg(count(lit(1)).as("ct"))
+    val cum = hist.withColumn("cum", sum("ct").over(
+        Window.partitionBy("lang").orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("ct").over(Window.partitionBy("lang")))
+    val thr = cum.groupBy("lang").agg(
+      min(when(col("cum") * 3 >= col("total"), col("bucket")))
+        .as("head_thr"),
+      min(when(col("cum") * 3 >= col("total") * 2, col("bucket")))
+        .as("mid_thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("bits_fp"), col("bucket"),
+        col("head_thr"), col("mid_thr"),
+        when(col("bucket") <= col("head_thr"), "head")
+          .when(col("bucket") <= col("mid_thr"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** RAG/training-window chunking with overlap: split each document's
     * whitespace tokens into windows of `chunkTok` tokens whose starts
     * advance by `stride` (stride < chunkTok = overlapping context

@@ -994,6 +994,65 @@ object NorthStar {
         .orderBy($"domain")
     },
 
+    // CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.4) — the
+    // language-stratified head/middle/tail split CCNet publishes its
+    // corpus in: per language, docs are cut into perplexity tertiles
+    // (lowest-bits third = head, the slice kept for clean pretraining
+    // data). Composition of t23's hashed-bigram LM (exact integer
+    // bits) with t25's histogram-threshold discipline: tertile cuts
+    // derive from a |langs|x256 histogram of the integer bits score —
+    // never a per-language sort — so the class is exact at 1/8-bit
+    // bucket granularity and the whole chain (LM counts, surprisal,
+    // histogram, cuts, class) replays in SQL. At 100 TB: two corpus
+    // scans (LM build + score), one bounded histogram, one broadcast
+    // threshold join.
+    "t51_ccnet_buckets" -> { (s, dir) =>
+      Mixture.ccnetBuckets(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    },
+
+    // CLUSTER-BALANCED SELECTION — the "cluster then balance" curation
+    // move (SemDeDup/DataComp-style: a uniform sample over-represents
+    // dense regions; capping per semantic cluster flattens the
+    // distribution): every embedding is assigned to its trained
+    // k-means cell (s27's broadcast argmax assignment over the
+    // fixed-point trained centroids), then at most CAP=8 members per
+    // cell survive, chosen by the portable sample-hash order — an
+    // order-free deterministic uniform pick, the same discipline as
+    // every sampler on the board. The per-cell rank is a rank-FILTERED
+    // window (rn <= cap), so it plans as WindowGroupLimit: each task
+    // keeps a local top-cap before the shuffle and the post-filter
+    // output is |cells|·cap rows — nothing sorts the corpus globally.
+    // Training replays in SQL (s23's contract), so the whole selection
+    // is hash-checked end to end.
+    "t52_cluster_balance" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val trained = Similarity.ivfTrainCentroidsFp(emb, nlist = 32)
+      val cent = broadcast(trained.toSeq
+        .map { case (cid, cv) => (cid, cv.toSeq) }.toDF("c_id", "c_vec"))
+      val asg = emb
+        .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+        .crossJoin(cent)
+        .withColumn("cos_c", Similarity.cosine($"embedding", $"c_vec"))
+        .groupBy($"vec_id")
+        .agg(max(struct($"cos_c", (-$"c_id").as("neg_c"), $"c_id"))
+          .as("b"))
+        .select($"vec_id", $"b.c_id".as("c_id"))
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val pinned = scope.own(asg.persist()) // sizes + ranked pick
+      val h = Mixture.portableHash($"vec_id", Mixture.SampleI)
+      val wc = Window.partitionBy($"c_id").orderBy($"h".asc, $"vec_id".asc)
+      val kept = pinned.withColumn("h", h)
+        .withColumn("rn", row_number().over(wc).cast("long"))
+        .filter($"rn" <= 8L)
+      val sz = pinned.groupBy($"c_id").agg(count(lit(1)).as("n_members"))
+      kept.join(broadcast(sz), "c_id")
+        .select($"vec_id", $"c_id", $"n_members", $"rn")
+        .orderBy("c_id", "rn")
+    },
+
     // B-CUBED EVALUATION of the dedup CLUSTERING — Bagga & Baldwin's
     // per-item precision/recall against the planted truth (doc i and
     // its 80%-prefix mutant i+100000 ARE one entity): t39 scores the
@@ -3687,6 +3746,43 @@ object NorthStar {
            |FROM scd JOIN lab USING (doc_id), thr
            |ORDER BY scd.doc_id""".stripMargin,
 
+      // t51: t23's LM chain verbatim, then the per-language 256-bin
+      // histogram of bits_fp = bits_sum // n_bigrams, ceil-thirds cut
+      // buckets (cum*3 >= total / >= 2*total), class by bucket
+      "t51_ccnet_buckets" ->
+        s"""WITH d AS (SELECT doc_id, $tk AS toks FROM documents),
+           |f AS (SELECT doc_id,
+           |    list_transform(range(1, len(toks)), i -> toks[i]) AS cs,
+           |    list_transform(range(1, len(toks)),
+           |      i -> toks[i] || ' ' || toks[i+1]) AS bs FROM d),
+           |x AS (SELECT doc_id, (${rollSql("cw")}) % 1024 AS ctx,
+           |    (${rollSql("bw")}) % 65536 AS bi
+           |  FROM (SELECT doc_id, unnest(cs) AS cw, unnest(bs) AS bw FROM f)),
+           |cc AS (SELECT ctx, cast(count(*) as bigint) AS ct_ctx FROM x GROUP BY 1),
+           |bc AS (SELECT bi, cast(count(*) as bigint) AS ct_bi FROM x GROUP BY 1),
+           |sc AS (SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+           |    cast(sum(${Mixture.log2FpSql("ct_ctx + 65536")}
+           |      - ${Mixture.log2FpSql("ct_bi + 1")}) as bigint) AS bits_sum
+           |  FROM x JOIN cc USING (ctx) JOIN bc USING (bi) GROUP BY 1),
+           |sl AS (SELECT sc.doc_id, dd.lang,
+           |    (bits_sum // n_bigrams) AS bits_fp,
+           |    least((bits_sum // n_bigrams) // 8192, 255) AS bucket
+           |  FROM sc JOIN documents dd USING (doc_id)),
+           |h AS (SELECT lang, bucket, count(*) AS ct FROM sl GROUP BY 1, 2),
+           |c AS (SELECT lang, bucket,
+           |    sum(ct) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+           |    sum(ct) OVER (PARTITION BY lang) AS total FROM h),
+           |thr AS (SELECT lang,
+           |    min(CASE WHEN cum * 3 >= total THEN bucket END) AS head_thr,
+           |    min(CASE WHEN cum * 3 >= 2 * total THEN bucket END) AS mid_thr
+           |  FROM c GROUP BY 1)
+           |SELECT sl.doc_id, sl.lang, sl.bits_fp, sl.bucket,
+           |  thr.head_thr, thr.mid_thr,
+           |  CASE WHEN sl.bucket <= thr.head_thr THEN 'head'
+           |       WHEN sl.bucket <= thr.mid_thr THEN 'middle'
+           |       ELSE 'tail' END AS ppl_bucket
+           |FROM sl JOIN thr USING (lang) ORDER BY doc_id""".stripMargin,
+
       // hashed-bigram LM perplexity: context marginal (rolling hash %
       // 1024) and bigram marginal (% 65536) counts, add-one-smoothed
       // surprisal in the shared integer-exact fixed-point log2, keep
@@ -5034,6 +5130,27 @@ object NorthStar {
            |    i -> qv[i] * cast(cv[i] as bigint))) as bigint)) as bigint)
            |    AS dot_sum
            |FROM asg GROUP BY 1 ORDER BY c_id""".stripMargin,
+
+      // t52: s27's training + assignment chain, then per-cell
+      // sample-hash-order rank capped at 8; cell sizes ride along
+      "t52_cluster_balance" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |asg AS (SELECT id AS vec_id, c_id FROM (
+           |    SELECT e.id, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |r AS (SELECT vec_id, c_id, cast(row_number() OVER (
+           |    PARTITION BY c_id
+           |    ORDER BY (${Mixture.portableHashSql("vec_id", Mixture.SampleI)}),
+           |      vec_id) as bigint) AS rn
+           |  FROM asg),
+           |sz AS (SELECT c_id, count(*) AS n_members FROM asg GROUP BY 1)
+           |SELECT r.vec_id, r.c_id, sz.n_members, r.rn
+           |FROM r JOIN sz USING (c_id) WHERE r.rn <= 8
+           |ORDER BY c_id, rn""".stripMargin,
 
       // s24: the full fixed-point faiss-IVFPQ replay — coarse training
       // (s23's CTE chain), cosine assignment, ×2^12-quantized

@@ -1267,6 +1267,40 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007) over the
+    // session-overlap user graph — the community-detection third of
+    // the graph family (q51 components = connectivity, t21 PageRank =
+    // authority; LPA = mesoscale structure inside a component).
+    // SYNCHRONOUS update, 3 fixed rounds, labels seeded with the node
+    // id, deterministic tie-break (highest neighbor-label count, then
+    // smallest label) — every round is bit-replayable, so the whole
+    // propagation is hash-checked by a layered SQL oracle. Per round:
+    // ONE equi-join of the label table to the symmetrized edges + two
+    // commutative hash aggregates (the (node,label) count, then the
+    // max(struct(cnt, -label)) argmax — both partial-aggregatable, no
+    // window over nodes) + a left join back to the node set (isolated
+    // nodes keep their own label). Each round's label table is
+    // scope-persisted because round r+1 reads it twice (count join +
+    // fallback); at 100 TB every stage keys on the node id and moves
+    // O(edges) rows — the same shuffle shape as one CC round.
+    "q77_label_propagation" -> { (s, dir) =>
+      import s.implicits._
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val edges = sessionOverlapEdges(s, dir)
+      val sym = edges.select($"ua".as("u"), $"ub".as("v"))
+        .unionByName(edges.select($"ub".as("u"), $"ua".as("v")))
+      val nodes = events(s, dir)
+        .select($"user_id".cast("long").as("id")).distinct()
+      val labels = graft.operators.Graph.labelPropagation(
+        nodes, sym, rounds = 3, df => scope.own(df.persist()))
+      val sz = labels.groupBy($"lbl")
+        .agg(count(lit(1)).as("community_size"))
+      labels.join(sz, "lbl")
+        .select($"id".as("user_id"), $"lbl".as("community"),
+          $"community_size")
+        .orderBy("user_id")
+    },
+
     "q74_entity_resolution" -> { (s, dir) =>
       import s.implicits._
       def dvars(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -2560,6 +2594,47 @@ object Relational {
         |  SELECT s2.u, w.l FROM walk w JOIN sym s2 ON s2.v = w.u)
         |SELECT u AS user_id, min(l) AS component FROM walk
         |GROUP BY u ORDER BY user_id""".stripMargin,
+
+    // 3 synchronous LPA rounds over q51's edge derivation: per round a
+    // neighbor-label count + the deterministic argmax (cnt desc, lbl
+    // asc) via row_number; isolated nodes keep their own label
+    "q77_label_propagation" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""c$r AS (SELECT s2.u, l.lbl, count(*) AS cnt
+           |  FROM sym s2 JOIN l${r - 1} l ON l.id = s2.v GROUP BY 1, 2),
+           |a$r AS (SELECT u, lbl, row_number() OVER (
+           |    PARTITION BY u ORDER BY cnt DESC, lbl ASC) AS rn FROM c$r),
+           |l$r AS (SELECT n.id, coalesce(a.lbl, n.id) AS lbl
+           |  FROM nodes n LEFT JOIN (SELECT u, lbl FROM a$r WHERE rn = 1) a
+           |    ON a.u = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, event_id,
+         |    epoch_ms(ts) // 1000 AS s FROM events),
+         |o AS (SELECT user_id, event_id, s,
+         |    lag(s, 1) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev_s
+         |  FROM e),
+         |m AS (SELECT user_id, event_id, s,
+         |    CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+         |      THEN 1 ELSE 0 END AS ns
+         |  FROM o),
+         |g AS (SELECT user_id, s,
+         |    sum(ns) OVER (PARTITION BY user_id
+         |      ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM m),
+         |iv AS (SELECT user_id, sess, min(s) AS st, max(s) AS en
+         |  FROM g GROUP BY 1, 2),
+         |ed AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+         |  FROM iv a JOIN iv b
+         |    ON a.st <= b.en AND b.st <= a.en AND a.user_id < b.user_id),
+         |sym AS (SELECT ua AS u, ub AS v FROM ed
+         |  UNION ALL SELECT ub, ua FROM ed),
+         |nodes AS (SELECT DISTINCT user_id AS id FROM events),
+         |l0 AS (SELECT id, id AS lbl FROM nodes),
+         |$rounds,
+         |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY 1)
+         |SELECT l3.id AS user_id, l3.lbl AS community, sz.community_size
+         |FROM l3 JOIN sz USING (lbl) ORDER BY user_id""".stripMargin
+    },
 
     // 168-bucket weekly phase profile: milli-unit integer sums, index
     // as a ratio of two exact-double averages, per-type peak rank

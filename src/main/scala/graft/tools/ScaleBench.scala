@@ -83,7 +83,8 @@ object ScaleBench {
     "s35_graph_ann", "s36_graph_ann_recall", "m14_chunk_dedup_stats",
     "q76_entry_exit", "t49_term_dispersion", "s37_graph_index_probe",
     "st46_stream_entry_exit", "st47_stream_dispersion", "d22_bcubed_eval",
-    "t50_dedup_remix", "st48_stream_chunk_probe")
+    "t50_dedup_remix", "st48_stream_chunk_probe",
+    "q77_label_propagation")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow

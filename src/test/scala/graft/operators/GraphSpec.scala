@@ -60,6 +60,49 @@ class GraphSpec extends AnyFunSuite with Matchers {
     (2L until n).foreach { v => out(0L) should be > out(v) }
   }
 
+  // ---- label propagation (q77) ----
+
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(_.swap)).toDF("u", "v")
+
+  test("LPA: barbell splits into two communities where CC sees one component") {
+    // two 4-cliques {0..3} and {10..13} joined by the bridge 3-10
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (3L -> 10L)
+    val nodes = (Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L)).toDF("id")
+    val out = Graph.labelPropagation(nodes, sym(edges), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(0L, 1L, 2L, 3L).map(out) shouldBe Seq(0L, 0L, 0L, 0L)
+    Seq(10L, 11L, 12L, 13L).map(out) shouldBe Seq(10L, 10L, 10L, 10L)
+    // same edges, one connected component — LPA is strictly finer
+    val cc = ConnectedComponents.assign(
+        edges.toDF("src", "dst"), nodes, driverMaxEdges = 0L)
+      .select($"component").distinct().count()
+    cc shouldBe 1L
+  }
+
+  test("LPA: isolated node keeps its own label; tie-break is smallest label") {
+    val nodes = Seq(0L, 1L, 2L, 99L).toDF("id")
+    // path 0-1-2: node 1 sees labels {0, 2} once each -> adopts 0
+    val out = Graph.labelPropagation(nodes, sym(Seq((0L, 1L), (1L, 2L))),
+        rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 0L
+    out(99L) shouldBe 99L
+  }
+
+  test("LPA: deterministic across runs") {
+    val nodes = (0L until 30L).toDF("id")
+    val edges = (0L until 30L).flatMap { v =>
+      (1 to 2).map(j => v -> ((v * 7 + j * 13) % 30))
+    }.filter { case (a, b) => a != b }
+    def run() = Graph.labelPropagation(nodes, sym(edges), rounds = 3)
+      .orderBy("id").collect().toSeq
+    run() shouldBe run()
+  }
+
   test("syntheticLinks: fanout edges per node, dst in [0, n), deterministic") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = docs.count()
