@@ -2274,6 +2274,38 @@ object NorthStar {
     // mutants guarantee shared prefix chunks; the content-defined
     // boundaries make the shared prefix chunk IDENTICALLY on both
     // sides (the property fixed-size blocks lack).
+    // CLIP-SCORE PAIR FILTERING — the LAION curation gate (Schuhmann
+    // et al. 2021: keep an image-text pair iff the CLIP cosine between
+    // the image and text towers clears a bar). The two towers are a
+    // DETERMINISTIC STAND-IN: halves of the stored embedding (dims
+    // 1-32 = "image", 33-64 = "text") — the exact seam a real CLIP
+    // pair-table (one vector per tower from m02's feature extractor)
+    // drops into; the Spark-side plumbing (slice, sequential-fold
+    // cosine, corpus-relative bar, keep flag) is the production
+    // dataflow. The bar is the corpus MEAN score, compared in 1e6
+    // fixed point with the integer cross-multiplication (never a
+    // float compare, never a truncating division on a possibly
+    // negative sum — the q68 floor-vs-trunc class). One corpus scan +
+    // one 1-row broadcast: nothing grows with the corpus.
+    "m15_clip_filter" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val scored = emb.select($"vec_id", $"label".cast("long").as("label"),
+          slice($"embedding", 1, 32).as("img"),
+          slice($"embedding", 33, 32).as("txt"))
+        .withColumn("cos", Similarity.cosine($"img", $"txt"))
+        .select($"vec_id", $"label",
+          round($"cos", 6).as("clip_score"),
+          round($"cos" * 1e6).cast("long").as("cos_fp"))
+      val tot = scored.agg(sum($"cos_fp").as("sum_fp"),
+        count(lit(1)).as("n_pairs")).withColumn("jk", lit(1))
+      scored.withColumn("jk", lit(1)).join(broadcast(tot), "jk")
+        .select($"vec_id", $"label", $"clip_score", $"cos_fp",
+          $"n_pairs", $"sum_fp",
+          ($"cos_fp" * $"n_pairs" >= $"sum_fp").as("keep"))
+        .orderBy("vec_id")
+    },
+
     "m14_chunk_dedup_stats" -> { (s, dir) =>
       import s.implicits._
       val chunks = graft.operators.CacheScope.sessionScope(s).own(
@@ -3206,6 +3238,17 @@ object NorthStar {
     "st45_stream_seasonality" -> { (s, dir) =>
       graft.streaming.Streaming.streamSeasonality(s, dir)
         .orderBy("event_type", "how")
+    },
+
+    // STREAMING CLUSTER-QUOTA ADMISSION — t52's balanced selection
+    // kept live: trained-cell routing of the arriving shard + an
+    // O(cap) per-cell min-hash-set state machine whose final admitted
+    // set is micro-batch-order-invariant (min-k merge is commutative
+    // and idempotent), so t52's rank arithmetic over the same shard
+    // replays it exactly.
+    "st49_stream_cluster_quota" -> { (s, dir) =>
+      graft.streaming.Streaming.streamClusterQuota(s, dir)
+        .orderBy("c_id", "rn")
     })
 
   // ---------- oracles ----------
@@ -5152,6 +5195,29 @@ object NorthStar {
            |FROM r JOIN sz USING (c_id) WHERE r.rn <= 8
            |ORDER BY c_id, rn""".stripMargin,
 
+      // st49: t52's training + assignment + capped hash-order rank,
+      // applied to the id-shifted arriving shard
+      "st49_stream_cluster_quota" ->
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |sh AS (SELECT vec_id + 100000 AS vec_id,
+           |    list_transform(embedding, x -> cast(x as double)) AS v
+           |  FROM embeddings),
+           |asg AS (SELECT vec_id, c_id FROM (
+           |    SELECT sh.vec_id, c.c_id,
+           |      row_number() OVER (PARTITION BY sh.vec_id
+           |        ORDER BY ${cosSql("sh.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM sh, cent c) t WHERE rn = 1),
+           |r AS (SELECT c_id, vec_id,
+           |    (${Mixture.portableHashSql("vec_id", Mixture.SampleI)}) AS h,
+           |    cast(row_number() OVER (PARTITION BY c_id
+           |      ORDER BY (${Mixture.portableHashSql("vec_id", Mixture.SampleI)}),
+           |      vec_id) as bigint) AS rn
+           |  FROM asg)
+           |SELECT c_id, vec_id, h, rn FROM r WHERE rn <= 8
+           |ORDER BY c_id, rn""".stripMargin,
+
       // s24: the full fixed-point faiss-IVFPQ replay — coarse training
       // (s23's CTE chain), cosine assignment, ×2^12-quantized
       // residuals, integer per-subspace Lloyd codebook, integer-ADC
@@ -5928,6 +5994,30 @@ object NorthStar {
 
       // m04's boundary replay over the mutated corpus with per-chunk
       // lengths (zipped unnests), distinct-doc df >= 2, byte charging
+      // m15: half-embedding tower cosine in sequential-fold double
+      // arithmetic, 1e6 fixed-point corpus-mean bar, cross-multiplied
+      "m15_clip_filter" ->
+        s"""WITH e AS (SELECT vec_id, cast(label as bigint) AS label,
+           |    list_transform(embedding, x -> cast(x as double)) AS v
+           |  FROM embeddings),
+           |sc AS (SELECT vec_id, label,
+           |    round(cs, 6) AS clip_score,
+           |    cast(round(cs * 1000000) as bigint) AS cos_fp
+           |  FROM (SELECT vec_id, label,
+           |      cast(list_sum(list_transform(range(1, 33),
+           |          i -> v[i] * v[i + 32])) as double)
+           |      / (sqrt(cast(list_sum(list_transform(range(1, 33),
+           |          i -> v[i] * v[i])) as double))
+           |        * sqrt(cast(list_sum(list_transform(range(1, 33),
+           |          i -> v[i + 32] * v[i + 32])) as double))) AS cs
+           |    FROM e)),
+           |tot AS (SELECT cast(sum(cos_fp) as bigint) AS sum_fp,
+           |    cast(count(*) as bigint) AS n_pairs FROM sc)
+           |SELECT sc.vec_id, sc.label, sc.clip_score, sc.cos_fp,
+           |  tot.n_pairs, tot.sum_fp,
+           |  (sc.cos_fp * tot.n_pairs >= tot.sum_fp) AS keep
+           |FROM sc, tot ORDER BY vec_id""".stripMargin,
+
       "m14_chunk_dedup_stats" ->
         s"""WITH u AS ($mutCorpusSql),
            |t AS (SELECT cast(doc_id as bigint) AS doc_id,

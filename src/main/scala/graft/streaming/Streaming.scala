@@ -1215,6 +1215,75 @@ object Streaming {
       .filter(col("rn") <= k)
   }
 
+  /** Streaming CLUSTER-QUOTA ADMISSION — the live face of t52's
+    * cluster-balanced selection: arriving embeddings route to their
+    * trained k-means cell (the s23/s27 fixed-point-trained centroids,
+    * learned once over the batch corpus and broadcast — st15's
+    * learn-batch/apply-stream shape), and each cell admits at most
+    * `cap` shard members, chosen by the portable sample-hash order.
+    * Per-cell state is the bounded min-cap (hash, id) set — O(cap)
+    * keyed state, and ORDER-FREE: min-k is a commutative idempotent
+    * merge, so the final admitted set is micro-batch-slicing-invariant
+    * and the batch twin (t52's rank over the same shard) is an exact
+    * oracle. Assignment arithmetic is the sequential-fold double
+    * cosine with the (cos desc, c_id asc) tie rule — the same ops the
+    * oracle's row_number replay spells. Readout follows st17's
+    * convention: distinct over the update-mode emissions, final
+    * re-rank, keep rn <= cap (rows evicted mid-stream rank past cap).
+    */
+  def streamClusterQuota(s: SparkSession, dir: String,
+      nlist: Int = 32, cap: Int = 8): DataFrame = {
+    import graft.operators.{Mixture, Similarity}
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits.{newLongEncoder, newProductEncoder,
+      newSequenceEncoder}
+    require(cap > 0, s"cap must be positive, got $cap")
+    val cents: Array[(Long, Array[Double])] = Similarity.ivfTrainCentroidsFp(
+      s.read.parquet(s"$dir/embeddings.parquet"), nlist)
+    require(cents.nonEmpty, "trained centroid table is empty")
+    val bc = s.sparkContext.broadcast(cents)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val shard = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val assigned = shard.as[(Long, Array[Double])]
+      .map { case (id, vec) =>
+        val nv = math.sqrt(dotSeq(vec, vec))
+        var bestC = Long.MaxValue; var bestCos = Double.NegativeInfinity
+        bc.value.foreach { case (cId, cVec) =>
+          val cos = dotSeq(vec, cVec) / (nv * math.sqrt(dotSeq(cVec, cVec)))
+          if (cos > bestCos || (cos == bestCos && cId < bestC)) {
+            bestCos = cos; bestC = cId
+          }
+        }
+        (bestC, id, graft.functions.PortableHash.family(
+          Mixture.SampleI, id, Mixture.DefaultMod))
+      }
+    val admitted = assigned
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (cId: Long, rows: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[(Long, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(r => (r._3, r._2))).distinct
+            .sortBy(identity).take(cap)
+          state.update(merged)
+          merged.iterator.map { case (h, id) => (cId, id, h) }
+      }
+    runToTable(admitted.toDF("c_id", "vec_id", "h"), "update")
+      .distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("c_id").orderBy(col("h"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rn") <= cap)
+  }
+
   /** Streaming chunk-level dedup — the RAG-ingestion shape: chunk each
     * arriving document into overlapping token windows
     * ([[graft.operators.Mixture.chunkOverlap]] — a completely narrow
