@@ -1053,6 +1053,43 @@ object NorthStar {
         .orderBy("c_id", "rn")
     },
 
+    // PER-SOURCE KL DIVERGENCE to the corpus unigram distribution —
+    // the domain-shift readout a mixture tuner reads before setting
+    // sampling weights (the distributional summary behind t22's DSIR
+    // scores): KL(P_src ‖ P_corpus) = Σ_t p_st·(log2 c_st + log2 N −
+    // log2 N_s − log2 c_t), every log in the shared integer-exact
+    // 16.16 fixed point (Mixture.log2Fp) so the per-source numerator
+    // Σ c_st·lr is an order-free bigint sum; the only float op is the
+    // final readout division. 100 TB shape: one exploded scan feeds
+    // the (source, token) partial aggregate; token marginals and
+    // source totals derive from THAT table (vocab-sized, not
+    // corpus-sized); the marginal join is an equi-join on token and
+    // the tiny source/corpus totals broadcast.
+    "t53_source_kl" -> { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Mixture.log2Fp
+      val st = s.read.parquet(s"$dir/documents.parquet")
+        .select($"source", explode(TextAnalysis.tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val pinned = scope.own(st.persist()) // marginals + term sums
+      val ct = pinned.groupBy($"tok").agg(sum($"c_st").as("c_t"))
+      val ns = pinned.groupBy($"source").agg(sum($"c_st").as("n_s"))
+      val tot = pinned.agg(sum($"c_st").as("n_tot"))
+      pinned.join(ct, "tok").join(broadcast(ns), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("lr",
+          log2Fp("c_st") + log2Fp("n_tot") - log2Fp("n_s") - log2Fp("c_t"))
+        .groupBy($"source")
+        .agg(max($"n_s").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(expr("c_st * lr")).as("num"))
+        .select($"source", $"n_tokens", $"vocab",
+          round($"num".cast("double") /
+            ($"n_tokens".cast("double") * lit(65536.0)), 6).as("kl_bits"))
+        .orderBy("source")
+    },
+
     // B-CUBED EVALUATION of the dedup CLUSTERING — Bagga & Baldwin's
     // per-item precision/recall against the planted truth (doc i and
     // its 80%-prefix mutant i+100000 ARE one entity): t39 scores the
@@ -1082,6 +1119,55 @@ object NorthStar {
           round((lit(2.0) * $"pfp".cast("double") * $"rfp".cast("double")) /
             (($"pfp" + $"rfp").cast("double") *
               $"n_items".cast("double") * lit(1e6)), 6).as("bcubed_f1"))
+    },
+
+    // TIME TRAVEL — the read side of d18/d20's dataset-versioning
+    // story: a 3-version change log (v1 full ingest; v2 = d18's
+    // drop %13 / modify %7 / add %11; v3 modifies %5 of the still-live
+    // docs and drops half the v2 adds) is reconstructed AS OF every
+    // version in one pass. Each log row fans out to the versions it is
+    // visible in via a pure projection (explode(sequence(ver, 3)) — no
+    // join, no cartesian), the latest op per (version, doc) is a max
+    // aggregate joined back to the log on its (doc_id, ver) key, and
+    // deletes drop out at readout. At 100 TB the log is the SMALL
+    // side: reconstruction is V× the log in flight (V bounded), one
+    // hash aggregate and one equi-join — never a snapshot re-scan.
+    "d23_time_travel" -> { (s, dir) =>
+      import s.implicits._
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", length($"text").cast("long").as("len"))
+      val log = base
+        .select(lit(1L).as("ver"), $"doc_id", lit("upsert").as("op"), $"len")
+        .unionByName(base.filter($"doc_id" % 13 === 0)
+          .select(lit(2L).as("ver"), $"doc_id", lit("delete").as("op"),
+            lit(0L).as("len")))
+        .unionByName(base.filter($"doc_id" % 13 =!= 0 && $"doc_id" % 7 === 0)
+          .select(lit(2L).as("ver"), $"doc_id", lit("upsert").as("op"),
+            ($"len" + 3L).as("len")))
+        .unionByName(base.filter($"doc_id" % 11 === 0)
+          .select(lit(2L).as("ver"), ($"doc_id" + 200000L).as("doc_id"),
+            lit("upsert").as("op"), ($"len" + 4L).as("len")))
+        .unionByName(base.filter($"doc_id" % 13 =!= 0 && $"doc_id" % 5 === 0)
+          .select(lit(3L).as("ver"), $"doc_id", lit("upsert").as("op"),
+            ($"len" + 10L).as("len")))
+        .unionByName(base.filter($"doc_id" % 22 === 0)
+          .select(lit(3L).as("ver"), ($"doc_id" + 200000L).as("doc_id"),
+            lit("delete").as("op"), lit(0L).as("len")))
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val pinned = scope.own(log.persist()) // fan-out + latest-op join back
+      val fanned = pinned.withColumn("as_of_version",
+        explode(expr("sequence(ver, 3)")))
+      val latest = fanned.groupBy($"as_of_version", $"doc_id")
+        .agg(max($"ver").as("mver"))
+      latest.join(pinned,
+          latest("doc_id") === pinned("doc_id") && latest("mver") === pinned("ver"))
+        .select($"as_of_version", $"op", $"len")
+        .groupBy($"as_of_version")
+        .agg(sum(when($"op" === "upsert", 1L).otherwise(0L)).as("n_live"),
+          sum(when($"op" === "upsert", $"len").otherwise(0L))
+            .cast("long").as("sum_len"),
+          sum(when($"op" === "delete", 1L).otherwise(0L)).as("n_deleted"))
+        .orderBy("as_of_version")
     },
 
     // d08's pipeline with the "keep the best copy" canonical rule:
@@ -6140,6 +6226,64 @@ object NorthStar {
           |    ELSE 'modified' END AS verdict, count(*) AS n
           |FROM v1 FULL JOIN v2 USING (doc_id)
           |GROUP BY 1 ORDER BY verdict""".stripMargin,
+
+      // d23: the same 3-version change log, fanned to the versions each
+      // row is visible in, latest op per (version, doc) joined back on
+      // its unique (doc_id, ver) key, deletes dropped at readout
+      "d23_time_travel" ->
+        """WITH base AS (SELECT doc_id, cast(length(text) as bigint) AS len
+          |  FROM documents),
+          |log AS (
+          |  SELECT cast(1 as bigint) AS ver, doc_id, 'upsert' AS op, len
+          |  FROM base
+          |  UNION ALL SELECT 2, doc_id, 'delete', 0 FROM base
+          |  WHERE doc_id % 13 = 0
+          |  UNION ALL SELECT 2, doc_id, 'upsert', len + 3 FROM base
+          |  WHERE doc_id % 13 <> 0 AND doc_id % 7 = 0
+          |  UNION ALL SELECT 2, doc_id + 200000, 'upsert', len + 4 FROM base
+          |  WHERE doc_id % 11 = 0
+          |  UNION ALL SELECT 3, doc_id, 'upsert', len + 10 FROM base
+          |  WHERE doc_id % 13 <> 0 AND doc_id % 5 = 0
+          |  UNION ALL SELECT 3, doc_id + 200000, 'delete', 0 FROM base
+          |  WHERE doc_id % 22 = 0),
+          |f AS (SELECT unnest(generate_series(ver, 3)) AS as_of_version,
+          |    doc_id, ver FROM log),
+          |mx AS (SELECT as_of_version, doc_id, max(ver) AS mver
+          |  FROM f GROUP BY 1, 2),
+          |cur AS (SELECT m.as_of_version, l.op, l.len
+          |  FROM mx m JOIN log l ON l.doc_id = m.doc_id AND l.ver = m.mver)
+          |SELECT as_of_version,
+          |  cast(sum(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END) as bigint)
+          |    AS n_live,
+          |  cast(sum(CASE WHEN op = 'upsert' THEN len ELSE 0 END) as bigint)
+          |    AS sum_len,
+          |  cast(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) as bigint)
+          |    AS n_deleted
+          |FROM cur GROUP BY 1 ORDER BY as_of_version""".stripMargin,
+
+      // t53: unigram marginals from the (source, token) aggregate, all
+      // four logs in the shared 16.16 fixed point, exact bigint
+      // numerator, one double division at readout
+      "t53_source_kl" ->
+        s"""WITH tok AS (SELECT source, unnest(${toksSql("text")}) AS tok
+           |  FROM documents),
+           |st AS (SELECT source, tok, cast(count(*) as bigint) AS c_st
+           |  FROM tok GROUP BY 1, 2),
+           |ct AS (SELECT tok, cast(sum(c_st) as bigint) AS c_t
+           |  FROM st GROUP BY 1),
+           |ns AS (SELECT source, cast(sum(c_st) as bigint) AS n_s
+           |  FROM st GROUP BY 1),
+           |tt AS (SELECT cast(sum(c_st) as bigint) AS n_tot FROM st),
+           |term AS (SELECT st.source, st.c_st, ns.n_s,
+           |    (${Mixture.log2FpSql("c_st")} + ${Mixture.log2FpSql("n_tot")}
+           |     - ${Mixture.log2FpSql("n_s")} - ${Mixture.log2FpSql("c_t")})
+           |      AS lr
+           |  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN tt)
+           |SELECT source, max(n_s) AS n_tokens,
+           |  cast(count(*) as bigint) AS vocab,
+           |  round(cast(sum(c_st * lr) as double)
+           |    / (cast(max(n_s) as double) * 65536), 6) AS kl_bits
+           |FROM term GROUP BY 1 ORDER BY source""".stripMargin,
 
       // per-doc share of distinct shingles with corpus df >= 2
       "t43_dup_ngram_fraction" ->

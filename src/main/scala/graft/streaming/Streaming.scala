@@ -1240,7 +1240,10 @@ object Streaming {
     require(cap > 0, s"cap must be positive, got $cap")
     val cents: Array[(Long, Array[Double])] = Similarity.ivfTrainCentroidsFp(
       s.read.parquet(s"$dir/embeddings.parquet"), nlist)
-    require(cents.nonEmpty, "trained centroid table is empty")
+    if (cents.isEmpty) { // empty corpus: nothing to train on or admit
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long, Long)].toDF("c_id", "vec_id", "h", "rn")
+    }
     val bc = s.sparkContext.broadcast(cents)
     def dotSeq(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0

@@ -74,7 +74,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s35_graph_ann" -> "two sanctioned shapes: s30's routing scan (corpus x 32 broadcast trained centroids) building the graph, and the seed stage's 5 broadcast queries x the 1/64 navigation slice (a fraction of s01's scan bytes); every beam round is an id-keyed equi-join",
     "s36_graph_ann_recall" -> "the evaluation row composes three sanctioned shapes: s01's exact arm (the ground truth), s30's routing scan building the shared graph, and s35's seed slice per arm; every per-arm hit count is an equi-join of two top-k sets",
     "s37_graph_index_probe" -> "s35's seed-stage shape only (5 broadcast queries x the 1/64 navigation slice) — the graph itself is READ from the build-once parquet asset, no routing scan on the query path; beam rounds are id-keyed equi-joins",
-    "t49_term_dispersion" -> "t19's scalar shape: the (token, source) count table crossJoins the broadcast ONE-ROW corpus-size aggregate; the data-sized work is the single (source, token) hash aggregate and two bounded broadcast joins (top-50 tokens, |sources| sizes)")
+    "t49_term_dispersion" -> "t19's scalar shape: the (token, source) count table crossJoins the broadcast ONE-ROW corpus-size aggregate; the data-sized work is the single (source, token) hash aggregate and two bounded broadcast joins (top-50 tokens, |sources| sizes)",
+    "t51_ccnet_buckets" -> "t23's sanctioned scalar shape inside the LM chain (the per-doc surprisal table joins the broadcast marginal aggregates); the tertile thresholds are a |langs|-row broadcast join over the bounded |langs|x256 histogram",
+    "t52_cluster_balance" -> "s04's sanctioned assignment shape (corpus x 32 broadcast trained centroids); the selection is a WindowGroupLimit rank filter, never a global sort",
+    "m15_clip_filter" -> "t23's scalar shape: the per-pair score table joins the broadcast ONE-ROW corpus-mean aggregate; the data-sized work is one pair scan with a sequential-fold cosine",
+    "t53_source_kl" -> "t19's scalar shape: the (source, token) count table crossJoins the broadcast ONE-ROW corpus-total aggregate; the data-sized work is the exploded token aggregate and the vocab-sized marginal equi-join")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
