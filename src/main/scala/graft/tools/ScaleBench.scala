@@ -84,7 +84,9 @@ object ScaleBench {
     "q76_entry_exit", "t49_term_dispersion", "s37_graph_index_probe",
     "st46_stream_entry_exit", "st47_stream_dispersion", "d22_bcubed_eval",
     "t50_dedup_remix", "st48_stream_chunk_probe",
-    "q77_label_propagation")
+    "q77_label_propagation", "t51_ccnet_buckets", "t52_cluster_balance",
+    "m15_clip_filter", "st49_stream_cluster_quota", "d23_time_travel",
+    "t53_source_kl")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
