@@ -484,3 +484,268 @@ case class JlProject(child: Expression, dims: Int, targetDims: Int)
   override protected def withNewChildInternal(newChild: Expression): JlProject =
     copy(child = newChild)
 }
+
+/** Exact-integer ADC (asymmetric distance computation) for trained
+  * residual PQ — the scoring kernel of the PQ-compressed k-NN-graph
+  * build ([[graft.operators.Similarity.pqKnnGraphTrainedFp]]):
+  *
+  *   adc(qres, codes) = Σ_j Σ_i (qres[j·sub+i] − cb[j][codes[j]][i])²
+  *
+  * `left` is the query's ×2^12-quantized residual (array<long>,
+  * length m·sub), `right` the neighbor's per-subspace codeword ids
+  * (array<long>, length m); the trained codebook rides along as a
+  * flat row-major long[] reference object (m·ncw·sub — KB-sized).
+  * All-integer, so the result is exact under any evaluation order and
+  * bit-replayable by the oracle's per-subspace LUT join. The
+  * interpreted equivalent (per-j slice + zip_with fold) walks
+  * m·sub expression nodes per PAIR of the block join — the s33
+  * lesson, moved here before the hot path shipped. Degenerate inputs
+  * (wrong lengths, null elements, out-of-range code) yield NULL.
+  */
+case class AdcFp(left: Expression, right: Expression,
+    codebook: Array[Long], m: Int, ncw: Int, sub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_fp"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _))
+        if m >= 1 && ncw >= 1 && sub >= 1 &&
+          codebook.length == m * ncw * sub =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"adc_fp needs two array<long> inputs and a m*ncw*sub codebook, " +
+          s"got ${left.dataType}, ${right.dataType}, " +
+          s"|cb|=${codebook.length} for m=$m ncw=$ncw sub=$sub")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val qres = l.asInstanceOf[ArrayData]
+    val codes = r.asInstanceOf[ArrayData]
+    if (qres.numElements() != m * sub || codes.numElements() != m) return null
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val cw = codes.getLong(j)
+      if (cw < 0L || cw >= ncw) return null
+      val base = (j * ncw + cw.toInt) * sub
+      var i = 0
+      while (i < sub) {
+        if (qres.isNullAt(j * sub + i)) return null
+        val d = qres.getLong(j * sub + i) - codebook(base + i)
+        acc += d * d
+        i += 1
+      }
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val cbRef = ctx.addReferenceObj("adcCb", codebook, "long[]")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val cw = ctx.freshName("cw")
+      val base = ctx.freshName("base")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($q.numElements() != ${m * sub} || $c.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+         |    if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    long $cw = $c.getLong($j);
+         |    if ($cw < 0L || $cw >= $ncw) { ${ev.isNull} = true; break; }
+         |    int $base = ($j * $ncw + (int) $cw) * $sub;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      if ($q.isNullAt($j * $sub + $i)) { ${ev.isNull} = true; break; }
+         |      long $d = $q.getLong($j * $sub + $i) - $cbRef[$base + $i];
+         |      $acc += $d * $d;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcFp =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-subspace PQ encoder for trained residual PQ — the encode half
+  * of [[AdcFp]]'s contract: for each subspace j the codeword id
+  * minimizing the exact integer L2 to the residual slice,
+  *
+  *   codes[j] = argmin_cw Σ_i (qres[j·sub+i] − cb[j][cw][i])²
+  *
+  * strict `<` keeps the LOWEST codeword on ties — the same rule the
+  * oracle's `(d2 ASC, cw ASC)` row_number spells and the trainer's
+  * assignment loop uses. Input is the ×2^12-quantized residual
+  * (array<long>, m·sub); the codebook is the same flat long[]
+  * reference [[AdcFp]] carries. One primitive m·ncw·sub loop per row
+  * in whole-stage codegen, replacing the n·m·ncw-row explode + join +
+  * argmin-aggregate encode (the s33 lesson applied to the encode
+  * path: the relational spelling shuffles a data-sized intermediate
+  * the kernel never materializes).
+  */
+case class PqEncodeFp(child: Expression,
+    codebook: Array[Long], m: Int, ncw: Int, sub: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_fp"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _)
+        if m >= 1 && ncw >= 1 && sub >= 1 &&
+          codebook.length == m * ncw * sub =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode_fp needs an array<long> input and a m*ncw*sub " +
+          s"codebook, got ${child.dataType}, |cb|=${codebook.length} " +
+          s"for m=$m ncw=$ncw sub=$sub")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val qres = input.asInstanceOf[ArrayData]
+    if (qres.numElements() != m * sub) return null
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var best = 0L
+      var bestD2 = Long.MaxValue
+      var cw = 0
+      while (cw < ncw) {
+        var d2 = 0L
+        var i = 0
+        while (i < sub) {
+          if (qres.isNullAt(j * sub + i)) return null
+          val d = qres.getLong(j * sub + i) - codebook((j * ncw + cw) * sub + i)
+          d2 += d * d
+          i += 1
+        }
+        if (d2 < bestD2) { bestD2 = d2; best = cw }
+        cw += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, q => {
+      val cbRef = ctx.addReferenceObj("pqCb", codebook, "long[]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val cw = ctx.freshName("cw")
+      val d2 = ctx.freshName("d2")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD2 = ctx.freshName("bestD2")
+      s"""
+         |if ($q.numElements() != ${m * sub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$m];
+         |  for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+         |    long $best = 0L;
+         |    long $bestD2 = Long.MAX_VALUE;
+         |    for (int $cw = 0; $cw < $ncw && !${ev.isNull}; $cw++) {
+         |      long $d2 = 0L;
+         |      for (int $i = 0; $i < $sub; $i++) {
+         |        if ($q.isNullAt($j * $sub + $i)) { ${ev.isNull} = true; break; }
+         |        long $d = $q.getLong($j * $sub + $i)
+         |          - $cbRef[($j * $ncw + $cw) * $sub + $i];
+         |        $d2 += $d * $d;
+         |      }
+         |      if (!${ev.isNull} && $d2 < $bestD2) { $bestD2 = $d2; $best = $cw; }
+         |    }
+         |    $out[$j] = $best;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeFp =
+    copy(child = newChild)
+}
+
+/** Exact integer squared L2 between two equal-length array<long>
+  * columns — the rerank scorer of the PQ k-NN graph (the s24 move:
+  * within one probed list the centroid cancels in qres_q − qres_n, so
+  * this IS ×2^24-scaled exact L2 of q−n). Sequential primitive loop in
+  * whole-stage codegen; NULL on length mismatch or null elements.
+  */
+case class L2Fp(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_fp"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"l2_fp needs two array<long> inputs, got " +
+          s"${left.dataType}, ${right.dataType}")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Fp =
+    copy(left = newLeft, right = newRight)
+}

@@ -1438,6 +1438,134 @@ object Similarity {
     }
   }
 
+  /** PQ-COMPRESSED BIG-BIG k-NN GRAPH — [[ivfKnnGraphTrainedFp]]'s
+    * block join at ADC cost: both sides are the full corpus, but the
+    * candidate join's neighbor payload is the `m`-byte PQ code word
+    * instead of the d-dimensional vector, and scoring is the exact
+    * integer ADC of [[graft.functions.AdcFp]]. This is the shape that
+    * actually builds the semantic-dedup graph at 100 TB: the s30 block
+    * join shuffles d·8 bytes per candidate row (512 B at d=64), this
+    * one ~8·8 B of codes + the per-(q, probed-list) residual — and the
+    * rerank touches only the ADC top-`cBudget` per query.
+    *
+    * Training recipe is s24's verbatim ([[ivfTrainCentroidsFp]] coarse
+    * quantizer + [[pqTrainCodebookFp]] integer Lloyd residual codebook
+    * on the deterministic hash-sample), so the DuckDB oracle replays
+    * the ENTIRE build — training, encoding, routing, ADC, and rerank —
+    * bit for bit. Encode and ADC run as codegen kernels
+    * ([[graft.functions.PqEncodeFp]]/[[graft.functions.AdcFp]], the
+    * codebook a KB-sized reference object) rather than the n·m·ncode
+    * explode-join spelling: the s33 lesson applied before the hot path
+    * shipped. The final ranks by the exact-integer rerank d2_fp (the
+    * centroid cancels within a probed list, s24's move), ties to the
+    * lower id.
+    */
+  def pqKnnGraphTrainedFp(corpus: DataFrame, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, m: Int = 8, ncode: Int = 32,
+      iters: Int = 10, sampleN: Int = 4096, cBudget: Int = 40,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(k >= 1 && cBudget >= k,
+      s"need cBudget >= k >= 1, got k=$k cBudget=$cBudget")
+    val P = 1000000007L
+    val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN, idCol, vecCol)
+    val cent = broadcast(trained.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("c_id", "c_vec"))
+    def qresOf(vec: Column) = zip_with(vec, col("c_vec"),
+      (a, b) => floor((a.cast("double") - b / 32768.0d) * 4096.0d).cast("long"))
+    val topNp = udaf(new graft.functions.TopKCosAgg(nprobe),
+      ExpressionEncoder[(Long, Double)]())
+    val topC = udaf(new graft.functions.TopKCosAgg(cBudget),
+      ExpressionEncoder[(Long, Double)]())
+    // ONE routing scan (s30's sanctioned corpus × broadcast-centroids
+    // shape): probes[1] = the hard assignment, probes[1..nprobe] = the
+    // query-side lists. Persisted — assignment, q-side residuals, and
+    // the rerank all derive from it.
+    val routed = scope.own(corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .crossJoin(cent)
+      .withColumn("cos_c", cosine(col("vec"), col("c_vec")))
+      .filter(col("cos_c").isNotNull)
+      .groupBy(col("id"))
+      .agg(topNp(col("c_id"), col("cos_c")).as("probes"),
+        first(col("vec")).as("vec"))
+      .persist())
+    // neighbor side: hard assignment, ×2^12-quantized residual vs the
+    // assigned list's centroid (exact ops only)
+    val assigned = scope.own(routed
+      .select(col("id").as("n_id"),
+        element_at(col("probes"), 1)("_1").as("c_id"), col("vec"))
+      .join(cent, "c_id")
+      .select(col("n_id"), col("c_id"), qresOf(col("vec")).as("qres"))
+      .persist())
+    // residual codebook: integer Lloyd over the deterministic
+    // hash-sample (bounded driver-planning step, the s23/s24 class)
+    val rsample: Array[Array[Long]] = assigned
+      .withColumn("h", (lit(3L) * (col("n_id") % P) + 8L) % P)
+      .orderBy(col("h").asc, col("n_id").asc)
+      .limit(sampleN)
+      .select(col("qres"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    val cbArr = pqTrainCodebookFp(rsample, m, ncode, iters)
+    if (cbArr.isEmpty) // empty corpus: nothing to encode or rank
+      return Seq.empty[(Long, Long, Int, Long, Long)]
+        .toDF("q_id", "n_id", "rnk", "adc_fp", "d2_fp")
+    val ncw = cbArr.head.length
+    val sub = cbArr.head.head.length
+    val flat: Array[Long] = {
+      val out = new Array[Long](m * ncw * sub)
+      var p = 0
+      for (j <- 0 until m; cw <- 0 until ncw; i <- 0 until sub) {
+        out(p) = cbArr(j)(cw)(i); p += 1
+      }
+      out
+    }
+    def encodeCol(q: Column) = Bridge.column(graft.functions.PqEncodeFp(
+      Bridge.expression(q), flat, m, ncw, sub))
+    def adcCol(q: Column, c: Column) = Bridge.column(graft.functions.AdcFp(
+      Bridge.expression(q), Bridge.expression(c), flat, m, ncw, sub))
+    val coded = assigned.withColumn("codes", encodeCol(col("qres")))
+    // query side: one row per (q, probed list) with the residual vs
+    // THAT list's centroid — candidates in a list score against it
+    val qside = scope.own(routed
+      .select(col("id").as("q_id"), col("vec"),
+        explode(col("probes")("_1")).as("c_id"))
+      .join(cent, "c_id")
+      .select(col("q_id"), col("c_id"), qresOf(col("vec")).as("q_qres"))
+      .persist())
+    // block join on the list id (shuffle equi-join — never all-pairs);
+    // bounded ADC top-C per query map-side (−adc is exact in a double:
+    // adc ≤ 2^34 ≪ 2^53)
+    val cand = qside.join(coded.select(col("n_id"), col("c_id"), col("codes")),
+        Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("adc_fp", adcCol(col("q_qres"), col("codes")))
+      .filter(col("adc_fp").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(topC(col("n_id"), -col("adc_fp").cast("double")).as("cand"))
+      .select(col("q_id"), explode(col("cand")).as("e"))
+      .select(col("q_id"), col("e")("_1").as("n_id"),
+        (-col("e")("_2")).cast("long").as("adc_fp"))
+    // exact-integer rerank of the bounded candidates: slim id-keyed
+    // equi-joins, d2_fp = scaled exact L2 of q−n (centroid cancels)
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2_fp").asc, col("n_id").asc)
+    cand
+      .join(assigned.select(col("n_id"), col("c_id"),
+        col("qres").as("n_qres")), Seq("n_id"))
+      .join(qside, Seq("q_id", "c_id"))
+      .withColumn("d2_fp", Bridge.column(graft.functions.L2Fp(
+        Bridge.expression(col("q_qres")), Bridge.expression(col("n_qres")))))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("adc_fp"), col("d2_fp"))
+  }
+
   /** Shared residual-IVFPQ search dataflow: assignment + residuals vs
     * the given centroid frame, codebook from `mkCb(assigned)`, then
     * s15's probed-list ADC with per-(query, list) LUTs.

@@ -1583,6 +1583,26 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // PQ-COMPRESSED k-NN GRAPH — s30's block join at ADC cost: the
+    // candidate shuffle carries m=8 codeword longs per neighbor
+    // instead of the 64-double vector, scoring is the exact-integer
+    // codegen ADC (functions.AdcFp), and only the ADC top-40 per query
+    // reaches the exact-integer rerank (s24's centroid-cancellation
+    // move). The shape that builds the semantic-dedup graph at 100 TB
+    // — graph quality of s24's trained quantizer+codebook at ~1/8 the
+    // candidate-join bytes. Oracle: the s24 trained replay with the
+    // query bound removed — training, encoding, routing, ADC, and
+    // rerank, hash-checked end to end for EVERY vector.
+    "s38_pq_knn_graph" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.pqKnnGraphTrainedFp(emb, k = 5, nlist = 32, nprobe = 4,
+          m = 8, ncode = 32, cBudget = 40)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"),
+          $"adc_fp", $"d2_fp")
+        .orderBy("q_id", "rnk")
+    },
+
     // MUTUAL-kNN SEMANTIC CLUSTERS — the composition s30 exists for:
     // keep an edge only when BOTH endpoints rank each other in their
     // top-k (the standard mutual-kNN graph — parameterless, and robust
@@ -3447,6 +3467,98 @@ object NorthStar {
       s"$head,\n$rounds,\n$fin"
     }
 
+    // s24 / s38 share the FULLY-TRAINED residual IVFxPQ replay
+    // (trained coarse quantizer, integer-Lloyd residual codebook,
+    // encode, probe, integer ADC, exact-integer rerank); `probeWhere`
+    // bounds the query side (s24: the 5 benchmark queries; s38: empty
+    // — every corpus vector, the big-big k-NN-graph build)
+    def ivfPqTrainedReplaySql(probeWhere: String): String = {
+      val iters = 10
+      val d2 = (a: String, b: String) =>
+        s"""cast(list_sum(list_transform(range(1, 9),
+           |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) as bigint)""".stripMargin
+      val qresT = (v: String, cv: String) =>
+        s"""list_transform(range(1, 65),
+           |      i -> cast(floor(($v[i] - $cv[i] / 32768.0) * 4096.0) as bigint))""".stripMargin
+      val cbRounds = (1 to iters).map { i =>
+        s"""pa$i AS MATERIALIZED (SELECT pos, j, sl, cw FROM (
+           |    SELECT s.pos, s.j, s.sl, c.cw,
+           |      row_number() OVER (PARTITION BY s.pos, s.j
+           |        ORDER BY ${d2("s.sl", "c.cv")} ASC, c.cw ASC) AS rn
+           |    FROM rsl s JOIN cb${i - 1} c ON c.j = s.j) t WHERE rn = 1),
+           |cb$i AS MATERIALIZED (SELECT p.j, p.cw,
+           |    CASE WHEN q.sv IS NULL THEN p.cv ELSE q.sv END AS cv
+           |  FROM cb${i - 1} p LEFT JOIN (
+           |    SELECT j, cw, list(sv ORDER BY dim) AS sv FROM (
+           |      SELECT j, cw, dim,
+           |        cast(sum(sl[dim]) as bigint) // count(*) AS sv
+           |      FROM pa$i, (SELECT unnest(range(1, 9)) AS dim) dd
+           |      GROUP BY j, cw, dim) t GROUP BY j, cw) q USING (j, cw))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+         |${ivfFpCentSql(nlist = 32, iters = iters, sampleN = 4096)},
+         |asgq AS MATERIALIZED (SELECT id AS n_id, c_id,
+         |    ${qresT("v", "cv")} AS qres
+         |  FROM (SELECT e.id, e.v, c.c_id, c.cv,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+         |    FROM e, cent c) t WHERE rn = 1),
+         |rs AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, n_id) - 1 AS pos, qres
+         |  FROM (SELECT n_id, (3 * (n_id % 1000000007) + 8) % 1000000007 AS h, qres
+         |    FROM asgq ORDER BY h, n_id LIMIT 4096) t),
+         |rn_ AS (SELECT count(*) AS n FROM rs),
+         |rsl AS MATERIALIZED (SELECT pos, j,
+         |    list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
+         |  FROM rs, (SELECT unnest(range(0, 8)) AS j) jj),
+         |cb0 AS MATERIALIZED (SELECT s.j, c.cw, s.sl AS cv
+         |  FROM (SELECT unnest(range(0, 32)) AS cw) c
+         |  JOIN rsl s ON s.pos = (c.cw * (SELECT n FROM rn_)) // 32),
+         |$cbRounds,
+         |asl AS MATERIALIZED (SELECT n_id, c_id, j,
+         |    list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
+         |  FROM asgq, (SELECT unnest(range(0, 8)) AS j) jj),
+         |codes AS MATERIALIZED (SELECT n_id, c_id, j, cw FROM (
+         |    SELECT s.n_id, s.c_id, s.j, c.cw,
+         |      row_number() OVER (PARTITION BY s.n_id, s.j
+         |        ORDER BY ${d2("s.sl", "c.cv")} ASC, c.cw ASC) AS rn
+         |    FROM asl s JOIN cb$iters c ON c.j = s.j) t WHERE rn = 1),
+         |probe AS MATERIALIZED (SELECT q_id, c_id,
+         |    ${qresT("v", "cv")} AS qres
+         |  FROM (SELECT e.id AS q_id, e.v, c.c_id, c.cv,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+         |    FROM e, cent c$probeWhere) t WHERE rn <= 4),
+         |lut AS MATERIALIZED (SELECT p.q_id, p.c_id, p.j, c.cw,
+         |    ${d2("p.sl", "c.cv")} AS d2
+         |  FROM (SELECT q_id, c_id, j,
+         |      list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
+         |    FROM probe, (SELECT unnest(range(0, 8)) AS j) jj) p
+         |  JOIN cb$iters c ON c.j = p.j),
+         |cand AS (SELECT q_id, n_id, c_id, adc_fp FROM (
+         |  SELECT q_id, n_id, c_id, adc_fp, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc_fp ASC, n_id ASC) AS crn
+         |  FROM (SELECT l.q_id, cd.n_id, cd.c_id,
+         |      cast(sum(l.d2) as bigint) AS adc_fp
+         |    FROM codes cd JOIN lut l
+         |      ON l.c_id = cd.c_id AND l.j = cd.j AND l.cw = cd.cw
+         |    WHERE cd.n_id <> l.q_id GROUP BY 1, 2, 3) t1) t2
+         |  WHERE crn <= 40)
+         |SELECT q_id, n_id, rn AS rnk, adc_fp, d2_fp FROM (
+         |  SELECT c.q_id, c.n_id, c.adc_fp,
+         |    cast(list_sum(list_transform(range(1, 65),
+         |      i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
+         |      as bigint) AS d2_fp,
+         |    row_number() OVER (PARTITION BY c.q_id ORDER BY
+         |      cast(list_sum(list_transform(range(1, 65),
+         |        i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
+         |        as bigint) ASC, c.n_id ASC) AS rn
+         |  FROM cand c
+         |  JOIN probe p ON p.q_id = c.q_id AND p.c_id = c.c_id
+         |  JOIN asgq a ON a.n_id = c.n_id) t3
+         |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+    }
+
     // s15 / s20 share one IVFxPQ ADC replay; `candFilter` is an extra
     // predicate on the candidate rows (filtered-ANN metadata gate)
     def ivfPqOracleSql(candFilter: String): String = {
@@ -5308,92 +5420,13 @@ object NorthStar {
       // (s23's CTE chain), cosine assignment, ×2^12-quantized
       // residuals, integer per-subspace Lloyd codebook, integer-ADC
       // probe — every stage bit-replayed
-      "s24_ivf_pq_trained" -> {
-        val iters = 10
-        val d2 = (a: String, b: String) =>
-          s"""cast(list_sum(list_transform(range(1, 9),
-             |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) as bigint)""".stripMargin
-        val qresT = (v: String, cv: String) =>
-          s"""list_transform(range(1, 65),
-             |      i -> cast(floor(($v[i] - $cv[i] / 32768.0) * 4096.0) as bigint))""".stripMargin
-        val cbRounds = (1 to iters).map { i =>
-          s"""pa$i AS MATERIALIZED (SELECT pos, j, sl, cw FROM (
-             |    SELECT s.pos, s.j, s.sl, c.cw,
-             |      row_number() OVER (PARTITION BY s.pos, s.j
-             |        ORDER BY ${d2("s.sl", "c.cv")} ASC, c.cw ASC) AS rn
-             |    FROM rsl s JOIN cb${i - 1} c ON c.j = s.j) t WHERE rn = 1),
-             |cb$i AS MATERIALIZED (SELECT p.j, p.cw,
-             |    CASE WHEN q.sv IS NULL THEN p.cv ELSE q.sv END AS cv
-             |  FROM cb${i - 1} p LEFT JOIN (
-             |    SELECT j, cw, list(sv ORDER BY dim) AS sv FROM (
-             |      SELECT j, cw, dim,
-             |        cast(sum(sl[dim]) as bigint) // count(*) AS sv
-             |      FROM pa$i, (SELECT unnest(range(1, 9)) AS dim) dd
-             |      GROUP BY j, cw, dim) t GROUP BY j, cw) q USING (j, cw))""".stripMargin
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT vec_id AS id,
-           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-           |${ivfFpCentSql(nlist = 32, iters = iters, sampleN = 4096)},
-           |asgq AS MATERIALIZED (SELECT id AS n_id, c_id,
-           |    ${qresT("v", "cv")} AS qres
-           |  FROM (SELECT e.id, e.v, c.c_id, c.cv,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn = 1),
-           |rs AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, n_id) - 1 AS pos, qres
-           |  FROM (SELECT n_id, (3 * (n_id % 1000000007) + 8) % 1000000007 AS h, qres
-           |    FROM asgq ORDER BY h, n_id LIMIT 4096) t),
-           |rn_ AS (SELECT count(*) AS n FROM rs),
-           |rsl AS MATERIALIZED (SELECT pos, j,
-           |    list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
-           |  FROM rs, (SELECT unnest(range(0, 8)) AS j) jj),
-           |cb0 AS MATERIALIZED (SELECT s.j, c.cw, s.sl AS cv
-           |  FROM (SELECT unnest(range(0, 32)) AS cw) c
-           |  JOIN rsl s ON s.pos = (c.cw * (SELECT n FROM rn_)) // 32),
-           |$cbRounds,
-           |asl AS MATERIALIZED (SELECT n_id, c_id, j,
-           |    list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
-           |  FROM asgq, (SELECT unnest(range(0, 8)) AS j) jj),
-           |codes AS MATERIALIZED (SELECT n_id, c_id, j, cw FROM (
-           |    SELECT s.n_id, s.c_id, s.j, c.cw,
-           |      row_number() OVER (PARTITION BY s.n_id, s.j
-           |        ORDER BY ${d2("s.sl", "c.cv")} ASC, c.cw ASC) AS rn
-           |    FROM asl s JOIN cb$iters c ON c.j = s.j) t WHERE rn = 1),
-           |probe AS MATERIALIZED (SELECT q_id, c_id,
-           |    ${qresT("v", "cv")} AS qres
-           |  FROM (SELECT e.id AS q_id, e.v, c.c_id, c.cv,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c WHERE e.id < 5) t WHERE rn <= 4),
-           |lut AS MATERIALIZED (SELECT p.q_id, p.c_id, p.j, c.cw,
-           |    ${d2("p.sl", "c.cv")} AS d2
-           |  FROM (SELECT q_id, c_id, j,
-           |      list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
-           |    FROM probe, (SELECT unnest(range(0, 8)) AS j) jj) p
-           |  JOIN cb$iters c ON c.j = p.j),
-           |cand AS (SELECT q_id, n_id, c_id, adc_fp FROM (
-           |  SELECT q_id, n_id, c_id, adc_fp, row_number() OVER (
-           |      PARTITION BY q_id ORDER BY adc_fp ASC, n_id ASC) AS crn
-           |  FROM (SELECT l.q_id, cd.n_id, cd.c_id,
-           |      cast(sum(l.d2) as bigint) AS adc_fp
-           |    FROM codes cd JOIN lut l
-           |      ON l.c_id = cd.c_id AND l.j = cd.j AND l.cw = cd.cw
-           |    WHERE cd.n_id <> l.q_id GROUP BY 1, 2, 3) t1) t2
-           |  WHERE crn <= 40)
-           |SELECT q_id, n_id, rn AS rnk, adc_fp, d2_fp FROM (
-           |  SELECT c.q_id, c.n_id, c.adc_fp,
-           |    cast(list_sum(list_transform(range(1, 65),
-           |      i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
-           |      as bigint) AS d2_fp,
-           |    row_number() OVER (PARTITION BY c.q_id ORDER BY
-           |      cast(list_sum(list_transform(range(1, 65),
-           |        i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
-           |        as bigint) ASC, c.n_id ASC) AS rn
-           |  FROM cand c
-           |  JOIN probe p ON p.q_id = c.q_id AND p.c_id = c.c_id
-           |  JOIN asgq a ON a.n_id = c.n_id) t3
-           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
-      },
+      "s24_ivf_pq_trained" -> ivfPqTrainedReplaySql(" WHERE e.id < 5"),
+
+      // s38: the SAME trained replay with the query bound removed —
+      // every corpus vector probes its 4 nearest trained lists, ADC
+      // top-40 candidates, exact-integer rerank to top-5; the engine's
+      // codegen encode/ADC kernels must reproduce it row for row
+      "s38_pq_knn_graph" -> ivfPqTrainedReplaySql(""),
 
       // SemDeDup: s04's deterministic coarse assignment, then pairs
       // confined to each cluster; dup_of = lowest same-cluster id at

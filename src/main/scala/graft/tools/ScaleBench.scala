@@ -86,7 +86,7 @@ object ScaleBench {
     "t50_dedup_remix", "st48_stream_chunk_probe",
     "q77_label_propagation", "t51_ccnet_buckets", "t52_cluster_balance",
     "m15_clip_filter", "st49_stream_cluster_quota", "d23_time_travel",
-    "t53_source_kl")
+    "t53_source_kl", "s38_pq_knn_graph")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -114,6 +114,14 @@ object ScaleBench {
       graft.operators.Similarity.ivfKnnGraphTrainedFp(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 5,
         nlist = n, nprobe = 4)
+    }
+    // s38: s30's block join at ADC cost — same nlist ∝ corpus
+    // convention keeps cell populations (and per-item ADC work) flat
+    case "s38_pq_knn_graph" => Some { (s, dir) =>
+      val n = if (copies <= 1) 32 else 32 * copies
+      graft.operators.Similarity.pqKnnGraphTrainedFp(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 5,
+        nlist = n, nprobe = 4, m = 8, ncode = 32, cBudget = 40)
     }
     // s32 composes s30 — same nlist ∝ corpus convention; the mutual
     // join and star contraction ride on the constant-sized cells
@@ -371,6 +379,14 @@ object ScaleBench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // synth writes ONE file per table with 4 MB row groups so scans
+      // can split — but splitting is governed by maxPartitionBytes
+      // (default 128 MB), under which a 15 MB embeddings file is ONE
+      // task and every corpus × centroids routing scan single-threads
+      // (measured: s38's routing 206 s in one task at 30x). Match the
+      // knob to the row-group size — the sizing every real deployment
+      // does (SURVEY §6 spill-aware rule).
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -78,7 +78,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "t51_ccnet_buckets" -> "t23's sanctioned scalar shape inside the LM chain (the per-doc surprisal table joins the broadcast marginal aggregates); the tertile thresholds are a |langs|-row broadcast join over the bounded |langs|x256 histogram",
     "t52_cluster_balance" -> "s04's sanctioned assignment shape (corpus x 32 broadcast trained centroids); the selection is a WindowGroupLimit rank filter, never a global sort",
     "m15_clip_filter" -> "t23's scalar shape: the per-pair score table joins the broadcast ONE-ROW corpus-mean aggregate; the data-sized work is one pair scan with a sequential-fold cosine",
-    "t53_source_kl" -> "t19's scalar shape: the (source, token) count table crossJoins the broadcast ONE-ROW corpus-total aggregate; the data-sized work is the exploded token aggregate and the vocab-sized marginal equi-join")
+    "t53_source_kl" -> "t19's scalar shape: the (source, token) count table crossJoins the broadcast ONE-ROW corpus-total aggregate; the data-sized work is the exploded token aggregate and the vocab-sized marginal equi-join",
+    "s38_pq_knn_graph" -> "s30's sanctioned routing scan (corpus x 32 broadcast trained centroids); the data-sized candidate join is a shuffle EQUI-join on the cell id carrying m-long PQ codes, scored by the codegen integer ADC and merged by the bounded top-C aggregator; the rerank is id-keyed equi-joins over the bounded candidates")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
