@@ -3355,6 +3355,17 @@ object NorthStar {
     "st49_stream_cluster_quota" -> { (s, dir) =>
       graft.streaming.Streaming.streamClusterQuota(s, dir)
         .orderBy("c_id", "rn")
+    },
+
+    // STREAMING GRAPH-ANN SERVING — the production vector-serving
+    // shape: arriving query vectors walk the frozen s37 k-NN-graph
+    // asset per row (index replicated into worker memory, queries
+    // never shuffle — DiskANN/HNSW's serving contract), running the
+    // exact distributed beam-search math locally. The oracle replays
+    // the full batch construction + every arriving query's walk.
+    "st50_stream_graph_probe" -> { (s, dir) =>
+      graft.streaming.Streaming.streamGraphProbe(s, dir)
+        .orderBy("q_id", "rnk")
     })
 
   // ---------- oracles ----------
@@ -3466,6 +3477,78 @@ object NorthStar {
            |  list_transform(cv, x -> cast(x as double)) AS cv FROM cent$iters)""".stripMargin
       s"$head,\n$rounds,\n$fin"
     }
+
+    // s35 / st50 share the graph-ANN beam-search replay (trained
+    // quantizer, degree-10 undirected graph, id%64 seed layer, three
+    // expand-dedup-exact-score-prune rounds); `qsSql` is the query
+    // CTE body (s35: the 5 benchmark corpus queries; st50: the
+    // +100000 arriving shard)
+    def graphAnnReplaySql(qsSql: String): String =
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |asg AS (
+           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
+           |    SELECT e.id, e.v, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1),
+           |probe AS (
+           |  SELECT q_id, q_vec, c_id FROM (
+           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn <= 4),
+           |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
+           |  SELECT p.q_id, a.n_id,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 10),
+           |knnu AS MATERIALIZED (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM knn
+           |  UNION ALL SELECT n_id, q_id FROM knn) t),
+           |qs AS ($qsSql),
+           |s0 AS (SELECT q_id, n_id FROM (
+           |  SELECT qq.q_id, e.id AS n_id,
+           |    row_number() OVER (PARTITION BY qq.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, e.id ASC) AS rn
+           |  FROM qs qq JOIN e ON e.id % 64 = 0 AND e.id <> qq.q_id) t
+           |  WHERE rn <= 16),
+           |c1 AS (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM s0
+           |  UNION ALL SELECT s0.q_id, knnu.n_id FROM s0
+           |    JOIN knnu ON knnu.q_id = s0.n_id) t
+           |  WHERE n_id <> q_id),
+           |s1 AS (SELECT q_id, n_id FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
+           |  FROM c1 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |  WHERE rn <= 16),
+           |c2 AS (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM s1
+           |  UNION ALL SELECT s1.q_id, knnu.n_id FROM s1
+           |    JOIN knnu ON knnu.q_id = s1.n_id) t
+           |  WHERE n_id <> q_id),
+           |s2 AS (SELECT q_id, n_id FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
+           |  FROM c2 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |  WHERE rn <= 16),
+           |c3 AS (SELECT DISTINCT q_id, n_id FROM (
+           |  SELECT q_id, n_id FROM s2
+           |  UNION ALL SELECT s2.q_id, knnu.n_id FROM s2
+           |    JOIN knnu ON knnu.q_id = s2.n_id) t
+           |  WHERE n_id <> q_id)
+           |SELECT q_id, rn AS rnk, n_id, cos_sim FROM (
+           |  SELECT c.q_id, c.n_id,
+           |    round(${cosSql("qq.q_vec", "e.v")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY c.q_id
+           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
+           |  FROM c3 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
 
     // s24 / s38 share the FULLY-TRAINED residual IVFxPQ replay
     // (trained coarse quantizer, integer-Lloyd residual codebook,
@@ -5188,72 +5271,13 @@ object NorthStar {
       // top-16 over the id%64 layer, three expand-dedup-exact-score-
       // prune rounds, final top-5 read from the last candidate set
       // (cos desc, id asc throughout)
-      "s35_graph_ann" ->
-        s"""WITH e AS (SELECT vec_id AS id,
-           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
-           |asg AS (
-           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
-           |    SELECT e.id, e.v, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn = 1),
-           |probe AS (
-           |  SELECT q_id, q_vec, c_id FROM (
-           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn <= 4),
-           |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
-           |  SELECT p.q_id, a.n_id,
-           |    row_number() OVER (PARTITION BY p.q_id
-           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
-           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
-           |WHERE rn <= 10),
-           |knnu AS MATERIALIZED (SELECT DISTINCT q_id, n_id FROM (
-           |  SELECT q_id, n_id FROM knn
-           |  UNION ALL SELECT n_id, q_id FROM knn) t),
-           |qs AS (SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5),
-           |s0 AS (SELECT q_id, n_id FROM (
-           |  SELECT qq.q_id, e.id AS n_id,
-           |    row_number() OVER (PARTITION BY qq.q_id
-           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, e.id ASC) AS rn
-           |  FROM qs qq JOIN e ON e.id % 64 = 0 AND e.id <> qq.q_id) t
-           |  WHERE rn <= 16),
-           |c1 AS (SELECT DISTINCT q_id, n_id FROM (
-           |  SELECT q_id, n_id FROM s0
-           |  UNION ALL SELECT s0.q_id, knnu.n_id FROM s0
-           |    JOIN knnu ON knnu.q_id = s0.n_id) t
-           |  WHERE n_id <> q_id),
-           |s1 AS (SELECT q_id, n_id FROM (
-           |  SELECT c.q_id, c.n_id,
-           |    row_number() OVER (PARTITION BY c.q_id
-           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
-           |  FROM c1 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
-           |  WHERE rn <= 16),
-           |c2 AS (SELECT DISTINCT q_id, n_id FROM (
-           |  SELECT q_id, n_id FROM s1
-           |  UNION ALL SELECT s1.q_id, knnu.n_id FROM s1
-           |    JOIN knnu ON knnu.q_id = s1.n_id) t
-           |  WHERE n_id <> q_id),
-           |s2 AS (SELECT q_id, n_id FROM (
-           |  SELECT c.q_id, c.n_id,
-           |    row_number() OVER (PARTITION BY c.q_id
-           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
-           |  FROM c2 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
-           |  WHERE rn <= 16),
-           |c3 AS (SELECT DISTINCT q_id, n_id FROM (
-           |  SELECT q_id, n_id FROM s2
-           |  UNION ALL SELECT s2.q_id, knnu.n_id FROM s2
-           |    JOIN knnu ON knnu.q_id = s2.n_id) t
-           |  WHERE n_id <> q_id)
-           |SELECT q_id, rn AS rnk, n_id, cos_sim FROM (
-           |  SELECT c.q_id, c.n_id,
-           |    round(${cosSql("qq.q_vec", "e.v")}, 6) AS cos_sim,
-           |    row_number() OVER (PARTITION BY c.q_id
-           |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
-           |  FROM c3 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
-           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+      "s35_graph_ann" -> graphAnnReplaySql(
+        "SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5"),
+
+      // st50: the same beam-search replay with the query side set to
+      // the +100000 arriving shard — stream serving == batch math
+      "st50_stream_graph_probe" -> graphAnnReplaySql(
+        "SELECT id + 100000 AS q_id, v AS q_vec FROM e"),
 
       // s36: s35's replay with rn exposed at each beam, top-5 prefix
       // per arm (rounds 0/1/2/3), hit-joined against brute-force truth

@@ -1287,6 +1287,87 @@ object Streaming {
       .filter(col("rn") <= cap)
   }
 
+  /** Streaming graph-ANN serving (st50): arriving query vectors walk
+    * the FROZEN k-NN-graph index asset per row — the production
+    * vector-serving shape (DiskANN/HNSW-style: the nightly-built index
+    * is replicated into each serving worker's memory; queries never
+    * shuffle). The asset ([[graft.operators.Similarity.ensureKnnGraphIndex]]),
+    * the corpus vectors, and the id%seedMod navigation slice broadcast
+    * once; each arriving vector runs the EXACT
+    * [[graft.operators.Similarity.graphBeamSearchOver]] math locally —
+    * same sequential-fold cosine (left-to-right double accumulation,
+    * so doubles are bit-identical to the codegen DotProduct), same
+    * (cos DESC, id ASC) beam tie rule, same seed slice, same
+    * expand-dedup-exact-score-prune rounds, same HALF_UP round-6
+    * readout — so the batch replay oracle checks every arriving
+    * query's full walk. Stateless (no keyed state, no watermark);
+    * append mode.
+    *
+    * Broadcast size is O(n·(d + graphK)) — the serving-replica
+    * contract, NOT a Spark-join shape: a graph that outgrows one
+    * worker's memory shards by routing key upstream (the IVF cell of
+    * the query), which is s38's block-join territory, not serving's.
+    */
+  def streamGraphProbe(s: SparkSession, dir: String, k: Int = 5,
+      beam: Int = 16, rounds: Int = 3, seedMod: Int = 64,
+      nlist: Int = 32): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    require(k <= beam, s"k=$k must be <= beam=$beam")
+    val graphDf = Similarity.ensureKnnGraphIndex(s, dir, nlist = nlist)
+    val corpus: Array[(Long, Array[Float])] =
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+    if (corpus.isEmpty) // empty corpus: nothing to serve against
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("q_id", "rnk", "n_id", "cos_sim")
+    val adj: Map[Long, Array[Long]] = graphDf
+      .select(col("node").cast("long"), col("edge_to").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (n, es) => (n, es.map(_._2)) }
+    val seeds: Array[Long] = corpus.map(_._1).filter(_ % seedMod == 0)
+    val bcVecs = s.sparkContext.broadcast(corpus.toMap)
+    val bcAdj = s.sparkContext.broadcast(adj)
+    val bcSeeds = s.sparkContext.broadcast(seeds)
+    // the DotProduct fold verbatim: per-element float->double cast,
+    // left-to-right accumulation; cos = dot / (sqrt*sqrt) in the same
+    // association the column expression evaluates
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cosF(a: Array[Float], b: Array[Float]): Double =
+      dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
+    val shard = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+        col("embedding"))
+    val hits = shard.as[(Long, Array[Float])].flatMap { case (qId, qv) =>
+      val vecs = bcVecs.value
+      val graph = bcAdj.value
+      // score-and-prune: TopKCosAgg's (cos DESC, id ASC), NaN rejected
+      def prune(ids: Seq[Long]): Seq[(Long, Double)] = ids.iterator
+        .map(id => (id, cosF(qv, vecs(id))))
+        .filter(!_._2.isNaN)
+        .toSeq.sortBy { case (id, c) => (-c, id) }.take(beam)
+      var beamed = prune(bcSeeds.value.filter(_ != qId).toSeq)
+      var r = 0
+      while (r < rounds) {
+        val ids = beamed.map(_._1)
+        beamed = prune(
+          (ids ++ ids.flatMap(i => graph.getOrElse(i, Array.empty[Long])))
+            .distinct.filter(_ != qId))
+        r += 1
+      }
+      beamed.take(k).zipWithIndex.map { case ((nId, c), i) =>
+        (qId, (i + 1).toLong, nId,
+          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toDF("q_id", "rnk", "n_id", "cos_sim")
+    runToTable(hits, "append")
+  }
+
   /** Streaming chunk-level dedup — the RAG-ingestion shape: chunk each
     * arriving document into overlapping token windows
     * ([[graft.operators.Mixture.chunkOverlap]] — a completely narrow

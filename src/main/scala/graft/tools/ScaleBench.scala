@@ -86,7 +86,7 @@ object ScaleBench {
     "t50_dedup_remix", "st48_stream_chunk_probe",
     "q77_label_propagation", "t51_ccnet_buckets", "t52_cluster_balance",
     "m15_clip_filter", "st49_stream_cluster_quota", "d23_time_travel",
-    "t53_source_kl", "s38_pq_knn_graph")
+    "t53_source_kl", "s38_pq_knn_graph", "st50_stream_graph_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -219,6 +219,15 @@ object ScaleBench {
           .persist())
       Similarity.graphBeamSearchOver(graph, emb, emb.filter(col("vec_id") < 5),
         k = 5, beam = 16, rounds = 3, seedMod = 64)
+    }
+    // st50 serves over the same asset — nlist ∝ corpus for the build,
+    // seedMod ∝ corpus so the per-query seed scan stays constant-cost
+    // (HNSW's sparse-upper-level contract; s35's documented knob)
+    case "st50_stream_graph_probe" => Some { (s, dir) =>
+      val nl = if (copies <= 1) 32 else 32 * copies
+      val sm = if (copies <= 1) 64 else 64 * copies
+      graft.streaming.Streaming.streamGraphProbe(s, dir,
+        k = 5, beam = 16, rounds = 3, seedMod = sm, nlist = nl)
     }
     case _ => None
   }
