@@ -1288,6 +1288,41 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // LEAKAGE-SAFE SPLIT — the decontaminated train/test carve run
+    // before any training job (the d10 n-gram overlap check turned
+    // into an ACTION): t08's deterministic hash split assigns every
+    // doc, d04's MinHash-LSH candidate generator finds near-dup pairs,
+    // and any candidate pair crossing the train↔test boundary evicts
+    // its TRAIN side (candidate-level eviction — deliberately
+    // conservative: a leak suspect costs one training doc, a missed
+    // leak costs benchmark integrity). The mutCorpus twins plant real
+    // leaks: a doc and its 80%-mutant hash into independent splits, so
+    // ~2·P(train)·P(test) of the planted pairs cross. Same banded
+    // posting shapes as d04 — nothing new shuffles; the verdict join
+    // is id-keyed.
+    "t54_leakage_safe_split" -> { (s, dir) =>
+      import s.implicits._
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val pinned = scope.own(mutCorpus(s, dir).persist()) // cand gen + split
+      val sp = pinned.select($"doc_id",
+        Mixture.splitColumn($"doc_id").as("split"))
+      val leaked = Dedup.lshCandidatePairs(pinned, "text", "doc_id", 16, 4, 3)
+        .join(sp.select($"doc_id".as("id_a"), $"split".as("sp_a")), "id_a")
+        .join(sp.select($"doc_id".as("id_b"), $"split".as("sp_b")), "id_b")
+        .filter(($"sp_a" === "train" && $"sp_b" === "test") ||
+          ($"sp_a" === "test" && $"sp_b" === "train"))
+        .select(when($"sp_a" === "train", $"id_a").otherwise($"id_b")
+          .as("doc_id"))
+        .distinct()
+        .withColumn("leaked", lit(true))
+      sp.join(leaked, Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"split",
+          coalesce($"leaked", lit(false)).as("leaked"),
+          ($"split" =!= "train" || !coalesce($"leaked", lit(false)))
+            .as("kept"))
+        .orderBy("doc_id")
+    },
+
     // Line-level boilerplate stats over the mutated corpus (each doc's
     // 80%-prefix twin plants genuinely repeated 10-token "lines"):
     // per-doc duplicated-line ratio, the C4-style repeated-segment
@@ -4600,6 +4635,31 @@ object NorthStar {
            |  round(cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16, 6) AS est_sim
            |FROM pairs p JOIN mh a ON a.id = p.id_a JOIN mh b ON b.id = p.id_b
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // t54: d04's banded-candidate replay + the hash split; any
+      // cross-boundary candidate evicts its train side
+      "t54_leakage_safe_split" ->
+        s"""WITH ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+           |sp AS (SELECT doc_id, ${Mixture.splitColumnSql("doc_id")} AS split
+           |  FROM ($mutCorpusSql) mc),
+           |leak AS (SELECT DISTINCT
+           |    CASE WHEN a.split = 'train' THEN p.id_a ELSE p.id_b END AS doc_id
+           |  FROM pairs p JOIN sp a ON a.doc_id = p.id_a
+           |  JOIN sp b ON b.doc_id = p.id_b
+           |  WHERE (a.split = 'train' AND b.split = 'test')
+           |     OR (a.split = 'test' AND b.split = 'train'))
+           |SELECT sp.doc_id, sp.split, l.doc_id IS NOT NULL AS leaked,
+           |  (sp.split <> 'train' OR l.doc_id IS NULL) AS kept
+           |FROM sp LEFT JOIN leak l ON l.doc_id = sp.doc_id
+           |ORDER BY sp.doc_id""".stripMargin,
 
       // 80%-prefix shard windows vs the corpus's distinct window-hash
       // set; islands per doc; per-doc totals left-join span stats

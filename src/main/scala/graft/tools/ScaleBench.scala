@@ -86,7 +86,8 @@ object ScaleBench {
     "t50_dedup_remix", "st48_stream_chunk_probe",
     "q77_label_propagation", "t51_ccnet_buckets", "t52_cluster_balance",
     "m15_clip_filter", "st49_stream_cluster_quota", "d23_time_travel",
-    "t53_source_kl", "s38_pq_knn_graph", "st50_stream_graph_probe")
+    "t53_source_kl", "s38_pq_knn_graph", "st50_stream_graph_probe",
+    "t54_leakage_safe_split")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
