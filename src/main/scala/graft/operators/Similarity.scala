@@ -538,6 +538,136 @@ object Similarity {
         col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
   }
 
+  /** TWO-LEVEL (hierarchical) trained routing for the big-big k-NN
+    * graph — the IVF-tree answer to the one term of
+    * [[ivfKnnGraphTrainedFp]] that grows when nlist scales with the
+    * corpus: the flat corpus × nlist routing scan is O(n·nlist) =
+    * O(n²/cell) under the nlist ∝ n convention, while here every row
+    * picks the best of `superList` SUPER-centroids first and then
+    * ranks only the centroids assigned to that super cell —
+    * O(n·(superList + nlist/superList)), minimized at superList ≈
+    * √nlist (the standard coarse-quantizer tree; same trick
+    * [[semanticDedup]] documents at `hierarchicalAbove`, here for the
+    * TRAINED quantizer).
+    *
+    * Determinism end to end, so the oracle replays everything:
+    * super-centroids are a farthest-point (k-center) pass over the
+    * trained centroid table in the trainer's own exact-integer dot
+    * discipline (seed 0 = centroid 0; each next = argmin of max dot,
+    * ties → lowest c_id); per-centroid super assignment is argmax
+    * integer dot (ties → lowest super ordinal); row routing is the
+    * same max-cos/lowest-id tie rule at both levels. The IVF-tree
+    * approximation applies: a row near a super-cell boundary may probe
+    * a different (never larger) candidate set than the flat scan —
+    * Knn2LevelSpec pins the superList=1 case to the flat graph
+    * row-for-row and holds the recall floor at the registered config.
+    */
+  def ivfKnnGraphTrainedFp2L(corpus: DataFrame, k: Int,
+      nlist: Int = 32, nprobe: Int = 4, superList: Int = 6,
+      superProbe: Int = 3,
+      iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    require(superList >= 1 && superProbe >= 1,
+      s"superList/superProbe must be >= 1, got $superList/$superProbe")
+    val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN, idCol, vecCol)
+    if (trained.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("q_id", "rnk", "n_id", "cos_sim")
+    val cvs: Array[Array[Long]] = trained.map(_._2.map(_.toLong))
+    val nc = cvs.length
+    val ns = math.min(superList, nc)
+    val d = cvs.head.length
+    def dotL(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < d) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // k-center super seeds over the centroid table (trainer discipline:
+    // seed 0 = centroid 0, next = argmin of max dot, strict < ties)
+    val seedPos = new Array[Int](ns)
+    val maxDot = Array.fill(nc)(Long.MinValue)
+    seedPos(0) = 0
+    var s0 = 1
+    while (s0 < ns) {
+      val last = cvs(seedPos(s0 - 1))
+      var i = 0
+      while (i < nc) {
+        val dt = dotL(cvs(i), last)
+        if (dt > maxDot(i)) maxDot(i) = dt
+        i += 1
+      }
+      var best = 0; var bestDot = Long.MaxValue
+      i = 0
+      while (i < nc) {
+        if (maxDot(i) < bestDot) { bestDot = maxDot(i); best = i }
+        i += 1
+      }
+      seedPos(s0) = best
+      s0 += 1
+    }
+    // per-centroid super assignment: argmax dot, strict > ties to lower s
+    val cAssign = Array.tabulate(nc) { c =>
+      var best = 0; var bestDot = Long.MinValue; var s = 0
+      while (s < ns) {
+        val dt = dotL(cvs(c), cvs(seedPos(s)))
+        if (dt > bestDot) { bestDot = dt; best = s }
+        s += 1
+      }
+      best.toLong
+    }
+    val supers = broadcast(Seq.tabulate(ns)(s =>
+      (s.toLong, cvs(seedPos(s)).map(_.toDouble).toSeq)).toDF("s_id", "s_vec"))
+    val centT = broadcast(trained.toSeq.zipWithIndex.map {
+      case ((cid, cv), ci) => (cAssign(ci), cid, cv.toSeq)
+    }.toDF("s_id", "c_id", "c_vec"))
+    val topNp = udaf(new graft.functions.TopKCosAgg(nprobe),
+      ExpressionEncoder[(Long, Double)]())
+    val topK = udaf(new graft.functions.TopKCosAgg(k),
+      ExpressionEncoder[(Long, Double)]())
+    val topSp = udaf(new graft.functions.TopKCosAgg(superProbe),
+      ExpressionEncoder[(Long, Double)]())
+    // level 1: the row's superProbe best super cells (superList-row
+    // broadcast) — multi-probe at the tree's top level, the standard
+    // recall repair for the boundary rows a single cell would strand
+    val lvl1 = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .crossJoin(supers)
+      .withColumn("cos_s", cosine(col("vec"), col("s_vec")))
+      .filter(col("cos_s").isNotNull)
+      .groupBy(col("id"))
+      .agg(topSp(col("s_id"), col("cos_s")).as("sprobes"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), explode(col("sprobes")("_1")).as("s_id"), col("vec"))
+    // level 2: rank only the probed super cells' centroids (cells are
+    // disjoint, so the union never duplicates a centroid)
+    val routed = scope.own(lvl1
+      .join(centT, Seq("s_id"))
+      .withColumn("cos_c", cosine(col("vec"), col("c_vec")))
+      .filter(col("cos_c").isNotNull)
+      .groupBy(col("id"))
+      .agg(topNp(col("c_id"), col("cos_c")).as("probes"),
+        first(col("vec")).as("vec"))
+      .persist())
+    // identical tail to ivfKnnGraphTrainedFp: probes[1] = assignment,
+    // shuffle equi-join on the cell id, bounded top-k merge
+    val assigned = routed.select(col("id").as("n_id"), col("vec").as("n_vec"),
+      element_at(col("probes"), 1)("_1").as("c_id"))
+    val probes = routed.select(col("id").as("q_id"), col("vec").as("q_vec"),
+      explode(col("probes")("_1")).as("c_id"))
+    probes.join(assigned, Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(topK(col("n_id"), col("cos")).as("nbrs"))
+      .select(col("q_id"), posexplode(col("nbrs")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
+  }
+
   /** Graph-routed ANN — beam search over the [[ivfKnnGraphTrainedFp]]
     * k-NN graph: the DiskANN/HNSW-shaped search arm the quantization
     * family (IVF/PQ/JL/matryoshka) doesn't cover. Entry points come

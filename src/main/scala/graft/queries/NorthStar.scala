@@ -1638,6 +1638,25 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // TWO-LEVEL-ROUTED k-NN GRAPH — the IVF-tree fix for the one term
+    // of s30 that grows under nlist ∝ corpus: rows pick the best of
+    // √nlist-ish SUPER-centroids (a k-center pass over the trained
+    // centroid table, exact-integer dots) and rank only that super
+    // cell's centroids — O(n·(superList + nlist/superList)) routing
+    // instead of O(n·nlist). Everything after the probes is s30's
+    // block join verbatim. Knn2LevelSpec pins superList=1 ≡ the flat
+    // graph row-for-row and holds the recall floor at this config;
+    // the oracle replays training, super seeding, both assignment
+    // levels, probing, and exact ranking end to end.
+    "s39_knn_graph_2level" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfKnnGraphTrainedFp2L(emb, k = 5, nlist = 32, nprobe = 4,
+          superList = 6)
+        .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"), $"cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+
     // MUTUAL-kNN SEMANTIC CLUSTERS — the composition s30 exists for:
     // keep an edge only when BOTH endpoints rank each other in their
     // top-k (the standard mutual-kNN graph — parameterless, and robust
@@ -5250,6 +5269,63 @@ object NorthStar {
            |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
            |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // s39: s30's replay with TWO-LEVEL routing — k-center super
+      // seeds over the trained centroids (exact-integer dots, the
+      // trainer's own unrolled-round discipline), per-centroid super
+      // assignment, per-row best super, probes confined to that cell
+      "s39_knn_graph_2level" -> {
+        val ns = 6
+        val sdot = (a: String, b: String) =>
+          s"""cast(list_sum(list_transform(range(1, 65),
+             |        j -> $a[j] * $b[j])) as bigint)""".stripMargin
+        val seedRounds = (1 until ns).map { r =>
+          s"""smd$r AS (SELECT m.c_id, m.cv,
+             |    greatest(m.md, ${sdot("m.cv", "s.cv")}) AS md
+             |  FROM smd${r - 1} m, ss${r - 1} s),
+             |ss$r AS (SELECT c_id, cv FROM smd$r
+             |  ORDER BY md ASC, c_id ASC LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val superUnion = (0 until ns)
+          .map(r => s"SELECT $r AS s_id, cv FROM ss$r")
+          .mkString("\n  UNION ALL ")
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |ss0 AS (SELECT c_id, cv FROM cent ORDER BY c_id LIMIT 1),
+           |smd0 AS (SELECT c.c_id, c.cv, ${sdot("c.cv", "s.cv")} AS md
+           |  FROM cent c, ss0 s),
+           |$seedRounds,
+           |supers AS ($superUnion),
+           |sasg AS (SELECT c_id, cv, s_id FROM (
+           |    SELECT c.c_id, c.cv, s.s_id,
+           |      row_number() OVER (PARTITION BY c.c_id
+           |        ORDER BY ${sdot("c.cv", "s.cv")} DESC, s.s_id ASC) AS rn
+           |    FROM cent c, supers s) t WHERE rn = 1),
+           |rsup AS (SELECT id, v, s_id FROM (
+           |    SELECT e.id, e.v, s.s_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "s.cv")} DESC, s.s_id ASC) AS rn
+           |    FROM e, supers s) t WHERE rn <= 3),
+           |asg AS (
+           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
+           |    SELECT r.id, r.v, a.c_id,
+           |      row_number() OVER (PARTITION BY r.id
+           |        ORDER BY ${cosSql("r.v", "a.cv")} DESC, a.c_id ASC) AS rn
+           |    FROM rsup r JOIN sasg a ON a.s_id = r.s_id) t WHERE rn = 1),
+           |probe AS (
+           |  SELECT q_id, q_vec, c_id FROM (
+           |    SELECT r.id AS q_id, r.v AS q_vec, a.c_id,
+           |      row_number() OVER (PARTITION BY r.id
+           |        ORDER BY ${cosSql("r.v", "a.cv")} DESC, a.c_id ASC) AS rn
+           |    FROM rsup r JOIN sasg a ON a.s_id = r.s_id) t WHERE rn <= 4)
+           |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
+           |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
 
       // s32: s30's full k-NN-graph replay + the mutual filter + q51's
       // min-label recursive closure over the undirected mutual edges

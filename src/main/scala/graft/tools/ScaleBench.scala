@@ -87,7 +87,7 @@ object ScaleBench {
     "q77_label_propagation", "t51_ccnet_buckets", "t52_cluster_balance",
     "m15_clip_filter", "st49_stream_cluster_quota", "d23_time_travel",
     "t53_source_kl", "s38_pq_knn_graph", "st50_stream_graph_probe",
-    "t54_leakage_safe_split")
+    "t54_leakage_safe_split", "s39_knn_graph_2level")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -220,6 +220,16 @@ object ScaleBench {
           .persist())
       Similarity.graphBeamSearchOver(graph, emb, emb.filter(col("vec_id") < 5),
         k = 5, beam = 16, rounds = 3, seedMod = 64)
+    }
+    // s39: nlist ∝ corpus like s30, superList ≈ √nlist (the optimum of
+    // the two-level routing cost superList + superProbe·nlist/superList)
+    // — the rung that MEASURES the tree's routing win over s30's flat scan
+    case "s39_knn_graph_2level" => Some { (s, dir) =>
+      val n = if (copies <= 1) 32 else 32 * copies
+      val sl = math.max(6, math.ceil(math.sqrt(n.toDouble)).toInt)
+      graft.operators.Similarity.ivfKnnGraphTrainedFp2L(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 5,
+        nlist = n, nprobe = 4, superList = sl, superProbe = 3)
     }
     // st50 serves over the same asset — nlist ∝ corpus for the build,
     // seedMod ∝ corpus so the per-query seed scan stays constant-cost
