@@ -538,6 +538,66 @@ object Similarity {
         col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
   }
 
+  /** The two-level router's super-centroid table: a farthest-point
+    * (k-center) pass over the trained centroid table in the trainer's
+    * own exact-integer dot discipline (seed 0 = centroid 0; each next
+    * seed = argmin of max dot to the seeds so far, strict-< ties →
+    * lowest c_id), then every centroid assigned to its argmax-dot
+    * super (strict-> ties → lowest super ordinal). Driver-side over
+    * ≤nlist rows — a planning step, shared by the operator and the
+    * s40 evaluation row so they can never diverge. Returns
+    * (supers (s_id, s_vec), centroid table (s_id, c_id, c_vec)).
+    */
+  private[graft] def kCenterSuperTable(trained: Array[(Long, Array[Double])],
+      superList: Int)
+      : (Seq[(Long, Seq[Double])], Seq[(Long, Long, Seq[Double])]) = {
+    val cvs: Array[Array[Long]] = trained.map(_._2.map(_.toLong))
+    val nc = cvs.length
+    val ns = math.min(superList, nc)
+    val d = cvs.head.length
+    def dotL(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < d) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val seedPos = new Array[Int](ns)
+    val maxDot = Array.fill(nc)(Long.MinValue)
+    seedPos(0) = 0
+    var s0 = 1
+    while (s0 < ns) {
+      val last = cvs(seedPos(s0 - 1))
+      var i = 0
+      while (i < nc) {
+        val dt = dotL(cvs(i), last)
+        if (dt > maxDot(i)) maxDot(i) = dt
+        i += 1
+      }
+      var best = 0; var bestDot = Long.MaxValue
+      i = 0
+      while (i < nc) {
+        if (maxDot(i) < bestDot) { bestDot = maxDot(i); best = i }
+        i += 1
+      }
+      seedPos(s0) = best
+      s0 += 1
+    }
+    val cAssign = Array.tabulate(nc) { c =>
+      var best = 0; var bestDot = Long.MinValue; var s = 0
+      while (s < ns) {
+        val dt = dotL(cvs(c), cvs(seedPos(s)))
+        if (dt > bestDot) { bestDot = dt; best = s }
+        s += 1
+      }
+      best.toLong
+    }
+    val supers = Seq.tabulate(ns)(s =>
+      (s.toLong, cvs(seedPos(s)).map(_.toDouble).toSeq))
+    val centRows = trained.toSeq.zipWithIndex.map {
+      case ((cid, cv), ci) => (cAssign(ci), cid, cv.toSeq)
+    }
+    (supers, centRows)
+  }
+
   /** TWO-LEVEL (hierarchical) trained routing for the big-big k-NN
     * graph — the IVF-tree answer to the one term of
     * [[ivfKnnGraphTrainedFp]] that grows when nlist scales with the
@@ -576,53 +636,9 @@ object Similarity {
     if (trained.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("q_id", "rnk", "n_id", "cos_sim")
-    val cvs: Array[Array[Long]] = trained.map(_._2.map(_.toLong))
-    val nc = cvs.length
-    val ns = math.min(superList, nc)
-    val d = cvs.head.length
-    def dotL(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < d) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
-    // k-center super seeds over the centroid table (trainer discipline:
-    // seed 0 = centroid 0, next = argmin of max dot, strict < ties)
-    val seedPos = new Array[Int](ns)
-    val maxDot = Array.fill(nc)(Long.MinValue)
-    seedPos(0) = 0
-    var s0 = 1
-    while (s0 < ns) {
-      val last = cvs(seedPos(s0 - 1))
-      var i = 0
-      while (i < nc) {
-        val dt = dotL(cvs(i), last)
-        if (dt > maxDot(i)) maxDot(i) = dt
-        i += 1
-      }
-      var best = 0; var bestDot = Long.MaxValue
-      i = 0
-      while (i < nc) {
-        if (maxDot(i) < bestDot) { bestDot = maxDot(i); best = i }
-        i += 1
-      }
-      seedPos(s0) = best
-      s0 += 1
-    }
-    // per-centroid super assignment: argmax dot, strict > ties to lower s
-    val cAssign = Array.tabulate(nc) { c =>
-      var best = 0; var bestDot = Long.MinValue; var s = 0
-      while (s < ns) {
-        val dt = dotL(cvs(c), cvs(seedPos(s)))
-        if (dt > bestDot) { bestDot = dt; best = s }
-        s += 1
-      }
-      best.toLong
-    }
-    val supers = broadcast(Seq.tabulate(ns)(s =>
-      (s.toLong, cvs(seedPos(s)).map(_.toDouble).toSeq)).toDF("s_id", "s_vec"))
-    val centT = broadcast(trained.toSeq.zipWithIndex.map {
-      case ((cid, cv), ci) => (cAssign(ci), cid, cv.toSeq)
-    }.toDF("s_id", "c_id", "c_vec"))
+    val (superRows, centRows) = kCenterSuperTable(trained, superList)
+    val supers = broadcast(superRows.toDF("s_id", "s_vec"))
+    val centT = broadcast(centRows.toDF("s_id", "c_id", "c_vec"))
     val topNp = udaf(new graft.functions.TopKCosAgg(nprobe),
       ExpressionEncoder[(Long, Double)]())
     val topK = udaf(new graft.functions.TopKCosAgg(k),

@@ -1657,6 +1657,75 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // ROUTING-FRONTIER EVALUATION — the recall-per-candidate table the
+    // s39 tradeoff is tuned by (the s29/s36 move for the graph-build
+    // family): for BOTH routings (flat top-4 lists; two-level with
+    // superProbe=3) the exact candidate-pair count and the graph's
+    // recall against brute-force truth, as one oracle row per arm.
+    // Candidate counts come from the same window-rank routing the
+    // oracle spells (proven ≡ the bounded-aggregator probes by
+    // KnnGraphSpec); hit counts come from the registered operators.
+    "s40_routing_frontier" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      def run(): DataFrame = { // def so the empty guard can return
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val trained = Similarity.ivfTrainCentroidsFp(emb, nlist = 32)
+      if (trained.isEmpty) // empty corpus: nothing to route or evaluate
+        return Seq.empty[(String, Long, Long, Long, Long, Double, Double)]
+          .toDF("arm", "n_queries", "k", "n_candidates", "n_hits",
+            "recall", "cand_per_query")
+      val cent = broadcast(trained.toSeq.map { case (c, v) => (c, v.toSeq) }
+        .toDF("c_id", "c_vec"))
+      val (superRows, centRows) = Similarity.kCenterSuperTable(trained, 6)
+      val supers = broadcast(superRows.toDF("s_id", "s_vec"))
+      val centT = broadcast(centRows.toDF("s_id", "c_id", "c_vec"))
+      val rows = scope.own(emb.select($"vec_id".cast("long").as("id"),
+        $"embedding".as("v")).persist())
+      val truth = scope.own(Similarity.bruteForceTopK(emb, emb, k = 5)
+        .select($"q_id", $"n_id").persist())
+      val nq = rows.count()
+      val wid = Window.partitionBy($"id").orderBy($"cos_c".desc, $"c_id".asc)
+      val flatRank = scope.own(rows.crossJoin(cent)
+        .withColumn("cos_c", Similarity.cosine($"v", $"c_vec"))
+        .withColumn("rn", row_number().over(wid)).filter($"rn" <= 4)
+        .select($"id", $"c_id", $"rn").persist())
+      val ws = Window.partitionBy($"id").orderBy($"cos_s".desc, $"s_id".asc)
+      val rsup = rows.crossJoin(supers)
+        .withColumn("cos_s", Similarity.cosine($"v", $"s_vec"))
+        .withColumn("srn", row_number().over(ws)).filter($"srn" <= 3)
+        .select($"id", $"s_id", $"v")
+      val twoRank = scope.own(rsup.join(centT, Seq("s_id"))
+        .withColumn("cos_c", Similarity.cosine($"v", $"c_vec"))
+        .withColumn("rn", row_number().over(wid)).filter($"rn" <= 4)
+        .select($"id", $"c_id", $"rn").persist())
+      def armRow(name: String, rank: DataFrame,
+          graph: DataFrame): DataFrame = {
+        val asg = rank.filter($"rn" === 1).select($"id".as("n_id"), $"c_id")
+        val probes = rank.select($"id".as("q_id"), $"c_id")
+        val nCand = probes.join(asg, Seq("c_id"))
+          .filter($"n_id" =!= $"q_id")
+          .agg(count(lit(1)).as("n_candidates"))
+        val nHits = graph.select($"q_id", $"n_id")
+          .join(truth, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        nCand.crossJoin(nHits).select(
+          lit(name).as("arm"), lit(nq).as("n_queries"), lit(5L).as("k"),
+          $"n_candidates", $"n_hits",
+          round($"n_hits".cast("double") / (nq * 5), 6).as("recall"),
+          round($"n_candidates".cast("double") / nq, 6).as("cand_per_query"))
+      }
+      armRow("flat", flatRank,
+          Similarity.ivfKnnGraphTrainedFp(emb, k = 5, nlist = 32, nprobe = 4))
+        .unionByName(armRow("two_level", twoRank,
+          Similarity.ivfKnnGraphTrainedFp2L(emb, k = 5, nlist = 32,
+            nprobe = 4, superList = 6, superProbe = 3)))
+        .orderBy("arm")
+      }
+      run()
+    },
+
     // MUTUAL-kNN SEMANTIC CLUSTERS — the composition s30 exists for:
     // keep an edge only when BOTH endpoints rank each other in their
     // top-k (the standard mutual-kNN graph — parameterless, and robust
@@ -5325,6 +5394,88 @@ object NorthStar {
            |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
            |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+      },
+
+      // s40: both routings replayed (flat rank; s39's super chain),
+      // exact candidate counts, brute-force truth, per-arm recall
+      "s40_routing_frontier" -> {
+        val ns = 6
+        val sdot = (a: String, b: String) =>
+          s"""cast(list_sum(list_transform(range(1, 65),
+             |        j -> $a[j] * $b[j])) as bigint)""".stripMargin
+        val seedRounds = (1 until ns).map { r =>
+          s"""smd$r AS (SELECT m.c_id, m.cv,
+             |    greatest(m.md, ${sdot("m.cv", "s.cv")}) AS md
+             |  FROM smd${r - 1} m, ss${r - 1} s),
+             |ss$r AS (SELECT c_id, cv FROM smd$r
+             |  ORDER BY md ASC, c_id ASC LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val superUnion = (0 until ns)
+          .map(r => s"SELECT $r AS s_id, cv FROM ss$r")
+          .mkString("\n  UNION ALL ")
+        def armSql(tag: String, rank: String) =
+          s"""${tag}asg AS (SELECT id AS n_id, c_id FROM $rank WHERE rn = 1),
+             |${tag}cand AS (SELECT cast(count(*) as bigint) AS n_candidates
+             |  FROM (SELECT id AS q_id, c_id FROM $rank) p
+             |  JOIN ${tag}asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id),
+             |${tag}knn AS (SELECT q_id, n_id FROM (
+             |    SELECT p.q_id, a.n_id,
+             |      row_number() OVER (PARTITION BY p.q_id
+             |        ORDER BY ${cosSql("qv.v", "nv.v")} DESC, a.n_id ASC) AS rn
+             |    FROM (SELECT id AS q_id, c_id FROM $rank) p
+             |    JOIN ${tag}asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id
+             |    JOIN e qv ON qv.id = p.q_id
+             |    JOIN e nv ON nv.id = a.n_id) t WHERE rn <= 5),
+             |${tag}hits AS (SELECT cast(count(*) as bigint) AS n_hits
+             |  FROM ${tag}knn f JOIN ex ON ex.q_id = f.q_id AND ex.n_id = f.n_id)""".stripMargin
+        def armSel(name: String, tag: String) =
+          s"""SELECT '$name' AS arm, (SELECT n FROM nq) AS n_queries,
+             |  cast(5 as bigint) AS k,
+             |  (SELECT n_candidates FROM ${tag}cand) AS n_candidates,
+             |  (SELECT n_hits FROM ${tag}hits) AS n_hits,
+             |  round(cast((SELECT n_hits FROM ${tag}hits) as double)
+             |    / ((SELECT n FROM nq) * 5), 6) AS recall,
+             |  round(cast((SELECT n_candidates FROM ${tag}cand) as double)
+             |    / (SELECT n FROM nq), 6) AS cand_per_query""".stripMargin
+        s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
+           |ss0 AS (SELECT c_id, cv FROM cent ORDER BY c_id LIMIT 1),
+           |smd0 AS (SELECT c.c_id, c.cv, ${sdot("c.cv", "s.cv")} AS md
+           |  FROM cent c, ss0 s),
+           |$seedRounds,
+           |supers AS ($superUnion),
+           |sasg AS (SELECT c_id, cv, s_id FROM (
+           |    SELECT c.c_id, c.cv, s.s_id,
+           |      row_number() OVER (PARTITION BY c.c_id
+           |        ORDER BY ${sdot("c.cv", "s.cv")} DESC, s.s_id ASC) AS rn
+           |    FROM cent c, supers s) t WHERE rn = 1),
+           |frank AS (SELECT id, c_id, rn FROM (
+           |    SELECT e.id, c.c_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn <= 4),
+           |rsup AS (SELECT id, v, s_id FROM (
+           |    SELECT e.id, e.v, s.s_id,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "s.cv")} DESC, s.s_id ASC) AS rn
+           |    FROM e, supers s) t WHERE rn <= 3),
+           |trank AS (SELECT id, c_id, rn FROM (
+           |    SELECT r.id, a.c_id,
+           |      row_number() OVER (PARTITION BY r.id
+           |        ORDER BY ${cosSql("r.v", "a.cv")} DESC, a.c_id ASC) AS rn
+           |    FROM rsup r JOIN sasg a ON a.s_id = r.s_id) t WHERE rn <= 4),
+           |ex AS (SELECT q_id, n_id FROM (
+           |    SELECT q.id AS q_id, n.id AS n_id,
+           |      row_number() OVER (PARTITION BY q.id
+           |        ORDER BY ${cosSql("q.v", "n.v")} DESC, n.id ASC) AS rn
+           |    FROM e q JOIN e n ON n.id <> q.id) t WHERE rn <= 5),
+           |nq AS (SELECT cast(count(*) as bigint) AS n FROM e),
+           |${armSql("f", "frank")},
+           |${armSql("t2", "trank")}
+           |${armSel("flat", "f")}
+           |UNION ALL ${armSel("two_level", "t2")}
+           |ORDER BY arm""".stripMargin
       },
 
       // s32: s30's full k-NN-graph replay + the mutual filter + q51's
