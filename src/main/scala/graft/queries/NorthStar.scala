@@ -2616,6 +2616,31 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     },
 
+    // A/V SYNC-DRIFT DETECTION — the muxing QA check run before any
+    // alignment-supervised training: per asset, the lag between the
+    // "audio" and "video" tracks recovered as the argmax of the
+    // exact-integer cross-correlation of their block-energy series
+    // (fixed shared window so scores are comparable; ties → lowest
+    // lag). The second track is planted as a (doc_id % 4)-block byte
+    // shift of the first, so ground truth rides in the row and
+    // `synced` is a real verdict. One typed partition pass per asset,
+    // no shuffle; every score integer, the oracle replays all eight.
+    "m16_av_sync" -> { (s, dir) =>
+      import s.implicits._
+      val withPayloads = Multimodal.withBinaryPayload(
+          s.read.parquet(s"$dir/documents.parquet")
+            .filter(length($"text") >= 192)
+            .select($"doc_id", $"text"), "text")
+        .withColumnRenamed("payload", "payload_a")
+        .withColumn("payload_b", expr(
+          "substring(payload_a, cast(doc_id % 4 as int) * 16 + 1, length(payload_a))"))
+      Multimodal.avSyncLag(s, withPayloads).toDF()
+        .withColumn("planted_lag", ($"doc_id" % 4).cast("long"))
+        .select($"doc_id", $"n_blocks", $"planted_lag", $"best_lag",
+          $"best_score", ($"best_lag" === $"planted_lag").as("synced"))
+        .orderBy("doc_id")
+    },
+
     // VAD-style activity segmentation over the decoded payload: block
     // "energy" thresholded in exact integer arithmetic (blockSum >=
     // thr*blockLen), then the run structure (segments / active blocks /
@@ -6485,6 +6510,41 @@ object NorthStar {
       // the m02/m03 convention); integer threshold compare, run count
       // via run-start indicators, longest run via a state-encoded fold
       // (state = cur*1e6 + best — nb is far below 1e6)
+      // m16: both tracks' block-energy series from the codes list (the
+      // planted B track = an (doc_id%4)-block shift), all 8 lag scores
+      // over the shared window, argmax via first-max list_position
+      "m16_av_sync" ->
+        """WITH t AS (SELECT doc_id, list_transform(string_split(text, ''),
+          |    c -> cast(ascii(c) as bigint)) AS codes FROM documents
+          |  WHERE length(text) >= 192),
+          |p AS (SELECT doc_id, codes, cast(doc_id % 4 as bigint) AS lag,
+          |    len(codes) // 16 AS nba FROM t),
+          |s AS (SELECT doc_id, lag, nba,
+          |    list_transform(range(0, nba), i ->
+          |      cast(list_aggregate(codes[i*16+1 : (i+1)*16], 'sum') as bigint))
+          |      AS ea,
+          |    list_transform(range(0, (len(codes) - lag*16) // 16), i ->
+          |      cast(list_aggregate(codes[lag*16 + i*16 + 1 : lag*16 + (i+1)*16],
+          |        'sum') as bigint)) AS eb
+          |  FROM p WHERE nba >= 12),
+          |sc AS (SELECT doc_id, lag, nba,
+          |    list_transform(range(0, 8), c ->
+          |      (nba - 8) * cast(list_sum(list_transform(range(1, nba - 8 + 1),
+          |          i -> ea[i + c] * eb[i])) as bigint)
+          |      - cast(list_sum(list_transform(range(1, nba - 8 + 1),
+          |          i -> ea[i + c])) as bigint)
+          |        * cast(list_sum(list_transform(range(1, nba - 8 + 1),
+          |          i -> eb[i])) as bigint)) AS scores
+          |  FROM s)
+          |SELECT doc_id, cast(nba as bigint) AS n_blocks,
+          |  lag AS planted_lag,
+          |  cast(list_position(scores, list_aggregate(scores, 'max')) - 1
+          |    as bigint) AS best_lag,
+          |  cast(list_aggregate(scores, 'max') as bigint) AS best_score,
+          |  (list_position(scores, list_aggregate(scores, 'max')) - 1) = lag
+          |    AS synced
+          |FROM sc ORDER BY doc_id""".stripMargin,
+
       "m08_vad_segments" ->
         """WITH t AS (SELECT doc_id, list_transform(string_split(text, ''),
           |    c -> cast(ascii(c) as bigint)) AS codes FROM documents),
