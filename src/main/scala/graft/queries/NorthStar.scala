@@ -1170,6 +1170,39 @@ object NorthStar {
         .orderBy("as_of_version")
     },
 
+    // DEDUP SURVIVORSHIP-BIAS AUDIT — the fairness readout a curation
+    // owner checks after d08 runs: per-source kept rate and the bias
+    // index (source kept-rate / corpus kept-rate) — a source whose
+    // boilerplate-heavy docs collapse into dup components loses
+    // disproportionate mass, silently reweighting the corpus (the
+    // survivorship counterpart of t50's deliberate reweighting). One
+    // id-keyed source join on d08's verdicts + a per-source aggregate
+    // with the corpus total as t19's broadcast scalar.
+    "d24_dedup_bias" -> { (s, dir) =>
+      import s.implicits._
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val pinned = scope.own(
+        Dedup.dedupVerdicts(mutCorpus(s, dir), "text", "doc_id",
+            k = 16, bands = 4, n = 3, minEstSim = 0.5)
+          .select(($"doc_id" % 100000).as("orig_id"),
+            ($"doc_id" === $"canonical_id").as("kept"))
+          .join(s.read.parquet(s"$dir/documents.parquet")
+            .select($"doc_id".as("orig_id"), $"source"), Seq("orig_id"))
+          .persist()) // corpus total + per-source aggregate
+      val tot = pinned.agg(
+        sum(when($"kept", 1L).otherwise(0L)).as("k_all"),
+        count(lit(1)).as("n_all"))
+      pinned.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+        .crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_kept",
+          round($"n_kept".cast("double") / $"n_docs", 6).as("kept_rate"),
+          round(($"n_kept".cast("double") * $"n_all") /
+            ($"n_docs".cast("double") * $"k_all"), 6).as("bias_index"))
+        .orderBy("source")
+    },
+
     // d08's pipeline with the "keep the best copy" canonical rule:
     // within each near-dup component keep the quality-argmax member
     // (quality = distinct-token count, integer-exact; ties to lowest
@@ -4919,6 +4952,46 @@ object NorthStar {
            |SELECT src AS doc_id, min(dst) AS canonical_id,
            |  (src = min(dst)) AS is_kept
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      // d24: d08's closure → kept verdicts → source attach → per-source
+      // kept rate + bias index vs the corpus rate (scalar subqueries)
+      "d24_dedup_bias" ->
+        s"""WITH RECURSIVE ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+           |p AS (SELECT pr.id_a, pr.id_b FROM pairs pr
+           |  JOIN mh a ON a.id = pr.id_a JOIN mh b ON b.id = pr.id_b
+           |  WHERE cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16
+           |    >= 0.5),
+           |ee AS (SELECT id_a AS s, id_b AS d FROM p
+           |  UNION SELECT id_b, id_a FROM p),
+           |ids AS (SELECT DISTINCT doc_id AS id FROM u),
+           |reach AS (
+           |  SELECT id AS src, id AS dst FROM ids
+           |  UNION
+           |  SELECT r.src, ee.d FROM reach r JOIN ee ON ee.s = r.dst),
+           |v AS (SELECT src AS doc_id, (src = min(dst)) AS kept
+           |  FROM reach GROUP BY src),
+           |j AS (SELECT d.source, v.kept FROM v
+           |  JOIN documents d ON d.doc_id = v.doc_id % 100000),
+           |tot AS (SELECT
+           |    cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS k_all,
+           |    cast(count(*) as bigint) AS n_all FROM j)
+           |SELECT source, cast(count(*) as bigint) AS n_docs,
+           |  cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           |  round(cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as double)
+           |    / count(*), 6) AS kept_rate,
+           |  round((cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as double)
+           |      * (SELECT n_all FROM tot))
+           |    / (cast(count(*) as double) * (SELECT k_all FROM tot)), 6)
+           |    AS bias_index
+           |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
       // d08's closure (its pair-filter CTE renamed pp — the mixture
       // helper owns `p`) → kept ids → source attach → t19's mixture
