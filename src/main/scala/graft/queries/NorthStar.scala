@@ -3538,6 +3538,16 @@ object NorthStar {
         .orderBy("c_id", "rn")
     },
 
+    // STREAMING PER-SOURCE KL MAINTENANCE — t53's domain-shift readout
+    // kept live while the corpus streams in (st47's bounded
+    // |sources|·|vocab| complete-mode count state, t53's exact
+    // fixed-point readout on the maintained counts). Shares t53's
+    // oracle verbatim: after the replayed corpus, stream == batch.
+    "st51_stream_source_kl" -> { (s, dir) =>
+      graft.streaming.Streaming.streamSourceKl(s, dir)
+        .orderBy("source")
+    },
+
     // STREAMING GRAPH-ANN SERVING — the production vector-serving
     // shape: arriving query vectors walk the frozen s37 k-NN-graph
     // asset per row (index replicated into worker memory, queries
@@ -7597,6 +7607,9 @@ object NorthStar {
       // stateless stream = batch: streaming LM scoring replays t23's
       // integer surprisal arithmetic and therefore its oracle verbatim
       ("st16_stream_lm_score" -> m("t23_lm_perplexity")) +
+      // the stream-maintained (source, token) counts equal the batch
+      // aggregate cell for cell, so t53's KL oracle verifies verbatim
+      ("st51_stream_source_kl" -> m("t53_source_kl")) +
       // bounded-state streaming top-k emits a superset of the batch
       // answer; the final rank replays t24's key — oracle verbatim
       ("st17_stream_weighted_sample" -> m("t24_weighted_sample")) +

@@ -213,6 +213,46 @@ object Streaming {
           .cast("double") / (lit(2.0) * col("ct") * col("S")), 6).as("dp"))
   }
 
+  /** Streaming per-source KL maintenance (st51): t53's domain-shift
+    * readout kept live as the corpus streams in — the monitor a
+    * mixture tuner watches while an ingest runs. State is the
+    * bounded |sources|·|vocab| complete-mode (source, token) count
+    * table (st47's contract); the readout reruns t53's exact
+    * fixed-point math (all four log2Fp terms, order-free bigint
+    * numerator, one double division) on the maintained counts, so
+    * after the replayed corpus the output IS t53's table — the batch
+    * oracle verifies the stream verbatim. No tokens filter: t53's
+    * split semantics (an empty text contributes its one empty-string
+    * token) must survive the stream path or the hashes diverge.
+    */
+  def streamSourceKl(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mixture.log2Fp
+    val cells = graft.sources.Sources.documentsStream(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // one task per FILE otherwise
+      .select(col("source"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val st = runToTable(cells, "complete")
+    val ct = st.groupBy(col("tok").as("t_tok"))
+      .agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source").as("z_src"))
+      .agg(sum(col("c_st")).as("n_s"))
+    val tot = ns.agg(sum(col("n_s")).as("n_tot"))
+    st.join(ct, col("tok") === col("t_tok"))
+      .join(broadcast(ns), col("source") === col("z_src"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lr",
+        log2Fp("c_st") + log2Fp("n_tot") - log2Fp("n_s") - log2Fp("c_t"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(expr("c_st * lr")).as("num"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("num").cast("double") /
+          (col("n_tokens").cast("double") * lit(65536.0)), 6).as("kl_bits"))
+  }
+
   /** Streaming CDC chunk-savings probe (st48): m14's storage-dedup
     * question asked of an ARRIVING shard — per incoming doc, how many
     * of its content-defined chunks (and bytes) already exist in the
