@@ -81,7 +81,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "t53_source_kl" -> "t19's scalar shape: the (source, token) count table crossJoins the broadcast ONE-ROW corpus-total aggregate; the data-sized work is the exploded token aggregate and the vocab-sized marginal equi-join",
     "s38_pq_knn_graph" -> "s30's sanctioned routing scan (corpus x 32 broadcast trained centroids); the data-sized candidate join is a shuffle EQUI-join on the cell id carrying m-long PQ codes, scored by the codegen integer ADC and merged by the bounded top-C aggregator; the rerank is id-keyed equi-joins over the bounded candidates",
     "s39_knn_graph_2level" -> "the two-level shrink of s30's routing: corpus x 6 broadcast SUPER-centroids (strictly smaller than the sanctioned corpus x 32), then an equi-join on the super id against the 32-row broadcast centroid table; the data-sized candidate join is s30's cell-id shuffle equi-join verbatim",
-    "s40_routing_frontier" -> "the evaluation row for the routing tradeoff: s29/s36's sanctioned composition — the exact brute-force arm (ground truth), both sanctioned routing scans (corpus x 32 centroids / corpus x 6 supers), and t30's scalar shape for the per-arm count crossJoins; every data-sized join is an equi-join")
+    "s40_routing_frontier" -> "the evaluation row for the routing tradeoff: s29/s36's sanctioned composition — the exact brute-force arm (ground truth), both sanctioned routing scans (corpus x 32 centroids / corpus x 6 supers), and t30's scalar shape for the per-arm count crossJoins; every data-sized join is an equi-join",
+    "d24_dedup_bias" -> "t19's scalar shape: the |sources|-row per-source aggregate crossJoins the broadcast ONE-ROW corpus-total aggregate; the data-sized work is d08's banded candidate equi-join, the CC closure, and the id-keyed source join")
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
