@@ -1356,6 +1356,50 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // BLOOM-GATED DECONTAMINATION — d10's verdicts through the
+    // at-100-TB plan: the test set's distinct shingles fold into a
+    // KB-sized Bloom bitset (q61's runtime-filter machinery), every
+    // train shingle probes the broadcast bitset as a pure projection,
+    // and only Bloom-POSITIVE shingles reach the exact join (false
+    // positives die there; false negatives are impossible, so the
+    // output equals d10 row for row and d10's oracle verifies this
+    // plan variant verbatim). At 10% FP load the exact join reads
+    // ~1/10 of the train shingle stream — the difference between
+    // shuffling the corpus and shuffling its contaminated sliver.
+    "d25_bloom_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val (m, kh) = (65536, 3)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("split", Mixture.splitColumn($"doc_id"))
+      val train = docs.filter($"split" === "train")
+      val test = docs.filter($"split" === "test")
+      val evalSh = graft.operators.CacheScope.sessionScope(s).own(
+        Dedup.shingles(test, "text", "doc_id", n = 3)
+          .select($"sh").distinct().persist()) // bloom build + exact confirm
+      val words = evalSh.as[Long].groupByKey(_ => 0)
+        .agg(new graft.functions.BloomAgg(m, kh).toColumn.name("bloom"))
+        .map(_._2).collect().headOption
+        .getOrElse(new Array[Long](m / 64))
+      val w = lit(words)
+      val probed = (0 until kh).foldLeft(
+          Dedup.shingles(train, "text", "doc_id", n = 3)) { (df, i) =>
+        df.withColumn(s"p$i",
+          ($"sh" % m * (2 * i + 1) + lit(i.toLong * i + 7L)) % m)
+      }
+      val mightContain = (0 until kh).map { i =>
+        element_at(w, ($"p$i" / 64).cast("int") + 1)
+          .bitwiseAND(expr(s"shiftleft(1L, cast(p$i % 64 as int))")) =!= 0
+      }.reduce(_ && _)
+      val hits = probed.filter(mightContain)
+        .join(evalSh, Seq("sh"))
+        .groupBy($"id").agg(count(lit(1)).as("n_shared"))
+      train.select($"doc_id".cast("long").as("doc_id"))
+        .join(hits, $"doc_id" === $"id", "left")
+        .select($"doc_id", coalesce($"n_shared", lit(0L)).as("n_shared"),
+          $"n_shared".isNotNull.as("is_contaminated"))
+        .orderBy("doc_id")
+    },
+
     // Line-level boilerplate stats over the mutated corpus (each doc's
     // 80%-prefix twin plants genuinely repeated 10-token "lines"):
     // per-doc duplicated-line ratio, the C4-style repeated-segment
@@ -3536,6 +3580,15 @@ object NorthStar {
     "st49_stream_cluster_quota" -> { (s, dir) =>
       graft.streaming.Streaming.streamClusterQuota(s, dir)
         .orderBy("c_id", "rn")
+    },
+
+    // STREAMING A/V SYNC QA — m16's centered-cross-correlation lag
+    // detector at ingest time (the muxing gate before any
+    // alignment-supervised set). Stateless shared kernel per arriving
+    // asset; m16's oracle verifies the stream verbatim.
+    "st52_stream_av_sync" -> { (s, dir) =>
+      graft.streaming.Streaming.streamAvSync(s, dir)
+        .orderBy("doc_id")
     },
 
     // STREAMING PER-SOURCE KL MAINTENANCE — t53's domain-shift readout
@@ -7610,6 +7663,11 @@ object NorthStar {
       // the stream-maintained (source, token) counts equal the batch
       // aggregate cell for cell, so t53's KL oracle verifies verbatim
       ("st51_stream_source_kl" -> m("t53_source_kl")) +
+      // the Bloom gate admits every true match and the exact join
+      // kills every false positive — output == d10 row for row
+      ("d25_bloom_decontaminate" -> m("d10_decontaminate")) +
+      // stateless per-row sync kernel: stream == batch row for row
+      ("st52_stream_av_sync" -> m("m16_av_sync")) +
       // bounded-state streaming top-k emits a superset of the batch
       // answer; the final rank replays t24's key — oracle verbatim
       ("st17_stream_weighted_sample" -> m("t24_weighted_sample")) +

@@ -253,6 +253,33 @@ object Streaming {
           (col("n_tokens").cast("double") * lit(65536.0)), 6).as("kl_bits"))
   }
 
+  /** Streaming A/V sync QA (st52): m16's centered cross-correlation
+    * lag detector run on ARRIVING assets — the ingest-time muxing gate
+    * (drifted pairs are flagged before they reach any
+    * alignment-supervised training set). Stateless: the shared
+    * [[graft.operators.Multimodal.avSyncLag]] kernel runs per row in
+    * the same typed partition pass batch uses (repartition first —
+    * the kernel is the expensive step on a one-file source), so
+    * stream == batch row for row and m16's oracle verifies verbatim.
+    */
+  def streamAvSync(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val withPayloads = Multimodal.withBinaryPayload(
+        graft.sources.Sources.documentsStream(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .filter(length(col("text")) >= 192)
+          .select(col("doc_id"), col("text")), "text")
+      .withColumnRenamed("payload", "payload_a")
+      .withColumn("payload_b", expr(
+        "substring(payload_a, cast(doc_id % 4 as int) * 16 + 1, length(payload_a))"))
+    val lags = Multimodal.avSyncLag(s, withPayloads).toDF()
+    runToTable(lags, "append")
+      .withColumn("planted_lag", (col("doc_id") % 4).cast("long"))
+      .select(col("doc_id"), col("n_blocks"), col("planted_lag"),
+        col("best_lag"), col("best_score"),
+        (col("best_lag") === col("planted_lag")).as("synced"))
+  }
+
   /** Streaming CDC chunk-savings probe (st48): m14's storage-dedup
     * question asked of an ARRIVING shard — per incoming doc, how many
     * of its content-defined chunks (and bytes) already exist in the

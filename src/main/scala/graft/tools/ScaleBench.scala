@@ -88,7 +88,8 @@ object ScaleBench {
     "m15_clip_filter", "st49_stream_cluster_quota", "d23_time_travel",
     "t53_source_kl", "s38_pq_knn_graph", "st50_stream_graph_probe",
     "t54_leakage_safe_split", "s39_knn_graph_2level", "m16_av_sync",
-    "d24_dedup_bias", "st51_stream_source_kl")
+    "d24_dedup_bias", "st51_stream_source_kl", "d25_bloom_decontaminate",
+    "st52_stream_av_sync")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
