@@ -275,7 +275,8 @@ object Similarity {
   def ivfTrainCentroidsFp(corpus: DataFrame, nlist: Int = 32,
       iters: Int = 10, sampleN: Int = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      scaleQ: Long = 512L, normQ: Long = 32768L): Array[(Long, Array[Double])] = {
+      scaleQ: Long = 512L, normQ: Long = 32768L,
+      hashSeed: Boolean = false): Array[(Long, Array[Double])] = {
     val P = 1000000007L
     // keep the (h, id) hash order — seed positions index into it
     val sample: Array[Array[Long]] = corpus
@@ -305,41 +306,57 @@ object Similarity {
         out
       }
     }
-    // farthest-point (k-center) seeding in exact integers: renormalize
-    // every sample point to ‖·‖ ≈ 2^15 (so integer dots are comparable
-    // across pairs), seed 0 = first point in hash order, each next seed
-    // the point whose max-dot against the seeds so far is SMALLEST
-    // (ties → lowest position). No epsilon folds — argmin over exact
-    // Longs, replayed verbatim by the oracle's unrolled seed rounds.
+    // Seeding (both modes in exact integers over rp = points
+    // renormalized to ‖·‖ ≈ 2^15, so dots are comparable across pairs):
+    //  - k-center (default): seed 0 = first point in hash order, each
+    //    next seed the point whose max-dot against the seeds so far is
+    //    SMALLEST (ties → lowest position). Best spread, but the oracle
+    //    must unroll nlist-1 seed rounds — nlist is baked into the SQL.
+    //  - hashSeed: seeds = rp positions 0..nc-1 (the hash order IS the
+    //    random permutation — standard random k-means init). One SQL
+    //    filter `pos < nlist`, so nlist can be a RUNTIME value derived
+    //    from count(*): the corpus-scaled graph family depends on this.
+    // No epsilon folds either way — exact Longs, replayed verbatim.
     val rp = sample.map { p => val r = renorm(p); if (r == null) p else r }
     val seedPos = new Array[Int](nc)
-    val maxDot = Array.fill(n)(Long.MinValue)
-    seedPos(0) = 0
-    var s0 = 1
-    while (s0 < nc) {
-      val last = rp(seedPos(s0 - 1))
-      var i = 0
-      while (i < n) {
-        var dot = 0L; var j = 0
-        while (j < d) { dot += rp(i)(j) * last(j); j += 1 }
-        if (dot > maxDot(i)) maxDot(i) = dot
-        i += 1
+    if (hashSeed) {
+      var s0 = 0
+      while (s0 < nc) { seedPos(s0) = s0; s0 += 1 }
+    } else {
+      val maxDot = Array.fill(n)(Long.MinValue)
+      seedPos(0) = 0
+      var s0 = 1
+      while (s0 < nc) {
+        val last = rp(seedPos(s0 - 1))
+        var i = 0
+        while (i < n) {
+          var dot = 0L; var j = 0
+          while (j < d) { dot += rp(i)(j) * last(j); j += 1 }
+          if (dot > maxDot(i)) maxDot(i) = dot
+          i += 1
+        }
+        var best = 0; var bestDot = Long.MaxValue
+        i = 0
+        while (i < n) {
+          if (maxDot(i) < bestDot) { bestDot = maxDot(i); best = i } // strict <: ties to lower pos
+          i += 1
+        }
+        seedPos(s0) = best
+        s0 += 1
       }
-      var best = 0; var bestDot = Long.MaxValue
-      i = 0
-      while (i < n) {
-        if (maxDot(i) < bestDot) { bestDot = maxDot(i); best = i } // strict <: ties to lower pos
-        i += 1
-      }
-      seedPos(s0) = best
-      s0 += 1
     }
     val cent = Array.tabulate(nc)(c => rp(seedPos(c)).clone())
     var it = 0
     while (it < iters) {
       val sums = Array.fill(nc)(new Array[Long](d))
       val counts = new Array[Long](nc)
-      sample.foreach { p =>
+      // assignment is the O(|sample|·nc·d) term — independent per point
+      // (cent is read-only here, bestC writes are disjoint), so the
+      // parallel scan is bit-identical to the serial one; accumulation
+      // stays serial (O(|sample|·d), cheap) to keep it trivially exact
+      val bestC = new Array[Int](sample.length)
+      java.util.stream.IntStream.range(0, sample.length).parallel().forEach { pi =>
+        val p = sample(pi)
         var best = 0; var bestDot = Long.MinValue; var c = 0
         while (c < nc) {
           var dot = 0L; var i = 0
@@ -347,9 +364,15 @@ object Similarity {
           if (dot > bestDot) { bestDot = dot; best = c } // strict >: ties to lower c
           c += 1
         }
+        bestC(pi) = best
+      }
+      var pi = 0
+      while (pi < sample.length) {
+        val p = sample(pi); val best = bestC(pi)
         var i = 0
         while (i < d) { sums(best)(i) += p(i); i += 1 }
         counts(best) += 1
+        pi += 1
       }
       var c = 0
       while (c < nc) {
@@ -538,6 +561,74 @@ object Similarity {
         col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
   }
 
+  /** Both super-table builders (and their oracle replays) depend on two
+    * [[ivfTrainCentroidsFp]] output invariants: (1) centroid ids are
+    * positional (ids == 0..nc-1, so "first centroid" ≡ "min c_id" and
+    * the SQL's ORDER BY c_id LIMIT agrees with array position), and
+    * (2) centroid doubles are exactly integral (the trainer emits
+    * ⌊·⌋-quantized Longs as doubles), so `.toLong` truncation is
+    * lossless and integer-dot replays are exact. Asserted here rather
+    * than silently assumed, so a future trainer change cannot break
+    * oracle replay without failing fast.
+    */
+  private def requireTrainedInvariants(
+      trained: Array[(Long, Array[Double])]): Unit = {
+    var i = 0
+    while (i < trained.length) {
+      require(trained(i)._1 == i.toLong,
+        s"trained centroid ids must be positional: id ${trained(i)._1} at index $i")
+      val cv = trained(i)._2
+      var j = 0
+      while (j < cv.length) {
+        require(cv(j) == cv(j).toLong.toDouble,
+          s"trained centroid values must be integral: cent($i)($j) = ${cv(j)}")
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** The CORPUS-SCALED router's super-centroid table: supers = the
+    * first `ns` trained centroids (under [[ivfTrainCentroidsFp]]'s
+    * hashSeed mode the centroid order is the hash-random sample order,
+    * so a prefix is a uniform pick — the same reasoning that makes the
+    * seeds themselves valid), every centroid assigned to its
+    * argmax-integer-dot super (strict-> ties → lowest super id, the
+    * [[kCenterSuperTable]] convention). Unlike the k-center pass this
+    * needs NO sequential seed rounds, so the oracle can derive `ns`
+    * from count(*) at runtime — the property the corpus-derived-nlist
+    * family needs. Driver-side over ≤nc rows (a planning step).
+    */
+  private[graft] def firstNsSuperTable(trained: Array[(Long, Array[Double])],
+      ns0: Int)
+      : (Seq[(Long, Seq[Double])], Seq[(Long, Long, Seq[Double])]) = {
+    requireTrainedInvariants(trained)
+    val cvs: Array[Array[Long]] = trained.map(_._2.map(_.toLong))
+    val nc = cvs.length
+    val ns = math.min(ns0, nc)
+    val d = cvs.head.length
+    def dotL(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < d) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val cAssign = Array.tabulate(nc) { c =>
+      var best = 0; var bestDot = Long.MinValue; var s = 0
+      while (s < ns) {
+        val dt = dotL(cvs(c), cvs(s))
+        if (dt > bestDot) { bestDot = dt; best = s }
+        s += 1
+      }
+      best.toLong
+    }
+    val supers = Seq.tabulate(ns)(s =>
+      (s.toLong, cvs(s).map(_.toDouble).toSeq))
+    val centRows = trained.toSeq.zipWithIndex.map {
+      case ((cid, cv), ci) => (cAssign(ci), cid, cv.toSeq)
+    }
+    (supers, centRows)
+  }
+
   /** The two-level router's super-centroid table: a farthest-point
     * (k-center) pass over the trained centroid table in the trainer's
     * own exact-integer dot discipline (seed 0 = centroid 0; each next
@@ -551,6 +642,7 @@ object Similarity {
   private[graft] def kCenterSuperTable(trained: Array[(Long, Array[Double])],
       superList: Int)
       : (Seq[(Long, Seq[Double])], Seq[(Long, Long, Seq[Double])]) = {
+    requireTrainedInvariants(trained)
     val cvs: Array[Array[Long]] = trained.map(_._2.map(_.toLong))
     val nc = cvs.length
     val ns = math.min(superList, nc)
@@ -637,17 +729,33 @@ object Similarity {
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("q_id", "rnk", "n_id", "cos_sim")
     val (superRows, centRows) = kCenterSuperTable(trained, superList)
+    val routed = twoLevelRouted(corpus, superRows, centRows, nprobe,
+      superProbe, idCol, vecCol, scope)
+    knnGraphTailFromRouted(routed, k)
+  }
+
+  /** Shared two-level routing scan: every row picks its `superProbe`
+    * best super cells (superList-row broadcast — multi-probe at the
+    * tree's top level, the standard recall repair for boundary rows a
+    * single cell would strand), then ranks only the probed super
+    * cells' centroids (cells are disjoint, so the union never
+    * duplicates a centroid). Returns the scope-persisted
+    * (id, probes, vec) frame both the graph tail and the PQ pipeline
+    * consume — probes[1] is the hard assignment.
+    */
+  private[graft] def twoLevelRouted(corpus: DataFrame,
+      superRows: Seq[(Long, Seq[Double])],
+      centRows: Seq[(Long, Long, Seq[Double])],
+      nprobe: Int, superProbe: Int,
+      idCol: String, vecCol: String, scope: CacheScope): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val supers = broadcast(superRows.toDF("s_id", "s_vec"))
     val centT = broadcast(centRows.toDF("s_id", "c_id", "c_vec"))
     val topNp = udaf(new graft.functions.TopKCosAgg(nprobe),
       ExpressionEncoder[(Long, Double)]())
-    val topK = udaf(new graft.functions.TopKCosAgg(k),
-      ExpressionEncoder[(Long, Double)]())
     val topSp = udaf(new graft.functions.TopKCosAgg(superProbe),
       ExpressionEncoder[(Long, Double)]())
-    // level 1: the row's superProbe best super cells (superList-row
-    // broadcast) — multi-probe at the tree's top level, the standard
-    // recall repair for the boundary rows a single cell would strand
     val lvl1 = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .crossJoin(supers)
@@ -657,9 +765,7 @@ object Similarity {
       .agg(topSp(col("s_id"), col("cos_s")).as("sprobes"),
         first(col("vec")).as("vec"))
       .select(col("id"), explode(col("sprobes")("_1")).as("s_id"), col("vec"))
-    // level 2: rank only the probed super cells' centroids (cells are
-    // disjoint, so the union never duplicates a centroid)
-    val routed = scope.own(lvl1
+    scope.own(lvl1
       .join(centT, Seq("s_id"))
       .withColumn("cos_c", cosine(col("vec"), col("c_vec")))
       .filter(col("cos_c").isNotNull)
@@ -667,8 +773,18 @@ object Similarity {
       .agg(topNp(col("c_id"), col("cos_c")).as("probes"),
         first(col("vec")).as("vec"))
       .persist())
-    // identical tail to ivfKnnGraphTrainedFp: probes[1] = assignment,
-    // shuffle equi-join on the cell id, bounded top-k merge
+  }
+
+  /** [[ivfKnnGraphTrainedFp]]'s tail over a routed (id, probes, vec)
+    * frame: probes[1] = assignment, shuffle equi-join on the cell id,
+    * bounded top-k merge. The block-join stage every graph build
+    * shares.
+    */
+  private[graft] def knnGraphTailFromRouted(routed: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val topK = udaf(new graft.functions.TopKCosAgg(k),
+      ExpressionEncoder[(Long, Double)]())
     val assigned = routed.select(col("id").as("n_id"), col("vec").as("n_vec"),
       element_at(col("probes"), 1)("_1").as("c_id"))
     val probes = routed.select(col("id").as("q_id"), col("vec").as("q_vec"),
@@ -682,6 +798,78 @@ object Similarity {
       .select(col("q_id"), posexplode(col("nbrs")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
+  }
+
+  /** Corpus-derived IVF geometry — the production scaling convention
+    * the fixed-config family documents but leaves to the caller:
+    * nlist grows with the corpus so expected cell population stays at
+    * `targetList` (the candidate block join's per-item cost), with a
+    * floor of 32 so tiny corpora keep the registered behavior. The
+    * DuckDB oracle derives the same value from count(*):
+    * greatest(32, ceil(n / targetList)).
+    */
+  def scaledNlist(n: Long, targetList: Int = 64): Int =
+    math.max(32L, math.ceil(n.toDouble / targetList).toLong).toInt
+
+  /** Super-cell count for the two-level router: ceil(sqrt(nc)) — the
+    * minimizer of the routing cost ns + superProbe·nc/ns up to the
+    * superProbe constant; IEEE sqrt is correctly rounded, so Scala and
+    * DuckDB agree bit-for-bit.
+    */
+  def scaledSuperList(nc: Int): Int =
+    math.max(1, math.ceil(math.sqrt(nc.toDouble)).toInt)
+
+  /** CORPUS-SCALED big-big k-NN graph — the registered production
+    * configuration of the graph-build family, and the scale-honest
+    * default: every config knob that must grow with the corpus is
+    * DERIVED from it instead of fixed.
+    *
+    *   - nlist = max(32, ceil(n / targetList)) keeps expected cell
+    *     population (the candidate block join's per-item fan-in) at
+    *     `targetList` regardless of corpus size — at fixed nlist that
+    *     fan-in grows ∝ n and the join's total work is quadratic
+    *     (BENCH_scale100_r13 measured s30's marginal s/copy rising
+    *     0.93 → 1.78 from 30× to 100× for exactly this reason).
+    *   - routing is the two-level (IVF-tree) scan of
+    *     [[ivfKnnGraphTrainedFp2L]]: O(n·(ns + superProbe·nlist/ns))
+    *     with ns = ceil(sqrt(nlist)) — the flat O(n·nlist) scan is the
+    *     OTHER quadratic term once nlist ∝ n. (At 100 TB one more tree
+    *     level bounds routing at O(n·∛nlist²)… the standard k-level
+    *     coarse-quantizer extension; two levels hold to ~10⁸ vectors.)
+    *   - training stays the bounded driver-side planning step
+    *     (SURVEY §3.1 class): hash-seeded fixed-point Lloyd over the
+    *     deterministic `sampleN` sample. hashSeed (seeds = the first
+    *     nlist hash-order sample points) replaces the k-center pass so
+    *     the DuckDB oracle can derive nlist from count(*) at runtime —
+    *     the k-center seeding must unroll nlist-1 SQL rounds and
+    *     therefore pins nlist at query-authoring time. nc is capped at
+    *     sampleN; a deployment past nlist ≈ sampleN scales sampleN (or
+    *     trains distributed) — documented, not silently assumed.
+    *
+    * Everything downstream of routing is [[ivfKnnGraphTrainedFp]]'s
+    * block join verbatim: shuffle equi-join on the cell id, bounded
+    * top-k aggregator, cos desc / id asc ties. Fully deterministic —
+    * the oracle replays count → nlist/ns derivation, training, both
+    * routing levels, and the exact rank end to end.
+    */
+  def knnGraphScaledFp(corpus: DataFrame, k: Int,
+      targetList: Int = 64, nprobe: Int = 4, superProbe: Int = 3,
+      iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val n = corpus.count()
+    val nlist = scaledNlist(n, targetList)
+    val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN,
+      idCol, vecCol, hashSeed = true)
+    if (trained.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("q_id", "rnk", "n_id", "cos_sim")
+    val (superRows, centRows) =
+      firstNsSuperTable(trained, scaledSuperList(trained.length))
+    val routed = twoLevelRouted(corpus, superRows, centRows, nprobe,
+      superProbe, idCol, vecCol, scope)
+    knnGraphTailFromRouted(routed, k)
   }
 
   /** Graph-routed ANN — beam search over the [[ivfKnnGraphTrainedFp]]
@@ -1613,19 +1801,12 @@ object Similarity {
       scope: CacheScope = CacheScope.session): DataFrame = {
     import corpus.sparkSession.implicits._
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graftbridge.Bridge
     require(k >= 1 && cBudget >= k,
       s"need cBudget >= k >= 1, got k=$k cBudget=$cBudget")
-    val P = 1000000007L
     val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN, idCol, vecCol)
     val cent = broadcast(trained.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("c_id", "c_vec"))
-    def qresOf(vec: Column) = zip_with(vec, col("c_vec"),
-      (a, b) => floor((a.cast("double") - b / 32768.0d) * 4096.0d).cast("long"))
     val topNp = udaf(new graft.functions.TopKCosAgg(nprobe),
-      ExpressionEncoder[(Long, Double)]())
-    val topC = udaf(new graft.functions.TopKCosAgg(cBudget),
       ExpressionEncoder[(Long, Double)]())
     // ONE routing scan (s30's sanctioned corpus × broadcast-centroids
     // shape): probes[1] = the hard assignment, probes[1..nprobe] = the
@@ -1640,6 +1821,29 @@ object Similarity {
       .agg(topNp(col("c_id"), col("cos_c")).as("probes"),
         first(col("vec")).as("vec"))
       .persist())
+    pqGraphFromRouted(routed, cent, k, m, ncode, iters, sampleN, cBudget, scope)
+  }
+
+  /** PQ graph pipeline over a routed (id, probes, vec) frame — shared
+    * by the flat-routed [[pqKnnGraphTrainedFp]], the corpus-scaled
+    * [[pqKnnGraphScaledFp]], and [[graft.tools.PqGraphProbe]] (which
+    * must time exactly the stages the operators execute): residual
+    * quantization vs the assigned centroid, integer-Lloyd codebook on
+    * the deterministic hash-sample, codegen encode/ADC, bounded ADC
+    * top-`cBudget`, exact-integer rerank.
+    */
+  private[graft] def pqGraphFromRouted(routed: DataFrame, cent: DataFrame,
+      k: Int, m: Int, ncode: Int, iters: Int, sampleN: Int, cBudget: Int,
+      scope: CacheScope): DataFrame = {
+    import routed.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.Bridge
+    val P = 1000000007L
+    def qresOf(vec: Column) = zip_with(vec, col("c_vec"),
+      (a, b) => floor((a.cast("double") - b / 32768.0d) * 4096.0d).cast("long"))
+    val topC = udaf(new graft.functions.TopKCosAgg(cBudget),
+      ExpressionEncoder[(Long, Double)]())
     // neighbor side: hard assignment, ×2^12-quantized residual vs the
     // assigned list's centroid (exact ops only)
     val assigned = scope.own(routed
@@ -1710,6 +1914,42 @@ object Similarity {
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"), col("adc_fp"), col("d2_fp"))
+  }
+
+  /** CORPUS-SCALED PQ k-NN graph — [[knnGraphScaledFp]]'s derived
+    * geometry (nlist = max(32, ceil(n/targetList)), hash-seeded
+    * trainer, two-level routing with ns = ceil(sqrt(nc)) first-prefix
+    * supers) feeding [[pqGraphFromRouted]]'s compressed pipeline: the
+    * candidate block join carries m codeword longs instead of the
+    * d-dim vector, ADC scores, exact-integer top-`cBudget` rerank.
+    * The registered production shape for building the semantic-dedup
+    * graph at 100 TB — constant cell population AND 1/8 candidate-join
+    * bytes. Fully deterministic; the oracle replays count → geometry,
+    * training, routing, codebook, encode, ADC, and rerank end to end.
+    */
+  def pqKnnGraphScaledFp(corpus: DataFrame, k: Int,
+      targetList: Int = 64, nprobe: Int = 4, superProbe: Int = 3,
+      m: Int = 8, ncode: Int = 32,
+      iters: Int = 10, sampleN: Int = 4096, cBudget: Int = 40,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    import corpus.sparkSession.implicits._
+    require(k >= 1 && cBudget >= k,
+      s"need cBudget >= k >= 1, got k=$k cBudget=$cBudget")
+    val n = corpus.count()
+    val nlist = scaledNlist(n, targetList)
+    val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN,
+      idCol, vecCol, hashSeed = true)
+    if (trained.isEmpty)
+      return Seq.empty[(Long, Long, Int, Long, Long)]
+        .toDF("q_id", "n_id", "rnk", "adc_fp", "d2_fp")
+    val cent = broadcast(trained.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("c_id", "c_vec"))
+    val (superRows, centRows) =
+      firstNsSuperTable(trained, scaledSuperList(trained.length))
+    val routed = twoLevelRouted(corpus, superRows, centRows, nprobe,
+      superProbe, idCol, vecCol, scope)
+    pqGraphFromRouted(routed, cent, k, m, ncode, iters, sampleN, cBudget, scope)
   }
 
   /** Shared residual-IVFPQ search dataflow: assignment + residuals vs

@@ -1679,37 +1679,43 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
-    // BIG-BIG k-NN GRAPH — every vector's top-5 neighbors via the
-    // IVF-partitioned block join (both sides routed by the trained
-    // fixed-point quantizer, shuffle equi-join on the cell id, bounded
-    // top-k aggregator merge — never all-pairs, nothing data-sized
-    // broadcast). The one ANN shape the bounded-query family (vec_id<5)
-    // does not cover, and the 100 TB semantic-dedup precursor. The
-    // oracle replays training, routing, probing, and exact ranking
-    // end to end (the s23 contract with the query bound removed).
+    // BIG-BIG k-NN GRAPH, CORPUS-SCALED (the registered production
+    // config — round-13 verdict item 1): every vector's top-5 neighbors
+    // via the IVF-partitioned block join with EVERY corpus-dependent
+    // knob derived from the corpus itself — nlist = max(32, ceil(n/64))
+    // keeps cell populations (the candidate join's per-item fan-in)
+    // constant, and the two-level ceil(√nlist)-super routing keeps the
+    // routing scan O(n·√nlist) instead of the flat O(n·nlist), which is
+    // quadratic once nlist ∝ n (BENCH_scale100_r13 measured the old
+    // fixed-nlist registration's marginal s/copy rising 0.93 → 1.78).
+    // Both sides shuffle-equi-join on the cell id, bounded top-k
+    // aggregator merge — never all-pairs, nothing data-sized broadcast.
+    // The oracle derives the same geometry from count(*) and replays
+    // training (hash-seeded fixed-point Lloyd), both routing levels,
+    // probing, and exact ranking end to end at ANY scale factor.
     "s30_knn_graph" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.ivfKnnGraphTrainedFp(emb, k = 5, nlist = 32, nprobe = 4)
+      Similarity.knnGraphScaledFp(emb, k = 5, targetList = 64,
+          nprobe = 4, superProbe = 3)
         .select($"q_id", $"n_id", $"rnk", $"cos_sim")
         .orderBy("q_id", "rnk")
     },
 
-    // PQ-COMPRESSED k-NN GRAPH — s30's block join at ADC cost: the
-    // candidate shuffle carries m=8 codeword longs per neighbor
-    // instead of the 64-double vector, scoring is the exact-integer
-    // codegen ADC (functions.AdcFp), and only the ADC top-40 per query
-    // reaches the exact-integer rerank (s24's centroid-cancellation
-    // move). The shape that builds the semantic-dedup graph at 100 TB
-    // — graph quality of s24's trained quantizer+codebook at ~1/8 the
-    // candidate-join bytes. Oracle: the s24 trained replay with the
-    // query bound removed — training, encoding, routing, ADC, and
-    // rerank, hash-checked end to end for EVERY vector.
+    // PQ-COMPRESSED k-NN GRAPH, CORPUS-SCALED — s30's scaled block join
+    // at ADC cost: derived nlist/two-level routing (the round-13 scale
+    // fix) + the m=8 codeword candidate shuffle, exact-integer codegen
+    // ADC (functions.AdcFp), and the ADC top-40 exact-integer rerank
+    // (s24's centroid-cancellation move). The shape that builds the
+    // semantic-dedup graph at 100 TB — constant cell population AND
+    // ~1/8 the candidate-join bytes. Oracle: count → geometry,
+    // hash-seed training, both routing levels, residual codebook,
+    // encoding, ADC, and rerank, hash-checked for EVERY vector.
     "s38_pq_knn_graph" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.pqKnnGraphTrainedFp(emb, k = 5, nlist = 32, nprobe = 4,
-          m = 8, ncode = 32, cBudget = 40)
+      Similarity.pqKnnGraphScaledFp(emb, k = 5, targetList = 64,
+          nprobe = 4, superProbe = 3, m = 8, ncode = 32, cBudget = 40)
         .select($"q_id", $"n_id", $"rnk".cast("long").as("rnk"),
           $"adc_fp", $"d2_fp")
         .orderBy("q_id", "rnk")
@@ -1817,7 +1823,8 @@ object NorthStar {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val knn = graft.operators.CacheScope.sessionScope(s).own(
-        Similarity.ivfKnnGraphTrainedFp(emb, k = 5, nlist = 32, nprobe = 4)
+        Similarity.knnGraphScaledFp(emb, k = 5, targetList = 64,
+            nprobe = 4, superProbe = 3)
           .select($"q_id", $"n_id").persist()) // both sides of the mutual join
       val edges = knn.as("a").join(knn.as("b"),
           col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id") &&
@@ -1850,7 +1857,8 @@ object NorthStar {
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val knn = graft.operators.CacheScope.sessionScope(s).own(
-        Similarity.ivfKnnGraphTrainedFp(emb, k = 5, nlist = 32, nprobe = 4)
+        Similarity.knnGraphScaledFp(emb, k = 5, targetList = 64,
+            nprobe = 4, superProbe = 3)
           .withColumn("cos_fp", round($"cos_sim" * 1e6).cast("long"))
           .persist()) // stats aggregate + pair join both read it
       val stats = knn.groupBy($"q_id").agg(
@@ -3662,10 +3670,53 @@ object NorthStar {
     // CTE `cent(c_id, cv)` with integer-valued DOUBLE lists, ready for
     // the s04 cosine probe skeleton. Requires a preceding CTE
     // `e(id, v)` with the double-cast embeddings.
+    // renorm + the iters unrolled Lloyd rounds + final `cent` CTE are
+    // SHARED between the fixed-nlist k-center replay (ivfFpCentSql) and
+    // the corpus-scaled hash-seed replay (scaledCentSql): the rounds are
+    // a pure function of `iters` (nlist reaches them only through the
+    // number of rows in cent0), so extracting them guarantees the two
+    // trainers' SQL can never drift apart.
+    def fpRenormSql(sv: String, n2: String) =
+      s"""list_transform($sv, x -> (x * 32768)
+         |      // cast(floor(sqrt(cast($n2 as double))) as bigint))""".stripMargin
+    def fpLloydSql(iters: Int): String = {
+      val rounds = (1 to iters).map { i =>
+        s"""asg$i AS MATERIALIZED (SELECT pos, qv, c FROM (
+           |    SELECT s.pos, s.qv, c.c, row_number() OVER (PARTITION BY s.pos
+           |      ORDER BY cast(list_sum(list_transform(range(1, 65),
+           |        j -> s.qv[j] * c.cv[j])) as bigint) DESC, c.c ASC) AS rn
+           |    FROM smp s, cent${i - 1} c) t WHERE rn = 1),
+           |nl$i AS MATERIALIZED (SELECT c, list(sv ORDER BY dim) AS sv FROM (
+           |    SELECT c, dim, cast(sum(qv[dim]) as bigint) AS sv
+           |    FROM asg$i, (SELECT unnest(range(1, 65)) AS dim) d
+           |    GROUP BY c, dim) t GROUP BY c),
+           |cent$i AS MATERIALIZED (SELECT p.c,
+           |    CASE WHEN q.sv IS NULL OR q.n2 = 0 THEN p.cv
+           |         ELSE ${fpRenormSql("q.sv", "q.n2")} END AS cv
+           |  FROM cent${i - 1} p LEFT JOIN (
+           |    SELECT c, sv,
+           |      cast(list_sum(list_transform(sv, x -> x * x)) as bigint) AS n2
+           |    FROM nl$i) q USING (c))""".stripMargin
+      }.mkString(",\n")
+      val fin =
+        s"""cent AS MATERIALIZED (SELECT c AS c_id,
+           |  list_transform(cv, x -> cast(x as double)) AS cv FROM cent$iters)""".stripMargin
+      s"$rounds,\n$fin"
+    }
+    // shared sample CTEs: hash-ordered ×512-quantized sample positions
+    // (smp) and their ‖·‖≈2^15 renormalizations (rp)
+    def fpSampleSql(sampleN: Int): String =
+      s"""smp AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, id) - 1 AS pos, qv
+         |  FROM (SELECT id, (3 * (id % 1000000007) + 8) % 1000000007 AS h,
+         |      list_transform(v, x -> cast(floor(x * 512) as bigint)) AS qv
+         |    FROM e ORDER BY h, id LIMIT $sampleN) t),
+         |rp AS MATERIALIZED (SELECT pos, qv,
+         |    CASE WHEN n2 = 0 THEN qv ELSE ${fpRenormSql("qv", "n2")} END AS rv
+         |  FROM (SELECT pos, qv,
+         |      cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS n2
+         |    FROM smp) t)""".stripMargin
+
     def ivfFpCentSql(nlist: Int, iters: Int, sampleN: Int): String = {
-      def renorm(sv: String, n2: String) =
-        s"""list_transform($sv, x -> (x * 32768)
-           |      // cast(floor(sqrt(cast($n2 as double))) as bigint))""".stripMargin
       val dot = (a: String, b: String) =>
         s"""cast(list_sum(list_transform(range(1, 65),
            |        j -> $a[j] * $b[j])) as bigint)""".stripMargin
@@ -3683,44 +3734,79 @@ object NorthStar {
         .map(r => s"SELECT $r AS c, rv AS cv FROM sd$r")
         .mkString("\n  UNION ALL ")
       val head =
-        s"""smp AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, id) - 1 AS pos, qv
-           |  FROM (SELECT id, (3 * (id % 1000000007) + 8) % 1000000007 AS h,
-           |      list_transform(v, x -> cast(floor(x * 512) as bigint)) AS qv
-           |    FROM e ORDER BY h, id LIMIT $sampleN) t),
-           |rp AS MATERIALIZED (SELECT pos, qv,
-           |    CASE WHEN n2 = 0 THEN qv ELSE ${renorm("qv", "n2")} END AS rv
-           |  FROM (SELECT pos, qv,
-           |      cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS n2
-           |    FROM smp) t),
+        s"""${fpSampleSql(sampleN)},
            |md0 AS MATERIALIZED (SELECT pos, qv, rv,
            |    cast(-9223372036854775807 - 1 as bigint) AS md FROM rp),
            |sd0 AS MATERIALIZED (SELECT pos, rv FROM rp WHERE pos = 0),
            |$seedRounds,
            |cent0 AS MATERIALIZED (
            |  $seedUnion)""".stripMargin
-      val rounds = (1 to iters).map { i =>
-        s"""asg$i AS MATERIALIZED (SELECT pos, qv, c FROM (
-           |    SELECT s.pos, s.qv, c.c, row_number() OVER (PARTITION BY s.pos
-           |      ORDER BY cast(list_sum(list_transform(range(1, 65),
-           |        j -> s.qv[j] * c.cv[j])) as bigint) DESC, c.c ASC) AS rn
-           |    FROM smp s, cent${i - 1} c) t WHERE rn = 1),
-           |nl$i AS MATERIALIZED (SELECT c, list(sv ORDER BY dim) AS sv FROM (
-           |    SELECT c, dim, cast(sum(qv[dim]) as bigint) AS sv
-           |    FROM asg$i, (SELECT unnest(range(1, 65)) AS dim) d
-           |    GROUP BY c, dim) t GROUP BY c),
-           |cent$i AS MATERIALIZED (SELECT p.c,
-           |    CASE WHEN q.sv IS NULL OR q.n2 = 0 THEN p.cv
-           |         ELSE ${renorm("q.sv", "q.n2")} END AS cv
-           |  FROM cent${i - 1} p LEFT JOIN (
-           |    SELECT c, sv,
-           |      cast(list_sum(list_transform(sv, x -> x * x)) as bigint) AS n2
-           |    FROM nl$i) q USING (c))""".stripMargin
-      }.mkString(",\n")
-      val fin =
-        s"""cent AS MATERIALIZED (SELECT c AS c_id,
-           |  list_transform(cv, x -> cast(x as double)) AS cv FROM cent$iters)""".stripMargin
-      s"$head,\n$rounds,\n$fin"
+      s"$head,\n${fpLloydSql(iters)}"
     }
+
+    // CORPUS-SCALED trainer replay (ivfTrainCentroidsFp hashSeed=true
+    // + knnGraphScaledFp's derived geometry): nlist and the super-cell
+    // count are RUNTIME values derived from count(*) — hash-order
+    // seeding needs one `pos < nl` filter where the k-center pass
+    // needs nlist-1 unrolled seed rounds. Emits `params(nl)` (nlist =
+    // greatest(32, ceil(n/targetList))), `pns(ns)` (ns = ceil(sqrt(
+    // min(nl, |sample|)))), and the final `cent(c_id, cv)` via the
+    // SHARED Lloyd rounds. Requires a preceding CTE `e(id, v)`.
+    def scaledCentSql(iters: Int, sampleN: Int, targetList: Int): String =
+      s"""params AS (SELECT greatest(32,
+         |    cast(ceil(count(*) / $targetList.0) as bigint)) AS nl FROM e),
+         |${fpSampleSql(sampleN)},
+         |pns AS (SELECT cast(ceil(sqrt(cast(least((SELECT nl FROM params),
+         |    (SELECT count(*) FROM smp)) as double))) as bigint) AS ns),
+         |cent0 AS MATERIALIZED (SELECT pos AS c, rv AS cv FROM rp
+         |  WHERE pos < (SELECT nl FROM params)),
+         |${fpLloydSql(iters)}""".stripMargin
+
+    // CORPUS-SCALED two-level routing replay (Similarity.twoLevelRouted
+    // over firstNsSuperTable): supers = the first ns trained centroids,
+    // per-centroid super assignment by argmax integer dot (ties → low
+    // s_id), per-row top-superProbe supers then top-nprobe centroids
+    // within the probed super cells (cos desc, id asc — the board tie
+    // rule). Emits `asg(n_id, n_vec, c_id)` (the hard assignment) and
+    // `probe(q_id, q_vec, c_id)`. Requires `e`, `cent`, `pns`.
+    def scaledRoutingSql(nprobe: Int, superProbe: Int): String = {
+      val sdot = (a: String, b: String) =>
+        s"""cast(list_sum(list_transform(range(1, 65),
+           |        j -> $a[j] * $b[j])) as bigint)""".stripMargin
+      s"""supers AS MATERIALIZED (SELECT c_id AS s_id, cv AS s_vec FROM cent
+         |  WHERE c_id < (SELECT ns FROM pns)),
+         |sasg AS MATERIALIZED (SELECT c_id, cv, s_id FROM (
+         |    SELECT c.c_id, c.cv, s.s_id,
+         |      row_number() OVER (PARTITION BY c.c_id
+         |        ORDER BY ${sdot("c.cv", "s.s_vec")} DESC, s.s_id ASC) AS rn
+         |    FROM cent c, supers s) t WHERE rn = 1),
+         |rsup AS MATERIALIZED (SELECT id, v, s_id FROM (
+         |    SELECT e.id, e.v, s.s_id,
+         |      row_number() OVER (PARTITION BY e.id
+         |        ORDER BY ${cosSql("e.v", "s.s_vec")} DESC, s.s_id ASC) AS rn
+         |    FROM e, supers s) t WHERE rn <= $superProbe),
+         |asg AS MATERIALIZED (
+         |  SELECT id AS n_id, v AS n_vec, c_id FROM (
+         |    SELECT r.id, r.v, a.c_id,
+         |      row_number() OVER (PARTITION BY r.id
+         |        ORDER BY ${cosSql("r.v", "a.cv")} DESC, a.c_id ASC) AS rn
+         |    FROM rsup r JOIN sasg a ON a.s_id = r.s_id) t WHERE rn = 1),
+         |probe AS MATERIALIZED (
+         |  SELECT q_id, q_vec, c_id FROM (
+         |    SELECT r.id AS q_id, r.v AS q_vec, a.c_id,
+         |      row_number() OVER (PARTITION BY r.id
+         |        ORDER BY ${cosSql("r.v", "a.cv")} DESC, a.c_id ASC) AS rn
+         |    FROM rsup r JOIN sasg a ON a.s_id = r.s_id) t WHERE rn <= $nprobe)""".stripMargin
+    }
+
+    // full prelude for the scaled graph family: embeddings, derived
+    // geometry, hash-seed training, two-level routing. Rows append
+    // their readout tail (top-k rank / mutual+CC / margins / PQ chain).
+    def scaledGraphPreludeSql(recursive: Boolean = false): String =
+      s"""WITH ${if (recursive) "RECURSIVE " else ""}e AS (SELECT vec_id AS id,
+         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+         |${scaledCentSql(iters = 10, sampleN = 4096, targetList = 64)},
+         |${scaledRoutingSql(nprobe = 4, superProbe = 3)}""".stripMargin
 
     // s35 / st50 share the graph-ANN beam-search replay (trained
     // quantizer, degree-10 undirected graph, id%64 seed layer, three
@@ -3799,14 +3885,27 @@ object NorthStar {
     // encode, probe, integer ADC, exact-integer rerank); `probeWhere`
     // bounds the query side (s24: the 5 benchmark queries; s38: empty
     // — every corpus vector, the big-big k-NN-graph build)
-    def ivfPqTrainedReplaySql(probeWhere: String): String = {
+    // the ×2^12 residual transform vs a list centroid — shared by every
+    // PQ-graph replay spelling
+    val pqQresT = (v: String, cv: String) =>
+      s"""list_transform(range(1, 65),
+         |      i -> cast(floor(($v[i] - $cv[i] / 32768.0) * 4096.0) as bigint))""".stripMargin
+
+    /** Shared PQ-graph chain: residual codebook training (integer
+      * Lloyd on the hash-sample), encoding, per-(q, list) LUTs, ADC
+      * top-40, exact-integer rerank. `head` supplies everything up to
+      * (and including) the routing; `asgqBody`/`probeqBody` define the
+      * per-neighbor and per-(query, probed-list) residual CTEs — the
+      * only parts that differ between the flat (s24) and corpus-scaled
+      * (s38) routings. Keeping the chain single-sourced means the two
+      * replays can never drift apart.
+      */
+    def pqGraphChainSql(head: String, asgqBody: String,
+        probeqBody: String): String = {
       val iters = 10
       val d2 = (a: String, b: String) =>
         s"""cast(list_sum(list_transform(range(1, 9),
            |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) as bigint)""".stripMargin
-      val qresT = (v: String, cv: String) =>
-        s"""list_transform(range(1, 65),
-           |      i -> cast(floor(($v[i] - $cv[i] / 32768.0) * 4096.0) as bigint))""".stripMargin
       val cbRounds = (1 to iters).map { i =>
         s"""pa$i AS MATERIALIZED (SELECT pos, j, sl, cw FROM (
            |    SELECT s.pos, s.j, s.sl, c.cw,
@@ -3822,15 +3921,8 @@ object NorthStar {
            |      FROM pa$i, (SELECT unnest(range(1, 9)) AS dim) dd
            |      GROUP BY j, cw, dim) t GROUP BY j, cw) q USING (j, cw))""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id AS id,
-         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-         |${ivfFpCentSql(nlist = 32, iters = iters, sampleN = 4096)},
-         |asgq AS MATERIALIZED (SELECT id AS n_id, c_id,
-         |    ${qresT("v", "cv")} AS qres
-         |  FROM (SELECT e.id, e.v, c.c_id, c.cv,
-         |      row_number() OVER (PARTITION BY e.id
-         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-         |    FROM e, cent c) t WHERE rn = 1),
+      s"""$head,
+         |asgq AS MATERIALIZED ($asgqBody),
          |rs AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, n_id) - 1 AS pos, qres
          |  FROM (SELECT n_id, (3 * (n_id % 1000000007) + 8) % 1000000007 AS h, qres
          |    FROM asgq ORDER BY h, n_id LIMIT 4096) t),
@@ -3850,17 +3942,12 @@ object NorthStar {
          |      row_number() OVER (PARTITION BY s.n_id, s.j
          |        ORDER BY ${d2("s.sl", "c.cv")} ASC, c.cw ASC) AS rn
          |    FROM asl s JOIN cb$iters c ON c.j = s.j) t WHERE rn = 1),
-         |probe AS MATERIALIZED (SELECT q_id, c_id,
-         |    ${qresT("v", "cv")} AS qres
-         |  FROM (SELECT e.id AS q_id, e.v, c.c_id, c.cv,
-         |      row_number() OVER (PARTITION BY e.id
-         |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-         |    FROM e, cent c$probeWhere) t WHERE rn <= 4),
+         |probeq AS MATERIALIZED ($probeqBody),
          |lut AS MATERIALIZED (SELECT p.q_id, p.c_id, p.j, c.cw,
          |    ${d2("p.sl", "c.cv")} AS d2
          |  FROM (SELECT q_id, c_id, j,
          |      list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
-         |    FROM probe, (SELECT unnest(range(0, 8)) AS j) jj) p
+         |    FROM probeq, (SELECT unnest(range(0, 8)) AS j) jj) p
          |  JOIN cb$iters c ON c.j = p.j),
          |cand AS (SELECT q_id, n_id, c_id, adc_fp FROM (
          |  SELECT q_id, n_id, c_id, adc_fp, row_number() OVER (
@@ -3881,10 +3968,42 @@ object NorthStar {
          |        i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
          |        as bigint) ASC, c.n_id ASC) AS rn
          |  FROM cand c
-         |  JOIN probe p ON p.q_id = c.q_id AND p.c_id = c.c_id
+         |  JOIN probeq p ON p.q_id = c.q_id AND p.c_id = c.c_id
          |  JOIN asgq a ON a.n_id = c.n_id) t3
          |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
     }
+
+    def ivfPqTrainedReplaySql(probeWhere: String): String =
+      pqGraphChainSql(
+        head = s"""WITH e AS (SELECT vec_id AS id,
+           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)}""".stripMargin,
+        asgqBody = s"""SELECT id AS n_id, c_id,
+           |    ${pqQresT("v", "cv")} AS qres
+           |  FROM (SELECT e.id, e.v, c.c_id, c.cv,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c) t WHERE rn = 1""".stripMargin,
+        probeqBody = s"""SELECT q_id, c_id,
+           |    ${pqQresT("v", "cv")} AS qres
+           |  FROM (SELECT e.id AS q_id, e.v, c.c_id, c.cv,
+           |      row_number() OVER (PARTITION BY e.id
+           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
+           |    FROM e, cent c$probeWhere) t WHERE rn <= 4""".stripMargin)
+
+    // s38: the corpus-scaled routing (count-derived nlist/ns, hash-seed
+    // training, two-level scan) feeding the SAME PQ chain — residuals
+    // are taken vs the assigned/probed list centroids exactly as the
+    // operator's qresOf does
+    def pqScaledReplaySql(): String =
+      pqGraphChainSql(
+        head = s"""${scaledGraphPreludeSql()}""",
+        asgqBody = s"""SELECT a.n_id, a.c_id,
+           |    ${pqQresT("a.n_vec", "c.cv")} AS qres
+           |  FROM asg a JOIN cent c ON c.c_id = a.c_id""".stripMargin,
+        probeqBody = s"""SELECT p.q_id, p.c_id,
+           |    ${pqQresT("p.q_vec", "c.cv")} AS qres
+           |  FROM probe p JOIN cent c ON c.c_id = p.c_id""".stripMargin)
 
     // s15 / s20 share one IVFxPQ ADC replay; `candFilter` is an extra
     // predicate on the candidate rows (filtered-ANN metadata gate)
@@ -5473,26 +5592,14 @@ object NorthStar {
            |  FROM cand) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
 
-      // s30: s23's trained-IVF replay with the query bound REMOVED —
-      // every vector probes its 4 nearest trained lists and ranks
-      // exactly within them; the engine's block join + bounded
-      // aggregator must reproduce this row-for-row
+      // s30: the CORPUS-SCALED replay — geometry derived from count(*)
+      // (nlist = greatest(32, ceil(n/64)), ns = ceil(sqrt(min(nl,
+      // |sample|)))), hash-seed fixed-point training, two-level
+      // routing, then the exact rank within the probed cells; the
+      // engine's block join + bounded aggregator must reproduce this
+      // row-for-row at ANY scale factor
       "s30_knn_graph" ->
-        s"""WITH e AS (SELECT vec_id AS id,
-           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
-           |asg AS (
-           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
-           |    SELECT e.id, e.v, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn = 1),
-           |probe AS (
-           |  SELECT q_id, q_vec, c_id FROM (
-           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn <= 4)
+        s"""${scaledGraphPreludeSql()}
            |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
            |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
            |    row_number() OVER (PARTITION BY p.q_id
@@ -5639,24 +5746,10 @@ object NorthStar {
            |ORDER BY arm""".stripMargin
       },
 
-      // s32: s30's full k-NN-graph replay + the mutual filter + q51's
-      // min-label recursive closure over the undirected mutual edges
+      // s32: s30's CORPUS-SCALED k-NN-graph replay + the mutual filter
+      // + q51's min-label recursive closure over the undirected edges
       "s32_knn_graph_components" ->
-        s"""WITH RECURSIVE e AS (SELECT vec_id AS id,
-           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
-           |asg AS (
-           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
-           |    SELECT e.id, e.v, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn = 1),
-           |probe AS (
-           |  SELECT q_id, q_vec, c_id FROM (
-           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn <= 4),
+        s"""${scaledGraphPreludeSql(recursive = true)},
            |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
            |  SELECT p.q_id, a.n_id,
            |    row_number() OVER (PARTITION BY p.q_id
@@ -5675,25 +5768,12 @@ object NorthStar {
            |SELECT u AS vec_id, min(l) AS component FROM walk
            |GROUP BY u ORDER BY vec_id""".stripMargin,
 
-      // s34: s30's full k-NN-graph replay + the ratio-margin readout —
-      // neighborhood sums over 6-dp fixed-point cosines (exact bigint),
-      // margin = one double division, keep gate cross-multiplied
+      // s34: s30's CORPUS-SCALED k-NN-graph replay + the ratio-margin
+      // readout — neighborhood sums over 6-dp fixed-point cosines
+      // (exact bigint), margin = one double division, keep gate
+      // cross-multiplied
       "s34_margin_pairs" ->
-        s"""WITH e AS (SELECT vec_id AS id,
-           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
-           |asg AS (
-           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
-           |    SELECT e.id, e.v, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn = 1),
-           |probe AS (
-           |  SELECT q_id, q_vec, c_id FROM (
-           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn <= 4),
+        s"""${scaledGraphPreludeSql()},
            |knn AS MATERIALIZED (SELECT q_id, n_id, rn AS rnk, cos_sim,
            |  cast(round(cos_sim * 1000000) as bigint) AS cos_fp FROM (
            |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
@@ -5898,7 +5978,7 @@ object NorthStar {
       // every corpus vector probes its 4 nearest trained lists, ADC
       // top-40 candidates, exact-integer rerank to top-5; the engine's
       // codegen encode/ADC kernels must reproduce it row for row
-      "s38_pq_knn_graph" -> ivfPqTrainedReplaySql(""),
+      "s38_pq_knn_graph" -> pqScaledReplaySql(),
 
       // SemDeDup: s04's deterministic coarse assignment, then pairs
       // confined to each cluster; dup_of = lowest same-cluster id at

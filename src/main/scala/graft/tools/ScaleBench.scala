@@ -106,70 +106,14 @@ object ScaleBench {
       graft.operators.Similarity.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"), nlist = n, minCos = 0.95)
     }
-    // s30: same reasoning — the k-NN-graph block join's per-item cost is
-    // nprobe x cell population; production grows nlist with the corpus
-    // so cells stay constant-sized. The training sample stays at its
-    // bounded default (the trainer is a driver-planning step, reference
-    // SURVEY §3.1 class; the hash-order sample spreads over every copy
-    // so the k-center seeds still cover the space).
-    case "s30_knn_graph" => Some { (s, dir) =>
-      val n = if (copies <= 1) 32 else 32 * copies
-      graft.operators.Similarity.ivfKnnGraphTrainedFp(
-        s.read.parquet(s"$dir/embeddings.parquet"), k = 5,
-        nlist = n, nprobe = 4)
-    }
-    // s38: s30's block join at ADC cost — same nlist ∝ corpus
-    // convention keeps cell populations (and per-item ADC work) flat
-    case "s38_pq_knn_graph" => Some { (s, dir) =>
-      val n = if (copies <= 1) 32 else 32 * copies
-      graft.operators.Similarity.pqKnnGraphTrainedFp(
-        s.read.parquet(s"$dir/embeddings.parquet"), k = 5,
-        nlist = n, nprobe = 4, m = 8, ncode = 32, cBudget = 40)
-    }
-    // s32 composes s30 — same nlist ∝ corpus convention; the mutual
-    // join and star contraction ride on the constant-sized cells
-    case "s32_knn_graph_components" => Some { (s, dir) =>
-      import org.apache.spark.sql.functions.col
-      val n = if (copies <= 1) 32 else 32 * copies
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val knn = graft.operators.CacheScope.sessionScope(s).own(
-        graft.operators.Similarity.ivfKnnGraphTrainedFp(emb, k = 5,
-          nlist = n, nprobe = 4)
-          .select(col("q_id"), col("n_id")).persist())
-      val edges = knn.as("a").join(knn.as("b"),
-          col("a.q_id") === col("b.n_id") && col("a.n_id") === col("b.q_id") &&
-            col("a.q_id") < col("a.n_id"))
-        .select(col("a.q_id").as("u"), col("a.n_id").as("v"))
-      graft.operators.ConnectedComponents
-        .assign(edges, emb.select(col("vec_id")), driverMaxEdges = 0L)
-        .select(col("id").as("vec_id"), col("component"))
-    }
-    // s34 composes s30's graph — same nlist ∝ corpus convention so the
-    // per-cell population (and thus the block join's per-item cost)
-    // stays constant; the margin stats/join stages are O(n·k) equi-joins
-    case "s34_margin_pairs" => Some { (s, dir) =>
-      import org.apache.spark.sql.functions._
-      val n = if (copies <= 1) 32 else 32 * copies
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val knn = graft.operators.CacheScope.sessionScope(s).own(
-        graft.operators.Similarity.ivfKnnGraphTrainedFp(emb, k = 5,
-            nlist = n, nprobe = 4)
-          .withColumn("cos_fp", round(col("cos_sim") * 1e6).cast("long"))
-          .persist())
-      val stats = knn.groupBy(col("q_id")).agg(
-        sum(col("cos_fp")).as("s"), count(lit(1)).as("c"))
-      val sx = stats.select(col("q_id"), col("s").as("s_q"), col("c").as("c_q"))
-      val sy = stats.select(col("q_id").as("n_id"), col("s").as("s_n"),
-        col("c").as("c_n"))
-      knn.join(sx, Seq("q_id")).join(sy, Seq("n_id"))
-        .withColumn("num", lit(2L) * col("cos_fp") * col("c_q") * col("c_n"))
-        .withColumn("den", col("s_q") * col("c_n") + col("s_n") * col("c_q"))
-        .select(col("q_id"), col("n_id"), col("rnk"), col("cos_sim"),
-          when(col("den") > 0L,
-            round(col("num").cast("double") / col("den").cast("double"), 6))
-            .as("margin"),
-          (col("den") > 0L && col("num") * 100L >= col("den") * 102L).as("keep"))
-    }
+    // s30/s32/s34/s38 need NO override since round 14: the registered
+    // operators (knnGraphScaledFp / pqKnnGraphScaledFp) derive nlist =
+    // max(32, ceil(n/64)) and the two-level routing geometry from the
+    // corpus themselves — the ladder measures the production config by
+    // construction. (Before round 14 these rows were flat-routed at a
+    // fixed nlist and the ladder had to scale nlist ∝ copies by hand —
+    // and still measured the flat routing scan's quadratic O(n·nlist)
+    // term: s30's marginal s/copy rose 0.93 → 1.78 from 30× to 100×.)
     // s35 walks the s30-family graph — same nlist ∝ corpus convention
     // (constant cell population keeps the graph build's per-item cost
     // flat; the walk itself is corpus-size-independent per query)

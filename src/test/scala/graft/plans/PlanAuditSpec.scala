@@ -30,10 +30,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "q18_scalar_subquery" -> "scalar subquery compare = join against one broadcast row",
     "s04_ivf_topk" -> "coarse quantizer: corpus x 32 broadcast centroids is the IVF assignment step by construction",
     "s23_ivf_trained_topk" -> "s04's sanctioned assignment/probe shape with trained centroids — corpus x 32 broadcast k-means centers",
-    "s30_knn_graph" -> "one corpus x 32 broadcast trained centroids routing scan (s04's sanctioned quantizer shape); the data-sized candidate join is a shuffle EQUI-join on the cell id, merged by the bounded top-k aggregator",
+    "s30_knn_graph" -> "corpus-scaled two-level routing: corpus x ceil(sqrt(nlist)) broadcast SUPER-centroids (s39's sanctioned shrink of the s04 quantizer scan), then an equi-join on the super id against the broadcast centroid table; the data-sized candidate join is a shuffle EQUI-join on the cell id, merged by the bounded top-k aggregator",
     "m13_constellation_recall" -> "t30's scalar shape per lever arm: the ONE-ROW query-count aggregate crossJoins the ONE-ROW matched-count aggregate; the data-sized work is m11's df-capped posting equi-join per arm",
     "s31_ivf_multiprobe" -> "s23's sanctioned assignment/probe shape (corpus x 32 broadcast trained centroids) with soft rn<=2 routing; the data-sized join is the c_id equi-join, deduped on (q_id, n_id) before the exact rank",
-    "s32_knn_graph_components" -> "s30's sanctioned routing scan (corpus x 32 broadcast trained centroids); the data-sized joins are the cell-id equi-join, the mutual (q_id, n_id) self-equi-join, and the star-contraction equi-joins",
+    "s32_knn_graph_components" -> "s30's corpus-scaled two-level routing scan (corpus x sqrt-nlist broadcast supers); the data-sized joins are the cell-id equi-join, the mutual (q_id, n_id) self-equi-join, and the star-contraction equi-joins",
     "t46_trained_classifier" -> "t23's scalar shape inside the teacher (the per-doc score table joins the broadcast ONE-ROW corpus-mean aggregate); the data-sized work is the exploded feature scan against the 4096-row broadcast trained weight table and the teacher's marginal equi-joins",
     "s12_pq_topk" -> "ADC by construction: one code-table scan x broadcast per-query LUTs (plus the corpus x broadcast codebook encode step)",
     "s13_pq_index_probe" -> "same ADC shape as s12, reading the build-once code asset instead of encoding inline",
@@ -70,7 +70,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s28_maxsim_rerank" -> "s01's sanctioned candidate shape (5 broadcast full-vector queries x corpus scan); the 4x4 sub-vector MaxSim runs only on the broadcast-candidate equi-join rows",
     "s29_ivf_recall_curve" -> "the evaluation row composes two sanctioned shapes: s01's exact arm (5 broadcast queries x corpus scan — the ground truth) and s04's corpus x 32 broadcast centroid assignment; every per-arm hit count is an equi-join of two top-k sets",
     "s33_jl_topk" -> "s01's sanctioned candidate shape over the PROJECTED table: 5 broadcast 16-dim query projections x the corpus projection scan (1/4 of the s01 scan bytes, integer L2 scoring); the rerank is the same broadcast-candidate equi-join as s21",
-    "s34_margin_pairs" -> "s30's sanctioned routing scan (corpus x 32 broadcast trained centroids) building the kNN graph it scores; the margin stats and pair scoring are id-keyed equi-joins over the O(n*k) graph",
+    "s34_margin_pairs" -> "s30's corpus-scaled two-level routing scan (corpus x sqrt-nlist broadcast supers) building the kNN graph it scores; the margin stats and pair scoring are id-keyed equi-joins over the O(n*k) graph",
     "s35_graph_ann" -> "two sanctioned shapes: s30's routing scan (corpus x 32 broadcast trained centroids) building the graph, and the seed stage's 5 broadcast queries x the 1/64 navigation slice (a fraction of s01's scan bytes); every beam round is an id-keyed equi-join",
     "s36_graph_ann_recall" -> "the evaluation row composes three sanctioned shapes: s01's exact arm (the ground truth), s30's routing scan building the shared graph, and s35's seed slice per arm; every per-arm hit count is an equi-join of two top-k sets",
     "s37_graph_index_probe" -> "s35's seed-stage shape only (5 broadcast queries x the 1/64 navigation slice) — the graph itself is READ from the build-once parquet asset, no routing scan on the query path; beam rounds are id-keyed equi-joins",
@@ -79,7 +79,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "t52_cluster_balance" -> "s04's sanctioned assignment shape (corpus x 32 broadcast trained centroids); the selection is a WindowGroupLimit rank filter, never a global sort",
     "m15_clip_filter" -> "t23's scalar shape: the per-pair score table joins the broadcast ONE-ROW corpus-mean aggregate; the data-sized work is one pair scan with a sequential-fold cosine",
     "t53_source_kl" -> "t19's scalar shape: the (source, token) count table crossJoins the broadcast ONE-ROW corpus-total aggregate; the data-sized work is the exploded token aggregate and the vocab-sized marginal equi-join",
-    "s38_pq_knn_graph" -> "s30's sanctioned routing scan (corpus x 32 broadcast trained centroids); the data-sized candidate join is a shuffle EQUI-join on the cell id carrying m-long PQ codes, scored by the codegen integer ADC and merged by the bounded top-C aggregator; the rerank is id-keyed equi-joins over the bounded candidates",
+    "s38_pq_knn_graph" -> "s30's corpus-scaled two-level routing scan (corpus x sqrt-nlist broadcast supers); the data-sized candidate join is a shuffle EQUI-join on the cell id carrying m-long PQ codes, scored by the codegen integer ADC and merged by the bounded top-C aggregator; the rerank is id-keyed equi-joins over the bounded candidates",
     "s39_knn_graph_2level" -> "the two-level shrink of s30's routing: corpus x 6 broadcast SUPER-centroids (strictly smaller than the sanctioned corpus x 32), then an equi-join on the super id against the 32-row broadcast centroid table; the data-sized candidate join is s30's cell-id shuffle equi-join verbatim",
     "s40_routing_frontier" -> "the evaluation row for the routing tradeoff: s29/s36's sanctioned composition — the exact brute-force arm (ground truth), both sanctioned routing scans (corpus x 32 centroids / corpus x 6 supers), and t30's scalar shape for the per-arm count crossJoins; every data-sized join is an equi-join",
     "d24_dedup_bias" -> "t19's scalar shape: the |sources|-row per-source aggregate crossJoins the broadcast ONE-ROW corpus-total aggregate; the data-sized work is d08's banded candidate equi-join, the CC closure, and the id-keyed source join")
