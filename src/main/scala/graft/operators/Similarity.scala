@@ -1916,6 +1916,81 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"), col("adc_fp"), col("d2_fp"))
   }
 
+  /** INCREMENTAL k-NN GRAPH MAINTENANCE — the d09/st44 build-once/
+    * probe-incrementally pattern applied to [[knnGraphScaledFp]]'s
+    * asset: geometry and quantizer are FROZEN on the base corpus (the
+    * nightly index job), and an arriving shard is folded in WITHOUT
+    * rebuilding —
+    *
+    *   1. arriving vectors route through the frozen two-level tables
+    *      (O(|new|·(ns + superProbe·nlist/ns)) — never re-scanning the
+    *      base),
+    *   2. new queries rank the base+new members of their probed cells,
+    *   3. base vectors MERGE-upsert: candidate pairs (base q, new n)
+    *      come from the slim probes(base) ⋈ assigned(new) cell-id
+    *      equi-join — O(|base probes| · |new|/nlist) rows, not a
+    *      rebuild — and fold into the stored top-k.
+    *
+    * EXACTLY equal to the batch rebuild over the same frozen quantizer
+    * (the DuckDB oracle replays the batch spelling; the engine runs
+    * THIS incremental dataflow): for a base query, top-k(C_base ∪
+    * C_new) = top-k(top-k(C_base) ∪ C_new) because any survivor from
+    * C_base survives C_base's own top-k, and the bounded aggregator's
+    * tie order (cos desc, id asc) is preserved under pre-truncation.
+    * The stored edge keeps the FULL-precision cosine (rounding only at
+    * output) so re-merging never reorders a near-tie.
+    */
+  def knnGraphIncrementalFp(base: DataFrame, arriving: DataFrame, k: Int,
+      targetList: Int = 64, nprobe: Int = 4, superProbe: Int = 3,
+      iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    import base.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val nbase = base.count()
+    val nlist = scaledNlist(nbase, targetList)
+    val trained = ivfTrainCentroidsFp(base, nlist, iters, sampleN,
+      idCol, vecCol, hashSeed = true)
+    if (trained.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("q_id", "rnk", "n_id", "cos_sim")
+    val (superRows, centRows) =
+      firstNsSuperTable(trained, scaledSuperList(trained.length))
+    val routedB = twoLevelRouted(base, superRows, centRows, nprobe,
+      superProbe, idCol, vecCol, scope)
+    val routedN = twoLevelRouted(arriving, superRows, centRows, nprobe,
+      superProbe, idCol, vecCol, scope)
+    def asgOf(r: DataFrame) = r.select(col("id").as("n_id"),
+      col("vec").as("n_vec"), element_at(col("probes"), 1)("_1").as("c_id"))
+    def prbOf(r: DataFrame) = r.select(col("id").as("q_id"),
+      col("vec").as("q_vec"), explode(col("probes")("_1")).as("c_id"))
+    val topK = udaf(new graft.functions.TopKCosAgg(k),
+      ExpressionEncoder[(Long, Double)]())
+    def candPairs(prb: DataFrame, asg: DataFrame) = prb.join(asg, Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .filter(col("cos").isNotNull)
+      .select(col("q_id"), col("n_id"), col("cos"))
+    // the frozen asset: base top-k at FULL precision (production
+    // persists this; built once, then only merged into)
+    val baseEdges = candPairs(prbOf(routedB), asgOf(routedB))
+      .groupBy(col("q_id"))
+      .agg(topK(col("n_id"), col("cos")).as("nbrs"))
+      .select(col("q_id"), explode(col("nbrs")).as("e"))
+      .select(col("q_id"), col("e")("_1").as("n_id"), col("e")("_2").as("cos"))
+    // increments: base queries meet ONLY the arriving assignments;
+    // arriving queries rank base+new members of their probed cells
+    val updates = candPairs(prbOf(routedB), asgOf(routedN))
+    val newEdges = candPairs(prbOf(routedN),
+      asgOf(routedB).unionByName(asgOf(routedN)))
+    baseEdges.unionByName(updates).unionByName(newEdges)
+      .groupBy(col("q_id"))
+      .agg(topK(col("n_id"), col("cos")).as("nbrs"))
+      .select(col("q_id"), posexplode(col("nbrs")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
+  }
+
   /** CORPUS-SCALED PQ k-NN graph — [[knnGraphScaledFp]]'s derived
     * geometry (nlist = max(32, ceil(n/targetList)), hash-seeded
     * trainer, two-level routing with ns = ceil(sqrt(nc)) first-prefix

@@ -227,6 +227,113 @@ object NorthStar {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
   }
 
+  /** s40's body, parameterized so the scale ladder can run it beyond
+    * the oracle sf: `nlist`/`superList` scale with the corpus (the
+    * production convention), and `qMod` hash-samples the TRUTH/recall
+    * query side (queries with (3·(id%P)+8)%P ≡ 0 mod qMod — the
+    * trainers' deterministic sample discipline) so the brute-force
+    * truth arm stays O(n·|sample|) instead of O(n²). qMod = 1 is the
+    * registered full-corpus oracle row, bit-identical to rounds ≤ 13.
+    * Candidate counts always cover the FULL corpus — they price the
+    * build; recall is over the sampled queries.
+    */
+  private[graft] def routingFrontierQuery(s: SparkSession, dir: String,
+      nlist: Int, superList: Int, qMod: Long): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def run(): DataFrame = { // def so the empty guard can return
+      val P = 1000000007L
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val trained = Similarity.ivfTrainCentroidsFp(emb, nlist = nlist)
+      if (trained.isEmpty) // empty corpus: nothing to route or evaluate
+        return Seq.empty[(String, Long, Long, Long, Long, Double, Double)]
+          .toDF("arm", "n_queries", "k", "n_candidates", "n_hits",
+            "recall", "cand_per_query")
+      val cent = broadcast(trained.toSeq.map { case (c, v) => (c, v.toSeq) }
+        .toDF("c_id", "c_vec"))
+      val (superRows, centRows) =
+        Similarity.kCenterSuperTable(trained, superList)
+      val supers = broadcast(superRows.toDF("s_id", "s_vec"))
+      val centT = broadcast(centRows.toDF("s_id", "c_id", "c_vec"))
+      val rows = scope.own(emb.select($"vec_id".cast("long").as("id"),
+        $"embedding".as("v")).persist())
+      val qSide = emb.filter(
+        (lit(3L) * ($"vec_id".cast("long") % P) + 8L) % P % qMod === 0L)
+      val truth = scope.own(Similarity.bruteForceTopK(emb, qSide, k = 5)
+        .select($"q_id", $"n_id").persist())
+      val nq = qSide.count()
+      val nAll = rows.count()
+      val wid = Window.partitionBy($"id").orderBy($"cos_c".desc, $"c_id".asc)
+      val flatRank = scope.own(rows.crossJoin(cent)
+        .withColumn("cos_c", Similarity.cosine($"v", $"c_vec"))
+        .withColumn("rn", row_number().over(wid)).filter($"rn" <= 4)
+        .select($"id", $"c_id", $"rn").persist())
+      val ws = Window.partitionBy($"id").orderBy($"cos_s".desc, $"s_id".asc)
+      val rsup = rows.crossJoin(supers)
+        .withColumn("cos_s", Similarity.cosine($"v", $"s_vec"))
+        .withColumn("srn", row_number().over(ws)).filter($"srn" <= 3)
+        .select($"id", $"s_id", $"v")
+      val twoRank = scope.own(rsup.join(centT, Seq("s_id"))
+        .withColumn("cos_c", Similarity.cosine($"v", $"c_vec"))
+        .withColumn("rn", row_number().over(wid)).filter($"rn" <= 4)
+        .select($"id", $"c_id", $"rn").persist())
+      def armRow(name: String, rank: DataFrame,
+          graph: DataFrame): DataFrame = {
+        val asg = rank.filter($"rn" === 1).select($"id".as("n_id"), $"c_id")
+        val probes = rank.select($"id".as("q_id"), $"c_id")
+        val nCand = probes.join(asg, Seq("c_id"))
+          .filter($"n_id" =!= $"q_id")
+          .agg(count(lit(1)).as("n_candidates"))
+        val nHits = graph.select($"q_id", $"n_id")
+          .join(truth, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        nCand.crossJoin(nHits).select(
+          lit(name).as("arm"), lit(nq).as("n_queries"), lit(5L).as("k"),
+          $"n_candidates", $"n_hits",
+          round($"n_hits".cast("double") / (nq * 5), 6).as("recall"),
+          round($"n_candidates".cast("double") / nAll, 6).as("cand_per_query"))
+      }
+      armRow("flat", flatRank,
+          Similarity.ivfKnnGraphTrainedFp(emb, k = 5, nlist = nlist,
+            nprobe = 4))
+        .unionByName(armRow("two_level", twoRank,
+          Similarity.ivfKnnGraphTrainedFp2L(emb, k = 5, nlist = nlist,
+            nprobe = 4, superList = superList, superProbe = 3)))
+        .orderBy("arm")
+    }
+    run()
+  }
+
+  /** s41's body, parameterized the same way: the PQ graph builds over
+    * the FULL corpus (the measured cost); `qMod` hash-samples the
+    * brute-force truth side so the eval rung ladders without the O(n²)
+    * truth arm. qMod = 1 is the registered oracle row.
+    */
+  private[graft] def pqGraphRecallQuery(s: SparkSession, dir: String,
+      qMod: Long): DataFrame = {
+    import s.implicits._
+    val P = 1000000007L
+    val scope = graft.operators.CacheScope.sessionScope(s)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val qSide = emb.filter(
+      (lit(3L) * ($"vec_id".cast("long") % P) + 8L) % P % qMod === 0L)
+    val truth = scope.own(Similarity.bruteForceTopK(emb, qSide, k = 5)
+      .select($"q_id", $"n_id").persist())
+    val nq = qSide.count()
+    def arm(cBudget: Int): DataFrame =
+      Similarity.pqKnnGraphScaledFp(emb, k = 5, targetList = 64,
+          nprobe = 4, superProbe = 3, m = 8, ncode = 32,
+          cBudget = cBudget)
+        .select($"q_id", $"n_id")
+        .join(truth, Seq("q_id", "n_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(s"cbudget_$cBudget").as("arm"), lit(nq).as("n_queries"),
+          lit(5L).as("k"), lit(cBudget.toLong).as("c_budget"), $"n_hits",
+          round($"n_hits".cast("double") / (nq * 5), 6).as("recall"))
+    arm(40).unionByName(arm(80)).orderBy("arm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- text analysis ---
@@ -1749,64 +1856,38 @@ object NorthStar {
     // oracle spells (proven ≡ the bounded-aggregator probes by
     // KnnGraphSpec); hit counts come from the registered operators.
     "s40_routing_frontier" -> { (s, dir) =>
+      routingFrontierQuery(s, dir, nlist = 32, superList = 6, qMod = 1L)
+    },
+
+    // PQ-GRAPH RECALL EVALUATION — the s29/s36 move applied to the
+    // compressed graph (round-13 verdict item 3): recall@5 of the
+    // registered s38 build (cBudget=40) against brute-force truth,
+    // plus the one lever that prices the rerank budget (cBudget=80 at
+    // the same codes/routing). Integer hit-count joins of
+    // deterministic top-k sets; one double division per arm. The
+    // truth arm is the sanctioned s01 exact scan (eval class).
+    "s41_pq_graph_recall" -> { (s, dir) =>
+      pqGraphRecallQuery(s, dir, qMod = 1L)
+    },
+
+    // INCREMENTAL k-NN GRAPH MAINTENANCE — the d09/st44 build-once/
+    // probe-incrementally discipline applied to the s30 graph asset
+    // (round-13 verdict item 5): quantizer and geometry FROZEN on the
+    // base corpus (vec_id % 10 <> 7), the arriving 10% shard routes
+    // through the frozen tables, computes its own top-k, and
+    // MERGE-upserts candidate edges into the stored base top-k. The
+    // engine runs the incremental dataflow; the ORACLE replays the
+    // batch rebuild over the same frozen quantizer — hash-green means
+    // incremental == rebuild exactly (GraphUpsertSpec pins the same
+    // equality engine-side).
+    "d26_graph_upsert" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      def run(): DataFrame = { // def so the empty guard can return
-      val scope = graft.operators.CacheScope.sessionScope(s)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val trained = Similarity.ivfTrainCentroidsFp(emb, nlist = 32)
-      if (trained.isEmpty) // empty corpus: nothing to route or evaluate
-        return Seq.empty[(String, Long, Long, Long, Long, Double, Double)]
-          .toDF("arm", "n_queries", "k", "n_candidates", "n_hits",
-            "recall", "cand_per_query")
-      val cent = broadcast(trained.toSeq.map { case (c, v) => (c, v.toSeq) }
-        .toDF("c_id", "c_vec"))
-      val (superRows, centRows) = Similarity.kCenterSuperTable(trained, 6)
-      val supers = broadcast(superRows.toDF("s_id", "s_vec"))
-      val centT = broadcast(centRows.toDF("s_id", "c_id", "c_vec"))
-      val rows = scope.own(emb.select($"vec_id".cast("long").as("id"),
-        $"embedding".as("v")).persist())
-      val truth = scope.own(Similarity.bruteForceTopK(emb, emb, k = 5)
-        .select($"q_id", $"n_id").persist())
-      val nq = rows.count()
-      val wid = Window.partitionBy($"id").orderBy($"cos_c".desc, $"c_id".asc)
-      val flatRank = scope.own(rows.crossJoin(cent)
-        .withColumn("cos_c", Similarity.cosine($"v", $"c_vec"))
-        .withColumn("rn", row_number().over(wid)).filter($"rn" <= 4)
-        .select($"id", $"c_id", $"rn").persist())
-      val ws = Window.partitionBy($"id").orderBy($"cos_s".desc, $"s_id".asc)
-      val rsup = rows.crossJoin(supers)
-        .withColumn("cos_s", Similarity.cosine($"v", $"s_vec"))
-        .withColumn("srn", row_number().over(ws)).filter($"srn" <= 3)
-        .select($"id", $"s_id", $"v")
-      val twoRank = scope.own(rsup.join(centT, Seq("s_id"))
-        .withColumn("cos_c", Similarity.cosine($"v", $"c_vec"))
-        .withColumn("rn", row_number().over(wid)).filter($"rn" <= 4)
-        .select($"id", $"c_id", $"rn").persist())
-      def armRow(name: String, rank: DataFrame,
-          graph: DataFrame): DataFrame = {
-        val asg = rank.filter($"rn" === 1).select($"id".as("n_id"), $"c_id")
-        val probes = rank.select($"id".as("q_id"), $"c_id")
-        val nCand = probes.join(asg, Seq("c_id"))
-          .filter($"n_id" =!= $"q_id")
-          .agg(count(lit(1)).as("n_candidates"))
-        val nHits = graph.select($"q_id", $"n_id")
-          .join(truth, Seq("q_id", "n_id"))
-          .agg(count(lit(1)).as("n_hits"))
-        nCand.crossJoin(nHits).select(
-          lit(name).as("arm"), lit(nq).as("n_queries"), lit(5L).as("k"),
-          $"n_candidates", $"n_hits",
-          round($"n_hits".cast("double") / (nq * 5), 6).as("recall"),
-          round($"n_candidates".cast("double") / nq, 6).as("cand_per_query"))
-      }
-      armRow("flat", flatRank,
-          Similarity.ivfKnnGraphTrainedFp(emb, k = 5, nlist = 32, nprobe = 4))
-        .unionByName(armRow("two_level", twoRank,
-          Similarity.ivfKnnGraphTrainedFp2L(emb, k = 5, nlist = 32,
-            nprobe = 4, superList = 6, superProbe = 3)))
-        .orderBy("arm")
-      }
-      run()
+      Similarity.knnGraphIncrementalFp(
+          emb.filter($"vec_id" % 10 =!= 7), emb.filter($"vec_id" % 10 === 7),
+          k = 5, targetList = 64, nprobe = 4, superProbe = 3)
+        .select($"q_id", $"n_id", $"rnk", $"cos_sim")
+        .orderBy("q_id", "rnk")
     },
 
     // MUTUAL-kNN SEMANTIC CLUSTERS — the composition s30 exists for:
@@ -3705,11 +3786,11 @@ object NorthStar {
     }
     // shared sample CTEs: hash-ordered ×512-quantized sample positions
     // (smp) and their ‖·‖≈2^15 renormalizations (rp)
-    def fpSampleSql(sampleN: Int): String =
+    def fpSampleSql(sampleN: Int, src: String = "e"): String =
       s"""smp AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, id) - 1 AS pos, qv
          |  FROM (SELECT id, (3 * (id % 1000000007) + 8) % 1000000007 AS h,
          |      list_transform(v, x -> cast(floor(x * 512) as bigint)) AS qv
-         |    FROM e ORDER BY h, id LIMIT $sampleN) t),
+         |    FROM $src ORDER BY h, id LIMIT $sampleN) t),
          |rp AS MATERIALIZED (SELECT pos, qv,
          |    CASE WHEN n2 = 0 THEN qv ELSE ${fpRenormSql("qv", "n2")} END AS rv
          |  FROM (SELECT pos, qv,
@@ -3752,10 +3833,11 @@ object NorthStar {
     // greatest(32, ceil(n/targetList))), `pns(ns)` (ns = ceil(sqrt(
     // min(nl, |sample|)))), and the final `cent(c_id, cv)` via the
     // SHARED Lloyd rounds. Requires a preceding CTE `e(id, v)`.
-    def scaledCentSql(iters: Int, sampleN: Int, targetList: Int): String =
+    def scaledCentSql(iters: Int, sampleN: Int, targetList: Int,
+        src: String = "e"): String =
       s"""params AS (SELECT greatest(32,
-         |    cast(ceil(count(*) / $targetList.0) as bigint)) AS nl FROM e),
-         |${fpSampleSql(sampleN)},
+         |    cast(ceil(count(*) / $targetList.0) as bigint)) AS nl FROM $src),
+         |${fpSampleSql(sampleN, src)},
          |pns AS (SELECT cast(ceil(sqrt(cast(least((SELECT nl FROM params),
          |    (SELECT count(*) FROM smp)) as double))) as bigint) AS ns),
          |cent0 AS MATERIALIZED (SELECT pos AS c, rv AS cv FROM rp
@@ -3802,11 +3884,19 @@ object NorthStar {
     // full prelude for the scaled graph family: embeddings, derived
     // geometry, hash-seed training, two-level routing. Rows append
     // their readout tail (top-k rank / mutual+CC / margins / PQ chain).
-    def scaledGraphPreludeSql(recursive: Boolean = false): String =
+    // `trainFilter` restricts TRAINING (geometry derivation + the Lloyd
+    // sample) to a base subset while routing still covers all of `e` —
+    // the frozen-quantizer spelling d26's batch-rebuild oracle needs.
+    def scaledGraphPreludeSql(recursive: Boolean = false,
+        trainFilter: String = ""): String = {
+      val (baseCte, src) =
+        if (trainFilter.isEmpty) ("", "e")
+        else (s",\neb AS (SELECT id, v FROM e WHERE $trainFilter)", "eb")
       s"""WITH ${if (recursive) "RECURSIVE " else ""}e AS (SELECT vec_id AS id,
-         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-         |${scaledCentSql(iters = 10, sampleN = 4096, targetList = 64)},
+         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings)$baseCte,
+         |${scaledCentSql(iters = 10, sampleN = 4096, targetList = 64, src = src)},
          |${scaledRoutingSql(nprobe = 4, superProbe = 3)}""".stripMargin
+    }
 
     // s35 / st50 share the graph-ANN beam-search replay (trained
     // quantizer, degree-10 undirected graph, id%64 seed layer, three
@@ -3901,7 +3991,8 @@ object NorthStar {
       * replays can never drift apart.
       */
     def pqGraphChainSql(head: String, asgqBody: String,
-        probeqBody: String): String = {
+        probeqBody: String, candBudget: Int = 40,
+        finalSql: Option[String] = None): String = {
       val iters = 10
       val d2 = (a: String, b: String) =>
         s"""cast(list_sum(list_transform(range(1, 9),
@@ -3949,7 +4040,7 @@ object NorthStar {
          |      list_transform(range(1, 9), i -> qres[j * 8 + i]) AS sl
          |    FROM probeq, (SELECT unnest(range(0, 8)) AS j) jj) p
          |  JOIN cb$iters c ON c.j = p.j),
-         |cand AS (SELECT q_id, n_id, c_id, adc_fp FROM (
+         |cand AS (SELECT q_id, n_id, c_id, adc_fp, crn FROM (
          |  SELECT q_id, n_id, c_id, adc_fp, row_number() OVER (
          |      PARTITION BY q_id ORDER BY adc_fp ASC, n_id ASC) AS crn
          |  FROM (SELECT l.q_id, cd.n_id, cd.c_id,
@@ -3957,20 +4048,21 @@ object NorthStar {
          |    FROM codes cd JOIN lut l
          |      ON l.c_id = cd.c_id AND l.j = cd.j AND l.cw = cd.cw
          |    WHERE cd.n_id <> l.q_id GROUP BY 1, 2, 3) t1) t2
-         |  WHERE crn <= 40)
-         |SELECT q_id, n_id, rn AS rnk, adc_fp, d2_fp FROM (
-         |  SELECT c.q_id, c.n_id, c.adc_fp,
-         |    cast(list_sum(list_transform(range(1, 65),
-         |      i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
-         |      as bigint) AS d2_fp,
-         |    row_number() OVER (PARTITION BY c.q_id ORDER BY
-         |      cast(list_sum(list_transform(range(1, 65),
-         |        i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
-         |        as bigint) ASC, c.n_id ASC) AS rn
-         |  FROM cand c
-         |  JOIN probeq p ON p.q_id = c.q_id AND p.c_id = c.c_id
-         |  JOIN asgq a ON a.n_id = c.n_id) t3
-         |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+         |  WHERE crn <= $candBudget)
+         |${finalSql.getOrElse(
+          s"""SELECT q_id, n_id, rn AS rnk, adc_fp, d2_fp FROM (
+             |  SELECT c.q_id, c.n_id, c.adc_fp,
+             |    cast(list_sum(list_transform(range(1, 65),
+             |      i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
+             |      as bigint) AS d2_fp,
+             |    row_number() OVER (PARTITION BY c.q_id ORDER BY
+             |      cast(list_sum(list_transform(range(1, 65),
+             |        i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
+             |        as bigint) ASC, c.n_id ASC) AS rn
+             |  FROM cand c
+             |  JOIN probeq p ON p.q_id = c.q_id AND p.c_id = c.c_id
+             |  JOIN asgq a ON a.n_id = c.n_id) t3
+             |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin)}""".stripMargin
     }
 
     def ivfPqTrainedReplaySql(probeWhere: String): String =
@@ -5979,6 +6071,68 @@ object NorthStar {
       // top-40 candidates, exact-integer rerank to top-5; the engine's
       // codegen encode/ADC kernels must reproduce it row for row
       "s38_pq_knn_graph" -> pqScaledReplaySql(),
+
+      // s41: ONE shared PQ chain at the superset budget (crn <= 80),
+      // two rerank arms read prefix budgets from it, brute-force truth
+      // (the sanctioned s01 exact arm), per-arm hit counts + recall
+      "s41_pq_graph_recall" -> {
+        val d2q = s"""cast(list_sum(list_transform(range(1, 65),
+           |      i -> (p.qres[i] - a.qres[i]) * (p.qres[i] - a.qres[i])))
+           |      as bigint)""".stripMargin
+        def armSel(name: String, tag: String, budget: Int) =
+          s"""SELECT '$name' AS arm, (SELECT n FROM nq) AS n_queries,
+             |  cast(5 as bigint) AS k, cast($budget as bigint) AS c_budget,
+             |  (SELECT n_hits FROM $tag) AS n_hits,
+             |  round(cast((SELECT n_hits FROM $tag) as double)
+             |    / ((SELECT n FROM nq) * 5), 6) AS recall""".stripMargin
+        pqGraphChainSql(
+          head = s"""${scaledGraphPreludeSql()}""",
+          asgqBody = s"""SELECT a.n_id, a.c_id,
+             |    ${pqQresT("a.n_vec", "c.cv")} AS qres
+             |  FROM asg a JOIN cent c ON c.c_id = a.c_id""".stripMargin,
+          probeqBody = s"""SELECT p.q_id, p.c_id,
+             |    ${pqQresT("p.q_vec", "c.cv")} AS qres
+             |  FROM probe p JOIN cent c ON c.c_id = p.c_id""".stripMargin,
+          candBudget = 80,
+          finalSql = Some(s""",rr AS (SELECT c.q_id, c.n_id, c.crn, $d2q AS d2_fp
+             |  FROM cand c
+             |  JOIN probeq p ON p.q_id = c.q_id AND p.c_id = c.c_id
+             |  JOIN asgq a ON a.n_id = c.n_id),
+             |knn40 AS (SELECT q_id, n_id FROM (
+             |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY d2_fp ASC, n_id ASC) AS rn
+             |  FROM rr WHERE crn <= 40) t WHERE rn <= 5),
+             |knn80 AS (SELECT q_id, n_id FROM (
+             |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY d2_fp ASC, n_id ASC) AS rn
+             |  FROM rr) t WHERE rn <= 5),
+             |ex AS (SELECT q_id, n_id FROM (
+             |    SELECT q.id AS q_id, n.id AS n_id,
+             |      row_number() OVER (PARTITION BY q.id
+             |        ORDER BY ${cosSql("q.v", "n.v")} DESC, n.id ASC) AS rn
+             |    FROM e q JOIN e n ON n.id <> q.id) t WHERE rn <= 5),
+             |nq AS (SELECT cast(count(*) as bigint) AS n FROM e),
+             |h40 AS (SELECT cast(count(*) as bigint) AS n_hits
+             |  FROM knn40 f JOIN ex ON ex.q_id = f.q_id AND ex.n_id = f.n_id),
+             |h80 AS (SELECT cast(count(*) as bigint) AS n_hits
+             |  FROM knn80 f JOIN ex ON ex.q_id = f.q_id AND ex.n_id = f.n_id)
+             |${armSel("cbudget_40", "h40", 40)}
+             |UNION ALL ${armSel("cbudget_80", "h80", 80)}
+             |ORDER BY arm""".stripMargin))
+      },
+
+      // d26: the BATCH-REBUILD spelling over the frozen base-trained
+      // quantizer (training/geometry from id % 10 <> 7, routing over
+      // everyone) — hash-green against the engine's INCREMENTAL
+      // merge-upsert dataflow proves incremental == rebuild exactly
+      "d26_graph_upsert" ->
+        s"""${scaledGraphPreludeSql(trainFilter = "id % 10 <> 7")}
+           |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
+           |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
 
       // SemDeDup: s04's deterministic coarse assignment, then pairs
       // confined to each cluster; dup_of = lowest same-cluster id at

@@ -89,7 +89,8 @@ object ScaleBench {
     "t53_source_kl", "s38_pq_knn_graph", "st50_stream_graph_probe",
     "t54_leakage_safe_split", "s39_knn_graph_2level", "m16_av_sync",
     "d24_dedup_bias", "st51_stream_source_kl", "d25_bloom_decontaminate",
-    "st52_stream_av_sync")
+    "st52_stream_av_sync", "d26_graph_upsert", "s40_routing_frontier",
+    "s41_pq_graph_recall")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -176,6 +177,24 @@ object ScaleBench {
       graft.operators.Similarity.ivfKnnGraphTrainedFp2L(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 5,
         nlist = n, nprobe = 4, superList = sl, superProbe = 3)
+    }
+    // s40 is the eval row for the ROUTING tradeoff: its arms must scale
+    // nlist ∝ copies (the production convention the row evaluates), and
+    // the brute-force truth side is hash-sampled to a constant ~500
+    // queries per rung — the registered full-corpus truth (qMod = 1)
+    // stays at the oracle sf for continuity, but is O(n²) and would
+    // dominate every larger rung with eval-only cost
+    case "s40_routing_frontier" => Some { (s, dir) =>
+      val nl = if (copies <= 1) 32 else 32 * copies
+      val sl = math.max(6, math.ceil(math.sqrt(nl.toDouble)).toInt)
+      graft.queries.NorthStar.routingFrontierQuery(s, dir,
+        nlist = nl, superList = sl, qMod = if (copies <= 1) 1L else 4L * copies)
+    }
+    // s41: the PQ-graph build self-scales (corpus-derived geometry);
+    // only the truth side needs the same sampling cap
+    case "s41_pq_graph_recall" => Some { (s, dir) =>
+      graft.queries.NorthStar.pqGraphRecallQuery(s, dir,
+        qMod = if (copies <= 1) 1L else 4L * copies)
     }
     // st50 serves over the same asset — nlist ∝ corpus for the build,
     // seedMod ∝ corpus so the per-query seed scan stays constant-cost

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** d26's contract, pinned ENGINE-SIDE (the oracle pins it against
+  * DuckDB's batch spelling): the incremental merge-upsert dataflow —
+  * frozen base-trained quantizer, arriving shard routed/merged, stored
+  * base top-k folded with the new candidate pairs — equals the batch
+  * rebuild over the same frozen quantizer ROW FOR ROW. The equality is
+  * exact, not approximate: top-k(C_base ∪ C_new) = top-k(top-k(C_base)
+  * ∪ C_new) under the bounded aggregator's (cos desc, id asc) order.
+  */
+class GraphUpsertSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+
+  test("incremental merge-upsert == batch rebuild on the frozen quantizer") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 10 =!= 7)
+    val arriving = emb.filter($"vec_id" % 10 === 7)
+    val inc = rows(Similarity.knnGraphIncrementalFp(base, arriving, k = 5))
+    // batch arm: same frozen geometry/quantizer, one full rebuild
+    val trained = Similarity.ivfTrainCentroidsFp(base,
+      Similarity.scaledNlist(base.count()), hashSeed = true)
+    val (sr, cr) = Similarity.firstNsSuperTable(trained,
+      Similarity.scaledSuperList(trained.length))
+    val routed = Similarity.twoLevelRouted(emb, sr, cr, nprobe = 4,
+      superProbe = 3, idCol = "vec_id", vecCol = "embedding",
+      scope = CacheScope.sessionScope(spark))
+    val batch = rows(Similarity.knnGraphTailFromRouted(routed, 5))
+    inc.length shouldBe batch.length
+    inc should contain theSameElementsInOrderAs batch
+    // and every vector (base + arriving) carries a full top-5
+    inc.map(_._1).distinct.length shouldBe emb.count()
+  }
+}
