@@ -30,6 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 128 GiB box; headroom keeps GC out of the bench numbers (the
-  // 48-query session accumulates shuffle/cache structures)
+  // 48-query session accumulates shuffle/cache structures). -Xms = -Xmx:
+  // without it the FIRST query that materializes a scale-rung working
+  // set pays the whole heap-expansion GC storm and reads 3-6x slower
+  // than identical later queries (measured on s30@100x: 95 s first vs
+  // 31 s for s32 running a strict superset of the same build).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -146,7 +146,30 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Full per-query map: one line here (for humans reading the log)
+    // plus a sidecar file. The FINAL stdout line must stay parseable by
+    // the driver, which keeps only the LAST ~2000 characters of output —
+    // a 269-entry map is ~9 KB and truncates mid-map, which is exactly
+    // why BENCH_r08..r13 all carry `parsed: null`. So the last line is
+    // a COMPACT summary: totals, per-family subtotals, and the slowest
+    // queries (3-dp), sized to fit the driver's tail window.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(fullJson)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_queries.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson)
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    def fam(name: String): String =
+      if (name.startsWith("dbscan")) "dbscan"
+      else if (name.startsWith("st")) "st"
+      else name.takeWhile(_.isLetter)
+    val famTotals = results.filter(_._3).groupBy(r => fam(r._1)).toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"$f\":${math.round(rs.map(_._2).sum * 1000) / 1000.0}" }
+      .mkString("{", ",", "}")
+    val slow = results.filter(_._3).sortBy(-_._2).take(38)
+      .map { case (k, v, _) => s"\"$k\":${math.round(v * 1000) / 1000.0}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"errors":$errs,"families":$famTotals,"queries":$slow,"queries_note":"38 slowest of ${results.size}; full map in $outFile and the preceding log line","sf":"$sfDir"}""")
     spark.stop()
   }
 }

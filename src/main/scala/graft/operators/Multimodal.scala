@@ -417,6 +417,15 @@ object Multimodal {
     * constant memory, no shuffle, embarrassingly parallel — and all
     * integer, so the oracle replays every score. Assets with fewer
     * than `minBlocks` full blocks are skipped (no stable window).
+    *
+    * Exact-arithmetic domain: per-block energy ≤ 255·BlockSize = 4080,
+    * so both cross-multiply terms are ≤ w²·4080². Keeping each term ≤
+    * 2⁶² guarantees the products AND the subtraction never wrap —
+    * w ≤ ⌊√(2⁶²/4080²)⌋ = 526,343 blocks (≈ 8.4 MB of payload at the
+    * 16-byte block size). Larger assets are SKIPPED like the
+    * too-short ones rather than scored with a silently wrapped Long
+    * (a DuckDB replay errors on bigint overflow instead of wrapping,
+    * so a wrapped score would also silently diverge from the oracle).
     */
   def avSyncLag(spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", aCol: String = "payload_a",
@@ -438,11 +447,15 @@ object Multimodal {
             s
           }
         }
+        // exact-arithmetic window bound (see scaladoc): w²·maxE² ≤ 2⁶²
+        val maxE = 255L * StubCodec.BlockSize
+        val maxW = (math.sqrt((Long.MaxValue / 2).toDouble) / maxE).toLong
         it.flatMap { case (id, pa, pb) =>
           val ea = energies(pa)
           val eb = energies(pb)
           val w = ea.length - maxLag
-          if (ea.length < minBlocks || eb.length < w || w <= 0) None
+          if (ea.length < minBlocks || eb.length < w || w <= 0 ||
+            w > maxW) None
           else {
             var sumB = 0L
             var i = 0

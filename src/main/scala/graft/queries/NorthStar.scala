@@ -1488,10 +1488,13 @@ object NorthStar {
         .map(_._2).collect().headOption
         .getOrElse(new Array[Long](m / 64))
       val w = lit(words)
+      // probe hashes via the SHARED Column spelling of
+      // PortableHash.family (PortableHashSpec pins Column == Scala over
+      // sample keys) — an inline re-spelling here could silently
+      // desynchronize from BloomAgg's build side and lose rows
       val probed = (0 until kh).foldLeft(
           Dedup.shingles(train, "text", "doc_id", n = 3)) { (df, i) =>
-        df.withColumn(s"p$i",
-          ($"sh" % m * (2 * i + 1) + lit(i.toLong * i + 7L)) % m)
+        df.withColumn(s"p$i", Mixture.portableHash($"sh", i, m))
       }
       val mightContain = (0 until kh).map { i =>
         element_at(w, ($"p$i" / 64).cast("int") + 1)

@@ -3,25 +3,33 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Stage-level timing of the PQ k-NN graph (s38) at a scale rung —
-  * which term makes the ladder rise? Usage:
-  *   GRAFT_PROBE_DIR=/tmp/graft_scale/x30 GRAFT_PROBE_NLIST=960 \
+/** Stage-level timing of the PQ k-NN graph (s38, the CORPUS-SCALED
+  * path since round 14) at a scale rung — which term makes the ladder
+  * rise? Usage:
+  *   GRAFT_PROBE_DIR=/tmp/graft_scale/x30 \
   *     sbt "runMain graft.tools.PqGraphProbe"
+  *
+  * Geometry, training, and routing are THE SHARED OPERATOR CODE
+  * (scaledNlist / ivfTrainCentroidsFp hashSeed / firstNsSuperTable /
+  * twoLevelRouted — what pqKnnGraphScaledFp executes), so those
+  * timings can never desynchronize. The PQ downstream stages re-spell
+  * Similarity.pqGraphFromRouted's pipeline WITH STAGE BOUNDARIES so
+  * each persist/count isolates one term — keep them in lockstep with
+  * that method (same CTE-by-CTE structure, reviewed together).
   */
 object PqGraphProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("GRAFT_PROBE_DIR", "/tmp/graft_scale/x30")
-    val nlist = sys.env.getOrElse("GRAFT_PROBE_NLIST", "960").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import graft.operators.{CacheScope, Similarity}
 
@@ -33,26 +41,27 @@ object PqGraphProbe {
     }
 
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    println(s"[probe] n = ${emb.count()}, nlist = $nlist")
+    val n = emb.count()
+    val nlist = sys.env.get("GRAFT_PROBE_NLIST").map(_.toInt)
+      .getOrElse(Similarity.scaledNlist(n))
+    println(s"[probe] n = $n, nlist = $nlist")
     val scope = CacheScope.sessionScope(spark)
 
-    val trained = t("ivfTrainCentroidsFp")(
-      Similarity.ivfTrainCentroidsFp(emb, nlist))
+    // shared operator code: trainer, super table, two-level routing
+    val trained = t("ivfTrainCentroidsFp(hashSeed)")(
+      Similarity.ivfTrainCentroidsFp(emb, nlist, hashSeed = true))
+    val (superRows, centRows) = t("firstNsSuperTable")(
+      Similarity.firstNsSuperTable(trained,
+        Similarity.scaledSuperList(trained.length)))
+    val routed = Similarity.twoLevelRouted(emb, superRows, centRows,
+      nprobe = 4, superProbe = 3, idCol = "vec_id", vecCol = "embedding",
+      scope = scope)
+    t("two-level routing (materialize)")(routed.count())
+
+    // ---- pqGraphFromRouted's stages, spelled with boundaries ----
+    import spark.implicits._
     val cent = broadcast(trained.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("c_id", "c_vec"))
-    val topNp = udaf(new graft.functions.TopKCosAgg(4),
-      ExpressionEncoder[(Long, Double)]())
-    val routed = scope.own(emb
-      .select(col("vec_id").cast("long").as("id"), col("embedding").as("vec"))
-      .crossJoin(cent)
-      .withColumn("cos_c", Similarity.cosine(col("vec"), col("c_vec")))
-      .filter(col("cos_c").isNotNull)
-      .groupBy(col("id"))
-      .agg(topNp(col("c_id"), col("cos_c")).as("probes"),
-        first(col("vec")).as("vec"))
-      .persist())
-    t("routing scan (materialize)")(routed.count())
-
     def qresOf(vec: org.apache.spark.sql.Column) = zip_with(vec, col("c_vec"),
       (a, b) => floor((a.cast("double") - b / 32768.0d) * 4096.0d).cast("long"))
     val assigned = scope.own(routed

@@ -31,6 +31,26 @@ class MixtureSpec extends AnyFunSuite with Matchers {
     df.withColumn("cum", sum(col("w")).over(w))
   }
 
+  test("portableHash Column spelling == PortableHash.family (build/probe lockstep)") {
+    // d25's Bloom probe and BloomAgg's build side must hash identically;
+    // pin the shared Column form to the Scala function over boundary and
+    // random keys, for the Bloom members (i = 0..2, m = 65536) AND the
+    // mixture members at the default modulus.
+    import spark.implicits._
+    val keys = (Seq(0L, 1L, 63L, 64L, 65535L, 65536L, 1000000006L,
+      1000000007L, Long.MaxValue % 1000000007L) ++
+      (1 to 50).map(k => k.toLong * 2654435761L % 1000000007L)).distinct
+    val df = keys.toDF("x")
+    for ((i, m) <- Seq((0, 65536L), (1, 65536L), (2, 65536L),
+        (Mixture.OrderI, 1000000007L), (Mixture.SampleI, 1000000007L))) {
+      val got = df.select(col("x"), Mixture.portableHash(col("x"), i, m).as("h"))
+        .as[(Long, Long)].collect().toMap
+      keys.foreach { x =>
+        got(x) shouldBe graft.functions.PortableHash.family(i, x, m)
+      }
+    }
+  }
+
   test("globalRunningSum == naive single-window, any shard count") {
     val df = corpus(500)
     for (nShards <- Seq(1, 3, 8)) {

@@ -82,7 +82,106 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s38_pq_knn_graph" -> "s30's corpus-scaled two-level routing scan (corpus x sqrt-nlist broadcast supers); the data-sized candidate join is a shuffle EQUI-join on the cell id carrying m-long PQ codes, scored by the codegen integer ADC and merged by the bounded top-C aggregator; the rerank is id-keyed equi-joins over the bounded candidates",
     "s39_knn_graph_2level" -> "the two-level shrink of s30's routing: corpus x 6 broadcast SUPER-centroids (strictly smaller than the sanctioned corpus x 32), then an equi-join on the super id against the 32-row broadcast centroid table; the data-sized candidate join is s30's cell-id shuffle equi-join verbatim",
     "s40_routing_frontier" -> "the evaluation row for the routing tradeoff: s29/s36's sanctioned composition — the exact brute-force arm (ground truth), both sanctioned routing scans (corpus x 32 centroids / corpus x 6 supers), and t30's scalar shape for the per-arm count crossJoins; every data-sized join is an equi-join",
-    "d24_dedup_bias" -> "t19's scalar shape: the |sources|-row per-source aggregate crossJoins the broadcast ONE-ROW corpus-total aggregate; the data-sized work is d08's banded candidate equi-join, the CC closure, and the id-keyed source join")
+    "d24_dedup_bias" -> "t19's scalar shape: the |sources|-row per-source aggregate crossJoins the broadcast ONE-ROW corpus-total aggregate; the data-sized work is d08's banded candidate equi-join, the CC closure, and the id-keyed source join",
+    "d26_graph_upsert" -> "s30's corpus-scaled two-level routing shape for BOTH the frozen base index and the arriving shard (corpus x sqrt-nlist broadcast supers); the merge-upsert itself is cell-id and q_id equi-joins over O(n*k) edge rows",
+    "s41_pq_graph_recall" -> "the evaluation row for the PQ rerank budget: s29/s36's sanctioned composition — the exact brute-force arm (ground truth) plus s38's sanctioned routing shapes per arm; every hit count is an equi-join of two top-k sets")
+
+  /** Per-entry row bound for the vouched-tiny nested-loop side — the
+    * prose above as a CHECKED invariant (round-13 verdict item 4): for
+    * every sanctioned BNLJ the audit COUNTS the actual build side (for
+    * a cartesian, the smaller side) and fails if it exceeds the bound.
+    * Bound classes, from the prose: ONE-ROW scalar aggregates → 4;
+    * bounded query/band/domain tables → 8..64; trained centroid /
+    * codebook / weight tables → 4096 (the trainer's sampleN cap);
+    * intentional brute-force BASELINES (s01/s06/s17/d07 and the eval
+    * rows composing them) → corpus-sized at the audit sf, bounded at
+    * 1100 so a silently grown fixture still fails.
+    */
+  private val buildSideRowBound: Map[String, Long] = Map(
+    "s01_knn_bruteforce" -> 8, "s06_cosine_dbscan" -> 1100,
+    "d07_embedding_neardup" -> 1100, "q04_theta_band_join" -> 8,
+    "q18_scalar_subquery" -> 4, "s04_ivf_topk" -> 64,
+    "s23_ivf_trained_topk" -> 64, "s30_knn_graph" -> 64,
+    "m13_constellation_recall" -> 4, "s31_ivf_multiprobe" -> 64,
+    "s32_knn_graph_components" -> 64, "t46_trained_classifier" -> 4096,
+    "s12_pq_topk" -> 4096, "s13_pq_index_probe" -> 4096,
+    "s15_ivf_pq_topk" -> 4096, "s16_ivf_pq_residual" -> 4096,
+    "s24_ivf_pq_trained" -> 4096, "s20_filtered_ann" -> 4096,
+    "s17_sql_knn" -> 1100, "s21_binary_rerank" -> 64,
+    "s22_matryoshka" -> 64, "s25_sq8_rerank" -> 64,
+    "s26_mips_topk" -> 64, "s19_semantic_dedup" -> 64,
+    "s18_hybrid_search" -> 64, "t19_temperature_mix" -> 64,
+    "t50_dedup_remix" -> 64, "t22_dsir_importance" -> 4096,
+    "t23_lm_perplexity" -> 4096, "t25_histogram_threshold" -> 4096,
+    "t28_novelty" -> 4096, "t30_hll_distinct" -> 4,
+    "t31_hll_by_lang" -> 64, "t33_sketch_overlap" -> 32,
+    "t36_langid_metrics" -> 64, "t39_dedup_eval" -> 32,
+    "t40_lsh_tradeoff" -> 1100, "t41_zipf_slope" -> 4096,
+    "t43_dup_ngram_fraction" -> 4, "t45_quality_classifier" -> 64,
+    "q62_aqp_estimate" -> 4, "q65_ab_test" -> 64,
+    "q69_share_ratio" -> 64, "s27_kmeans_train" -> 64,
+    "t42_ks_drift" -> 4096, "s28_maxsim_rerank" -> 64,
+    "s29_ivf_recall_curve" -> 1100, "s33_jl_topk" -> 64,
+    "s34_margin_pairs" -> 64, "s35_graph_ann" -> 64,
+    "s36_graph_ann_recall" -> 1100, "s37_graph_index_probe" -> 64,
+    "t49_term_dispersion" -> 64, "t51_ccnet_buckets" -> 4096,
+    "t52_cluster_balance" -> 64, "m15_clip_filter" -> 4,
+    "t53_source_kl" -> 64, "s38_pq_knn_graph" -> 64,
+    "s39_knn_graph_2level" -> 64, "s40_routing_frontier" -> 1100,
+    "s41_pq_graph_recall" -> 1100, "d24_dedup_bias" -> 64,
+    "d26_graph_upsert" -> 64, "d14_semantic_decontam" -> 64,
+    "q57_gapfill_series" -> 8, "q58_decay_score" -> 4,
+    "q63_trend" -> 4, "q64_peak_concurrency" -> 4,
+    "q67_sketch_rollup" -> 64, "t34_bm25_topk" -> 4,
+    "t38_collocations" -> 4)
+
+  private def stripExchange(p: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = p match {
+    case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+      stripExchange(b.child)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      stripExchange(r.child)
+    case i: org.apache.spark.sql.execution.InputAdapter => // codegen boundary above the exchange
+      stripExchange(i.child)
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+      stripExchange(w.child)
+    case other => other
+  }
+
+  test("every sanctioned nested-loop side is ACTUALLY tiny (counted against its bound)") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // AQE off so the physical tree is traversable (the string test above
+    // audits the AQE plan; the shapes are identical at this sf)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val violations = intendedBruteForce.keys.toSeq.sorted.flatMap { name =>
+        try {
+          val bound = buildSideRowBound.getOrElse(name, -1L)
+          val plan = graft.SparkEntry.queries(name)(spark, dir)
+            .queryExecution.executedPlan
+          val counts: Seq[Long] = plan.collect {
+            case j: BroadcastNestedLoopJoinExec =>
+              val side = stripExchange(
+                if (j.buildSide == BuildLeft) j.left else j.right)
+              Seq(side.execute().count())
+            case c: CartesianProductExec =>
+              Seq(math.min(stripExchange(c.left).execute().count(),
+                stripExchange(c.right).execute().count()))
+          }.flatten
+          graft.operators.CacheScope.releaseSession(spark)
+          spark.catalog.clearCache()
+          if (bound < 0 && counts.nonEmpty)
+            Some(s"$name: whitelisted but carries no buildSideRowBound entry")
+          else counts.filter(_ > bound).headOption
+            .map(c => s"$name: nested-loop side has $c rows > bound $bound")
+        } catch {
+          case e: Throwable => Some(s"$name: audit could not count a side: $e")
+        }
+      }
+      violations shouldBe empty
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
 
   test("no unintended cartesian or nested-loop join in any batch query plan") {
     val skip = (n: String) => n.startsWith("st") // streams execute on build
