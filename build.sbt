@@ -26,15 +26,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+javaOptions ++= jdk17AddOpens ++
+  sys.env.get("SPARK_DRIVER_XMS").map(x => s"-Xms$x").toSeq ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 128 GiB box; headroom keeps GC out of the bench numbers (the
-  // 48-query session accumulates shuffle/cache structures). -Xms = -Xmx:
-  // without it the FIRST query that materializes a scale-rung working
-  // set pays the whole heap-expansion GC storm and reads 3-6x slower
-  // than identical later queries (measured on s30@100x: 95 s first vs
-  // 31 s for s32 running a strict superset of the same build).
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48-query session accumulates shuffle/cache structures). -Xms is
+  // OPT-IN (SPARK_DRIVER_XMS): pre-committing the heap fixes the
+  // scale-ladder's first-query heap-expansion storm (s30@100x: 95 s
+  // first vs 31 s for s32 running a strict superset — the ladder
+  // launcher sets it), but a fixed 24g heap measurably degrades the
+  // LONG 272-query bench session (d11 1.6 s -> 54 s in two full-board
+  // runs with -Xms, 3.5 s solo; G1's adaptive sizing never shrinks the
+  // young gen it starts with). Don't set it for full-board runs.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

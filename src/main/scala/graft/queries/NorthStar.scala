@@ -3702,6 +3702,19 @@ object NorthStar {
     "st50_stream_graph_probe" -> { (s, dir) =>
       graft.streaming.Streaming.streamGraphProbe(s, dir)
         .orderBy("q_id", "rnk")
+    },
+
+    // STREAMING k-NN-GRAPH UPSERT INTENTS — d26's incremental graph
+    // maintenance at ingest time: arriving vectors route through the
+    // FROZEN corpus-scaled two-level index locally (assets replicated
+    // into worker memory, st50's serving contract) and emit the
+    // write-ahead intents a downstream merger applies — their own
+    // top-k over the probed cells' base members, plus the (base_q →
+    // new_n) edges that beat base_q's stored 5th-best rounded cosine.
+    // The oracle replays the frozen build and every intent.
+    "st53_stream_graph_upsert" -> { (s, dir) =>
+      graft.streaming.Streaming.streamGraphUpsert(s, dir)
+        .orderBy("kind", "q_id", "n_id")
     })
 
   // ---------- oracles ----------
@@ -6122,6 +6135,59 @@ object NorthStar {
              |${armSel("cbudget_40", "h40", 40)}
              |UNION ALL ${armSel("cbudget_80", "h80", 80)}
              |ORDER BY arm""".stripMargin))
+      },
+
+      // st53: the frozen corpus-scaled base build (prelude = the s30
+      // spelling), its published top-5 thresholds, then the arriving
+      // (+100000) shard routed through the SAME frozen tables — both
+      // intent kinds replayed: per-arrival top-5 over probed cells'
+      // base members, and the base-query upserts admitted by a strict
+      // rounded-cosine beat of the stored 5th-best (short/missing row
+      // sets always admit)
+      "st53_stream_graph_upsert" -> {
+        val newtopRank =
+          s"""SELECT p.id AS q_id, a.n_id,
+             |      round(${cosSql("p.v", "a.n_vec")}, 6) AS cos_sim,
+             |      row_number() OVER (PARTITION BY p.id
+             |        ORDER BY ${cosSql("p.v", "a.n_vec")} DESC, a.n_id ASC) AS rn
+             |    FROM probeN p JOIN asg a ON a.c_id = p.c_id""".stripMargin
+        s"""${scaledGraphPreludeSql()},
+           |knn AS MATERIALIZED (SELECT q_id, n_id, cos_sim FROM (
+           |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 5),
+           |thr AS (SELECT q_id, min(cos_sim) AS t, count(*) AS c
+           |  FROM knn GROUP BY 1),
+           |arr AS (SELECT id + 100000 AS id, v FROM e),
+           |rsupN AS (SELECT id, v, s_id FROM (
+           |    SELECT a.id, a.v, s.s_id,
+           |      row_number() OVER (PARTITION BY a.id
+           |        ORDER BY ${cosSql("a.v", "s.s_vec")} DESC, s.s_id ASC) AS rn
+           |    FROM arr a, supers s) t WHERE rn <= 3),
+           |rnkN AS (SELECT id, v, c_id, rn FROM (
+           |    SELECT r.id, r.v, a.c_id,
+           |      row_number() OVER (PARTITION BY r.id
+           |        ORDER BY ${cosSql("r.v", "a.cv")} DESC, a.c_id ASC) AS rn
+           |    FROM rsupN r JOIN sasg a ON a.s_id = r.s_id) t WHERE rn <= 4),
+           |probeN AS (SELECT id, v, c_id FROM rnkN),
+           |asgN AS (SELECT id AS n_id, v AS n_vec, c_id FROM rnkN WHERE rn = 1),
+           |newtop AS (SELECT q_id, n_id, rn, cos_sim FROM (
+           |  $newtopRank) t WHERE rn <= 5),
+           |ups AS (SELECT p.q_id, aN.n_id,
+           |    round(${cosSql("p.q_vec", "aN.n_vec")}, 6) AS cos_sim
+           |  FROM probe p JOIN asgN aN ON aN.c_id = p.c_id
+           |  LEFT JOIN thr t ON t.q_id = p.q_id
+           |  WHERE t.q_id IS NULL OR t.c < 5
+           |    OR round(${cosSql("p.q_vec", "aN.n_vec")}, 6) > t.t)
+           |SELECT kind, q_id, n_id, rnk, cos_sim FROM (
+           |  SELECT 'new_topk' AS kind, q_id, n_id,
+           |    cast(rn as bigint) AS rnk, cos_sim FROM newtop
+           |  UNION ALL
+           |  SELECT 'upsert' AS kind, q_id, n_id,
+           |    cast(NULL as bigint) AS rnk, cos_sim FROM ups) u
+           |ORDER BY kind, q_id, n_id""".stripMargin
       },
 
       // d26: the BATCH-REBUILD spelling over the frozen base-trained

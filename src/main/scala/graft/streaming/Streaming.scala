@@ -2455,4 +2455,143 @@ object Streaming {
       .filter(col("n_docs") > 0L) // a fully-emptied source leaves the view
       .orderBy("source")
   }
+
+  /** STREAMING k-NN-GRAPH UPSERT INTENTS — d26's incremental graph
+    * maintenance at ingest time (the st44/st50 discipline): the base
+    * graph and its two-level quantizer are FROZEN build-once assets
+    * replicated into worker memory; each ARRIVING vector (ids shifted
+    * +100000, st50's shard convention) routes through the frozen
+    * tables LOCALLY and emits the write-ahead intents a downstream
+    * merger applies:
+    *
+    *   - kind='new_topk': the arriving vector's own top-k over the
+    *     BASE members of its probed cells (its initial adjacency row),
+    *   - kind='upsert': for every base query that PROBES the arriving
+    *     vector's assigned cell, the candidate edge (base_q → new_n)
+    *     iff it would enter base_q's current top-k — admitted when the
+    *     6-dp cosine strictly beats the stored 5th-best (or the stored
+    *     row set is short); exact ties defer to the batch merger, the
+    *     conservative choice (d26 is the full-merge batch twin).
+    *
+    * Stateless per arriving row given the broadcast assets — queries
+    * never shuffle (the serving contract). The local kernel replicates
+    * the operators' math bit for bit: DotProduct's sequential fold
+    * with per-element double cast, (cos DESC, id ASC) ties at both
+    * routing levels and the top-k, NaN rejected, HALF_UP round-6. The
+    * DuckDB oracle replays the frozen build AND every intent.
+    */
+  def streamGraphUpsert(s: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+    import s.implicits._
+    import graft.operators.{CacheScope, Similarity}
+    val scope = CacheScope.sessionScope(s)
+    val base = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = base.count()
+    if (n == 0L) // empty base: no frozen index, no intents
+      return Seq.empty[(String, Long, Long, java.lang.Long, Double)]
+        .toDF("kind", "q_id", "n_id", "rnk", "cos_sim")
+    val trained = Similarity.ivfTrainCentroidsFp(base,
+      Similarity.scaledNlist(n), hashSeed = true)
+    val (superRows, centRows) = Similarity.firstNsSuperTable(trained,
+      Similarity.scaledSuperList(trained.length))
+    val routedB = Similarity.twoLevelRouted(base, superRows, centRows,
+      nprobe, superProbe, "vec_id", "embedding", scope)
+    // frozen assets: per-cell base members / probers, vectors, and the
+    // published graph's per-query admission threshold (5th-best ROUNDED
+    // cos — the asset stores rounded values, so admission compares
+    // rounded to rounded and replays exactly)
+    val vecs: Map[Long, Array[Float]] = base
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val asgB: Array[(Long, Long)] = routedB.select(col("id"),
+        element_at(col("probes"), 1)("_1")).as[(Long, Long)].collect()
+    val probB: Array[(Long, Long)] = routedB.select(col("id"),
+        explode(col("probes")("_1"))).as[(Long, Long)].collect()
+    val thr: Map[Long, (Double, Long)] = Similarity
+      .knnGraphTailFromRouted(routedB, k)
+      .groupBy(col("q_id"))
+      .agg(min(col("cos_sim")).as("thr"), count(lit(1)).as("c"))
+      .as[(Long, Double, Long)].collect()
+      .map { case (q, t, c) => (q, (t, c)) }.toMap
+    val cellMembers: Map[Long, Array[Long]] =
+      asgB.groupBy(_._2).map { case (c, xs) => (c, xs.map(_._1).sorted) }
+    val cellProbers: Map[Long, Array[Long]] =
+      probB.groupBy(_._2).map { case (c, xs) => (c, xs.map(_._1).sorted) }
+    val sup: Array[(Long, Array[Double])] =
+      superRows.map { case (sid, v) => (sid, v.toArray) }.toArray
+    val cents: Array[(Long, Long, Array[Double])] =
+      centRows.map { case (sid, cid, v) => (sid, cid, v.toArray) }.toArray
+    val bcVecs = s.sparkContext.broadcast(vecs)
+    val bcMembers = s.sparkContext.broadcast(cellMembers)
+    val bcProbers = s.sparkContext.broadcast(cellProbers)
+    val bcThr = s.sparkContext.broadcast(thr)
+    val bcSup = s.sparkContext.broadcast(sup)
+    val bcCents = s.sparkContext.broadcast(cents)
+    // DotProduct's fold verbatim (float -> double per element); the
+    // frozen centroid tables are integral doubles
+    def dotFD(a: Array[Float], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
+    }
+    def dotDD(b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += b(i) * b(i); i += 1 }
+      acc
+    }
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cosFD(a: Array[Float], b: Array[Double]): Double =
+      dotFD(a, b) / (math.sqrt(dotFF(a, a)) * math.sqrt(dotDD(b)))
+    def cosFF(a: Array[Float], b: Array[Float]): Double =
+      dotFF(a, b) / (math.sqrt(dotFF(a, a)) * math.sqrt(dotFF(b, b)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val shard = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+        col("embedding"))
+    val intents = shard.as[(Long, Array[Float])]
+      .flatMap { case (qId, qv) =>
+        // (cos DESC, id ASC) prefix — the TopKCosAgg convention
+        def topBy(ids: Iterator[(Long, Double)], m: Int): Seq[(Long, Double)] =
+          ids.filter(!_._2.isNaN).toSeq
+            .sortBy { case (id, c) => (-c, id) }.take(m)
+        val supTop = topBy(bcSup.value.iterator
+          .map { case (sid, sv) => (sid, cosFD(qv, sv)) }, superProbe)
+          .map(_._1).toSet
+        val lvl2 = topBy(bcCents.value.iterator
+          .filter { case (sid, _, _) => supTop.contains(sid) }
+          .map { case (_, cid, cv) => (cid, cosFD(qv, cv)) }, nprobe)
+        if (lvl2.isEmpty) Iterator.empty
+        else {
+          val probedCells = lvl2.map(_._1)
+          val assignedCell = probedCells.head
+          val members = probedCells.flatMap(c =>
+            bcMembers.value.getOrElse(c, Array.empty[Long])).distinct
+          val newTop = topBy(members.iterator
+            .map(id => (id, cosFF(qv, bcVecs.value(id)))), k)
+            .zipWithIndex.map { case ((nId, c), i) =>
+              ("new_topk", qId, nId, java.lang.Long.valueOf((i + 1).toLong),
+                r6(c))
+            }
+          val ups = bcProbers.value.getOrElse(assignedCell, Array.empty[Long])
+            .iterator.map { bq => (bq, cosFF(bcVecs.value(bq), qv)) }
+            .filter(!_._2.isNaN)
+            .flatMap { case (bq, c) =>
+              val c6 = r6(c)
+              bcThr.value.get(bq) match {
+                case Some((t, cnt)) if cnt >= k && c6 <= t => None
+                case _ => Some(("upsert", bq, qId,
+                  null.asInstanceOf[java.lang.Long], c6))
+              }
+            }
+          newTop.iterator ++ ups
+        }
+      }
+      .toDF("kind", "q_id", "n_id", "rnk", "cos_sim")
+    runToTable(intents, "append")
+  }
 }
