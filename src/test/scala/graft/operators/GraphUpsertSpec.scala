@@ -39,4 +39,17 @@ class GraphUpsertSpec extends AnyFunSuite with Matchers {
     // and every vector (base + arriving) carries a full top-5
     inc.map(_._1).distinct.length shouldBe emb.count()
   }
+
+  test("degenerate shards: empty arrivals == the base build; empty base == empty graph") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val none = emb.filter($"vec_id" < 0)
+    // no arrivals: the merge is exactly the frozen base graph
+    val incNone = rows(Similarity.knnGraphIncrementalFp(emb, none, k = 5))
+    val baseOnly = rows(Similarity.knnGraphScaledFp(emb, k = 5))
+    incNone should contain theSameElementsInOrderAs baseOnly
+    // no base: nothing to freeze an index on — empty output, no throw
+    Similarity.knnGraphIncrementalFp(none, emb, k = 5).count() shouldBe 0L
+    Similarity.knnGraphScaledFp(none, k = 5).count() shouldBe 0L
+    Similarity.pqKnnGraphScaledFp(none, k = 5).count() shouldBe 0L
+  }
 }
