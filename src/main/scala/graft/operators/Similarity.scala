@@ -929,6 +929,46 @@ object Similarity {
     else g0
   }
 
+  /** [[knnEdges]] on the corpus-scaled build path — walk edges derived
+    * from [[knnGraphScaledFp]] (count-derived nlist, hash-seed
+    * training, two-level routing) instead of the fixed-nlist flat
+    * build. The registered serving family (s35/s36/s37/st50) builds
+    * its graph here so the BUILD arm carries the same scale guarantee
+    * the s30 family does: expected cell population stays at
+    * `targetList` as the corpus grows, and routing is O(n·(√nlist +
+    * superProbe·√nlist)) instead of O(n·nlist).
+    */
+  def knnEdgesScaled(corpus: DataFrame, graphK: Int, undirected: Boolean,
+      targetList: Int = 64, nprobe: Int = 4, superProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val g0 = knnGraphScaledFp(corpus, graphK, targetList, nprobe, superProbe,
+        idCol = idCol, vecCol = vecCol, scope = scope)
+      .select(col("q_id").as("node"), col("n_id").as("edge_to"))
+    if (undirected)
+      g0.unionByName(g0.select(col("edge_to").as("node"),
+        col("node").as("edge_to"))).distinct()
+    else g0
+  }
+
+  /** [[graphBeamSearch]] with the graph built by [[knnEdgesScaled]] —
+    * the registered s35 shape since round 14: the serving walk is
+    * unchanged (corpus-size-independent per query), only the build arm
+    * moves to the corpus-scaled two-level path.
+    */
+  def graphBeamSearchScaled(corpus: DataFrame, queries: DataFrame, k: Int,
+      beam: Int = 16, rounds: Int = 3, seedMod: Int = 64,
+      graphK: Int = 10, undirected: Boolean = true,
+      targetList: Int = 64, nprobe: Int = 4, superProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val graph = scope.own(knnEdgesScaled(corpus, graphK, undirected,
+        targetList, nprobe, superProbe, idCol, vecCol, scope)
+      .persist()) // read once per beam round
+    graphBeamSearchOver(graph, corpus, queries, k, beam, rounds, seedMod,
+      idCol, vecCol, scope)
+  }
+
   /** [[graphBeamSearch]] over a PREBUILT (node, edge_to) graph — the
     * multi-arm evaluation path (s36 measures recall at rounds 0/1/2
     * against one shared graph instead of retraining per arm).
@@ -2135,15 +2175,19 @@ object Similarity {
     * as (node, edge_to) parquet in the warehouse dir, rebuilt only
     * when the source files change. At 100 TB this is the nightly
     * index-build job; every query-time search reads the asset and
-    * never re-trains.
+    * never re-trains. Since round 14 the build arm is
+    * [[knnEdgesScaled]] (count-derived nlist, two-level routing) so
+    * the nightly job carries the same scale guarantee the s30 family
+    * does.
     */
   def ensureKnnGraphIndex(s: org.apache.spark.sql.SparkSession, dir: String,
-      graphK: Int = 10, nlist: Int = 32, nprobe: Int = 4)
+      graphK: Int = 10, targetList: Int = 64, nprobe: Int = 4,
+      superProbe: Int = 3)
       : DataFrame = Similarity.synchronized {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val loc = new java.io.File(
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      s"graft_knn_graph_${graphK}_${nlist}_${nprobe}_$tag")
+      s"graft_knn_graph2l_${graphK}_${targetList}_${nprobe}_${superProbe}_$tag")
     val src = new java.io.File(dir, "embeddings.parquet")
     def fpOf(f: java.io.File): Seq[String] =
       if (f.isDirectory)
@@ -2160,8 +2204,8 @@ object Similarity {
         f.delete()
       }
       Seq(loc, marker).filter(_.exists()).foreach(rm)
-      knnEdges(s.read.parquet(src.getAbsolutePath), graphK,
-          undirected = true, nlist, nprobe)
+      knnEdgesScaled(s.read.parquet(src.getAbsolutePath), graphK,
+          undirected = true, targetList, nprobe, superProbe)
         .write.mode("overwrite").parquet(loc.getAbsolutePath)
       val tmp = java.io.File.createTempFile(loc.getName, ".tmp", loc.getParentFile)
       java.nio.file.Files.write(tmp.toPath, fp.getBytes("UTF-8"))

@@ -1972,12 +1972,16 @@ object NorthStar {
     // queries; reversed edges alone 0.376→0.600 at equal walk cost).
     // Fully deterministic (cos desc, id asc), so the oracle replays
     // graph construction (trained quantizer included) AND the search.
+    // Since round 14 the BUILD arm is the corpus-scaled two-level path
+    // (count-derived nlist, hash-seed training) — the serving walk is
+    // unchanged, but the nightly graph build now carries the same
+    // scale guarantee the s30 family does.
     "s35_graph_ann" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.graphBeamSearch(emb, emb.filter($"vec_id" < 5), k = 5,
+      Similarity.graphBeamSearchScaled(emb, emb.filter($"vec_id" < 5), k = 5,
           beam = 16, rounds = 3, seedMod = 64, graphK = 10,
-          undirected = true, nlist = 32, nprobe = 4)
+          undirected = true, targetList = 64, nprobe = 4, superProbe = 3)
         .orderBy("q_id", "rnk")
     },
 
@@ -1996,8 +2000,8 @@ object NorthStar {
       val k = 5
       val truth = scope.own(Similarity.bruteForceTopK(emb, queries, k)
         .select($"q_id", $"n_id").persist()) // joined by all 4 arms
-      val graph = scope.own(Similarity.knnEdges(emb, graphK = 10,
-          undirected = true, nlist = 32, nprobe = 4)
+      val graph = scope.own(Similarity.knnEdgesScaled(emb, graphK = 10,
+          undirected = true, targetList = 64, nprobe = 4, superProbe = 3)
         .persist()) // walked by all 4 arms
       val nq = queries.count() // bounded: 5 by construction
       Seq(0, 1, 2, 3).map { r =>
@@ -3866,8 +3870,11 @@ object NorthStar {
     // s_id), per-row top-superProbe supers then top-nprobe centroids
     // within the probed super cells (cos desc, id asc — the board tie
     // rule). Emits `asg(n_id, n_vec, c_id)` (the hard assignment) and
-    // `probe(q_id, q_vec, c_id)`. Requires `e`, `cent`, `pns`.
-    def scaledRoutingSql(nprobe: Int, superProbe: Int): String = {
+    // `probe(q_id, q_vec, c_id)`. Requires `e`, `cent`, `pns`. `src`
+    // restricts the ROUTED rows (s42's survivors-only rebuild) while
+    // training stays whatever built `cent`.
+    def scaledRoutingSql(nprobe: Int, superProbe: Int,
+        src: String = "e"): String = {
       val sdot = (a: String, b: String) =>
         s"""cast(list_sum(list_transform(range(1, 65),
            |        j -> $a[j] * $b[j])) as bigint)""".stripMargin
@@ -3882,7 +3889,7 @@ object NorthStar {
          |    SELECT e.id, e.v, s.s_id,
          |      row_number() OVER (PARTITION BY e.id
          |        ORDER BY ${cosSql("e.v", "s.s_vec")} DESC, s.s_id ASC) AS rn
-         |    FROM e, supers s) t WHERE rn <= $superProbe),
+         |    FROM $src e, supers s) t WHERE rn <= $superProbe),
          |asg AS MATERIALIZED (
          |  SELECT id AS n_id, v AS n_vec, c_id FROM (
          |    SELECT r.id, r.v, a.c_id,
@@ -3903,38 +3910,31 @@ object NorthStar {
     // `trainFilter` restricts TRAINING (geometry derivation + the Lloyd
     // sample) to a base subset while routing still covers all of `e` —
     // the frozen-quantizer spelling d26's batch-rebuild oracle needs.
+    // `routeFilter` is the opposite restriction: training/geometry
+    // over all of `e` but only the surviving rows routed — the
+    // tombstone-rebuild spelling s42's oracle needs.
     def scaledGraphPreludeSql(recursive: Boolean = false,
-        trainFilter: String = ""): String = {
+        trainFilter: String = "", routeFilter: String = ""): String = {
       val (baseCte, src) =
         if (trainFilter.isEmpty) ("", "e")
         else (s",\neb AS (SELECT id, v FROM e WHERE $trainFilter)", "eb")
+      val (routeCte, routeSrc) =
+        if (routeFilter.isEmpty) ("", "e")
+        else (s",\ner AS (SELECT id, v FROM e WHERE $routeFilter)", "er")
       s"""WITH ${if (recursive) "RECURSIVE " else ""}e AS (SELECT vec_id AS id,
-         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings)$baseCte,
+         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings)$baseCte$routeCte,
          |${scaledCentSql(iters = 10, sampleN = 4096, targetList = 64, src = src)},
-         |${scaledRoutingSql(nprobe = 4, superProbe = 3)}""".stripMargin
+         |${scaledRoutingSql(nprobe = 4, superProbe = 3, src = routeSrc)}""".stripMargin
     }
 
-    // s35 / st50 share the graph-ANN beam-search replay (trained
-    // quantizer, degree-10 undirected graph, id%64 seed layer, three
-    // expand-dedup-exact-score-prune rounds); `qsSql` is the query
-    // CTE body (s35: the 5 benchmark corpus queries; st50: the
+    // s35 / st50 share the graph-ANN beam-search replay (corpus-scaled
+    // two-level build: count-derived nlist, hash-seed training, both
+    // routing levels; degree-10 undirected graph, id%64 seed layer,
+    // three expand-dedup-exact-score-prune rounds); `qsSql` is the
+    // query CTE body (s35: the 5 benchmark corpus queries; st50: the
     // +100000 arriving shard)
     def graphAnnReplaySql(qsSql: String): String =
-        s"""WITH e AS (SELECT vec_id AS id,
-           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
-           |asg AS (
-           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
-           |    SELECT e.id, e.v, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn = 1),
-           |probe AS (
-           |  SELECT q_id, q_vec, c_id FROM (
-           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn <= 4),
+        s"""${scaledGraphPreludeSql()},
            |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
            |  SELECT p.q_id, a.n_id,
            |    row_number() OVER (PARTITION BY p.q_id
@@ -5915,24 +5915,11 @@ object NorthStar {
       "st50_stream_graph_probe" -> graphAnnReplaySql(
         "SELECT id + 100000 AS q_id, v AS q_vec FROM e"),
 
-      // s36: s35's replay with rn exposed at each beam, top-5 prefix
-      // per arm (rounds 0/1/2/3), hit-joined against brute-force truth
+      // s36: s35's replay (corpus-scaled build) with rn exposed at
+      // each beam, top-5 prefix per arm (rounds 0/1/2/3), hit-joined
+      // against brute-force truth
       "s36_graph_ann_recall" ->
-        s"""WITH e AS (SELECT vec_id AS id,
-           |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
-           |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
-           |asg AS (
-           |  SELECT id AS n_id, v AS n_vec, c_id FROM (
-           |    SELECT e.id, e.v, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn = 1),
-           |probe AS (
-           |  SELECT q_id, q_vec, c_id FROM (
-           |    SELECT e.id AS q_id, e.v AS q_vec, c.c_id,
-           |      row_number() OVER (PARTITION BY e.id
-           |        ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id ASC) AS rn
-           |    FROM e, cent c) t WHERE rn <= 4),
+        s"""${scaledGraphPreludeSql()},
            |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
            |  SELECT p.q_id, a.n_id,
            |    row_number() OVER (PARTITION BY p.q_id

@@ -1377,11 +1377,11 @@ object Streaming {
     */
   def streamGraphProbe(s: SparkSession, dir: String, k: Int = 5,
       beam: Int = 16, rounds: Int = 3, seedMod: Int = 64,
-      nlist: Int = 32): DataFrame = {
+      targetList: Int = 64): DataFrame = {
     import s.implicits._
     import graft.operators.Similarity
     require(k <= beam, s"k=$k must be <= beam=$beam")
-    val graphDf = Similarity.ensureKnnGraphIndex(s, dir, nlist = nlist)
+    val graphDf = Similarity.ensureKnnGraphIndex(s, dir, targetList = targetList)
     val corpus: Array[(Long, Array[Float])] =
       s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").cast("long"), col("embedding"))

@@ -115,59 +115,12 @@ object ScaleBench {
     // fixed nlist and the ladder had to scale nlist ∝ copies by hand —
     // and still measured the flat routing scan's quadratic O(n·nlist)
     // term: s30's marginal s/copy rose 0.93 → 1.78 from 30× to 100×.)
-    // s35 walks the s30-family graph — same nlist ∝ corpus convention
-    // (constant cell population keeps the graph build's per-item cost
-    // flat; the walk itself is corpus-size-independent per query)
-    case "s35_graph_ann" => Some { (s, dir) =>
-      import org.apache.spark.sql.functions.col
-      val n = if (copies <= 1) 32 else 32 * copies
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.operators.Similarity.graphBeamSearch(emb,
-        emb.filter(col("vec_id") < 5), k = 5,
-        beam = 16, rounds = 3, seedMod = 64, graphK = 10,
-        undirected = true, nlist = n, nprobe = 4)
-    }
-    // s36 builds the same graph — without nlist ∝ corpus its fixed-32
-    // cells grow ×copies and the block join goes quadratic (measured:
-    // per-item 0.29 at 10× → 0.80 at 30× before this override)
-    case "s36_graph_ann_recall" => Some { (s, dir) =>
-      import org.apache.spark.sql.functions._
-      import graft.operators.{CacheScope, Similarity}
-      val nl = if (copies <= 1) 32 else 32 * copies
-      val scope = CacheScope.sessionScope(s)
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val queries = emb.filter(col("vec_id") < 5)
-      val k = 5
-      val truth = scope.own(Similarity.bruteForceTopK(emb, queries, k)
-        .select(col("q_id"), col("n_id")).persist())
-      val graph = scope.own(Similarity.knnEdges(emb, graphK = 10,
-        undirected = true, nlist = nl, nprobe = 4).persist())
-      val nq = queries.count()
-      Seq(0, 1, 2, 3).map { r =>
-        Similarity.graphBeamSearchOver(graph, emb, queries, k = k,
-            beam = 16, rounds = r, seedMod = 64)
-          .select(col("q_id"), col("n_id"))
-          .join(truth, Seq("q_id", "n_id"))
-          .agg(count(lit(1)).as("n_hits"))
-          .select(lit(r.toLong).as("rounds"), lit(k.toLong).as("k"),
-            lit(nq).as("n_queries"), col("n_hits"),
-            round(col("n_hits").cast("double") / (nq * k), 6).as("recall"))
-      }.reduce(_ unionByName _)
-    }
-    // s37 reads the build-once graph asset — built at nlist ∝ corpus
-    // (the nightly index job scales its quantizer with the corpus);
-    // min-of-reps then measures the probe path (rep 1 pays the build)
-    case "s37_graph_index_probe" => Some { (s, dir) =>
-      import org.apache.spark.sql.functions.col
-      import graft.operators.{CacheScope, Similarity}
-      val nl = if (copies <= 1) 32 else 32 * copies
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val graph = CacheScope.sessionScope(s).own(
-        Similarity.ensureKnnGraphIndex(s, dir, graphK = 10, nlist = nl)
-          .persist())
-      Similarity.graphBeamSearchOver(graph, emb, emb.filter(col("vec_id") < 5),
-        k = 5, beam = 16, rounds = 3, seedMod = 64)
-    }
+    // s35/s36/s37 need NO override since the round-14 serving-family
+    // re-registration: their BUILD arm is knnEdgesScaled (count-derived
+    // nlist, two-level routing), so the ladder measures the production
+    // config by construction — same reason s30/s32/s34/s38 dropped
+    // their overrides. (Before: knnEdges at hand-scaled nlist ∝ copies,
+    // which still paid the flat routing scan's O(n·nlist) term.)
     // s39: nlist ∝ corpus like s30, superList ≈ √nlist (the optimum of
     // the two-level routing cost superList + superProbe·nlist/superList)
     // — the rung that MEASURES the tree's routing win over s30's flat scan
@@ -196,14 +149,14 @@ object ScaleBench {
       graft.queries.NorthStar.pqGraphRecallQuery(s, dir,
         qMod = if (copies <= 1) 1L else 4L * copies)
     }
-    // st50 serves over the same asset — nlist ∝ corpus for the build,
-    // seedMod ∝ corpus so the per-query seed scan stays constant-cost
-    // (HNSW's sparse-upper-level contract; s35's documented knob)
+    // st50 serves over the same asset — the build self-scales since
+    // round 14; seedMod ∝ corpus keeps the per-query seed scan
+    // constant-cost (HNSW's sparse-upper-level contract; s35's
+    // documented knob)
     case "st50_stream_graph_probe" => Some { (s, dir) =>
-      val nl = if (copies <= 1) 32 else 32 * copies
       val sm = if (copies <= 1) 64 else 64 * copies
       graft.streaming.Streaming.streamGraphProbe(s, dir,
-        k = 5, beam = 16, rounds = 3, seedMod = sm, nlist = nl)
+        k = 5, beam = 16, rounds = 3, seedMod = sm)
     }
     case _ => None
   }

@@ -56,7 +56,7 @@ class GraphAnnSpec extends AnyFunSuite with Matchers {
 
   test("registered routed config: 5 ranked rows per query, measured recall floor") {
     val truth = bruteTruth(5)
-    val rows = Similarity.graphBeamSearch(emb, queries, k = 5,
+    val rows = Similarity.graphBeamSearchScaled(emb, queries, k = 5,
         beam = 16, rounds = 3, seedMod = 64, graphK = 10,
         undirected = true)
       .select($"q_id", $"n_id", $"rnk", $"cos_sim")

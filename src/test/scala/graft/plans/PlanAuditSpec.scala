@@ -71,8 +71,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s29_ivf_recall_curve" -> "the evaluation row composes two sanctioned shapes: s01's exact arm (5 broadcast queries x corpus scan — the ground truth) and s04's corpus x 32 broadcast centroid assignment; every per-arm hit count is an equi-join of two top-k sets",
     "s33_jl_topk" -> "s01's sanctioned candidate shape over the PROJECTED table: 5 broadcast 16-dim query projections x the corpus projection scan (1/4 of the s01 scan bytes, integer L2 scoring); the rerank is the same broadcast-candidate equi-join as s21",
     "s34_margin_pairs" -> "s30's corpus-scaled two-level routing scan (corpus x sqrt-nlist broadcast supers) building the kNN graph it scores; the margin stats and pair scoring are id-keyed equi-joins over the O(n*k) graph",
-    "s35_graph_ann" -> "two sanctioned shapes: s30's routing scan (corpus x 32 broadcast trained centroids) building the graph, and the seed stage's 5 broadcast queries x the 1/64 navigation slice (a fraction of s01's scan bytes); every beam round is an id-keyed equi-join",
-    "s36_graph_ann_recall" -> "the evaluation row composes three sanctioned shapes: s01's exact arm (the ground truth), s30's routing scan building the shared graph, and s35's seed slice per arm; every per-arm hit count is an equi-join of two top-k sets",
+    "s35_graph_ann" -> "two sanctioned shapes: s30's corpus-scaled two-level routing scan (corpus x sqrt-nlist broadcast supers) building the graph, and the seed stage's 5 broadcast queries x the 1/64 navigation slice (a fraction of s01's scan bytes); every beam round is an id-keyed equi-join",
+    "s36_graph_ann_recall" -> "the evaluation row composes three sanctioned shapes: s01's exact arm (the ground truth), s30's corpus-scaled two-level routing scan building the shared graph, and s35's seed slice per arm; every per-arm hit count is an equi-join of two top-k sets",
     "s37_graph_index_probe" -> "s35's seed-stage shape only (5 broadcast queries x the 1/64 navigation slice) — the graph itself is READ from the build-once parquet asset, no routing scan on the query path; beam rounds are id-keyed equi-joins",
     "t49_term_dispersion" -> "t19's scalar shape: the (token, source) count table crossJoins the broadcast ONE-ROW corpus-size aggregate; the data-sized work is the single (source, token) hash aggregate and two bounded broadcast joins (top-50 tokens, |sources| sizes)",
     "t51_ccnet_buckets" -> "t23's sanctioned scalar shape inside the LM chain (the per-doc surprisal table joins the broadcast marginal aggregates); the tertile thresholds are a |langs|-row broadcast join over the bounded |langs|x256 histogram",
