@@ -2031,6 +2031,94 @@ object Similarity {
         col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
   }
 
+  /** TOMBSTONE-AWARE k-NN GRAPH MAINTENANCE — the delete half of the
+    * d26 story: a takedown batch (GDPR erasure, copyright removal,
+    * contaminated-source purge) must leave the 100 TB graph asset as
+    * if the deleted vectors had never been indexed, WITHOUT a rebuild.
+    * Geometry and quantizer stay FROZEN on the build-time corpus (the
+    * asset's nightly training run — deleting rows does not retrain),
+    * and the tombstones fold in incrementally:
+    *
+    *   1. deleted queries' adjacency rows drop (an id anti-join),
+    *   2. AFFECTED queries — survivors holding >= 1 deleted neighbor
+    *      in their stored top-k — re-rank their probed cells over the
+    *      SURVIVING assignments only (O(|affected|·nprobe·targetList),
+    *      never a corpus rescan),
+    *   3. every other query keeps its stored edges VERBATIM — exact,
+    *      because its stored top-k all survive and survive their own
+    *      pre-truncation (deleting non-top-k candidates cannot change
+    *      a top-k that kept all its members).
+    *
+    * EXACTLY equal to the batch rebuild over the survivors under the
+    * same frozen routing — the DuckDB oracle replays that rebuild
+    * spelling (training over everyone, routing over survivors); the
+    * engine runs THIS incremental dataflow. Stored edges keep the
+    * full-precision cosine (rounding only at output) so the repair
+    * merge never reorders a near-tie.
+    *
+    * `deletedIds` is one id column; at 100 TB a takedown batch is
+    * vanishingly small next to the corpus, so its joins broadcast —
+    * but nothing here REQUIRES that: all three steps are plain
+    * anti/semi equi-joins AQE can shuffle if a purge is corpus-sized.
+    */
+  def knnGraphTombstoneFp(corpus: DataFrame, deletedIds: DataFrame, k: Int,
+      targetList: Int = 64, nprobe: Int = 4, superProbe: Int = 3,
+      iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val n = corpus.count()
+    val nlist = scaledNlist(n, targetList)
+    val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN,
+      idCol, vecCol, hashSeed = true)
+    if (trained.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("q_id", "rnk", "n_id", "cos_sim")
+    val (superRows, centRows) =
+      firstNsSuperTable(trained, scaledSuperList(trained.length))
+    val routed = twoLevelRouted(corpus, superRows, centRows, nprobe,
+      superProbe, idCol, vecCol, scope)
+    val del = deletedIds.select(
+      deletedIds(deletedIds.columns.head).cast("long").as("del_id"))
+    val asg = routed.select(col("id").as("n_id"), col("vec").as("n_vec"),
+      element_at(col("probes"), 1)("_1").as("c_id"))
+    val prb = routed.select(col("id").as("q_id"), col("vec").as("q_vec"),
+      explode(col("probes")("_1")).as("c_id"))
+    val topK = udaf(new graft.functions.TopKCosAgg(k),
+      ExpressionEncoder[(Long, Double)]())
+    def rankOf(prbSide: DataFrame, asgSide: DataFrame) = prbSide
+      .join(asgSide, Seq("c_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("q_id"))
+      .agg(topK(col("n_id"), col("cos")).as("nbrs"))
+      .select(col("q_id"), explode(col("nbrs")).as("e"))
+      .select(col("q_id"), col("e")("_1").as("n_id"), col("e")("_2").as("cos"))
+    // the frozen asset: full-corpus top-k at FULL precision (production
+    // reads this from parquet; built once, then only repaired)
+    val baseEdges = scope.own(rankOf(prb, asg).persist()) // live filter + affected scan
+    val liveEdges = baseEdges
+      .join(del, baseEdges("q_id") === del("del_id"), "left_anti")
+    val affected = liveEdges
+      .join(del, liveEdges("n_id") === del("del_id"), "left_semi")
+      .select(col("q_id")).distinct()
+    val untouched = liveEdges
+      .join(affected, Seq("q_id"), "left_anti")
+    // repair: affected queries re-rank the SURVIVING members of their
+    // probed cells — the frozen probes bound the candidate set
+    val repairs = rankOf(
+      prb.join(affected, Seq("q_id"), "left_semi"),
+      asg.join(del, asg("n_id") === del("del_id"), "left_anti"))
+    untouched.unionByName(repairs)
+      .groupBy(col("q_id"))
+      .agg(topK(col("n_id"), col("cos")).as("nbrs"))
+      .select(col("q_id"), posexplode(col("nbrs")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
+  }
+
   /** CORPUS-SCALED PQ k-NN graph — [[knnGraphScaledFp]]'s derived
     * geometry (nlist = max(32, ceil(n/targetList)), hash-seeded
     * trainer, two-level routing with ns = ceil(sqrt(nc)) first-prefix

@@ -1893,6 +1893,26 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // TOMBSTONE-AWARE GRAPH MAINTENANCE — d26's delete half: a
+    // takedown batch (GDPR erasure / contaminated-source purge — every
+    // tenth vector here) folds into the frozen graph asset without a
+    // rebuild. Deleted queries' rows drop; survivors holding a deleted
+    // neighbor re-rank their probed cells over surviving assignments
+    // only; everyone else keeps stored edges verbatim (exact — their
+    // top-k all survive). The engine runs the incremental dataflow;
+    // the ORACLE replays the batch rebuild over survivors under the
+    // same frozen full-corpus quantizer — hash-green means
+    // delete-incremental == rebuild exactly.
+    "s42_graph_tombstone" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.knnGraphTombstoneFp(emb,
+          emb.filter($"vec_id" % 10 === 3).select($"vec_id"),
+          k = 5, targetList = 64, nprobe = 4, superProbe = 3)
+        .select($"q_id", $"n_id", $"rnk", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+
     // MUTUAL-kNN SEMANTIC CLUSTERS — the composition s30 exists for:
     // keep an edge only when BOTH endpoints rank each other in their
     // top-k (the standard mutual-kNN graph — parameterless, and robust
@@ -6183,6 +6203,20 @@ object NorthStar {
       // merge-upsert dataflow proves incremental == rebuild exactly
       "d26_graph_upsert" ->
         s"""${scaledGraphPreludeSql(trainFilter = "id % 10 <> 7")}
+           |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
+           |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // s42: the BATCH-REBUILD spelling over SURVIVORS under the
+      // frozen full-corpus quantizer (training/geometry from everyone,
+      // routing over id % 10 <> 3) — hash-green against the engine's
+      // INCREMENTAL tombstone dataflow proves delete-incremental ==
+      // rebuild exactly
+      "s42_graph_tombstone" ->
+        s"""${scaledGraphPreludeSql(routeFilter = "id % 10 <> 3")}
            |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
            |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
            |    row_number() OVER (PARTITION BY p.q_id

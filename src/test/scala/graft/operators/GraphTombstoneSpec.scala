@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** s42's contract, pinned ENGINE-SIDE (the oracle pins it against
+  * DuckDB's survivors-rebuild spelling): the tombstone dataflow —
+  * frozen full-corpus quantizer, deleted queries dropped, affected
+  * survivors re-ranked over surviving assignments, untouched queries
+  * kept verbatim — equals the batch rebuild over the survivors under
+  * the same frozen routing ROW FOR ROW. The untouched-query shortcut
+  * is exact because a top-k whose members all survive is unchanged by
+  * deleting non-members.
+  */
+class GraphTombstoneSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+
+  test("incremental tombstone == survivors rebuild on the frozen quantizer") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val deleted = emb.filter($"vec_id" % 10 === 3).select($"vec_id")
+    val inc = rows(Similarity.knnGraphTombstoneFp(emb, deleted, k = 5))
+    // batch arm: geometry/quantizer from EVERYONE, routing only survivors
+    val trained = Similarity.ivfTrainCentroidsFp(emb,
+      Similarity.scaledNlist(emb.count()), hashSeed = true)
+    val (sr, cr) = Similarity.firstNsSuperTable(trained,
+      Similarity.scaledSuperList(trained.length))
+    val routed = Similarity.twoLevelRouted(emb.filter($"vec_id" % 10 =!= 3),
+      sr, cr, nprobe = 4, superProbe = 3, idCol = "vec_id",
+      vecCol = "embedding", scope = CacheScope.sessionScope(spark))
+    val batch = rows(Similarity.knnGraphTailFromRouted(routed, 5))
+    inc.length shouldBe batch.length
+    inc should contain theSameElementsInOrderAs batch
+    // no deleted id appears on either side of any surviving edge
+    val del = deleted.as[Long].collect().toSet
+    inc.foreach { case (q, _, n, _) =>
+      del should not contain q
+      del should not contain n
+    }
+  }
+
+  test("degenerate batches: empty delete == the frozen graph; delete-all == empty") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val none = emb.filter($"vec_id" < 0).select($"vec_id")
+    val tsNone = rows(Similarity.knnGraphTombstoneFp(emb, none, k = 5))
+    val baseOnly = rows(Similarity.knnGraphScaledFp(emb, k = 5))
+    tsNone should contain theSameElementsInOrderAs baseOnly
+    // purge everything: the graph empties, no throw
+    Similarity.knnGraphTombstoneFp(emb, emb.select($"vec_id"), k = 5)
+      .count() shouldBe 0L
+  }
+}

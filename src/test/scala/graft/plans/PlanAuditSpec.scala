@@ -84,7 +84,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s40_routing_frontier" -> "the evaluation row for the routing tradeoff: s29/s36's sanctioned composition — the exact brute-force arm (ground truth), both sanctioned routing scans (corpus x 32 centroids / corpus x 6 supers), and t30's scalar shape for the per-arm count crossJoins; every data-sized join is an equi-join",
     "d24_dedup_bias" -> "t19's scalar shape: the |sources|-row per-source aggregate crossJoins the broadcast ONE-ROW corpus-total aggregate; the data-sized work is d08's banded candidate equi-join, the CC closure, and the id-keyed source join",
     "d26_graph_upsert" -> "s30's corpus-scaled two-level routing shape for BOTH the frozen base index and the arriving shard (corpus x sqrt-nlist broadcast supers); the merge-upsert itself is cell-id and q_id equi-joins over O(n*k) edge rows",
-    "s41_pq_graph_recall" -> "the evaluation row for the PQ rerank budget: s29/s36's sanctioned composition — the exact brute-force arm (ground truth) plus s38's sanctioned routing shapes per arm; every hit count is an equi-join of two top-k sets")
+    "s41_pq_graph_recall" -> "the evaluation row for the PQ rerank budget: s29/s36's sanctioned composition — the exact brute-force arm (ground truth) plus s38's sanctioned routing shapes per arm; every hit count is an equi-join of two top-k sets",
+    "s42_graph_tombstone" -> "s30's corpus-scaled two-level routing shape (corpus x sqrt-nlist broadcast supers) building the frozen asset; the tombstone application is anti/semi equi-joins on the id and the repair is the cell-id equi-join over surviving assignments")
 
   /** Per-entry row bound for the vouched-tiny nested-loop side — the
     * prose above as a CHECKED invariant (round-13 verdict item 4): for
@@ -129,7 +130,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "t53_source_kl" -> 64, "s38_pq_knn_graph" -> 64,
     "s39_knn_graph_2level" -> 64, "s40_routing_frontier" -> 1100,
     "s41_pq_graph_recall" -> 1100, "d24_dedup_bias" -> 64,
-    "d26_graph_upsert" -> 64, "d14_semantic_decontam" -> 64,
+    "d26_graph_upsert" -> 64, "s42_graph_tombstone" -> 64,
+    "d14_semantic_decontam" -> 64,
     "q57_gapfill_series" -> 8, "q58_decay_score" -> 4,
     "q63_trend" -> 4, "q64_peak_concurrency" -> 4,
     "q67_sketch_rollup" -> 64, "t34_bm25_topk" -> 4,
