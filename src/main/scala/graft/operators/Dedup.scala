@@ -282,6 +282,67 @@ object Dedup {
         $"b.doc_id".as("kept_id"), ($"doc_id" === $"b.doc_id").as("is_kept"))
   }
 
+  /** TAKEDOWN RE-ELECTION — the right-to-be-forgotten pass over a
+    * deduplicated corpus: a takedown batch (`noticedIds`) leaves, and
+    * the kept/canonical assignment of the SURVIVORS must read as if
+    * the noticed docs had never been indexed — without recomputing
+    * signatures. The incremental identity this rides on: removing a
+    * doc cannot change anyone else's MinHash signature or band
+    * buckets, so the survivor corpus's candidate-pair set is EXACTLY
+    * the frozen pair set minus pairs touching a noticed id. Only the
+    * tiny edge set is re-closed (a noticed doc may have been the
+    * BRIDGE holding a component together — the closure re-splits it
+    * correctly, which a naive "keep the old cluster map" shortcut
+    * gets wrong) and the quality-argmax re-elected; the O(corpus)
+    * signature/banding work is never repeated.
+    *
+    * Returns survivors only: (doc_id, canonical_id, quality, kept_id,
+    * is_kept, was_kept_before) — `was_kept_before` is the doc's kept
+    * flag under the pre-takedown clustering (production reads it from
+    * the stored verdict asset), so `is_kept && !was_kept_before` IS
+    * the re-election audit: content whose canonical copy was taken
+    * down and which now represents its cluster.
+    */
+  def takedownReelect(docs: DataFrame, noticedIds: DataFrame,
+      textCol: String, idCol: String, quality: Column,
+      k: Int = 16, bands: Int = 4, n: Int = 3,
+      minEstSim: Double = 0.5,
+      driverMaxEdges: Long = ConnectedComponents.DefaultDriverMax,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = scope.own(
+      lshCandidatePairs(docs, textCol, idCol, k, bands, n, scope)
+        .filter($"est_sim" >= minEstSim)
+        .select($"id_a", $"id_b").persist()) // closed twice: before + after
+    val ntc = noticedIds.select(
+      col(noticedIds.columns.head).cast("long").as("ntc_id"))
+    val q = docs.select(col(idCol).cast("long").as("doc_id"),
+      quality.cast("long").as("quality"))
+    // shared verdict tail: min-id component label + quality-argmax kept
+    def verdicts(edgeSet: DataFrame, docIds: DataFrame): DataFrame = {
+      val canonMap = ConnectedComponents.componentMap(edgeSet, driverMaxEdges)
+        .select($"id", $"component".as("canon"))
+      docIds.join(canonMap, $"doc_id" === $"id", "left")
+        .select($"doc_id", coalesce($"canon", $"doc_id").as("canonical_id"))
+        .join(q, "doc_id")
+        .withColumn("b", max(struct($"quality", (-$"doc_id").as("neg_id"),
+          $"doc_id")).over(Window.partitionBy($"canonical_id")))
+        .select($"doc_id", $"canonical_id", $"quality",
+          $"b.doc_id".as("kept_id"), ($"doc_id" === $"b.doc_id").as("is_kept"))
+    }
+    val allIds = docs.select(col(idCol).cast("long").as("doc_id"))
+    val before = verdicts(pairs, allIds)
+      .select($"doc_id", $"is_kept".as("was_kept_before"))
+    val survIds = allIds.join(ntc, $"doc_id" === $"ntc_id", "left_anti")
+    val survPairs = pairs
+      .join(ntc, $"id_a" === $"ntc_id", "left_anti")
+      .join(ntc, $"id_b" === $"ntc_id", "left_anti")
+    verdicts(survPairs, survIds)
+      .join(before, "doc_id")
+      .select($"doc_id", $"canonical_id", $"quality", $"kept_id",
+        $"is_kept", $"was_kept_before")
+  }
+
   /** Build-once MinHash signature index for a corpus: `(id, minhashes)`
     * persisted as parquet in the warehouse dir, keyed by a
     * source-fingerprint marker (path + size + mtime) so it is computed

@@ -1323,6 +1323,28 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // TAKEDOWN RE-ELECTION — the right-to-be-forgotten pass over the
+    // deduplicated corpus (s42's story on the DEDUP asset): every
+    // 37th doc is noticed and leaves; signatures and candidate pairs
+    // stay FROZEN (removing a doc cannot change anyone else's bands,
+    // so survivor pairs == frozen pairs minus pairs touching a
+    // notice), only the tiny edge set re-closes — re-splitting any
+    // component the noticed doc bridged — and the quality-argmax
+    // re-elects. was_kept_before audits the re-elections: survivors
+    // whose canonical copy was taken down and who now represent the
+    // cluster. The oracle replays banding, BOTH closures, and both
+    // argmaxes end to end.
+    "d27_takedown_reelect" -> { (s, dir) =>
+      import s.implicits._
+      val mut = graft.operators.CacheScope.sessionScope(s)
+        .own(mutCorpus(s, dir).persist()) // signatures + quality + id sets
+      Dedup.takedownReelect(mut, mut.filter($"doc_id" % 37 === 5).select($"doc_id"),
+          "text", "doc_id",
+          size(array_distinct(TextAnalysis.tokens($"text"))).cast("long"),
+          k = 16, bands = 4, n = 3, minEstSim = 0.5)
+        .orderBy("doc_id")
+    },
+
     // Asymmetric containment ("is A quoted inside B?") over planted
     // excerpts — each doc's middle half re-added as a new doc: Jaccard
     // vs the original is only ~0.5, but containment(excerpt->original)
@@ -5428,6 +5450,63 @@ object NorthStar {
            |  (c.doc_id = b.kept_id) AS is_kept
            |FROM comp c JOIN q USING (doc_id)
            |JOIN best b USING (canonical_id) ORDER BY doc_id""".stripMargin,
+
+      // d27: d15's replay run TWICE from ONE banding — the full-corpus
+      // closure (was_kept_before) and the survivors-only closure over
+      // the frozen pair set minus pairs touching a noticed id (the
+      // engine's incremental identity), each with its own
+      // quality-argmax election
+      "d27_takedown_reelect" ->
+        s"""WITH RECURSIVE ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+           |p AS (SELECT pr.id_a, pr.id_b FROM pairs pr
+           |  JOIN mh a ON a.id = pr.id_a JOIN mh b ON b.id = pr.id_b
+           |  WHERE cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16
+           |    >= 0.5),
+           |e AS (SELECT id_a AS s, id_b AS d FROM p
+           |  UNION SELECT id_b, id_a FROM p),
+           |ids AS (SELECT DISTINCT doc_id AS id FROM u),
+           |reach AS (
+           |  SELECT id AS src, id AS dst FROM ids
+           |  UNION
+           |  SELECT r.src, e.d FROM reach r JOIN e ON e.s = r.dst),
+           |comp AS (SELECT src AS doc_id, min(dst) AS canonical_id
+           |  FROM reach GROUP BY src),
+           |q AS (SELECT doc_id, cast(len(list_distinct($tk)) as bigint) AS quality
+           |  FROM u),
+           |best AS (SELECT canonical_id, doc_id AS kept_id FROM (
+           |    SELECT c.canonical_id, c.doc_id,
+           |      row_number() OVER (PARTITION BY c.canonical_id
+           |        ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+           |    FROM comp c JOIN q USING (doc_id)) t WHERE rn = 1),
+           |sids AS (SELECT id FROM ids WHERE id % 37 <> 5),
+           |es AS (SELECT s, d FROM e WHERE s % 37 <> 5 AND d % 37 <> 5),
+           |reach2 AS (
+           |  SELECT id AS src, id AS dst FROM sids
+           |  UNION
+           |  SELECT r.src, es.d FROM reach2 r JOIN es ON es.s = r.dst),
+           |comp2 AS (SELECT src AS doc_id, min(dst) AS canonical_id
+           |  FROM reach2 GROUP BY src),
+           |best2 AS (SELECT canonical_id, doc_id AS kept_id FROM (
+           |    SELECT c.canonical_id, c.doc_id,
+           |      row_number() OVER (PARTITION BY c.canonical_id
+           |        ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+           |    FROM comp2 c JOIN q USING (doc_id)) t WHERE rn = 1)
+           |SELECT c.doc_id, c.canonical_id, q.quality, b.kept_id,
+           |  (c.doc_id = b.kept_id) AS is_kept,
+           |  (c.doc_id = bf.kept_id) AS was_kept_before
+           |FROM comp2 c JOIN q USING (doc_id)
+           |JOIN best2 b USING (canonical_id)
+           |JOIN comp cf ON cf.doc_id = c.doc_id
+           |JOIN best bf ON bf.canonical_id = cf.canonical_id
+           |ORDER BY doc_id""".stripMargin,
 
       // the shard ids live at >= 100000, the indexed corpus below;
       // min matched existing id per new doc, LSH-band candidates
