@@ -3761,6 +3761,20 @@ object NorthStar {
     "st53_stream_graph_upsert" -> { (s, dir) =>
       graft.streaming.Streaming.streamGraphUpsert(s, dir)
         .orderBy("kind", "q_id", "n_id")
+    },
+
+    // STREAMING TAKEDOWN INTENTS — st53's delete half: arriving
+    // notices (every tenth vector) stream-static-join the frozen
+    // graph asset and emit `drop` (the notice's own adjacency) and
+    // `invalidate` (every stored edge pointing at the notice — the
+    // holder's slot goes dirty for s42's compaction repair). Intent
+    // emission is per-notice-exact precisely BECAUSE repair is
+    // deferred to the batch compactor; the oracle replays the scaled
+    // build and both arms.
+    "st54_stream_tombstone" -> { (s, dir) =>
+      import s.implicits._
+      graft.streaming.Streaming.streamTombstoneIntents(s, dir)
+        .orderBy($"kind", $"q_id", coalesce($"n_id", lit(-1L)))
     })
 
   // ---------- oracles ----------
@@ -6288,6 +6302,27 @@ object NorthStar {
            |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
            |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+      // st54: the scaled-build replay (s30's knn tail) with both
+      // intent arms — drops straight off the notice set, invalidates
+      // from the graph ⋈ notices equi-join on the pointed-at id
+      "st54_stream_tombstone" ->
+        s"""${scaledGraphPreludeSql()},
+           |knn AS (SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
+           |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+           |WHERE rn <= 5),
+           |notices AS (SELECT id FROM e WHERE id % 10 = 3)
+           |SELECT kind, q_id, n_id, rnk, cos_sim FROM (
+           |  SELECT 'drop' AS kind, n.id AS q_id,
+           |    cast(NULL as bigint) AS n_id, cast(NULL as bigint) AS rnk,
+           |    cast(NULL as double) AS cos_sim FROM notices n
+           |  UNION ALL
+           |  SELECT 'invalidate', g.q_id, g.n_id, g.rnk, g.cos_sim
+           |  FROM knn g JOIN notices n ON g.n_id = n.id) t
+           |ORDER BY kind, q_id, coalesce(n_id, -1)""".stripMargin,
 
       // s42: the BATCH-REBUILD spelling over SURVIVORS under the
       // frozen full-corpus quantizer (training/geometry from everyone,

@@ -2594,4 +2594,46 @@ object Streaming {
       .toDF("kind", "q_id", "n_id", "rnk", "cos_sim")
     runToTable(intents, "append")
   }
+
+  /** STREAMING TAKEDOWN INTENTS (st54) — st53's delete half: takedown
+    * notices arrive as a stream and emit the write-ahead intents a
+    * downstream merger applies against the published k-NN graph asset:
+    *
+    *   - `drop`: the noticed id's own adjacency list is removed;
+    *   - `invalidate`: every stored edge POINTING AT the noticed id —
+    *     the holder's slot goes dirty, queueing it for the compaction
+    *     repair ([[graft.operators.Similarity.knnGraphTombstoneFp]]'s
+    *     re-rank). Splitting intent emission (streaming, per notice)
+    *     from repair (batch compaction over the accumulated notice
+    *     set) is what keeps each intent EXACT: a repair computed
+    *     per-notice would be wrong whenever two notices hit the same
+    *     holder's top-k.
+    *
+    * The Spark shape is the serving-side ideal: a STREAM-STATIC
+    * equi-join of the notice stream against the frozen graph asset on
+    * the pointed-at id — no state store, no watermark, append mode;
+    * at 100 TB the asset side is a parquet table and AQE/broadcast
+    * handles the join side choice. The oracle replays the scaled
+    * graph build and both intent arms.
+    */
+  def streamTombstoneIntents(s: SparkSession, dir: String, k: Int = 5,
+      targetList: Int = 64, nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+    import graft.operators.{CacheScope, Similarity}
+    val scope = CacheScope.sessionScope(s)
+    val base = s.read.parquet(s"$dir/embeddings.parquet")
+    // the frozen published asset: ranks + rounded cosines (s30's shape)
+    val graph = scope.own(Similarity.knnGraphScaledFp(base, k, targetList,
+        nprobe, superProbe).persist())
+    val notices = graft.sources.Sources.embeddingsStream(s, dir)
+      .filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id").cast("long").as("del_id"))
+    val drops = notices.select(lit("drop").as("kind"),
+      col("del_id").as("q_id"), lit(null).cast("long").as("n_id"),
+      lit(null).cast("long").as("rnk"), lit(null).cast("double").as("cos_sim"))
+    val invalidates = notices
+      .join(graph, notices("del_id") === graph("n_id"))
+      .select(lit("invalidate").as("kind"), graph("q_id"), graph("n_id"),
+        graph("rnk").cast("long").as("rnk"), graph("cos_sim"))
+    runToTable(drops.unionByName(invalidates), "append")
+  }
 }
