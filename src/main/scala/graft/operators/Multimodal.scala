@@ -48,6 +48,15 @@ final case class SyncLag(
     best_lag: Long,
     best_score: Long)
 
+/** One row per speech/active segment (m17): its block span, the
+  * segment-level twin of [[VadSegments]]'s per-asset aggregate.
+  */
+final case class SpeechSpan(
+    doc_id: Long,
+    seg: Long,
+    b_start: Long,
+    b_end: Long)
+
 /** One row per detected shot (m12): its frame span and the selected
   * keyframe — the sharpest frame by the integer variance proxy.
   */
@@ -604,6 +613,83 @@ object Multimodal {
           out
         }
       }
+  }
+
+  /** Per-segment spans of the [[vadSegments]] run structure — one row
+    * per active run with its inclusive 0-based block span. Same
+    * threshold compare (blockSum >= thr·blockLen, exact integers),
+    * same iterator-to-iterator contract; this is the table the
+    * cross-modal alignment joins consume (m17), where m08's per-asset
+    * aggregate can't say WHERE the speech sits.
+    */
+  def vadSpans(spark: SparkSession, docsWithPayload: DataFrame,
+      idCol: String = "doc_id", thr: Int = 100): Dataset[SpeechSpan] = {
+    import spark.implicits._
+    docsWithPayload
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SpeechSpan]
+          var b = -1L; var seg = -1L; var runStart = -1L
+          payload.grouped(StubCodec.BlockSize).foreach { blk =>
+            b += 1
+            var s = 0L; var j = 0
+            while (j < blk.length) { s += blk(j) & 0xff; j += 1 }
+            if (s >= thr.toLong * blk.length) {
+              if (runStart < 0) { seg += 1; runStart = b }
+            } else if (runStart >= 0) {
+              out += SpeechSpan(id, seg, runStart, b - 1); runStart = -1
+            }
+          }
+          if (runStart >= 0) out += SpeechSpan(id, seg, runStart, b)
+          out
+        }
+      }
+  }
+
+  /** SPEECH-SHOT COVERAGE (m17) — the cross-modal ALIGNMENT join an
+    * A/V curation pipeline runs after segmentation: the audio track's
+    * speech spans ([[vadSpans]]) interval-join the video track's shot
+    * spans ([[shotKeyframes]]) on the shared block/frame grid, and
+    * each shot reads off how much of it carries speech — the signal
+    * that filters silent shots (credits, slates, b-roll) before
+    * captioning, and routes speech-dense shots to transcription.
+    *
+    * The Spark shape is the production one: segments and shots are
+    * OUTPUTS OF SEPARATE EXTRACTION JOBS (two tables, not one zipped
+    * pass), so alignment is an equi-join on the asset id with the
+    * range-overlap predicate riding on it — the join key carries the
+    * shuffle, the per-asset span lists are small, and the overlap
+    * filter evaluates post-match. Active runs are disjoint by
+    * construction, so summing per-overlap clipped lengths is exactly
+    * the count of speech blocks inside the shot. A LEFT join keeps
+    * silent shots (the rows the filter exists for).
+    */
+  def speechShotCoverage(spark: SparkSession, docsWithPayload: DataFrame,
+      idCol: String = "doc_id", vadThr: Int = 95, cutThr: Long = 96L,
+      scope: CacheScope = CacheScope.session): DataFrame = {
+    val withP = scope.own(docsWithPayload.persist()) // two extraction passes
+    val shots = shotKeyframes(spark, withP, idCol, cutThr).toDF()
+      .select(col("doc_id"), col("shot"), col("start_f"), col("end_f"))
+    val segs = vadSpans(spark, withP, idCol, vadThr).toDF()
+      .select(col("doc_id").as("s_doc"), col("b_start"), col("b_end"))
+    // least/greatest IGNORE nulls (Spark and DuckDB alike), so an
+    // unmatched LEFT-join row would read as full-shot coverage — the
+    // null guard is load-bearing, not defensive
+    val overlap = when(col("b_start").isNull, lit(0L)).otherwise(
+      least(col("b_end"), col("end_f")) - greatest(col("b_start"), col("start_f")) + lit(1L))
+    shots.join(segs, col("doc_id") === col("s_doc") &&
+        col("b_start") <= col("end_f") && col("b_end") >= col("start_f"),
+        "left")
+      .groupBy(col("doc_id"), col("shot"), col("start_f"), col("end_f"))
+      .agg(coalesce(sum(overlap), lit(0L)).as("speech_blocks"))
+      .select(col("doc_id"), col("shot"), col("start_f"), col("end_f"),
+        (col("end_f") - col("start_f") + 1).as("shot_blocks"),
+        col("speech_blocks"),
+        round(col("speech_blocks").cast("double")
+          / (col("end_f") - col("start_f") + 1), 6).as("speech_frac"),
+        (col("speech_blocks") === 0L).as("is_silent"))
   }
 
   /** Byte-entropy screen (m10): Shannon entropy of each payload's byte

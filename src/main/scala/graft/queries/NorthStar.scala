@@ -3284,6 +3284,24 @@ object NorthStar {
         .orderBy("doc_id", "shot")
     },
 
+    // SPEECH-SHOT COVERAGE — the cross-modal ALIGNMENT join (subtitle/
+    // transcript alignment's shape): m08's speech spans interval-join
+    // m12's shot spans on the shared block grid, and each shot reads
+    // off its speech fraction — the silent-shot filter (credits,
+    // slates, b-roll) and the transcription router. Two extraction
+    // outputs joined on the asset id with the range predicate riding
+    // the equi-join; LEFT join keeps the silent shots. The oracle
+    // replays both segmentations (gaps-and-islands for the runs) and
+    // the clipped-overlap sum.
+    "m17_speech_coverage" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Multimodal.speechShotCoverage(s,
+          Multimodal.withBinaryPayload(docs.select($"doc_id", $"text"), "text"),
+          vadThr = 95, cutThr = 96L)
+        .orderBy("doc_id", "shot")
+    },
+
     // CONSTELLATION MATCH RECALL as an oracle row (s29/t39's move for
     // the fingerprint subsystem): the planted ground truth is m11's —
     // every 25th doc's frame-aligned middle third IS its own source —
@@ -7667,6 +7685,56 @@ object NorthStar {
           |FROM agg a JOIN g ON g.doc_id = a.doc_id AND g.shot = a.shot
           |  AND g.rn = 1
           |ORDER BY a.doc_id, a.shot""".stripMargin,
+
+      // m17: m12's shot CTEs (minus the keyframe) + m08's activity
+      // verdicts turned into run SPANS by gaps-and-islands, then the
+      // interval-overlap LEFT join and the clipped-overlap sum —
+      // speech_blocks cast to BIGINT (DuckDB sums to HUGEINT)
+      "m17_speech_coverage" ->
+        """WITH t AS (SELECT doc_id, list_transform(string_split(text, ''),
+          |    c -> cast(ascii(c) as bigint)) AS codes FROM documents),
+          |b AS (SELECT doc_id, len(codes) AS n,
+          |    cast(ceil(len(codes) / 16.0) as int) AS nb, codes FROM t),
+          |fr AS (SELECT doc_id, i AS f,
+          |    cast(list_sum(codes[i*16+1 : least(n, (i+1)*16)]) as bigint)
+          |      AS s,
+          |    cast(least(n, (i+1)*16) - i*16 as bigint) AS bl
+          |  FROM b, unnest(range(0, nb)) AS u(i)),
+          |j AS (SELECT doc_id, f, s, bl,
+          |    CASE WHEN lag(s) OVER w IS NULL THEN 0
+          |      WHEN abs(s - lag(s) OVER w) > 96 THEN 1 ELSE 0 END AS cut
+          |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+          |sid AS (SELECT doc_id, f, s, bl,
+          |    cast(sum(cut) OVER (PARTITION BY doc_id ORDER BY f)
+          |      as bigint) AS shot
+          |  FROM j),
+          |shots AS (SELECT doc_id, shot, min(f) AS start_f, max(f) AS end_f
+          |  FROM sid GROUP BY 1, 2),
+          |act AS (SELECT doc_id, f,
+          |    CASE WHEN s >= 95 * bl THEN 1 ELSE 0 END AS a FROM sid),
+          |segs AS (SELECT doc_id, min(f) AS b_start, max(f) AS b_end FROM (
+          |    SELECT doc_id, f, a,
+          |      f - row_number() OVER (PARTITION BY doc_id, a ORDER BY f)
+          |        AS grp
+          |    FROM act) t2
+          |  WHERE a = 1 GROUP BY doc_id, grp)
+          |SELECT sh.doc_id, sh.shot, sh.start_f, sh.end_f,
+          |  sh.end_f - sh.start_f + 1 AS shot_blocks,
+          |  cast(coalesce(sum(CASE WHEN g.b_start IS NULL THEN 0
+          |    ELSE least(g.b_end, sh.end_f)
+          |      - greatest(g.b_start, sh.start_f) + 1 END), 0) as bigint)
+          |    AS speech_blocks,
+          |  round(cast(coalesce(sum(CASE WHEN g.b_start IS NULL THEN 0
+          |      ELSE least(g.b_end, sh.end_f)
+          |        - greatest(g.b_start, sh.start_f) + 1 END), 0) as double)
+          |    / (sh.end_f - sh.start_f + 1), 6) AS speech_frac,
+          |  coalesce(sum(CASE WHEN g.b_start IS NULL THEN 0
+          |    ELSE least(g.b_end, sh.end_f)
+          |      - greatest(g.b_start, sh.start_f) + 1 END), 0) = 0 AS is_silent
+          |FROM shots sh LEFT JOIN segs g ON g.doc_id = sh.doc_id
+          |  AND g.b_start <= sh.end_f AND g.b_end >= sh.start_f
+          |GROUP BY sh.doc_id, sh.shot, sh.start_f, sh.end_f
+          |ORDER BY sh.doc_id, sh.shot""".stripMargin,
 
       // aHash over ascii codes (the corpus is ASCII, so char codes ==
       // payload bytes, the m02/m03 convention); 4 x 16-bit bands,

@@ -90,7 +90,9 @@ object ScaleBench {
     "t54_leakage_safe_split", "s39_knn_graph_2level", "m16_av_sync",
     "d24_dedup_bias", "st51_stream_source_kl", "d25_bloom_decontaminate",
     "st52_stream_av_sync", "d26_graph_upsert", "s40_routing_frontier",
-    "s41_pq_graph_recall", "st53_stream_graph_upsert")
+    "s41_pq_graph_recall", "st53_stream_graph_upsert",
+    "s42_graph_tombstone", "d27_takedown_reelect", "st54_stream_tombstone",
+    "m17_speech_coverage")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
