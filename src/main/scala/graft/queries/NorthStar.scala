@@ -1935,6 +1935,28 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // TOMBSTONE-MASKED SERVING — the third leg of the takedown story
+    // (st54 logs intents, s42 compacts, THIS serves correctly in
+    // between): the beam search runs over the UNCHANGED graph asset
+    // but tombstoned ids are masked from the scoring table — they
+    // cannot seed, cannot occupy a beam slot a live result could use,
+    // cannot be returned — so takedowns are honored immediately, at
+    // zero build cost, until the compactor catches up. Engine-side
+    // the mask is just the survivor corpus as graphBeamSearchOver's
+    // scoring table; the oracle replays the full-corpus build and the
+    // masked walk.
+    "s43_tombstone_serving" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val graph = graft.operators.CacheScope.sessionScope(s).own(
+        Similarity.knnEdgesScaled(emb, graphK = 10, undirected = true,
+          targetList = 64, nprobe = 4, superProbe = 3).persist())
+      Similarity.graphBeamSearchOver(graph, emb.filter($"vec_id" % 10 =!= 3),
+          emb.filter($"vec_id" < 5), k = 5, beam = 16, rounds = 3,
+          seedMod = 64)
+        .orderBy("q_id", "rnk")
+    },
+
     // MUTUAL-kNN SEMANTIC CLUSTERS — the composition s30 exists for:
     // keep an edge only when BOTH endpoints rank each other in their
     // top-k (the standard mutual-kNN graph — parameterless, and robust
@@ -4007,8 +4029,14 @@ object NorthStar {
     // three expand-dedup-exact-score-prune rounds); `qsSql` is the
     // query CTE body (s35: the 5 benchmark corpus queries; st50: the
     // +100000 arriving shard)
-    def graphAnnReplaySql(qsSql: String): String =
-        s"""${scaledGraphPreludeSql()},
+    def graphAnnReplaySql(qsSql: String, scoreMask: String = ""): String = {
+      // the SERVING-side scoring table: `scoreMask` (s43) removes
+      // tombstoned ids from seeds, every beam, and the final read —
+      // the graph asset (knn/knnu, built over full `e`) is unchanged
+      val (maskCte, sv) =
+        if (scoreMask.isEmpty) ("", "e")
+        else (s",\nms AS (SELECT id, v FROM e WHERE $scoreMask)", "ms")
+      s"""${scaledGraphPreludeSql()}$maskCte,
            |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
            |  SELECT p.q_id, a.n_id,
            |    row_number() OVER (PARTITION BY p.q_id
@@ -4023,7 +4051,7 @@ object NorthStar {
            |  SELECT qq.q_id, e.id AS n_id,
            |    row_number() OVER (PARTITION BY qq.q_id
            |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, e.id ASC) AS rn
-           |  FROM qs qq JOIN e ON e.id % 64 = 0 AND e.id <> qq.q_id) t
+           |  FROM qs qq JOIN $sv e ON e.id % 64 = 0 AND e.id <> qq.q_id) t
            |  WHERE rn <= 16),
            |c1 AS (SELECT DISTINCT q_id, n_id FROM (
            |  SELECT q_id, n_id FROM s0
@@ -4034,7 +4062,7 @@ object NorthStar {
            |  SELECT c.q_id, c.n_id,
            |    row_number() OVER (PARTITION BY c.q_id
            |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
-           |  FROM c1 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |  FROM c1 c JOIN qs qq ON qq.q_id = c.q_id JOIN $sv e ON e.id = c.n_id) t
            |  WHERE rn <= 16),
            |c2 AS (SELECT DISTINCT q_id, n_id FROM (
            |  SELECT q_id, n_id FROM s1
@@ -4045,7 +4073,7 @@ object NorthStar {
            |  SELECT c.q_id, c.n_id,
            |    row_number() OVER (PARTITION BY c.q_id
            |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
-           |  FROM c2 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |  FROM c2 c JOIN qs qq ON qq.q_id = c.q_id JOIN $sv e ON e.id = c.n_id) t
            |  WHERE rn <= 16),
            |c3 AS (SELECT DISTINCT q_id, n_id FROM (
            |  SELECT q_id, n_id FROM s2
@@ -4057,8 +4085,9 @@ object NorthStar {
            |    round(${cosSql("qq.q_vec", "e.v")}, 6) AS cos_sim,
            |    row_number() OVER (PARTITION BY c.q_id
            |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
-           |  FROM c3 c JOIN qs qq ON qq.q_id = c.q_id JOIN e ON e.id = c.n_id) t
+           |  FROM c3 c JOIN qs qq ON qq.q_id = c.q_id JOIN $sv e ON e.id = c.n_id) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
+    }
 
     // s24 / s38 share the FULLY-TRAINED residual IVFxPQ replay
     // (trained coarse quantizer, integer-Lloyd residual codebook,
@@ -6045,6 +6074,13 @@ object NorthStar {
       // the +100000 arriving shard — stream serving == batch math
       "st50_stream_graph_probe" -> graphAnnReplaySql(
         "SELECT id + 100000 AS q_id, v AS q_vec FROM e"),
+
+      // s43: s35's replay with the tombstone mask on the SCORING
+      // table only — the graph asset (knn/knnu) is still built over
+      // everyone; masked ids cannot seed, hold a beam slot, or be read
+      "s43_tombstone_serving" -> graphAnnReplaySql(
+        "SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5",
+        scoreMask = "id % 10 <> 3"),
 
       // s36: s35's replay (corpus-scaled build) with rn exposed at
       // each beam, top-5 prefix per arm (rounds 0/1/2/3), hit-joined

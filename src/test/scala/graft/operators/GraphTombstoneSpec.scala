@@ -44,6 +44,22 @@ class GraphTombstoneSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("masked serving (s43): full k live results per query, no tombstoned id") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val graph = Similarity.knnEdgesScaled(emb, graphK = 10, undirected = true)
+      .persist()
+    val got = Similarity.graphBeamSearchOver(graph,
+        emb.filter($"vec_id" % 10 =!= 3), emb.filter($"vec_id" < 5),
+        k = 5, beam = 16, rounds = 3, seedMod = 64)
+      .select($"q_id", $"n_id", $"rnk".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    graph.unpersist()
+    // the tombstoned region still has live density: every query gets
+    // its full k, and none of it is a deleted id
+    got.groupBy(_._1).values.foreach(_.map(_._3).sorted shouldBe (1L to 5L))
+    got.foreach { case (_, n, _) => (n % 10) should not be 3L }
+  }
+
   test("degenerate batches: empty delete == the frozen graph; delete-all == empty") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val none = emb.filter($"vec_id" < 0).select($"vec_id")
