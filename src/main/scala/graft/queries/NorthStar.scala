@@ -3815,6 +3815,19 @@ object NorthStar {
       import s.implicits._
       graft.streaming.Streaming.streamTombstoneIntents(s, dir)
         .orderBy($"kind", $"q_id", coalesce($"n_id", lit(-1L)))
+    },
+
+    // STREAMING CONTENT-TAKEDOWN PROPAGATION — the content-level
+    // policy (d27 is the doc-level one): an arriving notice purges its
+    // WHOLE near-dup cluster via two stream-static equi-joins against
+    // the frozen d08 cluster map — including copies under ids the
+    // notifier never saw (each base notice drags its planted +100000
+    // mutant out with it). The oracle replays d08's closure and both
+    // joins.
+    "st55_stream_takedown_propagate" -> { (s, dir) =>
+      graft.streaming.Streaming.streamTakedownPropagate(s, dir,
+          mutCorpus(s, dir))
+        .orderBy("ntc_id", "member")
     })
 
   // ---------- oracles ----------
@@ -5345,6 +5358,37 @@ object NorthStar {
            |SELECT src AS doc_id, min(dst) AS canonical_id,
            |  (src = min(dst)) AS is_kept
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+      // st55: d08's closure → the notice's cluster → fan-out to every
+      // member (base notices only — the stream carries base docs)
+      "st55_stream_takedown_propagate" ->
+        s"""WITH RECURSIVE ${shingleSql(mutCorpusSql)}, $mhSql,
+           |bands AS (
+           |  SELECT id, 0 AS band_no, array_to_string(mh[1:4], '-') AS sig FROM mh
+           |  UNION ALL SELECT id, 1, array_to_string(mh[5:8], '-') FROM mh
+           |  UNION ALL SELECT id, 2, array_to_string(mh[9:12], '-') FROM mh
+           |  UNION ALL SELECT id, 3, array_to_string(mh[13:16], '-') FROM mh),
+           |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM bands x JOIN bands y
+           |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
+           |p AS (SELECT pr.id_a, pr.id_b FROM pairs pr
+           |  JOIN mh a ON a.id = pr.id_a JOIN mh b ON b.id = pr.id_b
+           |  WHERE cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16
+           |    >= 0.5),
+           |ee AS (SELECT id_a AS s, id_b AS d FROM p
+           |  UNION SELECT id_b, id_a FROM p),
+           |ids AS (SELECT DISTINCT doc_id AS id FROM u),
+           |reach AS (
+           |  SELECT id AS src, id AS dst FROM ids
+           |  UNION
+           |  SELECT r.src, ee.d FROM reach r JOIN ee ON ee.s = r.dst),
+           |comp AS (SELECT src AS doc_id, min(dst) AS canonical_id
+           |  FROM reach GROUP BY src),
+           |ntc AS (SELECT doc_id AS ntc_id, canonical_id FROM comp
+           |  WHERE doc_id % 37 = 5 AND doc_id < 100000)
+           |SELECT n.ntc_id, n.canonical_id, m.doc_id AS member
+           |FROM ntc n JOIN comp m ON m.canonical_id = n.canonical_id
+           |ORDER BY n.ntc_id, member""".stripMargin,
 
       // d24: d08's closure → kept verdicts → source attach → per-source
       // kept rate + bias index vs the corpus rate (scalar subqueries)

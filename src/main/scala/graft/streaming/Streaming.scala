@@ -2636,4 +2636,37 @@ object Streaming {
         graph("rnk").cast("long").as("rnk"), graph("cos_sim"))
     runToTable(drops.unionByName(invalidates), "append")
   }
+
+  /** STREAMING CONTENT-TAKEDOWN PROPAGATION (st55) — the CONTENT-level
+    * takedown policy (d27 models the doc-level one): a notice names a
+    * doc, but the thing being taken down is its CONTENT, so every
+    * member of its near-dup cluster must leave with it — including
+    * copies under other ids the notifier never saw. Arriving notices
+    * stream-static-join the FROZEN cluster map (the stored d08 verdict
+    * asset) twice: once to resolve the notice's cluster, once to fan
+    * out to every member — two equi-joins, no state store, append
+    * mode. Per-notice exactness is free here: membership is a pure
+    * lookup in the frozen map, so overlapping notices just emit
+    * overlapping purge intents the merger dedups.
+    */
+  def streamTakedownPropagate(s: SparkSession, dir: String,
+      corpus: DataFrame): DataFrame = {
+    import graft.operators.{CacheScope, Dedup}
+    val scope = CacheScope.sessionScope(s)
+    val verdicts = scope.own(
+      Dedup.dedupVerdicts(corpus, "text", "doc_id",
+          k = 16, bands = 4, n = 3, minEstSim = 0.5)
+        .select(col("doc_id"), col("canonical_id"))
+        .persist()) // resolved once, joined twice
+    val notices = graft.sources.Sources.documentsStream(s, dir)
+      .filter(col("doc_id") % 37 === 5)
+      .select(col("doc_id").cast("long").as("ntc_id"))
+    notices
+      .join(verdicts.select(col("doc_id").as("ntc_id"), col("canonical_id")),
+        "ntc_id")
+      .join(verdicts.select(col("canonical_id"), col("doc_id").as("member")),
+        "canonical_id")
+      .select(col("ntc_id"), col("canonical_id"), col("member"))
+      .transform(runToTable(_, "append"))
+  }
 }
