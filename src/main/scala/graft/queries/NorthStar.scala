@@ -1485,6 +1485,22 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // RENDEZVOUS (HRW) SHARD ASSIGNMENT — the incremental re-sharding
+    // primitive of a 100 TB store: shard(d) = argmax_s of the
+    // double-applied portable-family weight (ties → lowest s), and
+    // when the shard count grows 8 → 9 a doc either keeps its shard
+    // or moves to the NEW one (the HRW minimal-movement theorem) —
+    // expected movement n/9 instead of a full reshuffle. One explode
+    // generator + two bounded argmax aggregates over the same frame;
+    // never a join. The oracle replays the exact integer weights and
+    // both argmaxes.
+    "t55_rendezvous_shards" -> { (s, dir) =>
+      import s.implicits._
+      Mixture.rendezvousShards(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", k = 8, k2 = 9)
+        .orderBy("doc_id")
+    },
+
     // BLOOM-GATED DECONTAMINATION — d10's verdicts through the
     // at-100-TB plan: the test set's distinct shingles fold into a
     // KB-sized Bloom bitset (q61's runtime-filter machinery), every
@@ -5190,6 +5206,24 @@ object NorthStar {
 
       // t54: d04's banded-candidate replay + the hash split; any
       // cross-boundary candidate evicts its train side
+      // t55: the exact integer weights over the unnested shard range,
+      // both argmaxes as window ranks (weight DESC, shard ASC)
+      "t55_rendezvous_shards" ->
+        s"""WITH w AS (SELECT doc_id, s,
+           |    ${Mixture.rendezvousWeightSql("doc_id", "s")} AS w
+           |  FROM documents, unnest(range(0, 9)) AS u(s)),
+           |a AS (SELECT doc_id, s AS shard_k FROM (
+           |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY w DESC, s ASC) AS rn FROM w WHERE s < 8) t
+           |  WHERE rn = 1),
+           |b AS (SELECT doc_id, s AS shard_k2 FROM (
+           |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY w DESC, s ASC) AS rn FROM w) t
+           |  WHERE rn = 1)
+           |SELECT a.doc_id, a.shard_k, b.shard_k2,
+           |  a.shard_k <> b.shard_k2 AS moved
+           |FROM a JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin,
+
       "t54_leakage_safe_split" ->
         s"""WITH ${shingleSql(mutCorpusSql)}, $mhSql,
            |bands AS (

@@ -51,6 +51,29 @@ class MixtureSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("rendezvousShards: HRW minimal movement + balance (t55)") {
+    import spark.implicits._
+    val docs = (0L until 2000L).toDF("doc_id")
+    val rows = Mixture.rendezvousShards(docs, "doc_id", k = 8, k2 = 9)
+      .as[(Long, Long, Long, Boolean)].collect()
+    rows.length shouldBe 2000
+    // the HRW theorem: growing 8 -> 9 moves a doc ONLY to the new shard
+    rows.foreach { case (_, s8, s9, moved) =>
+      moved shouldBe (s8 != s9)
+      if (moved) s9 shouldBe 8L
+    }
+    // movement ~ n/9 (loose factor-of-2 band, deterministic data)
+    val nMoved = rows.count(_._4)
+    nMoved should be > 2000 / 18
+    nMoved should be < 2000 * 2 / 9
+    // balance: every shard within 2x of the even share at k=8
+    val byShard = rows.groupBy(_._2).view.mapValues(_.length)
+    byShard.values.foreach { n =>
+      n should be > 2000 / 16
+      n should be < 2000 / 4
+    }
+  }
+
   test("globalRunningSum == naive single-window, any shard count") {
     val df = corpus(500)
     for (nShards <- Seq(1, 3, 8)) {
