@@ -1951,6 +1951,30 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // SERVING THE UPSERT-MAINTAINED ASSET — s43's mirror on the
+    // upsert side: the beam search walks the graph that d26's
+    // incremental merge-upsert MAINTAINS (frozen base-trained
+    // quantizer, %10==7 arrivals folded in) — never a rebuilt one —
+    // and must return exactly what serving the batch-rebuilt asset
+    // would. The LSM read contract of a living vector index: the
+    // query path composes the asset with its maintenance stream's
+    // folded output. Oracle = the beam replay over the
+    // frozen-quantizer (trainFilter) build.
+    "s44_graph_serve_upserted" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val g0 = Similarity.knnGraphIncrementalFp(
+          emb.filter($"vec_id" % 10 =!= 7), emb.filter($"vec_id" % 10 === 7),
+          k = 10, targetList = 64, nprobe = 4, superProbe = 3)
+        .select($"q_id".as("node"), $"n_id".as("edge_to"))
+      val graph = graft.operators.CacheScope.sessionScope(s).own(
+        g0.unionByName(g0.select($"edge_to".as("node"), $"node".as("edge_to")))
+          .distinct().persist())
+      Similarity.graphBeamSearchOver(graph, emb, emb.filter($"vec_id" < 5),
+          k = 5, beam = 16, rounds = 3, seedMod = 64)
+        .orderBy("q_id", "rnk")
+    },
+
     // TOMBSTONE-MASKED SERVING — the third leg of the takedown story
     // (st54 logs intents, s42 compacts, THIS serves correctly in
     // between): the beam search runs over the UNCHANGED graph asset
@@ -4058,14 +4082,18 @@ object NorthStar {
     // three expand-dedup-exact-score-prune rounds); `qsSql` is the
     // query CTE body (s35: the 5 benchmark corpus queries; st50: the
     // +100000 arriving shard)
-    def graphAnnReplaySql(qsSql: String, scoreMask: String = ""): String = {
+    def graphAnnReplaySql(qsSql: String, scoreMask: String = "",
+        trainFilter: String = ""): String = {
       // the SERVING-side scoring table: `scoreMask` (s43) removes
       // tombstoned ids from seeds, every beam, and the final read —
-      // the graph asset (knn/knnu, built over full `e`) is unchanged
+      // the graph asset (knn/knnu, built over full `e`) is unchanged.
+      // `trainFilter` (s44) freezes training/geometry on the base
+      // subset while routing covers everyone — the d26-maintained
+      // asset's replay spelling.
       val (maskCte, sv) =
         if (scoreMask.isEmpty) ("", "e")
         else (s",\nms AS (SELECT id, v FROM e WHERE $scoreMask)", "ms")
-      s"""${scaledGraphPreludeSql()}$maskCte,
+      s"""${scaledGraphPreludeSql(trainFilter = trainFilter)}$maskCte,
            |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
            |  SELECT p.q_id, a.n_id,
            |    row_number() OVER (PARTITION BY p.q_id
@@ -6159,6 +6187,15 @@ object NorthStar {
       "s43_tombstone_serving" -> graphAnnReplaySql(
         "SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5",
         scoreMask = "id % 10 <> 3"),
+
+      // s44: s35's replay over the FROZEN-QUANTIZER build (training
+      // from id % 10 <> 7, routing over everyone — d26's spelling);
+      // the engine serves the incrementally-MAINTAINED graph, so
+      // hash-green proves maintained-asset serving == rebuilt-asset
+      // serving end to end
+      "s44_graph_serve_upserted" -> graphAnnReplaySql(
+        "SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5",
+        trainFilter = "id % 10 <> 7"),
 
       // s36: s35's replay (corpus-scaled build) with rn exposed at
       // each beam, top-5 prefix per arm (rounds 0/1/2/3), hit-joined

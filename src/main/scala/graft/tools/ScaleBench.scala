@@ -93,7 +93,8 @@ object ScaleBench {
     "s41_pq_graph_recall", "st53_stream_graph_upsert",
     "s42_graph_tombstone", "d27_takedown_reelect", "st54_stream_tombstone",
     "m17_speech_coverage", "s43_tombstone_serving",
-    "st55_stream_takedown_propagate", "t55_rendezvous_shards")
+    "st55_stream_takedown_propagate", "t55_rendezvous_shards",
+    "s44_graph_serve_upserted")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow

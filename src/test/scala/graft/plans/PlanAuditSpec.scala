@@ -86,7 +86,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "d26_graph_upsert" -> "s30's corpus-scaled two-level routing shape for BOTH the frozen base index and the arriving shard (corpus x sqrt-nlist broadcast supers); the merge-upsert itself is cell-id and q_id equi-joins over O(n*k) edge rows",
     "s41_pq_graph_recall" -> "the evaluation row for the PQ rerank budget: s29/s36's sanctioned composition — the exact brute-force arm (ground truth) plus s38's sanctioned routing shapes per arm; every hit count is an equi-join of two top-k sets",
     "s42_graph_tombstone" -> "s30's corpus-scaled two-level routing shape (corpus x sqrt-nlist broadcast supers) building the frozen asset; the tombstone application is anti/semi equi-joins on the id and the repair is the cell-id equi-join over surviving assignments",
-    "s43_tombstone_serving" -> "s35's two sanctioned shapes verbatim (the corpus-scaled routing scan building the asset, the 5-broadcast-queries x 1/64 seed slice) with the scoring table anti-filtered to survivors; every beam round is an id-keyed equi-join")
+    "s43_tombstone_serving" -> "s35's two sanctioned shapes verbatim (the corpus-scaled routing scan building the asset, the 5-broadcast-queries x 1/64 seed slice) with the scoring table anti-filtered to survivors; every beam round is an id-keyed equi-join",
+    "s44_graph_serve_upserted" -> "d26's sanctioned frozen-quantizer routing shapes (base-trained supers/centroids routing BOTH the base and the arriving shard) building the maintained graph, plus s35's seed slice; the merge-upsert and every beam round are id-keyed equi-joins")
 
   /** Per-entry row bound for the vouched-tiny nested-loop side — the
     * prose above as a CHECKED invariant (round-13 verdict item 4): for
@@ -132,7 +133,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s39_knn_graph_2level" -> 64, "s40_routing_frontier" -> 1100,
     "s41_pq_graph_recall" -> 1100, "d24_dedup_bias" -> 64,
     "d26_graph_upsert" -> 64, "s42_graph_tombstone" -> 64,
-    "s43_tombstone_serving" -> 64, "d14_semantic_decontam" -> 64,
+    "s43_tombstone_serving" -> 64, "s44_graph_serve_upserted" -> 64,
+    "d14_semantic_decontam" -> 64,
     "q57_gapfill_series" -> 8, "q58_decay_score" -> 4,
     "q63_trend" -> 4, "q64_peak_concurrency" -> 4,
     "q67_sketch_rollup" -> 64, "t34_bm25_topk" -> 4,
