@@ -3868,6 +3868,25 @@ object NorthStar {
       graft.streaming.Streaming.streamTakedownPropagate(s, dir,
           mutCorpus(s, dir))
         .orderBy("ntc_id", "member")
+    },
+
+    // STREAMING SHARD ROUTER — t55's rendezvous assignment at ingest
+    // time in its true production shape: a pure per-row codegen'd
+    // column expression (array_max over (w, −s, s) structs IS the tie
+    // rule), stateless and shuffle-free. Shares t55's oracle verbatim.
+    "st56_stream_shard_router" -> { (s, dir) =>
+      graft.streaming.Streaming.streamShardRouter(s, dir, k = 8, k2 = 9)
+        .orderBy("doc_id")
+    },
+
+    // STREAMING SPEECH-SHOT COVERAGE — m17's silent-shot gate at
+    // ingest: ONE typed pass computes both segmentations and emits the
+    // per-shot coverage rows directly (no join, no state). Shares
+    // m17's oracle verbatim.
+    "st57_stream_speech_coverage" -> { (s, dir) =>
+      graft.streaming.Streaming.streamSpeechCoverage(s, dir,
+          vadThr = 95, cutThr = 96L)
+        .orderBy("doc_id", "shot")
     })
 
   // ---------- oracles ----------
@@ -8325,6 +8344,12 @@ object NorthStar {
       ("d25_bloom_decontaminate" -> m("d10_decontaminate")) +
       // stateless per-row sync kernel: stream == batch row for row
       ("st52_stream_av_sync" -> m("m16_av_sync")) +
+      // stateless per-row routing expression: stream == batch cell for
+      // cell, so t55's rendezvous oracle verifies st56 verbatim
+      ("st56_stream_shard_router" -> m("t55_rendezvous_shards")) +
+      // the one-pass ingest kernel replays m17's two segmentations and
+      // the clipped-overlap sum exactly — oracle verbatim
+      ("st57_stream_speech_coverage" -> m("m17_speech_coverage")) +
       // bounded-state streaming top-k emits a superset of the batch
       // answer; the final rank replays t24's key — oracle verbatim
       ("st17_stream_weighted_sample" -> m("t24_weighted_sample")) +

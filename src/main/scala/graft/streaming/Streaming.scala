@@ -2669,4 +2669,82 @@ object Streaming {
       .select(col("ntc_id"), col("canonical_id"), col("member"))
       .transform(runToTable(_, "append"))
   }
+
+  /** STREAMING SHARD ROUTER (st56) — t55's rendezvous assignment at
+    * ingest time, in its true production shape: a PURE per-row column
+    * expression (the argmax folds over a literal shard array via
+    * array_max on (w, −s, s) structs — Spark's lexicographic struct
+    * order IS the tie rule), so routing is stateless, shuffle-free,
+    * and codegen'd — the thing a 100 TB ingest tier computes per
+    * record before writing. Stream == batch cell for cell; shares
+    * t55's oracle verbatim.
+    */
+  def streamShardRouter(s: SparkSession, dir: String,
+      k: Int = 8, k2: Int = 9): DataFrame = {
+    import graft.operators.Mixture
+    require(1 <= k && k < k2, s"need 1 <= k < k2, got k=$k k2=$k2")
+    def pick(bound: Int) = {
+      val arr = transform(sequence(lit(0), lit(bound - 1)), sc =>
+        struct(Mixture.rendezvousWeight(col("doc_id"), sc).as("w"),
+          (-sc.cast("long")).as("neg"), sc.cast("long").as("s")))
+      array_max(arr)("s")
+    }
+    val routed = graft.sources.Sources.documentsStream(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .select(col("doc_id"), pick(k).as("shard_k"), pick(k2).as("shard_k2"))
+      .withColumn("moved", col("shard_k") =!= col("shard_k2"))
+    runToTable(routed, "append")
+  }
+
+  /** STREAMING SPEECH-SHOT COVERAGE (st57) — m17's silent-shot gate at
+    * ingest time. The batch row joins two SEPARATE extraction outputs;
+    * the stream twin collapses both segmentations into ONE typed pass
+    * over the arriving payload (same exact-integer block sums, same
+    * cut/threshold rules) and emits the per-shot coverage rows
+    * directly — stateless, no join, no state store. Stream == batch
+    * row for row; shares m17's oracle verbatim.
+    */
+  def streamSpeechCoverage(s: SparkSession, dir: String,
+      vadThr: Int = 95, cutThr: Long = 96L): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bs = Multimodal.StubCodec.BlockSize
+    val rows = Multimodal.withBinaryPayload(
+        graft.sources.Sources.documentsStream(s, dir)
+          .select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        // one pass: per-block sum + length -> activity and cut flags
+        val blocks = payload.grouped(bs).map { blk =>
+          var sum = 0L; var j = 0
+          while (j < blk.length) { sum += blk(j) & 0xff; j += 1 }
+          (sum, blk.length)
+        }.toArray
+        val act = blocks.map { case (sum, len) => sum >= vadThr.toLong * len }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Long, Double, Boolean)]
+        var shot = 0L; var startF = 0; var f = 0
+        def emit(endF: Int): Unit = {
+          var speech = 0L; var i = startF
+          while (i <= endF) { if (act(i)) speech += 1; i += 1 }
+          val len = (endF - startF + 1).toLong
+          out += ((id, shot, startF.toLong, endF.toLong, len, speech,
+            r6(speech.toDouble / len), speech == 0L))
+        }
+        while (f < blocks.length) {
+          if (f > 0 && math.abs(blocks(f)._1 - blocks(f - 1)._1) > cutThr) {
+            emit(f - 1); shot += 1; startF = f
+          }
+          f += 1
+        }
+        if (blocks.nonEmpty) emit(blocks.length - 1)
+        out
+      }
+      .toDF("doc_id", "shot", "start_f", "end_f", "shot_blocks",
+        "speech_blocks", "speech_frac", "is_silent")
+    runToTable(rows, "append")
+  }
 }

@@ -94,7 +94,8 @@ object ScaleBench {
     "s42_graph_tombstone", "d27_takedown_reelect", "st54_stream_tombstone",
     "m17_speech_coverage", "s43_tombstone_serving",
     "st55_stream_takedown_propagate", "t55_rendezvous_shards",
-    "s44_graph_serve_upserted")
+    "s44_graph_serve_upserted", "st56_stream_shard_router",
+    "st57_stream_speech_coverage")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
