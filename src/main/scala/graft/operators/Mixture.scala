@@ -69,6 +69,20 @@ object Mixture {
     */
   val RendezvousStep: Long = 77003L
 
+  /** Largest shard count the exact-bigint weight supports: the member
+    * index i = OrderI + s·RendezvousStep must stay ≤ ~2^31 so i² and
+    * (2i+1)·(x mod m) both stay below 2^63. Past this bound Spark's
+    * Long arithmetic wraps SILENTLY while DuckDB's bigint throws — the
+    * engine and the oracle would diverge instead of failing together.
+    */
+  val MaxShards: Int =
+    ((Int.MaxValue.toLong - OrderI.toLong) / RendezvousStep).toInt // 23108
+
+  private[graft] def requireShardBound(k2: Int): Unit =
+    require(k2 <= MaxShards,
+      s"shard count $k2 exceeds MaxShards=$MaxShards (member index " +
+        "would overflow the exact-bigint rendezvous weight)")
+
   /** Rendezvous (HRW) weight of `id` for shard `s`: the double-applied
     * portable family, exact bigint arithmetic — no overflow for
     * i ≤ ~2^31 (i² ≈ 1.4e17, (2i+1)·(x mod m) ≈ 7.4e17, both < 2^63).
@@ -106,6 +120,7 @@ object Mixture {
   def rendezvousShards(docs: DataFrame, idCol: String,
       k: Int, k2: Int): DataFrame = {
     require(1 <= k && k < k2, s"need 1 <= k < k2, got k=$k k2=$k2")
+    requireShardBound(k2)
     val w = docs.select(col(idCol).cast("long").as("doc_id"))
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(k2 - 1))).as("s"))

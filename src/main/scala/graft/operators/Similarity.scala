@@ -2068,6 +2068,13 @@ object Similarity {
       scope: CacheScope = CacheScope.session): DataFrame = {
     import corpus.sparkSession.implicits._
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    // empty takedown batch: the repair dataflow degenerates to the
+    // stored graph (live filter drops nothing, zero affected queries),
+    // so skip the corpus count + full quantizer training it would
+    // otherwise pay and return the plain scaled build
+    if (deletedIds.isEmpty)
+      return knnGraphScaledFp(corpus, k, targetList, nprobe, superProbe,
+        iters, sampleN, idCol, vecCol, scope)
     val n = corpus.count()
     val nlist = scaledNlist(n, targetList)
     val trained = ivfTrainCentroidsFp(corpus, nlist, iters, sampleN,
@@ -2291,6 +2298,14 @@ object Similarity {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
       }
+      // retire stale generations: the pre-round-14 flat-build assets
+      // (graft_knn_graph_*, no "2l") for the same source tag would
+      // otherwise accumulate forever in the warehouse dir
+      Option(loc.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter { f =>
+          val n = f.getName
+          n.startsWith("graft_knn_graph_") && n.contains(s"_$tag")
+        }.foreach(rm)
       Seq(loc, marker).filter(_.exists()).foreach(rm)
       knnEdgesScaled(s.read.parquet(src.getAbsolutePath), graphK,
           undirected = true, targetList, nprobe, superProbe)

@@ -2683,6 +2683,7 @@ object Streaming {
       k: Int = 8, k2: Int = 9): DataFrame = {
     import graft.operators.Mixture
     require(1 <= k && k < k2, s"need 1 <= k < k2, got k=$k k2=$k2")
+    Mixture.requireShardBound(k2)
     def pick(bound: Int) = {
       val arr = transform(sequence(lit(0), lit(bound - 1)), sc =>
         struct(Mixture.rendezvousWeight(col("doc_id"), sc).as("w"),

@@ -66,8 +66,11 @@ class MixtureSpec extends AnyFunSuite with Matchers {
     val nMoved = rows.count(_._4)
     nMoved should be > 2000 / 18
     nMoved should be < 2000 * 2 / 9
-    // balance: every shard within 2x of the even share at k=8
+    // balance: every shard within 2x of the even share at k=8 —
+    // assert all 8 shards are POPULATED first (an empty shard never
+    // enters byShard.values and would pass the loop vacuously)
     val byShard = rows.groupBy(_._2).view.mapValues(_.length)
+    byShard.size shouldBe 8
     byShard.values.foreach { n =>
       n should be > 2000 / 16
       n should be < 2000 / 4
