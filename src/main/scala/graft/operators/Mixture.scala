@@ -102,6 +102,69 @@ object Mixture {
     portableHashSql(s"($inner)", OrderI, mod)
   }
 
+  /** The HRW shard of `id` among `k` shards as a PURE per-row column
+    * expression (the argmax folds over a literal shard array via
+    * array_max on (w, −s, s) structs — Spark's lexicographic struct
+    * order IS the ties-to-lowest-s rule). Stateless, shuffle-free,
+    * codegen'd: what a 100 TB ingest tier computes per record before
+    * writing, and what a serving tier computes per query to pick its
+    * replica.
+    */
+  def rendezvousShardCol(id: Column, k: Int): Column = {
+    require(k >= 1, s"need k >= 1, got $k")
+    requireShardBound(k)
+    val arr = transform(sequence(lit(0), lit(k - 1)), sc =>
+      struct(rendezvousWeight(id, sc).as("w"),
+        (-sc.cast("long")).as("neg"), sc.cast("long").as("s")))
+    array_max(arr)("s")
+  }
+
+  /** Scalar SQL spelling of [[rendezvousShardCol]] for DuckDB oracles:
+    * an unrolled CASE — shard s wins iff its weight is >= every LATER
+    * shard's weight and no earlier shard already won, which picks the
+    * lowest argmax exactly like the struct-max tie rule.
+    */
+  def rendezvousShardSql(id: String, k: Int): String = {
+    require(k >= 1, s"need k >= 1, got $k")
+    requireShardBound(k)
+    if (k == 1) "cast(0 as bigint)"
+    else {
+      // shard literals spelled as bigint: an int32 literal would make
+      // the member index i int32 and overflow i*i in DuckDB
+      val ws = (0 until k).map(s =>
+        s"(${rendezvousWeightSql(id, s"cast($s as bigint)")})")
+      (0 until k - 1).map { s =>
+        val conds = (s + 1 until k).map(t => s"${ws(s)} >= ${ws(t)}")
+          .mkString(" AND ")
+        s"WHEN $conds THEN $s"
+      }.mkString("(cast(CASE ", " ", s" ELSE ${k - 1} END as bigint))")
+    }
+  }
+
+  /** SHARD-RESIZE SHIPMENT LIST — the operator that executes a k → k2
+    * resize at 100 TB: emit (doc_id, from_shard, to_shard) for ONLY
+    * the docs the HRW theorem moves (their old argmax is beaten by a
+    * NEW shard, so to_shard ∈ [k, k2) always), leaving the other
+    * ~k/k2 of the store untouched — no reshuffle, no read of the
+    * resident shards.
+    *
+    * Spark shape: one scan, two per-row [[rendezvousShardCol]]
+    * projections, one filter — map-only, zero shuffles, zero joins;
+    * the output is the ~(k2−k)/k2 sliver a mover job ships. The
+    * DuckDB oracle replays the exact integer weights and both
+    * argmaxes and keeps only the movers.
+    */
+  def rendezvousRebalance(docs: DataFrame, idCol: String,
+      k: Int, k2: Int): DataFrame = {
+    require(1 <= k && k < k2, s"need 1 <= k < k2, got k=$k k2=$k2")
+    requireShardBound(k2)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .select(col("doc_id"),
+        rendezvousShardCol(col("doc_id"), k).as("from_shard"),
+        rendezvousShardCol(col("doc_id"), k2).as("to_shard"))
+      .filter(col("from_shard") =!= col("to_shard"))
+  }
+
   /** RENDEZVOUS (HRW) SHARD ASSIGNMENT with the minimal-movement
     * readout — the incremental re-sharding primitive of a 100 TB
     * store: shard(d) = argmax_s w(d, s) (ties → lowest s), and when

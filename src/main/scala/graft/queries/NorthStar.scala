@@ -1501,6 +1501,19 @@ object NorthStar {
         .orderBy("doc_id")
     },
 
+    // SHARD-RESIZE SHIPMENT LIST — t55's readout turned into the
+    // operator a 100 TB resize actually runs: emit ONLY the docs the
+    // HRW theorem moves (to a NEW shard, always), leave the other
+    // ~k/k2 of the store untouched. Map-only plan — one scan, two
+    // per-row argmax column expressions, one filter; zero shuffles,
+    // zero joins. The oracle replays the exact integer weights and
+    // keeps the movers.
+    "t56_shard_rebalance" -> { (s, dir) =>
+      Mixture.rendezvousRebalance(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", k = 8, k2 = 9)
+        .orderBy("doc_id")
+    },
+
     // BLOOM-GATED DECONTAMINATION — d10's verdicts through the
     // at-100-TB plan: the test set's distinct shingles fold into a
     // KB-sized Bloom bitset (q61's runtime-filter machinery), every
@@ -5270,6 +5283,18 @@ object NorthStar {
            |SELECT a.doc_id, a.shard_k, b.shard_k2,
            |  a.shard_k <> b.shard_k2 AS moved
            |FROM a JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // t56: t55's weights/argmaxes, keeping only the movers — the
+      // scalar CASE spelling doubles as a cross-check of the engine's
+      // struct-max tie rule
+      "t56_shard_rebalance" ->
+        s"""SELECT doc_id,
+           |  ${Mixture.rendezvousShardSql("doc_id", 8)} AS from_shard,
+           |  ${Mixture.rendezvousShardSql("doc_id", 9)} AS to_shard
+           |FROM documents
+           |WHERE ${Mixture.rendezvousShardSql("doc_id", 8)}
+           |  <> ${Mixture.rendezvousShardSql("doc_id", 9)}
+           |ORDER BY doc_id""".stripMargin,
 
       "t54_leakage_safe_split" ->
         s"""WITH ${shingleSql(mutCorpusSql)}, $mhSql,

@@ -2683,16 +2683,11 @@ object Streaming {
       k: Int = 8, k2: Int = 9): DataFrame = {
     import graft.operators.Mixture
     require(1 <= k && k < k2, s"need 1 <= k < k2, got k=$k k2=$k2")
-    Mixture.requireShardBound(k2)
-    def pick(bound: Int) = {
-      val arr = transform(sequence(lit(0), lit(bound - 1)), sc =>
-        struct(Mixture.rendezvousWeight(col("doc_id"), sc).as("w"),
-          (-sc.cast("long")).as("neg"), sc.cast("long").as("s")))
-      array_max(arr)("s")
-    }
     val routed = graft.sources.Sources.documentsStream(s, dir)
       .select(col("doc_id").cast("long").as("doc_id"))
-      .select(col("doc_id"), pick(k).as("shard_k"), pick(k2).as("shard_k2"))
+      .select(col("doc_id"),
+        Mixture.rendezvousShardCol(col("doc_id"), k).as("shard_k"),
+        Mixture.rendezvousShardCol(col("doc_id"), k2).as("shard_k2"))
       .withColumn("moved", col("shard_k") =!= col("shard_k2"))
     runToTable(routed, "append")
   }

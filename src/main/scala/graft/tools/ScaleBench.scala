@@ -95,7 +95,7 @@ object ScaleBench {
     "m17_speech_coverage", "s43_tombstone_serving",
     "st55_stream_takedown_propagate", "t55_rendezvous_shards",
     "s44_graph_serve_upserted", "st56_stream_shard_router",
-    "st57_stream_speech_coverage")
+    "st57_stream_speech_coverage", "t56_shard_rebalance")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow

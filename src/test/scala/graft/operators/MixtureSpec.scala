@@ -77,6 +77,39 @@ class MixtureSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("rendezvousShardCol == rendezvousShards argmax, per row") {
+    import spark.implicits._
+    val docs = (0L until 2000L).toDF("doc_id")
+    val viaAgg = Mixture.rendezvousShards(docs, "doc_id", k = 8, k2 = 9)
+      .select("doc_id", "shard_k", "shard_k2")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val viaCol = docs.select(col("doc_id"),
+        Mixture.rendezvousShardCol(col("doc_id"), 8).as("s8"),
+        Mixture.rendezvousShardCol(col("doc_id"), 9).as("s9"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    viaCol should contain theSameElementsInOrderAs viaAgg
+  }
+
+  test("rendezvousRebalance (t56): movers only, new shards only, ~1/k2 of the store") {
+    import spark.implicits._
+    val docs = (0L until 2000L).toDF("doc_id")
+    val moves = Mixture.rendezvousRebalance(docs, "doc_id", k = 8, k2 = 9)
+      .as[(Long, Long, Long)].collect()
+    // shipment list == exactly the moved set of the t55 readout
+    val movedIds = Mixture.rendezvousShards(docs, "doc_id", k = 8, k2 = 9)
+      .filter(col("moved")).select("doc_id").as[Long].collect().toSet
+    moves.map(_._1).toSet shouldBe movedIds
+    // HRW: a mover goes ONLY to a new shard; from is an old shard
+    moves.foreach { case (_, from, to) =>
+      to shouldBe 8L
+      from should be < 8L
+    }
+    // moved fraction ~ (k2-k)/k2 = 1/9 (loose factor-of-2 band); the
+    // complement — the other ~8/9 of the store — is untouched
+    moves.length should be > 2000 / 18
+    moves.length should be < 2000 * 2 / 9
+  }
+
   test("globalRunningSum == naive single-window, any shard count") {
     val df = corpus(500)
     for (nShards <- Seq(1, 3, 8)) {
