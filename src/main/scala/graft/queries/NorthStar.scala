@@ -3900,6 +3900,21 @@ object NorthStar {
       graft.streaming.Streaming.streamSpeechCoverage(s, dir,
           vadThr = 95, cutThr = 96L)
         .orderBy("doc_id", "shot")
+    },
+
+    // SHARD-COMPOSED STREAMING GRAPH SERVING — the rendezvous router
+    // (t55/st56) composed with st50's serving walk: the corpus is
+    // HRW-sharded by vec_id, each shard builds its OWN corpus-scaled
+    // graph asset, each serving arm replicates ONLY its shard's
+    // vectors + adjacency + seeds (O(corpus/nShards) — the bound the
+    // full-replica st50 contract lacks at 100 TB), and an arriving
+    // query routes by ITS key's shard and walks that replica locally.
+    // The oracle replays all four shard-local builds and every routed
+    // walk.
+    "st58_sharded_graph_probe" -> { (s, dir) =>
+      graft.streaming.Streaming.streamShardedGraphProbe(s, dir,
+          nShards = 4)
+        .orderBy("q_id", "rnk")
     })
 
   // ---------- oracles ----------
@@ -4095,15 +4110,19 @@ object NorthStar {
     // over all of `e` but only the surviving rows routed — the
     // tombstone-rebuild spelling s42's oracle needs.
     def scaledGraphPreludeSql(recursive: Boolean = false,
-        trainFilter: String = "", routeFilter: String = ""): String = {
+        trainFilter: String = "", routeFilter: String = "",
+        eFilter: String = ""): String = {
       val (baseCte, src) =
         if (trainFilter.isEmpty) ("", "e")
         else (s",\neb AS (SELECT id, v FROM e WHERE $trainFilter)", "eb")
       val (routeCte, routeSrc) =
         if (routeFilter.isEmpty) ("", "e")
         else (s",\ner AS (SELECT id, v FROM e WHERE $routeFilter)", "er")
+      // eFilter restricts the CORPUS itself (st58's shard-local build:
+      // geometry, training, routing, scoring all see one shard only)
+      val eWhere = if (eFilter.isEmpty) "" else s"\n  WHERE $eFilter"
       s"""WITH ${if (recursive) "RECURSIVE " else ""}e AS (SELECT vec_id AS id,
-         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings)$baseCte$routeCte,
+         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings$eWhere)$baseCte$routeCte,
          |${scaledCentSql(iters = 10, sampleN = 4096, targetList = 64, src = src)},
          |${scaledRoutingSql(nprobe = 4, superProbe = 3, src = routeSrc)}""".stripMargin
     }
@@ -4115,17 +4134,18 @@ object NorthStar {
     // query CTE body (s35: the 5 benchmark corpus queries; st50: the
     // +100000 arriving shard)
     def graphAnnReplaySql(qsSql: String, scoreMask: String = "",
-        trainFilter: String = ""): String = {
+        trainFilter: String = "", eFilter: String = ""): String = {
       // the SERVING-side scoring table: `scoreMask` (s43) removes
       // tombstoned ids from seeds, every beam, and the final read —
       // the graph asset (knn/knnu, built over full `e`) is unchanged.
       // `trainFilter` (s44) freezes training/geometry on the base
       // subset while routing covers everyone — the d26-maintained
-      // asset's replay spelling.
+      // asset's replay spelling. `eFilter` (st58) restricts the whole
+      // corpus to one rendezvous shard — the shard-local build+serve.
       val (maskCte, sv) =
         if (scoreMask.isEmpty) ("", "e")
         else (s",\nms AS (SELECT id, v FROM e WHERE $scoreMask)", "ms")
-      s"""${scaledGraphPreludeSql(trainFilter = trainFilter)}$maskCte,
+      s"""${scaledGraphPreludeSql(trainFilter = trainFilter, eFilter = eFilter)}$maskCte,
            |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
            |  SELECT p.q_id, a.n_id,
            |    row_number() OVER (PARTITION BY p.q_id
@@ -6240,6 +6260,29 @@ object NorthStar {
       "s44_graph_serve_upserted" -> graphAnnReplaySql(
         "SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5",
         trainFilter = "id % 10 <> 7"),
+
+      // st58: one full shard-local replay per rendezvous shard — the
+      // corpus CTE restricted to the shard (geometry, training,
+      // routing, graph, seeds, scoring all shard-local), the query
+      // side restricted to the arrivals whose OWN key routes there —
+      // then unioned. Hash-green proves the sharded layout serves
+      // exactly what nShards independent st50 deployments over the
+      // shard slices would.
+      "st58_sharded_graph_probe" -> {
+        val nSh = 4
+        (0 until nSh).map { sh =>
+          val qs = s"""SELECT vec_id + 100000 AS q_id,
+               |  list_transform(embedding, x -> cast(x as double)) AS q_vec
+               |  FROM embeddings
+               |  WHERE ${graft.operators.Mixture
+                  .rendezvousShardSql("(vec_id + 100000)", nSh)} = $sh"""
+            .stripMargin
+          s"""SELECT q_id, cast($sh as bigint) AS shard, rnk, n_id, cos_sim FROM (
+             |${graphAnnReplaySql(qs, eFilter =
+                s"${graft.operators.Mixture.rendezvousShardSql("vec_id", nSh)} = $sh")}
+             |)""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY q_id, rnk")
+      },
 
       // s36: s35's replay (corpus-scaled build) with rn exposed at
       // each beam, top-5 prefix per arm (rounds 0/1/2/3), hit-joined

@@ -1354,6 +1354,50 @@ object Streaming {
       .filter(col("rn") <= cap)
   }
 
+  /** The per-query LOCAL beam walk the streaming serving family runs
+    * against a replicated (or shard-replicated) graph asset — the
+    * EXACT [[graft.operators.Similarity.graphBeamSearchOver]] math,
+    * executed in one JVM against in-memory maps: same sequential-fold
+    * cosine (left-to-right double accumulation, bit-identical to the
+    * codegen DotProduct), same (cos DESC, id ASC) beam tie rule, same
+    * expand-dedup-exact-score-prune rounds, same HALF_UP round-6
+    * readout. Shared by st50 (full replica) and st58 (per-shard
+    * replica) so the two serving spellings can never drift apart.
+    */
+  private[streaming] def localBeamWalk(qId: Long, qv: Array[Float],
+      vecs: Map[Long, Array[Float]], graph: Map[Long, Array[Long]],
+      seeds: Array[Long], k: Int, beam: Int, rounds: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    // the DotProduct fold verbatim: per-element float->double cast,
+    // left-to-right accumulation; cos = dot / (sqrt*sqrt) in the same
+    // association the column expression evaluates
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cosF(a: Array[Float], b: Array[Float]): Double =
+      dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
+    // score-and-prune: TopKCosAgg's (cos DESC, id ASC), NaN rejected
+    def prune(ids: Seq[Long]): Seq[(Long, Double)] = ids.iterator
+      .map(id => (id, cosF(qv, vecs(id))))
+      .filter(!_._2.isNaN)
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(beam)
+    var beamed = prune(seeds.filter(_ != qId).toSeq)
+    var r = 0
+    while (r < rounds) {
+      val ids = beamed.map(_._1)
+      beamed = prune(
+        (ids ++ ids.flatMap(i => graph.getOrElse(i, Array.empty[Long])))
+          .distinct.filter(_ != qId))
+      r += 1
+    }
+    beamed.take(k).zipWithIndex.map { case ((nId, c), i) =>
+      (qId, (i + 1).toLong, nId,
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   /** Streaming graph-ANN serving (st50): arriving query vectors walk
     * the FROZEN k-NN-graph index asset per row — the production
     * vector-serving shape (DiskANN/HNSW-style: the nightly-built index
@@ -1397,42 +1441,96 @@ object Streaming {
     val bcVecs = s.sparkContext.broadcast(corpus.toMap)
     val bcAdj = s.sparkContext.broadcast(adj)
     val bcSeeds = s.sparkContext.broadcast(seeds)
-    // the DotProduct fold verbatim: per-element float->double cast,
-    // left-to-right accumulation; cos = dot / (sqrt*sqrt) in the same
-    // association the column expression evaluates
-    def dotF(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
-    def cosF(a: Array[Float], b: Array[Float]): Double =
-      dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
     val shard = graft.sources.Sources.embeddingsStream(s, dir)
       .select((col("vec_id") + 100000L).cast("long").as("q_id"),
         col("embedding"))
     val hits = shard.as[(Long, Array[Float])].flatMap { case (qId, qv) =>
-      val vecs = bcVecs.value
-      val graph = bcAdj.value
-      // score-and-prune: TopKCosAgg's (cos DESC, id ASC), NaN rejected
-      def prune(ids: Seq[Long]): Seq[(Long, Double)] = ids.iterator
-        .map(id => (id, cosF(qv, vecs(id))))
-        .filter(!_._2.isNaN)
-        .toSeq.sortBy { case (id, c) => (-c, id) }.take(beam)
-      var beamed = prune(bcSeeds.value.filter(_ != qId).toSeq)
-      var r = 0
-      while (r < rounds) {
-        val ids = beamed.map(_._1)
-        beamed = prune(
-          (ids ++ ids.flatMap(i => graph.getOrElse(i, Array.empty[Long])))
-            .distinct.filter(_ != qId))
-        r += 1
-      }
-      beamed.take(k).zipWithIndex.map { case ((nId, c), i) =>
-        (qId, (i + 1).toLong, nId,
-          BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
+      localBeamWalk(qId, qv, bcVecs.value, bcAdj.value, bcSeeds.value,
+        k, beam, rounds)
     }.toDF("q_id", "rnk", "n_id", "cos_sim")
     runToTable(hits, "append")
+  }
+
+  /** SHARD-COMPOSED STREAMING GRAPH SERVING (st58) — the rendezvous
+    * router (t55/st56) composed with st50's serving walk, closing the
+    * replica family's one 100 TB letter-violation: NO collected or
+    * broadcast structure exceeds O(corpus / nShards).
+    *
+    * Layout: the corpus is rendezvous-sharded by vec_id
+    * ([[graft.operators.Mixture.rendezvousShardCol]] — the same
+    * argmax st56 computes at ingest, so the store IS already laid out
+    * this way); each shard builds its OWN corpus-scaled graph asset
+    * ([[graft.operators.Similarity.knnEdgesScaled]] over just the
+    * shard — count-derived nlist, two-level routing, the nightly
+    * per-shard index job), and each serving arm replicates ONLY its
+    * shard's vectors + adjacency + seed slice. An arriving query
+    * routes by ITS key's rendezvous shard (the same argmax, a pure
+    * per-row column expression) and walks that shard's replica
+    * locally — st50's exact math via [[localBeamWalk]] — never
+    * touching another shard.
+    *
+    * In local mode the nShards arms share one JVM, but no single
+    * broadcast exceeds the per-shard slice; on a real cluster each
+    * arm is a serving tier holding 1/nShards of the corpus, nShards
+    * grows with the corpus to keep the replica constant-size, and a
+    * resize ships only t56's ~1/k2 mover sliver. The DuckDB oracle
+    * replays all nShards shard-local builds and every routed walk.
+    */
+  def streamShardedGraphProbe(s: SparkSession, dir: String,
+      nShards: Int = 4, k: Int = 5, beam: Int = 16, rounds: Int = 3,
+      seedMod: Int = 64, graphK: Int = 10, targetList: Int = 64,
+      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+    import s.implicits._
+    import graft.operators.{CacheScope, Mixture, Similarity}
+    require(k <= beam, s"k=$k must be <= beam=$beam")
+    require(nShards >= 1, s"nShards=$nShards must be positive")
+    val scope = CacheScope.sessionScope(s)
+    val emb = scope.own(s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        Mixture.rendezvousShardCol(col("vec_id"), nShards).as("shard"))
+      .persist()) // one scan feeds all nShards shard builds
+    val qStream = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+        col("embedding"))
+      .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), nShards))
+    // the per-shard replicas build CONCURRENTLY (production's
+    // independent per-shard nightly index jobs — Spark schedules
+    // actions from separate threads fine); each replica — vectors +
+    // adjacency + seed slice — is O(corpus/nShards), the bound the
+    // full-replica st50 lacks
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val replicas = Await.result(Future.sequence((0 until nShards).map { sh =>
+      Future {
+        val shardCorpus = emb.filter(col("shard") === sh).drop("shard")
+        val vecs: Map[Long, Array[Float]] = shardCorpus
+          .as[(Long, Array[Float])].collect().toMap
+        val adj: Map[Long, Array[Long]] =
+          Similarity.knnEdgesScaled(shardCorpus, graphK, undirected = true,
+              targetList, nprobe, superProbe)
+            .select(col("node").cast("long"), col("edge_to").cast("long"))
+            .as[(Long, Long)].collect()
+            .groupBy(_._1).map { case (n, es) => (n, es.map(_._2)) }
+        val seeds: Array[Long] = vecs.keysIterator.filter(_ % seedMod == 0)
+          .toArray.sorted
+        (sh, vecs, adj, seeds)
+      }
+    }), Duration.Inf)
+    val arms = replicas.map { case (sh, vecs, adj, seeds) =>
+      val bcVecs = s.sparkContext.broadcast(vecs)
+      val bcAdj = s.sparkContext.broadcast(adj)
+      val bcSeeds = s.sparkContext.broadcast(seeds)
+      qStream.filter(col("shard") === sh)
+        .select(col("q_id"), col("embedding"))
+        .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
+          localBeamWalk(qId, qv, bcVecs.value, bcAdj.value, bcSeeds.value,
+            k, beam, rounds).map { case (q, rnk, nId, cos) =>
+            (q, sh.toLong, rnk, nId, cos)
+          }
+        }.toDF("q_id", "shard", "rnk", "n_id", "cos_sim")
+    }
+    runToTable(arms.reduce(_ unionByName _), "append")
   }
 
   /** Streaming chunk-level dedup — the RAG-ingestion shape: chunk each

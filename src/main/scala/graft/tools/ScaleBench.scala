@@ -95,7 +95,8 @@ object ScaleBench {
     "m17_speech_coverage", "s43_tombstone_serving",
     "st55_stream_takedown_propagate", "t55_rendezvous_shards",
     "s44_graph_serve_upserted", "st56_stream_shard_router",
-    "st57_stream_speech_coverage", "t56_shard_rebalance")
+    "st57_stream_speech_coverage", "t56_shard_rebalance",
+    "st58_sharded_graph_probe")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -162,6 +163,18 @@ object ScaleBench {
       val sm = if (copies <= 1) 64 else 64 * copies
       graft.streaming.Streaming.streamGraphProbe(s, dir,
         k = 5, beam = 16, rounds = 3, seedMod = sm)
+    }
+    // st58: production grows the SHARD COUNT with the corpus so the
+    // per-shard replica stays one-worker-sized — the rung does the
+    // same (nShards = copies keeps the slice at the 1x corpus size;
+    // capped at 50 so the 100x rung runs 50 builds of 2x slices
+    // rather than 100 sequential driver-loop jobs). Per-shard seeds
+    // then stay constant without touching seedMod — the slice itself
+    // is constant, unlike st50's whole-corpus replica.
+    case "st58_sharded_graph_probe" => Some { (s, dir) =>
+      val nsh = if (copies <= 1) 4 else math.min(copies, 50)
+      graft.streaming.Streaming.streamShardedGraphProbe(s, dir,
+        nShards = nsh)
     }
     case _ => None
   }
