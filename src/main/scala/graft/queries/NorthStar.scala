@@ -3915,6 +3915,16 @@ object NorthStar {
       graft.streaming.Streaming.streamShardedGraphProbe(s, dir,
           nShards = 4)
         .orderBy("q_id", "rnk")
+    },
+
+    // STREAMING TAKEDOWN → SERVING — the family's missing composition:
+    // st54's streamed intent table IS the tombstone input (its `drop`
+    // rows anti-join the scoring corpus), serving walks the UNCHANGED
+    // stored graph asset at zero per-takedown build cost. Oracle =
+    // s43's replay verbatim: stream-derived mask == closed-form mask.
+    "st59_takedown_to_serving" -> { (s, dir) =>
+      graft.streaming.Streaming.streamTakedownToServing(s, dir)
+        .orderBy("q_id", "rnk")
     })
 
   // ---------- oracles ----------
@@ -6249,6 +6259,14 @@ object NorthStar {
       // table only — the graph asset (knn/knnu) is still built over
       // everyone; masked ids cannot seed, hold a beam slot, or be read
       "s43_tombstone_serving" -> graphAnnReplaySql(
+        "SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5",
+        scoreMask = "id % 10 <> 3"),
+
+      // st59: the SAME replay as s43 — deliberately: the engine drives
+      // the mask from st54's streamed intent table (drop rows
+      // anti-joined), and hash-green against the closed-form mask
+      // proves intent-derived serving == predicate-mask serving
+      "st59_takedown_to_serving" -> graphAnnReplaySql(
         "SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5",
         scoreMask = "id % 10 <> 3"),
 

@@ -2735,6 +2735,46 @@ object Streaming {
     runToTable(drops.unionByName(invalidates), "append")
   }
 
+  /** STREAMING TAKEDOWN → SERVING (st59) — the composition the
+    * takedown family promised but no row drove end to end: st54 LOGS
+    * intents, s42 compacts, s43 serves masked — and HERE the mask is
+    * derived FROM the intent stream's output table instead of a
+    * closed-form predicate. The intent stream runs first (st54's
+    * exact dataflow — notices stream-static-joined against the frozen
+    * k=5 graph asset); its `drop` intents become the tombstone set;
+    * serving then walks the UNCHANGED stored graph asset
+    * ([[graft.operators.Similarity.ensureKnnGraphIndex]] — the
+    * build-once parquet, never rebuilt for a takedown) with the
+    * intent-derived survivors as the scoring table, via an anti-join
+    * — masked ids cannot seed, hold a beam slot, or be read.
+    *
+    * At 100 TB this is the serving tier's actual read path between
+    * compactions: intent log (a tiny streamed table) anti-joined
+    * against the corpus at query time, zero build cost per takedown.
+    * The oracle is s43's replay verbatim — hash-green proves the
+    * stream-derived mask serves exactly what the closed-form mask
+    * does.
+    */
+  def streamTakedownToServing(s: SparkSession, dir: String, k: Int = 5,
+      beam: Int = 16, rounds: Int = 3, seedMod: Int = 64,
+      targetList: Int = 64, nprobe: Int = 4, superProbe: Int = 3)
+      : DataFrame = {
+    import graft.operators.{CacheScope, Similarity}
+    val intents = streamTombstoneIntents(s, dir, k, targetList, nprobe,
+      superProbe)
+    val tomb = intents.filter(col("kind") === "drop")
+      .select(col("q_id").cast("long").as("del_id")).distinct()
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val graph = CacheScope.sessionScope(s).own(
+      Similarity.ensureKnnGraphIndex(s, dir, graphK = 10,
+          targetList = targetList, nprobe = nprobe, superProbe = superProbe)
+        .persist()) // read once per beam round
+    val live = emb.join(tomb, emb("vec_id") === tomb("del_id"), "left_anti")
+    Similarity.graphBeamSearchOver(graph, live,
+      emb.filter(col("vec_id") < 5), k = k, beam = beam, rounds = rounds,
+      seedMod = seedMod)
+  }
+
   /** STREAMING CONTENT-TAKEDOWN PROPAGATION (st55) — the CONTENT-level
     * takedown policy (d27 models the doc-level one): a notice names a
     * doc, but the thing being taken down is its CONTENT, so every

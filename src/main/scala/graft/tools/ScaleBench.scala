@@ -96,7 +96,7 @@ object ScaleBench {
     "st55_stream_takedown_propagate", "t55_rendezvous_shards",
     "s44_graph_serve_upserted", "st56_stream_shard_router",
     "st57_stream_speech_coverage", "t56_shard_rebalance",
-    "st58_sharded_graph_probe")
+    "st58_sharded_graph_probe", "st59_takedown_to_serving")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow

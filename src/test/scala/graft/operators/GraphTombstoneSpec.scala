@@ -60,6 +60,28 @@ class GraphTombstoneSpec extends AnyFunSuite with Matchers {
     got.foreach { case (_, n, _) => (n % 10) should not be 3L }
   }
 
+  test("st59: intent-stream-derived mask == closed-form mask serving") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // composed: mask anti-joined from st54's streamed drop intents,
+    // serving over the stored build-once asset
+    val got = graft.streaming.Streaming.streamTakedownToServing(spark, dir)
+      .select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // direct: s43's literal-predicate spelling over an inline build
+    val graph = Similarity.knnEdgesScaled(emb, graphK = 10,
+      undirected = true).persist()
+    val want = Similarity.graphBeamSearchOver(graph,
+        emb.filter($"vec_id" % 10 =!= 3), emb.filter($"vec_id" < 5),
+        k = 5, beam = 16, rounds = 3, seedMod = 64)
+      .select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    graph.unpersist()
+    got should contain theSameElementsInOrderAs want
+  }
+
   test("degenerate batches: empty delete == the frozen graph; delete-all == empty") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val none = emb.filter($"vec_id" < 0).select($"vec_id")
