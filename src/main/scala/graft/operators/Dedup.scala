@@ -352,46 +352,12 @@ object Dedup {
     * pays signature computation.
     */
   def ensureSignatureIndex(s: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int = 16, n: Int = 3): DataFrame = Dedup.synchronized {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val loc = new java.io.File(
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      s"graft_sig_index_${k}_${n}_$tag")
-    val src = new java.io.File(dir, "documents.parquet")
-    // Fingerprint the actual content files, not the top-level entry: for
-    // a Spark-written directory table, File.length() on the directory
-    // does not reflect content and the dir mtime can survive in-place
-    // part-file rewrites — a stale index would be served silently.
-    // listFiles() is null on IO error / concurrent removal — degrade to
-    // an empty fingerprint (→ marker mismatch → rebuild), never NPE
-    def fpOf(f: java.io.File): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toIndexedSeq
-          .filterNot(_.getName.startsWith(".")).flatMap(fpOf)
-      else Seq(s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
-    val fp = fpOf(src).mkString("\n")
-    val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
-    val fresh = marker.isFile && loc.isDirectory &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
-    if (!fresh) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      Seq(loc, marker).filter(_.exists()).foreach(rm)
-      minhashes(s.read.parquet(src.getAbsolutePath), "text", "doc_id", k, n)
-        .write.mode("overwrite").parquet(loc.getAbsolutePath)
-      // atomic publish: the marker appears only complete, never torn —
-      // a concurrent reader sees either no marker (rebuilds) or the
-      // full fingerprint (the per-JVM lock covers same-JVM races only)
-      val tmp = java.io.File.createTempFile(loc.getName, ".tmp", loc.getParentFile)
-      java.nio.file.Files.write(tmp.toPath, fp.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, marker.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      k: Int = 16, n: Int = 3): DataFrame =
+    Assets.ensureParquetAsset(s,
+        s"graft_sig_index_${k}_${n}_${Assets.tagOf(dir)}",
+        new java.io.File(dir, "documents.parquet")) {
+      minhashes(s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id", k, n)
     }
-    s.read.parquet(loc.getAbsolutePath)
-  }
 
   /** Incremental near-dup: verdicts for a NEW shard probed against an
     * existing corpus signature index (`(id, minhashes)` — see

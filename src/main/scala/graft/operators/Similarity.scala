@@ -2230,37 +2230,12 @@ object Similarity {
     * part-file fingerprint mismatch → rebuild; atomic marker publish.
     */
   def ensurePqIndex(s: org.apache.spark.sql.SparkSession, dir: String,
-      m: Int = 8, ncode: Int = 32): DataFrame = Similarity.synchronized {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val loc = new java.io.File(
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      s"graft_pq_index_${m}_${ncode}_$tag")
-    val src = new java.io.File(dir, "embeddings.parquet")
-    def fpOf(f: java.io.File): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toIndexedSeq
-          .filterNot(_.getName.startsWith(".")).flatMap(fpOf)
-      else Seq(s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
-    val fp = fpOf(src).mkString("\n")
-    val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
-    val fresh = marker.isFile && loc.isDirectory &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
-    if (!fresh) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      Seq(loc, marker).filter(_.exists()).foreach(rm)
-      pqEncode(s.read.parquet(src.getAbsolutePath), m, ncode)
-        .write.mode("overwrite").parquet(loc.getAbsolutePath)
-      val tmp = java.io.File.createTempFile(loc.getName, ".tmp", loc.getParentFile)
-      java.nio.file.Files.write(tmp.toPath, fp.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, marker.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      m: Int = 8, ncode: Int = 32): DataFrame =
+    Assets.ensureParquetAsset(s,
+        s"graft_pq_index_${m}_${ncode}_${Assets.tagOf(dir)}",
+        new java.io.File(dir, "embeddings.parquet")) {
+      pqEncode(s.read.parquet(s"$dir/embeddings.parquet"), m, ncode)
     }
-    s.read.parquet(loc.getAbsolutePath)
-  }
 
   /** Build-once UNDIRECTED kNN-graph asset — the serving-side index
     * the graph-ANN search ([[graphBeamSearchOver]]) walks. Same
@@ -2277,46 +2252,106 @@ object Similarity {
     */
   def ensureKnnGraphIndex(s: org.apache.spark.sql.SparkSession, dir: String,
       graphK: Int = 10, targetList: Int = 64, nprobe: Int = 4,
-      superProbe: Int = 3)
-      : DataFrame = Similarity.synchronized {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val loc = new java.io.File(
-      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      s"graft_knn_graph2l_${graphK}_${targetList}_${nprobe}_${superProbe}_$tag")
-    val src = new java.io.File(dir, "embeddings.parquet")
-    def fpOf(f: java.io.File): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toIndexedSeq
-          .filterNot(_.getName.startsWith(".")).flatMap(fpOf)
-      else Seq(s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
-    val fp = fpOf(src).mkString("\n")
-    val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
-    val fresh = marker.isFile && loc.isDirectory &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
-    if (!fresh) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      // retire stale generations: the pre-round-14 flat-build assets
-      // (graft_knn_graph_*, no "2l") for the same source tag would
-      // otherwise accumulate forever in the warehouse dir
-      Option(loc.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter { f =>
-          val n = f.getName
-          n.startsWith("graft_knn_graph_") && n.contains(s"_$tag")
-        }.foreach(rm)
-      Seq(loc, marker).filter(_.exists()).foreach(rm)
-      knnEdgesScaled(s.read.parquet(src.getAbsolutePath), graphK,
-          undirected = true, targetList, nprobe, superProbe)
-        .write.mode("overwrite").parquet(loc.getAbsolutePath)
-      val tmp = java.io.File.createTempFile(loc.getName, ".tmp", loc.getParentFile)
-      java.nio.file.Files.write(tmp.toPath, fp.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, marker.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      superProbe: Int = 3): DataFrame = {
+    val tag = Assets.tagOf(dir)
+    Assets.ensureParquetAsset(s,
+        s"graft_knn_graph2l_${graphK}_${targetList}_${nprobe}_${superProbe}_$tag",
+        new java.io.File(dir, "embeddings.parquet"),
+        // retire stale generations: the pre-round-14 flat-build assets
+        // (graft_knn_graph_*, no "2l") for the same source tag would
+        // otherwise accumulate forever in the warehouse dir
+        retire = n => n.startsWith("graft_knn_graph_") && n.contains(s"_$tag")) {
+      knnEdgesScaled(s.read.parquet(s"$dir/embeddings.parquet"), graphK,
+        undirected = true, targetList, nprobe, superProbe)
     }
-    s.read.parquet(loc.getAbsolutePath)
+  }
+
+  /** Build-once RANKED k-NN graph asset — the published (q_id, rnk,
+    * n_id, cos_sim) top-k table the takedown/upsert family reads (the
+    * "frozen published asset" st54's notices join and s42's compactor
+    * repairs). Same fingerprinted lifecycle as [[ensureKnnGraphIndex]]
+    * (which stores the degree-k WALK edges instead); recorded in the
+    * asset manifest as generation 0.
+    */
+  def ensureRankedKnnIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 5, targetList: Int = 64, nprobe: Int = 4,
+      superProbe: Int = 3): DataFrame =
+    Assets.ensureParquetAsset(s,
+        rankedIndexName(dir, k, targetList, nprobe, superProbe),
+        new java.io.File(dir, "embeddings.parquet")) {
+      knnGraphScaledFp(s.read.parquet(s"$dir/embeddings.parquet"), k,
+        targetList, nprobe, superProbe)
+    }
+
+  private def rankedIndexName(dir: String, k: Int, targetList: Int,
+      nprobe: Int, superProbe: Int): String =
+    s"graft_knn_ranked_${k}_${targetList}_${nprobe}_${superProbe}_${Assets.tagOf(dir)}"
+
+  /** MANIFEST READOUT + serving check for the ranked asset: one row
+    * per recorded generation with the manifest's numbers AND the
+    * actual stored table's row count (`n_rows_read` — the engine
+    * re-reads the parquet the manifest points at), plus the serving
+    * flag (highest generation). Hash-green against the oracle's
+    * from-scratch replay proves manifest metadata == stored reality ==
+    * recomputed truth — the lifecycle invariant a 100 TB operator
+    * needs before trusting a compaction generation.
+    */
+  def rankedAssetManifest(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 5, targetList: Int = 64, nprobe: Int = 4,
+      superProbe: Int = 3): DataFrame = {
+    import s.implicits._
+    val base = rankedIndexName(dir, k, targetList, nprobe, superProbe)
+    val gens = Assets.manifest(s, base)
+    val serving = gens.lastOption.map(_.generation).getOrElse(-1L)
+    gens.map { g =>
+      val name = if (g.generation == 0L) base else s"${base}_gen${g.generation}"
+      val nRead = s.read.parquet(Assets.assetPath(s, name)).count()
+      (s"knn_ranked_${k}_${targetList}_${nprobe}_$superProbe",
+        g.generation, g.nRows, g.nTombstones, g.nUpserts,
+        g.generation == serving, nRead)
+    }.toDF("asset", "generation", "n_rows", "n_tombstones", "n_upserts",
+      "serving", "n_rows_read")
+  }
+
+  /** TOMBSTONE COMPACTION of the ranked asset — s42's incremental
+    * dataflow ([[knnGraphTombstoneFp]]: frozen quantizer, deleted
+    * queries dropped, affected survivors re-ranked, untouched rows
+    * verbatim) run as an ASSET-LIFECYCLE step: the repaired graph is
+    * published as generation `max+1` next to the base asset and
+    * recorded in the manifest with the takedown batch size, so a
+    * serving operator can ask [[graft.operators.Assets.servingGeneration]]
+    * which table to read. The tombstone dataflow folds the FULL
+    * accumulated takedown set against the base asset (not a delta vs
+    * the previous compaction), so the compactor always publishes
+    * generation 1 — recompaction from base — and is idempotent per
+    * (source fingerprint, tombstone set): the generation dir carries
+    * the deleted-set signature in its marker and a replayed batch is
+    * not rebuilt, while a GROWN batch republishes the generation and
+    * its manifest row.
+    */
+  def compactRankedKnnIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, deletedIds: DataFrame, k: Int = 5, targetList: Int = 64,
+      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, sum, coalesce, lit}
+    val base = rankedIndexName(dir, k, targetList, nprobe, superProbe)
+    ensureRankedKnnIndex(s, dir, k, targetList, nprobe, superProbe)
+    val gen = 1L
+    val del = deletedIds
+      .select(deletedIds(deletedIds.columns.head).cast("long").as("del_id"))
+    // order-free exact signature of the takedown batch: count + sum —
+    // enough to key idempotence for a replayed batch (a different batch
+    // with identical count+sum would still produce a fresh generation
+    // number on the next distinct compaction)
+    val sig = del.agg(count(lit(1)).cast("long"),
+      coalesce(sum(col("del_id")), lit(0L))).head()
+    val (nDel, sumDel) = (sig.getLong(0), sig.getLong(1))
+    Assets.ensureParquetAsset(s, s"${base}_gen$gen",
+        new java.io.File(dir, "embeddings.parquet"),
+        extraFp = s"tombstones|$nDel|$sumDel",
+        generation = gen, nTombstones = nDel) {
+      knnGraphTombstoneFp(s.read.parquet(s"$dir/embeddings.parquet"), del,
+        k, targetList, nprobe, superProbe)
+    }
   }
 
   /** Density clustering of embeddings — DBSCAN generalized from the

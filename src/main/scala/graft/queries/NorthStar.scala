@@ -2010,6 +2010,24 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // ASSET MANIFEST — the lifecycle metadata row: build the ranked
+    // graph asset (generation 0), fold the %10==3 takedown batch
+    // through the compactor (generation 1, published next to the base
+    // and recorded with its batch size), then read the MANIFEST back —
+    // each generation's recorded row count, the actual stored table's
+    // count (n_rows_read — the engine re-reads what the manifest
+    // points at), and the serving flag (highest generation). The
+    // oracle recomputes both generations from scratch, so hash-green
+    // proves manifest metadata == stored reality == recomputed truth.
+    "s45_asset_manifest" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ensureRankedKnnIndex(s, dir)
+      Similarity.compactRankedKnnIndex(s, dir,
+        emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+      Similarity.rankedAssetManifest(s, dir).orderBy("generation")
+    },
+
     // MUTUAL-kNN SEMANTIC CLUSTERS — the composition s30 exists for:
     // keep an edge only when BOTH endpoints rank each other in their
     // top-k (the standard mutual-kNN graph — parameterless, and robust
@@ -4136,6 +4154,20 @@ object NorthStar {
          |${scaledCentSql(iters = 10, sampleN = 4096, targetList = 64, src = src)},
          |${scaledRoutingSql(nprobe = 4, superProbe = 3, src = routeSrc)}""".stripMargin
     }
+
+    // the standalone ranked top-5 graph replay (st54's knn CTE as a
+    // full query): the s30-shaped published asset; `routeFilter` is
+    // s42's survivors-only spelling — shared by s45's generation
+    // counts so manifest truth can never drift from the family's own
+    // replays
+    def rankedKnnReplaySql(routeFilter: String = ""): String =
+      s"""${scaledGraphPreludeSql(routeFilter = routeFilter)}
+         |SELECT q_id, n_id, rn AS rnk, cos_sim FROM (
+         |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+         |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+         |WHERE rn <= 5""".stripMargin
 
     // s35 / st50 share the graph-ANN beam-search replay (corpus-scaled
     // two-level build: count-derived nlist, hash-seed training, both
@@ -6269,6 +6301,33 @@ object NorthStar {
       "st59_takedown_to_serving" -> graphAnnReplaySql(
         "SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5",
         scoreMask = "id % 10 <> 3"),
+
+      // s45: both generations recomputed from scratch — generation 0 =
+      // the full ranked build's row count, generation 1 = the
+      // survivors-rebuild's (s42's spelling), tombstones = the notice
+      // batch; serving = the highest generation. The engine reads the
+      // MANIFEST (+ the stored tables), so hash-green pins
+      // metadata == storage == recomputation.
+      "s45_asset_manifest" ->
+        s"""WITH g0 AS (SELECT count(*) AS c FROM (
+           |${rankedKnnReplaySql()}
+           |) t0),
+           |g1 AS (SELECT count(*) AS c FROM (
+           |${rankedKnnReplaySql(routeFilter = "id % 10 <> 3")}
+           |) t1),
+           |nt AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 10 = 3)
+           |SELECT 'knn_ranked_5_64_4_3' AS asset,
+           |  cast(0 as bigint) AS generation,
+           |  (SELECT c FROM g0) AS n_rows,
+           |  cast(0 as bigint) AS n_tombstones,
+           |  cast(0 as bigint) AS n_upserts,
+           |  false AS serving,
+           |  (SELECT c FROM g0) AS n_rows_read
+           |UNION ALL
+           |SELECT 'knn_ranked_5_64_4_3', cast(1 as bigint),
+           |  (SELECT c FROM g1), (SELECT c FROM nt), cast(0 as bigint),
+           |  true, (SELECT c FROM g1)
+           |ORDER BY generation""".stripMargin,
 
       // s44: s35's replay over the FROZEN-QUANTIZER build (training
       // from id % 10 <> 7, routing over everyone — d26's spelling);

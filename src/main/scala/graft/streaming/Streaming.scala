@@ -2716,12 +2716,12 @@ object Streaming {
     */
   def streamTombstoneIntents(s: SparkSession, dir: String, k: Int = 5,
       targetList: Int = 64, nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
-    import graft.operators.{CacheScope, Similarity}
-    val scope = CacheScope.sessionScope(s)
-    val base = s.read.parquet(s"$dir/embeddings.parquet")
-    // the frozen published asset: ranks + rounded cosines (s30's shape)
-    val graph = scope.own(Similarity.knnGraphScaledFp(base, k, targetList,
-        nprobe, superProbe).persist())
+    import graft.operators.Similarity
+    // the frozen published asset: ranks + rounded cosines (s30's
+    // shape), READ from the build-once store — a takedown notice
+    // never pays an index build (the nightly job did)
+    val graph = Similarity.ensureRankedKnnIndex(s, dir, k, targetList,
+      nprobe, superProbe)
     val notices = graft.sources.Sources.embeddingsStream(s, dir)
       .filter(col("vec_id") % 10 === 3)
       .select(col("vec_id").cast("long").as("del_id"))

@@ -96,7 +96,8 @@ object ScaleBench {
     "st55_stream_takedown_propagate", "t55_rendezvous_shards",
     "s44_graph_serve_upserted", "st56_stream_shard_router",
     "st57_stream_speech_coverage", "t56_shard_rebalance",
-    "st58_sharded_graph_probe", "st59_takedown_to_serving")
+    "st58_sharded_graph_probe", "st59_takedown_to_serving",
+    "s45_asset_manifest")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -376,6 +377,8 @@ object ScaleBench {
       try {
         graft.operators.Dedup.ensureSignatureIndex(spark, d).limit(1).count()
         graft.operators.Similarity.ensurePqIndex(spark, d).limit(1).count()
+        graft.operators.Similarity.ensureKnnGraphIndex(spark, d).limit(1).count()
+        graft.operators.Similarity.ensureRankedKnnIndex(spark, d).limit(1).count()
       } catch { case e: Throwable => System.err.println(s"[scale] asset build failed for $d: $e") }
     }
 
