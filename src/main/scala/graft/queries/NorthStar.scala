@@ -258,12 +258,18 @@ object NorthStar {
       val centT = broadcast(centRows.toDF("s_id", "c_id", "c_vec"))
       val rows = scope.own(emb.select($"vec_id".cast("long").as("id"),
         $"embedding".as("v")).persist())
+      val nAll = rows.count()
+      // qMod = 0 derives the ~500-truth-query budget from the corpus:
+      // the O(n·nq) brute-force truth arm stays constant-cost as the
+      // corpus grows (and degenerates to FULL truth at n <= 500 — the
+      // correctness sf). Both routing arms still cover every vector —
+      // the measured cost; only the eval side samples.
+      val qm = if (qMod == 0L) math.max(1L, nAll / 500L) else qMod
       val qSide = emb.filter(
-        (lit(3L) * ($"vec_id".cast("long") % P) + 8L) % P % qMod === 0L)
+        (lit(3L) * ($"vec_id".cast("long") % P) + 8L) % P % qm === 0L)
       val truth = scope.own(Similarity.bruteForceTopK(emb, qSide, k = 5)
         .select($"q_id", $"n_id").persist())
       val nq = qSide.count()
-      val nAll = rows.count()
       val wid = Window.partitionBy($"id").orderBy($"cos_c".desc, $"c_id".asc)
       val flatRank = scope.own(rows.crossJoin(cent)
         .withColumn("cos_c", Similarity.cosine($"v", $"c_vec"))
@@ -307,8 +313,10 @@ object NorthStar {
 
   /** s41's body, parameterized the same way: the PQ graph builds over
     * the FULL corpus (the measured cost); `qMod` hash-samples the
-    * brute-force truth side so the eval rung ladders without the O(n²)
-    * truth arm. qMod = 1 is the registered oracle row.
+    * brute-force truth side so the row ladders without the O(n²)
+    * truth arm. qMod = 0 (the registered config) derives the
+    * ~500-truth-query budget from the corpus count — full truth at
+    * the n <= 500 correctness sf, constant eval cost at every rung.
     */
   private[graft] def pqGraphRecallQuery(s: SparkSession, dir: String,
       qMod: Long): DataFrame = {
@@ -316,8 +324,9 @@ object NorthStar {
     val P = 1000000007L
     val scope = graft.operators.CacheScope.sessionScope(s)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val qm = if (qMod == 0L) math.max(1L, emb.count() / 500L) else qMod
     val qSide = emb.filter(
-      (lit(3L) * ($"vec_id".cast("long") % P) + 8L) % P % qMod === 0L)
+      (lit(3L) * ($"vec_id".cast("long") % P) + 8L) % P % qm === 0L)
     val truth = scope.own(Similarity.bruteForceTopK(emb, qSide, k = 5)
       .select($"q_id", $"n_id").persist())
     val nq = qSide.count()
@@ -1910,7 +1919,7 @@ object NorthStar {
     // oracle spells (proven ≡ the bounded-aggregator probes by
     // KnnGraphSpec); hit counts come from the registered operators.
     "s40_routing_frontier" -> { (s, dir) =>
-      routingFrontierQuery(s, dir, nlist = 32, superList = 6, qMod = 1L)
+      routingFrontierQuery(s, dir, nlist = 32, superList = 6, qMod = 0L)
     },
 
     // PQ-GRAPH RECALL EVALUATION — the s29/s36 move applied to the
@@ -1919,9 +1928,12 @@ object NorthStar {
     // plus the one lever that prices the rerank budget (cBudget=80 at
     // the same codes/routing). Integer hit-count joins of
     // deterministic top-k sets; one double division per arm. The
-    // truth arm is the sanctioned s01 exact scan (eval class).
+    // truth arm is the sanctioned s01 exact scan, HASH-SAMPLED to a
+    // ~500-query budget derived from the corpus count (qMod = 0) —
+    // full truth at the n <= 500 correctness sf, constant eval cost
+    // at bench sf and every ladder rung.
     "s41_pq_graph_recall" -> { (s, dir) =>
-      pqGraphRecallQuery(s, dir, qMod = 1L)
+      pqGraphRecallQuery(s, dir, qMod = 0L)
     },
 
     // INCREMENTAL k-NN GRAPH MAINTENANCE — the d09/st44 build-once/
@@ -6184,7 +6196,7 @@ object NorthStar {
              |  round(cast((SELECT n_hits FROM ${tag}hits) as double)
              |    / ((SELECT n FROM nq) * 5), 6) AS recall,
              |  round(cast((SELECT n_candidates FROM ${tag}cand) as double)
-             |    / (SELECT n FROM nq), 6) AS cand_per_query""".stripMargin
+             |    / (SELECT n FROM nall), 6) AS cand_per_query""".stripMargin
         s"""WITH e AS (SELECT vec_id AS id,
            |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
            |${ivfFpCentSql(nlist = 32, iters = 10, sampleN = 4096)},
@@ -6213,12 +6225,18 @@ object NorthStar {
            |      row_number() OVER (PARTITION BY r.id
            |        ORDER BY ${cosSql("r.v", "a.cv")} DESC, a.c_id ASC) AS rn
            |    FROM rsup r JOIN sasg a ON a.s_id = r.s_id) t WHERE rn <= 4),
+           |nall AS (SELECT cast(count(*) as bigint) AS n FROM e),
+           |qmv AS (SELECT greatest(1, (SELECT n FROM nall) // 500) AS qm),
            |ex AS (SELECT q_id, n_id FROM (
            |    SELECT q.id AS q_id, n.id AS n_id,
            |      row_number() OVER (PARTITION BY q.id
            |        ORDER BY ${cosSql("q.v", "n.v")} DESC, n.id ASC) AS rn
-           |    FROM e q JOIN e n ON n.id <> q.id) t WHERE rn <= 5),
-           |nq AS (SELECT cast(count(*) as bigint) AS n FROM e),
+           |    FROM e q JOIN e n ON n.id <> q.id
+           |    WHERE (3 * (q.id % 1000000007) + 8) % 1000000007
+           |      % (SELECT qm FROM qmv) = 0) t WHERE rn <= 5),
+           |nq AS (SELECT cast(count(*) as bigint) AS n FROM e
+           |  WHERE (3 * (id % 1000000007) + 8) % 1000000007
+           |    % (SELECT qm FROM qmv) = 0),
            |${armSql("f", "frank")},
            |${armSql("t2", "trank")}
            |${armSel("flat", "f")}
@@ -6555,12 +6573,17 @@ object NorthStar {
              |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
              |    ORDER BY d2_fp ASC, n_id ASC) AS rn
              |  FROM rr) t WHERE rn <= 5),
+             |qmv AS (SELECT greatest(1, (SELECT count(*) FROM e) // 500) AS qm),
              |ex AS (SELECT q_id, n_id FROM (
              |    SELECT q.id AS q_id, n.id AS n_id,
              |      row_number() OVER (PARTITION BY q.id
              |        ORDER BY ${cosSql("q.v", "n.v")} DESC, n.id ASC) AS rn
-             |    FROM e q JOIN e n ON n.id <> q.id) t WHERE rn <= 5),
-             |nq AS (SELECT cast(count(*) as bigint) AS n FROM e),
+             |    FROM e q JOIN e n ON n.id <> q.id
+             |    WHERE (3 * (q.id % 1000000007) + 8) % 1000000007
+             |      % (SELECT qm FROM qmv) = 0) t WHERE rn <= 5),
+             |nq AS (SELECT cast(count(*) as bigint) AS n FROM e
+             |  WHERE (3 * (id % 1000000007) + 8) % 1000000007
+             |    % (SELECT qm FROM qmv) = 0),
              |h40 AS (SELECT cast(count(*) as bigint) AS n_hits
              |  FROM knn40 f JOIN ex ON ex.q_id = f.q_id AND ex.n_id = f.n_id),
              |h80 AS (SELECT cast(count(*) as bigint) AS n_hits

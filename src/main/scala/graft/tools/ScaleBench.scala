@@ -139,22 +139,16 @@ object ScaleBench {
         nlist = n, nprobe = 4, superList = sl, superProbe = 3)
     }
     // s40 is the eval row for the ROUTING tradeoff: its arms must scale
-    // nlist ∝ copies (the production convention the row evaluates), and
-    // the brute-force truth side is hash-sampled to a constant ~500
-    // queries per rung — the registered full-corpus truth (qMod = 1)
-    // stays at the oracle sf for continuity, but is O(n²) and would
-    // dominate every larger rung with eval-only cost
+    // nlist ∝ copies (the production convention the row evaluates).
+    // The truth side needs no override since round 15 — the registered
+    // qMod = 0 derives the ~500-query budget from the corpus count at
+    // every rung (and s41 self-scales entirely, so its override is
+    // gone).
     case "s40_routing_frontier" => Some { (s, dir) =>
       val nl = if (copies <= 1) 32 else 32 * copies
       val sl = math.max(6, math.ceil(math.sqrt(nl.toDouble)).toInt)
       graft.queries.NorthStar.routingFrontierQuery(s, dir,
-        nlist = nl, superList = sl, qMod = if (copies <= 1) 1L else 4L * copies)
-    }
-    // s41: the PQ-graph build self-scales (corpus-derived geometry);
-    // only the truth side needs the same sampling cap
-    case "s41_pq_graph_recall" => Some { (s, dir) =>
-      graft.queries.NorthStar.pqGraphRecallQuery(s, dir,
-        qMod = if (copies <= 1) 1L else 4L * copies)
+        nlist = nl, superList = sl, qMod = 0L)
     }
     // st50 serves over the same asset — the build self-scales since
     // round 14; seedMod ∝ corpus keeps the per-query seed scan
