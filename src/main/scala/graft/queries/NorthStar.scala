@@ -3955,6 +3955,17 @@ object NorthStar {
     "st59_takedown_to_serving" -> { (s, dir) =>
       graft.streaming.Streaming.streamTakedownToServing(s, dir)
         .orderBy("q_id", "rnk")
+    },
+
+    // THE FULL SERVING STACK — rendezvous-sharded per-shard graph
+    // assets (st58) + st54's streamed takedown intents masking each
+    // shard's scoring replica (s43/st59's contract): the complete
+    // production read path in one oracle row. Per-shard replay with
+    // the scoreMask arm — nShards independent masked deployments.
+    "st60_sharded_takedown_serving" -> { (s, dir) =>
+      graft.streaming.Streaming.streamShardedTakedownServing(s, dir,
+          nShards = 4)
+        .orderBy("q_id", "rnk")
     })
 
   // ---------- oracles ----------
@@ -4166,6 +4177,26 @@ object NorthStar {
          |${scaledCentSql(iters = 10, sampleN = 4096, targetList = 64, src = src)},
          |${scaledRoutingSql(nprobe = 4, superProbe = 3, src = routeSrc)}""".stripMargin
     }
+
+    // st58/st60 share the SHARDED serving replay: one full shard-local
+    // graphAnnReplaySql block per rendezvous shard — the corpus CTE
+    // restricted to the shard (geometry, training, routing, graph,
+    // seeds, scoring all shard-local), the query side restricted to
+    // the arrivals whose OWN key routes there — unioned. `scoreMask`
+    // (st60) masks each shard's scoring table by the takedown set.
+    def shardedServingReplaySql(nSh: Int, scoreMask: String = ""): String =
+      (0 until nSh).map { sh =>
+        val qs = s"""SELECT vec_id + 100000 AS q_id,
+             |  list_transform(embedding, x -> cast(x as double)) AS q_vec
+             |  FROM embeddings
+             |  WHERE ${graft.operators.Mixture
+                .rendezvousShardSql("(vec_id + 100000)", nSh)} = $sh"""
+          .stripMargin
+        s"""SELECT q_id, cast($sh as bigint) AS shard, rnk, n_id, cos_sim FROM (
+           |${graphAnnReplaySql(qs, scoreMask = scoreMask, eFilter =
+              s"${graft.operators.Mixture.rendezvousShardSql("vec_id", nSh)} = $sh")}
+           |)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY q_id, rnk")
 
     // the standalone ranked top-5 graph replay (st54's knn CTE as a
     // full query): the s30-shaped published asset; `routeFilter` is
@@ -6363,21 +6394,14 @@ object NorthStar {
       // then unioned. Hash-green proves the sharded layout serves
       // exactly what nShards independent st50 deployments over the
       // shard slices would.
-      "st58_sharded_graph_probe" -> {
-        val nSh = 4
-        (0 until nSh).map { sh =>
-          val qs = s"""SELECT vec_id + 100000 AS q_id,
-               |  list_transform(embedding, x -> cast(x as double)) AS q_vec
-               |  FROM embeddings
-               |  WHERE ${graft.operators.Mixture
-                  .rendezvousShardSql("(vec_id + 100000)", nSh)} = $sh"""
-            .stripMargin
-          s"""SELECT q_id, cast($sh as bigint) AS shard, rnk, n_id, cos_sim FROM (
-             |${graphAnnReplaySql(qs, eFilter =
-                s"${graft.operators.Mixture.rendezvousShardSql("vec_id", nSh)} = $sh")}
-             |)""".stripMargin
-        }.mkString("", "\nUNION ALL\n", "\nORDER BY q_id, rnk")
-      },
+      "st58_sharded_graph_probe" -> shardedServingReplaySql(nSh = 4),
+
+      // st60: st58's per-shard replay with s43's scoreMask arm on
+      // every shard — the full composed stack (sharded assets +
+      // intent-driven masking) equals nShards independent masked
+      // deployments
+      "st60_sharded_takedown_serving" -> shardedServingReplaySql(
+        nSh = 4, scoreMask = "id % 10 <> 3"),
 
       // s36: s35's replay (corpus-scaled build) with rn exposed at
       // each beam, top-5 prefix per arm (rounds 0/1/2/3), hit-joined

@@ -1378,9 +1378,13 @@ object Streaming {
     }
     def cosF(a: Array[Float], b: Array[Float]): Double =
       dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
-    // score-and-prune: TopKCosAgg's (cos DESC, id ASC), NaN rejected
+    // score-and-prune: TopKCosAgg's (cos DESC, id ASC), NaN rejected.
+    // A candidate absent from the scoring table drops here — exactly
+    // the batch join semantics (s43's tombstone mask: the graph may
+    // still point at a masked id, but it cannot be scored, hold a
+    // beam slot, or be returned)
     def prune(ids: Seq[Long]): Seq[(Long, Double)] = ids.iterator
-      .map(id => (id, cosF(qv, vecs(id))))
+      .flatMap(id => vecs.get(id).map(v => (id, cosF(qv, v))))
       .filter(!_._2.isNaN)
       .toSeq.sortBy { case (id, c) => (-c, id) }.take(beam)
     var beamed = prune(seeds.filter(_ != qId).toSeq)
@@ -1479,11 +1483,19 @@ object Streaming {
   def streamShardedGraphProbe(s: SparkSession, dir: String,
       nShards: Int = 4, k: Int = 5, beam: Int = 16, rounds: Int = 3,
       seedMod: Int = 64, graphK: Int = 10, targetList: Int = 64,
-      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+      nprobe: Int = 4, superProbe: Int = 3,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import graft.operators.{CacheScope, Mixture, Similarity}
     require(k <= beam, s"k=$k must be <= beam=$beam")
     require(nShards >= 1, s"nShards=$nShards must be positive")
+    // s43's masking contract, shard-composed: the per-shard GRAPH
+    // asset is unchanged, but tombstoned ids leave the SCORING
+    // replica — they cannot seed, hold a beam slot, or be returned
+    val masked: Set[Long] = tombstones
+      .map(_.select(col(tombstones.get.columns.head).cast("long"))
+        .as[Long].collect().toSet)
+      .getOrElse(Set.empty)
     val scope = CacheScope.sessionScope(s)
     val emb = scope.own(s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
@@ -1505,10 +1517,20 @@ object Streaming {
       Future {
         val shardCorpus = emb.filter(col("shard") === sh).drop("shard")
         val vecs: Map[Long, Array[Float]] = shardCorpus
-          .as[(Long, Array[Float])].collect().toMap
+          .as[(Long, Array[Float])].collect()
+          .filterNot(r => masked.contains(r._1)).toMap
+        // the per-shard graph is a build-once warehouse asset (the
+        // nightly per-shard index job; first call builds, every later
+        // serve reads parquet). Builds serialize on the asset lock;
+        // fresh reads run concurrently.
         val adj: Map[Long, Array[Long]] =
-          Similarity.knnEdgesScaled(shardCorpus, graphK, undirected = true,
+          graft.operators.Assets.ensureParquetAsset(s,
+              s"graft_knn_shard_${nShards}_${sh}_${graphK}_${targetList}_" +
+                s"${nprobe}_${superProbe}_${graft.operators.Assets.tagOf(dir)}",
+              new java.io.File(dir, "embeddings.parquet")) {
+            Similarity.knnEdgesScaled(shardCorpus, graphK, undirected = true,
               targetList, nprobe, superProbe)
+          }
             .select(col("node").cast("long"), col("edge_to").cast("long"))
             .as[(Long, Long)].collect()
             .groupBy(_._1).map { case (n, es) => (n, es.map(_._2)) }
@@ -2733,6 +2755,31 @@ object Streaming {
       .select(lit("invalidate").as("kind"), graph("q_id"), graph("n_id"),
         graph("rnk").cast("long").as("rnk"), graph("cos_sim"))
     runToTable(drops.unionByName(invalidates), "append")
+  }
+
+  /** THE FULL SERVING STACK IN ONE ROW (st60) — every leg of the
+    * production story composed: the corpus is rendezvous-sharded
+    * (t55/st56) into per-shard build-once graph assets (st58),
+    * takedown notices stream through st54's intent log, and each
+    * serving arm masks its shard replica by the intent table's drop
+    * set (s43/st59's contract — the graph asset is untouched, masked
+    * ids cannot seed, hold a beam slot, or be returned). No collected
+    * or broadcast structure exceeds O(corpus/nShards); takedowns are
+    * honored immediately at zero build cost. Oracle = st58's
+    * per-shard replay with s43's scoreMask arm — hash-green proves
+    * the composed stack serves exactly what nShards independent
+    * masked deployments would.
+    */
+  def streamShardedTakedownServing(s: SparkSession, dir: String,
+      nShards: Int = 4, k: Int = 5, beam: Int = 16, rounds: Int = 3,
+      seedMod: Int = 64, graphK: Int = 10, targetList: Int = 64,
+      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+    val intents = streamTombstoneIntents(s, dir, k, targetList, nprobe,
+      superProbe)
+    val tomb = intents.filter(col("kind") === "drop")
+      .select(col("q_id").cast("long").as("del_id")).distinct()
+    streamShardedGraphProbe(s, dir, nShards, k, beam, rounds, seedMod,
+      graphK, targetList, nprobe, superProbe, tombstones = Some(tomb))
   }
 
   /** STREAMING TAKEDOWN → SERVING (st59) — the composition the

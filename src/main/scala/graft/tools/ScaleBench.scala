@@ -97,7 +97,7 @@ object ScaleBench {
     "s44_graph_serve_upserted", "st56_stream_shard_router",
     "st57_stream_speech_coverage", "t56_shard_rebalance",
     "st58_sharded_graph_probe", "st59_takedown_to_serving",
-    "s45_asset_manifest")
+    "s45_asset_manifest", "st60_sharded_takedown_serving")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -169,6 +169,12 @@ object ScaleBench {
     case "st58_sharded_graph_probe" => Some { (s, dir) =>
       val nsh = if (copies <= 1) 4 else math.min(copies, 50)
       graft.streaming.Streaming.streamShardedGraphProbe(s, dir,
+        nShards = nsh)
+    }
+    // st60: same shard-count convention as st58 (the stack it composes)
+    case "st60_sharded_takedown_serving" => Some { (s, dir) =>
+      val nsh = if (copies <= 1) 4 else math.min(copies, 50)
+      graft.streaming.Streaming.streamShardedTakedownServing(s, dir,
         nShards = nsh)
     }
     case _ => None

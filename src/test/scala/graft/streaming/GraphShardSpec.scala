@@ -52,6 +52,26 @@ class GraphShardSpec extends AnyFunSuite with Matchers {
     got should contain theSameElementsInOrderAs want
   }
 
+  test("st60: sharded + intent-masked serving returns no tombstoned id, full k") {
+    val got = Streaming.streamShardedTakedownServing(spark, dir,
+        nShards = nShards)
+      .select($"q_id", $"shard", $"rnk".cast("long"), $"n_id")
+      .as[(Long, Long, Long, Long)].collect()
+    got should not be empty
+    // masked ids (vec_id % 10 == 3, the st54 notice filter) can never
+    // be returned; ranks stay a contiguous 1..m prefix per query
+    got.foreach { case (_, _, _, n) => (n % 10) should not be 3L }
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._3).sorted shouldBe (1L to rows.length)
+    }
+    // routing still honored under the mask
+    val expect = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(($"vec_id".cast("long") + 100000L).as("q_id"))
+      .select($"q_id", Mixture.rendezvousShardCol($"q_id", nShards).as("s"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (q, sh, _, _) => sh shouldBe expect(q) }
+  }
+
   test("per-shard replica is bounded and routing is honored") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id".cast("long").as("vec_id"))
