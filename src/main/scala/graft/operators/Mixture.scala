@@ -119,6 +119,28 @@ object Mixture {
     array_max(arr)("s")
   }
 
+  /** Driver/JVM spelling of [[rendezvousShardCol]] — for slicing
+    * build-once assets by owner at planning time (MixtureSpec pins it
+    * equal to the Column argmax per row).
+    */
+  def rendezvousShardOf(id: Long, k: Int): Int = {
+    require(k >= 1, s"need k >= 1, got $k")
+    requireShardBound(k)
+    val m = DefaultMod
+    var best = 0L; var bestW = Long.MinValue
+    var s = 0
+    while (s < k) {
+      val i = OrderI.toLong + s * RendezvousStep
+      // sign-faithful to the Column spelling (Spark's % keeps sign);
+      // ids here are non-negative in practice
+      val inner = ((2L * i + 1L) * (id % m) + i * i + 7L) % m
+      val w = graft.functions.PortableHash.family(OrderI, inner, m)
+      if (w > bestW) { bestW = w; best = s } // strict >: ties to lowest s
+      s += 1
+    }
+    best.toInt
+  }
+
   /** Scalar SQL spelling of [[rendezvousShardCol]] for DuckDB oracles:
     * an unrolled CASE — shard s wins iff its weight is >= every LATER
     * shard's weight and no earlier shard already won, which picks the

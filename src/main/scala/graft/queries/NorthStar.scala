@@ -3966,6 +3966,21 @@ object NorthStar {
       graft.streaming.Streaming.streamShardedTakedownServing(s, dir,
           nShards = 4)
         .orderBy("q_id", "rnk")
+    },
+
+    // CELL-SHARDED STREAMING UPSERT INTENTS — st53 was the streaming
+    // family's last full-corpus replica; here its assets (cell
+    // members, probers, prober vectors, thresholds) are sliced by the
+    // CELL's rendezvous owner, each arm holds O((1+nprobe)·corpus/4),
+    // arrivals visit only their probed cells' owners, and intents are
+    // emitted as per-owner partials (lossless — the merger's top-k of
+    // the union equals st53's global list; GraphUpsertSpec pins the
+    // fold). The oracle replays the frozen build and every partial.
+    "st61_sharded_graph_upsert" -> { (s, dir) =>
+      import s.implicits._
+      graft.streaming.Streaming.streamShardedGraphUpsert(s, dir,
+          nOwners = 4)
+        .orderBy($"kind", $"owner", $"q_id", $"n_id")
     })
 
   // ---------- oracles ----------
@@ -4197,6 +4212,65 @@ object NorthStar {
               s"${graft.operators.Mixture.rendezvousShardSql("vec_id", nSh)} = $sh")}
            |)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY q_id, rnk")
+
+    // st53/st61 share the upsert-intent replay: the frozen
+    // corpus-scaled build, its stored top-5 thresholds, the arriving
+    // (+100000) shard routed through the SAME frozen tables, and both
+    // intent arms. `nOwners` (st61) labels every intent with its CELL
+    // owner (rendezvous of c_id) and ranks new_topk WITHIN the owner —
+    // the per-owner partial spelling of the cell-sharded serving tier.
+    def graphUpsertReplaySql(nOwners: Option[Int]): String = {
+      val owner = (cid: String) => nOwners
+        .map(k => graft.operators.Mixture.rendezvousShardSql(cid, k))
+      val ntOwner = owner("a.c_id")
+      val upOwner = owner("aN.c_id")
+      val ownSel = ntOwner.map(o => s"$o AS owner,").getOrElse("")
+      val ownPart = ntOwner.map(o => s", $o").getOrElse("")
+      val ownCol = if (nOwners.isDefined) "owner, " else ""
+      val newtopRank =
+        s"""SELECT p.id AS q_id, $ownSel a.n_id,
+           |      round(${cosSql("p.v", "a.n_vec")}, 6) AS cos_sim,
+           |      row_number() OVER (PARTITION BY p.id$ownPart
+           |        ORDER BY ${cosSql("p.v", "a.n_vec")} DESC, a.n_id ASC) AS rn
+           |    FROM probeN p JOIN asg a ON a.c_id = p.c_id""".stripMargin
+      s"""${scaledGraphPreludeSql()},
+         |knn AS MATERIALIZED (SELECT q_id, n_id, cos_sim FROM (
+         |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+         |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
+         |WHERE rn <= 5),
+         |thr AS (SELECT q_id, min(cos_sim) AS t, count(*) AS c
+         |  FROM knn GROUP BY 1),
+         |arr AS (SELECT id + 100000 AS id, v FROM e),
+         |rsupN AS (SELECT id, v, s_id FROM (
+         |    SELECT a.id, a.v, s.s_id,
+         |      row_number() OVER (PARTITION BY a.id
+         |        ORDER BY ${cosSql("a.v", "s.s_vec")} DESC, s.s_id ASC) AS rn
+         |    FROM arr a, supers s) t WHERE rn <= 3),
+         |rnkN AS (SELECT id, v, c_id, rn FROM (
+         |    SELECT r.id, r.v, a.c_id,
+         |      row_number() OVER (PARTITION BY r.id
+         |        ORDER BY ${cosSql("r.v", "a.cv")} DESC, a.c_id ASC) AS rn
+         |    FROM rsupN r JOIN sasg a ON a.s_id = r.s_id) t WHERE rn <= 4),
+         |probeN AS (SELECT id, v, c_id FROM rnkN),
+         |asgN AS (SELECT id AS n_id, v AS n_vec, c_id FROM rnkN WHERE rn = 1),
+         |newtop AS (SELECT q_id, ${ownCol}n_id, rn, cos_sim FROM (
+         |  $newtopRank) t WHERE rn <= 5),
+         |ups AS (SELECT p.q_id, ${upOwner.map(o => s"$o AS owner,").getOrElse("")} aN.n_id,
+         |    round(${cosSql("p.q_vec", "aN.n_vec")}, 6) AS cos_sim
+         |  FROM probe p JOIN asgN aN ON aN.c_id = p.c_id
+         |  LEFT JOIN thr t ON t.q_id = p.q_id
+         |  WHERE t.q_id IS NULL OR t.c < 5
+         |    OR round(${cosSql("p.q_vec", "aN.n_vec")}, 6) > t.t)
+         |SELECT kind, ${ownCol}q_id, n_id, rnk, cos_sim FROM (
+         |  SELECT 'new_topk' AS kind, ${ownCol}q_id, n_id,
+         |    cast(rn as bigint) AS rnk, cos_sim FROM newtop
+         |  UNION ALL
+         |  SELECT 'upsert' AS kind, ${ownCol}q_id, n_id,
+         |    cast(NULL as bigint) AS rnk, cos_sim FROM ups) u
+         |ORDER BY kind, ${ownCol}q_id, n_id""".stripMargin
+    }
 
     // the standalone ranked top-5 graph replay (st54's knn CTE as a
     // full query): the s30-shaped published asset; `routeFilter` is
@@ -6624,51 +6698,16 @@ object NorthStar {
       // base members, and the base-query upserts admitted by a strict
       // rounded-cosine beat of the stored 5th-best (short/missing row
       // sets always admit)
-      "st53_stream_graph_upsert" -> {
-        val newtopRank =
-          s"""SELECT p.id AS q_id, a.n_id,
-             |      round(${cosSql("p.v", "a.n_vec")}, 6) AS cos_sim,
-             |      row_number() OVER (PARTITION BY p.id
-             |        ORDER BY ${cosSql("p.v", "a.n_vec")} DESC, a.n_id ASC) AS rn
-             |    FROM probeN p JOIN asg a ON a.c_id = p.c_id""".stripMargin
-        s"""${scaledGraphPreludeSql()},
-           |knn AS MATERIALIZED (SELECT q_id, n_id, cos_sim FROM (
-           |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
-           |    row_number() OVER (PARTITION BY p.q_id
-           |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
-           |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) t
-           |WHERE rn <= 5),
-           |thr AS (SELECT q_id, min(cos_sim) AS t, count(*) AS c
-           |  FROM knn GROUP BY 1),
-           |arr AS (SELECT id + 100000 AS id, v FROM e),
-           |rsupN AS (SELECT id, v, s_id FROM (
-           |    SELECT a.id, a.v, s.s_id,
-           |      row_number() OVER (PARTITION BY a.id
-           |        ORDER BY ${cosSql("a.v", "s.s_vec")} DESC, s.s_id ASC) AS rn
-           |    FROM arr a, supers s) t WHERE rn <= 3),
-           |rnkN AS (SELECT id, v, c_id, rn FROM (
-           |    SELECT r.id, r.v, a.c_id,
-           |      row_number() OVER (PARTITION BY r.id
-           |        ORDER BY ${cosSql("r.v", "a.cv")} DESC, a.c_id ASC) AS rn
-           |    FROM rsupN r JOIN sasg a ON a.s_id = r.s_id) t WHERE rn <= 4),
-           |probeN AS (SELECT id, v, c_id FROM rnkN),
-           |asgN AS (SELECT id AS n_id, v AS n_vec, c_id FROM rnkN WHERE rn = 1),
-           |newtop AS (SELECT q_id, n_id, rn, cos_sim FROM (
-           |  $newtopRank) t WHERE rn <= 5),
-           |ups AS (SELECT p.q_id, aN.n_id,
-           |    round(${cosSql("p.q_vec", "aN.n_vec")}, 6) AS cos_sim
-           |  FROM probe p JOIN asgN aN ON aN.c_id = p.c_id
-           |  LEFT JOIN thr t ON t.q_id = p.q_id
-           |  WHERE t.q_id IS NULL OR t.c < 5
-           |    OR round(${cosSql("p.q_vec", "aN.n_vec")}, 6) > t.t)
-           |SELECT kind, q_id, n_id, rnk, cos_sim FROM (
-           |  SELECT 'new_topk' AS kind, q_id, n_id,
-           |    cast(rn as bigint) AS rnk, cos_sim FROM newtop
-           |  UNION ALL
-           |  SELECT 'upsert' AS kind, q_id, n_id,
-           |    cast(NULL as bigint) AS rnk, cos_sim FROM ups) u
-           |ORDER BY kind, q_id, n_id""".stripMargin
-      },
+      "st53_stream_graph_upsert" -> graphUpsertReplaySql(nOwners = None),
+
+      // st61: the SAME replay with every intent labeled by its CELL
+      // OWNER (rendezvous of the cell id among 4 workers) and the
+      // new_topk rank taken WITHIN the owner — the per-owner partials
+      // a cell-sharded serving tier emits; the merger's top-k of the
+      // unioned partials equals st53's global list (GraphUpsertSpec
+      // pins the fold)
+      "st61_sharded_graph_upsert" -> graphUpsertReplaySql(
+        nOwners = Some(4)),
 
       // d26: the BATCH-REBUILD spelling over the frozen base-trained
       // quantizer (training/geometry from id % 10 <> 7, routing over

@@ -2715,6 +2715,157 @@ object Streaming {
     runToTable(intents, "append")
   }
 
+  /** CELL-SHARDED STREAMING UPSERT INTENTS (st61) — st53 was the last
+    * full-corpus replica in the streaming family: its arms broadcast
+    * every base vector, every cell's members and probers, and every
+    * stored threshold. HERE those assets are sliced by CELL OWNER —
+    * rendezvous-hash the CELL id among `nOwners` serving workers (the
+    * natural shard key for an IVF-routed index: a cell's members,
+    * probers, prober vectors, and prober thresholds all live with the
+    * cell) — so each arm holds O((1+nprobe)·corpus/nOwners).
+    *
+    * An arriving vector routes through the tiny frozen centroid
+    * tables (broadcast everywhere — O(nlist)) and visits only the
+    * owners of its probed cells. Each owner emits PER-OWNER PARTIAL
+    * intents:
+    *
+    *   - kind='new_topk': the arrival's top-k over the members of its
+    *     probed cells THAT THE OWNER HOLDS, ranked within the owner.
+    *     Partials are LOSSLESS: members partition by their assigned
+    *     cell's owner, and any global top-k candidate is in its
+    *     owner's local top-k, so the merger's top-k of the
+    *     deduped union equals st53's global list exactly
+    *     (GraphUpsertSpec pins this fold).
+    *   - kind='upsert': emitted by the single owner of the arrival's
+    *     ASSIGNED cell — identical rows to st53's, since that owner
+    *     holds the assigned cell's probers, their vectors, and their
+    *     stored thresholds.
+    *
+    * The oracle replays the frozen build and every per-owner partial.
+    */
+  def streamShardedGraphUpsert(s: SparkSession, dir: String,
+      nOwners: Int = 4, k: Int = 5, nprobe: Int = 4,
+      superProbe: Int = 3): DataFrame = {
+    import s.implicits._
+    import graft.operators.{CacheScope, Mixture, Similarity}
+    val scope = CacheScope.sessionScope(s)
+    val base = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = base.count()
+    if (n == 0L)
+      return Seq.empty[(String, Long, Long, Long, java.lang.Long, Double)]
+        .toDF("kind", "owner", "q_id", "n_id", "rnk", "cos_sim")
+    val trained = Similarity.ivfTrainCentroidsFp(base,
+      Similarity.scaledNlist(n), hashSeed = true)
+    val (superRows, centRows) = Similarity.firstNsSuperTable(trained,
+      Similarity.scaledSuperList(trained.length))
+    val routedB = Similarity.twoLevelRouted(base, superRows, centRows,
+      nprobe, superProbe, "vec_id", "embedding", scope)
+    val vecsAll: Map[Long, Array[Float]] = base
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val asgB: Array[(Long, Long)] = routedB.select(col("id"),
+        element_at(col("probes"), 1)("_1")).as[(Long, Long)].collect()
+    val probB: Array[(Long, Long)] = routedB.select(col("id"),
+        explode(col("probes")("_1"))).as[(Long, Long)].collect()
+    val thrAll: Map[Long, (Double, Long)] = Similarity
+      .knnGraphTailFromRouted(routedB, k)
+      .groupBy(col("q_id"))
+      .agg(min(col("cos_sim")).as("thr"), count(lit(1)).as("c"))
+      .as[(Long, Double, Long)].collect()
+      .map { case (q, t, c) => (q, (t, c)) }.toMap
+    val ownerOf: Long => Int = c => Mixture.rendezvousShardOf(c, nOwners)
+    val sup: Array[(Long, Array[Double])] =
+      superRows.map { case (sid, v) => (sid, v.toArray) }.toArray
+    val cents: Array[(Long, Long, Array[Double])] =
+      centRows.map { case (sid, cid, v) => (sid, cid, v.toArray) }.toArray
+    val bcSup = s.sparkContext.broadcast(sup)
+    val bcCents = s.sparkContext.broadcast(cents)
+    def dotFD(a: Array[Float], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
+    }
+    def dotDD(b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += b(i) * b(i); i += 1 }
+      acc
+    }
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cosFD(a: Array[Float], b: Array[Double]): Double =
+      dotFD(a, b) / (math.sqrt(dotFF(a, a)) * math.sqrt(dotDD(b)))
+    def cosFF(a: Array[Float], b: Array[Float]): Double =
+      dotFF(a, b) / (math.sqrt(dotFF(a, a)) * math.sqrt(dotFF(b, b)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val shard = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+        col("embedding"))
+    val arms = (0 until nOwners).map { o =>
+      // the owner's slice: its cells' members, probers, prober vectors
+      // + member vectors, and prober thresholds — O((1+nprobe)·n/nOwners)
+      val memberSlice: Map[Long, Array[Long]] = asgB
+        .filter(x => ownerOf(x._2) == o)
+        .groupBy(_._2).map { case (c, xs) => (c, xs.map(_._1).sorted) }
+      val proberSlice: Map[Long, Array[Long]] = probB
+        .filter(x => ownerOf(x._2) == o)
+        .groupBy(_._2).map { case (c, xs) => (c, xs.map(_._1).sorted) }
+      val ids = (memberSlice.valuesIterator.flatten ++
+        proberSlice.valuesIterator.flatten).toSet
+      val vecSlice: Map[Long, Array[Float]] =
+        vecsAll.view.filterKeys(ids.contains).toMap
+      val thrSlice: Map[Long, (Double, Long)] =
+        thrAll.view.filterKeys(ids.contains).toMap
+      val bcMembers = s.sparkContext.broadcast(memberSlice)
+      val bcProbers = s.sparkContext.broadcast(proberSlice)
+      val bcVecs = s.sparkContext.broadcast(vecSlice)
+      val bcThr = s.sparkContext.broadcast(thrSlice)
+      shard.as[(Long, Array[Float])].flatMap { case (qId, qv) =>
+        def topBy(ids: Iterator[(Long, Double)], m: Int): Seq[(Long, Double)] =
+          ids.filter(!_._2.isNaN).toSeq
+            .sortBy { case (id, c) => (-c, id) }.take(m)
+        val supTop = topBy(bcSup.value.iterator
+          .map { case (sid, sv) => (sid, cosFD(qv, sv)) }, superProbe)
+          .map(_._1).toSet
+        val lvl2 = topBy(bcCents.value.iterator
+          .filter { case (sid, _, _) => supTop.contains(sid) }
+          .map { case (_, cid, cv) => (cid, cosFD(qv, cv)) }, nprobe)
+        if (lvl2.isEmpty) Iterator.empty
+        else {
+          val probedCells = lvl2.map(_._1)
+          val assignedCell = probedCells.head
+          val ownedProbed = probedCells.filter(c => ownerOf(c) == o)
+          val members = ownedProbed.flatMap(c =>
+            bcMembers.value.getOrElse(c, Array.empty[Long])).distinct
+          val newTop = topBy(members.iterator
+            .map(id => (id, cosFF(qv, bcVecs.value(id)))), k)
+            .zipWithIndex.map { case ((nId, c), i) =>
+              ("new_topk", o.toLong, qId, nId,
+                java.lang.Long.valueOf((i + 1).toLong), r6(c))
+            }
+          val ups =
+            if (ownerOf(assignedCell) != o) Iterator.empty
+            else bcProbers.value.getOrElse(assignedCell, Array.empty[Long])
+              .iterator.map { bq => (bq, cosFF(bcVecs.value(bq), qv)) }
+              .filter(!_._2.isNaN)
+              .flatMap { case (bq, c) =>
+                val c6 = r6(c)
+                bcThr.value.get(bq) match {
+                  case Some((t, cnt)) if cnt >= k && c6 <= t => None
+                  case _ => Some(("upsert", o.toLong, bq, qId,
+                    null.asInstanceOf[java.lang.Long], c6))
+                }
+              }
+          newTop.iterator ++ ups
+        }
+      }.toDF("kind", "owner", "q_id", "n_id", "rnk", "cos_sim")
+    }
+    runToTable(arms.reduce(_ unionByName _), "append")
+  }
+
   /** STREAMING TAKEDOWN INTENTS (st54) — st53's delete half: takedown
     * notices arrive as a stream and emit the write-ahead intents a
     * downstream merger applies against the published k-NN graph asset:

@@ -97,7 +97,8 @@ object ScaleBench {
     "s44_graph_serve_upserted", "st56_stream_shard_router",
     "st57_stream_speech_coverage", "t56_shard_rebalance",
     "st58_sharded_graph_probe", "st59_takedown_to_serving",
-    "s45_asset_manifest", "st60_sharded_takedown_serving")
+    "s45_asset_manifest", "st60_sharded_takedown_serving",
+    "st61_sharded_graph_upsert")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -176,6 +177,13 @@ object ScaleBench {
       val nsh = if (copies <= 1) 4 else math.min(copies, 50)
       graft.streaming.Streaming.streamShardedTakedownServing(s, dir,
         nShards = nsh)
+    }
+    // st61: owner count grows with the corpus so the per-owner cell
+    // slice stays one-worker-sized (st58's convention on the CELL key)
+    case "st61_sharded_graph_upsert" => Some { (s, dir) =>
+      val now = if (copies <= 1) 4 else math.min(copies, 50)
+      graft.streaming.Streaming.streamShardedGraphUpsert(s, dir,
+        nOwners = now)
     }
     case _ => None
   }

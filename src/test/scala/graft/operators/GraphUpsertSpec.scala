@@ -40,6 +40,33 @@ class GraphUpsertSpec extends AnyFunSuite with Matchers {
     inc.map(_._1).distinct.length shouldBe emb.count()
   }
 
+  test("st61 partials fold losslessly to st53's global intents") {
+    val dir = "/root/testdata/sf0.001"
+    val global = graft.streaming.Streaming.streamGraphUpsert(spark, dir)
+      .select($"kind", $"q_id", $"n_id", $"rnk".cast("long"), $"cos_sim")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getDouble(4)))
+    val partials = graft.streaming.Streaming
+      .streamShardedGraphUpsert(spark, dir, nOwners = 4)
+      .select($"kind", $"owner", $"q_id", $"n_id", $"cos_sim")
+      .as[(String, Long, Long, Long, Double)].collect()
+    // upserts: per-owner emission is already exact — same rows
+    val upG = global.filter(_._1 == "upsert").map(r => (r._2, r._3, r._5)).sorted
+    val upP = partials.filter(_._1 == "upsert").map(r => (r._3, r._4, r._5)).sorted
+    upP should contain theSameElementsInOrderAs upG.toSeq
+    // new_topk: the merger's top-5 of the unioned per-owner partials
+    // (cos DESC, id ASC) equals st53's global top-5, row for row
+    val ntG = global.filter(_._1 == "new_topk")
+      .map(r => (r._2, r._4, r._3, r._5)).sorted
+    val ntP = partials.filter(_._1 == "new_topk")
+      .groupBy(_._3).toSeq.flatMap { case (q, rows) =>
+        rows.map(r => (r._4, r._5)).distinct
+          .sortBy { case (id, c) => (-c, id) }.take(5)
+          .zipWithIndex.map { case ((id, c), i) => (q, (i + 1).toLong, id, c) }
+      }.sorted
+    ntP should contain theSameElementsInOrderAs ntG.toSeq
+  }
+
   test("degenerate shards: empty arrivals == the base build; empty base == empty graph") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val none = emb.filter($"vec_id" < 0)

@@ -88,6 +88,11 @@ class MixtureSpec extends AnyFunSuite with Matchers {
         Mixture.rendezvousShardCol(col("doc_id"), 9).as("s9"))
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     viaCol should contain theSameElementsInOrderAs viaAgg
+    // and the driver/JVM spelling (asset slicing) agrees per row
+    viaCol.foreach { case (id, s8, s9) =>
+      Mixture.rendezvousShardOf(id, 8).toLong shouldBe s8
+      Mixture.rendezvousShardOf(id, 9).toLong shouldBe s9
+    }
   }
 
   test("rendezvousRebalance (t56): movers only, new shards only, ~1/k2 of the store") {
