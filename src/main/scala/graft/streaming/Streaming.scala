@@ -2742,6 +2742,14 @@ object Streaming {
     *     stored thresholds.
     *
     * The oracle replays the frozen build and every per-owner partial.
+    *
+    * Ladder honesty: expressing scatter as filtered union arms makes
+    * EVERY arm re-run the O(√nlist) routing per arrival, so router
+    * work grows ∝ nOwners while per-arm DATA stays O(corpus/nOwners)
+    * — the 100× rung's per-item rise (0.28 → 0.47) is exactly that
+    * artifact. A deployment routes once at the ingest tier and
+    * dispatches; the per-owner partial math (what the oracle checks)
+    * is identical either way.
     */
   def streamShardedGraphUpsert(s: SparkSession, dir: String,
       nOwners: Int = 4, k: Int = 5, nprobe: Int = 4,
