@@ -2313,6 +2313,63 @@ object Similarity {
       "serving", "n_rows_read")
   }
 
+  /** Build-once PER-SHARD walk-edge asset — st58/st60's nightly
+    * per-shard index job: [[knnEdgesScaled]] over the rendezvous
+    * shard `sh` of `nShards`, published under its own manifest. Each
+    * asset (and the replica a serving arm collects from it) is
+    * O(corpus/nShards).
+    */
+  def ensureShardKnnIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      nShards: Int, sh: Int, graphK: Int = 10, targetList: Int = 64,
+      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Assets.ensureParquetAsset(s,
+        shardIndexName(dir, nShards, sh, graphK, targetList, nprobe, superProbe),
+        new java.io.File(dir, "embeddings.parquet")) {
+      knnEdgesScaled(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(Mixture.rendezvousShardCol(
+            col("vec_id").cast("long"), nShards) === sh),
+        graphK, undirected = true, targetList, nprobe, superProbe)
+    }
+  }
+
+  private[graft] def shardIndexName(dir: String, nShards: Int, sh: Int,
+      graphK: Int, targetList: Int, nprobe: Int, superProbe: Int): String =
+    s"graft_knn_shard_${nShards}_${sh}_${graphK}_${targetList}_" +
+      s"${nprobe}_${superProbe}_${Assets.tagOf(dir)}"
+
+  /** SHARD-FLEET MANIFEST READOUT — [[rankedAssetManifest]]'s audit
+    * over the per-shard assets: one row per shard with the manifest's
+    * recorded count, the stored table's actual count, and the serving
+    * generation. Hash-green against the oracle's per-shard
+    * recomputation proves the FLEET's metadata == storage ==
+    * recomputed truth — what a 100 TB operator checks before trusting
+    * a rollout across serving shards.
+    */
+  def shardAssetManifest(s: org.apache.spark.sql.SparkSession, dir: String,
+      nShards: Int, graphK: Int = 10, targetList: Int = 64,
+      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+    import s.implicits._
+    (0 until nShards).map { sh =>
+      ensureShardKnnIndex(s, dir, nShards, sh, graphK, targetList,
+        nprobe, superProbe)
+      val name = shardIndexName(dir, nShards, sh, graphK, targetList,
+        nprobe, superProbe)
+      val gens = Assets.manifest(s, name)
+      val serving = gens.lastOption.map(_.generation).getOrElse(-1L)
+      gens.map { g =>
+        val genName =
+          if (g.generation == 0L) name else s"${name}_gen${g.generation}"
+        val nRead = s.read.parquet(Assets.assetPath(s, genName)).count()
+        (s"knn_shard_${nShards}_${graphK}", sh.toLong, g.generation,
+          g.nRows, g.generation == serving, nRead)
+      }
+    }.reduce(_ ++ _)
+      .toDF("asset", "shard", "generation", "n_rows", "serving",
+        "n_rows_read")
+  }
+
   /** TOMBSTONE COMPACTION of the ranked asset — s42's incremental
     * dataflow ([[knnGraphTombstoneFp]]: frozen quantizer, deleted
     * queries dropped, affected survivors re-ranked, untouched rows

@@ -2040,6 +2040,17 @@ object NorthStar {
       Similarity.rankedAssetManifest(s, dir).orderBy("generation")
     },
 
+    // SHARD-FLEET MANIFEST — s45's audit applied to st58's per-shard
+    // assets: ensure all four nightly shard indexes, read each one's
+    // manifest back, and emit (recorded count, actual stored count,
+    // serving generation) per shard. The oracle recomputes every
+    // shard's undirected edge set from scratch, so hash-green proves
+    // the FLEET's metadata == storage == recomputed truth.
+    "s46_shard_manifest" -> { (s, dir) =>
+      Similarity.shardAssetManifest(s, dir, nShards = 4)
+        .orderBy("shard", "generation")
+    },
+
     // MUTUAL-kNN SEMANTIC CLUSTERS — the composition s30 exists for:
     // keep an edge only when BOTH endpoints rank each other in their
     // top-k (the standard mutual-kNN graph — parameterless, and robust
@@ -6424,6 +6435,31 @@ object NorthStar {
       "st59_takedown_to_serving" -> graphAnnReplaySql(
         "SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5",
         scoreMask = "id % 10 <> 3"),
+
+      // s46: the fleet audit — per shard, the undirected edge set of
+      // the shard-local scaled build recomputed from scratch (the
+      // knnu spelling of the st58 replay), emitted as generation-0
+      // manifest rows; the engine reads the actual manifests + stored
+      // tables
+      "s46_shard_manifest" -> {
+        val nSh = 4
+        (0 until nSh).map { sh =>
+          val ef = s"${graft.operators.Mixture.rendezvousShardSql("vec_id", nSh)} = $sh"
+          s"""SELECT 'knn_shard_${nSh}_10' AS asset, cast($sh as bigint) AS shard,
+             |  cast(0 as bigint) AS generation, t.c AS n_rows,
+             |  true AS serving, t.c AS n_rows_read
+             |FROM (SELECT count(*) AS c FROM (
+             |${scaledGraphPreludeSql(eFilter = ef)},
+             |knn AS (SELECT q_id, n_id FROM (
+             |  SELECT p.q_id, a.n_id, row_number() OVER (PARTITION BY p.q_id
+             |    ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
+             |  FROM probe p JOIN asg a ON a.c_id = p.c_id AND a.n_id <> p.q_id) x
+             |  WHERE rn <= 10),
+             |knnu AS (SELECT DISTINCT q_id, n_id FROM (
+             |  SELECT q_id, n_id FROM knn UNION ALL SELECT n_id, q_id FROM knn) y)
+             |SELECT * FROM knnu) z) t""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY shard")
+      },
 
       // s45: both generations recomputed from scratch — generation 0 =
       // the full ranked build's row count, generation 1 = the

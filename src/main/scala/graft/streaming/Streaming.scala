@@ -1524,13 +1524,8 @@ object Streaming {
         // serve reads parquet). Builds serialize on the asset lock;
         // fresh reads run concurrently.
         val adj: Map[Long, Array[Long]] =
-          graft.operators.Assets.ensureParquetAsset(s,
-              s"graft_knn_shard_${nShards}_${sh}_${graphK}_${targetList}_" +
-                s"${nprobe}_${superProbe}_${graft.operators.Assets.tagOf(dir)}",
-              new java.io.File(dir, "embeddings.parquet")) {
-            Similarity.knnEdgesScaled(shardCorpus, graphK, undirected = true,
+          Similarity.ensureShardKnnIndex(s, dir, nShards, sh, graphK,
               targetList, nprobe, superProbe)
-          }
             .select(col("node").cast("long"), col("edge_to").cast("long"))
             .as[(Long, Long)].collect()
             .groupBy(_._1).map { case (n, es) => (n, es.map(_._2)) }

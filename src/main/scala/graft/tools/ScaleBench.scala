@@ -98,7 +98,7 @@ object ScaleBench {
     "st57_stream_speech_coverage", "t56_shard_rebalance",
     "st58_sharded_graph_probe", "st59_takedown_to_serving",
     "s45_asset_manifest", "st60_sharded_takedown_serving",
-    "st61_sharded_graph_upsert")
+    "st61_sharded_graph_upsert", "s46_shard_manifest")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
