@@ -2266,6 +2266,34 @@ object Similarity {
     }
   }
 
+  /** Build-once UPSERT-MAINTAINED walk-edge asset — the graph d26's
+    * incremental merge-upsert maintains (frozen base-trained
+    * quantizer, the family's %10==7 benchmark arrival batch folded
+    * in), stored UNDIRECTED in [[ensureKnnGraphIndex]]'s (node,
+    * edge_to) shape so serving (s44) reads the LSM store's maintained
+    * generation instead of re-folding the maintenance stream on every
+    * query.
+    */
+  def ensureUpsertedKnnIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, graphK: Int = 10, targetList: Int = 64, nprobe: Int = 4,
+      superProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Assets.ensureParquetAsset(s,
+        s"graft_knn_upserted_${graphK}_${targetList}_${nprobe}_" +
+          s"${superProbe}_${Assets.tagOf(dir)}",
+        new java.io.File(dir, "embeddings.parquet")) {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val g0 = knnGraphIncrementalFp(
+          emb.filter(col("vec_id") % 10 =!= 7),
+          emb.filter(col("vec_id") % 10 === 7),
+          k = graphK, targetList = targetList, nprobe = nprobe,
+          superProbe = superProbe)
+        .select(col("q_id").as("node"), col("n_id").as("edge_to"))
+      g0.unionByName(g0.select(col("edge_to").as("node"),
+        col("node").as("edge_to"))).distinct()
+    }
+  }
+
   /** Build-once RANKED k-NN graph asset — the published (q_id, rnk,
     * n_id, cos_sim) top-k table the takedown/upsert family reads (the
     * "frozen published asset" st54's notices join and s42's compactor

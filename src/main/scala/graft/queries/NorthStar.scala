@@ -1988,13 +1988,11 @@ object NorthStar {
     "s44_graph_serve_upserted" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val g0 = Similarity.knnGraphIncrementalFp(
-          emb.filter($"vec_id" % 10 =!= 7), emb.filter($"vec_id" % 10 === 7),
-          k = 10, targetList = 64, nprobe = 4, superProbe = 3)
-        .select($"q_id".as("node"), $"n_id".as("edge_to"))
+      // the maintained graph is a STORED generation (the LSM read
+      // contract taken literally): first touch folds the maintenance
+      // stream once, every serve after that reads the asset back
       val graph = graft.operators.CacheScope.sessionScope(s).own(
-        g0.unionByName(g0.select($"edge_to".as("node"), $"node".as("edge_to")))
-          .distinct().persist())
+        Similarity.ensureUpsertedKnnIndex(s, dir).persist())
       Similarity.graphBeamSearchOver(graph, emb, emb.filter($"vec_id" < 5),
           k = 5, beam = 16, rounds = 3, seedMod = 64)
         .orderBy("q_id", "rnk")
@@ -2013,8 +2011,11 @@ object NorthStar {
     "s43_tombstone_serving" -> { (s, dir) =>
       import s.implicits._
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      // the UNCHANGED asset is the stored one (identical build:
+      // ensureKnnGraphIndex IS knnEdgesScaled over the corpus) — a
+      // takedown between compactions never pays an index build
       val graph = graft.operators.CacheScope.sessionScope(s).own(
-        Similarity.knnEdgesScaled(emb, graphK = 10, undirected = true,
+        Similarity.ensureKnnGraphIndex(s, dir, graphK = 10,
           targetList = 64, nprobe = 4, superProbe = 3).persist())
       Similarity.graphBeamSearchOver(graph, emb.filter($"vec_id" % 10 =!= 3),
           emb.filter($"vec_id" < 5), k = 5, beam = 16, rounds = 3,
@@ -3992,6 +3993,33 @@ object NorthStar {
       graft.streaming.Streaming.streamShardedGraphUpsert(s, dir,
           nOwners = 4)
         .orderBy($"kind", $"owner", $"q_id", $"n_id")
+    },
+
+    // SHARD-RESIZE COMPOSED SERVING — the fleet grows 4 → 5 shards and
+    // keeps serving: the 4 old shards REUSE their stored kFrom-layout
+    // assets byte-for-byte (zero builds) with their movers masked from
+    // the scoring replica (s43's contract), only the ONE new shard
+    // builds an asset — over exactly t56's mover sliver (~1/kTo of
+    // the corpus). Queries route under the new layout; HRW makes the
+    // routing self-consistent (an old-shard query's kFrom-argmax is
+    // identical). Oracle = per-shard replay: kFrom-slice builds with
+    // kTo-slice scoring for old shards, kTo builds for the new one.
+    "st62_shard_resize_serving" -> { (s, dir) =>
+      graft.streaming.Streaming.streamShardResizeServing(s, dir,
+          kFrom = 4, kTo = 5)
+        .orderBy("q_id", "rnk")
+    },
+
+    // SHARD-FAILOVER SERVING — the resize's other direction: the
+    // 5-shard fleet loses its newest node and keeps serving with ZERO
+    // builds. Survivors score their 4-layout slice (own keys + gained
+    // orphans) against the stored pre-failover asset; the orphans —
+    // edgeless until recompaction — are OR-widened into the seed
+    // layer, so they stay findable (degraded, never invisible).
+    "st63_shard_failover_serving" -> { (s, dir) =>
+      graft.streaming.Streaming.streamShardFailoverServing(s, dir,
+          kFrom = 5)
+        .orderBy("q_id", "rnk")
     })
 
   // ---------- oracles ----------
@@ -4224,6 +4252,64 @@ object NorthStar {
            |)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY q_id, rnk")
 
+    // st62: the resize replay — kTo arms, queries routed under the NEW
+    // layout. Old shards (sh < kFrom) build their graph over the
+    // kFrom slice (the stored asset's corpus — movers included) but
+    // SCORE over the kTo slice (movers masked: cannot seed, hold a
+    // beam slot, or be returned); new shards build and score over
+    // their kTo mover sliver. HRW makes both filters consistent: for
+    // sh < kFrom the kTo slice is a subset of the kFrom slice.
+    def shardedResizeReplaySql(kFrom: Int, kTo: Int): String =
+      (0 until kTo).map { sh =>
+        val qs = s"""SELECT vec_id + 100000 AS q_id,
+             |  list_transform(embedding, x -> cast(x as double)) AS q_vec
+             |  FROM embeddings
+             |  WHERE ${graft.operators.Mixture
+                .rendezvousShardSql("(vec_id + 100000)", kTo)} = $sh"""
+          .stripMargin
+        val (eF, mask) =
+          if (sh < kFrom)
+            (s"${graft.operators.Mixture.rendezvousShardSql("vec_id", kFrom)} = $sh",
+             s"${graft.operators.Mixture.rendezvousShardSql("id", kTo)} = $sh")
+          else
+            (s"${graft.operators.Mixture.rendezvousShardSql("vec_id", kTo)} = $sh",
+             "")
+        s"""SELECT q_id, cast($sh as bigint) AS shard, rnk, n_id, cos_sim FROM (
+           |${graphAnnReplaySql(qs, scoreMask = mask, eFilter = eF)}
+           |)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY q_id, rnk")
+
+    // st63: the failover replay — the fleet loses its NEWEST member
+    // (kFrom → kFrom−1; HRW removal moves ONLY the dead member's keys,
+    // and removing the last index IS the (kFrom−1)-layout). Each
+    // surviving shard scores over its kTo slice (its own keys + the
+    // gained orphans), but the graph is built over its kFrom slice
+    // (the stored asset predates the failover — trainFilter +
+    // routeFilter both pinned to the old layout), and the gained
+    // keys — graph orphans until recompaction — are OR-widened into
+    // the seed layer so they stay findable.
+    def shardedFailoverReplaySql(kFrom: Int): String = {
+      val kTo = kFrom - 1
+      (0 until kTo).map { sh =>
+        val qs = s"""SELECT vec_id + 100000 AS q_id,
+             |  list_transform(embedding, x -> cast(x as double)) AS q_vec
+             |  FROM embeddings
+             |  WHERE ${graft.operators.Mixture
+                .rendezvousShardSql("(vec_id + 100000)", kTo)} = $sh"""
+          .stripMargin
+        val oldSlice =
+          s"${graft.operators.Mixture.rendezvousShardSql("id", kFrom)} = $sh"
+        s"""SELECT q_id, cast($sh as bigint) AS shard, rnk, n_id, cos_sim FROM (
+           |${graphAnnReplaySql(qs,
+              eFilter =
+                s"${graft.operators.Mixture.rendezvousShardSql("vec_id", kTo)} = $sh",
+              trainFilter = oldSlice, routeFilter = oldSlice,
+              seedExtra = s"${graft.operators.Mixture
+                .rendezvousShardSql("e.id", kFrom)} = ${kFrom - 1}")}
+           |)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY q_id, rnk")
+    }
+
     // st53/st61 share the upsert-intent replay: the frozen
     // corpus-scaled build, its stored top-5 thresholds, the arriving
     // (+100000) shard routed through the SAME frozen tables, and both
@@ -4304,7 +4390,8 @@ object NorthStar {
     // query CTE body (s35: the 5 benchmark corpus queries; st50: the
     // +100000 arriving shard)
     def graphAnnReplaySql(qsSql: String, scoreMask: String = "",
-        trainFilter: String = "", eFilter: String = ""): String = {
+        trainFilter: String = "", eFilter: String = "",
+        routeFilter: String = "", seedExtra: String = ""): String = {
       // the SERVING-side scoring table: `scoreMask` (s43) removes
       // tombstoned ids from seeds, every beam, and the final read —
       // the graph asset (knn/knnu, built over full `e`) is unchanged.
@@ -4312,10 +4399,19 @@ object NorthStar {
       // subset while routing covers everyone — the d26-maintained
       // asset's replay spelling. `eFilter` (st58) restricts the whole
       // corpus to one rendezvous shard — the shard-local build+serve.
+      // `routeFilter` together with the same `trainFilter` replays a
+      // stored asset built over a SUBSET of the scoring corpus (st63:
+      // the failed-over shard scores its gained keys against an asset
+      // that predates them); `seedExtra` OR-widens the seed layer so
+      // those graph-orphan keys stay findable before recompaction.
       val (maskCte, sv) =
         if (scoreMask.isEmpty) ("", "e")
         else (s",\nms AS (SELECT id, v FROM e WHERE $scoreMask)", "ms")
-      s"""${scaledGraphPreludeSql(trainFilter = trainFilter, eFilter = eFilter)}$maskCte,
+      val seedCond =
+        if (seedExtra.isEmpty) "e.id % 64 = 0"
+        else s"(e.id % 64 = 0 OR $seedExtra)"
+      s"""${scaledGraphPreludeSql(trainFilter = trainFilter,
+             routeFilter = routeFilter, eFilter = eFilter)}$maskCte,
            |knn AS MATERIALIZED (SELECT q_id, n_id FROM (
            |  SELECT p.q_id, a.n_id,
            |    row_number() OVER (PARTITION BY p.q_id
@@ -4330,7 +4426,7 @@ object NorthStar {
            |  SELECT qq.q_id, e.id AS n_id,
            |    row_number() OVER (PARTITION BY qq.q_id
            |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, e.id ASC) AS rn
-           |  FROM qs qq JOIN $sv e ON e.id % 64 = 0 AND e.id <> qq.q_id) t
+           |  FROM qs qq JOIN $sv e ON $seedCond AND e.id <> qq.q_id) t
            |  WHERE rn <= 16),
            |c1 AS (SELECT DISTINCT q_id, n_id FROM (
            |  SELECT q_id, n_id FROM s0
@@ -6512,6 +6608,19 @@ object NorthStar {
       // deployments
       "st60_sharded_takedown_serving" -> shardedServingReplaySql(
         nSh = 4, scoreMask = "id % 10 <> 3"),
+
+      // st62: the 4 → 5 resize replay — old shards build over their
+      // kFrom slice (the reused stored asset's corpus) and score over
+      // their kTo slice (movers masked), the new shard builds over
+      // its mover sliver; queries routed under the new layout
+      "st62_shard_resize_serving" -> shardedResizeReplaySql(
+        kFrom = 4, kTo = 5),
+
+      // st63: the 5 → 4 failover replay — surviving arms build over
+      // their old 5-layout slice, score over their 4-layout slice
+      // (own + gained), seeds OR-widened by the gained-orphan set
+      "st63_shard_failover_serving" -> shardedFailoverReplaySql(
+        kFrom = 5),
 
       // s36: s35's replay (corpus-scaled build) with rn exposed at
       // each beam, top-5 prefix per arm (rounds 0/1/2/3), hit-joined

@@ -2976,6 +2976,183 @@ object Streaming {
       seedMod = seedMod)
   }
 
+  /** SHARD-RESIZE COMPOSED SERVING (st62) — t56 computes the mover
+    * list of a rendezvous resize kFrom → kTo; HERE the fleet actually
+    * SERVES through the resize, and the point is what does NOT get
+    * rebuilt:
+    *
+    *   - the kFrom old shards keep serving their EXISTING per-shard
+    *     graph assets byte-for-byte (the fingerprint-guarded store
+    *     returns the same parquet st58's fleet built — zero index
+    *     builds for them). Their movers — exactly the ids whose
+    *     kTo-argmax landed on a new shard, the HRW guarantee t56's
+    *     rebalance ships — leave only the SCORING replica (s43's
+    *     masking contract: the asset still points at them, but they
+    *     cannot seed, hold a beam slot, or be returned);
+    *   - only the kTo − kFrom NEW shards build assets, each over just
+    *     its mover sliver (~corpus/kTo) — the ~1/kTo incremental cost
+    *     a consistent-hashing tier pays for growing.
+    *
+    * Queries route under the NEW kTo layout. The routing is
+    * self-consistent: a query whose kTo-argmax is an old shard sh has
+    * the SAME kFrom-argmax (removing members can only lose the argmax
+    * to a removed member), so no old shard ever sees a query that
+    * wasn't already its own. Likewise each old shard's kTo-layout
+    * slice IS its kFrom slice minus its movers, so the scoring
+    * replica is uniformly the kTo partition — only the ASSET
+    * generation differs across the fleet. Compaction (rebuilding old
+    * shards' assets over their kTo slices) can then run shard-by-shard
+    * offline, exactly the LSM story s42 gives tombstones.
+    *
+    * The DuckDB oracle replays all kTo arms: old shards build over
+    * the kFrom slice and score over the kTo slice (mask arm), new
+    * shards build and score over the kTo slice.
+    */
+  def streamShardResizeServing(s: SparkSession, dir: String,
+      kFrom: Int = 4, kTo: Int = 5, k: Int = 5, beam: Int = 16,
+      rounds: Int = 3, seedMod: Int = 64, graphK: Int = 10,
+      targetList: Int = 64, nprobe: Int = 4, superProbe: Int = 3)
+      : DataFrame = {
+    import s.implicits._
+    import graft.operators.{CacheScope, Mixture, Similarity}
+    require(k <= beam, s"k=$k must be <= beam=$beam")
+    require(kFrom >= 1 && kTo > kFrom,
+      s"resize must grow the fleet: kFrom=$kFrom, kTo=$kTo")
+    val scope = CacheScope.sessionScope(s)
+    val emb = scope.own(s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        Mixture.rendezvousShardCol(col("vec_id"), kTo).as("shard_to"))
+      .persist()) // one scan feeds every arm's scoring slice
+    val qStream = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+        col("embedding"))
+      .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val replicas = Await.result(Future.sequence((0 until kTo).map { sh =>
+      Future {
+        // scoring replica: the kTo partition — for old shards this is
+        // the kFrom slice minus its movers (the HRW stability set)
+        val vecs: Map[Long, Array[Float]] = emb
+          .filter(col("shard_to") === sh)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().toMap
+        // the asset: old shards REUSE the kFrom-layout store (built
+        // over slice + movers; first caller built it, the resize
+        // reads it back), new shards build over their mover sliver
+        val assetLayout = if (sh < kFrom) kFrom else kTo
+        val adj: Map[Long, Array[Long]] =
+          Similarity.ensureShardKnnIndex(s, dir, assetLayout, sh, graphK,
+              targetList, nprobe, superProbe)
+            .select(col("node").cast("long"), col("edge_to").cast("long"))
+            .as[(Long, Long)].collect()
+            .groupBy(_._1).map { case (n, es) => (n, es.map(_._2)) }
+        val seeds: Array[Long] = vecs.keysIterator.filter(_ % seedMod == 0)
+          .toArray.sorted
+        (sh, vecs, adj, seeds)
+      }
+    }), Duration.Inf)
+    val arms = replicas.map { case (sh, vecs, adj, seeds) =>
+      val bcVecs = s.sparkContext.broadcast(vecs)
+      val bcAdj = s.sparkContext.broadcast(adj)
+      val bcSeeds = s.sparkContext.broadcast(seeds)
+      qStream.filter(col("shard") === sh)
+        .select(col("q_id"), col("embedding"))
+        .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
+          localBeamWalk(qId, qv, bcVecs.value, bcAdj.value, bcSeeds.value,
+            k, beam, rounds).map { case (q, rnk, nId, cos) =>
+            (q, sh.toLong, rnk, nId, cos)
+          }
+        }.toDF("q_id", "shard", "rnk", "n_id", "cos_sim")
+    }
+    runToTable(arms.reduce(_ unionByName _), "append")
+  }
+
+  /** SHARD-FAILOVER SERVING (st63) — the resize story's other
+    * direction: a serving node DIES (the newest member decommissions —
+    * HRW removal moves only the dead member's keys, and removing the
+    * last index IS the (kFrom−1)-layout), and the fleet keeps serving
+    * with ZERO index builds:
+    *
+    *   - each surviving shard's scoring replica becomes its
+    *     (kFrom−1)-layout slice — its own keys plus the GAINED orphans
+    *     the dead shard owned (their vectors are in the store; only
+    *     the dead node's memory is gone);
+    *   - the graph asset stays the stored kFrom-layout build, which
+    *     PREDATES the gained keys — they have no edges, so they are
+    *     graph orphans: unreachable through any walk;
+    *   - the availability answer is the SEED LAYER: every gained key
+    *     joins the seeds (alongside the id%seedMod slice), so it can
+    *     be scored into any beam and returned — degraded (no
+    *     neighborhood expansion FROM it) but never invisible. The
+    *     per-shard recompaction job then rebuilds at leisure, exactly
+    *     s42's LSM contract.
+    *
+    * Queries route under the surviving layout; self-consistent by the
+    * same HRW argument as st62. The oracle replays every surviving
+    * arm: old-slice build (train + route), new-slice scoring, and the
+    * OR-widened seed condition.
+    */
+  def streamShardFailoverServing(s: SparkSession, dir: String,
+      kFrom: Int = 5, k: Int = 5, beam: Int = 16, rounds: Int = 3,
+      seedMod: Int = 64, graphK: Int = 10, targetList: Int = 64,
+      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+    import s.implicits._
+    import graft.operators.{CacheScope, Mixture, Similarity}
+    require(k <= beam, s"k=$k must be <= beam=$beam")
+    require(kFrom >= 2, s"kFrom=$kFrom: a 1-shard fleet cannot fail over")
+    val kTo = kFrom - 1
+    val scope = CacheScope.sessionScope(s)
+    val emb = scope.own(s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        Mixture.rendezvousShardCol(col("vec_id"), kTo).as("shard_to"))
+      .persist())
+    val qStream = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+        col("embedding"))
+      .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val replicas = Await.result(Future.sequence((0 until kTo).map { sh =>
+      Future {
+        // the surviving slice: own keys + the dead shard's orphans
+        val vecs: Map[Long, Array[Float]] = emb
+          .filter(col("shard_to") === sh)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().toMap
+        // the stored pre-failover asset, reused byte-for-byte
+        val adj: Map[Long, Array[Long]] =
+          Similarity.ensureShardKnnIndex(s, dir, kFrom, sh, graphK,
+              targetList, nprobe, superProbe)
+            .select(col("node").cast("long"), col("edge_to").cast("long"))
+            .as[(Long, Long)].collect()
+            .groupBy(_._1).map { case (n, es) => (n, es.map(_._2)) }
+        // gained orphans join the seed layer — findable pre-rebuild
+        val seeds: Array[Long] = vecs.keysIterator.filter(id =>
+            id % seedMod == 0 ||
+              Mixture.rendezvousShardOf(id, kFrom) == kFrom - 1)
+          .toArray.sorted
+        (sh, vecs, adj, seeds)
+      }
+    }), Duration.Inf)
+    val arms = replicas.map { case (sh, vecs, adj, seeds) =>
+      val bcVecs = s.sparkContext.broadcast(vecs)
+      val bcAdj = s.sparkContext.broadcast(adj)
+      val bcSeeds = s.sparkContext.broadcast(seeds)
+      qStream.filter(col("shard") === sh)
+        .select(col("q_id"), col("embedding"))
+        .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
+          localBeamWalk(qId, qv, bcVecs.value, bcAdj.value, bcSeeds.value,
+            k, beam, rounds).map { case (q, rnk, nId, cos) =>
+            (q, sh.toLong, rnk, nId, cos)
+          }
+        }.toDF("q_id", "shard", "rnk", "n_id", "cos_sim")
+    }
+    runToTable(arms.reduce(_ unionByName _), "append")
+  }
+
   /** STREAMING CONTENT-TAKEDOWN PROPAGATION (st55) — the CONTENT-level
     * takedown policy (d27 models the doc-level one): a notice names a
     * doc, but the thing being taken down is its CONTENT, so every

@@ -98,7 +98,8 @@ object ScaleBench {
     "st57_stream_speech_coverage", "t56_shard_rebalance",
     "st58_sharded_graph_probe", "st59_takedown_to_serving",
     "s45_asset_manifest", "st60_sharded_takedown_serving",
-    "st61_sharded_graph_upsert", "s46_shard_manifest")
+    "st61_sharded_graph_upsert", "s46_shard_manifest",
+    "st62_shard_resize_serving", "st63_shard_failover_serving")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -184,6 +185,21 @@ object ScaleBench {
       val now = if (copies <= 1) 4 else math.min(copies, 50)
       graft.streaming.Streaming.streamShardedGraphUpsert(s, dir,
         nOwners = now)
+    }
+    // st62: the fleet BEING resized grows with the corpus (st58's
+    // convention), and the resize always adds one shard — so the new
+    // shard's build stays a ~1/kTo sliver at every rung
+    case "st62_shard_resize_serving" => Some { (s, dir) =>
+      val kf = if (copies <= 1) 4 else math.min(copies, 50)
+      graft.streaming.Streaming.streamShardResizeServing(s, dir,
+        kFrom = kf, kTo = kf + 1)
+    }
+    // st63: the pre-failover fleet grows with the corpus and always
+    // loses one node — survivors stay at st58's per-shard replica size
+    case "st63_shard_failover_serving" => Some { (s, dir) =>
+      val kf = if (copies <= 1) 5 else math.min(copies, 50) + 1
+      graft.streaming.Streaming.streamShardFailoverServing(s, dir,
+        kFrom = kf)
     }
     case _ => None
   }

@@ -72,6 +72,138 @@ class GraphShardSpec extends AnyFunSuite with Matchers {
     got.foreach { case (q, sh, _, _) => sh shouldBe expect(q) }
   }
 
+  test("st62: resize serving == masked old arms + fresh mover-sliver arm") {
+    val kFrom = 4; val kTo = 5
+    val got = Streaming.streamShardResizeServing(spark, dir,
+        kFrom = kFrom, kTo = kTo)
+      .select($"q_id", $"shard", $"rnk".cast("long"), $"n_id", $"cos_sim")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._3))
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val queries = emb.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val want = (0 until kTo).flatMap { sh =>
+      // graph corpus: old shards = the kFrom slice (asset layout),
+      // new shard = its kTo mover sliver; SCORING is the kTo slice
+      // for everyone (old shards' movers masked)
+      val buildSlice =
+        if (sh < kFrom)
+          emb.filter(Mixture.rendezvousShardCol($"vec_id", kFrom) === sh)
+        else emb.filter(Mixture.rendezvousShardCol($"vec_id", kTo) === sh)
+      val scoreSlice = emb.filter(
+        Mixture.rendezvousShardCol($"vec_id", kTo) === sh)
+      val routed = queries.filter(
+        Mixture.rendezvousShardCol($"vec_id", kTo) === sh)
+      val graph = Similarity.knnEdgesScaled(buildSlice, graphK = 10,
+        undirected = true).persist()
+      val rows = Similarity.graphBeamSearchOver(graph, scoreSlice, routed,
+          k = 5, beam = 16, rounds = 3, seedMod = 64)
+        .select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim")
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (q, rnk, n, c) => (q, sh.toLong, rnk, n, c) }
+      graph.unpersist()
+      CacheScope.releaseSession(spark)
+      rows
+    }.sortBy(r => (r._1, r._3))
+
+    got.length shouldBe want.length
+    got should contain theSameElementsInOrderAs want
+    // no mover is ever returned by an old-shard arm (it moved)
+    got.foreach { case (_, sh, _, n, _) =>
+      if (sh < kFrom)
+        Mixture.rendezvousShardOf(n, kTo).toLong shouldBe sh
+    }
+  }
+
+  test("st62: resize reuses old assets byte-for-byte, builds only movers") {
+    val kFrom = 4; val kTo = 5
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"))
+    // HRW stability: growing the fleet can only move an id TO a new
+    // shard — so the mover set IS the new shard's kTo slice, and every
+    // old shard's kTo slice is its kFrom slice minus its movers
+    val shards = emb.select($"vec_id",
+        Mixture.rendezvousShardCol($"vec_id", kFrom).as("from_s"),
+        Mixture.rendezvousShardCol($"vec_id", kTo).as("to_s"))
+      .as[(Long, Long, Long)].collect()
+    shards.foreach { case (_, f, t) =>
+      if (t < kFrom) t shouldBe f // stayed put, same argmax
+      else t shouldBe (kTo - 1).toLong // moved, only to the new member
+    }
+    // moved fraction ~ 1/kTo (rendezvous guarantee; loose 2x bounds)
+    val moved = shards.count { case (_, f, t) => f != t }
+    moved.toDouble / shards.length should be > 0.5 / kTo
+    moved.toDouble / shards.length should be < 2.0 / kTo
+    // the old shards' stored assets are NOT touched by the resize run:
+    // pre-build them (st58's fleet), snapshot mtimes, serve the
+    // resize, and require the kFrom-layout markers unchanged
+    (0 until kFrom).foreach { sh =>
+      Similarity.ensureShardKnnIndex(spark, dir, kFrom, sh)
+    }
+    def mtimes(): Seq[Long] = (0 until kFrom).map { sh =>
+      new java.io.File(graft.operators.Assets.assetPath(spark,
+        Similarity.shardIndexName(dir, kFrom, sh, 10, 64, 4, 3)))
+        .lastModified()
+    }
+    val before = mtimes()
+    before.foreach(_ should be > 0L)
+    Streaming.streamShardResizeServing(spark, dir, kFrom = kFrom, kTo = kTo)
+      .count() should be > 0L
+    mtimes() shouldBe before
+  }
+
+  test("st63: failover serves gained orphans via the seed layer, zero builds") {
+    val kFrom = 5; val kTo = 4
+    // pre-build the pre-failover fleet's assets (the nightly job that
+    // ran BEFORE the node died), snapshot, and require the serve not
+    // to touch them
+    (0 until kTo).foreach { sh =>
+      Similarity.ensureShardKnnIndex(spark, dir, kFrom, sh)
+    }
+    def mtimes(): Seq[Long] = (0 until kTo).map { sh =>
+      new java.io.File(graft.operators.Assets.assetPath(spark,
+        Similarity.shardIndexName(dir, kFrom, sh, 10, 64, 4, 3)))
+        .lastModified()
+    }
+    val before = mtimes()
+    before.foreach(_ should be > 0L)
+
+    val got = Streaming.streamShardFailoverServing(spark, dir, kFrom = kFrom)
+      .select($"q_id", $"shard", $"rnk".cast("long"), $"n_id", $"cos_sim")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    got should not be empty
+    mtimes() shouldBe before
+
+    // ownership: every returned id lives in its arm's surviving slice
+    got.foreach { case (_, sh, _, n, _) =>
+      Mixture.rendezvousShardOf(n, kTo).toLong shouldBe sh
+    }
+    // routing: each query served by its own surviving-layout argmax
+    got.foreach { case (q, sh, _, _, _) =>
+      Mixture.rendezvousShardOf(q, kTo).toLong shouldBe sh
+    }
+    // the dead shard's keys are ORPHANS in the stored graphs (no
+    // edges), so any one of them in a result witnesses the seed-layer
+    // widening; a query that lands in its own vector's arm must find
+    // it at rank 1 with cosine 1
+    val orphans = got.filter { case (_, _, _, n, _) =>
+      Mixture.rendezvousShardOf(n, kFrom) == kFrom - 1
+    }
+    orphans should not be empty
+    val selfFinds = got.filter { case (q, sh, _, _, _) =>
+      val own = q - 100000L
+      Mixture.rendezvousShardOf(own, kFrom) == kFrom - 1 &&
+        Mixture.rendezvousShardOf(own, kTo).toLong == sh
+    }
+    selfFinds should not be empty
+    selfFinds.groupBy(_._1).foreach { case (q, rows) =>
+      val top = rows.minBy(_._3)
+      top._4 shouldBe (q - 100000L)
+      top._5 shouldBe 1.0 +- 1e-9
+    }
+  }
+
   test("per-shard replica is bounded and routing is honored") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id".cast("long").as("vec_id"))
