@@ -4020,6 +4020,18 @@ object NorthStar {
       graft.streaming.Streaming.streamShardFailoverServing(s, dir,
           kFrom = 5)
         .orderBy("q_id", "rnk")
+    },
+
+    // ROUTED SCATTER-GATHER SERVING — the OTHER distributed-ANN
+    // serving shape (st58 routes a query by ITS key; a similarity
+    // query's neighbors live anywhere): rank shards by max cosine
+    // against each shard's sparse router slice, walk the top-2
+    // replicas, exact top-k merge of the partials. The navigation
+    // layer bounds the scatter the way production tiers do.
+    "st64_scatter_gather_serving" -> { (s, dir) =>
+      graft.streaming.Streaming.streamScatterGatherServing(s, dir,
+          nShards = 4, probeShards = 2)
+        .orderBy("q_id", "rnk")
     })
 
   // ---------- oracles ----------
@@ -4308,6 +4320,48 @@ object NorthStar {
                 .rendezvousShardSql("e.id", kFrom)} = ${kFrom - 1}")}
            |)""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY q_id, rnk")
+    }
+
+    // st64: the routed scatter-gather replay — every query ranks all
+    // shards by max cosine against the shard's sparse router slice
+    // (vec_id % routerMod — the navigation level above the walk
+    // seeds; ties → low shard), walks the top-m shards' replicas
+    // (st58's shard-local build+walk arms), and the gather is the
+    // exact top-k merge of the partials by (rounded cos DESC, id ASC).
+    def scatterGatherReplaySql(nSh: Int, m: Int, routerMod: Int,
+        k: Int): String = {
+      val shardOf = (id: String) =>
+        graft.operators.Mixture.rendezvousShardSql(id, nSh)
+      val qT = "list_transform(q.embedding, x -> cast(x as double))"
+      val sT = "list_transform(s.embedding, x -> cast(x as double))"
+      val arms = (0 until nSh).map { sh =>
+        val qs = s"""SELECT qq.q_id, qq.q_vec FROM
+             |  (SELECT vec_id + 100000 AS q_id,
+             |     list_transform(embedding, x -> cast(x as double)) AS q_vec
+             |   FROM embeddings) qq
+             |  JOIN (SELECT q_id FROM (
+             |      SELECT q_id, sh,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY score DESC, sh ASC) AS srn
+             |      FROM (SELECT q_id, sh, max(c) AS score FROM (
+             |          SELECT q.vec_id + 100000 AS q_id,
+             |            ${shardOf("s.vec_id")} AS sh,
+             |            ${cosSql(qT, sT)} AS c
+             |          FROM embeddings q JOIN embeddings s
+             |            ON s.vec_id % $routerMod = 0) p
+             |        WHERE NOT isnan(c) GROUP BY 1, 2) g) r
+             |    WHERE srn <= $m AND sh = $sh) rt ON rt.q_id = qq.q_id"""
+          .stripMargin
+        s"""SELECT q_id, cast($sh as bigint) AS shard, n_id, cos_sim FROM (
+           |${graphAnnReplaySql(qs, eFilter = s"${shardOf("vec_id")} = $sh")}
+           |)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "")
+      s"""SELECT q_id, rnk, n_id, cos_sim, shard FROM (
+         |  SELECT q_id, shard, n_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, n_id ASC) AS rnk
+         |  FROM ($arms) u) t
+         |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
     }
 
     // st53/st61 share the upsert-intent replay: the frozen
@@ -6621,6 +6675,12 @@ object NorthStar {
       // (own + gained), seeds OR-widened by the gained-orphan set
       "st63_shard_failover_serving" -> shardedFailoverReplaySql(
         kFrom = 5),
+
+      // st64: router ranking (max cos vs each shard's vec_id %
+      // routerMod slice, ties → low shard), top-2 shard walks, exact
+      // top-k merge by (rounded cos DESC, id ASC)
+      "st64_scatter_gather_serving" -> scatterGatherReplaySql(
+        nSh = 4, m = 2, routerMod = 64, k = 5),
 
       // s36: s35's replay (corpus-scaled build) with rn exposed at
       // each beam, top-5 prefix per arm (rounds 0/1/2/3), hit-joined

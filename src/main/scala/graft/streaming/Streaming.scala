@@ -3069,6 +3069,121 @@ object Streaming {
     runToTable(arms.reduce(_ unionByName _), "append")
   }
 
+  /** The exact cosine fold [[localBeamWalk]] uses, exposed for the
+    * shard-router summary scoring (st64): per-element float→double
+    * cast, left-to-right accumulation — bit-identical to the codegen
+    * DotProduct and to the DuckDB replay's list_sum spelling.
+    */
+  private[streaming] def cosExact(a: Array[Float], b: Array[Float]): Double = {
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  /** ROUTED SCATTER-GATHER SERVING (st64) — the OTHER distributed-ANN
+    * serving shape, complementing st58's key-affinity routing: when
+    * the corpus is sharded arbitrarily (rendezvous on vec_id says
+    * nothing about where a query's NEIGHBORS live), a query must visit
+    * shards by SIMILARITY, not by its own key. Production systems
+    * bound that scatter with a navigation layer: here each shard is
+    * summarized by its sparse router slice (vec_id % routerMod — a
+    * second, coarser level above the walk seeds), every arriving
+    * query ranks shards by max summary cosine (ties → low shard) and
+    * walks only the top `probeShards` replicas; the gather is the
+    * exact top-k merge of the per-shard partials by (cos DESC, id
+    * ASC) — lossless over what was scattered to, k·probeShards rows
+    * per query.
+    *
+    * Scale accounting: per-shard replicas are O(corpus/nShards)
+    * (st58's bound), the router summary is O(corpus/routerMod) total
+    * — a deployment scales routerMod with the corpus to keep it
+    * constant (st50's seedMod convention, one level up) — and each
+    * query pays probeShards walks, a constant. The filtered-union
+    * spelling re-runs the router per arm (st61's documented scatter
+    * artifact; a deployment routes once at the ingest tier). The
+    * oracle replays the router ranking, every routed walk, and the
+    * merge.
+    */
+  def streamScatterGatherServing(s: SparkSession, dir: String,
+      nShards: Int = 4, probeShards: Int = 2, k: Int = 5, beam: Int = 16,
+      rounds: Int = 3, seedMod: Int = 64, routerMod: Int = 64,
+      graphK: Int = 10, targetList: Int = 64, nprobe: Int = 4,
+      superProbe: Int = 3): DataFrame = {
+    import s.implicits._
+    import graft.operators.{CacheScope, Mixture, Similarity}
+    require(k <= beam, s"k=$k must be <= beam=$beam")
+    require(probeShards >= 1 && probeShards <= nShards,
+      s"probeShards=$probeShards must be in [1, nShards=$nShards]")
+    val scope = CacheScope.sessionScope(s)
+    val emb = scope.own(s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        Mixture.rendezvousShardCol(col("vec_id"), nShards).as("shard"))
+      .persist())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val replicas = Await.result(Future.sequence((0 until nShards).map { sh =>
+      Future {
+        val vecs: Map[Long, Array[Float]] = emb
+          .filter(col("shard") === sh)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().toMap
+        val adj: Map[Long, Array[Long]] =
+          Similarity.ensureShardKnnIndex(s, dir, nShards, sh, graphK,
+              targetList, nprobe, superProbe)
+            .select(col("node").cast("long"), col("edge_to").cast("long"))
+            .as[(Long, Long)].collect()
+            .groupBy(_._1).map { case (n, es) => (n, es.map(_._2)) }
+        val seeds: Array[Long] = vecs.keysIterator.filter(_ % seedMod == 0)
+          .toArray.sorted
+        (sh, vecs, adj, seeds)
+      }
+    }), Duration.Inf)
+    // the navigation layer: each shard's sparse router slice —
+    // O(corpus/routerMod) across the whole fleet, broadcast once
+    val summary: Array[(Int, Array[Array[Float]])] = replicas.map {
+      case (sh, vecs, _, _) =>
+        (sh, vecs.iterator.filter(_._1 % routerMod == 0)
+          .toArray.sortBy(_._1).map(_._2))
+    }.toArray
+    val bcSummary = s.sparkContext.broadcast(summary)
+    val qStream = graft.sources.Sources.embeddingsStream(s, dir)
+      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+        col("embedding"))
+    val arms = replicas.map { case (sh, vecs, adj, seeds) =>
+      val bcVecs = s.sparkContext.broadcast(vecs)
+      val bcAdj = s.sparkContext.broadcast(adj)
+      val bcSeeds = s.sparkContext.broadcast(seeds)
+      qStream.as[(Long, Array[Float])].flatMap { case (qId, qv) =>
+        val routed = bcSummary.value.iterator.flatMap { case (s2, rvs) =>
+          val scores = rvs.iterator.map(v => cosExact(qv, v))
+            .filter(!_.isNaN).toSeq
+          if (scores.isEmpty) None else Some((s2, scores.max))
+        }.toSeq.sortBy { case (s2, sc) => (-sc, s2) }
+          .take(probeShards).map(_._1)
+        if (!routed.contains(sh)) Iterator.empty
+        else localBeamWalk(qId, qv, bcVecs.value, bcAdj.value,
+          bcSeeds.value, k, beam, rounds).map { case (q, _, nId, cos) =>
+          (q, sh.toLong, nId, cos)
+        }
+      }.toDF("q_id", "shard", "n_id", "cos_sim")
+    }
+    // the GATHER: exact top-k merge of the routed arms' partials —
+    // shard slices are disjoint, so no dedup; rounded-cosine ties
+    // break on id like every readout in the family
+    val partials = runToTable(arms.reduce(_ unionByName _), "append")
+    import org.apache.spark.sql.expressions.Window
+    partials
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("n_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("cos_sim"),
+        col("shard"))
+  }
+
   /** SHARD-FAILOVER SERVING (st63) — the resize story's other
     * direction: a serving node DIES (the newest member decommissions —
     * HRW removal moves only the dead member's keys, and removing the

@@ -99,7 +99,8 @@ object ScaleBench {
     "st58_sharded_graph_probe", "st59_takedown_to_serving",
     "s45_asset_manifest", "st60_sharded_takedown_serving",
     "st61_sharded_graph_upsert", "s46_shard_manifest",
-    "st62_shard_resize_serving", "st63_shard_failover_serving")
+    "st62_shard_resize_serving", "st63_shard_failover_serving",
+    "st64_scatter_gather_serving")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -200,6 +201,16 @@ object ScaleBench {
       val kf = if (copies <= 1) 5 else math.min(copies, 50) + 1
       graft.streaming.Streaming.streamShardFailoverServing(s, dir,
         kFrom = kf)
+    }
+    // st64: shard count grows with the corpus (st58's convention),
+    // the scatter breadth stays constant, and routerMod scales with
+    // the corpus so the navigation summary stays constant-size
+    // (st50's seedMod convention one level up)
+    case "st64_scatter_gather_serving" => Some { (s, dir) =>
+      val nsh = if (copies <= 1) 4 else math.min(copies, 50)
+      val rm = if (copies <= 1) 64 else 64 * copies
+      graft.streaming.Streaming.streamScatterGatherServing(s, dir,
+        nShards = nsh, probeShards = 2, routerMod = rm)
     }
     case _ => None
   }

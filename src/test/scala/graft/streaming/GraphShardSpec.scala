@@ -204,6 +204,68 @@ class GraphShardSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("st64: routed scatter-gather == top-m routed walks merged exactly") {
+    val nSh = 4; val m = 2; val k = 5
+    val got = Streaming.streamScatterGatherServing(spark, dir,
+        nShards = nSh, probeShards = m, k = k)
+      .select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim", $"shard")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    got should not be empty
+
+    // batch composition: the same router (max cosine vs each shard's
+    // vec_id%64 slice, ties -> low shard), per-shard batch beam
+    // search over the routed queries, exact merge
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val all = emb.as[(Long, Array[Float])].collect()
+    val byShard = all.groupBy { case (id, _) =>
+      Mixture.rendezvousShardOf(id, nSh) }
+    val router: Map[Int, Array[Array[Float]]] = byShard.map {
+      case (sh, rows) =>
+        (sh, rows.filter(_._1 % 64 == 0).sortBy(_._1).map(_._2))
+    }
+    def topShards(qv: Array[Float]): Seq[Int] =
+      (0 until nSh).flatMap { sh =>
+        val scores = router.getOrElse(sh, Array.empty).iterator
+          .map(v => Streaming.cosExact(qv, v)).filter(!_.isNaN).toSeq
+        if (scores.isEmpty) None else Some((sh, scores.max))
+      }.sortBy { case (sh, sc) => (-sc, sh) }.take(m).map(_._1)
+    val routedTo: Map[Int, Seq[Long]] = all
+      .flatMap { case (id, v) => topShards(v).map(sh => (sh, id + 100000L)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val partials = (0 until nSh).flatMap { sh =>
+      val qIds = routedTo.getOrElse(sh, Seq.empty)
+      if (qIds.isEmpty) Seq.empty else {
+        val shardCorpus = emb.filter(
+          Mixture.rendezvousShardCol($"vec_id", nSh) === sh)
+        val routed = emb.filter(($"vec_id" + 100000L).isin(qIds: _*))
+          .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+        val graph = Similarity.knnEdgesScaled(shardCorpus, graphK = 10,
+          undirected = true).persist()
+        val rows = Similarity.graphBeamSearchOver(graph, shardCorpus, routed,
+            k = k, beam = 16, rounds = 3, seedMod = 64)
+          .select($"q_id", $"n_id", $"cos_sim")
+          .as[(Long, Long, Double)].collect()
+          .map { case (q, n, c) => (q, sh.toLong, n, c) }
+        graph.unpersist()
+        CacheScope.releaseSession(spark)
+        rows
+      }
+    }
+    val want = partials.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy { case (_, _, n, c) => (-c, n) }.take(k).zipWithIndex
+        .map { case ((_, sh, n, c), i) => (q, (i + 1).toLong, n, c, sh) }
+    }.sortBy(r => (r._1, r._2))
+
+    got.length shouldBe want.length
+    got should contain theSameElementsInOrderAs want
+    // the scatter is bounded: every query's results span <= m shards
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._5).distinct.length should be <= m
+    }
+  }
+
   test("per-shard replica is bounded and routing is honored") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id".cast("long").as("vec_id"))
