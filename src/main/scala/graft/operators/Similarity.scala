@@ -1018,6 +1018,65 @@ object Similarity {
         col("col")("_1").as("n_id"), round(col("col")("_2"), 6).as("cos_sim"))
   }
 
+  /** ROUTED SCATTER-GATHER TOP-K, the fully-distributed batch twin of
+    * the st64 stream (every streaming serving row has one: s35↔st50,
+    * s43↔st59): rank shards per query against the sparse navigation
+    * slice (vec_id % routerMod), scatter each query to its top
+    * `probeShards` shards' walk arms ([[graphBeamSearchOver]] over the
+    * stored per-shard assets), and gather with an exact top-k merge by
+    * (rounded cos DESC, id ASC). Every stage is a DataFrame plan: the
+    * router is one broadcast cross join against the O(corpus/routerMod)
+    * summary + a partial max + a bounded window; the scatter is a
+    * left-semi join per arm; no data-sized driver structure anywhere —
+    * the spelling a 100 TB batch reranker runs.
+    */
+  def scatterGatherTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, nShards: Int = 4, probeShards: Int = 2,
+      k: Int = 5, beam: Int = 16, rounds: Int = 3, seedMod: Int = 64,
+      routerMod: Int = 64, graphK: Int = 10, targetList: Int = 64,
+      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probeShards >= 1 && probeShards <= nShards,
+      s"probeShards=$probeShards must be in [1, nShards=$nShards]")
+    val scope = CacheScope.sessionScope(s)
+    val emb = scope.own(s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        Mixture.rendezvousShardCol(col("vec_id").cast("long"), nShards)
+          .as("shard"))
+      .persist()) // one scan feeds the summary and every arm's slice
+    val q = queries.select(col("vec_id").cast("long").as("q_id"),
+      col("embedding").as("q_vec"))
+    val summary = emb.filter(col("vec_id") % routerMod === 0)
+      .select(col("shard").as("s_shard"), col("embedding").as("s_vec"))
+    val routed = q.crossJoin(broadcast(summary))
+      .withColumn("c", cosine(col("q_vec"), col("s_vec")))
+      .filter(!isnan(col("c")) && col("c").isNotNull)
+      .groupBy(col("q_id"), col("s_shard"))
+      .agg(max(col("c")).as("score"))
+      .withColumn("srn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("s_shard").asc)))
+      .filter(col("srn") <= probeShards)
+      .select(col("q_id").as("r_qid"), col("s_shard"))
+    val arms = (0 until nShards).map { sh =>
+      val shardCorpus = emb.filter(col("shard") === sh).drop("shard")
+      val routedQ = queries
+        .join(routed.filter(col("s_shard") === sh),
+          queries(queries.columns.head).cast("long") === col("r_qid"),
+          "left_semi")
+      val graph = scope.own(ensureShardKnnIndex(s, dir, nShards, sh,
+        graphK, targetList, nprobe, superProbe).persist())
+      graphBeamSearchOver(graph, shardCorpus, routedQ, k, beam, rounds,
+          seedMod)
+        .withColumn("shard", lit(sh.toLong))
+    }
+    arms.reduce(_ unionByName _)
+      .withColumn("mrnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("n_id").asc)))
+      .filter(col("mrnk") <= k)
+      .select(col("q_id"), col("mrnk").cast("long").as("rnk"), col("n_id"),
+        col("cos_sim"), col("shard"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space coarsely, then compare pairs ONLY within each
     * cluster — a document is a semantic duplicate when a lower-id

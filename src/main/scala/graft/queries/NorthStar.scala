@@ -2041,6 +2041,21 @@ object NorthStar {
       Similarity.rankedAssetManifest(s, dir).orderBy("generation")
     },
 
+    // ROUTED SCATTER-GATHER, the fully-distributed batch twin of st64
+    // (every streaming serving row has one: s35↔st50, s43↔st59):
+    // broadcast-summary router, left-semi scatter to the top-2 shard
+    // walk arms over the STORED per-shard assets, exact top-k merge.
+    // No data-sized driver structure anywhere in the plan.
+    "s47_scatter_gather_batch" -> { (s, dir) =>
+      import s.implicits._
+      val qs = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter($"vec_id" < 5)
+        .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      graft.operators.Similarity.scatterGatherTopK(s, dir, qs,
+          nShards = 4, probeShards = 2)
+        .orderBy("q_id", "rnk")
+    },
+
     // SHARD-FLEET MANIFEST — s45's audit applied to st58's per-shard
     // assets: ensure all four nightly shard indexes, read each one's
     // manifest back, and emit (recorded count, actual stored count,
@@ -4329,26 +4344,29 @@ object NorthStar {
     // (st58's shard-local build+walk arms), and the gather is the
     // exact top-k merge of the partials by (rounded cos DESC, id ASC).
     def scatterGatherReplaySql(nSh: Int, m: Int, routerMod: Int,
-        k: Int): String = {
+        k: Int, qIdSql: String = "vec_id + 100000",
+        qWhere: String = ""): String = {
       val shardOf = (id: String) =>
         graft.operators.Mixture.rendezvousShardSql(id, nSh)
       val qT = "list_transform(q.embedding, x -> cast(x as double))"
       val sT = "list_transform(s.embedding, x -> cast(x as double))"
+      val qW = if (qWhere.isEmpty) "" else s" WHERE $qWhere"
+      val qWq = if (qWhere.isEmpty) "" else s" AND q.$qWhere"
       val arms = (0 until nSh).map { sh =>
         val qs = s"""SELECT qq.q_id, qq.q_vec FROM
-             |  (SELECT vec_id + 100000 AS q_id,
+             |  (SELECT $qIdSql AS q_id,
              |     list_transform(embedding, x -> cast(x as double)) AS q_vec
-             |   FROM embeddings) qq
+             |   FROM embeddings$qW) qq
              |  JOIN (SELECT q_id FROM (
              |      SELECT q_id, sh,
              |        row_number() OVER (PARTITION BY q_id
              |          ORDER BY score DESC, sh ASC) AS srn
              |      FROM (SELECT q_id, sh, max(c) AS score FROM (
-             |          SELECT q.vec_id + 100000 AS q_id,
+             |          SELECT q.$qIdSql AS q_id,
              |            ${shardOf("s.vec_id")} AS sh,
              |            ${cosSql(qT, sT)} AS c
              |          FROM embeddings q JOIN embeddings s
-             |            ON s.vec_id % $routerMod = 0) p
+             |            ON s.vec_id % $routerMod = 0$qWq) p
              |        WHERE NOT isnan(c) GROUP BY 1, 2) g) r
              |    WHERE srn <= $m AND sh = $sh) rt ON rt.q_id = qq.q_id"""
           .stripMargin
@@ -6681,6 +6699,12 @@ object NorthStar {
       // top-k merge by (rounded cos DESC, id ASC)
       "st64_scatter_gather_serving" -> scatterGatherReplaySql(
         nSh = 4, m = 2, routerMod = 64, k = 5),
+
+      // s47: the same replay over the 5 benchmark corpus queries
+      // (unshifted ids — s35's convention for the batch twins)
+      "s47_scatter_gather_batch" -> scatterGatherReplaySql(
+        nSh = 4, m = 2, routerMod = 64, k = 5,
+        qIdSql = "vec_id", qWhere = "vec_id < 5"),
 
       // s36: s35's replay (corpus-scaled build) with rn exposed at
       // each beam, top-5 prefix per arm (rounds 0/1/2/3), hit-joined

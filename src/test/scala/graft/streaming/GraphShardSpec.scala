@@ -266,6 +266,24 @@ class GraphShardSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("s47: distributed batch scatter-gather == st64 stream row for row") {
+    val got = Streaming.streamScatterGatherServing(spark, dir,
+        nShards = 4, probeShards = 2, k = 5)
+      .select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim", $"shard")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    // the batch twin over the SAME query set (the +100000 arrivals)
+    val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(($"vec_id".cast("long") + 100000L).as("vec_id"), $"embedding")
+    val want = Similarity.scatterGatherTopK(spark, dir, qs,
+        nShards = 4, probeShards = 2, k = 5)
+      .select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim", $"shard")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    got.length shouldBe want.length
+    got should contain theSameElementsInOrderAs want
+  }
+
   test("per-shard replica is bounded and routing is honored") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id".cast("long").as("vec_id"))
