@@ -1034,10 +1034,25 @@ object Similarity {
       queries: DataFrame, nShards: Int = 4, probeShards: Int = 2,
       k: Int = 5, beam: Int = 16, rounds: Int = 3, seedMod: Int = 64,
       routerMod: Int = 64, graphK: Int = 10, targetList: Int = 64,
+      nprobe: Int = 4, superProbe: Int = 3): DataFrame =
+    scatterGatherMerge(scatterGatherPartials(s, dir, queries, nShards,
+      probeShards, k, beam, rounds, seedMod, routerMod, graphK,
+      targetList, nprobe, superProbe), k)
+
+  /** The per-shard PARTIALS of the routed scatter: each walked arm's
+    * top-k tagged with the query's shard rank `srn` (1 = best summary
+    * shard). The breadth-m merged result is derivable from any
+    * maxBreadth ≥ m partials by filtering srn ≤ m — how the s48
+    * frontier evaluates three breadths from ONE scatter.
+    */
+  def scatterGatherPartials(s: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, nShards: Int, maxBreadth: Int,
+      k: Int, beam: Int = 16, rounds: Int = 3, seedMod: Int = 64,
+      routerMod: Int = 64, graphK: Int = 10, targetList: Int = 64,
       nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(probeShards >= 1 && probeShards <= nShards,
-      s"probeShards=$probeShards must be in [1, nShards=$nShards]")
+    require(maxBreadth >= 1 && maxBreadth <= nShards,
+      s"maxBreadth=$maxBreadth must be in [1, nShards=$nShards]")
     val scope = CacheScope.sessionScope(s)
     val emb = scope.own(s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
@@ -1048,28 +1063,43 @@ object Similarity {
       col("embedding").as("q_vec"))
     val summary = emb.filter(col("vec_id") % routerMod === 0)
       .select(col("shard").as("s_shard"), col("embedding").as("s_vec"))
-    val routed = q.crossJoin(broadcast(summary))
+    val routed = scope.own(q.crossJoin(broadcast(summary))
       .withColumn("c", cosine(col("q_vec"), col("s_vec")))
       .filter(!isnan(col("c")) && col("c").isNotNull)
       .groupBy(col("q_id"), col("s_shard"))
       .agg(max(col("c")).as("score"))
       .withColumn("srn", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("s_shard").asc)))
-      .filter(col("srn") <= probeShards)
-      .select(col("q_id").as("r_qid"), col("s_shard"))
+      .filter(col("srn") <= maxBreadth)
+      .select(col("q_id").as("r_qid"), col("s_shard"), col("srn"))
+      .persist()) // read by every arm's scatter and the srn tag join
     val arms = (0 until nShards).map { sh =>
       val shardCorpus = emb.filter(col("shard") === sh).drop("shard")
+      val armRouted = routed.filter(col("s_shard") === sh)
       val routedQ = queries
-        .join(routed.filter(col("s_shard") === sh),
+        .join(armRouted,
           queries(queries.columns.head).cast("long") === col("r_qid"),
           "left_semi")
       val graph = scope.own(ensureShardKnnIndex(s, dir, nShards, sh,
         graphK, targetList, nprobe, superProbe).persist())
       graphBeamSearchOver(graph, shardCorpus, routedQ, k, beam, rounds,
           seedMod)
-        .withColumn("shard", lit(sh.toLong))
+        .join(armRouted.select(col("r_qid"), col("srn")),
+          col("q_id") === col("r_qid"))
+        .select(col("q_id"), col("srn"), col("n_id"), col("cos_sim"),
+          lit(sh.toLong).as("shard"))
     }
     arms.reduce(_ unionByName _)
+  }
+
+  /** The exact top-k GATHER over [[scatterGatherPartials]] rows,
+    * optionally restricted to the breadth-m prefix of the shard
+    * ranking: (rounded cos DESC, id ASC), slices disjoint so no dedup.
+    */
+  def scatterGatherMerge(partials: DataFrame, k: Int,
+      m: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    partials.filter(col("srn") <= m)
       .withColumn("mrnk", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc, col("n_id").asc)))
       .filter(col("mrnk") <= k)

@@ -2056,6 +2056,39 @@ object NorthStar {
         .orderBy("q_id", "rnk")
     },
 
+    // SCATTER-BREADTH RECALL FRONTIER — the eval row completing the
+    // scatter-gather family (s36's role for s35): how much recall the
+    // navigation-routed scatter buys at m = 1, 2, 4 of 4 shards vs
+    // exact brute-force truth. Integer hit-count joins, one double
+    // division per arm.
+    "s48_scatter_recall" -> { (s, dir) =>
+      import s.implicits._
+      val scope = graft.operators.CacheScope.sessionScope(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = emb.filter($"vec_id" < 5)
+        .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+      val k = 5
+      val truth = scope.own(Similarity.bruteForceTopK(emb, queries, k)
+        .select($"q_id".cast("long").as("q_id"), $"n_id".cast("long").as("n_id"))
+        .persist()) // joined by all three arms
+      val nq = queries.count() // bounded: 5 by construction
+      // ONE scatter over all 4 shards; each breadth's merge is the
+      // srn <= m prefix of the same partials (provably identical to
+      // running the breadth-m scatter — routing ranks don't depend
+      // on m, walks are per (query, shard) independent)
+      val partials = scope.own(Similarity.scatterGatherPartials(s, dir,
+        queries, nShards = 4, maxBreadth = 4, k = k).persist())
+      Seq(1, 2, 4).map { m =>
+        Similarity.scatterGatherMerge(partials, k, m)
+          .select($"q_id", $"n_id")
+          .join(truth, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(m.toLong).as("probe_shards"), lit(k.toLong).as("k"),
+            lit(nq).as("n_queries"), $"n_hits",
+            round($"n_hits".cast("double") / (nq * k), 6).as("recall"))
+      }.reduce(_ unionByName _).orderBy($"probe_shards")
+    },
+
     // SHARD-FLEET MANIFEST — s45's audit applied to st58's per-shard
     // assets: ensure all four nightly shard indexes, read each one's
     // manifest back, and emit (recorded count, actual stored count,
@@ -4379,7 +4412,38 @@ object NorthStar {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos_sim DESC, n_id ASC) AS rnk
          |  FROM ($arms) u) t
-         |WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+         |WHERE rnk <= $k""".stripMargin
+    }
+
+    // s48: the scatter-breadth recall frontier — for each probeShards
+    // arm the merged scatter-gather set hit-joins brute-force truth
+    // (s36's eval convention: integer hit counts, one double division)
+    def scatterRecallSql(nSh: Int, ms: Seq[Int], routerMod: Int,
+        k: Int): String = {
+      val armSelects = ms.map { m =>
+        val merged = scatterGatherReplaySql(nSh, m, routerMod, k,
+          qIdSql = "vec_id", qWhere = "vec_id < 5")
+        s"""SELECT cast($m as bigint) AS probe_shards,
+           |  cast($k as bigint) AS k,
+           |  (SELECT n FROM nq) AS n_queries,
+           |  (SELECT count(*) FROM (
+           |$merged
+           |  ) g JOIN truth t ON t.q_id = g.q_id AND t.n_id = g.n_id)
+           |    AS n_hits""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "")
+      s"""WITH e2 AS (SELECT vec_id AS id,
+         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
+         |qs2 AS (SELECT id AS q_id, v AS q_vec FROM e2 WHERE id < 5),
+         |truth AS (SELECT q_id, n_id FROM (
+         |  SELECT qq.q_id, e.id AS n_id,
+         |    row_number() OVER (PARTITION BY qq.q_id
+         |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, e.id ASC) AS rn
+         |  FROM qs2 qq JOIN e2 e ON e.id <> qq.q_id) t WHERE rn <= $k),
+         |nq AS (SELECT count(*) AS n FROM qs2)
+         |SELECT probe_shards, k, n_queries, n_hits,
+         |  round(n_hits / (n_queries * $k.0), 6) AS recall
+         |FROM ($armSelects) f
+         |ORDER BY probe_shards""".stripMargin
     }
 
     // st53/st61 share the upsert-intent replay: the frozen
@@ -6697,14 +6761,19 @@ object NorthStar {
       // st64: router ranking (max cos vs each shard's vec_id %
       // routerMod slice, ties → low shard), top-2 shard walks, exact
       // top-k merge by (rounded cos DESC, id ASC)
-      "st64_scatter_gather_serving" -> scatterGatherReplaySql(
-        nSh = 4, m = 2, routerMod = 64, k = 5),
+      "st64_scatter_gather_serving" -> (scatterGatherReplaySql(
+        nSh = 4, m = 2, routerMod = 64, k = 5) + "\nORDER BY q_id, rnk"),
 
       // s47: the same replay over the 5 benchmark corpus queries
       // (unshifted ids — s35's convention for the batch twins)
-      "s47_scatter_gather_batch" -> scatterGatherReplaySql(
+      "s47_scatter_gather_batch" -> (scatterGatherReplaySql(
         nSh = 4, m = 2, routerMod = 64, k = 5,
-        qIdSql = "vec_id", qWhere = "vec_id < 5"),
+        qIdSql = "vec_id", qWhere = "vec_id < 5") + "\nORDER BY q_id, rnk"),
+
+      // s48: the scatter-breadth recall frontier — merged sets for
+      // m = 1, 2, 4 hit-joined against brute-force truth
+      "s48_scatter_recall" -> scatterRecallSql(
+        nSh = 4, ms = Seq(1, 2, 4), routerMod = 64, k = 5),
 
       // s36: s35's replay (corpus-scaled build) with rn exposed at
       // each beam, top-5 prefix per arm (rounds 0/1/2/3), hit-joined

@@ -88,7 +88,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s42_graph_tombstone" -> "s30's corpus-scaled two-level routing shape (corpus x sqrt-nlist broadcast supers) building the frozen asset; the tombstone application is anti/semi equi-joins on the id and the repair is the cell-id equi-join over surviving assignments",
     "s43_tombstone_serving" -> "s35's two sanctioned shapes verbatim (the corpus-scaled routing scan building the asset, the 5-broadcast-queries x 1/64 seed slice) with the scoring table anti-filtered to survivors; every beam round is an id-keyed equi-join",
     "s44_graph_serve_upserted" -> "d26's sanctioned frozen-quantizer routing shapes (base-trained supers/centroids routing BOTH the base and the arriving shard) building the maintained graph, plus s35's seed slice; the merge-upsert and every beam round are id-keyed equi-joins",
-    "s47_scatter_gather_batch" -> "two sanctioned navigation shapes: the router is 5 broadcast queries x the O(corpus/routerMod) summary slice (s35's seed-stage fraction of an s01 scan), and each routed arm runs s35's seed crossJoin over its 1/nShards slice; the scatter is a left-semi equi-join, every beam round an id-keyed equi-join, the gather a bounded window")
+    "s47_scatter_gather_batch" -> "two sanctioned navigation shapes: the router is 5 broadcast queries x the O(corpus/routerMod) summary slice (s35's seed-stage fraction of an s01 scan), and each routed arm runs s35's seed crossJoin over its 1/nShards slice; the scatter is a left-semi equi-join, every beam round an id-keyed equi-join, the gather a bounded window",
+    "s48_scatter_recall" -> "the evaluation row composes s47's sanctioned navigation shapes x3 breadth arms plus s01's exact truth arm (5 broadcast queries x corpus scan); every hit count is an equi-join of two top-k sets")
 
   /** Per-entry row bound for the vouched-tiny nested-loop side — the
     * prose above as a CHECKED invariant (round-13 verdict item 4): for
@@ -136,6 +137,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "d26_graph_upsert" -> 64, "s42_graph_tombstone" -> 64,
     "s43_tombstone_serving" -> 64, "s44_graph_serve_upserted" -> 64,
     "s47_scatter_gather_batch" -> 64,
+    "s48_scatter_recall" -> 1100,
     "d14_semantic_decontam" -> 64,
     "q57_gapfill_series" -> 8, "q58_decay_score" -> 4,
     "q63_trend" -> 4, "q64_peak_concurrency" -> 4,
