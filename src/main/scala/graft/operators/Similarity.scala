@@ -1004,6 +1004,15 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(topB(col("nid"), col("cos")).as("beam"))
     for (_ <- 1 to rounds) {
+      // truncate lineage at the round boundary: without it the logical
+      // plan NESTS (round r's plan contains round r-1's whole DAG) and
+      // multi-arm compositions (s36's three-round arms, s47/s48's
+      // per-shard scatters) spend more wall-clock in Catalyst analysis
+      // than in data. The lazy localCheckpoint replaces the frontier's
+      // logical plan with a LogicalRDD NOW (planning cost per round
+      // stays constant) while materialization still happens inside the
+      // one final action; the checkpointed state is O(queries·beam).
+      beamed = beamed.localCheckpoint(false)
       val frontier = beamed.select(col("q_id"),
         explode(col("beam")("_1")).as("n_id"))
       val expanded = frontier.join(graph, frontier("n_id") === graph("node"))
@@ -1034,10 +1043,11 @@ object Similarity {
       queries: DataFrame, nShards: Int = 4, probeShards: Int = 2,
       k: Int = 5, beam: Int = 16, rounds: Int = 3, seedMod: Int = 64,
       routerMod: Int = 64, graphK: Int = 10, targetList: Int = 64,
-      nprobe: Int = 4, superProbe: Int = 3): DataFrame =
+      nprobe: Int = 4, superProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     scatterGatherMerge(scatterGatherPartials(s, dir, queries, nShards,
       probeShards, k, beam, rounds, seedMod, routerMod, graphK,
-      targetList, nprobe, superProbe), k)
+      targetList, nprobe, superProbe, idCol, vecCol), k)
 
   /** The per-shard PARTIALS of the routed scatter: each walked arm's
     * top-k tagged with the query's shard rank `srn` (1 = best summary
@@ -1049,7 +1059,8 @@ object Similarity {
       dir: String, queries: DataFrame, nShards: Int, maxBreadth: Int,
       k: Int, beam: Int = 16, rounds: Int = 3, seedMod: Int = 64,
       routerMod: Int = 64, graphK: Int = 10, targetList: Int = 64,
-      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+      nprobe: Int = 4, superProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxBreadth >= 1 && maxBreadth <= nShards,
       s"maxBreadth=$maxBreadth must be in [1, nShards=$nShards]")
@@ -1059,8 +1070,8 @@ object Similarity {
         Mixture.rendezvousShardCol(col("vec_id").cast("long"), nShards)
           .as("shard"))
       .persist()) // one scan feeds the summary and every arm's slice
-    val q = queries.select(col("vec_id").cast("long").as("q_id"),
-      col("embedding").as("q_vec"))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("q_vec"))
     val summary = emb.filter(col("vec_id") % routerMod === 0)
       .select(col("shard").as("s_shard"), col("embedding").as("s_vec"))
     val routed = scope.own(q.crossJoin(broadcast(summary))
@@ -1077,13 +1088,12 @@ object Similarity {
       val shardCorpus = emb.filter(col("shard") === sh).drop("shard")
       val armRouted = routed.filter(col("s_shard") === sh)
       val routedQ = queries
-        .join(armRouted,
-          queries(queries.columns.head).cast("long") === col("r_qid"),
+        .join(armRouted, queries(idCol).cast("long") === col("r_qid"),
           "left_semi")
       val graph = scope.own(ensureShardKnnIndex(s, dir, nShards, sh,
         graphK, targetList, nprobe, superProbe).persist())
       graphBeamSearchOver(graph, shardCorpus, routedQ, k, beam, rounds,
-          seedMod)
+          seedMod, idCol, vecCol)
         .join(armRouted.select(col("r_qid"), col("srn")),
           col("q_id") === col("r_qid"))
         .select(col("q_id"), col("srn"), col("n_id"), col("cos_sim"),
@@ -2455,6 +2465,62 @@ object Similarity {
       graphK: Int, targetList: Int, nprobe: Int, superProbe: Int): String =
     s"graft_knn_shard_${nShards}_${sh}_${graphK}_${targetList}_" +
       s"${nprobe}_${superProbe}_${Assets.tagOf(dir)}"
+
+  /** Build-once PER-OWNER upsert-serving slices — the asset behind the
+    * streaming upsert-intent family (st53/st61): each IVF cell's
+    * members, probers, their vectors, and the probers' stored top-k
+    * admission thresholds, keyed by the cell's rendezvous OWNER among
+    * `nOwners` serving workers. Built as ONE distributed job (the
+    * two-level routing, the graph-tail threshold aggregate, and two
+    * shuffle equi-joins — nothing corpus-sized ever touches the
+    * driver), written owner-clustered so a serving worker's read scans
+    * only its own O((1+nprobe)·corpus/nOwners) slice. Same
+    * fingerprint-guarded lifecycle as [[ensureShardKnnIndex]].
+    *
+    * Columns: (id, cell, role 'm'|'p', owner, vec, thr, thr_cnt) —
+    * role 'm' rows partition the corpus by assigned cell (the
+    * new-arrival candidate pool), role 'p' rows fan each id to every
+    * probed cell (the upsert-notification pool); thr/thr_cnt (the
+    * published graph's 5th-best ROUNDED cosine and row count) ride on
+    * both so the admission test needs no second lookup.
+    */
+  def ensureUpsertOwnerSlices(s: org.apache.spark.sql.SparkSession,
+      dir: String, nOwners: Int, k: Int = 5, nprobe: Int = 4,
+      superProbe: Int = 3): DataFrame =
+    Assets.ensureParquetAsset(s,
+        upsertSliceName(dir, nOwners, k, nprobe, superProbe),
+        new java.io.File(dir, "embeddings.parquet")) {
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
+      val scope = CacheScope.sessionScope(s)
+      val trained = ivfTrainCentroidsFp(base, scaledNlist(base.count()),
+        hashSeed = true)
+      val (superRows, centRows) = firstNsSuperTable(trained,
+        scaledSuperList(trained.length))
+      val routedB = twoLevelRouted(base, superRows, centRows, nprobe,
+        superProbe, "vec_id", "embedding", scope)
+      val probExp = routedB.select(col("id"),
+        posexplode(col("probes")("_1")))
+      val members = probExp.filter(col("pos") === 0)
+        .select(col("id"), col("col").as("cell"), lit("m").as("role"))
+      val probers = probExp
+        .select(col("id"), col("col").as("cell"), lit("p").as("role"))
+      val thr = knnGraphTailFromRouted(routedB, k)
+        .groupBy(col("q_id").as("id"))
+        .agg(min(col("cos_sim")).as("thr"),
+          count(lit(1)).cast("long").as("thr_cnt"))
+      members.unionByName(probers)
+        .withColumn("owner", Mixture.rendezvousShardCol(col("cell"), nOwners))
+        .join(base.select(col("vec_id").cast("long").as("id"),
+          col("embedding").as("vec")), Seq("id"))
+        .join(thr, Seq("id"), "left")
+        .repartition(col("owner"))
+        .sortWithinPartitions("owner", "cell", "role", "id")
+    }
+
+  private[graft] def upsertSliceName(dir: String, nOwners: Int, k: Int,
+      nprobe: Int, superProbe: Int): String =
+    s"graft_upsert_slices_${nOwners}_${k}_${nprobe}_" +
+      s"${superProbe}_${Assets.tagOf(dir)}"
 
   /** SHARD-FLEET MANIFEST READOUT — [[rankedAssetManifest]]'s audit
     * over the per-shard assets: one row per shard with the manifest's

@@ -1368,23 +1368,13 @@ object Streaming {
       vecs: Map[Long, Array[Float]], graph: Map[Long, Array[Long]],
       seeds: Array[Long], k: Int, beam: Int, rounds: Int)
       : Seq[(Long, Long, Long, Double)] = {
-    // the DotProduct fold verbatim: per-element float->double cast,
-    // left-to-right accumulation; cos = dot / (sqrt*sqrt) in the same
-    // association the column expression evaluates
-    def dotF(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
-    def cosF(a: Array[Float], b: Array[Float]): Double =
-      dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
     // score-and-prune: TopKCosAgg's (cos DESC, id ASC), NaN rejected.
     // A candidate absent from the scoring table drops here — exactly
     // the batch join semantics (s43's tombstone mask: the graph may
     // still point at a masked id, but it cannot be scored, hold a
     // beam slot, or be returned)
     def prune(ids: Seq[Long]): Seq[(Long, Double)] = ids.iterator
-      .flatMap(id => vecs.get(id).map(v => (id, cosF(qv, v))))
+      .flatMap(id => vecs.get(id).map(v => (id, cosExact(qv, v))))
       .filter(!_._2.isNaN)
       .toSeq.sortBy { case (id, c) => (-c, id) }.take(beam)
     var beamed = prune(seeds.filter(_ != qId).toSeq)
@@ -2572,12 +2562,10 @@ object Streaming {
   }
 
   /** STREAMING k-NN-GRAPH UPSERT INTENTS — d26's incremental graph
-    * maintenance at ingest time (the st44/st50 discipline): the base
-    * graph and its two-level quantizer are FROZEN build-once assets
-    * replicated into worker memory; each ARRIVING vector (ids shifted
+    * maintenance at ingest time: each ARRIVING vector (ids shifted
     * +100000, st50's shard convention) routes through the frozen
-    * tables LOCALLY and emits the write-ahead intents a downstream
-    * merger applies:
+    * two-level quantizer and emits the write-ahead intents a
+    * downstream merger applies:
     *
     *   - kind='new_topk': the arriving vector's own top-k over the
     *     BASE members of its probed cells (its initial adjacency row),
@@ -2588,285 +2576,197 @@ object Streaming {
     *     row set is short); exact ties defer to the batch merger, the
     *     conservative choice (d26 is the full-merge batch twin).
     *
-    * Stateless per arriving row given the broadcast assets — queries
-    * never shuffle (the serving contract). The local kernel replicates
-    * the operators' math bit for bit: DotProduct's sequential fold
-    * with per-element double cast, (cos DESC, id ASC) ties at both
-    * routing levels and the top-k, NaN rejected, HALF_UP round-6. The
-    * DuckDB oracle replays the frozen build AND every intent.
+    * Since round 16 this is the GLOBAL MERGE over
+    * [[shardedUpsertPartials]] (st61's cell-sharded machinery): the
+    * per-owner partials are lossless — members partition by their
+    * assigned cell's owner, so the global top-k by the RAW cosine of
+    * the deduped union equals the unsharded list row for row, and
+    * upserts are emitted whole by the assigned cell's single owner
+    * (GraphUpsertSpec pins the fold). Nothing corpus-sized ever
+    * touches the driver or a single worker: the slices are a
+    * distributed build-once parquet asset and each arm collects only
+    * its O((1+nprobe)·corpus/nOwners) share. The DuckDB oracle
+    * replays the frozen build AND every intent.
     */
   def streamGraphUpsert(s: SparkSession, dir: String, k: Int = 5,
-      nprobe: Int = 4, superProbe: Int = 3): DataFrame = {
+      nprobe: Int = 4, superProbe: Int = 3, nOwners: Int = 4): DataFrame = {
     import s.implicits._
-    import graft.operators.{CacheScope, Similarity}
-    val scope = CacheScope.sessionScope(s)
-    val base = s.read.parquet(s"$dir/embeddings.parquet")
-    val n = base.count()
-    if (n == 0L) // empty base: no frozen index, no intents
-      return Seq.empty[(String, Long, Long, java.lang.Long, Double)]
-        .toDF("kind", "q_id", "n_id", "rnk", "cos_sim")
-    val trained = Similarity.ivfTrainCentroidsFp(base,
-      Similarity.scaledNlist(n), hashSeed = true)
-    val (superRows, centRows) = Similarity.firstNsSuperTable(trained,
-      Similarity.scaledSuperList(trained.length))
-    val routedB = Similarity.twoLevelRouted(base, superRows, centRows,
-      nprobe, superProbe, "vec_id", "embedding", scope)
-    // frozen assets: per-cell base members / probers, vectors, and the
-    // published graph's per-query admission threshold (5th-best ROUNDED
-    // cos — the asset stores rounded values, so admission compares
-    // rounded to rounded and replays exactly)
-    val vecs: Map[Long, Array[Float]] = base
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])].collect().toMap
-    val asgB: Array[(Long, Long)] = routedB.select(col("id"),
-        element_at(col("probes"), 1)("_1")).as[(Long, Long)].collect()
-    val probB: Array[(Long, Long)] = routedB.select(col("id"),
-        explode(col("probes")("_1"))).as[(Long, Long)].collect()
-    val thr: Map[Long, (Double, Long)] = Similarity
-      .knnGraphTailFromRouted(routedB, k)
-      .groupBy(col("q_id"))
-      .agg(min(col("cos_sim")).as("thr"), count(lit(1)).as("c"))
-      .as[(Long, Double, Long)].collect()
-      .map { case (q, t, c) => (q, (t, c)) }.toMap
-    val cellMembers: Map[Long, Array[Long]] =
-      asgB.groupBy(_._2).map { case (c, xs) => (c, xs.map(_._1).sorted) }
-    val cellProbers: Map[Long, Array[Long]] =
-      probB.groupBy(_._2).map { case (c, xs) => (c, xs.map(_._1).sorted) }
-    val sup: Array[(Long, Array[Double])] =
-      superRows.map { case (sid, v) => (sid, v.toArray) }.toArray
-    val cents: Array[(Long, Long, Array[Double])] =
-      centRows.map { case (sid, cid, v) => (sid, cid, v.toArray) }.toArray
-    val bcVecs = s.sparkContext.broadcast(vecs)
-    val bcMembers = s.sparkContext.broadcast(cellMembers)
-    val bcProbers = s.sparkContext.broadcast(cellProbers)
-    val bcThr = s.sparkContext.broadcast(thr)
-    val bcSup = s.sparkContext.broadcast(sup)
-    val bcCents = s.sparkContext.broadcast(cents)
-    // DotProduct's fold verbatim (float -> double per element); the
-    // frozen centroid tables are integral doubles
-    def dotFD(a: Array[Float], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
-      acc
+    import org.apache.spark.sql.expressions.Window
+    shardedUpsertPartials(s, dir, nOwners, k, nprobe, superProbe) match {
+      case None => // empty base: no frozen index, no intents
+        Seq.empty[(String, Long, Long, java.lang.Long, Double)]
+          .toDF("kind", "q_id", "n_id", "rnk", "cos_sim")
+      case Some(partials) =>
+        val scope = graft.operators.CacheScope.sessionScope(s)
+        val p = scope.own(partials.persist()) // read by both intent arms
+        // upserts are already exact per owner (the assigned cell has
+        // ONE owner) — pass through
+        val ups = p.filter(col("kind") === "upsert")
+          .select(col("kind"), col("q_id"), col("n_id"), col("rnk"),
+            col("cos_sim"))
+        // new_topk: global top-k of the unioned per-owner partials by
+        // the RAW cosine (ties id ASC) — bit-identical to the
+        // unsharded kernel because owners rank by the same raw fold
+        val nt = p.filter(col("kind") === "new_topk")
+          .withColumn("grnk", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("cos_raw").desc, col("n_id").asc)))
+          .filter(col("grnk") <= k)
+          .select(col("kind"), col("q_id"), col("n_id"),
+            col("grnk").cast("long").as("rnk"), col("cos_sim"))
+        nt.unionByName(ups)
     }
-    def dotDD(b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < b.length) { acc += b(i) * b(i); i += 1 }
-      acc
-    }
-    def dotFF(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
-    def cosFD(a: Array[Float], b: Array[Double]): Double =
-      dotFD(a, b) / (math.sqrt(dotFF(a, a)) * math.sqrt(dotDD(b)))
-    def cosFF(a: Array[Float], b: Array[Float]): Double =
-      dotFF(a, b) / (math.sqrt(dotFF(a, a)) * math.sqrt(dotFF(b, b)))
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val shard = graft.sources.Sources.embeddingsStream(s, dir)
-      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
-        col("embedding"))
-    val intents = shard.as[(Long, Array[Float])]
-      .flatMap { case (qId, qv) =>
-        // (cos DESC, id ASC) prefix — the TopKCosAgg convention
-        def topBy(ids: Iterator[(Long, Double)], m: Int): Seq[(Long, Double)] =
-          ids.filter(!_._2.isNaN).toSeq
-            .sortBy { case (id, c) => (-c, id) }.take(m)
-        val supTop = topBy(bcSup.value.iterator
-          .map { case (sid, sv) => (sid, cosFD(qv, sv)) }, superProbe)
-          .map(_._1).toSet
-        val lvl2 = topBy(bcCents.value.iterator
-          .filter { case (sid, _, _) => supTop.contains(sid) }
-          .map { case (_, cid, cv) => (cid, cosFD(qv, cv)) }, nprobe)
-        if (lvl2.isEmpty) Iterator.empty
-        else {
-          val probedCells = lvl2.map(_._1)
-          val assignedCell = probedCells.head
-          val members = probedCells.flatMap(c =>
-            bcMembers.value.getOrElse(c, Array.empty[Long])).distinct
-          val newTop = topBy(members.iterator
-            .map(id => (id, cosFF(qv, bcVecs.value(id)))), k)
-            .zipWithIndex.map { case ((nId, c), i) =>
-              ("new_topk", qId, nId, java.lang.Long.valueOf((i + 1).toLong),
-                r6(c))
-            }
-          val ups = bcProbers.value.getOrElse(assignedCell, Array.empty[Long])
-            .iterator.map { bq => (bq, cosFF(bcVecs.value(bq), qv)) }
-            .filter(!_._2.isNaN)
-            .flatMap { case (bq, c) =>
-              val c6 = r6(c)
-              bcThr.value.get(bq) match {
-                case Some((t, cnt)) if cnt >= k && c6 <= t => None
-                case _ => Some(("upsert", bq, qId,
-                  null.asInstanceOf[java.lang.Long], c6))
-              }
-            }
-          newTop.iterator ++ ups
-        }
-      }
-      .toDF("kind", "q_id", "n_id", "rnk", "cos_sim")
-    runToTable(intents, "append")
   }
 
-  /** CELL-SHARDED STREAMING UPSERT INTENTS (st61) — st53 was the last
-    * full-corpus replica in the streaming family: its arms broadcast
-    * every base vector, every cell's members and probers, and every
-    * stored threshold. HERE those assets are sliced by CELL OWNER —
-    * rendezvous-hash the CELL id among `nOwners` serving workers (the
-    * natural shard key for an IVF-routed index: a cell's members,
-    * probers, prober vectors, and prober thresholds all live with the
-    * cell) — so each arm holds O((1+nprobe)·corpus/nOwners).
-    *
-    * An arriving vector routes through the tiny frozen centroid
-    * tables (broadcast everywhere — O(nlist)) and visits only the
-    * owners of its probed cells. Each owner emits PER-OWNER PARTIAL
+  /** CELL-SHARDED STREAMING UPSERT INTENTS (st61) — st53's assets
+    * sliced by CELL OWNER: rendezvous-hash the CELL id among `nOwners`
+    * serving workers (the natural shard key for an IVF-routed index —
+    * a cell's members, probers, prober vectors, and prober thresholds
+    * all live with the cell), so each arm holds
+    * O((1+nprobe)·corpus/nOwners). Each owner emits PER-OWNER PARTIAL
     * intents:
     *
     *   - kind='new_topk': the arrival's top-k over the members of its
     *     probed cells THAT THE OWNER HOLDS, ranked within the owner.
     *     Partials are LOSSLESS: members partition by their assigned
     *     cell's owner, and any global top-k candidate is in its
-    *     owner's local top-k, so the merger's top-k of the
-    *     deduped union equals st53's global list exactly
-    *     (GraphUpsertSpec pins this fold).
+    *     owner's local top-k, so the merger's top-k of the deduped
+    *     union equals st53's global list exactly (GraphUpsertSpec
+    *     pins this fold; [[streamGraphUpsert]] IS that merge).
     *   - kind='upsert': emitted by the single owner of the arrival's
     *     ASSIGNED cell — identical rows to st53's, since that owner
     *     holds the assigned cell's probers, their vectors, and their
     *     stored thresholds.
     *
-    * The oracle replays the frozen build and every per-owner partial.
-    *
-    * Ladder honesty: expressing scatter as filtered union arms makes
-    * EVERY arm re-run the O(√nlist) routing per arrival, so router
-    * work grows ∝ nOwners while per-arm DATA stays O(corpus/nOwners)
-    * — the 100× rung's per-item rise (0.28 → 0.47) is exactly that
-    * artifact. A deployment routes once at the ingest tier and
-    * dispatches; the per-owner partial math (what the oracle checks)
-    * is identical either way.
+    * Both round-15 scale warts are gone: the slices are a DISTRIBUTED
+    * build-once parquet asset (no full-corpus driver map — each arm
+    * collects only its own slice), and the scatter ROUTES ONCE — one
+    * streaming pass routes each arrival through the broadcast O(nlist)
+    * centroid tables and materializes the (owner, arrival) dispatch,
+    * each arm consuming just its owner partition (the ingest-tier
+    * route-and-dispatch a deployment runs; router work is now
+    * per-arrival, not per-arrival-per-owner). The oracle replays the
+    * frozen build and every per-owner partial.
     */
   def streamShardedGraphUpsert(s: SparkSession, dir: String,
       nOwners: Int = 4, k: Int = 5, nprobe: Int = 4,
       superProbe: Int = 3): DataFrame = {
     import s.implicits._
-    import graft.operators.{CacheScope, Mixture, Similarity}
-    val scope = CacheScope.sessionScope(s)
+    shardedUpsertPartials(s, dir, nOwners, k, nprobe, superProbe) match {
+      case None =>
+        Seq.empty[(String, Long, Long, Long, java.lang.Long, Double)]
+          .toDF("kind", "owner", "q_id", "n_id", "rnk", "cos_sim")
+      case Some(partials) => partials.select(col("kind"), col("owner"),
+        col("q_id"), col("n_id"), col("rnk"), col("cos_sim"))
+    }
+  }
+
+  /** The shared upsert-intent machinery behind [[streamGraphUpsert]]
+    * (st53, the global merge) and [[streamShardedGraphUpsert]] (st61,
+    * the per-owner partials): route-once scatter over the build-once
+    * per-owner slice asset
+    * ([[graft.operators.Similarity.ensureUpsertOwnerSlices]]).
+    * Returns the per-owner partial intents with BOTH the raw cosine
+    * (`cos_raw`, the merge's exact ordering key) and the HALF_UP
+    * round-6 readout (`cos_sim`); None when the base corpus is empty.
+    *
+    * The local kernel replicates the operators' math bit for bit:
+    * DotProduct's sequential fold with per-element double cast
+    * ([[cosExact]]/[[cosExactFD]]), (cos DESC, id ASC) ties at both
+    * routing levels and the top-k, NaN rejected. Admission compares
+    * ROUNDED to ROUNDED (the asset stores the published graph's
+    * rounded 5th-best), so the intent replays exactly.
+    */
+  private def shardedUpsertPartials(s: SparkSession, dir: String,
+      nOwners: Int, k: Int, nprobe: Int, superProbe: Int)
+      : Option[DataFrame] = {
+    import s.implicits._
+    import graft.operators.{Mixture, Similarity}
     val base = s.read.parquet(s"$dir/embeddings.parquet")
-    val n = base.count()
-    if (n == 0L)
-      return Seq.empty[(String, Long, Long, Long, java.lang.Long, Double)]
-        .toDF("kind", "owner", "q_id", "n_id", "rnk", "cos_sim")
+    if (base.isEmpty) return None // empty base: no frozen index
+    // the tiny frozen routing tables — O(nlist), broadcast everywhere
     val trained = Similarity.ivfTrainCentroidsFp(base,
-      Similarity.scaledNlist(n), hashSeed = true)
+      Similarity.scaledNlist(base.count()), hashSeed = true)
     val (superRows, centRows) = Similarity.firstNsSuperTable(trained,
       Similarity.scaledSuperList(trained.length))
-    val routedB = Similarity.twoLevelRouted(base, superRows, centRows,
-      nprobe, superProbe, "vec_id", "embedding", scope)
-    val vecsAll: Map[Long, Array[Float]] = base
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])].collect().toMap
-    val asgB: Array[(Long, Long)] = routedB.select(col("id"),
-        element_at(col("probes"), 1)("_1")).as[(Long, Long)].collect()
-    val probB: Array[(Long, Long)] = routedB.select(col("id"),
-        explode(col("probes")("_1"))).as[(Long, Long)].collect()
-    val thrAll: Map[Long, (Double, Long)] = Similarity
-      .knnGraphTailFromRouted(routedB, k)
-      .groupBy(col("q_id"))
-      .agg(min(col("cos_sim")).as("thr"), count(lit(1)).as("c"))
-      .as[(Long, Double, Long)].collect()
-      .map { case (q, t, c) => (q, (t, c)) }.toMap
-    val ownerOf: Long => Int = c => Mixture.rendezvousShardOf(c, nOwners)
     val sup: Array[(Long, Array[Double])] =
       superRows.map { case (sid, v) => (sid, v.toArray) }.toArray
     val cents: Array[(Long, Long, Array[Double])] =
       centRows.map { case (sid, cid, v) => (sid, cid, v.toArray) }.toArray
     val bcSup = s.sparkContext.broadcast(sup)
     val bcCents = s.sparkContext.broadcast(cents)
-    def dotFD(a: Array[Float], b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
-      acc
-    }
-    def dotDD(b: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < b.length) { acc += b(i) * b(i); i += 1 }
-      acc
-    }
-    def dotFF(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
-    def cosFD(a: Array[Float], b: Array[Double]): Double =
-      dotFD(a, b) / (math.sqrt(dotFF(a, a)) * math.sqrt(dotDD(b)))
-    def cosFF(a: Array[Float], b: Array[Float]): Double =
-      dotFF(a, b) / (math.sqrt(dotFF(a, a)) * math.sqrt(dotFF(b, b)))
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val shard = graft.sources.Sources.embeddingsStream(s, dir)
+    // the per-owner slices: a DISTRIBUTED build-once parquet asset —
+    // the driver never holds the unsliced corpus
+    val slices = Similarity.ensureUpsertOwnerSlices(s, dir, nOwners, k,
+      nprobe, superProbe)
+    val ownerOf: Long => Int = c => Mixture.rendezvousShardOf(c, nOwners)
+    // ROUTE ONCE: one streaming pass routes each arrival through the
+    // frozen tables and materializes the (owner, arrival) dispatch —
+    // the ingest-tier scatter; arms never re-run the router
+    val arrivals = graft.sources.Sources.embeddingsStream(s, dir)
       .select((col("vec_id") + 100000L).cast("long").as("q_id"),
         col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qId, qv) =>
+        val probed = routeTwoLevel(qv, bcSup.value, bcCents.value,
+          nprobe, superProbe)
+        if (probed.isEmpty) Iterator.empty
+        else probed.map(ownerOf).distinct.iterator
+          .map(o => (o, qId, qv, probed, probed.head))
+      }
+      .toDF("owner", "q_id", "embedding", "probed", "assigned_cell")
+    val routedT = runToTable(arrivals, "append")
     val arms = (0 until nOwners).map { o =>
-      // the owner's slice: its cells' members, probers, prober vectors
-      // + member vectors, and prober thresholds — O((1+nprobe)·n/nOwners)
-      val memberSlice: Map[Long, Array[Long]] = asgB
-        .filter(x => ownerOf(x._2) == o)
-        .groupBy(_._2).map { case (c, xs) => (c, xs.map(_._1).sorted) }
-      val proberSlice: Map[Long, Array[Long]] = probB
-        .filter(x => ownerOf(x._2) == o)
-        .groupBy(_._2).map { case (c, xs) => (c, xs.map(_._1).sorted) }
-      val ids = (memberSlice.valuesIterator.flatten ++
-        proberSlice.valuesIterator.flatten).toSet
+      // collect ONLY the owner's slice — O((1+nprobe)·n/nOwners)
+      val rows = slices.filter(col("owner") === o)
+        .select(col("cell"), col("id"), col("role"), col("vec"),
+          col("thr"), col("thr_cnt"))
+        .as[(Long, Long, String, Array[Float], Option[Double], Option[Long])]
+        .collect()
+      val memberSlice: Map[Long, Array[Long]] = rows.filter(_._3 == "m")
+        .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).sorted) }
+      val proberSlice: Map[Long, Array[Long]] = rows.filter(_._3 == "p")
+        .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).sorted) }
       val vecSlice: Map[Long, Array[Float]] =
-        vecsAll.view.filterKeys(ids.contains).toMap
-      val thrSlice: Map[Long, (Double, Long)] =
-        thrAll.view.filterKeys(ids.contains).toMap
+        rows.iterator.map(r => (r._2, r._4)).toMap
+      val thrSlice: Map[Long, (Double, Long)] = rows.iterator
+        .flatMap(r => r._5.map(t => (r._2, (t, r._6.get)))).toMap
       val bcMembers = s.sparkContext.broadcast(memberSlice)
       val bcProbers = s.sparkContext.broadcast(proberSlice)
       val bcVecs = s.sparkContext.broadcast(vecSlice)
       val bcThr = s.sparkContext.broadcast(thrSlice)
-      shard.as[(Long, Array[Float])].flatMap { case (qId, qv) =>
-        def topBy(ids: Iterator[(Long, Double)], m: Int): Seq[(Long, Double)] =
-          ids.filter(!_._2.isNaN).toSeq
-            .sortBy { case (id, c) => (-c, id) }.take(m)
-        val supTop = topBy(bcSup.value.iterator
-          .map { case (sid, sv) => (sid, cosFD(qv, sv)) }, superProbe)
-          .map(_._1).toSet
-        val lvl2 = topBy(bcCents.value.iterator
-          .filter { case (sid, _, _) => supTop.contains(sid) }
-          .map { case (_, cid, cv) => (cid, cosFD(qv, cv)) }, nprobe)
-        if (lvl2.isEmpty) Iterator.empty
-        else {
-          val probedCells = lvl2.map(_._1)
-          val assignedCell = probedCells.head
-          val ownedProbed = probedCells.filter(c => ownerOf(c) == o)
+      routedT.filter(col("owner") === o)
+        .select(col("q_id"), col("embedding"), col("probed"),
+          col("assigned_cell"))
+        .as[(Long, Array[Float], Seq[Long], Long)]
+        .flatMap { case (qId, qv, probed, assignedCell) =>
+          val ownedProbed = probed.filter(c => ownerOf(c) == o)
           val members = ownedProbed.flatMap(c =>
             bcMembers.value.getOrElse(c, Array.empty[Long])).distinct
-          val newTop = topBy(members.iterator
-            .map(id => (id, cosFF(qv, bcVecs.value(id)))), k)
+          val newTop = topByCos(members.iterator
+            .map(id => (id, cosExact(qv, bcVecs.value(id)))), k)
             .zipWithIndex.map { case ((nId, c), i) =>
               ("new_topk", o.toLong, qId, nId,
-                java.lang.Long.valueOf((i + 1).toLong), r6(c))
+                java.lang.Long.valueOf((i + 1).toLong), c, round6(c))
             }
           val ups =
             if (ownerOf(assignedCell) != o) Iterator.empty
             else bcProbers.value.getOrElse(assignedCell, Array.empty[Long])
-              .iterator.map { bq => (bq, cosFF(bcVecs.value(bq), qv)) }
+              .iterator.map { bq => (bq, cosExact(bcVecs.value(bq), qv)) }
               .filter(!_._2.isNaN)
               .flatMap { case (bq, c) =>
-                val c6 = r6(c)
+                val c6 = round6(c)
                 bcThr.value.get(bq) match {
                   case Some((t, cnt)) if cnt >= k && c6 <= t => None
                   case _ => Some(("upsert", o.toLong, bq, qId,
-                    null.asInstanceOf[java.lang.Long], c6))
+                    null.asInstanceOf[java.lang.Long], c, c6))
                 }
               }
           newTop.iterator ++ ups
         }
-      }.toDF("kind", "owner", "q_id", "n_id", "rnk", "cos_sim")
+        .toDF("kind", "owner", "q_id", "n_id", "rnk", "cos_raw", "cos_sim")
     }
-    runToTable(arms.reduce(_ unionByName _), "append")
+    Some(arms.reduce(_ unionByName _))
   }
 
   /** STREAMING TAKEDOWN INTENTS (st54) — st53's delete half: takedown
@@ -3069,10 +2969,13 @@ object Streaming {
     runToTable(arms.reduce(_ unionByName _), "append")
   }
 
-  /** The exact cosine fold [[localBeamWalk]] uses, exposed for the
-    * shard-router summary scoring (st64): per-element float→double
-    * cast, left-to-right accumulation — bit-identical to the codegen
-    * DotProduct and to the DuckDB replay's list_sum spelling.
+  /** THE exact cosine fold of the streaming serving family — the one
+    * spelling [[localBeamWalk]]'s prune, the shard-router summary
+    * scoring (st64), and the upsert kernels all call: per-element
+    * float→double cast, left-to-right accumulation — bit-identical to
+    * the codegen DotProduct and to the DuckDB replay's list_sum
+    * spelling. One definition so the bit-exactness contract cannot
+    * drift between the walk and the router.
     */
   private[streaming] def cosExact(a: Array[Float], b: Array[Float]): Double = {
     def dot(x: Array[Float], y: Array[Float]): Double = {
@@ -3081,6 +2984,54 @@ object Streaming {
       acc
     }
     dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  /** [[cosExact]] against a frozen DOUBLE table (the trained
+    * super/centroid rows are integral doubles): the same left-to-right
+    * fold, float→double cast on the query side only — bit-identical
+    * to the column-expression spelling the batch router runs.
+    */
+  private def cosExactFD(a: Array[Float], b: Array[Double]): Double = {
+    var dab = 0.0; var i = 0
+    while (i < a.length) { dab += a(i).toDouble * b(i); i += 1 }
+    var daa = 0.0; i = 0
+    while (i < a.length) { daa += a(i).toDouble * a(i).toDouble; i += 1 }
+    var dbb = 0.0; i = 0
+    while (i < b.length) { dbb += b(i) * b(i); i += 1 }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
+  /** (cos DESC, id ASC) prefix of a scored stream — the TopKCosAgg
+    * convention, NaN rejected; shared by every local routing/scoring
+    * kernel so the tie rule cannot drift.
+    */
+  private def topByCos(xs: Iterator[(Long, Double)], m: Int)
+      : Seq[(Long, Double)] =
+    xs.filter(!_._2.isNaN).toSeq.sortBy { case (id, c) => (-c, id) }.take(m)
+
+  /** HALF_UP round-6 — the family's readout rounding. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The arriving-vector side of the frozen two-level router: probe
+    * the top-`superProbe` super cells, then the top-`nprobe` centroids
+    * within them — (cos DESC, id ASC) at both levels, exactly
+    * [[graft.operators.Similarity.twoLevelRouted]]'s math run locally
+    * against the broadcast O(nlist) tables. Returns the probed cell
+    * ids in rank order (head = hard assignment); empty when every
+    * cosine is NaN.
+    */
+  private def routeTwoLevel(qv: Array[Float],
+      sup: Array[(Long, Array[Double])],
+      cents: Array[(Long, Long, Array[Double])],
+      nprobe: Int, superProbe: Int): Seq[Long] = {
+    val supTop = topByCos(sup.iterator
+      .map { case (sid, sv) => (sid, cosExactFD(qv, sv)) }, superProbe)
+      .map(_._1).toSet
+    topByCos(cents.iterator
+      .filter { case (sid, _, _) => supTop.contains(sid) }
+      .map { case (_, cid, cv) => (cid, cosExactFD(qv, cv)) }, nprobe)
+      .map(_._1)
   }
 
   /** ROUTED SCATTER-GATHER SERVING (st64) — the OTHER distributed-ANN

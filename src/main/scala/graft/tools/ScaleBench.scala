@@ -205,10 +205,14 @@ object ScaleBench {
     // st64: shard count grows with the corpus (st58's convention),
     // the scatter breadth stays constant, and routerMod scales with
     // the corpus so the navigation summary stays constant-size
-    // (st50's seedMod convention one level up)
+    // (st50's seedMod convention one level up). routerMod stops
+    // scaling where nShards stops (the 50 cap): past it per-shard
+    // slices GROW with the corpus, and growing routerMod further
+    // would thin a shard's router slice toward zero — an unroutable
+    // shard is a silent whole-fleet recall blind spot.
     case "st64_scatter_gather_serving" => Some { (s, dir) =>
       val nsh = if (copies <= 1) 4 else math.min(copies, 50)
-      val rm = if (copies <= 1) 64 else 64 * copies
+      val rm = if (copies <= 1) 64 else 64 * math.min(copies, 50)
       graft.streaming.Streaming.streamScatterGatherServing(s, dir,
         nShards = nsh, probeShards = 2, routerMod = rm)
     }

@@ -40,23 +40,101 @@ class GraphUpsertSpec extends AnyFunSuite with Matchers {
     inc.map(_._1).distinct.length shouldBe emb.count()
   }
 
-  test("st61 partials fold losslessly to st53's global intents") {
+  test("st61 partials + st53 merge == an independent full-replica kernel") {
     val dir = "/root/testdata/sf0.001"
+    // The REFERENCE: the unsharded upsert-intent kernel spelled from
+    // scratch with a full driver-side replica (fine in a test) — the
+    // spelling st53 HAD before round 16 sliced its assets. Pinning
+    // both registered rows against it proves the sharded machinery is
+    // lossless end to end, not merely self-consistent.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = 5
+    val trained = Similarity.ivfTrainCentroidsFp(emb,
+      Similarity.scaledNlist(emb.count()), hashSeed = true)
+    val (sr, cr) = Similarity.firstNsSuperTable(trained,
+      Similarity.scaledSuperList(trained.length))
+    val routed = Similarity.twoLevelRouted(emb, sr, cr, nprobe = 4,
+      superProbe = 3, idCol = "vec_id", vecCol = "embedding",
+      scope = CacheScope.sessionScope(spark))
+    val vecs = emb.select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val asg = routed.select($"id", element_at($"probes", 1)("_1"))
+      .as[(Long, Long)].collect()
+    val prob = routed.select($"id", explode($"probes"("_1")))
+      .as[(Long, Long)].collect()
+    val thr = Similarity.knnGraphTailFromRouted(routed, k)
+      .groupBy($"q_id").agg(min($"cos_sim").as("t"), count(lit(1)).as("c"))
+      .as[(Long, Double, Long)].collect()
+      .map { case (q, t, c) => (q, (t, c)) }.toMap
+    val members = asg.groupBy(_._2).map { case (c, xs) => (c, xs.map(_._1).sorted) }
+    val probers = prob.groupBy(_._2).map { case (c, xs) => (c, xs.map(_._1).sorted) }
+    val sup = sr.map { case (sid, v) => (sid, v.toArray) }
+    val cents = cr.map { case (sid, cid, v) => (sid, cid, v.toArray) }
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def dotFD(a: Array[Float], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
+    }
+    def dotDD(b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += b(i) * b(i); i += 1 }
+      acc
+    }
+    def cosFF(a: Array[Float], b: Array[Float]): Double =
+      dotFF(a, b) / (math.sqrt(dotFF(a, a)) * math.sqrt(dotFF(b, b)))
+    def cosFD(a: Array[Float], b: Array[Double]): Double =
+      dotFD(a, b) / (math.sqrt(dotFF(a, a)) * math.sqrt(dotDD(b)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def topBy(xs: Iterator[(Long, Double)], m: Int): Seq[(Long, Double)] =
+      xs.filter(!_._2.isNaN).toSeq.sortBy { case (id, c) => (-c, id) }.take(m)
+    val expected = vecs.toSeq.sortBy(_._1).flatMap { case (vid, qv) =>
+      val qId = vid + 100000L
+      val supTop = topBy(sup.iterator.map { case (sid, sv) =>
+        (sid, cosFD(qv, sv)) }, 3).map(_._1).toSet
+      val probed = topBy(cents.iterator.filter(c => supTop.contains(c._1))
+        .map { case (_, cid, cv) => (cid, cosFD(qv, cv)) }, 4).map(_._1)
+      if (probed.isEmpty) Seq.empty
+      else {
+        val cand = probed.flatMap(c =>
+          members.getOrElse(c, Array.empty[Long])).distinct
+        val nt = topBy(cand.iterator.map(id => (id, cosFF(qv, vecs(id)))), k)
+          .zipWithIndex.map { case ((nId, c), i) =>
+            ("new_topk", qId, nId, (i + 1).toLong, r6(c)) }
+        val ups = probers.getOrElse(probed.head, Array.empty[Long])
+          .iterator.map(bq => (bq, cosFF(vecs(bq), qv)))
+          .filter(!_._2.isNaN)
+          .flatMap { case (bq, c) =>
+            val c6 = r6(c)
+            thr.get(bq) match {
+              case Some((t, cnt)) if cnt >= k && c6 <= t => None
+              case _ => Some(("upsert", bq, qId, -1L, c6))
+            }
+          }
+        nt ++ ups
+      }
+    }.sorted
+    // st53 (the registered global merge) == the reference kernel
     val global = graft.streaming.Streaming.streamGraphUpsert(spark, dir)
       .select($"kind", $"q_id", $"n_id", $"rnk".cast("long"), $"cos_sim")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         if (r.isNullAt(3)) -1L else r.getLong(3), r.getDouble(4)))
+      .sorted
+    global should contain theSameElementsInOrderAs expected
+    // st61 partials fold losslessly to the same global intents
     val partials = graft.streaming.Streaming
       .streamShardedGraphUpsert(spark, dir, nOwners = 4)
       .select($"kind", $"owner", $"q_id", $"n_id", $"cos_sim")
       .as[(String, Long, Long, Long, Double)].collect()
-    // upserts: per-owner emission is already exact — same rows
-    val upG = global.filter(_._1 == "upsert").map(r => (r._2, r._3, r._5)).sorted
+    val upG = expected.filter(_._1 == "upsert").map(r => (r._2, r._3, r._5)).sorted
     val upP = partials.filter(_._1 == "upsert").map(r => (r._3, r._4, r._5)).sorted
     upP should contain theSameElementsInOrderAs upG.toSeq
-    // new_topk: the merger's top-5 of the unioned per-owner partials
-    // (cos DESC, id ASC) equals st53's global top-5, row for row
-    val ntG = global.filter(_._1 == "new_topk")
+    val ntG = expected.filter(_._1 == "new_topk")
       .map(r => (r._2, r._4, r._3, r._5)).sorted
     val ntP = partials.filter(_._1 == "new_topk")
       .groupBy(_._3).toSeq.flatMap { case (q, rows) =>
