@@ -1491,10 +1491,17 @@ object Streaming {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
         Mixture.rendezvousShardCol(col("vec_id"), nShards).as("shard"))
       .persist()) // one scan feeds all nShards shard builds
-    val qStream = graft.sources.Sources.embeddingsStream(s, dir)
-      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
-        col("embedding"))
-      .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), nShards))
+    // ROUTE ONCE: the rendezvous argmax is computed in ONE streaming
+    // pass and the routed arrivals materialize as a table each arm
+    // consumes by its own partition — the ingest-tier dispatch. (The
+    // filtered-union spelling re-evaluated the O(nShards)-hash argmax
+    // in every arm, so router work grew ∝ nShards² per arrival.)
+    val routedQ = runToTable(
+      graft.sources.Sources.embeddingsStream(s, dir)
+        .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+          col("embedding"))
+        .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), nShards)),
+      "append")
     // the per-shard replicas build CONCURRENTLY (production's
     // independent per-shard nightly index jobs — Spark schedules
     // actions from separate threads fine); each replica — vectors +
@@ -1528,7 +1535,7 @@ object Streaming {
       val bcVecs = s.sparkContext.broadcast(vecs)
       val bcAdj = s.sparkContext.broadcast(adj)
       val bcSeeds = s.sparkContext.broadcast(seeds)
-      qStream.filter(col("shard") === sh)
+      routedQ.filter(col("shard") === sh)
         .select(col("q_id"), col("embedding"))
         .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
           localBeamWalk(qId, qv, bcVecs.value, bcAdj.value, bcSeeds.value,
@@ -1537,7 +1544,7 @@ object Streaming {
           }
         }.toDF("q_id", "shard", "rnk", "n_id", "cos_sim")
     }
-    runToTable(arms.reduce(_ unionByName _), "append")
+    arms.reduce(_ unionByName _)
   }
 
   /** Streaming chunk-level dedup — the RAG-ingestion shape: chunk each
@@ -2923,10 +2930,15 @@ object Streaming {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
         Mixture.rendezvousShardCol(col("vec_id"), kTo).as("shard_to"))
       .persist()) // one scan feeds every arm's scoring slice
-    val qStream = graft.sources.Sources.embeddingsStream(s, dir)
-      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
-        col("embedding"))
-      .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo))
+    // ROUTE ONCE under the NEW layout (st58's ingest-tier dispatch:
+    // one streaming pass computes the kTo argmax, arms consume their
+    // materialized partitions)
+    val routedQ = runToTable(
+      graft.sources.Sources.embeddingsStream(s, dir)
+        .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+          col("embedding"))
+        .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo)),
+      "append")
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -2957,7 +2969,7 @@ object Streaming {
       val bcVecs = s.sparkContext.broadcast(vecs)
       val bcAdj = s.sparkContext.broadcast(adj)
       val bcSeeds = s.sparkContext.broadcast(seeds)
-      qStream.filter(col("shard") === sh)
+      routedQ.filter(col("shard") === sh)
         .select(col("q_id"), col("embedding"))
         .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
           localBeamWalk(qId, qv, bcVecs.value, bcAdj.value, bcSeeds.value,
@@ -2966,7 +2978,7 @@ object Streaming {
           }
         }.toDF("q_id", "shard", "rnk", "n_id", "cos_sim")
     }
-    runToTable(arms.reduce(_ unionByName _), "append")
+    arms.reduce(_ unionByName _)
   }
 
   /** THE exact cosine fold of the streaming serving family — the one
@@ -3052,11 +3064,11 @@ object Streaming {
     * (st58's bound), the router summary is O(corpus/routerMod) total
     * — a deployment scales routerMod with the corpus to keep it
     * constant (st50's seedMod convention, one level up) — and each
-    * query pays probeShards walks, a constant. The filtered-union
-    * spelling re-runs the router per arm (st61's documented scatter
-    * artifact; a deployment routes once at the ingest tier). The
-    * oracle replays the router ranking, every routed walk, and the
-    * merge.
+    * query pays ONE summary ranking plus probeShards walks, both
+    * constants: the scatter ROUTES ONCE (a single streaming pass
+    * materializes the (shard, arrival) dispatch; arms consume their
+    * partition — the ingest-tier route-and-dispatch). The oracle
+    * replays the router ranking, every routed walk, and the merge.
     */
   def streamScatterGatherServing(s: SparkSession, dir: String,
       nShards: Int = 4, probeShards: Int = 2, k: Int = 5, beam: Int = 16,
@@ -3101,31 +3113,40 @@ object Streaming {
           .toArray.sortBy(_._1).map(_._2))
     }.toArray
     val bcSummary = s.sparkContext.broadcast(summary)
-    val qStream = graft.sources.Sources.embeddingsStream(s, dir)
-      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
-        col("embedding"))
+    // ROUTE ONCE: one streaming pass ranks the shards per arrival
+    // against the summary and materializes the (shard, arrival)
+    // scatter — probeShards rows per arrival; arms consume their
+    // partition instead of each re-running the summary ranking
+    val routedQ = runToTable(
+      graft.sources.Sources.embeddingsStream(s, dir)
+        .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+          col("embedding"))
+        .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
+          bcSummary.value.iterator.flatMap { case (s2, rvs) =>
+            val scores = rvs.iterator.map(v => cosExact(qv, v))
+              .filter(!_.isNaN).toSeq
+            if (scores.isEmpty) None else Some((s2, scores.max))
+          }.toSeq.sortBy { case (s2, sc) => (-sc, s2) }
+            .take(probeShards).iterator.map(r => (r._1, qId, qv))
+        }.toDF("shard", "q_id", "embedding"),
+      "append")
     val arms = replicas.map { case (sh, vecs, adj, seeds) =>
       val bcVecs = s.sparkContext.broadcast(vecs)
       val bcAdj = s.sparkContext.broadcast(adj)
       val bcSeeds = s.sparkContext.broadcast(seeds)
-      qStream.as[(Long, Array[Float])].flatMap { case (qId, qv) =>
-        val routed = bcSummary.value.iterator.flatMap { case (s2, rvs) =>
-          val scores = rvs.iterator.map(v => cosExact(qv, v))
-            .filter(!_.isNaN).toSeq
-          if (scores.isEmpty) None else Some((s2, scores.max))
-        }.toSeq.sortBy { case (s2, sc) => (-sc, s2) }
-          .take(probeShards).map(_._1)
-        if (!routed.contains(sh)) Iterator.empty
-        else localBeamWalk(qId, qv, bcVecs.value, bcAdj.value,
-          bcSeeds.value, k, beam, rounds).map { case (q, _, nId, cos) =>
-          (q, sh.toLong, nId, cos)
-        }
-      }.toDF("q_id", "shard", "n_id", "cos_sim")
+      routedQ.filter(col("shard") === sh)
+        .select(col("q_id"), col("embedding"))
+        .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
+          localBeamWalk(qId, qv, bcVecs.value, bcAdj.value,
+            bcSeeds.value, k, beam, rounds).map { case (q, _, nId, cos) =>
+            (q, sh.toLong, nId, cos)
+          }
+        }.toDF("q_id", "shard", "n_id", "cos_sim")
     }
     // the GATHER: exact top-k merge of the routed arms' partials —
     // shard slices are disjoint, so no dedup; rounded-cosine ties
     // break on id like every readout in the family
-    val partials = runToTable(arms.reduce(_ unionByName _), "append")
+    val partials = arms.reduce(_ unionByName _)
     import org.apache.spark.sql.expressions.Window
     partials
       .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
@@ -3174,10 +3195,15 @@ object Streaming {
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
         Mixture.rendezvousShardCol(col("vec_id"), kTo).as("shard_to"))
       .persist())
-    val qStream = graft.sources.Sources.embeddingsStream(s, dir)
-      .select((col("vec_id") + 100000L).cast("long").as("q_id"),
-        col("embedding"))
-      .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo))
+    // ROUTE ONCE under the surviving layout (st58's ingest-tier
+    // dispatch; the survivors' arms consume their materialized
+    // partitions instead of each re-running the HRW argmax)
+    val routedQ = runToTable(
+      graft.sources.Sources.embeddingsStream(s, dir)
+        .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+          col("embedding"))
+        .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo)),
+      "append")
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -3207,7 +3233,7 @@ object Streaming {
       val bcVecs = s.sparkContext.broadcast(vecs)
       val bcAdj = s.sparkContext.broadcast(adj)
       val bcSeeds = s.sparkContext.broadcast(seeds)
-      qStream.filter(col("shard") === sh)
+      routedQ.filter(col("shard") === sh)
         .select(col("q_id"), col("embedding"))
         .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
           localBeamWalk(qId, qv, bcVecs.value, bcAdj.value, bcSeeds.value,
@@ -3216,7 +3242,7 @@ object Streaming {
           }
         }.toDF("q_id", "shard", "rnk", "n_id", "cos_sim")
     }
-    runToTable(arms.reduce(_ unionByName _), "append")
+    arms.reduce(_ unionByName _)
   }
 
   /** STREAMING CONTENT-TAKEDOWN PROPAGATION (st55) — the CONTENT-level
