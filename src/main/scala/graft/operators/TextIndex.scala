@@ -208,6 +208,39 @@ object TextIndex {
           "/ cast(n_exact as double), 6)").as("rel_err"))
   }
 
+  /** [[hllDistinctByGroup]] WITHOUT the exact-count rider — the pure
+    * sketch path: two partial-aggregatable hash aggregates (registers,
+    * then the per-group numerator), NO count-distinct Expand anywhere
+    * in the plan. This is what a 100 TB column-stats job actually
+    * runs; q53 composes it and carries its own exact NDV as the
+    * measured-error rider instead. Returns (grp, est).
+    */
+  def hllEstByGroup(values: DataFrame, groupCol: String,
+      hashCol: String, p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p must be in [4, 16]")
+    val m = 1 << p
+    val maxRho = 31 - p
+    val denom = 1L << maxRho
+    val regs = values
+      .select(col(groupCol).as("grp"), (col(hashCol) % m).as("bucket"),
+        expr(s"$hashCol div $m").as("w"))
+      .withColumn("rho",
+        expr(s"CASE WHEN w = 0 THEN $maxRho ELSE $maxRho - length(bin(w)) END"))
+      .groupBy("grp", "bucket").agg(max("rho").as("rho"))
+    val estExpr =
+      s"""cast(0.7213 as double) / (cast(1.0 as double)
+         |  + cast(1.079 as double) / cast($m as double))
+         |  * cast($m as double) * cast($m as double)
+         |  * cast($denom as double) / cast(num as double)""".stripMargin
+    regs.groupBy("grp").agg(count(lit(1)).as("present"),
+        sum(expr(s"cast(shiftleft(1L, cast($maxRho - rho as int)) as bigint)"))
+          .as("num_present"))
+      .select(col("grp"),
+        (col("num_present") + (lit(m.toLong) - col("present")) * denom)
+          .as("num"))
+      .select(col("grp"), expr(s"round($estExpr, 6)").as("est"))
+  }
+
   /** Per-group HLL distinct estimates — APPROX_COUNT_DISTINCT as an
     * explicit mergeable sketch: registers keyed by (group, bucket), so
     * the whole computation is still two partial-aggregatable hash

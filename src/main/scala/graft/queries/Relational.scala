@@ -1480,17 +1480,48 @@ object Relational {
     // column the row/null counts, exact NDV, and typed min/max, all
     // in ONE global aggregate over the fact table, then unpivoted to
     // per-column stat rows. The multi-count-distinct plans as one
-    // Expand (x4 rows) + partial-aggregatable hash aggregate; at
-    // 100 TB swap the exact NDVs for the t30 HLL sketch column-wise —
-    // same plan minus the expand. Numeric min/max surface as DOUBLE
-    // (both engines read identical parquet bits; string rendering of
-    // doubles differs between engines, values do not), string min/max
-    // as the untouched lexicographic extremes.
+    // Expand (x4 rows) + partial-aggregatable hash aggregate.
+    //
+    // The 100 TB NDV path rides alongside since round 16: every
+    // column's values key through the portable hash family into ONE
+    // HLL register aggregate per column (TextIndex.hllEstByGroup —
+    // two partial-aggregatable hash aggs, NO expand, O(cols·2^p)
+    // state), surfacing as ndv_hll; the exact NDV stays in the row as
+    // the measured-error rider (hll_err), so the sketch a petabyte
+    // ANALYZE would serve is itself audited by the oracle. Numeric
+    // min/max surface as DOUBLE (both engines read identical parquet
+    // bits; string rendering of doubles differs between engines,
+    // values do not), string min/max as the untouched lexicographic
+    // extremes.
     "q53_column_stats" -> { (s, dir) =>
       import s.implicits._
       val o = rd(s, dir, "orders").withColumn("epoch_day",
         datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
           .cast("long"))
+      // per-column portable integer keys → PortableHash family member
+      // i (mod 2^30, the HLL hash-width contract) — longs verbatim,
+      // doubles via exact cents (floor(x*100 + 0.5), the same IEEE op
+      // both engines run), strings via the engine's rolling hash
+      val M = 1073741824L // 1 << 30
+      def fam(i: Int, key: org.apache.spark.sql.Column) =
+        (lit(2L * i + 1) * (key % M) + lit(i.toLong * i + 7)) % M
+      val keyed = o.select(explode(array(
+          struct(lit("o_custkey").as("col_name"),
+            fam(1, $"o_custkey".cast("long")).as("h")),
+          struct(lit("o_orderdate_day").as("col_name"),
+            fam(2, $"epoch_day").as("h")),
+          struct(lit("o_orderkey").as("col_name"),
+            fam(0, $"o_orderkey".cast("long")).as("h")),
+          struct(lit("o_orderstatus").as("col_name"),
+            fam(4, graft.functions.TextAnalysis.rollingHash($"o_orderstatus"))
+              .as("h")),
+          struct(lit("o_totalprice").as("col_name"),
+            fam(3, floor($"o_totalprice" * 100 + 0.5).cast("long")).as("h"))
+        )).as("x"))
+        .select($"x.col_name", $"x.h").filter($"h".isNotNull)
+      val hll = graft.operators.TextIndex
+        .hllEstByGroup(keyed, "col_name", "h", p = 10)
+        .select($"grp".as("col_name"), $"est".as("ndv_hll"))
       o.agg(
           count(lit(1)).as("n"),
           count($"o_orderkey").as("nn_key"), countDistinct($"o_orderkey").as("ndv_key"),
@@ -1514,7 +1545,10 @@ object Relational {
             'o_totalprice',    n - nn_price, ndv_price, min_price, max_price, cast(null as string), cast(null as string)
           ) as (col_name, n_null, ndv, min_v, max_v, min_s, max_s)"""),
           $"n".as("n_rows"))
-        .select($"col_name", $"n_rows", $"n_null", $"ndv",
+        .join(hll, Seq("col_name"), "left")
+        .select($"col_name", $"n_rows", $"n_null", $"ndv", $"ndv_hll",
+          round(abs($"ndv_hll" - $"ndv".cast("double"))
+            / $"ndv".cast("double"), 6).as("hll_err"),
           $"min_v", $"max_v", $"min_s", $"max_s")
         .orderBy($"col_name")
     },
@@ -2950,7 +2984,9 @@ object Relational {
         |ORDER BY tr.from_type, tr.to_type""".stripMargin,
 
     // one aggregate scan, unpivoted to per-column stat rows; NDVs
-    // exact, numeric min/max as double, string extremes untouched
+    // exact, numeric min/max as double, string extremes untouched;
+    // the ndv_hll rider replays the per-column portable-hash HLL
+    // (p=10) with t30's register/readout spelling
     "q53_column_stats" ->
       """WITH o AS (SELECT *, datediff('day', DATE '1970-01-01',
         |    cast(o_orderdate as date)) AS epoch_day FROM orders),
@@ -2980,9 +3016,41 @@ object Relational {
         |  UNION ALL SELECT 'o_orderstatus', n, n - nn_st, ndv_st,
         |    NULL, NULL, min_st, max_st FROM m
         |  UNION ALL SELECT 'o_totalprice', n, n - nn_price, ndv_price,
-        |    min_price, max_price, NULL, NULL FROM m)
-        |SELECT col_name, n_rows, n_null, ndv, min_v, max_v, min_s, max_s
-        |FROM u ORDER BY col_name""".stripMargin,
+        |    min_price, max_price, NULL, NULL FROM m),
+        |hp AS (SELECT col_name, h FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    (1 * (o_orderkey % 1073741824) + 7) % 1073741824 AS h FROM o
+        |  UNION ALL SELECT 'o_custkey',
+        |    (3 * (o_custkey % 1073741824) + 8) % 1073741824 FROM o
+        |  UNION ALL SELECT 'o_orderdate_day',
+        |    (5 * (epoch_day % 1073741824) + 11) % 1073741824 FROM o
+        |  UNION ALL SELECT 'o_totalprice',
+        |    (7 * (cast(floor(o_totalprice * 100 + 0.5) as bigint)
+        |      % 1073741824) + 16) % 1073741824 FROM o
+        |  UNION ALL SELECT 'o_orderstatus',
+        |    (9 * (ascii(o_orderstatus) % 1073741824) + 23) % 1073741824
+        |    FROM o) t WHERE h IS NOT NULL),
+        |r0 AS (SELECT col_name, h % 1024 AS bucket, h // 1024 AS w FROM hp),
+        |r1 AS (SELECT col_name, bucket,
+        |    max(CASE WHEN w = 0 THEN 21 ELSE 21 - length(bin(w)) END) AS rho
+        |  FROM r0 GROUP BY 1, 2),
+        |sm AS (SELECT col_name, count(*) AS present,
+        |    cast(sum(cast((1::BIGINT << (21 - rho)) as bigint)) as bigint)
+        |      AS num_present FROM r1 GROUP BY 1),
+        |hn AS (SELECT col_name,
+        |    num_present + (1024 - present) * 2097152 AS num FROM sm),
+        |est AS (SELECT col_name,
+        |    round(cast(0.7213 as double) / (cast(1.0 as double)
+        |      + cast(1.079 as double) / cast(1024 as double))
+        |      * cast(1024 as double) * cast(1024 as double)
+        |      * cast(2097152 as double) / cast(num as double), 6)
+        |      AS ndv_hll FROM hn)
+        |SELECT u.col_name, n_rows, n_null, ndv, e.ndv_hll,
+        |  round(abs(e.ndv_hll - cast(ndv as double))
+        |    / cast(ndv as double), 6) AS hll_err,
+        |  min_v, max_v, min_s, max_s
+        |FROM u LEFT JOIN est e ON e.col_name = u.col_name
+        |ORDER BY u.col_name""".stripMargin,
 
     // dominance spelled directly: the engine's two-phase sweep must
     // reproduce the NOT EXISTS row set exactly (comparisons only, no

@@ -71,5 +71,24 @@ class HllSpec extends AnyFunSuite with Matchers {
       TextIndex.hllDistinct(vals, "sh", p = 3)
     an[IllegalArgumentException] should be thrownBy
       TextIndex.hllDistinct(vals, "sh", p = 17)
+    an[IllegalArgumentException] should be thrownBy
+      TextIndex.hllEstByGroup(vals.withColumn("g", lit("a")), "g", "sh", p = 3)
+  }
+
+  test("hllEstByGroup: same estimate as the exact-rider path, NO Expand in the plan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val withLang = Dedup.shingles(docs, "text", "doc_id", n = 3)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+    val sketch = TextIndex.hllEstByGroup(withLang, "lang", "sh", p = 8)
+    // the 100 TB contract: the sketch path must plan as plain hash
+    // aggregates — no count-distinct Expand anywhere (that is the
+    // whole point of swapping NDV for HLL in a petabyte ANALYZE)
+    val plan = sketch.queryExecution.executedPlan.toString
+    plan should not include "Expand"
+    val est = sketch.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val withRider = TextIndex.hllDistinctByGroup(withLang, "lang", "sh", p = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    est.keySet shouldBe withRider.keySet
+    for ((g, e) <- est) e shouldBe withRider(g)
   }
 }
