@@ -163,7 +163,8 @@ object Bench {
     // a COMPACT summary: totals, per-family subtotals, and the slowest
     // queries (3-dp), sized to fit the driver's tail window.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":$errs,"sf":"$sfDir"}"""
     println(fullJson)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_queries.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson)
@@ -178,7 +179,15 @@ object Bench {
     val slow = results.filter(_._3).sortBy(-_._2).take(38)
       .map { case (k, v, _) => s"\"$k\":${math.round(v * 1000) / 1000.0}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"errors":$errs,"families":$famTotals,"queries":$slow,"queries_note":"38 slowest of ${results.size}; full map in $outFile and the preceding log line. Totals from this single shared-JVM board run inflate ~1.3x vs min-of-solo per-query runs (accumulated JIT/GC/co-tenancy across ${results.size} queries); judge per-query regressions on min-of-solo artifacts","sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
+        s""""unit":"sec","n_queries":${results.size},"errors":$errs,""" +
+        s""""families":$famTotals,"queries":$slow,""" +
+        s""""queries_note":"38 slowest of ${results.size}; full map in """ +
+        s"""$outFile and the preceding log line. Totals from this single """ +
+        "shared-JVM board run inflate ~1.3x vs min-of-solo per-query runs " +
+        s"""(accumulated JIT/GC/co-tenancy across ${results.size} queries); """ +
+        s"""judge per-query regressions on min-of-solo artifacts","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -176,7 +176,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count needs array<bigint> inputs, got ${left.dataType}, ${right.dataType}")
+        s"sorted_intersect_count needs array<bigint> inputs, " +
+          s"got ${left.dataType}, ${right.dataType}")
     }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -295,7 +296,8 @@ case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
          |  if ($c.isNullAt($d)) { ${ev.isNull} = true; break; }
          |  double $x = $get;
          |  for (int $j = 0; $j < $nPlanes; $j++) {
-         |    $acc[$j] += $x * (double) ((($j * 131071L + $d) * 2654435761L % 2147483648L % 7L) - 3L);
+         |    $acc[$j] += $x *
+         |      (double) ((($j * 131071L + $d) * 2654435761L % 2147483648L % 7L) - 3L);
          |  }
          |}
          |if (!${ev.isNull}) {

@@ -203,7 +203,8 @@ object Similarity {
       var best = -1; var bestCos = Double.MaxValue
       i = 0
       while (i < pts.length) {
-        if (maxCos(i) < bestCos - 1e-15) { bestCos = maxCos(i); best = i } // strict improve: ties to lower index
+        // strict improve: ties to lower index
+        if (maxCos(i) < bestCos - 1e-15) { bestCos = maxCos(i); best = i }
         i += 1
       }
       seedIdx(s0) = best
@@ -1474,7 +1475,8 @@ object Similarity {
     * (a stream side cannot run the aggregate encode).
     */
   def pqCodebookLocal(corpus: DataFrame, m: Int = 8, ncode: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[(Long, Array[Double])]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[(Long, Array[Double])]] = {
     val rows = pqCodebook(corpus, m, ncode, idCol, vecCol)
       .collect()
       .map(r => (r.getAs[Int]("j"), r.getAs[Long]("c_id"),
@@ -1543,7 +1545,8 @@ object Similarity {
     */
   def pqTrainCodebookLocal(corpus: DataFrame, m: Int = 8, ncode: Int = 16,
       iters: Int = 10, sampleN: Int = 4096,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[(Long, Array[Double])]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[(Long, Array[Double])]] = {
     // portable hash family member i=1 (PortableHash.family) as a column:
     // h = (3*(id mod P) + 8) mod P — deterministic, engine-portable
     val P = 1000000007L

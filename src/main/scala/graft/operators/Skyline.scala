@@ -77,7 +77,8 @@ object Skyline {
     def dom(a: (Long, Double, Long, String), b: (Long, Double, Long, String)): Boolean =
       a._2 >= b._2 && a._3 <= b._3 && a._4 <= b._4 &&
         (a._2 > b._2 || a._3 < b._3 || a._4 < b._4)
-    val prune: Iterator[(Long, Double, Long, String)] => Iterator[(Long, Double, Long, String)] = { it =>
+    val prune: Iterator[(Long, Double, Long, String)] =>
+        Iterator[(Long, Double, Long, String)] = { it =>
       val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long, String)]
       it.foreach { p =>
         if (!buf.exists(q => dom(q, p))) {

@@ -59,7 +59,8 @@ object GraftSqlFunctions {
         Multiply(Sqrt(graft.functions.DotProduct(args(0), args(0))),
           Sqrt(graft.functions.DotProduct(args(1), args(1)))))
     },
-    fd("graft_array_dist_sq", "graft_array_dist_sq(a, b) - squared euclidean distance of two arrays") { args =>
+    fd("graft_array_dist_sq",
+        "graft_array_dist_sq(a, b) - squared euclidean distance of two arrays") { args =>
       nArgs("graft_array_dist_sq", args, 2)
       graft.functions.ArrayDistSq(args(0), args(1))
     },
@@ -69,7 +70,8 @@ object GraftSqlFunctions {
       val d = args.map(Cast(_, org.apache.spark.sql.types.DoubleType))
       graft.functions.DistSq(d(0), d(1), d(2), d(3))
     },
-    fd("graft_rolling_hash", "graft_rolling_hash(s[, p]) - polynomial rolling hash over code points, default p=1000000007") { args =>
+    fd("graft_rolling_hash", "graft_rolling_hash(s[, p]) - polynomial rolling " +
+        "hash over code points, default p=1000000007") { args =>
       nArgs("graft_rolling_hash", args, 1, 2)
       val p = if (args.length == 2)
         litInt(args(1), "graft_rolling_hash", "p").toLong else 1000000007L
@@ -79,13 +81,15 @@ object GraftSqlFunctions {
       nArgs("graft_simhash32", args, 1)
       graft.functions.Simhash32(args(0))
     },
-    fd("graft_hyperplane_bucket", "graft_hyperplane_bucket(vec[, nPlanes]) - random-hyperplane LSH bucket id, default 8 planes") { args =>
+    fd("graft_hyperplane_bucket", "graft_hyperplane_bucket(vec[, nPlanes]) - " +
+        "random-hyperplane LSH bucket id, default 8 planes") { args =>
       nArgs("graft_hyperplane_bucket", args, 1, 2)
       val n = if (args.length == 2)
         litInt(args(1), "graft_hyperplane_bucket", "nPlanes") else 8
       graft.functions.HyperplaneBucketExpr(args(0), n)
     },
-    fd("graft_minhash_sig", "graft_minhash_sig(text[, k[, n]]) - k-permutation MinHash signature over word n-gram shingles, defaults k=16 n=3") { args =>
+    fd("graft_minhash_sig", "graft_minhash_sig(text[, k[, n]]) - k-permutation " +
+        "MinHash signature over word n-gram shingles, defaults k=16 n=3") { args =>
       nArgs("graft_minhash_sig", args, 1, 2, 3)
       val k = if (args.length >= 2) litInt(args(1), "graft_minhash_sig", "k") else 16
       val n = if (args.length >= 3) litInt(args(2), "graft_minhash_sig", "n") else 3

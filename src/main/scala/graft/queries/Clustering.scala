@@ -171,7 +171,8 @@ object Clustering {
          |  JOIN $p mm ON mm.id = e.d GROUP BY e.s),
          |x$i AS MATERIALIZED (SELECT m.id, least(m.lab, coalesce(h.nl, m.lab)) AS lab
          |  FROM $p m LEFT JOIN h$i h ON h.id = m.id),
-         |m$i AS MATERIALIZED (SELECT a.id, b.lab FROM x$i a JOIN x$i b ON b.id = a.lab)""".stripMargin
+         |m$i AS MATERIALIZED (SELECT a.id, b.lab
+         |  FROM x$i a JOIN x$i b ON b.id = a.lab)""".stripMargin
     }.mkString(",\n")
     s"""m0 AS MATERIALIZED (SELECT id, id AS lab FROM core),
        |$steps,

@@ -27,7 +27,8 @@ object NorthStar {
   private val P = "1000000007"
   private def toksSql(t: String) = s"string_split_regex(trim($t), '\\s+')"
   private def rollSql(e: String) =
-    s"list_reduce(list_transform(string_split($e, ''), c -> cast(ascii(c) as bigint)), (a,b) -> (a*31+b) % $P)"
+    s"list_reduce(list_transform(string_split($e, ''), c -> cast(ascii(c) as bigint)), " +
+      s"(a,b) -> (a*31+b) % $P)"
   private val stopList = Seq("the", "a", "of", "and", "to", "in")
   private val stopSql = stopList.map(w => s"'$w'").mkString(", ")
   private def stopHitsSql(toks: String) =
@@ -1059,7 +1060,8 @@ object NorthStar {
               |  WHERE x.band_no = 0 OR forall(sequence(0, x.band_no - 1),
               |    t -> element_at(x.sigs, t + 1) != element_at(y.sigs, t + 1)))
               |SELECT id_a, id_b,
-              |  round(cast(size(filter(zip_with(mh_a, mh_b, (a, b) -> a = b), v -> v)) as double) / 16, 6) AS est_sim
+              |  round(cast(size(filter(zip_with(mh_a, mh_b, (a, b) -> a = b), v -> v))
+              |    as double) / 16, 6) AS est_sim
               |FROM p ORDER BY id_a, id_b""".stripMargin)
     },
 
@@ -4121,7 +4123,8 @@ object NorthStar {
     val cosSql = (a: String, b: String) =>
       s"""(list_reduce(list_transform(range(1,65), i -> $a[i]*$b[i]), (x,y)->x+y) /
          | (sqrt(list_reduce(list_transform(range(1,65), i -> $a[i]*$a[i]), (x,y)->x+y)) *
-         |  sqrt(list_reduce(list_transform(range(1,65), i -> $b[i]*$b[i]), (x,y)->x+y))))""".stripMargin
+         |  sqrt(list_reduce(list_transform(range(1,65), i -> $b[i]*$b[i]),
+         |    (x,y)->x+y))))""".stripMargin
 
     // Fixed-point k-means training replay (ivfTrainCentroidsFp): the
     // `iters` Lloyd rounds unrolled as CTE layers. All arithmetic is
@@ -4287,7 +4290,8 @@ object NorthStar {
       // geometry, training, routing, scoring all see one shard only)
       val eWhere = if (eFilter.isEmpty) "" else s"\n  WHERE $eFilter"
       s"""WITH ${if (recursive) "RECURSIVE " else ""}e AS (SELECT vec_id AS id,
-         |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings$eWhere)$baseCte$routeCte,
+         |  list_transform(embedding, x -> cast(x as double)) AS v
+         |  FROM embeddings$eWhere)$baseCte$routeCte,
          |${scaledCentSql(iters = 10, sampleN = 4096, targetList = 64, src = src)},
          |${scaledRoutingSql(nprobe = 4, superProbe = 3, src = routeSrc)}""".stripMargin
     }
@@ -4795,7 +4799,8 @@ object NorthStar {
           |        'max'))) AS fpos
           |  FROM h WHERE m > 0)
           |SELECT doc_id, m AS n_kgrams, cast(len(fpos) as bigint) AS n_fingerprints,
-          |  cast(list_reduce(list_transform(fpos, p -> hs[p]), (a, b) -> a + b) as bigint) AS fp_sum
+          |  cast(list_reduce(list_transform(fpos, p -> hs[p]), (a, b) -> a + b)
+          |    as bigint) AS fp_sum
           |FROM sel ORDER BY doc_id""".stripMargin,
 
       "t06_bpe_tokens" ->
@@ -5500,7 +5505,8 @@ object NorthStar {
            |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
            |  cast(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) as bigint)
            |    AS chunk_tok,
-           |  (${rollSql("array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')")})
+           |  (${rollSql("array_to_string(list_slice(toks, chunk_id*48 + 1, " +
+             "chunk_id*48 + 64), ' ')")})
            |    AS chunk_hash
            |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
@@ -5541,7 +5547,8 @@ object NorthStar {
            |       ELSE ((n_tok - 64 + 47) // 48) + 1 END AS n_chunks FROM n),
            |c AS (SELECT toks, unnest(range(n_chunks)) AS chunk_id FROM m)
            |SELECT DISTINCT
-           |  (${rollSql("array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')")})
+           |  (${rollSql("array_to_string(list_slice(toks, chunk_id*48 + 1, " +
+             "chunk_id*48 + 64), ' ')")})
            |    AS chunk_hash
            |FROM c ORDER BY chunk_hash""".stripMargin,
 
@@ -5656,7 +5663,8 @@ object NorthStar {
            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
            |SELECT id_a, id_b, n_inter, jaccard FROM (
            |  SELECT i.id_a, i.id_b, i.n_inter,
-           |    round(cast(i.n_inter as double) / (sa.set_size + sb.set_size - i.n_inter), 6) AS jaccard
+           |    round(cast(i.n_inter as double)
+           |      / (sa.set_size + sb.set_size - i.n_inter), 6) AS jaccard
            |  FROM inter i
            |  JOIN sizes sa ON sa.id = i.id_a
            |  JOIN sizes sb ON sb.id = i.id_b) t
@@ -5682,7 +5690,8 @@ object NorthStar {
            |  FROM bands x JOIN bands y
            |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id)
            |SELECT p.id_a, p.id_b,
-           |  round(cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16, 6) AS est_sim
+           |  round(cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i]))
+           |    as double) / 16, 6) AS est_sim
            |FROM pairs p JOIN mh a ON a.id = p.id_a JOIN mh b ON b.id = p.id_b
            |ORDER BY id_a, id_b""".stripMargin,
 
@@ -5746,12 +5755,14 @@ object NorthStar {
       "st44_stream_dup_probe" -> {
         val tk = toksSql("text")
         s"""WITH sh AS (SELECT doc_id + 100000 AS doc_id,
-           |    array_to_string(($tk)[1:greatest(cast(floor(len($tk) * 0.8) as int), 1)], ' ') AS text
+           |    array_to_string(($tk)[1:greatest(cast(floor(len($tk) * 0.8) as int), 1)],
+           |      ' ') AS text
            |  FROM documents),
            |ct AS (SELECT ${toksSql("text")} AS toks FROM documents),
            |cw AS (SELECT unnest(range(1, len(toks) - 8 + 2)) AS p, toks
            |  FROM ct WHERE len(toks) >= 8),
-           |chs AS (SELECT DISTINCT ${rollSql("list_aggregate(toks[p : p + 7], 'string_agg', ' ')")} AS wh
+           |chs AS (SELECT DISTINCT
+           |  ${rollSql("list_aggregate(toks[p : p + 7], 'string_agg', ' ')")} AS wh
            |  FROM cw),
            |st AS (SELECT cast(doc_id as bigint) AS id, ${toksSql("text")} AS toks FROM sh),
            |sw AS (SELECT id, unnest(range(1, len(toks) - 8 + 2)) AS p, toks
@@ -5849,7 +5860,8 @@ object NorthStar {
            |  FROM bands x JOIN bands y
            |  ON x.band_no = y.band_no AND x.sig = y.sig AND x.id < y.id),
            |est AS (SELECT p.id_a, p.id_b,
-           |    round(cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) as double) / 16, 6) AS est_sim
+           |    round(cast(len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i]))
+           |      as double) / 16, 6) AS est_sim
            |  FROM pairs p JOIN mh a ON a.id = p.id_a JOIN mh b ON b.id = p.id_b),
            |d AS (SELECT e.id_a, e.id_b, e.est_sim,
            |    CASE WHEN levenshtein(x.text, y.text) <= 400
@@ -6262,7 +6274,8 @@ object NorthStar {
           s"""cast(list_aggregate(list_transform(range($lo, $hi), b ->
              |  CASE WHEN 2 * len(list_filter(hashes,
              |         h -> ((2*b+1)*h + b*b + 7) % $P % 2 = 1)) > len(hashes)
-             |  THEN cast(pow(2.0, b - $shift) as bigint) ELSE 0 END), 'sum') as bigint)""".stripMargin
+             |  THEN cast(pow(2.0, b - $shift) as bigint) ELSE 0 END),
+             |  'sum') as bigint)""".stripMargin
         s"""WITH u AS ($mutCorpusSql),
            |t AS (SELECT doc_id AS id,
            |  list_transform(${toksSql("text")}, tok -> ${rollSql("tok")}) AS hashes FROM u),
@@ -7294,8 +7307,10 @@ object NorthStar {
         val subCos = (a: String, b: String, i: Int, j: Int) => {
           val (oa, ob) = (i * 16, j * 16)
           s"""(list_reduce(list_transform(range(1,17), k -> $a[$oa+k]*$b[$ob+k]), (x,y)->x+y) /
-             | (sqrt(list_reduce(list_transform(range(1,17), k -> $a[$oa+k]*$a[$oa+k]), (x,y)->x+y)) *
-             |  sqrt(list_reduce(list_transform(range(1,17), k -> $b[$ob+k]*$b[$ob+k]), (x,y)->x+y))))""".stripMargin
+             | (sqrt(list_reduce(list_transform(range(1,17), k -> $a[$oa+k]*$a[$oa+k]),
+             |    (x,y)->x+y)) *
+             |  sqrt(list_reduce(list_transform(range(1,17), k -> $b[$ob+k]*$b[$ob+k]),
+             |    (x,y)->x+y))))""".stripMargin
         }
         val maxsim = (0 until 4).map { i =>
           "greatest(" + (0 until 4).map(j =>
@@ -7357,7 +7372,8 @@ object NorthStar {
         val preCos = (a: String, b: String) =>
           s"""(list_reduce(list_transform(range(1,17), i -> $a[i]*$b[i]), (x,y)->x+y) /
              | (sqrt(list_reduce(list_transform(range(1,17), i -> $a[i]*$a[i]), (x,y)->x+y)) *
-             |  sqrt(list_reduce(list_transform(range(1,17), i -> $b[i]*$b[i]), (x,y)->x+y))))""".stripMargin
+             |  sqrt(list_reduce(list_transform(range(1,17), i -> $b[i]*$b[i]),
+             |    (x,y)->x+y))))""".stripMargin
         s"""WITH e AS (SELECT vec_id AS id,
            |  list_transform(embedding, x -> cast(x as double)) AS v FROM embeddings),
            |cand AS (SELECT * FROM (
@@ -7688,7 +7704,8 @@ object NorthStar {
       "st48_stream_chunk_probe" -> {
         val tk = toksSql("text")
         s"""WITH sh AS (SELECT doc_id + 100000 AS doc_id,
-           |    array_to_string(($tk)[1:greatest(cast(floor(len($tk) * 0.8) as int), 1)], ' ') AS text
+           |    array_to_string(($tk)[1:greatest(cast(floor(len($tk) * 0.8) as int), 1)],
+           |      ' ') AS text
            |  FROM documents),
            |ct AS (SELECT list_transform(string_split(text, ''),
            |    c -> cast(ascii(c) as bigint)) AS codes FROM documents),
@@ -7789,8 +7806,10 @@ object NorthStar {
            |du AS (SELECT ch FROM cf GROUP BY ch HAVING count(DISTINCT doc_id) >= 2),
            |ag AS (SELECT doc_id, count(*) AS n_chunks,
            |    cast(sum(clen) as bigint) AS total_bytes,
-           |    cast(sum(CASE WHEN ch IN (SELECT ch FROM du) THEN 1 ELSE 0 END) as bigint) AS n_dup_chunks,
-           |    cast(sum(CASE WHEN ch IN (SELECT ch FROM du) THEN clen ELSE 0 END) as bigint) AS dup_bytes
+           |    cast(sum(CASE WHEN ch IN (SELECT ch FROM du) THEN 1 ELSE 0 END)
+           |      as bigint) AS n_dup_chunks,
+           |    cast(sum(CASE WHEN ch IN (SELECT ch FROM du) THEN clen ELSE 0 END)
+           |      as bigint) AS dup_bytes
            |  FROM cf GROUP BY doc_id)
            |SELECT doc_id, n_chunks, total_bytes, n_dup_chunks, dup_bytes,
            |  round(CASE WHEN total_bytes > 0
@@ -8107,7 +8126,8 @@ object NorthStar {
         val layouts = Seq(2, 4, 8).map { nb =>
           val r = 16 / nb
           val bandRows = (0 until nb).map(i =>
-            s"SELECT id, $i AS band_no, array_to_string(mh[${i * r + 1}:${(i + 1) * r}], '-') AS sig FROM mh")
+            s"SELECT id, $i AS band_no, " +
+              s"array_to_string(mh[${i * r + 1}:${(i + 1) * r}], '-') AS sig FROM mh")
             .mkString("\n  UNION ALL ")
           s"""bands$nb AS (
              |  $bandRows),

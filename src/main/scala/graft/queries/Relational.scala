@@ -210,7 +210,8 @@ object Relational {
         .agg(
           sum($"l_quantity".cast(M)).cast("double").as("sum_qty"),
           sum($"l_extendedprice".cast(M)).cast("double").as("sum_base_price"),
-          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).cast("double").as("sum_disc_price"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M))
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"),
           countDistinct($"l_partkey").as("n_parts"))
         .orderBy($"l_returnflag", $"l_linestatus")
@@ -235,7 +236,8 @@ object Relational {
         .join(broadcast(rd(s, dir, "part")), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(
-          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).cast("double").as("revenue"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M))
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"p_brand")
     },
@@ -251,7 +253,8 @@ object Relational {
       rd(s, dir, "orders")
         .join(bands, $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
         .groupBy($"r_name")
-        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast(M)).cast("double").as("band_total"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast(M)).cast("double").as("band_total"))
         .orderBy($"r_name")
     },
 
@@ -261,13 +264,15 @@ object Relational {
       rd(s, dir, "customer")
         .join(rd(s, dir, "orders"), $"c_custkey" === $"o_custkey")
         .join(rd(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
-        .join(rd(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(rd(s, dir, "supplier"),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .join(broadcast(rd(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(rd(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
         .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
           $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
         .groupBy($"n_name")
-        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M)).cast("double").as("revenue"))
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(M))
+          .cast("double").as("revenue"))
         .orderBy($"n_name")
     },
 
@@ -381,7 +386,8 @@ object Relational {
         .groupBy(
           year($"o_orderdate").cast("long").as("o_year"),
           month($"o_orderdate").cast("long").as("o_month"))
-        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice".cast(M)).cast("double").as("monthly_total"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast(M)).cast("double").as("monthly_total"))
         .orderBy($"o_year", $"o_month")
     },
 
@@ -1538,11 +1544,16 @@ object Relational {
           count($"o_orderstatus").as("nn_st"), countDistinct($"o_orderstatus").as("ndv_st"),
           min($"o_orderstatus").as("min_st"), max($"o_orderstatus").as("max_st"))
         .select(expr("""stack(5,
-            'o_custkey',       n - nn_cust,  ndv_cust,  min_cust,  max_cust,  cast(null as string), cast(null as string),
-            'o_orderdate_day', n - nn_day,   ndv_day,   min_day,   max_day,   cast(null as string), cast(null as string),
-            'o_orderkey',      n - nn_key,   ndv_key,   min_key,   max_key,   cast(null as string), cast(null as string),
-            'o_orderstatus',   n - nn_st,    ndv_st,    cast(null as double), cast(null as double), min_st, max_st,
-            'o_totalprice',    n - nn_price, ndv_price, min_price, max_price, cast(null as string), cast(null as string)
+            'o_custkey',       n - nn_cust,  ndv_cust,  min_cust,  max_cust,
+              cast(null as string), cast(null as string),
+            'o_orderdate_day', n - nn_day,   ndv_day,   min_day,   max_day,
+              cast(null as string), cast(null as string),
+            'o_orderkey',      n - nn_key,   ndv_key,   min_key,   max_key,
+              cast(null as string), cast(null as string),
+            'o_orderstatus',   n - nn_st,    ndv_st,
+              cast(null as double), cast(null as double), min_st, max_st,
+            'o_totalprice',    n - nn_price, ndv_price, min_price, max_price,
+              cast(null as string), cast(null as string)
           ) as (col_name, n_null, ndv, min_v, max_v, min_s, max_s)"""),
           $"n".as("n_rows"))
         .join(hll, Seq("col_name"), "left")
@@ -2184,7 +2195,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
         |  cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base_price,
-        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) as double) AS sum_disc_price,
+        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4)))
+        |    as double) AS sum_disc_price,
         |  count(*) AS count_order,
         |  count(distinct l_partkey) AS n_parts
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -2199,7 +2211,8 @@ object Relational {
 
     "q03_broadcast_join_agg" ->
       """SELECT p_brand,
-        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) as double) AS revenue,
+        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4)))
+        |    as double) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -2214,7 +2227,8 @@ object Relational {
 
     "q05_star_join_revenue" ->
       """SELECT n_name,
-        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4))) as double) AS revenue
+        |  cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,4)))
+        |    as double) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -2248,7 +2262,8 @@ object Relational {
         |  FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
 
     "q10_union_all" ->
-      """SELECT bucket, count(*) AS n, cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total
+      """SELECT bucket, count(*) AS n,
+        |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total
         |FROM (
         |  SELECT 'high' AS bucket, o_totalprice FROM orders WHERE o_totalprice >= 200000
         |  UNION ALL

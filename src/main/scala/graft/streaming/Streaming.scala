@@ -444,7 +444,8 @@ object Streaming {
       .as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, events: Iterator[UserEvent], state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+        (uid: Long, events: Iterator[UserEvent],
+         state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(uid, Double.NegativeInfinity, 0L))
           val next = events.foldLeft(prev) { (acc, e) =>
             UserState(uid, math.max(acc.max_value, e.value), acc.n_events + 1)

@@ -71,7 +71,8 @@ object CosineDbscanProfile {
     spark.catalog.clearCache()
     time("s08 full (steady)")(graft.SparkEntry.queries("s08_cosine_dbscan_lsh")(spark, dir).count())
     spark.catalog.clearCache()
-    time("s10 full (steady)")(graft.SparkEntry.queries("s10_cosine_dbscan_banded")(spark, dir).count())
+    time("s10 full (steady)")(
+      graft.SparkEntry.queries("s10_cosine_dbscan_banded")(spark, dir).count())
     spark.catalog.clearCache()
 
     // --- dbscan_events_sample stages ---

@@ -50,7 +50,8 @@ object GraphAnnProbe {
       val gp = scope.own(g.persist())
       val r = recall(Similarity.graphBeamSearchOver(gp, emb, queries, k,
         beam = beam, rounds = rounds, seedMod = seedMod))
-      println(f"graphK=$graphK%2d undirected=$undirected%5s seedMod=$seedMod%2d beam=$beam%2d rounds=$rounds%d  recall@5=$r%.3f")
+      println(f"graphK=$graphK%2d undirected=$undirected%5s seedMod=$seedMod%2d " +
+        f"beam=$beam%2d rounds=$rounds%d  recall@5=$r%.3f")
       gp.unpersist()
     }
     spark.stop()

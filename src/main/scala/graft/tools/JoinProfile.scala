@@ -20,7 +20,8 @@ object JoinProfile {
     val q = joined.writeStream.outputMode("append").format("memory")
       .queryName("jp").start()
     q.processAllAvailable()
-    println(f"[jprof] total ${(System.nanoTime() - t0) / 1e9}%.2f s, rows=${spark.table("jp").count()}")
+    println(f"[jprof] total ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+      f"rows=${spark.table("jp").count()}")
     q.recentProgress.foreach { p =>
       println(s"[jprof] batch ${p.batchId}: rows=${p.numInputRows} durationMs=${p.durationMs}")
       p.stateOperators.foreach(so => println(s"[jprof]   state: rowsTotal=${so.numRowsTotal} " +

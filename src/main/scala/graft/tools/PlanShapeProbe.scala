@@ -22,7 +22,9 @@ object PlanShapeProbe {
         try {
           val plan = fn(spark, dir).queryExecution.executedPlan.toString
           def c(p: String) = p.r.findAllIn(plan).length
-          println(f"$name%-28s shuffles=${c("Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition")}%2d " +
+          val nsh = c("Exchange hashpartitioning|Exchange rangepartitioning" +
+            "|Exchange SinglePartition")
+          println(f"$name%-28s shuffles=$nsh%2d " +
             f"bcast=${c("BroadcastExchange")}%2d scans=${c("FileScan|BatchScan")}%2d " +
             f"inmem=${c("InMemoryTableScan")}%2d sorts=${c("\\bSort\\b")}%2d")
         } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage.take(80)}") }

@@ -77,7 +77,8 @@ object Profile {
       dfreq.orderBy(desc("df")).limit(10).collect())
     println("[profile] top shingle dfs: " + top.map(_.getLong(1)).mkString(","))
     val expl = time("pair explode count")(
-      shP.as("a").join(shP.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id")).count())
+      shP.as("a").join(shP.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id")).count())
     println(s"[profile] exploded pairs = $expl")
     time("full d02")(Dedup.jaccardPairs(mut, "text", "doc_id", 3, 0.5).count())
 

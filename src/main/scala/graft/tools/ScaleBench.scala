@@ -445,13 +445,15 @@ object ScaleBench {
       val t1 = time(name, oneDir)
       val tn = time(name, nDir)
       val perItem = if (t1 > 0 && tn > 0) tn / (copies * t1) else -1.0
-      System.err.println(f"[scale] $name%-26s t1=$t1%7.2fs t$copies=$tn%7.2fs per-item=$perItem%5.2f")
+      System.err.println(f"[scale] $name%-26s t1=$t1%7.2fs " +
+        f"t$copies=$tn%7.2fs per-item=$perItem%5.2f")
       (name, t1, tn, perItem)
     }
     val qs = rows.map { case (n, t1, tn, p) =>
       s""""$n":{"t1":$t1,"t$copies":$tn,"per_item_scale":$p}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_ladder","base":"$base","copies":$copies,"reps":$reps,"queries":$qs}""")
+    println(s"""{"metric":"scale_ladder","base":"$base","copies":$copies,""" +
+      s""""reps":$reps,"queries":$qs}""")
     spark.stop()
   }
 }

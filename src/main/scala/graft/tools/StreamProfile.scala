@@ -36,8 +36,10 @@ object StreamProfile {
     time("st01 (8 parts)")(graft.streaming.Streaming.hourlyStats(spark, dir).count())
 
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    time("st01 (8 parts, no noData batch)")(graft.streaming.Streaming.hourlyStats(spark, dir).count())
-    time("st02 (8 parts, no noData batch)")(graft.streaming.Streaming.userRunningState(spark, dir).count())
+    time("st01 (8 parts, no noData batch)")(
+      graft.streaming.Streaming.hourlyStats(spark, dir).count())
+    time("st02 (8 parts, no noData batch)")(
+      graft.streaming.Streaming.userRunningState(spark, dir).count())
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     time("st03 (8 parts)")(graft.streaming.Streaming.hourlyStatsWatermarked(spark, dir).count())
     time("st04 (state 8)")(graft.streaming.Streaming.clickViewJoin(spark, dir).count())

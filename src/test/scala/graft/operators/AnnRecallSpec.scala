@@ -113,7 +113,8 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     }
     val det = recallOf(Similarity.pqTopK(emb, queries, k, m = 8, ncode = 32))
     val trained = recallOf(Similarity.pqTopKTrained(emb, queries, k, m = 8, ncode = 32))
-    info(f"PQ recall@$k vs exact L2 (m=8, ncode=32): deterministic $det%.3f, trained k-means $trained%.3f")
+    info(f"PQ recall@$k vs exact L2 (m=8, ncode=32): deterministic $det%.3f, " +
+      f"trained k-means $trained%.3f")
     // trained centers must not be WORSE than arbitrary corpus points —
     // the whole point of training (equality possible on tiny corpora)
     trained should be >= det - 0.05
@@ -274,7 +275,8 @@ class AnnRecallSpec extends AnyFunSuite with Matchers {
     once.map(_.toString).sorted shouldBe twice.map(_.toString).sorted
   }
 
-  test("fully-trained residual IVF x PQ (trained coarse + trained residual codebook) vs deterministic") {
+  test("fully-trained residual IVF x PQ (trained coarse + trained residual " +
+      "codebook) vs deterministic") {
     // the complete faiss-IVFPQ training recipe: does training BOTH
     // stages compound? The deterministic composition is the oracle-
     // replayable floor; this is the recall the production path ships.

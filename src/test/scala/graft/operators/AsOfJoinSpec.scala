@@ -18,7 +18,8 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     val rnd = new scala.util.Random(7)
     // small time domain forces collisions within and across sides
     val left = (0 until 400).map(i => (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(40).toLong))
-    val right = (0 until 400).map(i => (i.toLong + 1000, rnd.nextInt(10).toLong, rnd.nextInt(40).toLong))
+    val right = (0 until 400).map(i =>
+      (i.toLong + 1000, rnd.nextInt(10).toLong, rnd.nextInt(40).toLong))
     val lDF = left.toDF("lid", "k", "lt")
     val rDF = right.toDF("rid", "k", "rt")
 

@@ -66,7 +66,8 @@ class CacheScopeSpec extends AnyFunSuite with Matchers {
     import org.apache.spark.sql.functions.{concat, lit}
     val sc = spark.sparkContext
     val docs0 = docs.withColumn("lang", lit("en"))
-      .withColumn("text", concat($"text", lit(" " + Seq.fill(45)("the word of and to in play").mkString(" "))))
+      .withColumn("text", concat($"text",
+        lit(" " + Seq.fill(45)("the word of and to in play").mkString(" "))))
     val before = sc.getPersistentRDDs.keySet
     val scope = new CacheScope
     val out = graft.queries.NorthStar.curationPipeline(docs0, scope)

@@ -55,9 +55,11 @@ class DistributedDBSCANSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     val df = Golden.rows.map(_._1).toDF()
     val r1 = DistributedDBSCAN.cluster(df, 0.3, 10, 250).labeled.collect()
-      .map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getString(3))).sortBy(t => (t._1, t._2))
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
     val r2 = DistributedDBSCAN.cluster(df, 0.3, 10, 250).labeled.collect()
-      .map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getString(3))).sortBy(t => (t._1, t._2))
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
     r1 should contain theSameElementsInOrderAs r2
   }
 

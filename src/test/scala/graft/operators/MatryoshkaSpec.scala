@@ -69,7 +69,8 @@ class MatryoshkaSpec extends AnyFunSuite with Matchers {
     val r8 = recallAt(8)
     val r16 = recallAt(16)
     val r32 = recallAt(32)
-    info(f"matryoshka recall@$k vs exact (cand=40): prefix8 $r8%.3f, prefix16 $r16%.3f, prefix32 $r32%.3f")
+    info(f"matryoshka recall@$k vs exact (cand=40): prefix8 $r8%.3f, " +
+      f"prefix16 $r16%.3f, prefix32 $r32%.3f")
     // longer prefixes approximate the full metric better
     r32 should be >= r16
     r16 should be > 0.2

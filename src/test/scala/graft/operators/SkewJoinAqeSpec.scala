@@ -67,7 +67,8 @@ class SkewJoinAqeSpec extends AnyFunSuite with Matchers {
     }
     ev.unpersist()
 
-    info(f"q24 shape at sf0.01: plain SMJ $tPlain%.2fs, AQE skew-join $tAqe%.2fs, salted(8) $tSalted%.2fs")
+    info(f"q24 shape at sf0.01: plain SMJ $tPlain%.2fs, AQE skew-join $tAqe%.2fs, " +
+      f"salted(8) $tSalted%.2fs")
     aqeSkew shouldBe plain
     salted shouldBe plain
     plain.map(_._1).toSeq shouldBe Seq("alpha", "beta", "gamma")

@@ -72,7 +72,8 @@ class SkylineSpec extends AnyFunSuite with Matchers {
         (s._2 > r._2 || s._3 < r._3 || s._4 < r._4))
     }.toSet
 
-  private def run3(rows: Seq[(Long, Double, Long, String)], parts: Int): Set[(Long, Double, Long, String)] = {
+  private def run3(rows: Seq[(Long, Double, Long, String)], parts: Int)
+      : Set[(Long, Double, Long, String)] = {
     val df = spark.createDataset(rows).toDF("k", "mx", "mn", "ms").repartition(parts)
     Skyline.skyline3D(spark, df, "k", "mx", "mn", "ms")
       .as[(Long, Double, Long, String)].collect().toSet

@@ -9,7 +9,8 @@ class SpatialJoinSpec extends AnyFunSuite with Matchers {
 
   test("epsJoin matches brute force on random points") {
     val rnd = new scala.util.Random(11)
-    val pts = (0 until 200).map(i => (i.toLong, rnd.nextDouble() * 10 - 5, rnd.nextDouble() * 10 - 5))
+    val pts = (0 until 200).map(i =>
+      (i.toLong, rnd.nextDouble() * 10 - 5, rnd.nextDouble() * 10 - 5))
     val eps = 0.8
     val expected = (for {
       (i, xi, yi) <- pts; (j, xj, yj) <- pts

@@ -13,7 +13,8 @@ class VadSegmentsSpec extends AnyFunSuite with Matchers {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def run(payloads: Seq[(Long, Array[Byte])], thr: Int): Map[Long, (Int, Long, Long, Long)] = {
+  private def run(payloads: Seq[(Long, Array[Byte])], thr: Int)
+      : Map[Long, (Int, Long, Long, Long)] = {
     val df = payloads.toDF("doc_id", "payload")
     Multimodal.vadSegments(spark, df, thr = thr).collect()
       .map(v => v.doc_id -> (v.n_blocks, v.n_active, v.n_segments, v.longest_run))

@@ -26,7 +26,8 @@ class StreamingBoundedStateSpec extends AnyFunSuite with Matchers {
     */
   private def drive[A: org.apache.spark.sql.Encoder](
       batches: Seq[Seq[A]],
-      transform: org.apache.spark.sql.Dataset[A] => org.apache.spark.sql.DataFrame): (Array[org.apache.spark.sql.Row], Long) = {
+      transform: org.apache.spark.sql.Dataset[A] => org.apache.spark.sql.DataFrame)
+      : (Array[org.apache.spark.sql.Row], Long) = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try {
