@@ -2724,13 +2724,23 @@ object Streaming {
       }
       .toDF("owner", "q_id", "embedding", "probed", "assigned_cell")
     val routedT = runToTable(arrivals, "append")
-    val arms = (0 until nOwners).map { o =>
-      // collect ONLY the owner's slice — O((1+nprobe)·n/nOwners)
-      val rows = slices.filter(col("owner") === o)
-        .select(col("cell"), col("id"), col("role"), col("vec"),
-          col("thr"), col("thr_cnt"))
-        .as[(Long, Long, String, Array[Float], Option[Double], Option[Long])]
-        .collect()
+    // each owner's replica loads CONCURRENTLY (st58's parallel
+    // per-shard load — production's independent serving workers;
+    // sequential collects would pay nOwners job latencies)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ownerRows = Await.result(Future.sequence((0 until nOwners).map {
+      o => Future {
+        // collect ONLY the owner's slice — O((1+nprobe)·n/nOwners)
+        (o, slices.filter(col("owner") === o)
+          .select(col("cell"), col("id"), col("role"), col("vec"),
+            col("thr"), col("thr_cnt"))
+          .as[(Long, Long, String, Array[Float], Option[Double], Option[Long])]
+          .collect())
+      }
+    }), Duration.Inf)
+    val arms = ownerRows.map { case (o, rows) =>
       val memberSlice: Map[Long, Array[Long]] = rows.filter(_._3 == "m")
         .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).sorted) }
       val proberSlice: Map[Long, Array[Long]] = rows.filter(_._3 == "p")

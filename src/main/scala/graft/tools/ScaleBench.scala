@@ -187,6 +187,13 @@ object ScaleBench {
       graft.streaming.Streaming.streamShardedGraphUpsert(s, dir,
         nOwners = now)
     }
+    // st53 is st61's global merge since round 16 — its OUTPUT is
+    // nOwners-independent, so the ladder scales the owner fleet the
+    // same way (the merge itself is a bounded per-arrival top-k)
+    case "st53_stream_graph_upsert" => Some { (s, dir) =>
+      val now = if (copies <= 1) 4 else math.min(copies, 50)
+      graft.streaming.Streaming.streamGraphUpsert(s, dir, nOwners = now)
+    }
     // st62: the fleet BEING resized grows with the corpus (st58's
     // convention), and the resize always adds one shard — so the new
     // shard's build stays a ~1/kTo sliver at every rung

@@ -23,13 +23,14 @@ def main(out, runs):
         "metric": "total",
         "value": sum(queries.values()),
         "unit": "sec",
+        "n_queries": len(queries),
         "queries": dict(sorted(queries.items())),
         "errors": errors,
         "sf": datas[0]["sf"],
         "note": (
-            f"min per query over {len(runs)} solo full-board runs this "
-            "session (each run itself min-of-2 reps); no co-tenant "
-            "workloads during either run"
+            f"min per query over {len(runs)} solo full-board runs of the "
+            f"{len(queries)}-row board this session (each run itself "
+            "min-of-2 reps); no co-tenant workloads during any run"
         ),
     }
     json.dump(merged, open(out, "w"), indent=1)
