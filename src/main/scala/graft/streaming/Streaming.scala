@@ -1497,12 +1497,15 @@ object Streaming {
     // consumes by its own partition — the ingest-tier dispatch. (The
     // filtered-union spelling re-evaluated the O(nShards)-hash argmax
     // in every arm, so router work grew ∝ nShards² per arrival.)
-    val routedQ = runToTable(
-      graft.sources.Sources.embeddingsStream(s, dir)
-        .select((col("vec_id") + 100000L).cast("long").as("q_id"),
-          col("embedding"))
-        .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), nShards)),
-      "append")
+    val routedQ = scope.own(runToTable(
+        graft.sources.Sources.embeddingsStream(s, dir)
+          .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+            col("embedding"))
+          .withColumn("shard",
+            Mixture.rendezvousShardCol(col("q_id"), nShards)),
+        "append")
+      .repartition(col("shard")).persist()) // ship driver rows once;
+    routedQ.count() // arms prune cached batches by shard stats
     // the per-shard replicas build CONCURRENTLY (production's
     // independent per-shard nightly index jobs — Spark schedules
     // actions from separate threads fine); each replica — vectors +
@@ -2723,7 +2726,16 @@ object Streaming {
           .map(o => (o, qId, qv, probed, probed.head))
       }
       .toDF("owner", "q_id", "embedding", "probed", "assigned_cell")
-    val routedT = runToTable(arrivals, "append")
+    // materialize ONCE as a distributed cached table clustered by
+    // owner: the memory sink holds rows on the driver, and every arm
+    // reading it directly would re-ship them (LocalTableScan
+    // parallelizes per query); one repartition+persist ships them to
+    // the cluster once and lets each arm's owner filter prune cached
+    // batches by their column stats
+    val scope = graft.operators.CacheScope.sessionScope(s)
+    val routedT = scope.own(runToTable(arrivals, "append")
+      .repartition(col("owner")).persist())
+    routedT.count() // fill the cache before the arms fan out
     // each owner's replica loads CONCURRENTLY (st58's parallel
     // per-shard load — production's independent serving workers;
     // sequential collects would pay nOwners job latencies)
@@ -2944,12 +2956,14 @@ object Streaming {
     // ROUTE ONCE under the NEW layout (st58's ingest-tier dispatch:
     // one streaming pass computes the kTo argmax, arms consume their
     // materialized partitions)
-    val routedQ = runToTable(
-      graft.sources.Sources.embeddingsStream(s, dir)
-        .select((col("vec_id") + 100000L).cast("long").as("q_id"),
-          col("embedding"))
-        .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo)),
-      "append")
+    val routedQ = scope.own(runToTable(
+        graft.sources.Sources.embeddingsStream(s, dir)
+          .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+            col("embedding"))
+          .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo)),
+        "append")
+      .repartition(col("shard")).persist()) // ship driver rows once;
+    routedQ.count() // arms prune cached batches by shard stats
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -3128,19 +3142,21 @@ object Streaming {
     // against the summary and materializes the (shard, arrival)
     // scatter — probeShards rows per arrival; arms consume their
     // partition instead of each re-running the summary ranking
-    val routedQ = runToTable(
-      graft.sources.Sources.embeddingsStream(s, dir)
-        .select((col("vec_id") + 100000L).cast("long").as("q_id"),
-          col("embedding"))
-        .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
-          bcSummary.value.iterator.flatMap { case (s2, rvs) =>
-            val scores = rvs.iterator.map(v => cosExact(qv, v))
-              .filter(!_.isNaN).toSeq
-            if (scores.isEmpty) None else Some((s2, scores.max))
-          }.toSeq.sortBy { case (s2, sc) => (-sc, s2) }
-            .take(probeShards).iterator.map(r => (r._1, qId, qv))
-        }.toDF("shard", "q_id", "embedding"),
-      "append")
+    val routedQ = scope.own(runToTable(
+        graft.sources.Sources.embeddingsStream(s, dir)
+          .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+            col("embedding"))
+          .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
+            bcSummary.value.iterator.flatMap { case (s2, rvs) =>
+              val scores = rvs.iterator.map(v => cosExact(qv, v))
+                .filter(!_.isNaN).toSeq
+              if (scores.isEmpty) None else Some((s2, scores.max))
+            }.toSeq.sortBy { case (s2, sc) => (-sc, s2) }
+              .take(probeShards).iterator.map(r => (r._1, qId, qv))
+          }.toDF("shard", "q_id", "embedding"),
+        "append")
+      .repartition(col("shard")).persist()) // ship driver rows once;
+    routedQ.count() // arms prune cached batches by shard stats
     val arms = replicas.map { case (sh, vecs, adj, seeds) =>
       val bcVecs = s.sparkContext.broadcast(vecs)
       val bcAdj = s.sparkContext.broadcast(adj)
@@ -3209,12 +3225,14 @@ object Streaming {
     // ROUTE ONCE under the surviving layout (st58's ingest-tier
     // dispatch; the survivors' arms consume their materialized
     // partitions instead of each re-running the HRW argmax)
-    val routedQ = runToTable(
-      graft.sources.Sources.embeddingsStream(s, dir)
-        .select((col("vec_id") + 100000L).cast("long").as("q_id"),
-          col("embedding"))
-        .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo)),
-      "append")
+    val routedQ = scope.own(runToTable(
+        graft.sources.Sources.embeddingsStream(s, dir)
+          .select((col("vec_id") + 100000L).cast("long").as("q_id"),
+            col("embedding"))
+          .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo)),
+        "append")
+      .repartition(col("shard")).persist()) // ship driver rows once;
+    routedQ.count() // arms prune cached batches by shard stats
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
