@@ -2597,6 +2597,70 @@ object Similarity {
     }
   }
 
+  /** UPSERT APPLICATION over the ranked asset — the write half of the
+    * s42 lifecycle (the LSM memtable flush): st53's write-ahead intent
+    * log folds into the stored generation-0 graph and publishes as
+    * generation 2, recorded in the manifest with the intent-batch size
+    * (`n_upserts`), idempotent per (source fingerprint, intent-set
+    * signature) exactly like [[compactRankedKnnIndex]]'s tombstone
+    * generation. The application is pure relational algebra over the
+    * STORED rounded readouts:
+    *
+    *   - arriving ids adopt their `new_topk` rows verbatim (the WAL
+    *     already carries the merged global rank),
+    *   - base queries holding >= 1 admitted `upsert` candidate re-rank
+    *     stored ∪ candidates by (cos_sim DESC, id ASC) and keep top-k
+    *     — stored and candidate id spaces are disjoint (+100000), so
+    *     no dedup,
+    *   - every other base row keeps its stored edges VERBATIM — exact,
+    *     because admission emitted every candidate that could enter.
+    *
+    * This is the serving tier's state BETWEEN nightly rebuilds, not a
+    * claim of equality with [[knnGraphIncrementalFp]]'s full merge:
+    * the WAL defers exact rounded ties to the batch merger and carries
+    * no arriving↔arriving edges (both documented in st53's contract) —
+    * the nightly d26 job is what compacts those in. The DuckDB oracle
+    * replays the frozen build, every intent, and this application.
+    */
+  def compactUpsertKnnIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 5, targetList: Int = 64, nprobe: Int = 4,
+      superProbe: Int = 3, nOwners: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baseName = rankedIndexName(dir, k, targetList, nprobe, superProbe)
+    val base = ensureRankedKnnIndex(s, dir, k, targetList, nprobe,
+      superProbe)
+    val intents = CacheScope.sessionScope(s).own(
+      graft.streaming.Streaming.streamGraphUpsert(s, dir, k, nprobe,
+        superProbe, nOwners).persist()) // signature + both apply arms
+    // order-free exact signature of the intent batch (the tombstone
+    // generation's idempotence convention)
+    val sig = intents.agg(count(lit(1)).cast("long"),
+      coalesce(sum(col("q_id") + col("n_id")), lit(0L)).cast("long")).head()
+    val (nUp, sumUp) = (sig.getLong(0), sig.getLong(1))
+    Assets.ensureParquetAsset(s, s"${baseName}_gen2",
+        new java.io.File(dir, "embeddings.parquet"),
+        extraFp = s"upserts|$nUp|$sumUp",
+        generation = 2L, nUpserts = nUp) {
+      val ups = intents.filter(col("kind") === "upsert")
+        .select(col("q_id"), col("n_id"), col("cos_sim"))
+      val newRows = intents.filter(col("kind") === "new_topk")
+        .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+          col("n_id"), col("cos_sim"))
+      val affected = ups.select(col("q_id")).distinct()
+      val keep = base.join(affected, Seq("q_id"), "left_anti")
+        .select(col("q_id"), col("rnk").cast("long").as("rnk"),
+          col("n_id"), col("cos_sim"))
+      val rer = base.join(affected, Seq("q_id"), "left_semi")
+        .select(col("q_id"), col("n_id"), col("cos_sim"))
+        .unionByName(ups)
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("n_id").asc)).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("cos_sim"))
+      keep.unionByName(rer).unionByName(newRows)
+    }
+  }
+
   /** Density clustering of embeddings — DBSCAN generalized from the
     * 2-D euclidean core to n-D cosine space, on the similarity graph:
     * a point is core iff it has >= minPts neighbors at cosine >=

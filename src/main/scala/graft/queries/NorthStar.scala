@@ -2040,6 +2040,7 @@ object NorthStar {
       Similarity.ensureRankedKnnIndex(s, dir)
       Similarity.compactRankedKnnIndex(s, dir,
         emb.filter($"vec_id" % 10 === 3).select($"vec_id"))
+      Similarity.compactUpsertKnnIndex(s, dir) // gen 2: the WAL flush
       Similarity.rankedAssetManifest(s, dir).orderBy("generation")
     },
 
@@ -2089,6 +2090,21 @@ object NorthStar {
             lit(nq).as("n_queries"), $"n_hits",
             round($"n_hits".cast("double") / (nq * k), 6).as("recall"))
       }.reduce(_ unionByName _).orderBy($"probe_shards")
+    },
+
+    // UPSERT APPLICATION (the WAL flush) — the write half of the s42
+    // lifecycle: st53's intent log folds into the stored generation-0
+    // ranked graph and publishes as generation 2 (manifest records
+    // n_upserts; idempotent per intent-set signature). Arriving ids
+    // adopt their new_topk rows, base queries holding admitted
+    // candidates re-rank stored ∪ candidates by (cos DESC, id ASC),
+    // everyone else keeps stored edges verbatim — the serving tier's
+    // state BETWEEN nightly rebuilds (exact rounded ties and
+    // arriving↔arriving edges wait for the d26 batch merge, st53's
+    // documented contract). The oracle replays the frozen build,
+    // every intent, and the application.
+    "s49_upsert_compaction" -> { (s, dir) =>
+      Similarity.compactUpsertKnnIndex(s, dir).orderBy("q_id", "rnk")
     },
 
     // SHARD-FLEET MANIFEST — s45's audit applied to st58's per-shard
@@ -4456,7 +4472,10 @@ object NorthStar {
     // intent arms. `nOwners` (st61) labels every intent with its CELL
     // owner (rendezvous of c_id) and ranks new_topk WITHIN the owner —
     // the per-owner partial spelling of the cell-sharded serving tier.
-    def graphUpsertReplaySql(nOwners: Option[Int]): String = {
+    // the CTE prelude shared by st53/st61 (intent replay) and s49 (the
+    // application): frozen build, ranked base `knn` (rn kept), stored
+    // thresholds, arriving routing, and both intent arms newtop/ups
+    def upsertIntentPreludeSql(nOwners: Option[Int]): String = {
       val owner = (cid: String) => nOwners
         .map(k => graft.operators.Mixture.rendezvousShardSql(cid, k))
       val ntOwner = owner("a.c_id")
@@ -4471,7 +4490,7 @@ object NorthStar {
            |        ORDER BY ${cosSql("p.v", "a.n_vec")} DESC, a.n_id ASC) AS rn
            |    FROM probeN p JOIN asg a ON a.c_id = p.c_id""".stripMargin
       s"""${scaledGraphPreludeSql()},
-         |knn AS MATERIALIZED (SELECT q_id, n_id, cos_sim FROM (
+         |knn AS MATERIALIZED (SELECT q_id, n_id, cos_sim, rn FROM (
          |  SELECT p.q_id, a.n_id, round(${cosSql("p.q_vec", "a.n_vec")}, 6) AS cos_sim,
          |    row_number() OVER (PARTITION BY p.q_id
          |      ORDER BY ${cosSql("p.q_vec", "a.n_vec")} DESC, a.n_id ASC) AS rn
@@ -4499,7 +4518,12 @@ object NorthStar {
          |  FROM probe p JOIN asgN aN ON aN.c_id = p.c_id
          |  LEFT JOIN thr t ON t.q_id = p.q_id
          |  WHERE t.q_id IS NULL OR t.c < 5
-         |    OR round(${cosSql("p.q_vec", "aN.n_vec")}, 6) > t.t)
+         |    OR round(${cosSql("p.q_vec", "aN.n_vec")}, 6) > t.t)""".stripMargin
+    }
+
+    def graphUpsertReplaySql(nOwners: Option[Int]): String = {
+      val ownCol = if (nOwners.isDefined) "owner, " else ""
+      s"""${upsertIntentPreludeSql(nOwners)}
          |SELECT kind, ${ownCol}q_id, n_id, rnk, cos_sim FROM (
          |  SELECT 'new_topk' AS kind, ${ownCol}q_id, n_id,
          |    cast(rn as bigint) AS rnk, cos_sim FROM newtop
@@ -4508,6 +4532,28 @@ object NorthStar {
          |    cast(NULL as bigint) AS rnk, cos_sim FROM ups) u
          |ORDER BY kind, ${ownCol}q_id, n_id""".stripMargin
     }
+
+    // s49: the application of the intent log against the ranked base —
+    // keep / re-rank / adopt, all over the stored ROUNDED readouts
+    def upsertApplySql: String =
+      s"""${upsertIntentPreludeSql(None)},
+         |aff AS (SELECT DISTINCT q_id FROM ups),
+         |keep AS (SELECT q_id, cast(rn as bigint) AS rnk, n_id, cos_sim
+         |  FROM knn WHERE q_id NOT IN (SELECT q_id FROM aff)),
+         |rer AS (SELECT q_id, rnk, n_id, cos_sim FROM (
+         |  SELECT q_id, n_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, n_id ASC) AS rnk FROM (
+         |    SELECT k.q_id, k.n_id, k.cos_sim FROM knn k
+         |      JOIN aff a ON a.q_id = k.q_id
+         |    UNION ALL SELECT q_id, n_id, cos_sim FROM ups) u) r
+         |  WHERE rnk <= 5),
+         |nw AS (SELECT q_id, cast(rn as bigint) AS rnk, n_id, cos_sim
+         |  FROM newtop)
+         |SELECT q_id, cast(rnk as bigint) AS rnk, n_id, cos_sim FROM (
+         |  SELECT * FROM keep UNION ALL SELECT * FROM rer
+         |  UNION ALL SELECT * FROM nw) f
+         |ORDER BY q_id, rnk""".stripMargin
 
     // the standalone ranked top-5 graph replay (st54's knn CTE as a
     // full query): the s30-shaped published asset; `routeFilter` is
@@ -6719,6 +6765,12 @@ object NorthStar {
            |g1 AS (SELECT count(*) AS c FROM (
            |${rankedKnnReplaySql(routeFilter = "id % 10 <> 3")}
            |) t1),
+           |g2 AS (SELECT count(*) AS c FROM (
+           |$upsertApplySql
+           |) t2),
+           |nu AS (SELECT count(*) AS c FROM (
+           |${graphUpsertReplaySql(nOwners = None)}
+           |) tu),
            |nt AS (SELECT count(*) AS c FROM embeddings WHERE vec_id % 10 = 3)
            |SELECT 'knn_ranked_5_64_4_3' AS asset,
            |  cast(0 as bigint) AS generation,
@@ -6730,7 +6782,11 @@ object NorthStar {
            |UNION ALL
            |SELECT 'knn_ranked_5_64_4_3', cast(1 as bigint),
            |  (SELECT c FROM g1), (SELECT c FROM nt), cast(0 as bigint),
-           |  true, (SELECT c FROM g1)
+           |  false, (SELECT c FROM g1)
+           |UNION ALL
+           |SELECT 'knn_ranked_5_64_4_3', cast(2 as bigint),
+           |  (SELECT c FROM g2), cast(0 as bigint), (SELECT c FROM nu),
+           |  true, (SELECT c FROM g2)
            |ORDER BY generation""".stripMargin,
 
       // s44: s35's replay over the FROZEN-QUANTIZER build (training
@@ -7019,6 +7075,13 @@ object NorthStar {
       // pins the fold)
       "st61_sharded_graph_upsert" -> graphUpsertReplaySql(
         nOwners = Some(4)),
+
+      // s49: the intent log APPLIED against the ranked base — arriving
+      // ids adopt their new_topk rows, affected base queries re-rank
+      // stored ∪ admitted candidates by (rounded cos DESC, id ASC),
+      // everyone else keeps stored edges verbatim (exact: admission
+      // emitted every candidate that could enter)
+      "s49_upsert_compaction" -> upsertApplySql,
 
       // d26: the BATCH-REBUILD spelling over the frozen base-trained
       // quantizer (training/geometry from id % 10 <> 7, routing over

@@ -100,7 +100,7 @@ object ScaleBench {
     "s45_asset_manifest", "st60_sharded_takedown_serving",
     "st61_sharded_graph_upsert", "s46_shard_manifest",
     "st62_shard_resize_serving", "st63_shard_failover_serving",
-    "st64_scatter_gather_serving")
+    "st64_scatter_gather_serving", "s49_upsert_compaction")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -193,6 +193,11 @@ object ScaleBench {
     case "st53_stream_graph_upsert" => Some { (s, dir) =>
       val now = if (copies <= 1) 4 else math.min(copies, 50)
       graft.streaming.Streaming.streamGraphUpsert(s, dir, nOwners = now)
+    }
+    // s49 applies st53's intent log — same owner-fleet convention
+    case "s49_upsert_compaction" => Some { (s, dir) =>
+      val now = if (copies <= 1) 4 else math.min(copies, 50)
+      graft.operators.Similarity.compactUpsertKnnIndex(s, dir, nOwners = now)
     }
     // st62: the fleet BEING resized grows with the corpus (st58's
     // convention), and the resize always adds one shard — so the new

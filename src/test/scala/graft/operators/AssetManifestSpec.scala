@@ -86,4 +86,55 @@ class AssetManifestSpec extends AnyFunSuite with Matchers {
     m3.map(_._2).toSeq shouldBe Seq(0L)
     m3.head._6 shouldBe true
   }
+
+  test("upsert application: generation 2 recorded, serving, idempotent, exact vs reference fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_spec")
+    synthCorpus(dir, 160, shift = 0)
+    val d = dir.toString
+    val k = 5
+    val base = Similarity.ensureRankedKnnIndex(spark, d)
+      .select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim")
+      .as[(Long, Long, Long, Double)].collect()
+    val intents = graft.streaming.Streaming.streamGraphUpsert(spark, d)
+      .select($"kind", $"q_id", $"n_id", $"cos_sim",
+        coalesce($"rnk", lit(-1L)).cast("long"))
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5))
+    val applied = Similarity.compactUpsertKnnIndex(spark, d)
+      .select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // reference fold, driver-side: adopt / re-rank / keep
+    val ups = intents.filter(_._1 == "upsert")
+      .map(r => (r._2, r._3, r._4))
+    val affected = ups.map(_._1).toSet
+    val keep = base.filter(r => !affected.contains(r._1))
+    val rer = (base.filter(r => affected.contains(r._1))
+        .map(r => (r._1, r._3, r._4)) ++ ups)
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.map(r => (r._2, r._3)).sortBy { case (id, c) => (-c, id) }
+          .take(k).zipWithIndex
+          .map { case ((id, c), i) => (q, (i + 1).toLong, id, c) }
+      }
+    // arriving rows adopt the WAL's rank verbatim (computed on the raw
+    // cosine upstream — recomputing from the rounded readout could
+    // swap 6-dp ties)
+    val nw = intents.filter(_._1 == "new_topk")
+      .map(r => (r._2, r._5, r._3, r._4))
+    val expect = (keep ++ rer ++ nw).sortBy(r => (r._1, r._2))
+    applied should contain theSameElementsInOrderAs expect
+    // manifest: generation 2 serving with the intent count; idempotent
+    val m = Similarity.rankedAssetManifest(spark, d)
+      .as[(String, Long, Long, Long, Long, Boolean, Long)].collect()
+      .sortBy(_._2)
+    m.map(_._2).toSeq shouldBe Seq(0L, 2L)
+    m(1)._5 shouldBe intents.length.toLong
+    m(1)._3 shouldBe applied.length.toLong
+    m(1)._3 shouldBe m(1)._7
+    m.map(_._6).toSeq shouldBe Seq(false, true)
+    val marker = new java.io.File(Assets.assetPath(spark,
+      s"graft_knn_ranked_5_64_4_3_${Assets.tagOf(d)}_gen2") + "_source")
+    val mt = marker.lastModified()
+    Similarity.compactUpsertKnnIndex(spark, d)
+    marker.lastModified() shouldBe mt
+  }
 }
