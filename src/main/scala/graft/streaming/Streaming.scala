@@ -80,6 +80,37 @@ object Streaming {
     */
   private val StatePartitions = sys.env.getOrElse("GRAFT_STATE_PARTS", "2")
 
+  /** Materialize a bounded stream to a DISTRIBUTED parquet table — the
+    * ingest-tier spelling of the route-once scatter: executors write
+    * the routed arrivals (a DATA-SIZED intermediate) straight to
+    * storage and the serving arms read it back distributed. The
+    * driver never holds a row — unlike [[runToTable]]'s memory sink,
+    * which is the right shape only for query RESULTS (the correctness
+    * dump collects those anyway) and would put O(corpus) on the
+    * driver heap here. The table lands in a fresh temp dir (one per
+    * scatter; session-lifetime scratch, not the warehouse).
+    */
+  private def runToScatterTable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val out = java.nio.file.Files.createTempDirectory("graft_scatter_")
+    val data = new java.io.File(out.toFile, "data")
+    val cp = new java.io.File(out.toFile, "cp")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try {
+      val q = df.writeStream.outputMode("append").format("parquet")
+        .option("path", data.getAbsolutePath)
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    if (data.isDirectory) spark.read.parquet(data.getAbsolutePath)
+    else // zero batches committed (empty source): nothing was written
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+  }
+
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_${counter.incrementAndGet()}"
@@ -1497,14 +1528,13 @@ object Streaming {
     // consumes by its own partition — the ingest-tier dispatch. (The
     // filtered-union spelling re-evaluated the O(nShards)-hash argmax
     // in every arm, so router work grew ∝ nShards² per arrival.)
-    val routedQ = scope.own(runToTable(
+    val routedQ = scope.own(runToScatterTable(
         graft.sources.Sources.embeddingsStream(s, dir)
           .select((col("vec_id") + 100000L).cast("long").as("q_id"),
             col("embedding"))
           .withColumn("shard",
-            Mixture.rendezvousShardCol(col("q_id"), nShards)),
-        "append")
-      .repartition(col("shard")).persist()) // ship driver rows once;
+            Mixture.rendezvousShardCol(col("q_id"), nShards)))
+      .repartition(col("shard")).persist()) // cluster by shard once;
     routedQ.count() // arms prune cached batches by shard stats
     // the per-shard replicas build CONCURRENTLY (production's
     // independent per-shard nightly index jobs — Spark schedules
@@ -2726,14 +2756,13 @@ object Streaming {
           .map(o => (o, qId, qv, probed, probed.head))
       }
       .toDF("owner", "q_id", "embedding", "probed", "assigned_cell")
-    // materialize ONCE as a distributed cached table clustered by
-    // owner: the memory sink holds rows on the driver, and every arm
-    // reading it directly would re-ship them (LocalTableScan
-    // parallelizes per query); one repartition+persist ships them to
-    // the cluster once and lets each arm's owner filter prune cached
-    // batches by their column stats
+    // materialize ONCE as a distributed table clustered by owner —
+    // executors write the scatter straight to storage (the ingest
+    // tier's route-and-dispatch; the driver never holds a row) and
+    // one repartition+persist lets each arm's owner filter prune
+    // cached batches by their column stats
     val scope = graft.operators.CacheScope.sessionScope(s)
-    val routedT = scope.own(runToTable(arrivals, "append")
+    val routedT = scope.own(runToScatterTable(arrivals)
       .repartition(col("owner")).persist())
     routedT.count() // fill the cache before the arms fan out
     // each owner's replica loads CONCURRENTLY (st58's parallel
@@ -2956,13 +2985,12 @@ object Streaming {
     // ROUTE ONCE under the NEW layout (st58's ingest-tier dispatch:
     // one streaming pass computes the kTo argmax, arms consume their
     // materialized partitions)
-    val routedQ = scope.own(runToTable(
+    val routedQ = scope.own(runToScatterTable(
         graft.sources.Sources.embeddingsStream(s, dir)
           .select((col("vec_id") + 100000L).cast("long").as("q_id"),
             col("embedding"))
-          .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo)),
-        "append")
-      .repartition(col("shard")).persist()) // ship driver rows once;
+          .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo)))
+      .repartition(col("shard")).persist()) // cluster by shard once;
     routedQ.count() // arms prune cached batches by shard stats
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -3142,7 +3170,7 @@ object Streaming {
     // against the summary and materializes the (shard, arrival)
     // scatter — probeShards rows per arrival; arms consume their
     // partition instead of each re-running the summary ranking
-    val routedQ = scope.own(runToTable(
+    val routedQ = scope.own(runToScatterTable(
         graft.sources.Sources.embeddingsStream(s, dir)
           .select((col("vec_id") + 100000L).cast("long").as("q_id"),
             col("embedding"))
@@ -3153,9 +3181,8 @@ object Streaming {
               if (scores.isEmpty) None else Some((s2, scores.max))
             }.toSeq.sortBy { case (s2, sc) => (-sc, s2) }
               .take(probeShards).iterator.map(r => (r._1, qId, qv))
-          }.toDF("shard", "q_id", "embedding"),
-        "append")
-      .repartition(col("shard")).persist()) // ship driver rows once;
+          }.toDF("shard", "q_id", "embedding"))
+      .repartition(col("shard")).persist()) // cluster by shard once;
     routedQ.count() // arms prune cached batches by shard stats
     val arms = replicas.map { case (sh, vecs, adj, seeds) =>
       val bcVecs = s.sparkContext.broadcast(vecs)
@@ -3225,13 +3252,12 @@ object Streaming {
     // ROUTE ONCE under the surviving layout (st58's ingest-tier
     // dispatch; the survivors' arms consume their materialized
     // partitions instead of each re-running the HRW argmax)
-    val routedQ = scope.own(runToTable(
+    val routedQ = scope.own(runToScatterTable(
         graft.sources.Sources.embeddingsStream(s, dir)
           .select((col("vec_id") + 100000L).cast("long").as("q_id"),
             col("embedding"))
-          .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo)),
-        "append")
-      .repartition(col("shard")).persist()) // ship driver rows once;
+          .withColumn("shard", Mixture.rendezvousShardCol(col("q_id"), kTo)))
+      .repartition(col("shard")).persist()) // cluster by shard once;
     routedQ.count() // arms prune cached batches by shard stats
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
