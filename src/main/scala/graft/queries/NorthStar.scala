@@ -2107,6 +2107,22 @@ object NorthStar {
       Similarity.compactUpsertKnnIndex(s, dir).orderBy("q_id", "rnk")
     },
 
+    // GENERATION-ROUTED SERVING — the READ half of s49's WAL flush,
+    // closing the lifecycle loop: st53 logs intents, s49 folds them
+    // and publishes generation 2, and THIS row's query tier asks the
+    // MANIFEST which generation serves ([[Similarity
+    // .servingRankedKnnIndex]] — never a hardcoded asset name), reads
+    // that stored parquet back, and beam-walks it. The walk's
+    // navigation structure is the applied top-5 graph (undirected);
+    // scoring covers base ∪ arrivals (the gen-2 node set) so arriving
+    // vectors are findable the moment the flush publishes. The oracle
+    // replays frozen build + every intent + the application + the
+    // walk from scratch — hash-green proves manifest → stored table →
+    // serving composes end-to-end.
+    "s50_generation_serving" -> { (s, dir) =>
+      Similarity.generationRoutedServing(s, dir).orderBy("q_id", "rnk")
+    },
+
     // SHARD-FLEET MANIFEST — s45's audit applied to st58's per-shard
     // assets: ensure all four nightly shard indexes, read each one's
     // manifest back, and emit (recorded count, actual stored count,
@@ -4534,10 +4550,11 @@ object NorthStar {
     }
 
     // s49: the application of the intent log against the ranked base —
-    // keep / re-rank / adopt, all over the stored ROUNDED readouts
-    def upsertApplySql: String =
-      s"""${upsertIntentPreludeSql(None)},
-         |aff AS (SELECT DISTINCT q_id FROM ups),
+    // keep / re-rank / adopt, all over the stored ROUNDED readouts.
+    // The CTE block is shared with s50's generation-serving oracle
+    // (which walks the applied table instead of dumping it).
+    def upsertApplyCtesSql: String =
+      s"""aff AS (SELECT DISTINCT q_id FROM ups),
          |keep AS (SELECT q_id, cast(rn as bigint) AS rnk, n_id, cos_sim
          |  FROM knn WHERE q_id NOT IN (SELECT q_id FROM aff)),
          |rer AS (SELECT q_id, rnk, n_id, cos_sim FROM (
@@ -4549,11 +4566,35 @@ object NorthStar {
          |    UNION ALL SELECT q_id, n_id, cos_sim FROM ups) u) r
          |  WHERE rnk <= 5),
          |nw AS (SELECT q_id, cast(rn as bigint) AS rnk, n_id, cos_sim
-         |  FROM newtop)
+         |  FROM newtop)""".stripMargin
+
+    def upsertApplySql: String =
+      s"""${upsertIntentPreludeSql(None)},
+         |${upsertApplyCtesSql}
          |SELECT q_id, cast(rnk as bigint) AS rnk, n_id, cos_sim FROM (
          |  SELECT * FROM keep UNION ALL SELECT * FROM rer
          |  UNION ALL SELECT * FROM nw) f
          |ORDER BY q_id, rnk""".stripMargin
+
+    // s50: GENERATION-ROUTED SERVING — replay the frozen build, every
+    // intent, the application (the gen-2 table s49 publishes), then
+    // WALK that applied graph for the benchmark queries: the applied
+    // top-5 edges (undirected) are the navigation structure, and the
+    // scoring corpus is base ∪ arrivals (the gen-2 node set). One
+    // spelling with every other serving oracle via [[beamWalkSql]].
+    def generationServingReplaySql: String =
+      s"""${upsertIntentPreludeSql(None)},
+         |${upsertApplyCtesSql},
+         |gen2 AS MATERIALIZED (
+         |  SELECT q_id, n_id FROM keep
+         |  UNION ALL SELECT q_id, n_id FROM rer
+         |  UNION ALL SELECT q_id, n_id FROM nw),
+         |knnu AS MATERIALIZED (SELECT DISTINCT q_id, n_id FROM (
+         |  SELECT q_id, n_id FROM gen2
+         |  UNION ALL SELECT n_id, q_id FROM gen2) t),
+         |ev AS (SELECT id, v FROM e UNION ALL SELECT id, v FROM arr),
+         |${beamWalkSql("SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5",
+             "ev", "e.id % 64 = 0")}""".stripMargin
 
     // the standalone ranked top-5 graph replay (st54's knn CTE as a
     // full query): the s30-shaped published asset; `routeFilter` is
@@ -4607,7 +4648,18 @@ object NorthStar {
            |knnu AS MATERIALIZED (SELECT DISTINCT q_id, n_id FROM (
            |  SELECT q_id, n_id FROM knn
            |  UNION ALL SELECT n_id, q_id FROM knn) t),
-           |qs AS ($qsSql),
+           |${beamWalkSql(qsSql, sv, seedCond)}""".stripMargin
+    }
+
+    /** The beam-walk replay itself (seed top-16 from the `seedCond`
+      * layer, three expand-via-`knnu`/dedup/exact-score/prune-to-16
+      * rounds, final top-5) — extracted so every serving oracle walks
+      * with ONE spelling: `graphAnnReplaySql` supplies the freshly
+      * replayed degree-10 graph, s50's generation oracle supplies the
+      * gen-2 applied asset as `knnu`, both score against `sv`.
+      */
+    def beamWalkSql(qsSql: String, sv: String, seedCond: String): String =
+      s"""qs AS ($qsSql),
            |s0 AS (SELECT q_id, n_id FROM (
            |  SELECT qq.q_id, e.id AS n_id,
            |    row_number() OVER (PARTITION BY qq.q_id
@@ -4648,7 +4700,6 @@ object NorthStar {
            |      ORDER BY ${cosSql("qq.q_vec", "e.v")} DESC, c.n_id ASC) AS rn
            |  FROM c3 c JOIN qs qq ON qq.q_id = c.q_id JOIN $sv e ON e.id = c.n_id) t
            |WHERE rn <= 5 ORDER BY q_id, rnk""".stripMargin
-    }
 
     // s24 / s38 share the FULLY-TRAINED residual IVFxPQ replay
     // (trained coarse quantizer, integer-Lloyd residual codebook,
@@ -7082,6 +7133,7 @@ object NorthStar {
       // everyone else keeps stored edges verbatim (exact: admission
       // emitted every candidate that could enter)
       "s49_upsert_compaction" -> upsertApplySql,
+      "s50_generation_serving" -> generationServingReplaySql,
 
       // d26: the BATCH-REBUILD spelling over the frozen base-trained
       // quantizer (training/geometry from id % 10 <> 7, routing over

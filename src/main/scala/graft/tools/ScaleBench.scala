@@ -100,7 +100,8 @@ object ScaleBench {
     "s45_asset_manifest", "st60_sharded_takedown_serving",
     "st61_sharded_graph_upsert", "s46_shard_manifest",
     "st62_shard_resize_serving", "st63_shard_failover_serving",
-    "st64_scatter_gather_serving", "s49_upsert_compaction")
+    "st64_scatter_gather_serving", "s49_upsert_compaction",
+    "s50_generation_serving")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -198,6 +199,14 @@ object ScaleBench {
     case "s49_upsert_compaction" => Some { (s, dir) =>
       val now = if (copies <= 1) 4 else math.min(copies, 50)
       graft.operators.Similarity.compactUpsertKnnIndex(s, dir, nOwners = now)
+    }
+    // s50 serves whatever generation the manifest routes to — the
+    // ensured flush follows s49's owner-fleet convention; the walk
+    // itself is corpus-independent per query
+    case "s50_generation_serving" => Some { (s, dir) =>
+      val now = if (copies <= 1) 4 else math.min(copies, 50)
+      graft.operators.Similarity.generationRoutedServing(s, dir,
+        nOwners = now)
     }
     // st62: the fleet BEING resized grows with the corpus (st58's
     // convention), and the resize always adds one shard — so the new

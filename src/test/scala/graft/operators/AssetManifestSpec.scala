@@ -137,4 +137,22 @@ class AssetManifestSpec extends AnyFunSuite with Matchers {
     Similarity.compactUpsertKnnIndex(spark, d)
     marker.lastModified() shouldBe mt
   }
+
+  test("generation-routed read path: servingRankedKnnIndex follows the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_genserve_spec")
+    synthCorpus(dir, 160, shift = 3)
+    val d = dir.toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"rnk".cast("long"), $"n_id", $"cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // before any compaction the manifest's highest generation IS the
+    // fresh build — the read path must serve generation 0
+    val gen0 = rows(Similarity.ensureRankedKnnIndex(spark, d))
+    rows(Similarity.servingRankedKnnIndex(spark, d)) shouldBe gen0
+    // the WAL flush publishes generation 2; the SAME lookup — no code
+    // change at the query tier — now serves the applied table
+    val gen2 = rows(Similarity.compactUpsertKnnIndex(spark, d))
+    rows(Similarity.servingRankedKnnIndex(spark, d)) shouldBe gen2
+    gen2 should not be gen0 // the flush actually changed what serves
+  }
 }

@@ -210,6 +210,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "(base-trained supers/centroids routing BOTH the base and the arriving shard) building " +
       "the maintained graph, plus s35's seed slice; the merge-upsert and every beam round are " +
       "id-keyed equi-joins"),
+    "s50_generation_serving" -> ("s35's sanctioned seed shape (5 broadcast queries x the 1/64 " +
+      "seed slice of base+arrivals) walking the STORED generation-2 asset the manifest routes " +
+      "to; the WAL flush it ensures first is s49's all-equi-join application, and every beam " +
+      "round is an id-keyed equi-join"),
     "s47_scatter_gather_batch" -> ("two sanctioned navigation shapes: the router is 5 broadcast " +
       "queries x the O(corpus/routerMod) summary slice (s35's seed-stage fraction of an s01 " +
       "scan), and each routed arm runs s35's seed crossJoin over its 1/nShards slice; the " +
@@ -264,6 +268,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s41_pq_graph_recall" -> 1100, "d24_dedup_bias" -> 64,
     "d26_graph_upsert" -> 64, "s42_graph_tombstone" -> 64,
     "s43_tombstone_serving" -> 64, "s44_graph_serve_upserted" -> 64,
+    "s50_generation_serving" -> 64,
     "s47_scatter_gather_batch" -> 64,
     "s48_scatter_recall" -> 1100,
     "d14_semantic_decontam" -> 64,
