@@ -2475,8 +2475,20 @@ object Similarity {
     */
   def generationRoutedServing(s: org.apache.spark.sql.SparkSession,
       dir: String, nOwners: Int = 4, k: Int = 5, beam: Int = 16,
-      rounds: Int = 3, seedMod: Int = 64): DataFrame = {
-    compactUpsertKnnIndex(s, dir, nOwners = nOwners) // WAL flush → gen 2
+      rounds: Int = 3, seedMod: Int = 64,
+      maskIds: Option[DataFrame] = None): DataFrame = {
+    // ensure the lifecycle is current WITHOUT re-pricing the flush on
+    // every serve: the base ensure is fingerprint-guarded (a corpus
+    // change rebuilds it and RESETS the manifest to generation 0), so
+    // a manifest already at generation >= 2 means the stored flush
+    // was published against this exact corpus — its intent signature
+    // was validated when it landed, and the WAL (a deterministic
+    // function of the corpus) need not be recomputed per query. Only
+    // a fresh/reset manifest pays the flush.
+    ensureRankedKnnIndex(s, dir)
+    val baseName = rankedIndexName(dir, 5, 64, 4, 3)
+    if (Assets.servingGeneration(s, baseName).forall(_.generation < 2L))
+      compactUpsertKnnIndex(s, dir, nOwners = nOwners) // WAL flush → gen 2
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val stored = servingRankedKnnIndex(s, dir)
       .select(col("q_id").as("node"), col("n_id").as("edge_to"))
@@ -2484,10 +2496,17 @@ object Similarity {
       stored.unionByName(stored.select(col("edge_to").as("node"),
           col("node").as("edge_to"))).distinct()
         .persist()) // read once per beam round
-    val scoring = emb
+    val all = emb
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .unionByName(emb.select((col("vec_id") + 100000L).as("vec_id"),
         col("embedding")))
+    // s43's takedown contract on the LATEST generation (s51): masked
+    // ids cannot seed, hold a beam slot, or be returned — the stored
+    // asset is untouched, so takedowns cost zero builds even against
+    // the freshly flushed generation
+    val scoring = maskIds.fold(all)(m => all.join(
+      m.select(m(m.columns.head).cast("long").as("vec_id")),
+      Seq("vec_id"), "left_anti"))
     graphBeamSearchOver(graph, scoring,
       emb.filter(col("vec_id") < 5), k = k, beam = beam, rounds = rounds,
       seedMod = seedMod)

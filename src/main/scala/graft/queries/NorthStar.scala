@@ -2123,6 +2123,28 @@ object NorthStar {
       Similarity.generationRoutedServing(s, dir).orderBy("q_id", "rnk")
     },
 
+    // TAKEDOWN-MASKED SERVING OF THE ROUTED GENERATION — s43's mask
+    // composed with s50's read path: a takedown batch (every tenth
+    // document, s42's convention) arrives AFTER the WAL flush
+    // published generation 2, and serving honors it immediately at
+    // zero build cost — the manifest-routed stored asset is walked
+    // UNCHANGED, but masked ids (the notices' documents AND their
+    // re-uploaded arrivals, which carry the same content) cannot
+    // seed, hold a beam slot, or be returned. The lifecycle's two
+    // maintenance streams compose at the query tier without touching
+    // each other's assets; the oracle replays build + intents +
+    // application + the masked walk.
+    "s51_generation_masked_serving" -> { (s, dir) =>
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val del = emb.filter($"vec_id" % 10 === 3)
+        .select($"vec_id".cast("long").as("vec_id"))
+      val mask = del.unionByName(
+        del.select(($"vec_id" + 100000L).as("vec_id")))
+      Similarity.generationRoutedServing(s, dir, maskIds = Some(mask))
+        .orderBy("q_id", "rnk")
+    },
+
     // SHARD-FLEET MANIFEST — s45's audit applied to st58's per-shard
     // assets: ensure all four nightly shard indexes, read each one's
     // manifest back, and emit (recorded count, actual stored count,
@@ -4582,7 +4604,15 @@ object NorthStar {
     // top-5 edges (undirected) are the navigation structure, and the
     // scoring corpus is base ∪ arrivals (the gen-2 node set). One
     // spelling with every other serving oracle via [[beamWalkSql]].
-    def generationServingReplaySql: String =
+    // `scoreMask` is s51's takedown arm (s43's contract on the routed
+    // generation): the graph CTEs are untouched, only the scoring
+    // view shrinks — +100000 preserves mod-10, so `id % 10 <> 3`
+    // masks the notices' documents AND their re-uploaded arrivals,
+    // matching the engine's explicit del ∪ (del+100000) mask list.
+    def generationServingReplaySql(scoreMask: String = ""): String = {
+      val (maskCte, sv) =
+        if (scoreMask.isEmpty) ("", "ev")
+        else (s",\nmsv AS (SELECT id, v FROM ev WHERE $scoreMask)", "msv")
       s"""${upsertIntentPreludeSql(None)},
          |${upsertApplyCtesSql},
          |gen2 AS MATERIALIZED (
@@ -4592,9 +4622,10 @@ object NorthStar {
          |knnu AS MATERIALIZED (SELECT DISTINCT q_id, n_id FROM (
          |  SELECT q_id, n_id FROM gen2
          |  UNION ALL SELECT n_id, q_id FROM gen2) t),
-         |ev AS (SELECT id, v FROM e UNION ALL SELECT id, v FROM arr),
+         |ev AS (SELECT id, v FROM e UNION ALL SELECT id, v FROM arr)$maskCte,
          |${beamWalkSql("SELECT id AS q_id, v AS q_vec FROM e WHERE id < 5",
-             "ev", "e.id % 64 = 0")}""".stripMargin
+             sv, "e.id % 64 = 0")}""".stripMargin
+    }
 
     // the standalone ranked top-5 graph replay (st54's knn CTE as a
     // full query): the s30-shaped published asset; `routeFilter` is
@@ -7133,7 +7164,9 @@ object NorthStar {
       // everyone else keeps stored edges verbatim (exact: admission
       // emitted every candidate that could enter)
       "s49_upsert_compaction" -> upsertApplySql,
-      "s50_generation_serving" -> generationServingReplaySql,
+      "s50_generation_serving" -> generationServingReplaySql(),
+      "s51_generation_masked_serving" ->
+        generationServingReplaySql(scoreMask = "id % 10 <> 3"),
 
       // d26: the BATCH-REBUILD spelling over the frozen base-trained
       // quantizer (training/geometry from id % 10 <> 7, routing over

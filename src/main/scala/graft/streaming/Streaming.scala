@@ -80,6 +80,24 @@ object Streaming {
     */
   private val StatePartitions = sys.env.getOrElse("GRAFT_STATE_PARTS", "2")
 
+  /** Scatter scratch dirs, reclaimed at JVM exit (see
+    * [[runToScatterTable]] — they must outlive the cache that fronts
+    * them, so eager deletion would be a correctness hazard).
+    */
+  private val scatterDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scatterDirs.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () } // best-effort scratch reclaim
+      }))
+  }
+
   /** Materialize a bounded stream to a DISTRIBUTED parquet table — the
     * ingest-tier spelling of the route-once scatter: executors write
     * the routed arrivals (a DATA-SIZED intermediate) straight to
@@ -93,6 +111,11 @@ object Streaming {
   private def runToScatterTable(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val out = java.nio.file.Files.createTempDirectory("graft_scatter_")
+    // session-lifetime scratch: the parquet must outlive the persist()
+    // (an evicted cache partition re-reads it), so reclaim at JVM exit
+    // rather than eagerly — the dirs are O(arrivals) parquet, not data
+    // the warehouse keeps
+    scatterDirs.add(out)
     val data = new java.io.File(out.toFile, "data")
     val cp = new java.io.File(out.toFile, "cp")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")

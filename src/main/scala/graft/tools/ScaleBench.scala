@@ -101,7 +101,7 @@ object ScaleBench {
     "st61_sharded_graph_upsert", "s46_shard_manifest",
     "st62_shard_resize_serving", "st63_shard_failover_serving",
     "st64_scatter_gather_serving", "s49_upsert_compaction",
-    "s50_generation_serving")
+    "s50_generation_serving", "s51_generation_masked_serving")
 
   /** Ladder overrides for queries whose REGISTERED config is
     * corpus-size-dependent in production. s19's cluster count must grow
@@ -207,6 +207,20 @@ object ScaleBench {
       val now = if (copies <= 1) 4 else math.min(copies, 50)
       graft.operators.Similarity.generationRoutedServing(s, dir,
         nOwners = now)
+    }
+    // s51 composes the takedown mask over s50's routed generation —
+    // same conventions; the mask list scales with the corpus but the
+    // anti-join keys on the id (never collected)
+    case "s51_generation_masked_serving" => Some { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val now = if (copies <= 1) 4 else math.min(copies, 50)
+      val del = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id").cast("long").as("vec_id"))
+      val mask = del.unionByName(
+        del.select((col("vec_id") + 100000L).as("vec_id")))
+      graft.operators.Similarity.generationRoutedServing(s, dir,
+        nOwners = now, maskIds = Some(mask))
     }
     // st62: the fleet BEING resized grows with the corpus (st58's
     // convention), and the resize always adds one shard — so the new

@@ -60,6 +60,41 @@ class GraphTombstoneSpec extends AnyFunSuite with Matchers {
     got.foreach { case (_, n, _) => (n % 10) should not be 3L }
   }
 
+  test("s51: the mask composes with the routed generation at zero build cost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s51_spec")
+    // mutable synthetic corpus (AssetManifestSpec's generator shape)
+    val staging = dir.resolve("staging")
+    (0 until 160).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (((i * 13 + j * 7 + 5) % 29) - 14).toFloat / 7f), s"l${i % 3}")
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = java.nio.file.Files.list(staging)
+      .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, dir.resolve("embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val d = dir.toString
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val del = emb.filter($"vec_id" % 10 === 3)
+      .select($"vec_id".cast("long").as("vec_id"))
+    val mask = del.unionByName(del.select(($"vec_id" + 100000L).as("vec_id")))
+    // serve unmasked once so the gen-2 asset exists, then snapshot the
+    // stored generation's marker mtime — the masked serve must not
+    // rebuild or republish anything
+    Similarity.generationRoutedServing(spark, d).count()
+    val marker = new java.io.File(Assets.assetPath(spark,
+      s"graft_knn_ranked_5_64_4_3_${Assets.tagOf(d)}_gen2") + "_source")
+    val mt = marker.lastModified()
+    val got = Similarity.generationRoutedServing(spark, d,
+        maskIds = Some(mask))
+      .select($"q_id", $"n_id", $"rnk".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    marker.lastModified() shouldBe mt // zero builds through the masked serve
+    // full-k live results; no masked id (base OR re-uploaded arrival)
+    got.groupBy(_._1).values.foreach(_.map(_._3).sorted shouldBe (1L to 5L))
+    got.foreach { case (_, n, _) => (n % 10) should not be 3L }
+  }
+
   test("st59: intent-stream-derived mask == closed-form mask serving") {
     val spark0 = spark
     import spark0.implicits._

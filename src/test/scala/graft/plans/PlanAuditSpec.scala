@@ -214,6 +214,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "seed slice of base+arrivals) walking the STORED generation-2 asset the manifest routes " +
       "to; the WAL flush it ensures first is s49's all-equi-join application, and every beam " +
       "round is an id-keyed equi-join"),
+    "s51_generation_masked_serving" -> ("s50's sanctioned shapes with the scoring table " +
+      "anti-joined to the takedown mask (s43's contract on the routed generation); the mask " +
+      "anti-join is an id-keyed equi-join, everything else is s50 verbatim"),
     "s47_scatter_gather_batch" -> ("two sanctioned navigation shapes: the router is 5 broadcast " +
       "queries x the O(corpus/routerMod) summary slice (s35's seed-stage fraction of an s01 " +
       "scan), and each routed arm runs s35's seed crossJoin over its 1/nShards slice; the " +
@@ -268,7 +271,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "s41_pq_graph_recall" -> 1100, "d24_dedup_bias" -> 64,
     "d26_graph_upsert" -> 64, "s42_graph_tombstone" -> 64,
     "s43_tombstone_serving" -> 64, "s44_graph_serve_upserted" -> 64,
-    "s50_generation_serving" -> 64,
+    "s50_generation_serving" -> 64, "s51_generation_masked_serving" -> 64,
     "s47_scatter_gather_batch" -> 64,
     "s48_scatter_recall" -> 1100,
     "d14_semantic_decontam" -> 64,
