@@ -1088,13 +1088,20 @@ object Similarity {
     val arms = (0 until nShards).map { sh =>
       val shardCorpus = emb.filter(col("shard") === sh).drop("shard")
       val armRouted = routed.filter(col("s_shard") === sh)
+      // normalize the caller's (idCol, vecCol) at the API boundary:
+      // shardCorpus is already (vec_id, embedding), so the walk runs
+      // under the default names for BOTH sides — forwarding the
+      // caller's names into graphBeamSearchOver would apply them to
+      // the corpus too and break any non-default caller
       val routedQ = queries
         .join(armRouted, queries(idCol).cast("long") === col("r_qid"),
           "left_semi")
+        .select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("embedding"))
       val graph = scope.own(ensureShardKnnIndex(s, dir, nShards, sh,
         graphK, targetList, nprobe, superProbe).persist())
       graphBeamSearchOver(graph, shardCorpus, routedQ, k, beam, rounds,
-          seedMod, idCol, vecCol)
+          seedMod)
         .join(armRouted.select(col("r_qid"), col("srn")),
           col("q_id") === col("r_qid"))
         .select(col("q_id"), col("srn"), col("n_id"), col("cos_sim"),
@@ -2484,13 +2491,15 @@ object Similarity {
     // was published against this exact corpus — its intent signature
     // was validated when it landed, and the WAL (a deterministic
     // function of the corpus) need not be recomputed per query. Only
-    // a fresh/reset manifest pays the flush.
-    ensureRankedKnnIndex(s, dir)
-    val baseName = rankedIndexName(dir, 5, 64, 4, 3)
+    // a fresh/reset manifest pays the flush. `k` names BOTH the asset
+    // family and the walk readout, so the guard, the flush, and the
+    // walk can never address different generations.
+    ensureRankedKnnIndex(s, dir, k)
+    val baseName = rankedIndexName(dir, k, 64, 4, 3)
     if (Assets.servingGeneration(s, baseName).forall(_.generation < 2L))
-      compactUpsertKnnIndex(s, dir, nOwners = nOwners) // WAL flush → gen 2
+      compactUpsertKnnIndex(s, dir, k = k, nOwners = nOwners) // WAL → gen 2
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
-    val stored = servingRankedKnnIndex(s, dir)
+    val stored = servingRankedKnnIndex(s, dir, k)
       .select(col("q_id").as("node"), col("n_id").as("edge_to"))
     val graph = CacheScope.sessionScope(s).own(
       stored.unionByName(stored.select(col("edge_to").as("node"),
@@ -2549,12 +2558,16 @@ object Similarity {
     * only its own O((1+nprobe)·corpus/nOwners) slice. Same
     * fingerprint-guarded lifecycle as [[ensureShardKnnIndex]].
     *
-    * Columns: (id, cell, role 'm'|'p', owner, vec, thr, thr_cnt) —
-    * role 'm' rows partition the corpus by assigned cell (the
-    * new-arrival candidate pool), role 'p' rows fan each id to every
-    * probed cell (the upsert-notification pool); thr/thr_cnt (the
-    * published graph's 5th-best ROUNDED cosine and row count) ride on
-    * both so the admission test needs no second lookup.
+    * Columns: (id, cell, role 'm'|'p'|'v', owner, vec, thr, thr_cnt).
+    * Role 'm' rows partition the corpus by assigned cell (the
+    * new-arrival candidate pool) and role 'p' rows fan each id to
+    * every probed cell (the upsert-notification pool) — both are
+    * NARROW (no vector). The vector and the admission threshold (the
+    * published graph's 5th-best ROUNDED cosine + row count) ride on
+    * ONE role 'v' row per (owner, id): an id's (1+nprobe) cell rows
+    * would otherwise each carry a 64-float copy, multiplying the
+    * stored asset, the scan, and every serving worker's collected
+    * slice ~(1+nprobe)× for no information.
     */
   def ensureUpsertOwnerSlices(s: org.apache.spark.sql.SparkSession,
       dir: String, nOwners: Int, k: Int = 5, nprobe: Int = 4,
@@ -2580,18 +2593,26 @@ object Similarity {
         .groupBy(col("q_id").as("id"))
         .agg(min(col("cos_sim")).as("thr"),
           count(lit(1)).cast("long").as("thr_cnt"))
-      members.unionByName(probers)
+      val cellRows = members.unionByName(probers)
         .withColumn("owner", Mixture.rendezvousShardCol(col("cell"), nOwners))
+      val narrow = cellRows.select(col("id"), col("cell"), col("role"),
+        col("owner"), lit(null).cast("array<float>").as("vec"),
+        lit(null).cast("double").as("thr"),
+        lit(null).cast("long").as("thr_cnt"))
+      val vecRows = cellRows.select(col("id"), col("owner")).distinct()
         .join(base.select(col("vec_id").cast("long").as("id"),
           col("embedding").as("vec")), Seq("id"))
         .join(thr, Seq("id"), "left")
+        .select(col("id"), lit(-1L).as("cell"), lit("v").as("role"),
+          col("owner"), col("vec"), col("thr"), col("thr_cnt"))
+      narrow.unionByName(vecRows)
         .repartition(col("owner"))
         .sortWithinPartitions("owner", "cell", "role", "id")
     }
 
   private[graft] def upsertSliceName(dir: String, nOwners: Int, k: Int,
       nprobe: Int, superProbe: Int): String =
-    s"graft_upsert_slices_${nOwners}_${k}_${nprobe}_" +
+    s"graft_upsert_slices_v2_${nOwners}_${k}_${nprobe}_" +
       s"${superProbe}_${Assets.tagOf(dir)}"
 
   /** SHARD-FLEET MANIFEST READOUT — [[rankedAssetManifest]]'s audit

@@ -128,8 +128,16 @@ object Streaming {
       try q.processAllAvailable()
       finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    if (data.isDirectory) spark.read.parquet(data.getAbsolutePath)
-    else // zero batches committed (empty source): nothing was written
+    // the sink creates the dir (and _spark_metadata) at query START,
+    // so directory existence alone cannot distinguish "committed rows"
+    // from "zero batches / zero rows" — and read.parquet over a
+    // part-file-less sink dir fails schema inference. Check for actual
+    // part files (FileStreamSink writes them flat under the path).
+    val hasParts = data.isDirectory &&
+      Option(data.listFiles).getOrElse(Array.empty[java.io.File])
+        .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (hasParts) spark.read.parquet(data.getAbsolutePath)
+    else // empty source or all-empty batches: nothing was written
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
   }
@@ -2797,6 +2805,7 @@ object Streaming {
     val ownerRows = Await.result(Future.sequence((0 until nOwners).map {
       o => Future {
         // collect ONLY the owner's slice — O((1+nprobe)·n/nOwners)
+        // narrow cell rows + ONE vector row per (owner, id)
         (o, slices.filter(col("owner") === o)
           .select(col("cell"), col("id"), col("role"), col("vec"),
             col("thr"), col("thr_cnt"))
@@ -2809,9 +2818,10 @@ object Streaming {
         .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).sorted) }
       val proberSlice: Map[Long, Array[Long]] = rows.filter(_._3 == "p")
         .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).sorted) }
+      val vrows = rows.filter(_._3 == "v")
       val vecSlice: Map[Long, Array[Float]] =
-        rows.iterator.map(r => (r._2, r._4)).toMap
-      val thrSlice: Map[Long, (Double, Long)] = rows.iterator
+        vrows.iterator.map(r => (r._2, r._4)).toMap
+      val thrSlice: Map[Long, (Double, Long)] = vrows.iterator
         .flatMap(r => r._5.map(t => (r._2, (t, r._6.get)))).toMap
       val bcMembers = s.sparkContext.broadcast(memberSlice)
       val bcProbers = s.sparkContext.broadcast(proberSlice)

@@ -37,10 +37,18 @@ class StyleGateSpec extends AnyFunSuite with Matchers {
     sources.size should be >= 100
   }
 
+  // read with Files.readAllLines (closed by construction) — a
+  // Source.fromFile per file would leak ~|sources| open handles into
+  // the same JVM that holds Spark's files
+  private def lines(f: java.io.File): Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(f.toPath).asScala.toSeq.zipWithIndex
+  }
+
   test("no tab characters (FileTabChecker)") {
     val bad = for {
       f <- sources
-      (line, i) <- scala.io.Source.fromFile(f, "UTF-8").getLines().zipWithIndex
+      (line, i) <- lines(f)
       if line.contains('\t')
     } yield s"${f.getPath}:${i + 1}"
     withClue(bad.take(20).mkString("tabs at:\n", "\n", "\n")) {
@@ -51,7 +59,7 @@ class StyleGateSpec extends AnyFunSuite with Matchers {
   test(s"line length <= $MaxLine, imports exempt (FileLineLengthChecker)") {
     val bad = for {
       f <- sources
-      (line, i) <- scala.io.Source.fromFile(f, "UTF-8").getLines().zipWithIndex
+      (line, i) <- lines(f)
       if line.length > MaxLine && !line.trim.startsWith("import ")
     } yield s"${f.getPath}:${i + 1}:${line.length}"
     withClue(bad.take(20).mkString("long lines at:\n", "\n", "\n")) {
