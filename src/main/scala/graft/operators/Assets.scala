@@ -99,6 +99,28 @@ object Assets {
     s.read.parquet(loc.getAbsolutePath)
   }
 
+  /** True when the stored asset named `name` exists and its marker's
+    * SOURCE fingerprint matches `src`, IGNORING the marker's `#extra`
+    * line. For a compaction whose extraFp is an order-free signature
+    * of a batch that is itself a deterministic function of the source
+    * (the upsert WAL), an unchanged source implies an unchanged batch
+    * — so a caller can skip recomputing the batch just to re-derive
+    * the signature the marker already validated at publish time. A
+    * source change still reads as stale (and a base rebuild resets
+    * the manifest), so staleness is never masked.
+    */
+  def freshIgnoringExtra(s: SparkSession, name: String,
+      src: java.io.File): Boolean = Assets.synchronized {
+    val loc = new java.io.File(warehouse(s), name)
+    val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
+    marker.isFile && loc.isDirectory && {
+      val stored = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      stored.split("\n").filterNot(_.startsWith("#extra|")).mkString("\n") ==
+        fpOf(src).mkString("\n")
+    }
+  }
+
   /** One manifest row: a generation of a stored asset. */
   final case class AssetGen(asset: String, generation: Long, nRows: Long,
       nTombstones: Long, nUpserts: Long)

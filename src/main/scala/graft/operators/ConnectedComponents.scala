@@ -68,7 +68,10 @@ object ConnectedComponents {
     sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
+    // no dedup here: [[smallStar]]'s min-aggregate absorbs duplicates
+    // and its final distinct dedups the round's output, so the
+    // mid-round exchange the old `.distinct()` paid bought nothing
+    // (row multiplicity never exceeds the deduped round's O(E))
   }
 
   /** Small-star round over (u > v)-oriented edges: connect each node's
@@ -89,12 +92,16 @@ object ConnectedComponents {
     * wanting a total assignment use [[assign]].
     */
   def starEdges(edges: DataFrame, maxIter: Int = 100): DataFrame = {
-    var e = canon(edges).localCheckpoint(true)
+    // LAZY localCheckpoint: the checksum aggregate is the action that
+    // materializes it, so each round costs ONE job (checkpoint-write +
+    // checksum together) instead of the two the eager spelling paid —
+    // same truncated lineage, same values
+    var e = canon(edges).localCheckpoint(false)
     var checksum = checksumOf(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSum = checksumOf(next)
       converged = nextSum == checksum
       checksum = nextSum

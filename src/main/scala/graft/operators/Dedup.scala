@@ -153,10 +153,17 @@ object Dedup {
     * shuffle).
     */
   def minhashes(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 16, n: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
+      k: Int = 16, n: Int = 3): DataFrame =
+    minhashesFromShingles(shingles(docs, textCol, idCol, n), k)
+
+  /** [[minhashes]] from a precomputed (id, sh) shingle frame — lets a
+    * caller that also consumes the shingles directly (t40's exact
+    * ground-truth arm) run the shingle kernel once for both.
+    */
+  def minhashesFromShingles(sh: DataFrame, k: Int = 16): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits.{newLongEncoder, newProductEncoder, newLongSeqEncoder}
-    shingles(docs, textCol, idCol, n) // already (id: long, sh: long)
+    sh // already (id: long, sh: long)
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -184,6 +191,19 @@ object Dedup {
       k: Int = 16, bands: Int = 4, n: Int = 3,
       scope: CacheScope = CacheScope.session): DataFrame = {
     val mh = scope.own(minhashes(docs, textCol, idCol, k, n).persist())
+    lshCandidatePairsFromMinhashes(mh, k, bands)
+  }
+
+  /** [[lshCandidatePairs]] from a precomputed (id, minhashes) frame —
+    * the banding/join tail alone. Lets a tradeoff evaluation (t40's
+    * 2/4/8-band curve) signature the corpus ONCE and band it per
+    * layout instead of re-running the shingle+minhash pass per arm;
+    * same rows as [[lshCandidatePairs]] at equal (k, bands) by
+    * construction (the tail is shared, the signature pass is
+    * deterministic).
+    */
+  def lshCandidatePairsFromMinhashes(mh: DataFrame, k: Int,
+      bands: Int): DataFrame = {
     // each exploded row carries ALL band sigs so the join can dedup
     // pairs inline: emit only from the FIRST band where the signatures
     // agree (all earlier bands differ) — no distinct, no extra shuffle

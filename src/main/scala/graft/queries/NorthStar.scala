@@ -301,12 +301,17 @@ object NorthStar {
           round($"n_hits".cast("double") / (nq * 5), 6).as("recall"),
           round($"n_candidates".cast("double") / nAll, 6).as("cand_per_query"))
       }
+      // both graph arms reuse the quantizer trained above (training is
+      // deterministic at equal args, so injecting it is value-identical
+      // — previously each build re-ran the sample collect + driver
+      // Lloyd, 3 trainings per row in total)
       armRow("flat", flatRank,
-          Similarity.ivfKnnGraphTrainedFp(emb, k = 5, nlist = nlist,
-            nprobe = 4))
+          Similarity.ivfKnnGraphFromTrained(emb, trained, k = 5,
+            nprobe = 4, idCol = "vec_id", vecCol = "embedding", scope = scope))
         .unionByName(armRow("two_level", twoRank,
-          Similarity.ivfKnnGraphTrainedFp2L(emb, k = 5, nlist = nlist,
-            nprobe = 4, superList = superList, superProbe = 3)))
+          Similarity.ivfKnnGraph2LFromTrained(emb, trained, k = 5,
+            nprobe = 4, superList = superList, superProbe = 3,
+            idCol = "vec_id", vecCol = "embedding", scope = scope)))
         .orderBy("arm")
     }
     run()
@@ -331,10 +336,17 @@ object NorthStar {
     val truth = scope.own(Similarity.bruteForceTopK(emb, qSide, k = 5)
       .select($"q_id", $"n_id").persist())
     val nq = qSide.count()
+    // ONE training + routing + encode + ADC-candidate pass shared by
+    // both budget arms (nothing upstream of the bounded top-C depends
+    // on cBudget); each arm pays only its top-C + rerank tail —
+    // previously each arm re-ran the full PQ-graph pipeline
+    val prep = Similarity.pqKnnGraphScaledPrep(emb, targetList = 64,
+      nprobe = 4, superProbe = 3, m = 8, ncode = 32)
     def arm(cBudget: Int): DataFrame =
-      Similarity.pqKnnGraphScaledFp(emb, k = 5, targetList = 64,
-          nprobe = 4, superProbe = 3, m = 8, ncode = 32,
-          cBudget = cBudget)
+      prep.map(Similarity.pqGraphRankFromPrep(_, k = 5, cBudget = cBudget))
+        .getOrElse(Similarity.pqKnnGraphScaledFp(emb, k = 5,
+          targetList = 64, nprobe = 4, superProbe = 3, m = 8, ncode = 32,
+          cBudget = cBudget)) // empty corpus: same empty frame either way
         .select($"q_id", $"n_id")
         .join(truth, Seq("q_id", "n_id"))
         .agg(count(lit(1)).as("n_hits"))
@@ -2267,9 +2279,14 @@ object NorthStar {
           undirected = true, targetList = 64, nprobe = 4, superProbe = 3)
         .persist()) // walked by all 4 arms
       val nq = queries.count() // bounded: 5 by construction
+      // ONE progressive walk snapshotted at rounds 0/1/2/3 (the beam
+      // state after round r doesn't depend on later rounds), instead
+      // of four independent walks re-running each other's prefixes
+      val walked = Similarity.graphBeamSearchRoundsOver(graph, emb,
+        queries, k = k, beam = 16, roundsWanted = Seq(0, 1, 2, 3),
+        seedMod = 64).toMap
       Seq(0, 1, 2, 3).map { r =>
-        Similarity.graphBeamSearchOver(graph, emb, queries, k = k,
-            beam = 16, rounds = r, seedMod = 64)
+        walked(r)
           .select($"q_id", $"n_id")
           .join(truth, Seq("q_id", "n_id"))
           .agg(count(lit(1)).as("n_hits"))
@@ -3245,7 +3262,12 @@ object NorthStar {
     "t40_lsh_tradeoff" -> { (s, dir) =>
       import s.implicits._
       val corpus = mutCorpus(s, dir)
-      val sh = Dedup.shingles(corpus, "text", "doc_id", n = 3)
+      // ONE shingle kernel pass feeds BOTH the exact ground-truth arm
+      // and the minhash signatures (t40 previously ran it four times:
+      // once for truth + once inside each band layout's candidate
+      // pipeline)
+      val sh = graft.operators.CacheScope.sessionScope(s).own(
+        Dedup.shingles(corpus, "text", "doc_id", n = 3).persist())
       val a = sh.filter($"id" < 100000).select($"id".as("pid"), $"sh")
       val b = sh.filter($"id" >= 100000)
         .select(($"id" - 100000).as("pid"), $"sh")
@@ -3260,9 +3282,14 @@ object NorthStar {
         .select($"pid")
         .persist() // probed once per band layout
       val nTrue = broadcast(trueDups.agg(count(lit(1)).as("n_true_dup")))
+      // ... and ONE minhash signature aggregate shared by all three
+      // band layouts (the k=16 signatures don't depend on the banding);
+      // each arm only pays its banding join
+      val mh = graft.operators.CacheScope.sessionScope(s).own(
+        Dedup.minhashesFromShingles(sh, k = 16).persist())
       val rows = Seq(2, 4, 8).map { nb =>
-        val cand = Dedup.lshCandidatePairs(corpus, "text", "doc_id",
-          k = 16, bands = nb, n = 3).persist()
+        val cand = Dedup.lshCandidatePairsFromMinhashes(mh, k = 16,
+          bands = nb).persist()
         val found = cand
           .filter($"id_b" === $"id_a" + 100000 && $"id_a" < 100000)
           .select($"id_a".as("pid")).distinct()
@@ -3540,13 +3567,15 @@ object NorthStar {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      Seq((3, 64), (3, 256), (6, 64)).map { case (fo, cap) =>
+      // the print kernels depend only on fanOut, not the df cap: build
+      // each fanOut's doc/query print tables ONCE and let every arm at
+      // that fanOut read the shared persist (the (3,64)/(3,256) arms
+      // previously re-ran the full constellation extraction — ~1/3 of
+      // the row's executor time was that duplicate kernel pass)
+      val printsByFo = Seq(3, 6).map { fo =>
         val dp0 = graft.operators.CacheScope.sessionScope(s).own(
           Multimodal.constellationPrints(docs.select($"doc_id", $"text"),
             fanOut = fo).persist()) // df aggregate + match join
-        val kept = dp0.groupBy($"hash").agg(count(lit(1)).as("df"))
-          .filter($"df" <= cap).select($"hash")
-        val dp = dp0.join(broadcast(kept), Seq("hash"), "left_semi")
         val qp = graft.operators.CacheScope.sessionScope(s).own(
           Multimodal.constellationPrints(
             docs.filter($"doc_id" % 25 === 0).select($"doc_id",
@@ -3554,6 +3583,13 @@ object NorthStar {
                 " length(text) div 3)").as("text")), fanOut = fo)
           .select($"doc_id".as("q_id"), $"hash", $"t".as("qt"))
           .persist()) // query-count aggregate + match join
+        fo -> (dp0, qp)
+      }.toMap
+      Seq((3, 64), (3, 256), (6, 64)).map { case (fo, cap) =>
+        val (dp0, qp) = printsByFo(fo)
+        val kept = dp0.groupBy($"hash").agg(count(lit(1)).as("df"))
+          .filter($"df" <= cap).select($"hash")
+        val dp = dp0.join(broadcast(kept), Seq("hash"), "left_semi")
         val wq = Window.partitionBy($"q_id")
           .orderBy($"n_aligned".desc, $"doc_id".asc, $"off".asc)
         val matched = qp.join(dp, "hash")
