@@ -60,11 +60,15 @@ object NorthStar {
     import s.implicits._
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val toks = TextAnalysis.tokens($"text")
-    docs.select($"doc_id", $"text").unionByName(
-      docs.select(($"doc_id" + 100000).as("doc_id"),
-        array_join(
-          slice(toks, lit(1), greatest(floor(size(toks) * 0.8).cast("int"), lit(1))),
-          " ").as("text")))
+    // spread: the one-file fixture scan plans 2 tasks total, so every
+    // downstream shingle/hash kernel of the ~25 rows built on this
+    // corpus ran nearly single-threaded (guarded: identity at scale)
+    graft.operators.Par.spread(
+      docs.select($"doc_id", $"text").unionByName(
+        docs.select(($"doc_id" + 100000).as("doc_id"),
+          array_join(
+            slice(toks, lit(1), greatest(floor(size(toks) * 0.8).cast("int"), lit(1))),
+            " ").as("text"))))
   }
   /** Corpus with planted EXCERPTS: each doc again under id+100000 as
     * its middle-half token slice — near-total containment in the
@@ -72,12 +76,14 @@ object NorthStar {
     */
   private def subCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
-    docs.selectExpr("doc_id", "text").unionByName(
-      docs.selectExpr("doc_id + 100000 AS doc_id",
-        """array_join(slice(split(trim(text), '\\s+'),
-          |  (size(split(trim(text), '\\s+')) div 4) + 1,
-          |  greatest(size(split(trim(text), '\\s+')) div 2, 1)), ' ')
-          |  AS text""".stripMargin))
+    // spread: same single-task fixture-scan repair as [[mutCorpus]]
+    graft.operators.Par.spread(
+      docs.selectExpr("doc_id", "text").unionByName(
+        docs.selectExpr("doc_id + 100000 AS doc_id",
+          """array_join(slice(split(trim(text), '\\s+'),
+            |  (size(split(trim(text), '\\s+')) div 4) + 1,
+            |  greatest(size(split(trim(text), '\\s+')) div 2, 1)), ' ')
+            |  AS text""".stripMargin)))
   }
   private val subCorpusSql = {
     val tk = toksSql("text")
@@ -3494,7 +3500,8 @@ object NorthStar {
       import org.apache.spark.sql.expressions.Window
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val dp0 = graft.operators.CacheScope.sessionScope(s).own(
-        Multimodal.constellationPrints(docs.select($"doc_id", $"text"))
+        Multimodal.constellationPrints(graft.operators.Par.spread(
+            docs.select($"doc_id", $"text"))) // single-task fixture scan
           .persist()) // df aggregate + match join read the same prints
       val kept = dp0.groupBy($"hash").agg(count(lit(1)).as("df"))
         .filter($"df" <= 64).select($"hash")
@@ -3574,7 +3581,8 @@ object NorthStar {
       // the row's executor time was that duplicate kernel pass)
       val printsByFo = Seq(3, 6).map { fo =>
         val dp0 = graft.operators.CacheScope.sessionScope(s).own(
-          Multimodal.constellationPrints(docs.select($"doc_id", $"text"),
+          Multimodal.constellationPrints(graft.operators.Par.spread(
+              docs.select($"doc_id", $"text")), // single-task fixture scan
             fanOut = fo).persist()) // df aggregate + match join
         val qp = graft.operators.CacheScope.sessionScope(s).own(
           Multimodal.constellationPrints(

@@ -1295,8 +1295,10 @@ object Relational {
       val edges = sessionOverlapEdges(s, dir)
       val sym = edges.select($"ua".as("u"), $"ub".as("v"))
         .unionByName(edges.select($"ub".as("u"), $"ua".as("v")))
-      val nodes = events(s, dir)
-        .select($"user_id".cast("long").as("id")).distinct()
+      // persisted: every propagation round left-joins the node set, so
+      // the unpersisted spelling re-ran the events scan + distinct 4x
+      val nodes = scope.own(events(s, dir)
+        .select($"user_id".cast("long").as("id")).distinct().persist())
       val labels = graft.operators.Graph.labelPropagation(
         nodes, sym, rounds = 3, df => scope.own(df.persist()))
       val sz = labels.groupBy($"lbl")
@@ -1501,9 +1503,13 @@ object Relational {
     // extremes.
     "q53_column_stats" -> { (s, dir) =>
       import s.implicits._
-      val o = rd(s, dir, "orders").withColumn("epoch_day",
-        datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
-          .cast("long"))
+      // spread: the one-file scan plans a single task, so the ×5
+      // explode/hash kernel and the multi-distinct expand ran
+      // single-threaded (guarded: identity on a wide production scan)
+      val o = graft.operators.Par.spread(rd(s, dir, "orders"))
+        .withColumn("epoch_day",
+          datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long"))
       // per-column portable integer keys → PortableHash family member
       // i (mod 2^30, the HLL hash-width contract) — longs verbatim,
       // doubles via exact cents (floor(x*100 + 0.5), the same IEEE op
@@ -1670,8 +1676,11 @@ object Relational {
     // a broadcast dim join; top-20 via TakeOrderedAndProject.
     "q59_waiting_supplier" -> { (s, dir) =>
       import s.implicits._
-      val j = rd(s, dir, "lineitem")
-        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      // spread: broadcast-join probe + two date parses per row ran in
+      // the single scan task of the one-file fixture (guarded:
+      // identity on a wide production scan)
+      val j = graft.operators.Par.spread(rd(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey", $"l_shipdate"))
         .join(rd(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
           $"l_orderkey" === $"o_orderkey")
         .withColumn("late_supp", when(
