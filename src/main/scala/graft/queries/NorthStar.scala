@@ -60,15 +60,11 @@ object NorthStar {
     import s.implicits._
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val toks = TextAnalysis.tokens($"text")
-    // spread: the one-file fixture scan plans 2 tasks total, so every
-    // downstream shingle/hash kernel of the ~25 rows built on this
-    // corpus ran nearly single-threaded (guarded: identity at scale)
-    graft.operators.Par.spread(
-      docs.select($"doc_id", $"text").unionByName(
-        docs.select(($"doc_id" + 100000).as("doc_id"),
-          array_join(
-            slice(toks, lit(1), greatest(floor(size(toks) * 0.8).cast("int"), lit(1))),
-            " ").as("text"))))
+    docs.select($"doc_id", $"text").unionByName(
+      docs.select(($"doc_id" + 100000).as("doc_id"),
+        array_join(
+          slice(toks, lit(1), greatest(floor(size(toks) * 0.8).cast("int"), lit(1))),
+          " ").as("text")))
   }
   /** Corpus with planted EXCERPTS: each doc again under id+100000 as
     * its middle-half token slice — near-total containment in the
@@ -76,14 +72,12 @@ object NorthStar {
     */
   private def subCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
-    // spread: same single-task fixture-scan repair as [[mutCorpus]]
-    graft.operators.Par.spread(
-      docs.selectExpr("doc_id", "text").unionByName(
-        docs.selectExpr("doc_id + 100000 AS doc_id",
-          """array_join(slice(split(trim(text), '\\s+'),
-            |  (size(split(trim(text), '\\s+')) div 4) + 1,
-            |  greatest(size(split(trim(text), '\\s+')) div 2, 1)), ' ')
-            |  AS text""".stripMargin)))
+    docs.selectExpr("doc_id", "text").unionByName(
+      docs.selectExpr("doc_id + 100000 AS doc_id",
+        """array_join(slice(split(trim(text), '\\s+'),
+          |  (size(split(trim(text), '\\s+')) div 4) + 1,
+          |  greatest(size(split(trim(text), '\\s+')) div 2, 1)), ' ')
+          |  AS text""".stripMargin))
   }
   private val subCorpusSql = {
     val tk = toksSql("text")
@@ -1414,7 +1408,9 @@ object NorthStar {
     // populations (and the band self-join) stay bounded as the corpus
     // grows (see Dedup.simhash64NearPairs).
     "d12_simhash64_pairs" -> { (s, dir) =>
-      Dedup.simhash64NearPairs(mutCorpus(s, dir), "text", "doc_id", maxHamming = 3)
+      // spread: same simhash-kernel repair as d06
+      Dedup.simhash64NearPairs(graft.operators.Par.spread(mutCorpus(s, dir)),
+          "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")
     },
 
@@ -1600,7 +1596,11 @@ object NorthStar {
     },
 
     "d06_simhash_pairs" -> { (s, dir) =>
-      Dedup.simhashNearPairs(mutCorpus(s, dir), "text", "doc_id", maxHamming = 3)
+      // spread: the 64-hash simhash kernel dominates this row and ran
+      // in the fixture scan's 2 tasks (measured 3.6 -> 1.3 s wall;
+      // guarded identity on a wide production scan)
+      Dedup.simhashNearPairs(graft.operators.Par.spread(mutCorpus(s, dir)),
+          "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")
     },
 
