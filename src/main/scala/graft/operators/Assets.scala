@@ -68,10 +68,11 @@ object Assets {
   def ensureParquetAsset(s: SparkSession, name: String, src: java.io.File,
       extraFp: String = "", generation: Long = 0L,
       nTombstones: Long = 0L, nUpserts: Long = 0L,
-      retire: String => Boolean = _ => false)
+      retire: String => Boolean = _ => false,
+      algoFp: String = "")
       (build: => DataFrame): DataFrame = Assets.synchronized {
     val loc = new java.io.File(warehouse(s), name)
-    val fp = (fpOf(src) :+ s"#extra|$extraFp").mkString("\n")
+    val fp = (fpOf(src) ++ algoLine(algoFp) :+ s"#extra|$extraFp").mkString("\n")
     val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
     val fresh = marker.isFile && loc.isDirectory &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
@@ -99,25 +100,37 @@ object Assets {
     s.read.parquet(loc.getAbsolutePath)
   }
 
+  /** The `#algo|` marker line: a version tag for the KERNEL that built
+    * the asset, so a stored asset published by an older code version of
+    * the build logic reads as stale even when the source corpus is
+    * unchanged (the cache-invalidation hole a source-only fingerprint
+    * leaves open for [[freshIgnoringExtra]]'s fast path). Empty tag =
+    * no line, so assets that never opted in keep their markers valid.
+    */
+  private def algoLine(algoFp: String): Seq[String] =
+    if (algoFp.isEmpty) Seq.empty else Seq(s"#algo|$algoFp")
+
   /** True when the stored asset named `name` exists and its marker's
-    * SOURCE fingerprint matches `src`, IGNORING the marker's `#extra`
-    * line. For a compaction whose extraFp is an order-free signature
+    * SOURCE fingerprint (and `#algo` kernel tag, when one is required)
+    * matches `src`, IGNORING the marker's `#extra` line. For a
+    * compaction whose extraFp is an order-free signature
     * of a batch that is itself a deterministic function of the source
     * (the upsert WAL), an unchanged source implies an unchanged batch
     * — so a caller can skip recomputing the batch just to re-derive
     * the signature the marker already validated at publish time. A
     * source change still reads as stale (and a base rebuild resets
-    * the manifest), so staleness is never masked.
+    * the manifest); a kernel change bumps `algoFp` and reads as stale
+    * — so staleness is never masked.
     */
   def freshIgnoringExtra(s: SparkSession, name: String,
-      src: java.io.File): Boolean = Assets.synchronized {
+      src: java.io.File, algoFp: String = ""): Boolean = Assets.synchronized {
     val loc = new java.io.File(warehouse(s), name)
     val marker = new java.io.File(loc.getParentFile, s"${loc.getName}_source")
     marker.isFile && loc.isDirectory && {
       val stored = new String(
         java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
       stored.split("\n").filterNot(_.startsWith("#extra|")).mkString("\n") ==
-        fpOf(src).mkString("\n")
+        (fpOf(src) ++ algoLine(algoFp)).mkString("\n")
     }
   }
 

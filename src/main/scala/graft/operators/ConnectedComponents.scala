@@ -44,6 +44,20 @@ object ConnectedComponents {
     */
   val DefaultDriverMax: Long = 2L * 1000 * 1000
 
+  // Bisect knobs (system properties; tools.CcBisect). The r17 bisect at
+  // local[32] AND local[8] (3 reps solo each, q74/q51/s32) measured the
+  // r16 sub-changes (lazy checkpoint, dropped largeStar distinct) as
+  // individually flat-to-positive at BOTH widths — the r16 driver
+  // board's q74 blowup was width-32 tiny-task scheduling under load,
+  // not an algorithmic regression — and round-width right-sizing as
+  // the consistent winner, so lazy+nodistinct+rightsize is the
+  // default spelling. Flags kept so the bisect stays re-runnable.
+  private def flag(name: String, default: Boolean): Boolean =
+    sys.props.get(name).map(_.toBoolean).getOrElse(default)
+  private def eagerCkpt: Boolean = flag("graft.cc.eager", default = false)
+  private def lsDistinct: Boolean = flag("graft.cc.lsdistinct", default = false)
+  private def rightsize: Boolean = flag("graft.cc.rightsize", default = true)
+
   /** Canonical undirected edge set, oriented (u > v), self-loops and
     * duplicates dropped. Input: first two columns are integral node ids.
     */
@@ -65,13 +79,14 @@ object ConnectedComponents {
     val mins = sym.groupBy("u")
       .agg(F.min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
-    sym.join(mins, "u")
+    val out = sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-    // no dedup here: [[smallStar]]'s min-aggregate absorbs duplicates
+    // dedup optional: [[smallStar]]'s min-aggregate absorbs duplicates
     // and its final distinct dedups the round's output, so the
-    // mid-round exchange the old `.distinct()` paid bought nothing
-    // (row multiplicity never exceeds the deduped round's O(E))
+    // mid-round exchange only pays off when duplicate multiplicity is
+    // high (dense near-clique rounds) — bisected by tools.CcBisect
+    if (lsDistinct) out.distinct() else out
   }
 
   /** Small-star round over (u > v)-oriented edges: connect each node's
@@ -96,20 +111,40 @@ object ConnectedComponents {
     // materializes it, so each round costs ONE job (checkpoint-write +
     // checksum together) instead of the two the eager spelling paid —
     // same truncated lineage, same values
-    var e = canon(edges).localCheckpoint(false)
+    val spark = edges.sparkSession
+    var e = canon(edges).localCheckpoint(eagerCkpt)
     var checksum = checksumOf(e)
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
-      val nextSum = checksumOf(next)
-      converged = nextSum == checksum
-      checksum = nextSum
-      e = next
-      it += 1
+    // Right-size the round shuffles to the measured edge volume (guide
+    // §2.2): each round is 2 aggregates + 2 joins over O(E) 16-byte
+    // rows; at session width over a small frame every round pays
+    // (width × stages) sub-second tasks of pure scheduling. Derived
+    // from the count the convergence checksum already computed — never
+    // raises width, so a production-size edge set keeps the session's
+    // configured parallelism (scale-adaptive, not a local-mode const).
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    val rp = rightsize
+    if (rp) {
+      val target = math.max(1L, checksum._1 / 4000000L)
+      val p = math.min(prevParts.toLong, target)
+      spark.conf.set(partsKey, p.toString)
     }
-    require(converged, s"connected components did not converge in $maxIter rounds")
-    e
+    try {
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val next = smallStar(largeStar(e)).localCheckpoint(eagerCkpt)
+        val nextSum = checksumOf(next)
+        converged = nextSum == checksum
+        checksum = nextSum
+        e = next
+        it += 1
+      }
+      require(converged, s"connected components did not converge in $maxIter rounds")
+      e
+    } finally {
+      if (rp) spark.conf.set(partsKey, prevParts)
+    }
   }
 
   /** (row count, order-independent content hash) — two identical edge
@@ -136,6 +171,16 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val e = canon(edges)
+    if (driverMaxEdges <= 0L) {
+      // forced-distributed caller (q51/q74/s32's convention): the gate
+      // probe below would partially execute the edge pipeline — often
+      // the query's most expensive stage (q74's levenshtein self-join)
+      // — just to learn what the caller already declared. Skip it.
+      val star = starEdges(e)
+      return star.select(col("u").as("id"), col("v").as("component"))
+        .union(star.select(col("v"), col("v")).distinct()
+          .toDF("id", "component"))
+    }
     // Gate WITHOUT a dedicated count job: collect at most
     // driverMaxEdges + 1 canonical edges in one bounded pass
     // (CollectLimitExec evaluates partitions incrementally). If the

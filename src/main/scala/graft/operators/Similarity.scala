@@ -1051,9 +1051,11 @@ object Similarity {
     val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
     // snapshot = persist the O(queries·beam) beam state and CONTINUE
     // the walk from the persisted frame, so no arm recomputes another
-    // arm's prefix
+    // arm's prefix. With a SINGLE readout there is nothing to share —
+    // skip the persist so per-shard single-round callers (s47/s48's
+    // scatter arms) don't accumulate one persisted frame per arm
     def snap(r: Int): Unit = if (roundsWanted.contains(r)) {
-      beamed = scope.own(beamed.persist())
+      if (roundsWanted.size > 1) beamed = scope.own(beamed.persist())
       snaps(r) = beamed
     }
     snap(0)
@@ -2132,6 +2134,10 @@ object Similarity {
     */
   private[graft] def pqGraphRankFromPrep(prep: PqGraphPrep, k: Int,
       cBudget: Int): DataFrame = {
+    // direct callers (s41's budget arms) bypass pqKnnGraphScaledFp's
+    // guard; a cBudget < k would silently truncate instead of failing
+    require(k >= 1 && cBudget >= k,
+      s"need 1 <= k <= cBudget; got k=$k, cBudget=$cBudget")
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.Bridge
@@ -2834,10 +2840,12 @@ object Similarity {
     // validated when it landed) the flush — and the WAL recompute the
     // signature alone used to cost on every serve — is skipped and the
     // stored generation is read back. A corpus change fails the
-    // fingerprint check (and the base rebuild resets the manifest), so
+    // fingerprint check (and the base rebuild resets the manifest),
+    // and a WAL/apply kernel change bumps the `#algo` tag below, so
     // this can never serve a stale flush.
+    val upsertAlgoFp = s"upsert-apply-v1|owners=$nOwners"
     if (Assets.freshIgnoringExtra(s, s"${baseName}_gen2",
-          new java.io.File(dir, "embeddings.parquet")) &&
+          new java.io.File(dir, "embeddings.parquet"), upsertAlgoFp) &&
         Assets.manifest(s, baseName).exists(_.generation == 2L))
       return s.read.parquet(Assets.assetPath(s, s"${baseName}_gen2"))
     val intents = CacheScope.sessionScope(s).own(
@@ -2851,7 +2859,7 @@ object Similarity {
     Assets.ensureParquetAsset(s, s"${baseName}_gen2",
         new java.io.File(dir, "embeddings.parquet"),
         extraFp = s"upserts|$nUp|$sumUp",
-        generation = 2L, nUpserts = nUp) {
+        generation = 2L, nUpserts = nUp, algoFp = upsertAlgoFp) {
       val ups = intents.filter(col("kind") === "upsert")
         .select(col("q_id"), col("n_id"), col("cos_sim"))
       val newRows = intents.filter(col("kind") === "new_topk")
