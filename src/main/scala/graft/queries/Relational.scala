@@ -935,9 +935,11 @@ object Relational {
           col("y.dst").as("wv"))
       val tri = wedges.join(edges, $"v" === $"ua" && $"wv" === $"ub")
         .select($"u", $"v", $"wv")
-      tri.select($"u".as("user_id"))
-        .union(tri.select($"v".as("user_id")))
-        .union(tri.select($"wv".as("user_id")))
+      // explode, not a 3-way union: a union would re-execute the whole
+      // wedge + closing join pipeline once per corner (measured: the
+      // q44 plan carried 3 copies of both joins; cosineDBSCAN's
+      // explode-not-union lesson applies verbatim)
+      tri.select(explode(array($"u", $"v", $"wv")).as("user_id"))
         .groupBy($"user_id").agg(count(lit(1)).as("n_tri"))
         .join(deg.select($"u".as("user_id"), $"dg".as("degree")), "user_id")
         .select($"user_id", $"degree", $"n_tri")
