@@ -1455,6 +1455,37 @@ object Streaming {
     }
   }
 
+  /** ONE typed pass over the routed arrivals that walks each row
+    * against ITS shard's replica — the fused spelling of the
+    * arm-per-shard union (which re-planned, and re-scanned the cached
+    * dispatch, once per shard: nShards jobs of sub-second tasks at
+    * serving time). Each shard's replica still broadcasts SEPARATELY
+    * and a task only fetches the broadcasts of shards present in its
+    * partition (the dispatch is clustered by shard), so the
+    * O(corpus/nShards) per-worker replica bound is unchanged — only
+    * the job count drops to one. Returns
+    * (q_id, shard, rnk, n_id, cos_sim).
+    */
+  private def fusedRoutedWalk(routedQ: DataFrame,
+      replicas: Seq[(Int, Map[Long, Array[Float]], Map[Long, Array[Long]],
+        Array[Long])],
+      k: Int, beam: Int, rounds: Int): DataFrame = {
+    val s = routedQ.sparkSession
+    import s.implicits._
+    val bc = replicas.map { case (sh, vecs, adj, seeds) =>
+      sh -> ((s.sparkContext.broadcast(vecs), s.sparkContext.broadcast(adj),
+        s.sparkContext.broadcast(seeds)))
+    }.toMap
+    routedQ
+      .select(col("shard").cast("int").as("shard"), col("q_id"),
+        col("embedding"))
+      .as[(Int, Long, Array[Float])].flatMap { case (sh, qId, qv) =>
+        val (bv, ba, bs) = bc(sh)
+        localBeamWalk(qId, qv, bv.value, ba.value, bs.value, k, beam,
+          rounds).map { case (q, rnk, nId, cos) => (q, sh.toLong, rnk, nId, cos) }
+      }.toDF("q_id", "shard", "rnk", "n_id", "cos_sim")
+  }
+
   /** Streaming graph-ANN serving (st50): arriving query vectors walk
     * the FROZEN k-NN-graph index asset per row — the production
     * vector-serving shape (DiskANN/HNSW-style: the nightly-built index
@@ -1596,20 +1627,7 @@ object Streaming {
         (sh, vecs, adj, seeds)
       }
     }), Duration.Inf)
-    val arms = replicas.map { case (sh, vecs, adj, seeds) =>
-      val bcVecs = s.sparkContext.broadcast(vecs)
-      val bcAdj = s.sparkContext.broadcast(adj)
-      val bcSeeds = s.sparkContext.broadcast(seeds)
-      routedQ.filter(col("shard") === sh)
-        .select(col("q_id"), col("embedding"))
-        .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
-          localBeamWalk(qId, qv, bcVecs.value, bcAdj.value, bcSeeds.value,
-            k, beam, rounds).map { case (q, rnk, nId, cos) =>
-            (q, sh.toLong, rnk, nId, cos)
-          }
-        }.toDF("q_id", "shard", "rnk", "n_id", "cos_sim")
-    }
-    arms.reduce(_ unionByName _)
+    fusedRoutedWalk(routedQ, replicas, k, beam, rounds)
   }
 
   /** Streaming chunk-level dedup — the RAG-ingestion shape: chunk each
@@ -3051,20 +3069,7 @@ object Streaming {
         (sh, vecs, adj, seeds)
       }
     }), Duration.Inf)
-    val arms = replicas.map { case (sh, vecs, adj, seeds) =>
-      val bcVecs = s.sparkContext.broadcast(vecs)
-      val bcAdj = s.sparkContext.broadcast(adj)
-      val bcSeeds = s.sparkContext.broadcast(seeds)
-      routedQ.filter(col("shard") === sh)
-        .select(col("q_id"), col("embedding"))
-        .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
-          localBeamWalk(qId, qv, bcVecs.value, bcAdj.value, bcSeeds.value,
-            k, beam, rounds).map { case (q, rnk, nId, cos) =>
-            (q, sh.toLong, rnk, nId, cos)
-          }
-        }.toDF("q_id", "shard", "rnk", "n_id", "cos_sim")
-    }
-    arms.reduce(_ unionByName _)
+    fusedRoutedWalk(routedQ, replicas, k, beam, rounds)
   }
 
   /** THE exact cosine fold of the streaming serving family — the one
@@ -3217,23 +3222,11 @@ object Streaming {
           }.toDF("shard", "q_id", "embedding"))
       .repartition(col("shard")).persist()) // cluster by shard once;
     routedQ.count() // arms prune cached batches by shard stats
-    val arms = replicas.map { case (sh, vecs, adj, seeds) =>
-      val bcVecs = s.sparkContext.broadcast(vecs)
-      val bcAdj = s.sparkContext.broadcast(adj)
-      val bcSeeds = s.sparkContext.broadcast(seeds)
-      routedQ.filter(col("shard") === sh)
-        .select(col("q_id"), col("embedding"))
-        .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
-          localBeamWalk(qId, qv, bcVecs.value, bcAdj.value,
-            bcSeeds.value, k, beam, rounds).map { case (q, _, nId, cos) =>
-            (q, sh.toLong, nId, cos)
-          }
-        }.toDF("q_id", "shard", "n_id", "cos_sim")
-    }
     // the GATHER: exact top-k merge of the routed arms' partials —
     // shard slices are disjoint, so no dedup; rounded-cosine ties
     // break on id like every readout in the family
-    val partials = arms.reduce(_ unionByName _)
+    val partials = fusedRoutedWalk(routedQ, replicas, k, beam, rounds)
+      .select(col("q_id"), col("shard"), col("n_id"), col("cos_sim"))
     import org.apache.spark.sql.expressions.Window
     partials
       .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
@@ -3317,20 +3310,7 @@ object Streaming {
         (sh, vecs, adj, seeds)
       }
     }), Duration.Inf)
-    val arms = replicas.map { case (sh, vecs, adj, seeds) =>
-      val bcVecs = s.sparkContext.broadcast(vecs)
-      val bcAdj = s.sparkContext.broadcast(adj)
-      val bcSeeds = s.sparkContext.broadcast(seeds)
-      routedQ.filter(col("shard") === sh)
-        .select(col("q_id"), col("embedding"))
-        .as[(Long, Array[Float])].flatMap { case (qId, qv) =>
-          localBeamWalk(qId, qv, bcVecs.value, bcAdj.value, bcSeeds.value,
-            k, beam, rounds).map { case (q, rnk, nId, cos) =>
-            (q, sh.toLong, rnk, nId, cos)
-          }
-        }.toDF("q_id", "shard", "rnk", "n_id", "cos_sim")
-    }
-    arms.reduce(_ unionByName _)
+    fusedRoutedWalk(routedQ, replicas, k, beam, rounds)
   }
 
   /** STREAMING CONTENT-TAKEDOWN PROPAGATION (st55) — the CONTENT-level
