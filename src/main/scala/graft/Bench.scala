@@ -139,10 +139,14 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // Operators persist() intermediates for intra-query reuse; drop
         // them between reps/queries so each run is measured independently
-        // (no cache hits, no accumulating executor memory).
+        // (no cache hits, no accumulating executor memory). Checkpoint
+        // blocks too: localCheckpoint pins its round states in the block
+        // manager until driver GC — across 297 queries that residue is
+        // storage pressure + GC churn charged to whoever runs later.
         try {
           graft.operators.CacheScope.releaseSession(spark)
           spark.catalog.clearCache()
+          graft.operators.CacheScope.releaseCheckpoints(spark)
         } catch { case _: Throwable => }
         (dt, ok)
       }

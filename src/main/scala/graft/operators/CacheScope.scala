@@ -112,4 +112,20 @@ object CacheScope {
     val sc = perSession.synchronized(perSession.get(s))
     if (sc != null) sc.release()
   }
+
+  /** Unpersist EVERY persistent RDD of the context — including the
+    * blocks `localCheckpoint` pins, which `unpersist()`/`clearCache()`
+    * never release (they are freed only when the GC driver-side
+    * collects the RDD handle). Iterative operators checkpoint once per
+    * round, so a long session running many of them accumulates dead
+    * round states in the block manager until storage pressure turns
+    * into GC churn and eviction stalls (the shared-board inflation the
+    * bench's queries_note documents). UNLIKE [[releaseSession]], this
+    * is destructive: a still-held checkpointed DataFrame cannot
+    * recompute (its lineage was truncated) — call it only at a point
+    * where no prior query's frames will be used again, e.g. between
+    * bench reps.
+    */
+  def releaseCheckpoints(s: SparkSession): Unit =
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 }

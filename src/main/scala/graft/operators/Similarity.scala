@@ -949,11 +949,22 @@ object Similarity {
     val g0 = ivfKnnGraphTrainedFp(corpus, graphK, nlist, nprobe,
         idCol = idCol, vecCol = vecCol, scope = scope)
       .select(col("q_id").as("node"), col("n_id").as("edge_to"))
-    if (undirected)
-      g0.unionByName(g0.select(col("edge_to").as("node"),
-        col("node").as("edge_to"))).distinct()
-    else g0
+    symmetrizeEdges(g0, undirected)
   }
+
+  /** Undirected edge symmetrization via explode, NOT a self-union: a
+    * union scans (and RE-EXECUTES) the whole upstream graph build once
+    * per branch — for the routed block-join builds that doubles the
+    * row's dominant cost (s35 measured ~2x build task-time from the
+    * union spelling). Same output, one pass, then the same distinct.
+    */
+  private def symmetrizeEdges(g0: DataFrame, undirected: Boolean): DataFrame =
+    if (!undirected) g0
+    else g0.select(explode(array(
+        struct(col("node"), col("edge_to")),
+        struct(col("edge_to").as("node"), col("node").as("edge_to")))).as("e"))
+      .select(col("e.node").as("node"), col("e.edge_to").as("edge_to"))
+      .distinct()
 
   /** [[knnEdges]] on the corpus-scaled build path — walk edges derived
     * from [[knnGraphScaledFp]] (count-derived nlist, hash-seed
@@ -971,10 +982,7 @@ object Similarity {
     val g0 = knnGraphScaledFp(corpus, graphK, targetList, nprobe, superProbe,
         idCol = idCol, vecCol = vecCol, scope = scope)
       .select(col("q_id").as("node"), col("n_id").as("edge_to"))
-    if (undirected)
-      g0.unionByName(g0.select(col("edge_to").as("node"),
-        col("node").as("edge_to"))).distinct()
-    else g0
+    symmetrizeEdges(g0, undirected)
   }
 
   /** [[graphBeamSearch]] with the graph built by [[knnEdgesScaled]] —
@@ -2513,8 +2521,7 @@ object Similarity {
           k = graphK, targetList = targetList, nprobe = nprobe,
           superProbe = superProbe)
         .select(col("q_id").as("node"), col("n_id").as("edge_to"))
-      g0.unionByName(g0.select(col("edge_to").as("node"),
-        col("node").as("edge_to"))).distinct()
+      symmetrizeEdges(g0, undirected = true)
     }
   }
 

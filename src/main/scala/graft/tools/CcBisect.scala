@@ -51,6 +51,7 @@ object CcBisect {
         try {
           graft.operators.CacheScope.releaseSession(spark)
           spark.catalog.clearCache()
+          graft.operators.CacheScope.releaseCheckpoints(spark)
         } catch { case _: Throwable => }
         (dt, n)
       }

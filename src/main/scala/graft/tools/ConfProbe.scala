@@ -39,6 +39,7 @@ object ConfProbe {
         try {
           graft.operators.CacheScope.releaseSession(spark)
           spark.catalog.clearCache()
+          graft.operators.CacheScope.releaseCheckpoints(spark)
         } catch { case _: Throwable => }
         dt
       }

@@ -66,6 +66,7 @@ object JobProfile {
           (if (rep == 1) "  (cold)" else ""))
         graft.operators.CacheScope.releaseSession(spark)
         spark.catalog.clearCache()
+        graft.operators.CacheScope.releaseCheckpoints(spark)
       }
     }
     spark.stop()

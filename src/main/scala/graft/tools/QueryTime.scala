@@ -29,6 +29,7 @@ object QueryTime {
         val n = fn(spark, dir).count()
         println(f"[qt] $name%-30s run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
         spark.catalog.clearCache()
+        graft.operators.CacheScope.releaseCheckpoints(spark)
       }
     }
     spark.stop()
