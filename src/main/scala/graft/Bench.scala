@@ -81,6 +81,13 @@ object Bench {
     try {
       graft.operators.Similarity.ensureKnnGraphIndex(spark, sfDir).limit(1).count()
       graft.operators.Similarity.ensureRankedKnnIndex(spark, sfDir).limit(1).count()
+      // generation-2 (the WAL flush) publishes HERE so the s49/s50/s51
+      // lines time the same thing in every rep: the manifest-guarded
+      // asset READ-BACK (idempotent-publish-skip is the compaction's
+      // production read semantics). Before this, rep 1 of a fresh
+      // warehouse timed the flush and rep 2 the read — min-of-2 mixed
+      // two different contracts (r16 verdict item 7).
+      graft.operators.Similarity.compactUpsertKnnIndex(spark, sfDir).limit(1).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] knn-graph asset warmup failed: $e")
     }

@@ -1295,8 +1295,11 @@ object Relational {
       import s.implicits._
       val scope = graft.operators.CacheScope.sessionScope(s)
       val edges = sessionOverlapEdges(s, dir)
-      val sym = edges.select($"ua".as("u"), $"ub".as("v"))
-        .unionByName(edges.select($"ub".as("u"), $"ua".as("v")))
+      // persisted: each of the 3 propagation rounds equi-joins sym; the
+      // un-persisted union re-derived it (2 cache scans + the union)
+      // once per round
+      val sym = scope.own(edges.select($"ua".as("u"), $"ub".as("v"))
+        .unionByName(edges.select($"ub".as("u"), $"ua".as("v"))).persist())
       // persisted: every propagation round left-joins the node set, so
       // the unpersisted spelling re-ran the events scan + distinct 4x
       val nodes = scope.own(events(s, dir)
